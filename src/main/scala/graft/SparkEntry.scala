@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All query groups, in presentation order. */
   private def allDefs: Vector[QueryDef] =
-    ReferenceParity.defs
+    ReferenceParity.defs ++ Relational.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

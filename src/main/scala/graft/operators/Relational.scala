@@ -1,0 +1,361 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.functions.Fns._
+
+/** Relational breadth beyond the reference (SURVEY.md §2.6 / §7.2 step 3).
+  *
+  * The reference has no joins, windows, sorts, set ops or distinct
+  * aggregation anywhere (SURVEY.md §2.6 — all five jobs are single-input
+  * scan→agg). These operators complete the engine surface on the testdata
+  * star schema, designed for the 100 TB shape:
+  *
+  *  - Dimension joins (region/nation/supplier) take `broadcast()` hints —
+  *    at scale the dims stay << the 10 MB auto threshold while lineitem
+  *    is the 100 TB fact; broadcast avoids shuffling the fact entirely.
+  *  - The lineitem⋈orders join is a co-partitioned shuffle join (SMJ/SHJ
+  *    picked by AQE); both sides are large so a shuffle is irreducible,
+  *    and the join key is the natural bucketing key for both tables.
+  *  - Money arithmetic runs in DECIMAL so partial-aggregation order
+  *    (partitions, AQE re-plans) can never flip a low bit — results are
+  *    bit-stable across any cluster size, and match the DuckDB oracle
+  *    exactly.
+  *  - Every query ends in a total-order `orderBy` (SURVEY.md §7.4) and
+  *    aliases every computed column identically to its oracle SQL.
+  */
+object Relational {
+
+  private val D182 = DecimalType(18, 2)
+  // revenue = price(s2) * (1-disc)(s2) has natural scale 4; keep it — narrowing
+  // to s2 would round, and Spark (HALF_UP) disagrees with DuckDB (HALF_EVEN)
+  // exactly on the .xx5 boundary. Scale-preserving casts never round.
+  private val D184 = DecimalType(18, 4)
+
+  /** Star-schema revenue rollup: fact ⋈ three broadcast dims.
+    * At 100 TB the fact never shuffles — dims broadcast to every executor. */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val na = Tables.nation(s, dir)
+    val re = Tables.region(s, dir)
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(na), sup("s_nationkey") === na("n_nationkey"))
+      .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast(D184).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val regionRevenueSql: String =
+    """SELECT r_name, n_name,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Large fact⋈fact join (lineitem ⋈ orders): both sides big, shuffle on
+    * the join key is irreducible; AQE picks SMJ vs SHJ and handles skew. */
+  def priorityRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"),
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast(D184).as("revenue"),
+        (sum(col("l_quantity").cast(LongType)) / count(lit(1))).as("avg_qty"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  val priorityRevenueSql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |       count(DISTINCT o_orderkey) AS n_orders,
+      |       count(*) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority, o_orderstatus
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
+  /** Left-semi join (EXISTS): customers that placed at least one order. */
+  def activeSegments(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum(money(col("c_acctbal"))).cast(D182).as("acctbal_sum"))
+      .orderBy("c_mktsegment")
+  }
+
+  val activeSegmentsSql: String =
+    """SELECT c_mktsegment, count(*) AS n_active,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS acctbal_sum
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers who never placed an urgent
+    * order, per nation. The filter on the right side is pushed below the
+    * anti join, shrinking the build side before any shuffle. */
+  def inactiveCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_inactive"), min(col("c_name")).as("first_name"))
+      .orderBy("c_nationkey")
+  }
+
+  val inactiveCustomersSql: String =
+    """SELECT c_nationkey, count(*) AS n_inactive, min(c_name) AS first_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** Top-k: global order-by + limit → TakeOrderedAndProject (never a full
+    * sort of 100 TB; per-partition top-k then a driver merge of k·P rows). */
+  def topOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"),
+        money(col("o_totalprice")).as("totalprice"), col("o_orderpriority"))
+
+  val topOrdersSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+      |       o_orderpriority
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Set operations: UNION / INTERSECT / EXCEPT over two customer-key sets
+    * (high-balance vs AUTOMOBILE-segment). */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+    val u = rich.union(auto).distinct().select(lit("union").as("op"), col("c_custkey"))
+    val i = rich.intersect(auto).select(lit("intersect").as("op"), col("c_custkey"))
+    val e = rich.except(auto).select(lit("except").as("op"), col("c_custkey"))
+    u.union(i).union(e)
+      .groupBy(col("op")).agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"))
+      .orderBy("op")
+  }
+
+  val setOpsSql: String =
+    """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+      |     auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+      |     sets AS (
+      |       SELECT 'union' AS op, c_custkey FROM (SELECT * FROM rich UNION SELECT * FROM auto)
+      |       UNION ALL
+      |       SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM rich INTERSECT SELECT * FROM auto)
+      |       UNION ALL
+      |       SELECT 'except' AS op, c_custkey FROM (SELECT * FROM rich EXCEPT SELECT * FROM auto))
+      |SELECT op, count(*) AS n, sum(c_custkey) AS key_sum
+      |FROM sets GROUP BY op ORDER BY op""".stripMargin
+
+  /** ROLLUP hierarchy totals: (flag, status) → (flag) → grand total. */
+  def flagRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(LongType)).as("qty_sum"),
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast(D184).as("revenue"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val flagRollupSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      |       sum(CAST(l_quantity AS BIGINT)) AS qty_sum,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Exact distinct aggregation (expands to a two-phase agg under the
+    * hood; at 100 TB prefer approx_count_distinct — see q14). */
+  def distinctStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_orderkey")).as("n_ord"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+
+  val distinctStatsSql: String =
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_suppkey) AS n_supp,
+      |       count(DISTINCT l_partkey) AS n_part,
+      |       count(DISTINCT l_orderkey) AS n_ord,
+      |       count(*) AS n_items
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** HLL-sketch distinct — the 100 TB path (single pass, tiny fixed state,
+    * no per-key expansion shuffle). No oracle: sketch estimates are
+    * engine-specific; driver records a rows-only check. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_part"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_ord"))
+      .orderBy("l_returnflag")
+
+  /** Ranking window: top-3 items per order by price (row_number with a
+    * deterministic tiebreak). */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        money(col("l_extendedprice")).as("price"), col("rnk"))
+      .orderBy("l_orderkey", "rnk")
+  }
+
+  val windowRankSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |       CAST(l_extendedprice AS DECIMAL(18,2)) AS price, rnk
+      |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |             row_number() OVER (PARTITION BY l_orderkey
+      |                                ORDER BY l_extendedprice DESC, l_linenumber) AS rnk
+      |      FROM lineitem) t
+      |WHERE rnk <= 3
+      |ORDER BY l_orderkey, rnk""".stripMargin
+
+  /** Analytic windows: running total, lag, sliding 3-row frame, per
+    * supplier in ship-date order. */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+    Tables.lineitem(s, dir)
+      .withColumn("qty", col("l_quantity").cast(LongType))
+      .withColumn("running_qty",
+        sum(col("qty")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_qty", lag(col("qty"), 1, 0).over(w))
+      .withColumn("last3_qty",
+        sum(col("qty")).over(w.rowsBetween(-2, Window.currentRow)))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("qty"), col("running_qty"), col("prev_qty"), col("last3_qty"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  val windowRunningSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, qty,
+      |       sum(qty) OVER w AS running_qty,
+      |       lag(qty, 1, 0) OVER w AS prev_qty,
+      |       sum(qty) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS last3_qty
+      |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+      |             CAST(l_quantity AS BIGINT) AS qty FROM lineitem) t
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** Date/time bucketing: year/quarter/month hierarchy over o_orderdate. */
+  def dateBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mon"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).cast(D182).as("total"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"))
+      .orderBy("yr", "qtr", "mon")
+
+  val dateBucketsSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |       CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |       CAST(month(o_orderdate) AS INT) AS mon,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+      |       min(o_orderdate) AS first_order,
+      |       max(o_orderdate) AS last_order
+      |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** String functions: case, split/element_at, length over part. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        lower(col("p_brand")).as("brand"),
+        element_at(split(col("p_type"), " "), 1).as("type_head"),
+        length(col("p_name")).as("name_len"))
+      .groupBy(col("brand"), col("type_head"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        min(col("name_len")).as("min_name_len"),
+        max(col("name_len")).as("max_name_len"))
+      .orderBy("brand", "type_head")
+
+  val stringFuncsSql: String =
+    """SELECT lower(p_brand) AS brand,
+      |       string_split(p_type, ' ')[1] AS type_head,
+      |       count(*) AS n_parts,
+      |       min(length(p_name)) AS min_name_len,
+      |       max(length(p_name)) AS max_name_len
+      |FROM part
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Semi-structured: parse events.props JSON, aggregate extracted field.
+    * At scale the JSON parse happens once per row inside codegen; the
+    * grouping shuffles only (event_type, partial sums). */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k").cast(LongType)).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        countDistinct(col("k")).as("k_distinct"))
+      .orderBy("event_type")
+
+  val jsonPropsSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+      |       min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+      |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
+      |       count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS k_distinct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val defs: Vector[QueryDef] = Vector(
+    QueryDef("q06_region_revenue", regionRevenue, Some(regionRevenueSql)),
+    QueryDef("q07_priority_revenue", priorityRevenue, Some(priorityRevenueSql)),
+    QueryDef("q08_active_segments", activeSegments, Some(activeSegmentsSql)),
+    QueryDef("q09_inactive_customers", inactiveCustomers, Some(inactiveCustomersSql)),
+    QueryDef("q10_top_orders", topOrders, Some(topOrdersSql)),
+    QueryDef("q11_set_ops", setOps, Some(setOpsSql)),
+    QueryDef("q12_flag_rollup", flagRollup, Some(flagRollupSql)),
+    QueryDef("q13_distinct_stats", distinctStats, Some(distinctStatsSql)),
+    QueryDef("q14_approx_distinct", approxDistinct, None),
+    QueryDef("q15_window_rank", windowRank, Some(windowRankSql)),
+    QueryDef("q16_window_running", windowRunning, Some(windowRunningSql)),
+    QueryDef("q17_date_buckets", dateBuckets, Some(dateBucketsSql)),
+    QueryDef("q18_string_funcs", stringFuncs, Some(stringFuncsSql)),
+    QueryDef("q19_json_props", jsonProps, Some(jsonPropsSql)),
+  )
+}
