@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's SparkSession config so Verify, Bench and
+  * tests run identical semantics.
+  *
+  *  - `shuffle.partitions` = local cores (not the 200 default) — on a
+  *    real cluster this would be cluster-sized or AQE-coalesced; queries
+  *    are written partition-count-agnostic so the value only affects
+  *    parallelism, never results.
+  *  - UTC session timezone: date/timestamp semantics match the DuckDB
+  *    oracle and are cluster-locale-independent.
+  *  - `parquet.nanosAsLong`: the testdata `events.ts` column is parquet
+  *    TIMESTAMP(NANOS), which Spark 4 otherwise refuses to read; set once
+  *    here (not mutated mid-session by loaders) so every read in the
+  *    session interprets nanos columns the same way.
+  */
+object Sessions {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

