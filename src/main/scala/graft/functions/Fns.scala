@@ -79,4 +79,46 @@ object Fns {
   def norm2(a: Column): Column =
     aggregate(transform(a, v => v.cast(DoubleType) * v.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Canonical text for exact dedup: trim, collapse runs of spaces,
+    * lowercase. DuckDB twin: lower(trim(regexp_replace(text,' +',' ','g'))). */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, " +", " ")))
+
+  /** Quantize a float/double vector to exact 1e-6 integer units. All
+    * downstream dot products / norms are then exact BIGINT arithmetic —
+    * order-independent (safe under any partitioning / AQE re-plan) and
+    * bit-identical across engines, unlike float accumulation.
+    * DuckDB twin: list_transform(v, x -> CAST(round(CAST(x AS DOUBLE)*1000000, 0) AS BIGINT)). */
+  def quantize(a: Column): Column =
+    transform(a, v => round(v.cast(DoubleType) * lit(1000000L)).cast(LongType))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact integer squared norm of a quantized vector. */
+  def qnorm2(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic cosine from quantized vectors: exact integer dot and
+    * norms, one double division at the end — the same bits in Spark and
+    * DuckDB (qn ≤ dim·1e12 < 2^53, so the int→double conversions are
+    * exact; * and sqrt are IEEE-defined). */
+  def qcosine(qa: Column, qb: Column, qna: Column, qnb: Column): Column =
+    qdot(qa, qb).cast(DoubleType) /
+      sqrt(qna.cast(DoubleType) * qnb.cast(DoubleType))
+
+  /** Statically unrolled integer dot product for a known dimension.
+    * Higher-order functions (`aggregate`/`zip_with`) are interpreted
+    * per-row in Spark — catastrophic inside an all-pairs join. A fixed
+    * 64-term `element_at` chain stays inside whole-stage codegen and is
+    * ~10× faster on the hot path. Semantically identical to [[qdot]]. */
+  def qdotStatic(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+
+  /** [[qcosine]] with the codegen-friendly unrolled dot product. */
+  def qcosineStatic(qa: Column, qb: Column, qna: Column, qnb: Column, dim: Int): Column =
+    qdotStatic(qa, qb, dim).cast(DoubleType) /
+      sqrt(qna.cast(DoubleType) * qnb.cast(DoubleType))
 }

@@ -1,0 +1,311 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.functions.Fns._
+
+/** Deduplication operators over `documents` — the LLM-pipeline extension
+  * surface (north star; the reference itself has no dedup, SURVEY.md
+  * §2.6). Four families: exact (hash-groupBy), MinHash+LSH banding,
+  * SimHash fingerprints, and exact n-gram Jaccard verification.
+  *
+  * 100 TB design notes, common to all four:
+  *  - Everything is a pure column pipeline: tokenize → hash → aggregate.
+  *    No `collect`, no driver state; the only shuffles are the per-doc
+  *    aggregations (map-side partial min/sum first) and the candidate
+  *    self-joins, which shuffle on *bucket keys* (band hash / shingle),
+  *    never all-pairs.
+  *  - LSH banding is the scale story: candidate generation is an
+  *    equi-join on (band, bandHash) — ~O(n·bands) shuffle rows — and
+  *    only bucket-mates are compared, unlike q23's exact shingle join
+  *    which is quadratic in per-shingle document frequency. At 100 TB,
+  *    cap df per shingle/bucket (salting or df-filter) to bound skew.
+  *  - All hashes are md5-derived ([[graft.functions.Fns.hash32]]) so the
+  *    DuckDB oracle reproduces them bit-for-bit; murmur3 `hash()` would
+  *    be Spark-private. Integer-only arithmetic keeps results
+  *    partition-order independent.
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31-1, Mersenne prime for minhash perms
+  private val B = 912367L     // permutation offset step
+
+  /** (doc_id, shingle) rows: distinct word 3-shingles per document.
+    * Explode-then-aggregate beats nested array lambdas for everything
+    * downstream: higher-order functions are interpreted per row, while
+    * explode → groupBy pipelines stay in whole-stage codegen with
+    * map-side partial aggregation (the r01→r02 bench fix: 161 s → s). */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      // materialize the token array in its own projection: `shingles`
+      // references its input ~3× per position, and composing it
+      // directly over `tokens(text)` would inline (and re-evaluate) the
+      // whole split+filter per reference — ~300 re-tokenizations per
+      // document (measured 14 s → 2 s at sf0.1). As a named column the
+      // array is computed once per row; CollapseProject keeps it
+      // because the alias is non-cheap and multiply-referenced.
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("w"), 3))).as("sgl"))
+
+  /** 16-permutation MinHash signatures as an aggregation:
+    * mh_i = min over shingles of ((2i+1)·h + 912367·i) mod (2^31-1),
+    * i.e. 16 `min` aggregates over the exploded shingle hashes — partial
+    * mins combine map-side, so the shuffle carries 16 longs per doc. */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val hs = shingleRows(s, dir).select(col("doc_id"), hash32(col("sgl")).as("h"))
+    val minCols = (0 until 16).map(i =>
+      min(pmod(col("h") * (2 * i + 1) + lit(B) * i, lit(P))).as(s"m$i"))
+    hs.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Deterministic exact dedup: keep the min-doc_id row of every
+    * normalized-text group. (`dropDuplicates` keeps an *arbitrary* row —
+    * unacceptable for reproducible pipelines.) One shuffle on the text
+    * hash; at 100 TB group on hash32(norm) first so the shuffle key is
+    * 8 bytes, not the document body. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(normText(col("text"))).orderBy(col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Per-source dedup accounting: total docs vs kept-after-exact-dedup. */
+  def exactDedupStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept = exactDedup(docs)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy("source")
+  }
+
+  val exactDedupStatsSql: String =
+    """WITH kept AS (
+      |  SELECT source, count(*) AS n_kept
+      |  FROM (SELECT source,
+      |               row_number() OVER (
+      |                 PARTITION BY lower(trim(regexp_replace(text, ' +', ' ', 'g')))
+      |                 ORDER BY doc_id) AS rn
+      |        FROM documents) t
+      |  WHERE rn = 1 GROUP BY source),
+      |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+      |SELECT tot.source, n_docs,
+      |       coalesce(n_kept, 0) AS n_kept,
+      |       n_docs - coalesce(n_kept, 0) AS n_dropped
+      |FROM tot LEFT JOIN kept ON tot.source = kept.source
+      |ORDER BY 1""".stripMargin
+
+  /** MinHash + LSH near-dup candidates: 16 minhashes, 4 bands of 4.
+    * Candidates = pairs sharing at least one full band; emitted when the
+    * signature-estimated Jaccard (n_eq/16) clears 0.5. The band
+    * equi-join is the whole point at scale: shuffle on (band, value),
+    * never n². */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(s, dir)
+
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => concat_ws(",", transform(slice(col("sig"), b * lit(4) + 1, lit(4)),
+          v => v.cast(StringType))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+
+    val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("siga"),
+      col("band"), col("bval"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sigb"),
+      col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "siga", "sigb")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("n_eq",
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v))
+      .filter(col("n_eq").cast(DoubleType) / 16.0 >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_eq"),
+        (col("n_eq").cast(DoubleType) / 16.0).as("est_j"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashLshSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(1, len(w) - 2),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM toks WHERE len(w) >= 3),
+      |hs AS (
+      |  SELECT doc_id,
+      |         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
+      |  FROM sh WHERE len(sh) >= 1),
+      |sig AS (
+      |  SELECT doc_id,
+      |         list_transform(generate_series(0, 15),
+      |           i -> list_min(list_transform(hs,
+      |                  h -> (h * (i*2+1) + i*912367) % 2147483647))) AS sig
+      |  FROM hs),
+      |bands AS (
+      |  SELECT doc_id, sig, t.b AS band,
+      |         array_to_string(list_transform(list_slice(sig, t.b*4+1, t.b*4+4),
+      |           v -> CAST(v AS VARCHAR)), ',') AS bval
+      |  FROM sig CROSS JOIN range(0, 4) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+      |  WHERE a.doc_id < b.doc_id),
+      |sc AS (
+      |  SELECT doc_a, doc_b,
+      |         CAST(len(list_filter(generate_series(1, 16),
+      |                i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_eq
+      |  FROM cand
+      |  JOIN sig sa ON sa.doc_id = doc_a
+      |  JOIN sig sb ON sb.doc_id = doc_b)
+      |SELECT doc_a, doc_b, n_eq, CAST(n_eq AS DOUBLE) / 16.0 AS est_j
+      |FROM sc
+      |WHERE CAST(n_eq AS DOUBLE) / 16.0 >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash near-dup pairs: 60-bit weighted-token fingerprint, 4 bands
+    * of 15 bits for candidate generation, Hamming ≤ 6 to emit. 60 bits
+    * (not 32) so that unrelated documents — expected Hamming ≈ 30 —
+    * essentially never pass the threshold, while planted near-dups stay
+    * at single digits. One groupBy(doc) for the fingerprint (partial
+    * sums map-side), one equi-join on (band, 15-bit bucket). */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val th = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), hash60(col("t")).as("h"))
+
+    val sumCols = (0 until 60).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"s$j"))
+    val bitSums = th.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+    val fp = bitSums.select(col("doc_id"),
+      (0 until 60).map(j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("fp"))
+
+    val bands = fp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("fp"), 15 * b).bitwiseAND(32767)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+
+    val a = bands.select(col("doc_id").as("doc_a"), col("fp").as("fpa"),
+      col("band"), col("bval"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("fp").as("fpb"),
+      col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "fpa", "fpb")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming",
+        bit_count(col("fpa").bitwiseXOR(col("fpb"))).cast(IntegerType))
+      .filter(col("hamming") <= 6)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val simhashSql: String = {
+    val sums = (0 until 60).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n         ")
+    val fpExpr = (0 until 60).map(j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+       |  FROM documents),
+       |th AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tk),
+       |bs AS (
+       |  SELECT doc_id,
+       |         $sums
+       |  FROM th GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM bs),
+       |bands AS (
+       |  SELECT doc_id, fp, t.b AS band, (fp >> (15 * t.b)) & 32767 AS bval
+       |  FROM fp CROSS JOIN range(0, 4) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.fp AS fpa, b.fp AS fpb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fpa, fpb)) AS INT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(fpa, fpb)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Exact n-gram Jaccard: distinct word-3-gram sets, pair intersection
+    * via a shuffle join on the shingle itself. Exact but quadratic in
+    * per-shingle df — the verification stage after LSH candidate
+    * generation, or a direct method when df is bounded (at 100 TB,
+    * df-cap hot shingles first). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // join on the 60-bit shingle hash, not the shingle text: the
+    // pair-generation shuffle then carries 8-byte keys instead of
+    // ~30-byte strings. The oracle hashes identically (same md5 math),
+    // so results agree bit-for-bit even in the (≈2^-61) collision case.
+    // The repartition is a deliberate materialization barrier: this
+    // subtree feeds the self-join twice plus the size aggregate, and
+    // without an exchange in between Spark recomputes the
+    // tokenize→shingle→md5 pipeline for every consumer (4 scans in the
+    // r02 plan); with it, ReuseExchange computes it once.
+    val sh = shingleRows(s, dir).select(col("doc_id"), hash60(col("sgl")).as("h"))
+      .repartition(col("h"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("union_n", col("na") + col("nb") - col("inter"))
+      .withColumn("jac",
+        col("inter").cast(DoubleType) / col("union_n").cast(DoubleType))
+      .filter(col("jac") >= 0.5)
+      .select("doc_a", "doc_b", "inter", "union_n", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(sgl), 1, 15) AS BIGINT) AS h
+      |  FROM (
+      |    SELECT DISTINCT doc_id, sgl FROM (
+      |      SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+      |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sgl
+      |      FROM toks WHERE len(w) >= 3) t0) t),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_n,
+      |       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jac
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = doc_a
+      |JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val defs: Vector[QueryDef] = Vector(
+    QueryDef("q20_exact_dedup", exactDedupStats, Some(exactDedupStatsSql)),
+    QueryDef("q21_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    QueryDef("q22_simhash", simhash, Some(simhashSql)),
+    QueryDef("q23_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+  )
+}

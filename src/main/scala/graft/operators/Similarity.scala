@@ -1,0 +1,239 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.functions.Fns._
+
+/** Similarity search over `embeddings.embedding` (Array[Float], 64-dim).
+  *
+  * All cosine math runs on 1e-6-quantized integer vectors
+  * ([[graft.functions.Fns.quantize]]): dot products and norms are exact
+  * BIGINT sums (order-independent under any partitioning), with a single
+  * IEEE-deterministic double division at the end — so Spark and the
+  * DuckDB oracle agree bit-for-bit, which float accumulation cannot
+  * guarantee. The pair-scoring hot path uses the statically unrolled
+  * [[graft.functions.Fns.qdotStatic]] so it compiles into whole-stage
+  * codegen (interpreted `aggregate`/`zip_with` cost ~10× on an
+  * all-pairs join).
+  *
+  * Scale ladder (the point of having three operators):
+  *  - [[embeddingNearDup]]/[[cosineTopK]] are the brute-force baselines:
+  *    a self-join that is O(n²) pairs / O(probes·n). Correct, trivially
+  *    parallel (pairs partition evenly), but the 100 TB path is not this.
+  *  - [[annLsh]] is the scale path: 32 random-hyperplane sign bits in 4
+  *    bands of 8 — candidate generation becomes an equi-join on
+  *    (band, bucket), so the shuffle carries ~4·n small-int-keyed rows
+  *    instead of n² pairs; an 8-bit band keeps random collisions at
+  *    ~4/256 per pair. Recall/cost is tunable via planes-per-band;
+  *    verification of candidates stays exact. The hyperplanes are
+  *    md5-derived ±1 weights (computed once on the driver, no RNG — the
+  *    DuckDB oracle regenerates the identical planes in SQL).
+  */
+object Similarity {
+
+  private val Dim = 64     // embeddings.embedding length (TESTDATA.md)
+  private val Planes = 32
+  private val BandBits = 8 // planes per band → 4 bands
+
+  /** ±1 hyperplane weights, w(j)(i) = 1 - 2·(hash32("p{j}_{i}") & 1),
+    * j in [0,32), i in [1,64]. */
+  private lazy val planeWeights: Seq[(Int, Int, Long)] = {
+    val md = MessageDigest.getInstance("MD5")
+    for { j <- 0 until Planes; i <- 1 to Dim } yield {
+      md.reset()
+      val hex = md.digest(s"p${j}_${i}".getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      (j, i, 1L - 2L * (java.lang.Long.parseLong(hex.substring(0, 8), 16) & 1L))
+    }
+  }
+
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("qn", qnorm2(col("q")))
+
+  /** Brute-force near-dup pairs: all pairs with cosine ≥ 0.4, as a
+    * block nested-loop — the build side is broadcast as primitive
+    * arrays, and each partition scans its rows against the block in a
+    * tight integer loop (the same shape every vector-search engine uses
+    * for exact search; a SQL-level triangular join would evaluate an
+    * interpreted 64-term condition per pair, ~15× slower).
+    *
+    * At 100 TB the build side no longer fits one broadcast: tile it —
+    * outer loop over build-side blocks of ~100 MB, one broadcast per
+    * block, union the results (cost is the same n² row-pairs, just
+    * blocked), or switch to [[annLsh]] when approximate recall is
+    * acceptable. The arithmetic is the exact quantized integer math of
+    * the oracle: dot and norms are BIGINT-exact, one IEEE double
+    * division at the end. */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = quantized(s, dir)
+      .select(col("vec_id"), col("q"), col("qn"))
+      .as[(Long, Array[Long], Long)]
+    val block = e.collect().sortBy(_._1) // broadcast build side (id-sorted)
+    val bc = s.sparkContext.broadcast(block)
+    e.mapPartitions { it =>
+      val arr = bc.value
+      it.flatMap { case (ida, qa, qna) =>
+        arr.iterator
+          .filter(_._1 > ida)
+          .map { case (idb, qb, qnb) =>
+            var dot = 0L
+            var k = 0
+            while (k < qa.length) { dot += qa(k) * qb(k); k += 1 }
+            (ida, idb, dot.toDouble / math.sqrt(qna.toDouble * qnb.toDouble))
+          }
+          .filter(_._3 >= 0.4)
+      }
+    }.toDF("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val qListSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+
+  val embeddingNearDupSql: String =
+    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |      FROM q),
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |             CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+       |                    i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+       |             a.qn AS qna, b.qn AS qnb
+       |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b,
+       |       CAST(dot AS DOUBLE) / sqrt(CAST(qna AS DOUBLE) * CAST(qnb AS DOUBLE)) AS cos
+       |FROM p
+       |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(qna AS DOUBLE) * CAST(qnb AS DOUBLE)) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Brute-force cosine top-k: 5 nearest neighbours for each probe
+    * (vec_id ≡ 0 mod 100), ties broken by vec_id. The tiny probe set is
+    * broadcast against the full table — the fact side never shuffles
+    * for the join; only (probes·k) rows reach the window sort. */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("probe_id"), col("q").as("qa"), col("qn").as("qna"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
+      .withColumn("cos", qcosineStatic(col("qa"), col("q"), col("qna"), col("qn"), Dim))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  val cosineTopKSql: String =
+    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |      FROM q),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
+       |                i -> p.q[i] * c.q[i])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(c.qn AS DOUBLE)) AS cos
+       |  FROM n p JOIN n c ON p.vec_id <> c.vec_id
+       |  WHERE p.vec_id % 100 = 0),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY probe_id
+       |                                 ORDER BY cos DESC, vec_id) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT probe_id, vec_id, cos, rnk
+       |FROM ranked WHERE rnk <= 5
+       |ORDER BY probe_id, rnk""".stripMargin
+
+  /** LSH-bucketed approximate near-dup: candidates must share one of 4
+    * 8-bit sign-hyperplane bucket bytes; exact (quantized) cosine ≥ 0.4
+    * to emit. Output is a subset of [[embeddingNearDup]] — the recall
+    * gap is the documented price of replacing the n² pair join with an
+    * equi-join (tune planes-per-band down / bands up for recall).
+    *
+    * Plan shape: posexplode(vector) ⋈ broadcast(planes 32×64) →
+    * groupBy(vec, plane) partial sums → groupBy(vec, band) buckets —
+    * every stage is codegen + map-side-combine friendly; no per-row
+    * array lambdas on the hot path. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planes = broadcast(planeWeights.toDF("j", "i", "w"))
+
+    val e = quantized(s, dir)
+    // (vec_id, i, x): one row per vector component, 1-based i
+    val qv = e.select(col("vec_id"), posexplode(col("q")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("x"))
+    val proj = qv.join(planes, "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("w") * col("x")).as("pr"))
+    val bands = proj
+      .select(col("vec_id"), expr(s"j div $BandBits").as("band"),
+        when(col("pr") >= 0,
+          expr(s"cast(shiftleft(1, j % $BandBits) as bigint)")).otherwise(0L).as("bit"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(col("bit")).as("bucket"))
+
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "bucket"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("qn").as("qna")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("qn").as("qnb")), Seq("vec_b"))
+      .withColumn("cos", qcosineStatic(col("qa"), col("qb"), col("qna"), col("qnb"), Dim))
+      .filter(col("cos") >= 0.4)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val annLshSql: String =
+    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |      FROM q),
+       |planes AS (
+       |  SELECT j.b AS j, i.b AS i,
+       |         1 - 2 * (CAST('0x' || substr(md5('p' || CAST(j.b AS VARCHAR) || '_'
+       |                  || CAST(i.b AS VARCHAR)), 1, 8) AS BIGINT) & 1) AS w
+       |  FROM range(0, $Planes) j(b) CROSS JOIN range(1, ${Dim + 1}) i(b)),
+       |proj AS (
+       |  SELECT n.vec_id, p.j, sum(p.w * n.q[p.i]) AS pr
+       |  FROM n CROSS JOIN planes p
+       |  GROUP BY 1, 2),
+       |buckets AS (
+       |  SELECT vec_id, j // $BandBits AS band,
+       |         sum(CASE WHEN pr >= 0 THEN 1 << (j % $BandBits) ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id),
+       |p AS (
+       |  SELECT vec_a, vec_b,
+       |         CAST(list_sum(list_transform(generate_series(1, len(na.q)),
+       |                i -> na.q[i] * nb.q[i])) AS BIGINT) AS dot,
+       |         na.qn AS qna, nb.qn AS qnb
+       |  FROM cand JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b)
+       |SELECT vec_a, vec_b,
+       |       CAST(dot AS DOUBLE) / sqrt(CAST(qna AS DOUBLE) * CAST(qnb AS DOUBLE)) AS cos
+       |FROM p
+       |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(qna AS DOUBLE) * CAST(qnb AS DOUBLE)) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val defs: Vector[QueryDef] = Vector(
+    QueryDef("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
+    QueryDef("q25_cosine_topk", cosineTopK, Some(cosineTopKSql)),
+    QueryDef("q26_ann_lsh", annLsh, Some(annLshSql)),
+  )
+}

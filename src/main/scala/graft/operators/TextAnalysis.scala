@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.functions.Fns._
+
+/** Text-analysis operators over `documents` — language ID, quality
+  * scoring, token counting, document fingerprinting (north-star
+  * extensions; the reference's only text op is WordCount, SURVEY.md
+  * §2.1 S3/A6).
+  *
+  * Everything is a single scan → per-row column expressions → one
+  * aggregation; no UDFs (all codegen-capable built-ins), no shuffles
+  * beyond the final groupBy. Ratios are computed as ratios of exact
+  * integer sums, never averages of per-row doubles, so results are
+  * independent of partition/merge order at any scale.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles (public, standard lists). The
+    * heuristic is frequency-of-profile-hits; ties resolve in the fixed
+    * priority order en > de > es > fr > zh (documented, deterministic). */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "mit", "den", "von"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "se"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "ni", "ta", "men", "zhe", "na"))
+
+  private def score(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words.map(lit(_)))))
+
+  /** n-gram/stopword language ID vs the labelled `lang` column: emits
+    * the confusion matrix (actual, predicted, n_docs). */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .withColumns(stopwords.map { case (l, ws) => s"s_$l" -> score(col("toks"), ws) }.toMap)
+    val Seq(en, de, es, fr, zh) = stopwords.map { case (l, _) => col(s"s_$l") }
+    scored
+      .withColumn("pred",
+        when(en >= de && en >= es && en >= fr && en >= zh, "en")
+          .when(de >= es && de >= fr && de >= zh, "de")
+          .when(es >= fr && es >= zh, "es")
+          .when(fr >= zh, "fr")
+          .otherwise("zh"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred")
+  }
+
+  val langIdSql: String = {
+    val scores = stopwords.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(w, t -> list_contains($list, t))) AS s_$l"
+    }.mkString(",\n         ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |         $scores
+       |  FROM toks),
+       |pred AS (
+       |  SELECT lang,
+       |         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |              WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |              WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |              WHEN s_fr >= s_zh THEN 'fr'
+       |              ELSE 'zh' END AS pred
+       |  FROM scored)
+       |SELECT lang, pred, count(*) AS n_docs
+       |FROM pred GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+  }
+
+  /** Heuristic quality scoring: token count, mean word length (exact
+    * integer arithmetic: chars minus internal spaces over tokens),
+    * bucketed high/medium/low; aggregated per (source, bucket) with
+    * ratio-of-sums averages. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tok", size(tokens(col("text"))).cast(LongType))
+      .withColumn("n_char", length(col("text")).cast(LongType))
+      .withColumn("mean_wlen",
+        (col("n_char") - col("n_tok") + 1).cast(DoubleType) / col("n_tok").cast(DoubleType))
+      .withColumn("quality",
+        when(col("n_tok") >= 60 && col("mean_wlen") >= 4.0, "high")
+          .when(col("n_tok") >= 25, "medium")
+          .otherwise("low"))
+      .groupBy(col("source"), col("quality"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tot_tokens"),
+        (sum(col("n_char") - col("n_tok") + 1).cast(DoubleType) /
+          sum(col("n_tok")).cast(DoubleType)).as("avg_wlen"))
+      .orderBy("source", "quality")
+
+  val qualityScoreSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok,
+      |         CAST(length(text) AS BIGINT) AS n_char
+      |  FROM documents),
+      |q AS (
+      |  SELECT source, n_tok, n_char,
+      |         CASE WHEN n_tok >= 60
+      |                   AND CAST(n_char - n_tok + 1 AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 4.0
+      |              THEN 'high'
+      |              WHEN n_tok >= 25 THEN 'medium'
+      |              ELSE 'low' END AS quality
+      |  FROM d)
+      |SELECT source, quality, count(*) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS tot_tokens,
+      |       CAST(sum(n_char - n_tok + 1) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE) AS avg_wlen
+      |FROM q GROUP BY source, quality ORDER BY source, quality""".stripMargin
+
+  /** Token counting two ways per source: whitespace tokens and a
+    * BPE-ish regex segmentation (letter/digit runs + single symbols) —
+    * the cheap token-budget estimator of a training-data pipeline. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("ws_tok", size(tokens(col("text"))).cast(LongType))
+      .withColumn("re_tok",
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast(LongType))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tok")).as("ws_tokens"),
+        sum(col("re_tok")).as("re_tokens"),
+        max(col("ws_tok")).as("max_doc_tokens"))
+      .orderBy("source")
+
+  val tokenCountSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tok,
+      |         CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tok
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(ws_tok) AS BIGINT) AS ws_tokens,
+      |       CAST(sum(re_tok) AS BIGINT) AS re_tokens,
+      |       CAST(max(ws_tok) AS BIGINT) AS max_doc_tokens
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  /** Rolling-hash document fingerprint: md5-derived hash of every char
+    * 8-gram; the fingerprint is the minimum (winnowing with one global
+    * window), plus the distinct-gram count. Per-row only — embarrassingly
+    * parallel at any scale; fingerprint equality then drives near-dup
+    * clustering exactly like [[Dedup.exactDedup]] on a weaker key. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(length(col("text")) >= 8)
+      .withColumn("grams",
+        transform(sequence(lit(1), length(col("text")) - 7),
+          i => hash32(col("text").substr(i, lit(8)))))
+      .select(col("doc_id"),
+        array_min(col("grams")).as("fp"),
+        size(array_distinct(col("grams"))).cast(LongType).as("n_grams"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         list_transform(generate_series(1, length(text) - 7),
+      |           i -> CAST('0x' || substr(md5(substr(text, i, 8)), 1, 8) AS BIGINT)) AS grams
+      |  FROM documents WHERE length(text) >= 8)
+      |SELECT doc_id, list_min(grams) AS fp,
+      |       CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  val defs: Vector[QueryDef] = Vector(
+    QueryDef("q27_lang_id", langId, Some(langIdSql)),
+    QueryDef("q28_quality_score", qualityScore, Some(qualityScoreSql)),
+    QueryDef("q29_token_count", tokenCount, Some(tokenCountSql)),
+    QueryDef("q30_fingerprint", fingerprint, Some(fingerprintSql)),
+  )
+}
