@@ -15,7 +15,8 @@ object SparkEntry {
   /** All query groups, in presentation order. */
   private def allDefs: Vector[QueryDef] =
     ReferenceParity.defs ++ Relational.defs ++ Dedup.defs ++
-      Similarity.defs ++ TextAnalysis.defs
+      Similarity.defs ++ TextAnalysis.defs ++ Multimodal.defs ++
+      graft.streaming.EventsStream.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.operators.QueryDef
+
+/** Structured Streaming surface (north-star stretch; the reference is
+  * pure batch, SURVEY.md §2.6).
+  *
+  * The aggregation logic is ONE function ([[windowedAgg]]) applied to
+  * either a batch DataFrame or a stream: identical semantics by
+  * construction, which the StreamingSpec asserts via MemoryStream —
+  * exactly how a production lambda-free pipeline keeps its batch
+  * backfill and live path in lockstep.
+  *
+  * Scale notes: tumbling-window counts are the streaming-friendly shape
+  * — per-key state is one row per (window, event_type), watermarking
+  * bounds state (2 h late-data horizon), and the shuffle key
+  * (window, event_type) is low-cardinality and time-local, so state
+  * store partitions stay small no matter how long the stream runs.
+  */
+object EventsStream {
+
+  /** Tumbling 1-hour windows per event_type: event count + exact integer
+    * sum of the JSON `k` property (BIGINT arithmetic — no float
+    * accumulation, so batch/stream/oracle agree exactly). */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k").cast(LongType)).as("k_sum"))
+
+  /** Streaming variant: watermark bounds the state store; late events
+    * beyond 2 h are dropped deterministically. */
+  def streamingWindowedAgg(events: DataFrame): DataFrame =
+    windowedAgg(events.withWatermark("ts", "2 hours"))
+
+  /** Batch twin exposed to the driver contract (oracled in DuckDB via
+    * date_trunc — Spark's epoch-aligned 1-hour windows coincide). */
+  def tumblingWindow(s: SparkSession, dir: String): DataFrame =
+    windowedAgg(Tables.events(s, dir))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"), col("n_events"), col("k_sum"))
+      .orderBy("hour_start", "event_type")
+
+  val tumblingWindowSql: String =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  val defs: Vector[QueryDef] = Vector(
+    QueryDef("q32_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
+  )
+}

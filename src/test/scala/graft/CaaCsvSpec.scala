@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.CaaCsv.splitByComma
+
+/** Dialect-quirk spec for the reference CSV tokenizer port
+  * (SURVEY.md §1.3; reference Program/Delay.java:144-162). */
+class CaaCsvSpec extends AnyFunSuite {
+
+  test("plain split") {
+    assert(splitByComma("a,b,c").toSeq == Seq("a", "b", "c"))
+  }
+
+  test("quoted field retains its quotes (quirk 1)") {
+    assert(splitByComma("""x,"LEEDS, BRADFORD",y""").toSeq ==
+      Seq("x", "\"LEEDS, BRADFORD\"", "y"))
+  }
+
+  test("trailing comma drops the final empty field (quirk 3)") {
+    assert(splitByComma("a,b,").toSeq == Seq("a", "b"))
+  }
+
+  test("interior empty fields are kept") {
+    assert(splitByComma("a,,b").toSeq == Seq("a", "", "b"))
+  }
+
+  test("empty string yields empty array (quirk 4)") {
+    assert(splitByComma("").isEmpty)
+  }
+
+  test("space padding is preserved by the tokenizer (trim is per-use)") {
+    assert(splitByComma(" 109 , x").toSeq == Seq(" 109 ", " x"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup-family behavior on the sf0.001 testdata (500 docs, 25 planted
+  * near-dup pairs at Jaccard ≈ 0.99, no exact duplicates) plus
+  * constructed exact-dup inputs. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup keeps the min-doc_id row per normalized text") {
+    val df = Seq(
+      (3L, "Hello  World ", "s1"),
+      (1L, "hello world", "s2"),
+      (2L, "different", "s3"),
+    ).toDF("doc_id", "text", "source")
+    val kept = Dedup.exactDedup(df).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L)) // 3 collapses onto 1 via normText
+  }
+
+  test("minhashLsh finds the planted near-dup pairs, est_j in [0.5, 1]") {
+    val got = Dedup.minhashLsh(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length >= 20) // 25 planted pairs, minus est_j noise
+    assert(got.forall { case (a, b, n, e) =>
+      a < b && n >= 8 && n <= 16 && e >= 0.5 && e <= 1.0
+    })
+  }
+
+  test("minhashLsh candidates ⊇ exact-Jaccard pairs (banding recall on planted dups)") {
+    val lsh = Dedup.minhashLsh(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccard(spark, sfDir)
+      .filter(col("jac") >= 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // at jaccard ≈ 0.99 every band should match with overwhelming prob.
+    assert(exact.nonEmpty)
+    assert((exact -- lsh).isEmpty,
+      s"planted pairs missed by LSH: ${exact -- lsh}")
+  }
+
+  test("simhash near-dup pairs are low-Hamming and cover planted dups") {
+    val sim = Dedup.simhash(spark, sfDir)
+      .as[(Long, Long, Int)].collect()
+    assert(sim.forall { case (a, b, h) => a < b && h >= 0 && h <= 6 })
+    val simSet = sim.map(p => (p._1, p._2)).toSet
+    val exact = Dedup.ngramJaccard(spark, sfDir)
+      .filter(col("jac") >= 0.95).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & simSet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"simhash recall $recall too low")
+  }
+
+  test("ngramJaccard is exact: inter ≤ min(na, nb) implies jac ≤ 1") {
+    val got = Dedup.ngramJaccard(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, i, u, j) =>
+      a < b && i <= u && j >= 0.5 && j <= 1.0 && j == i.toDouble / u.toDouble
+    })
+  }
+}

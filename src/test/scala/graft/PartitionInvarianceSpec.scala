@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** The property the reference hand-guaranteed with in-mapper combining
+  * (SURVEY.md §5.2 item 3): aggregation results must be identical under
+  * any partitioning. Exact-integer/decimal internal arithmetic makes
+  * every engine query partition-invariant by construction — asserted
+  * here on representative shapes. */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private val names = Seq(
+    "q01_delay_avg", "q02_late_pct", "q06_region_revenue",
+    "q21_minhash_lsh", "q28_quality_score")
+
+  names.foreach { name =>
+    test(s"$name is invariant under shuffle-partition count") {
+      val q = SparkEntry.queries(name)
+      val base = canon(q(spark, sfDir))
+      Seq("1", "7").foreach { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        try assert(canon(q(spark, sfDir)) == base, s"differs at partitions=$p")
+        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
+    }
+  }
+
+  test("entry returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Similarity
+
+/** Similarity-search behavior on sf0.001 embeddings (500 × 64-dim). */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosineTopK returns exactly 5 ranked neighbours per probe") {
+    val got = Similarity.cosineTopK(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect()
+    val byProbe = got.groupBy(_._1)
+    assert(byProbe.keySet == Set(0L, 100L, 200L, 300L, 400L))
+    byProbe.foreach { case (p, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      // descending cosine in rank order
+      val sorted = rows.sortBy(_._4).map(_._3).toSeq
+      assert(sorted == sorted.sorted.reverse, s"probe $p not sorted")
+      assert(rows.forall(_._2 != p), "self-match excluded")
+    }
+  }
+
+  test("embeddingNearDup pairs are ordered, thresholded, and symmetric-free") {
+    val got = Similarity.embeddingNearDup(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, c) => a < b && c >= 0.4 && c <= 1.0 })
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
+  }
+
+  test("annLsh output is a subset of the brute-force pairs") {
+    val brute = Similarity.embeddingNearDup(spark, sfDir)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val ann = Similarity.annLsh(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(ann.forall { case (a, b, c) => brute.get((a, b)).contains(c) },
+      "every LSH pair must appear in brute force with identical cosine")
+  }
+}

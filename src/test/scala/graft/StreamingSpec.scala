@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventsStream
+
+/** Stream/batch parity: the same windowedAgg applied to a MemoryStream
+  * (complete output mode) must equal the batch result on the same rows. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming windowed aggregation matches batch on identical input") {
+    val rows = Seq(
+      (ts("2024-01-01 10:05:00"), "click", """{"k": 3}"""),
+      (ts("2024-01-01 10:55:00"), "click", """{"k": 5}"""),
+      (ts("2024-01-01 10:30:00"), "view", """{"k": 1}"""),
+      (ts("2024-01-01 11:05:00"), "click", """{"k": 7}"""),
+      (ts("2024-01-01 12:00:00"), "view", """{"k": 2}"""))
+
+    val batch = EventsStream.windowedAgg(
+        rows.toDF("ts", "event_type", "props"))
+      .select(col("window.start").cast("string"), col("event_type"),
+        col("n_events"), col("k_sum"))
+      .as[(String, String, Long, Long)].collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val streamed = EventsStream.streamingWindowedAgg(
+      mem.toDF().toDF("ts", "event_type", "props"))
+      .select(col("window.start").cast("string"), col("event_type"),
+        col("n_events"), col("k_sum"))
+    val q = streamed.writeStream
+      .format("memory").queryName("win_parity").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("win_parity")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(got == batch)
+      assert(got.toSeq.map(_._3).sum == rows.length)
+    } finally q.stop()
+  }
+}
