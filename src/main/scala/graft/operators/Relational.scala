@@ -354,6 +354,42 @@ object Relational {
       |       count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS k_distinct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** CUBE: all grouping-set combinations of (flag, status). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(LongType)).as("qty_sum"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val cubeAggSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Exact percentiles (sort-based; at 100 TB use approx_percentile —
+    * same tradeoff as q13 vs q14). */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        expr("percentile(l_extendedprice, 0.25)").as("price_p25"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS p50,
+      |       quantile_cont(l_quantity, 0.9) AS p90,
+      |       quantile_cont(l_extendedprice, 0.25) AS price_p25,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q06_region_revenue", regionRevenue, Some(regionRevenueSql)),
     QueryDef("q07_priority_revenue", priorityRevenue, Some(priorityRevenueSql)),
@@ -369,5 +405,7 @@ object Relational {
     QueryDef("q17_date_buckets", dateBuckets, Some(dateBucketsSql)),
     QueryDef("q18_string_funcs", stringFuncs, Some(stringFuncsSql)),
     QueryDef("q19_json_props", jsonProps, Some(jsonPropsSql)),
+    QueryDef("q33_cube", cubeAgg, Some(cubeAggSql)),
+    QueryDef("q34_percentiles", percentiles, Some(percentilesSql)),
   )
 }
