@@ -31,4 +31,22 @@ class CaaCsvSpec extends AnyFunSuite {
   test("space padding is preserved by the tokenizer (trim is per-use)") {
     assert(splitByComma(" 109 , x").toSeq == Seq(" 109 ", " x"))
   }
+
+  test("property: seeded random lines match the dialect model (SURVEY §5.2 3a)") {
+    val rnd = new scala.util.Random(20260812)
+    def plainField(): String =
+      Seq.fill(rnd.nextInt(6))("abc XY09 -.".charAt(rnd.nextInt(11))).mkString
+    (1 to 500).foreach { _ =>
+      val fields = Seq.fill(1 + rnd.nextInt(8)) {
+        if (rnd.nextInt(4) == 0) "\"" + plainField() + "," + plainField() + "\""
+        else plainField()
+      }
+      val line = fields.mkString(",")
+      // model: tokens are the fields as written (quotes retained);
+      // a trailing empty field (line ends in ',') is dropped.
+      val expected =
+        if (fields.nonEmpty && fields.last.isEmpty) fields.dropRight(1) else fields
+      assert(splitByComma(line).toSeq == expected, s"line=<$line>")
+    }
+  }
 }
