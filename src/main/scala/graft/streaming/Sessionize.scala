@@ -108,7 +108,46 @@ object Sessionize {
       }
   }
 
+  /** As-of (point-in-time) join: for every `purchase`, the most recent
+    * `click` of the same user at or before it — the feature-generation
+    * primitive of training pipelines ("state of X as of event time").
+    *
+    * Spark has no ASOF JOIN operator; the idiomatic scale-out encoding
+    * is union + running `last(..., ignoreNulls)` over one per-user
+    * window: a SINGLE shuffle on user_id and a partition-local sort,
+    * instead of the range-join pair explosion a `l.ts >= r.ts` theta
+    * join would plan. Ties (click and purchase at the same microsecond)
+    * sort click-first, matching ASOF's `r.ts <= l.ts`. The DuckDB
+    * oracle uses its NATIVE ASOF LEFT JOIN — an independent
+    * implementation cross-validating the window encoding. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("tag", when(col("event_type") === "click", 0).otherwise(1))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("click_us",
+        last(when(col("tag") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("click_us"), (col("us") - col("click_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS us,
+      |       epoch_us(r.ts) AS click_us,
+      |       epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      |  ON l.user_id = r.user_id AND r.ts <= l.ts
+      |ORDER BY l.event_id""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q35_sessions", sessionsBatch, Some(sessionsBatchSql)),
+    QueryDef("q36_asof_join", asofJoin, Some(asofJoinSql)),
   )
 }
