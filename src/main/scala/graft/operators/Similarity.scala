@@ -231,9 +231,100 @@ object Similarity {
        |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(qna AS DOUBLE) * CAST(qnb AS DOUBLE)) >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** IVF-style ANN: a coarse quantizer partitions vectors into inverted
+    * lists (assignment = nearest centroid by exact quantized cosine,
+    * ties to the lowest centroid id); a query probes its nprobe=2
+    * nearest centroids and searches only those lists.
+    *
+    * Centroids here are a deterministic fixed subset (vec_id ≡ 0
+    * mod 32) standing in for offline-trained k-means — the INDEX
+    * STRUCTURE and query path are the point: at 100 TB the assignment
+    * is one broadcast-join map stage (n·K dot products, no shuffle of
+    * the vectors), the inverted lists are just a partitioning of the
+    * table by cent_id, and each query touches nprobe/K of the data.
+    * Recall vs q25 (brute force) is the tunable nprobe tradeoff. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val cents = e.filter(pmod(col("vec_id"), lit(32)) === 0)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("qn").as("cqn"))
+
+    // inverted-list assignment: nearest centroid per vector
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assign = e.join(broadcast(cents), lit(true))
+      .withColumn("ccos", qcosineStatic(col("q"), col("cq"), col("qn"), col("cqn"), Dim))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"), col("q"), col("qn"))
+
+    // query path: probe the 2 nearest centroids
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pcos").desc, col("cent_id"))
+    val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("qn").as("pqn"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("pcos", qcosineStatic(col("pq"), col("cq"), col("pqn"), col("cqn"), Dim))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("probe_id"), col("cent_id"), col("pq"), col("pqn"))
+
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assign, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", qcosineStatic(col("pq"), col("q"), col("pqn"), col("qn"), Dim))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  val annIvfSql: String =
+    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |      FROM q),
+       |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM n
+       |          WHERE vec_id % 32 = 0),
+       |assign AS (
+       |  SELECT vec_id, cent_id, q, qn FROM (
+       |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v CROSS JOIN cents c) t
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT probe_id, cent_id, pq, pqn FROM (
+       |    SELECT v.vec_id AS probe_id, c.cent_id, v.q AS pq, v.qn AS pqn,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v CROSS JOIN cents c WHERE v.vec_id % 100 = 0) t
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.probe_id, a.vec_id,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.pq)),
+       |                i -> p.pq[i] * a.q[i])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(p.pqn AS DOUBLE) * CAST(a.qn AS DOUBLE)) AS cos
+       |  FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+       |  WHERE a.vec_id <> p.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY probe_id
+       |                                 ORDER BY cos DESC, vec_id) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT probe_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 5
+       |ORDER BY probe_id, rnk""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     QueryDef("q25_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     QueryDef("q26_ann_lsh", annLsh, Some(annLshSql)),
+    QueryDef("q37_ann_ivf", annIvf, Some(annIvfSql)),
   )
 }

@@ -28,6 +28,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
   }
 
+  test("annIvf returns 5 ranked candidates per probe with brute-force-consistent scores") {
+    val brute = Similarity.cosineTopK(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val ivf = Similarity.annIvf(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ivf.groupBy(_._1).forall(_._2.length == 5))
+    // every IVF hit that also appears in the brute top-5 must carry the
+    // exact same cosine (identical quantized math on both paths)
+    ivf.foreach { case (p, v, c, _) =>
+      brute.get(p).flatMap(_.get(v)).foreach(bc => assert(bc == c))
+    }
+  }
+
   test("annLsh output is a subset of the brute-force pairs") {
     val brute = Similarity.embeddingNearDup(spark, sfDir)
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap

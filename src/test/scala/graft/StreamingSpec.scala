@@ -44,4 +44,22 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSeq.map(_._3).sum == rows.length)
     } finally q.stop()
   }
+
+  test("streaming exact dedup: dropDuplicates suppresses replays across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("event_id", "payload")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"), (1L, "a-replay"))
+      q.processAllAvailable()
+      mem.addData((2L, "b-replay"), (3L, "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").as[(Long, String)]
+        .collect().map(_._1).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L)) // replays dropped, incl. cross-trigger
+    } finally q.stop()
+  }
 }
