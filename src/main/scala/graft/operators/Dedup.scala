@@ -302,10 +302,112 @@ object Dedup {
       |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Near-dup clustering: connected components over the MinHash-LSH
+    * pair graph — the "keep one per cluster" worklist of a dedup
+    * pipeline. Output: one row per cluster (cluster id = min doc_id),
+    * with size and max member id.
+    *
+    * Two paths with identical results (`DedupSpec` asserts equality):
+    *  - the LSH pair graph is orders of magnitude smaller than the
+    *    corpus (it contains only near-dup candidates), so up to
+    *    [[DriverCcMaxEdges]] edges it is union-found on the DRIVER in
+    *    O(E·α) and broadcast back — the same small-graph shortcut real
+    *    CC implementations take; the expensive part (pair generation)
+    *    stays fully distributed.
+    *  - above the threshold, [[dupClustersDistributed]]: Pregel-shaped
+    *    min-label iteration (per round one join + min-aggregate,
+    *    nothing collected), converging in ≤ diameter rounds.
+    *
+    * The DuckDB oracle is a third independent formulation (recursive
+    * CTE transitive closure), cross-validating both. */
+  val DriverCcMaxEdges = 5000000L
+
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b")).cache()
+    val out =
+      if (pairs.count() <= DriverCcMaxEdges) dupClustersDriver(s, pairs)
+      else dupClustersDistributed(pairs)
+    pairs.unpersist()
+    out
+  }
+
+  /** Small-graph path: union-find on the collected edge list. */
+  private def dupClustersDriver(s: SparkSession,
+                                pairs: org.apache.spark.sql.DataFrame): DataFrame = {
+    import s.implicits._
+    val edges = pairs.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labels = parent.keys.map(d => d -> find(d)).toSeq
+    labels.toDF("doc", "lab")
+      .groupBy(col("lab").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc")).as("max_doc"))
+      .orderBy("cluster_id")
+  }
+
+  /** Large-graph path: distributed min-label propagation to fixpoint. */
+  def dupClustersDistributed(pairs: org.apache.spark.sql.DataFrame): DataFrame = {
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("lab", col("doc")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = edges.join(labels, edges("src") === labels("doc"))
+        .groupBy(col("dst").as("doc2")).agg(min(col("lab")).as("nlab"))
+      val next = labels.join(nbrMin, labels("doc") === col("doc2"), "left")
+        .select(col("doc"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("lab", "old"), "doc")
+        .filter(col("lab") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    val out = labels.groupBy(col("lab").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc")).as("max_doc"))
+      .orderBy("cluster_id")
+    edges.unpersist()
+    out
+  }
+
+  val dupClustersSql: String = {
+    // same pair graph as q21, then transitive min-label closure
+    val pairGraph = minhashLshSql
+      .replace("SELECT doc_a, doc_b, n_eq, CAST(n_eq AS DOUBLE) / 16.0 AS est_j",
+        "SELECT doc_a, doc_b")
+      .replace("\nORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE pairs AS ($pairGraph),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(doc, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
+       |final AS (SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc)
+       |SELECT cluster_id, count(*) AS n_docs, max(doc) AS max_doc
+       |FROM final GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+  }
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q20_exact_dedup", exactDedupStats, Some(exactDedupStatsSql)),
     QueryDef("q21_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("q22_simhash", simhash, Some(simhashSql)),
     QueryDef("q23_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QueryDef("q38_dup_clusters", dupClusters, Some(dupClustersSql)),
   )
 }

@@ -53,6 +53,18 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall $recall too low")
   }
 
+  test("dupClusters: driver union-find == distributed min-label propagation") {
+    val pairs = Dedup.minhashLsh(spark, sfDir).select("doc_a", "doc_b")
+    val viaDriver = Dedup.dupClusters(spark, sfDir) // small graph -> driver path
+      .as[(Long, Long, Long)].collect().toSeq
+    val viaLoop = Dedup.dupClustersDistributed(pairs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaDriver == viaLoop)
+    assert(viaDriver.nonEmpty)
+    // cluster id is the min member: strictly less than max_doc for real clusters
+    assert(viaDriver.forall { case (cid, n, mx) => n >= 2 && cid < mx })
+  }
+
   test("ngramJaccard is exact: inter ≤ min(na, nb) implies jac ≤ 1") {
     val got = Dedup.ngramJaccard(spark, sfDir)
       .as[(Long, Long, Long, Long, Double)].collect()
