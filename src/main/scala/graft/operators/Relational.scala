@@ -390,6 +390,48 @@ object Relational {
       |       count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Pivot: per-linestatus quantity sums spread across return-flag
+    * columns — the relational form of the reference's pivot-by-flag
+    * accumulation (SURVEY.md A2). Pivot values are pinned explicitly so
+    * the output schema is static (no value-discovery scan). */
+  def pivotFlags(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity").cast(LongType)))
+      .withColumnRenamed("A", "qty_a")
+      .withColumnRenamed("N", "qty_n")
+      .withColumnRenamed("R", "qty_r")
+      .orderBy("l_linestatus")
+
+  val pivotFlagsSql: String =
+    """SELECT l_linestatus,
+      |       CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_a,
+      |       CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_n,
+      |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_r
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Deterministic hash-based sampling: the reproducible-at-any-scale
+    * alternative to seeded random sampling (engine- and partitioning-
+    * independent, stable under reruns — what a training pipeline needs
+    * for subsampling + holdout splits). Keeps orders whose md5-derived
+    * key hash lands in a 10% bucket band. */
+  def hashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(pmod(hash32(col("o_orderkey").cast(StringType)), lit(100)) < 10)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(money(col("o_totalprice"))).cast(DoubleType).as("sampled_total"))
+      .orderBy("o_orderstatus")
+
+  val hashSampleSql: String =
+    """SELECT o_orderstatus, count(*) AS n_sampled,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_total
+      |FROM orders
+      |WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q06_region_revenue", regionRevenue, Some(regionRevenueSql)),
     QueryDef("q07_priority_revenue", priorityRevenue, Some(priorityRevenueSql)),
@@ -407,5 +449,7 @@ object Relational {
     QueryDef("q19_json_props", jsonProps, Some(jsonPropsSql)),
     QueryDef("q33_cube", cubeAgg, Some(cubeAggSql)),
     QueryDef("q34_percentiles", percentiles, Some(percentilesSql)),
+    QueryDef("q39_pivot", pivotFlags, Some(pivotFlagsSql)),
+    QueryDef("q40_hash_sample", hashSample, Some(hashSampleSql)),
   )
 }
