@@ -432,6 +432,45 @@ object Relational {
       |WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Pearson correlation per return flag — computed from EXACT integer/
+    * decimal sums (n, Σx, Σy, Σx², Σy², Σxy) with one double formula at
+    * the end. Built-in `corr()` accumulates running doubles whose value
+    * depends on partition order; the sums here are exact, so the result
+    * is bit-stable under any partitioning and matches the identically-
+    * written DuckDB formula. */
+  def corrStats(s: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast(LongType)
+    val p = money(col("l_extendedprice"))
+    val agg = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).as("sx"), sum(p).as("sy"),
+        sum(q * q).as("sxx"), sum(p * p).as("syy"), sum(q * p).as("sxy"))
+    val d = (c: String) => col(c).cast(DoubleType)
+    agg.select(col("l_returnflag"), col("n"),
+        ((d("n") * d("sxy") - d("sx") * d("sy")) /
+          (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+            sqrt(d("n") * d("syy") - d("sy") * d("sy")))).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val corrStatsSql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |         sum(CAST(l_quantity AS BIGINT)) AS sx,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+      |         sum(CAST(l_quantity AS BIGINT) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |         AS corr_qty_price
+      |FROM a ORDER BY l_returnflag""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q06_region_revenue", regionRevenue, Some(regionRevenueSql)),
     QueryDef("q07_priority_revenue", priorityRevenue, Some(priorityRevenueSql)),
@@ -451,5 +490,6 @@ object Relational {
     QueryDef("q34_percentiles", percentiles, Some(percentilesSql)),
     QueryDef("q39_pivot", pivotFlags, Some(pivotFlagsSql)),
     QueryDef("q40_hash_sample", hashSample, Some(hashSampleSql)),
+    QueryDef("q41_corr", corrStats, Some(corrStatsSql)),
   )
 }
