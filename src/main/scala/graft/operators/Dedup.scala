@@ -356,7 +356,17 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
-  /** Large-graph path: distributed min-label propagation to fixpoint. */
+  /** Large-graph path: distributed min-label propagation, iterated to
+    * the TRUE fixpoint (changed == 0) — never a silent round cap: a
+    * capped loop would return wrong labels exactly on the
+    * high-diameter graphs this path exists for. Rounds needed =
+    * graph diameter; each round is one join + min-aggregate with the
+    * previous round's labels served from cache, so plan depth stays
+    * bounded. [[CcRoundLimit]] is a runaway backstop (far above any
+    * real near-dup graph's diameter) that THROWS instead of emitting
+    * partial results. */
+  val CcRoundLimit = 1000
+
   def dupClustersDistributed(pairs: org.apache.spark.sql.DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
@@ -364,7 +374,10 @@ object Dedup {
       .withColumn("lab", col("doc")).cache()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0) {
+      if (rounds >= CcRoundLimit)
+        throw new IllegalStateException(
+          s"connected-components min-label propagation did not converge in $CcRoundLimit rounds")
       val nbrMin = edges.join(labels, edges("src") === labels("doc"))
         .groupBy(col("dst").as("doc2")).agg(min(col("lab")).as("nlab"))
       val next = labels.join(nbrMin, labels("doc") === col("doc2"), "left")

@@ -48,7 +48,10 @@ object Fidelity {
       .toDF("period", "airport", "airline", "ad", "n", "late_pct", "avg_delay")
   }
 
-  /** Delay job: per-airport average arrival & departure delay. */
+  /** Delay job: per-airport average arrival & departure delay.
+    * The reference's accumulate branch is `if (flag == "A") arr else dep`
+    * (`Delay.java:75-96`) — every non-"A" row counts as a departure, so
+    * the departure legs use `.otherwise`, not a `=== "D"` predicate. */
   def delay(lines: Dataset[String]): DataFrame =
     parsed(lines)
       .groupBy(col("airport"))
@@ -56,9 +59,9 @@ object Fidelity {
         sum(when(col("ad") === "A", javaRound(col("n") * col("avg_delay")))
           .otherwise(0L)).as("arr_sum"),
         sum(when(col("ad") === "A", col("n")).otherwise(0)).as("arr_n"),
-        sum(when(col("ad") === "D", javaRound(col("n") * col("avg_delay")))
-          .otherwise(0L)).as("dep_sum"),
-        sum(when(col("ad") === "D", col("n")).otherwise(0)).as("dep_n"))
+        sum(when(col("ad") === "A", 0L)
+          .otherwise(javaRound(col("n") * col("avg_delay")))).as("dep_sum"),
+        sum(when(col("ad") === "A", 0).otherwise(col("n"))).as("dep_n"))
       .select(col("airport"),
         nanRatio(col("arr_sum"), col("arr_n")).as("avg_arr"),
         nanRatio(col("dep_sum"), col("dep_n")).as("avg_dep"))
@@ -87,5 +90,8 @@ object Fidelity {
       .select(col("airline"), col("year"),
         (col("delay_sum").cast(DoubleType) / col("flight_sum").cast(DoubleType) * 100)
           .as("late_pct"))
-      .orderBy("airline", "year")
+      // MapReduce sorted the composite Text key "airline,year" by bytes;
+      // sorting by (airline, year) columns diverges when one airline is a
+      // proper prefix of another followed by a char < ',' (e.g. space).
+      .orderBy(concat(col("airline"), lit(","), col("year")))
 }

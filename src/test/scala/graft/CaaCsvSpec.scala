@@ -32,6 +32,19 @@ class CaaCsvSpec extends AnyFunSuite {
     assert(splitByComma(" 109 , x").toSeq == Seq(" 109 ", " x"))
   }
 
+  test("leading comma swallows the whole line into one token (quirk 5)") {
+    // reference: indexOf(',', 0) - 1 == -1 hits the end = len-1 fallback
+    assert(splitByComma(",a,b").toSeq == Seq(",a,b"))
+    assert(splitByComma(",").toSeq == Seq(","))
+  }
+
+  test("unterminated quote: empty token + rescan at 0, throws later (quirk 6)") {
+    // at index 0: substring(0, 0) == "" then the scan resumes at index 1
+    assert(splitByComma("\"ab").toSeq == Seq("", "ab"))
+    // at index > 0: substring(start, 0) throws, killing the task
+    assertThrows[StringIndexOutOfBoundsException](splitByComma("a,\"bc"))
+  }
+
   test("property: seeded random lines match the dialect model (SURVEY §5.2 3a)") {
     val rnd = new scala.util.Random(20260812)
     def plainField(): String =
@@ -40,6 +53,9 @@ class CaaCsvSpec extends AnyFunSuite {
       val fields = Seq.fill(1 + rnd.nextInt(8)) {
         if (rnd.nextInt(4) == 0) "\"" + plainField() + "," + plainField() + "\""
         else plainField()
+      }.zipWithIndex.map { // a leading comma is quirk 5, not this model:
+        case ("", 0) => "x" // keep the first field non-empty
+        case (f, _)  => f
       }
       val line = fields.mkString(",")
       // model: tokens are the fields as written (quotes retained);

@@ -66,6 +66,28 @@ class FidelitySpec extends SparkSpec {
     assert(byAirport("STANSTED")._3 == 1.0)
   }
 
+  test("non-A arrival_departure values bucket into departures (else branch)") {
+    // reference Delay.java:75-96 branches if(flag=="A") arr else dep —
+    // an unexpected flag like "X" is a departure, not a dropped row
+    val l = spark.createDataset(Seq(
+      row("201101", "LUTON", "GAMMA", "X", "S", 10, 0, 0, 0, 0, 2.0), // dep (10, 20)
+      row("201101", "LUTON", "GAMMA", "A", "S", 5, 0, 0, 0, 0, 1.0))) // arr (5, 5)
+    val got = Fidelity.delay(l).as[(String, Double, Double)].collect().toSeq
+    assert(got == Seq(("LUTON", 1.0, 2.0)))
+  }
+
+  test("Late output order is composite Text key 'airline,year' byte order") {
+    // ' ' (0x20) < ',' (0x2C): the longer name sorts FIRST under the
+    // reference's single-Text-key shuffle sort; (airline, year) column
+    // order would put the prefix first.
+    val l = spark.createDataset(Seq(
+      row("201101", "X", "THOMAS COOK AIRLINES", "D", "S", 10, 100, 0, 0, 0, 9.0),
+      row("201101", "X", "THOMAS COOK AIRLINES SCANDINAVIA", "D", "S", 10, 100, 0, 0, 0, 9.0)))
+    val got = Fidelity.late(l).as[(String, String, Double)].collect().toSeq
+    assert(got.map(_._1) ==
+      Seq("THOMAS COOK AIRLINES SCANDINAVIA", "THOMAS COOK AIRLINES"))
+  }
+
   test("Late golden output (merge across airports, HAVING threshold)") {
     val got = Fidelity.late(lines).as[(String, String, Double)].collect().toSeq
     // ALPHA AIR 2011: (24, 2+6+4=12) -> exactly 50% (boundary kept, >= 0.5)
