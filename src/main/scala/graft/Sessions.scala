@@ -24,4 +24,12 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The generated-class cache defaults to 100 entries; a workload of
+      // 40+ distinct queries compiles several codegen stages each, so at
+      // the default size classes are evicted and janino-recompiled on
+      // every re-execution (~2 s of pure compilation for a query that
+      // scans 2000 rows). Static conf — must be set before the session
+      // exists. Compiled classes are small; 10k entries is a few hundred
+      // MB of metaspace at worst and removes recompilation entirely.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
 }

@@ -3,7 +3,7 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -41,17 +41,31 @@ object Similarity {
   private val Planes = 32
   private val BandBits = 8 // planes per band → 4 bands
 
-  /** ±1 hyperplane weights, w(j)(i) = 1 - 2·(hash32("p{j}_{i}") & 1),
-    * j in [0,32), i in [1,64]. */
-  private lazy val planeWeights: Seq[(Int, Int, Long)] = {
+  /** ±1 hyperplane weights, w(j)(i-1) = 1 - 2·(hash32("p{j}_{i}") & 1),
+    * j in [0,32), i in [1,64] — md5-derived, no RNG, regenerated
+    * identically by the DuckDB oracle in SQL. */
+  private lazy val planeWeights: Array[Array[Long]] = {
     val md = MessageDigest.getInstance("MD5")
-    for { j <- 0 until Planes; i <- 1 to Dim } yield {
+    Array.tabulate(Planes, Dim) { (j, i0) =>
       md.reset()
-      val hex = md.digest(s"p${j}_${i}".getBytes(StandardCharsets.UTF_8))
+      val hex = md.digest(s"p${j}_${i0 + 1}".getBytes(StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString
-      (j, i, 1L - 2L * (java.lang.Long.parseLong(hex.substring(0, 8), 16) & 1L))
+      1L - 2L * (java.lang.Long.parseLong(hex.substring(0, 8), 16) & 1L)
     }
   }
+
+  /** Exact integer dot product of two quantized vectors (JVM side —
+    * the same arithmetic [[graft.functions.Fns.qdot]] does in SQL). */
+  private def jdot(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Cosine from quantized vectors + integer norms, one IEEE double
+    * division — bit-identical to [[graft.functions.Fns.qcosine]]. */
+  private def jcosine(a: Array[Long], na: Long, b: Array[Long], nb: Long): Double =
+    jdot(a, b).toDouble / math.sqrt(na.toDouble * nb.toDouble)
 
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -127,6 +141,9 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     e.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
       .withColumn("cos", qcosineStatic(col("qa"), col("q"), col("qna"), col("qn"), Dim))
+      // shed the vector arrays BEFORE the window: the rank shuffle+sort
+      // should carry 24-byte rows, not ~1 KB of array payload per row
+      .select(col("probe_id"), col("vec_id"), col("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
@@ -160,27 +177,37 @@ object Similarity {
     * gap is the documented price of replacing the n² pair join with an
     * equi-join (tune planes-per-band down / bands up for recall).
     *
-    * Plan shape: posexplode(vector) ⋈ broadcast(planes 32×64) →
-    * groupBy(vec, plane) partial sums → groupBy(vec, band) buckets —
-    * every stage is codegen + map-side-combine friendly; no per-row
-    * array lambdas on the hot path. */
+    * Plan shape: one codegen'd map stage computes all 32 projections as
+    * statically unrolled ±element_at sums (the ±1 plane weights are
+    * compile-time constants) and packs them into 4 band buckets; the
+    * only shuffles are the band self-join and the final sort. No
+    * per-row array lambdas, no plane-table join, no aggregation before
+    * candidate generation. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val planes = broadcast(planeWeights.toDF("j", "i", "w"))
-
     val e = quantized(s, dir)
-    // (vec_id, i, x): one row per vector component, 1-based i
-    val qv = e.select(col("vec_id"), posexplode(col("q")))
-      .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("x"))
-    val proj = qv.join(planes, "i")
-      .groupBy(col("vec_id"), col("j"))
-      .agg(sum(col("w") * col("x")).as("pr"))
-    val bands = proj
-      .select(col("vec_id"), expr(s"j div $BandBits").as("band"),
-        when(col("pr") >= 0,
-          expr(s"cast(shiftleft(1, j % $BandBits) as bigint)")).otherwise(0L).as("bit"))
-      .groupBy(col("vec_id"), col("band"))
-      .agg(sum(col("bit")).as("bucket"))
+    // The 32 sign projections are per-row arithmetic against constant
+    // weights — a tight mapPartitions loop, not a dataflow problem. The
+    // earlier formulations were both wrong for this: an exploded
+    // plane-table join shuffled n·dim·planes rows through two groupBys,
+    // and a statically-unrolled 2048-term Column expression spent
+    // seconds per execution in Catalyst tree transforms alone. Long
+    // arithmetic is exact either way, so results are identical.
+    val nBands = Planes / BandBits
+    val bands = e.select(col("vec_id"), col("q")).as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, q) =>
+          (0 until nBands).iterator.map { b =>
+            var bucket = 0L
+            var k = 0
+            while (k < BandBits) {
+              if (jdot(planeWeights(b * BandBits + k), q) >= 0) bucket |= 1L << k
+              k += 1
+            }
+            (id, b, bucket)
+          }
+        }
+      }.toDF("vec_id", "band", "bucket")
 
     val cand = bands.as("a").join(bands.as("b"), Seq("band", "bucket"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
@@ -238,41 +265,51 @@ object Similarity {
     *
     * Centroids here are a deterministic fixed subset (vec_id ≡ 0
     * mod 32) standing in for offline-trained k-means — the INDEX
-    * STRUCTURE and query path are the point: at 100 TB the assignment
-    * is one broadcast-join map stage (n·K dot products, no shuffle of
-    * the vectors), the inverted lists are just a partitioning of the
-    * table by cent_id, and each query touches nprobe/K of the data.
-    * Recall vs q25 (brute force) is the tunable nprobe tradeoff. */
+    * STRUCTURE and query path are the point, shaped exactly like a
+    * production IVF build: the coarse quantizer is tiny (K ≪ n), so it
+    * is collected once and BROADCAST; list assignment is one map-only
+    * stage of n·K integer dot products (no shuffle of the vectors, no
+    * aggregation — earlier window/argmax formulations shuffled the
+    * vector payload and cost ~10× the arithmetic); probe routing is
+    * driver-side over the same broadcast quantizer. At 100 TB the
+    * inverted lists are a partitioning of the table by cent_id and each
+    * query touches nprobe/K of the data. Recall vs q25 (brute force) is
+    * the tunable nprobe tradeoff. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = quantized(s, dir)
-    val cents = e.filter(pmod(col("vec_id"), lit(32)) === 0)
-      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("qn").as("cqn"))
+      .select(col("vec_id"), col("q"), col("qn")).as[(Long, Array[Long], Long)]
 
-    // inverted-list assignment: nearest centroid per vector
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val assign = e.join(broadcast(cents), lit(true))
-      .withColumn("ccos", qcosineStatic(col("q"), col("cq"), col("qn"), col("cqn"), Dim))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id"), col("q"), col("qn"))
+    // coarse quantizer: K = n/32 centroids, collected once (tiny)
+    val cents = e.filter(pmod(col("vec_id"), lit(32)) === 0).collect().sortBy(_._1)
+    val bcCents = s.sparkContext.broadcast(cents)
+    // nprobe nearest centroids of a vector: cos desc, ties to low cent_id
+    def route(q: Array[Long], qn: Long, cs: Array[(Long, Array[Long], Long)],
+              nprobe: Int): Seq[Long] =
+      cs.map { case (cid, cq, cqn) => (jcosine(q, qn, cq, cqn), cid) }
+        .sortBy { case (c, cid) => (-c, cid) }.take(nprobe).toSeq.map(_._2)
 
-    // query path: probe the 2 nearest centroids
-    val wProbe = Window.partitionBy(col("probe_id"))
-      .orderBy(col("pcos").desc, col("cent_id"))
-    val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
-      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("qn").as("pqn"))
-      .join(broadcast(cents), lit(true))
-      .withColumn("pcos", qcosineStatic(col("pq"), col("cq"), col("pqn"), col("cqn"), Dim))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= 2)
-      .select(col("probe_id"), col("cent_id"), col("pq"), col("pqn"))
+    // inverted-list assignment: map-only, nearest (nprobe=1) centroid
+    val assign = e.mapPartitions { it =>
+      val cs = bcCents.value
+      it.map { case (id, q, qn) => (id, route(q, qn, cs, 1).head, q, qn) }
+    }.toDF("vec_id", "cent_id", "q", "qn")
+
+    // query path: probe set is tiny -> routed on the driver against the
+    // same quantizer, shipped as a broadcast local relation
+    val probeRows = e.filter(pmod(col("vec_id"), lit(100)) === 0).collect()
+      .sortBy(_._1)
+      .flatMap { case (pid, pq, pqn) =>
+        route(pq, pqn, cents, 2).map(cid => (pid, cid, pq, pqn))
+      }.toSeq
+    val probes = probeRows.toDF("probe_id", "cent_id", "pq", "pqn")
 
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    probes.join(assign, Seq("cent_id"))
+    assign.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", qcosineStatic(col("pq"), col("q"), col("pqn"), col("qn"), Dim))
+      .select(col("probe_id"), col("vec_id"), col("cos")) // arrays off the sort
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
