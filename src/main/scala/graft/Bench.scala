@@ -20,6 +20,13 @@ object Bench {
       }
     }
     val results = selected.map { case (name, fn) =>
+      // Broadcast/shuffle state from prior queries is reclaimed by the
+      // ContextCleaner only when a GC notices the weak refs; without an
+      // explicit collection here, random queries absorb multi-second
+      // cleaner+GC pauses mid-measurement (observed 0.4 s -> 3 s swings
+      // in 41-query runs). One forced GC between queries makes the
+      // per-query numbers measure the query, not the previous tenant.
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
