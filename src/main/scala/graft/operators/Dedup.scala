@@ -416,11 +416,49 @@ object Dedup {
        |FROM final GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
   }
 
+  /** Incremental dedup — the daily-ingest shape of a training pipeline:
+    * an incoming batch (doc_id ≡ 0 mod 5 stands in for "today's crawl")
+    * is anti-joined against the standing corpus (everything else) on
+    * the md5-derived hash of normalized text; only unseen documents
+    * survive. The LEFT ANTI join shuffles 8-byte hash keys, never the
+    * document bodies, and the corpus side is pre-distinct so its
+    * shuffle is one row per unique text — at 100 TB this is an
+    * incremental-scan join against a bucketed corpus-hash table, with
+    * no rescan of corpus bodies. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpusHashes = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(hash32(normText(col("text"))).as("nh")).distinct()
+    docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("nh", hash32(normText(col("text"))))
+      .join(corpusHashes, Seq("nh"), "left_anti")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_new"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source")
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH nt AS (
+      |  SELECT doc_id, source,
+      |         CAST('0x' || substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 8) AS BIGINT) AS nh
+      |  FROM documents),
+      |corp AS (SELECT DISTINCT nh FROM nt WHERE doc_id % 5 <> 0)
+      |SELECT source, count(*) AS n_new,
+      |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+      |       CAST(max(doc_id) AS BIGINT) AS last_doc
+      |FROM nt
+      |WHERE doc_id % 5 = 0 AND nh NOT IN (SELECT nh FROM corp)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q20_exact_dedup", exactDedupStats, Some(exactDedupStatsSql)),
     QueryDef("q21_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("q22_simhash", simhash, Some(simhashSql)),
     QueryDef("q23_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q38_dup_clusters", dupClusters, Some(dupClustersSql)),
+    QueryDef("q43_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
   )
 }

@@ -124,7 +124,64 @@ object Multimodal {
       |       CAST(sum(frame_sum) AS BIGINT) AS frame_sum
       |FROM f GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** One sampled frame (the 1→N decode output: a video decodes to many
+    * frames, an audio file to many windows). */
+  final case class FrameFeature(
+    media_id: Long, kind: String, frame_idx: Int, frame_byte: Int)
+
+  /** Frame sampling as a flatMap over partitions — the 1→N shape of
+    * real media decode (video → frame grid, audio → spectrogram
+    * windows), where q31 is the 1→1 shape. STUB frame = every 8th
+    * payload byte; a real deployment replaces the inner loop with
+    * codec frame iteration. Still a pure map stage: the fan-out
+    * happens inside the partition, so no shuffle until the rollup. */
+  def frameSample(media: Dataset[MediaRecord]): Dataset[FrameFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.flatMap { r =>
+        val bytes = r.payload
+        (0 until bytes.length by 8).iterator.zipWithIndex.map {
+          case (k, idx) => FrameFeature(r.media_id, r.kind, idx, bytes(k) & 0xff)
+        }
+      }
+    }
+  }
+
+  /** Per-(kind, frame position) stats over the sampled frames. */
+  def frameStats(s: SparkSession, dir: String): DataFrame =
+    frameSample(mediaTable(s, dir))
+      .groupBy(col("kind"), col("frame_idx"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("frame_byte").cast("long")).as("byte_sum"),
+        min(col("frame_byte")).as("min_byte"),
+        max(col("frame_byte")).as("max_byte"))
+      .orderBy("kind", "frame_idx")
+
+  /** DuckDB twin: payload byte 8·i is md5 byte (8·i mod 16), so even
+    * frame positions sample md5 byte 1 and odd positions byte 9
+    * (1-based). */
+  val frameStatsSql: String =
+    """WITH mb AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS kind,
+      |         list_transform(generate_series(1, 16),
+      |           i -> CAST('0x' || substr(md5(text), 2*i - 1, 2) AS BIGINT)) AS b
+      |  FROM documents),
+      |fr AS (
+      |  SELECT kind, f.i AS frame_idx,
+      |         CASE WHEN f.i % 2 = 0 THEN b[1] ELSE b[9] END AS frame_byte
+      |  FROM mb CROSS JOIN range(0, 8) f(i))
+      |SELECT kind, CAST(frame_idx AS INT) AS frame_idx, count(*) AS n_frames,
+      |       CAST(sum(frame_byte) AS BIGINT) AS byte_sum,
+      |       CAST(min(frame_byte) AS INT) AS min_byte,
+      |       CAST(max(frame_byte) AS INT) AS max_byte
+      |FROM fr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q31_media_features", mediaFeatures, Some(mediaFeaturesSql)),
+    QueryDef("q47_frame_stats", frameStats, Some(frameStatsSql)),
   )
 }

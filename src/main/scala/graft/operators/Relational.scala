@@ -471,6 +471,75 @@ object Relational {
       |         AS corr_qty_price
       |FROM a ORDER BY l_returnflag""".stripMargin
 
+  /** Binned range join: for each event, count same-user events in the
+    * preceding 30 minutes. Spark has no range-join optimization, so a
+    * bare inequality predicate beside the user equi-key degenerates to
+    * per-user nested loops over ALL history; binning both sides to
+    * 30-minute buckets turns the time predicate into an equi-key too —
+    * the probe side duplicates into its 2 covering bins and the join
+    * shuffles on (user, bin), touching only time-adjacent rows. At
+    * 100 TB the bins are the time-partitioning of the events table, so
+    * the join reads 2 partitions per probe partition, independent of
+    * history length. Bin arithmetic is integral (`div` on
+    * unix_micros), so bucket edges are exact in both engines. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val binUs = 30L * 60 * 1000000 // 30 min of microseconds
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        expr(s"unix_micros(ts) div $binUs").as("bin"))
+    val probe = ev.select(col("user_id"), col("event_id"), col("event_type"),
+      col("ts"), explode(array(col("bin"), col("bin") - 1)).as("bin"))
+    val build = ev.select(col("user_id"), col("bin"), col("ts").as("ts_b"))
+    probe.join(build, Seq("user_id", "bin"))
+      .filter(col("ts_b") >= col("ts") - expr("INTERVAL 30 MINUTES") &&
+        col("ts_b") < col("ts"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("event_id")).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val rangeJoinSql: String =
+    """SELECT a.event_type, count(*) AS n_pairs,
+      |       CAST(count(DISTINCT a.event_id) AS BIGINT) AS n_events
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+      | AND CAST(b.ts AS TIMESTAMP) < CAST(a.ts AS TIMESTAMP)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Skew-salted fact⋈fact join: identical semantics to the plain
+    * lineitem⋈orders join (the oracle IS the plain join), but the
+    * shuffle key is (orderkey, salt) with the dimension side replicated
+    * SaltBuckets× — the standard manual remedy when one hot key would
+    * otherwise pin a single reducer (AQE skew-join splits
+    * post-materialization; salting prevents the pile-up up front). The
+    * fact side's salt is derived from l_linenumber, so rows of a hot
+    * order spread evenly and deterministically. */
+  val SaltBuckets = 8
+
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("salt", pmod(col("l_linenumber"), lit(SaltBuckets)))
+    val ord = Tables.orders(s, dir)
+      .withColumn("salt", explode(array((0 until SaltBuckets).map(lit(_)): _*)))
+    li.join(ord, col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast(DoubleType).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val saltedJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q06_region_revenue", regionRevenue, Some(regionRevenueSql)),
     QueryDef("q07_priority_revenue", priorityRevenue, Some(priorityRevenueSql)),
@@ -491,5 +560,7 @@ object Relational {
     QueryDef("q39_pivot", pivotFlags, Some(pivotFlagsSql)),
     QueryDef("q40_hash_sample", hashSample, Some(hashSampleSql)),
     QueryDef("q41_corr", corrStats, Some(corrStatsSql)),
+    QueryDef("q45_range_join", rangeJoin, Some(rangeJoinSql)),
+    QueryDef("q46_salted_join", saltedJoin, Some(saltedJoinSql)),
   )
 }

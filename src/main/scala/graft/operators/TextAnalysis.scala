@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
@@ -172,10 +173,57 @@ object TextAnalysis {
       |       CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top terms per source: tf = term occurrences within the
+    * source, df = number of sources containing the term, idf quantized
+    * to the exact integer 1000000 div df so the score (tf · idf) and
+    * therefore the ranking is pure BIGINT arithmetic — a float idf
+    * (ln(N/df)) ranks identically but `ln` is not bit-specified across
+    * engines, and a tie flipped by one ulp would break the oracle
+    * hash. Top 5 per source, ties to the lexicographically first term.
+    *
+    * Scale: one explode scan → groupBy(source, term) with map-side
+    * combine → tiny df aggregate joined back on term → per-source
+    * top-k window over |sources|·|vocab| rows. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score", expr("tf * (1000000 div df)"))
+      .withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= 5)
+      .select(col("source"), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+      .orderBy("source", "rnk")
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH tk AS (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT source, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.source, tf.term, tf.tf, df.df,
+      |         tf.tf * (1000000 // df.df) AS score
+      |  FROM tf JOIN df USING (term)),
+      |ranked AS (
+      |  SELECT source, term, tf, df, score,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |                                 ORDER BY score DESC, term) AS INT) AS rnk
+      |  FROM scored)
+      |SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |       CAST(score AS BIGINT) AS score, rnk
+      |FROM ranked WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q27_lang_id", langId, Some(langIdSql)),
     QueryDef("q28_quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("q29_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("q30_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("q44_tfidf", tfidfTopTerms, Some(tfidfTopTermsSql)),
   )
 }

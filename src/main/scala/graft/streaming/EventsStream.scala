@@ -56,7 +56,47 @@ object EventsStream {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Sliding 1-hour windows advancing every 15 minutes, per event_type:
+    * each event lands in exactly 4 overlapping windows. Aggregates are
+    * exact integers only — and no DISTINCT, which streaming
+    * aggregation rejects (its state would be unbounded per window) —
+    * so one function serves batch, stream and oracle bit-for-bit. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("user_id")).as("uid_sum"))
+
+  /** Streaming variant: watermark bounds state to the open windows of
+    * the last 2 hours plus slack; the 4× window fan-out is the only
+    * state amplification vs the tumbling case. */
+  def streamingSlidingAgg(events: DataFrame): DataFrame =
+    slidingAgg(events.withWatermark("ts", "2 hours"))
+
+  /** Batch twin for the driver contract. Spark's sliding windows are
+    * epoch-aligned; the oracle reproduces them as time_bucket(15 min)
+    * minus k·15 min for k in 0..3. */
+  def slidingWindow(s: SparkSession, dir: String): DataFrame =
+    slidingAgg(Tables.events(s, dir))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("n_events"), col("uid_sum"))
+      .orderBy("win_start", "event_type")
+
+  val slidingWindowSql: String =
+    """WITH ex AS (
+      |  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+      |           - k.k * INTERVAL '15 minutes' AS win_start,
+      |         event_type, user_id
+      |  FROM events CROSS JOIN range(0, 4) k(k))
+      |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+      |       count(*) AS n_events,
+      |       CAST(sum(user_id) AS BIGINT) AS uid_sum
+      |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q32_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
+    QueryDef("q42_sliding_window", slidingWindow, Some(slidingWindowSql)),
   )
 }

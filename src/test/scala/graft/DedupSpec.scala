@@ -65,6 +65,16 @@ class DedupSpec extends SparkSpec {
     assert(viaDriver.forall { case (cid, n, mx) => n >= 2 && cid < mx })
   }
 
+  test("dedupIncremental: batch docs duplicated in the corpus are dropped") {
+    // incoming = doc_id % 5 == 0; testdata sf0.001 has no exact dups,
+    // so every incoming doc is new and totals must add up per source
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val nIncoming = docs.filter(col("doc_id") % 5 === 0).count()
+    val kept = Dedup.dedupIncremental(spark, sfDir)
+      .agg(sum("n_new")).as[Long].collect().head
+    assert(kept == nIncoming && kept > 0)
+  }
+
   test("ngramJaccard is exact: inter ≤ min(na, nb) implies jac ≤ 1") {
     val got = Dedup.ngramJaccard(spark, sfDir)
       .as[(Long, Long, Long, Long, Double)].collect()

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** The scale-shaped joins must be semantics-preserving rewrites:
+  * salting and binning change the shuffle keys, never the result. */
+class JoinShapesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join == plain join (salting is result-invariant)") {
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"))
+      .as[(String, Long)].collect().toMap
+    val salted = Relational.saltedJoin(spark, sfDir)
+      .select(col("o_orderpriority"), col("n_items"))
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("binned range join == naive inequality join") {
+    val ev = Tables.events(spark, sfDir)
+    val naive = ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") >= col("a.ts") - expr("INTERVAL 30 MINUTES") &&
+          col("b.ts") < col("a.ts"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .as[(String, Long)].collect().toMap
+    val binned = Relational.rangeJoin(spark, sfDir)
+      .select(col("event_type"), col("n_pairs"))
+      .as[(String, Long)].collect().toMap
+    assert(binned == naive)
+    assert(naive.values.sum > 0)
+  }
+}

@@ -45,6 +45,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding windows match batch; every event lands in 4 windows") {
+    val rows = Seq(
+      (ts("2024-01-01 10:07:00"), "click", 1L),
+      (ts("2024-01-01 10:22:00"), "click", 2L),
+      (ts("2024-01-01 10:22:30"), "view", 1L),
+      (ts("2024-01-01 11:40:00"), "click", 1L))
+
+    val batch = EventsStream.slidingAgg(
+        rows.toDF("ts", "event_type", "user_id"))
+      .select(col("window.start").cast("string"), col("event_type"),
+        col("n_events"), col("uid_sum"))
+      .as[(String, String, Long, Long)].collect().toSet
+
+    // 1-hour windows sliding by 15 min -> each event is in exactly 4
+    assert(batch.toSeq.map(_._3).sum == rows.length * 4)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val streamed = EventsStream.streamingSlidingAgg(
+      mem.toDF().toDF("ts", "event_type", "user_id"))
+      .select(col("window.start").cast("string"), col("event_type"),
+        col("n_events"), col("uid_sum"))
+    val q = streamed.writeStream
+      .format("memory").queryName("slide_parity").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("slide_parity")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicates suppresses replays across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
