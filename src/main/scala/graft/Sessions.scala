@@ -1,6 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.QDot
 
 /** One place for the engine's SparkSession config so Verify, Bench and
   * tests run identical semantics.
@@ -32,4 +35,14 @@ object Sessions {
       // exists. Compiled classes are small; 10k entries is a few hundred
       // MB of metaspace at worst and removes recompilation entirely.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // Engine extension surface: native codegen'd expressions
+      // registered the supported way (SparkSessionExtensions), usable
+      // from both the Column API (call_function) and SQL.
+      .withExtensions { ext =>
+        ext.injectFunction((
+          new FunctionIdentifier("qdot_native"),
+          new ExpressionInfo(classOf[QDot].getName, "qdot_native"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            QDot(children.head, children(1))))
+      }
 }

@@ -121,4 +121,17 @@ object Fns {
   def qcosineStatic(qa: Column, qb: Column, qna: Column, qnb: Column, dim: Int): Column =
     qdotStatic(qa, qb, dim).cast(DoubleType) /
       sqrt(qna.cast(DoubleType) * qnb.cast(DoubleType))
+
+  /** The native-`Expression` dot product ([[graft.functions.QDot]],
+    * registered by [[graft.Sessions]] via SparkSessionExtensions):
+    * identical Long arithmetic to [[qdot]]/[[qdotStatic]], but compiled
+    * as one tight loop inside whole-stage codegen — no interpreted
+    * lambdas, no dim-sized expression tree. Preferred on hot paths. */
+  def qdotNative(a: Column, b: Column): Column =
+    call_function("qdot_native", a, b)
+
+  /** [[qcosine]] on the native dot product. */
+  def qcosineNative(qa: Column, qb: Column, qna: Column, qnb: Column): Column =
+    qdotNative(qa, qb).cast(DoubleType) /
+      sqrt(qna.cast(DoubleType) * qnb.cast(DoubleType))
 }

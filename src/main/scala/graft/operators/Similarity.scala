@@ -140,7 +140,7 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     e.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
-      .withColumn("cos", qcosineStatic(col("qa"), col("q"), col("qna"), col("qn"), Dim))
+      .withColumn("cos", qcosineNative(col("qa"), col("q"), col("qna"), col("qn")))
       // shed the vector arrays BEFORE the window: the rank shuffle+sort
       // should carry 24-byte rows, not ~1 KB of array payload per row
       .select(col("probe_id"), col("vec_id"), col("cos"))
@@ -217,7 +217,7 @@ object Similarity {
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("qn").as("qna")), Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("qn").as("qnb")), Seq("vec_b"))
-      .withColumn("cos", qcosineStatic(col("qa"), col("qb"), col("qna"), col("qnb"), Dim))
+      .withColumn("cos", qcosineNative(col("qa"), col("qb"), col("qna"), col("qnb")))
       .filter(col("cos") >= 0.4)
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
@@ -308,7 +308,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     assign.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", qcosineStatic(col("pq"), col("q"), col("pqn"), col("qn"), Dim))
+      .withColumn("cos", qcosineNative(col("pq"), col("q"), col("pqn"), col("qn")))
       .select(col("probe_id"), col("vec_id"), col("cos")) // arrays off the sort
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= 5)
