@@ -323,9 +323,17 @@ object Dedup {
   val DriverCcMaxEdges = 5000000L
 
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b")).cache()
+    // One action decides the path AND feeds the small-graph branch: a
+    // limit-probe (cheap — stops at threshold+1 rows) would not cache
+    // the full pair set for the distributed branch, and count+collect
+    // would run two jobs over the pipeline; collect once instead — the
+    // LSH pair graph is orders smaller than the corpus, and above the
+    // threshold the collected prefix is simply discarded.
+    val edges = pairs.as[(Long, Long)].limit(DriverCcMaxEdges.toInt + 1).collect()
     val out =
-      if (pairs.count() <= DriverCcMaxEdges) dupClustersDriver(s, pairs)
+      if (edges.length <= DriverCcMaxEdges) dupClustersDriver(s, edges)
       else dupClustersDistributed(pairs)
     pairs.unpersist()
     out
@@ -333,9 +341,8 @@ object Dedup {
 
   /** Small-graph path: union-find on the collected edge list. */
   private def dupClustersDriver(s: SparkSession,
-                                pairs: org.apache.spark.sql.DataFrame): DataFrame = {
+                                edges: Array[(Long, Long)]): DataFrame = {
     import s.implicits._
-    val edges = pairs.as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
