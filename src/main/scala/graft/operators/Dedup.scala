@@ -460,6 +460,34 @@ object Dedup {
       |WHERE doc_id % 5 = 0 AND nh NOT IN (SELECT nh FROM corp)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Edit-distance near-dup verification: Levenshtein distance on the
+    * 60-char prefixes of a deterministic document sample (doc_id ≡ 0
+    * mod 100, all pairs) — the character-level complement to the
+    * token-level Jaccard/SimHash measures, and the post-LSH verifier
+    * for short fields (titles, URLs) where shingles are too coarse.
+    * Levenshtein is classic unit-cost DP in both engines. The sampled
+    * all-pairs set is quadratic ONLY in the sample (50 docs at sf0.1);
+    * at 100 TB the pair source is the LSH candidate stream (q21),
+    * never a corpus cross join. */
+  def editDistance(s: SparkSession, dir: String): DataFrame = {
+    val sample = Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("prefix"))
+    sample.as("a").join(sample.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.prefix"), col("b.prefix")).cast(IntegerType).as("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val editDistanceSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, substr(text, 1, 60) AS prefix
+      |  FROM documents WHERE doc_id % 100 = 0)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q20_exact_dedup", exactDedupStats, Some(exactDedupStatsSql)),
     QueryDef("q21_minhash_lsh", minhashLsh, Some(minhashLshSql)),
@@ -467,5 +495,6 @@ object Dedup {
     QueryDef("q23_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q38_dup_clusters", dupClusters, Some(dupClustersSql)),
     QueryDef("q43_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
+    QueryDef("q50_edit_distance", editDistance, Some(editDistanceSql)),
   )
 }

@@ -540,6 +540,62 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Arbitrary GROUPING SETS with grouping_id — the general form of
+    * q12's ROLLUP / q33's CUBE, exercised through the engine's SQL
+    * entry point (the DataFrame API only exposes rollup/cube; GROUPING
+    * SETS is SQL surface). Spark expands it to one Expand + one
+    * aggregate — same single-shuffle shape as ROLLUP at any scale. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+        |       count(*) AS n_items,
+        |       sum(CAST(l_quantity AS BIGINT)) AS qty_sum
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        |""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+      |       count(*) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Time-RANGE window frame: per user, how many events (and the max
+    * value) landed in the sliding hour ending at each event. Spark
+    * range frames require a numeric ordering column, so the frame is
+    * defined over unix_micros(ts) — identical inclusive [-1h, now]
+    * bounds in the DuckDB oracle. Range frames include ORDER BY peers,
+    * so the result is deterministic even with duplicate timestamps;
+    * the windowed aggregates (count, max) are order-independent. */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsl"))
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(s, dir)
+      .withColumn("tsl", expr("unix_micros(ts)"))
+      .withColumn("n_hour", count(lit(1)).over(w))
+      .withColumn("vmax_hour", max(col("value")).over(w))
+      .select(col("event_id"), col("user_id"), col("n_hour"), col("vmax_hour"))
+      .orderBy("event_id")
+  }
+
+  val rangeFrameSql: String =
+    """SELECT event_id, user_id,
+      |       count(*) OVER w AS n_hour,
+      |       max(value) OVER w AS vmax_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q06_region_revenue", regionRevenue, Some(regionRevenueSql)),
     QueryDef("q07_priority_revenue", priorityRevenue, Some(priorityRevenueSql)),
@@ -562,5 +618,7 @@ object Relational {
     QueryDef("q41_corr", corrStats, Some(corrStatsSql)),
     QueryDef("q45_range_join", rangeJoin, Some(rangeJoinSql)),
     QueryDef("q46_salted_join", saltedJoin, Some(saltedJoinSql)),
+    QueryDef("q48_grouping_sets", groupingSets, Some(groupingSetsSql)),
+    QueryDef("q49_range_frame", rangeFrame, Some(rangeFrameSql)),
   )
 }
