@@ -14,7 +14,11 @@ class PartitionInvarianceSpec extends SparkSpec {
 
   private val names = Seq(
     "q01_delay_avg", "q02_late_pct", "q06_region_revenue",
-    "q21_minhash_lsh", "q28_quality_score")
+    "q21_minhash_lsh", "q28_quality_score",
+    // round-3 shapes: map-only IVF assignment, binned range join,
+    // quantized-idf ranking, salted join, range window frame
+    "q37_ann_ivf", "q44_tfidf", "q45_range_join", "q46_salted_join",
+    "q49_range_frame")
 
   names.foreach { name =>
     test(s"$name is invariant under shuffle-partition count") {
