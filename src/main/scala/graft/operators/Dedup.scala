@@ -33,30 +33,62 @@ object Dedup {
   private val P = 2147483647L // 2^31-1, Mersenne prime for minhash perms
   private val B = 912367L     // permutation offset step
 
-  /** (doc_id, shingle) rows: distinct word 3-shingles per document.
-    * Explode-then-aggregate beats nested array lambdas for everything
-    * downstream: higher-order functions are interpreted per row, while
-    * explode → groupBy pipelines stay in whole-stage codegen with
-    * map-side partial aggregation (the r01→r02 bench fix: 161 s → s). */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+  /** md5 hex of a string, identical bytes to Spark's `md5()` and
+    * DuckDB's `md5()` (UTF-8 input, lowercase hex). */
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** (doc_id, h32, h60) rows: one row per DISTINCT word 3-shingle per
+    * document, with the md5-derived 32- and 60-bit hashes ([[graft.functions.Fns.hash32]]/
+    * [[graft.functions.Fns.hash60]] arithmetic) computed in a tight
+    * per-partition loop. Tokenize→shingle→md5 is row-local work, so a
+    * mapPartitions map stage beats the SQL formulation twice over:
+    * higher-order array functions evaluate interpreted per row, and
+    * the explode-then-hash pipeline paid the md5 string machinery
+    * through codegen'd-but-allocating expressions. Hash values are
+    * bit-identical to the SQL/DuckDB formulation (same UTF-8 md5, same
+    * hex-prefix parse), which the oracle gate proves end-to-end. */
+  private def shingleHashRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, dir)
-      // materialize the token array in its own projection: `shingles`
-      // references its input ~3× per position, and composing it
-      // directly over `tokens(text)` would inline (and re-evaluate) the
-      // whole split+filter per reference — ~300 re-tokenizations per
-      // document (measured 14 s → 2 s at sf0.1). As a named column the
-      // array is computed once per row; CollapseProject keeps it
-      // because the alias is non-cheap and multiply-referenced.
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(col("w"), 3))).as("sgl"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = text.split(" ").filter(_.nonEmpty)
+          if (toks.length < 3) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[String]()
+            (0 to toks.length - 3).iterator.flatMap { i =>
+              val sgl = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+              if (seen.add(sgl)) {
+                val hex = md5Hex(md, sgl)
+                Iterator.single((id,
+                  java.lang.Long.parseLong(hex.substring(0, 8), 16),
+                  java.lang.Long.parseLong(hex.substring(0, 15), 16)))
+              } else Iterator.empty
+            }
+          }
+        }
+      }.toDF("doc_id", "h32", "h60")
+  }
 
   /** 16-permutation MinHash signatures as an aggregation:
     * mh_i = min over shingles of ((2i+1)·h + 912367·i) mod (2^31-1),
     * i.e. 16 `min` aggregates over the exploded shingle hashes — partial
     * mins combine map-side, so the shuffle carries 16 longs per doc. */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val hs = shingleRows(s, dir).select(col("doc_id"), hash32(col("sgl")).as("h"))
+    val hs = shingleHashRows(s, dir).select(col("doc_id"), col("h32").as("h"))
     val minCols = (0 until 16).map(i =>
       min(pmod(col("h") * (2 * i + 1) + lit(B) * i, lit(P))).as(s"m$i"))
     hs.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
@@ -182,9 +214,19 @@ object Dedup {
     * at single digits. One groupBy(doc) for the fingerprint (partial
     * sums map-side), one equi-join on (band, 15-bit bucket). */
   def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // every token OCCURRENCE (not distinct): simhash weights by term
+    // frequency; same per-partition md5 loop as shingleHashRows
     val th = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), hash60(col("t")).as("h"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          text.split(" ").iterator.filter(_.nonEmpty).map { t =>
+            (id, java.lang.Long.parseLong(md5Hex(md, t).substring(0, 15), 16))
+          }
+        }
+      }.toDF("doc_id", "h")
 
     val sumCols = (0 until 60).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
@@ -258,7 +300,7 @@ object Dedup {
     // without an exchange in between Spark recomputes the
     // tokenize→shingle→md5 pipeline for every consumer (4 scans in the
     // r02 plan); with it, ReuseExchange computes it once.
-    val sh = shingleRows(s, dir).select(col("doc_id"), hash60(col("sgl")).as("h"))
+    val sh = shingleHashRows(s, dir).select(col("doc_id"), col("h60").as("h"))
       .repartition(col("h"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
