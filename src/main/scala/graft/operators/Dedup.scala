@@ -215,27 +215,35 @@ object Dedup {
     * sums map-side), one equi-join on (band, 15-bit bucket). */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // every token OCCURRENCE (not distinct): simhash weights by term
-    // frequency; same per-partition md5 loop as shingleHashRows
-    val th = Tables.documents(s, dir)
+    // The fingerprint is per-DOCUMENT state over that document's token
+    // occurrences (simhash weights by term frequency) — row-local
+    // work, so the whole 60-bit accumulation runs in the partition
+    // loop: md5 per token, ±1 into a 60-counter array, one fp row per
+    // doc. The earlier dataflow formulation shuffled every token
+    // occurrence through a 60-aggregate groupBy to compute the same
+    // integers. Zero shuffle until band candidate generation.
+    val fp = Tables.documents(s, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (id, text) =>
-          text.split(" ").iterator.filter(_.nonEmpty).map { t =>
-            (id, java.lang.Long.parseLong(md5Hex(md, t).substring(0, 15), 16))
+        it.map { case (id, text) =>
+          val bits = new Array[Long](60)
+          text.split(" ").foreach { t =>
+            if (t.nonEmpty) {
+              val h = java.lang.Long.parseLong(md5Hex(md, t).substring(0, 15), 16)
+              var j = 0
+              while (j < 60) {
+                bits(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L)
+                j += 1
+              }
+            }
           }
+          var f = 0L
+          var j = 0
+          while (j < 60) { if (bits(j) > 0) f |= 1L << j; j += 1 }
+          (id, f)
         }
-      }.toDF("doc_id", "h")
-
-    val sumCols = (0 until 60).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-        .as(s"s$j"))
-    val bitSums = th.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
-    val fp = bitSums.select(col("doc_id"),
-      (0 until 60).map(j =>
-        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _).as("fp"))
+      }.toDF("doc_id", "fp")
 
     val bands = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(b =>
