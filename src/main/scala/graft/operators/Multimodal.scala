@@ -180,8 +180,77 @@ object Multimodal {
       |       CAST(max(frame_byte) AS INT) AS max_byte
       |FROM fr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** A resized media record: binary → binary with metadata rewrite. */
+  final case class ResizedMedia(
+    media_id: Long, kind: String, payload: Array[Byte], width: Int, height: Int)
+
+  /** Resize as a binary→binary partition transform with metadata
+    * passthrough — the third multimodal shape (decode 1→1 features =
+    * q31, frame-sample 1→N = q47, resize 1→1 payload = here). STUB
+    * resize = stride-2 byte subsample + halved width; a real
+    * deployment swaps in the codec's scaler. The output is again an
+    * opaque payload column, so resize stages compose (resize →
+    * re-encode → feature-extract) with zero shuffle. */
+  def resizeStub(media: Dataset[MediaRecord]): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        val src = r.payload
+        val out = new Array[Byte]((src.length + 1) / 2)
+        var i = 0
+        while (i < out.length) { out(i) = src(2 * i); i += 1 }
+        ResizedMedia(r.media_id, r.kind, out, (r.width + 1) / 2, r.height)
+      }
+    }
+  }
+
+  /** Rollup over the resized payloads — verifies the resize arithmetic
+    * (byte selection + metadata rewrite) end-to-end via the oracle. */
+  def mediaResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    resizeStub(mediaTable(s, dir))
+      .map { r =>
+        var psum = 0L
+        r.payload.foreach(b => psum += b & 0xff)
+        (r.kind, r.payload.length.toLong, psum, r.width.toLong)
+      }
+      .toDF("kind", "n_bytes", "psum", "width")
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("resized_bytes"),
+        sum(col("psum")).as("resized_sum"),
+        sum(col("width")).as("width_sum"))
+      .orderBy("kind")
+  }
+
+  /** DuckDB twin: stride-2 over md5×4 keeps payload positions
+    * 0,2,…,62 → md5 bytes at even 0-based indices, i.e. b[1],b[3],…,
+    * b[15] (1-based) each 4×; width was b[1]+1, halved rounding up. */
+  val mediaResizeSql: String =
+    """WITH mb AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS kind,
+      |         list_transform(generate_series(1, 16),
+      |           i -> CAST('0x' || substr(md5(text), 2*i - 1, 2) AS BIGINT)) AS b
+      |  FROM documents),
+      |r AS (
+      |  SELECT kind,
+      |         32 AS resized_bytes,
+      |         4 * (b[1] + b[3] + b[5] + b[7] + b[9] + b[11] + b[13] + b[15]) AS resized_sum,
+      |         (b[1] + 2) // 2 AS width_new
+      |  FROM mb)
+      |SELECT kind, count(*) AS n_media,
+      |       CAST(sum(resized_bytes) AS BIGINT) AS resized_bytes,
+      |       CAST(sum(resized_sum) AS BIGINT) AS resized_sum,
+      |       CAST(sum(width_new) AS BIGINT) AS width_sum
+      |FROM r GROUP BY kind ORDER BY kind""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q31_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     QueryDef("q47_frame_stats", frameStats, Some(frameStatsSql)),
+    QueryDef("q51_media_resize", mediaResize, Some(mediaResizeSql)),
   )
 }

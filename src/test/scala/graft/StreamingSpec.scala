@@ -78,6 +78,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join") {
+    // clicks ⋈ purchases by the same user within 30 min after the click
+    // — the streaming twin of q45's binned range join. Watermarks bound
+    // both join buffers; the time condition makes state GC-able.
+    val clicks = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "c1"),
+      (ts("2024-01-01 10:40:00"), 1L, "c2"),
+      (ts("2024-01-01 10:05:00"), 2L, "c3"))
+    val purchases = Seq(
+      (ts("2024-01-01 10:10:00"), 1L, "p1"), // joins c1
+      (ts("2024-01-01 10:55:00"), 1L, "p2"), // joins c2
+      (ts("2024-01-01 11:00:00"), 2L, "p3")) // 55 min after c3: no join
+
+    def joined(c: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame) =
+      c.join(p,
+        col("cu") === col("pu") &&
+          col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("cid"), col("pid"))
+
+    val batch = joined(
+      clicks.toDF("cts", "cu", "cid"), purchases.toDF("pts", "pu", "pid"))
+      .as[(String, String)].collect().toSet
+    assert(batch == Set(("c1", "p1"), ("c2", "p2")))
+
+    implicit val sqlCtx = spark.sqlContext
+    val cMem = MemoryStream[(Timestamp, Long, String)]
+    val pMem = MemoryStream[(Timestamp, Long, String)]
+    val q = joined(
+      cMem.toDF().toDF("cts", "cu", "cid").withWatermark("cts", "1 hour"),
+      pMem.toDF().toDF("pts", "pu", "pid").withWatermark("pts", "1 hour"))
+      .writeStream.format("memory").queryName("ss_join").outputMode("append").start()
+    try {
+      cMem.addData(clicks: _*)
+      pMem.addData(purchases: _*)
+      q.processAllAvailable()
+      val got = spark.table("ss_join").as[(String, String)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicates suppresses replays across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
