@@ -358,10 +358,55 @@ object Similarity {
        |SELECT probe_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 5
        |ORDER BY probe_id, rnk""".stripMargin
 
+  /** Typed `Aggregator[IN, BUF, OUT]` top-k: the custom-UDAF extension
+    * route (SURVEY.md §7.3) — a bounded k-element buffer per group, so
+    * the shuffle carries at most k (id, cos) pairs per probe from each
+    * map-side partial, where the q25 window formulation shuffles every
+    * scored row. Selection is deterministic: exact doubles with a
+    * total (cos desc, vec_id asc) order; merge order cannot change a
+    * top-k set. */
+  object TopKCos extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+    private val K = 5
+    private def before(a: (Long, Double), b: (Long, Double)): Boolean =
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) // cos desc, id asc
+    override def zero: Seq[(Long, Double)] = Nil
+    override def reduce(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] =
+      (buf :+ x).sortWith(before).take(K)
+    override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      (a ++ b).sortWith(before).take(K)
+    override def finish(r: Seq[(Long, Double)]): Seq[(Long, Double)] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** q25's semantics through the typed-Aggregator route (same probes,
+    * same scores, same oracle) — window-rank vs bounded-buffer
+    * aggregation cross-validate each other, and at 100 TB the
+    * aggregation form wins: per-partition partial top-k means the
+    * exchange moves O(probes · k) rows instead of O(probes · n). */
+  def cosineTopKAgg(s: SparkSession, dir: String): DataFrame = {
+    val tk = udaf(TopKCos)
+    val e = quantized(s, dir)
+    val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("probe_id"), col("q").as("qa"), col("qn").as("qna"))
+    e.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
+      .withColumn("cos", qcosineNative(col("qa"), col("q"), col("qna"), col("qn")))
+      .groupBy(col("probe_id"))
+      .agg(tk(col("vec_id"), col("cos")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col._1").as("vec_id"),
+        col("col._2").as("cos"), (col("pos") + 1).cast(IntegerType).as("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     QueryDef("q25_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     QueryDef("q26_ann_lsh", annLsh, Some(annLshSql)),
     QueryDef("q37_ann_ivf", annIvf, Some(annIvfSql)),
+    QueryDef("q52_topk_aggregator", cosineTopKAgg, Some(cosineTopKSql)),
   )
 }

@@ -6,6 +6,17 @@ import graft.operators.Similarity
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("typed TopKCos Aggregator reproduces the window-rank top-k exactly") {
+    val viaWindow = Similarity.cosineTopK(spark, sfDir)
+      .select("probe_id", "vec_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val viaAgg = Similarity.cosineTopKAgg(spark, sfDir)
+      .select("probe_id", "vec_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.nonEmpty)
+  }
+
   test("cosineTopK returns exactly 5 ranked neighbours per probe") {
     val got = Similarity.cosineTopK(spark, sfDir)
       .as[(Long, Long, Double, Int)].collect()
