@@ -596,6 +596,38 @@ object Relational {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** Subquery surface through the SQL entry point: a correlated EXISTS
+    * (Catalyst decorrelates to a left-semi join), a NOT IN (null-aware
+    * anti join), and a scalar subquery (broadcast single-row). The
+    * scalar threshold is max/2 — exact arithmetic, where an avg() of
+    * doubles would be partition-order-sensitive in its last ulps and
+    * could flip boundary comparisons between engines. */
+  def subqueries(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_sq")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_sq")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_cust
+        |FROM customer_sq c
+        |WHERE EXISTS (SELECT 1 FROM orders_sq o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice >
+        |                    (SELECT max(o_totalprice) FROM orders_sq) / 2)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders_sq
+        |                        WHERE o_orderstatus = 'F' AND o_totalprice < 1000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val subqueriesSql: String =
+    """SELECT c_mktsegment, count(*) AS n_cust
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice >
+      |                    (SELECT max(o_totalprice) FROM orders) / 2)
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderstatus = 'F' AND o_totalprice < 1000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q06_region_revenue", regionRevenue, Some(regionRevenueSql)),
     QueryDef("q07_priority_revenue", priorityRevenue, Some(priorityRevenueSql)),
@@ -620,5 +652,6 @@ object Relational {
     QueryDef("q46_salted_join", saltedJoin, Some(saltedJoinSql)),
     QueryDef("q48_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("q49_range_frame", rangeFrame, Some(rangeFrameSql)),
+    QueryDef("q53_subqueries", subqueries, Some(subqueriesSql)),
   )
 }
