@@ -509,22 +509,33 @@ object Relational {
       | AND CAST(b.ts AS TIMESTAMP) < CAST(a.ts AS TIMESTAMP)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Skew-salted fact⋈fact join: identical semantics to the plain
-    * lineitem⋈orders join (the oracle IS the plain join), but the
-    * shuffle key is (orderkey, salt) with the dimension side replicated
-    * SaltBuckets× — the standard manual remedy when one hot key would
-    * otherwise pin a single reducer (AQE skew-join splits
-    * post-materialization; salting prevents the pile-up up front). The
-    * fact side's salt is derived from l_linenumber, so rows of a hot
-    * order spread evenly and deterministically. */
+  /** Skew-managed fact⋈fact join, two-phase: a cheap fact-side key
+    * count finds HOT keys (> threshold rows), and ONLY those get
+    * salted — hot fact rows take a deterministic salt from
+    * l_linenumber and the matching order rows replicate SaltBuckets×;
+    * cold keys join plain with salt 0. Identical semantics to the
+    * plain join (the oracle IS the plain join; `JoinShapesSpec` drives
+    * both the no-hot-keys path and a constructed-skew path). This is
+    * the up-front alternative to AQE's post-materialization skew
+    * split, without blanket-replicating the entire build side the way
+    * naive salting does. The hot set is by construction tiny (a key is
+    * hot only above `threshold` rows), so it broadcasts. */
   val SaltBuckets = 8
+  val HotKeyThreshold = 100000L
 
-  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .withColumn("salt", pmod(col("l_linenumber"), lit(SaltBuckets)))
-    val ord = Tables.orders(s, dir)
-      .withColumn("salt", explode(array((0 until SaltBuckets).map(lit(_)): _*)))
-    li.join(ord, col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
+  def skewJoin(li: DataFrame, ord: DataFrame, threshold: Long): DataFrame = {
+    val hot = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("kn"))
+      .filter(col("kn") > threshold).select(col("l_orderkey").as("hot_key"))
+    val liS = li.join(broadcast(hot), col("l_orderkey") === col("hot_key"), "left")
+      .withColumn("salt", when(col("hot_key").isNull, 0)
+        .otherwise(pmod(col("l_linenumber"), lit(SaltBuckets))))
+      .drop("hot_key")
+    val ordS = ord.join(broadcast(hot), col("o_orderkey") === col("hot_key"), "left")
+      .withColumn("salt", explode(when(col("hot_key").isNull, array(lit(0)))
+        .otherwise(array((0 until SaltBuckets).map(lit(_)): _*))))
+      .drop("hot_key")
+    liS.join(ordS,
+      col("l_orderkey") === col("o_orderkey") && liS("salt") === ordS("salt"))
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_items"),
@@ -532,6 +543,9 @@ object Relational {
           .cast(DoubleType).as("revenue"))
       .orderBy("o_orderpriority")
   }
+
+  def saltedJoin(s: SparkSession, dir: String): DataFrame =
+    skewJoin(Tables.lineitem(s, dir), Tables.orders(s, dir), HotKeyThreshold)
 
   val saltedJoinSql: String =
     """SELECT o_orderpriority, count(*) AS n_items,

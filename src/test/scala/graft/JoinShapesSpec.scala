@@ -22,6 +22,23 @@ class JoinShapesSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("skewJoin with a genuinely hot key still equals the plain join") {
+    // one order with 5000 lineitems (hot above threshold 1000), plus colds
+    val li = (1 to 5000).map(i => (42L, i, 10.0, 0.1)) ++
+      (1 to 50).map(i => (100L + i, 1, 5.0, 0.0))
+    val liDf = li.toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    val ord = ((42L, "1-URGENT") +: (1 to 50).map(i => (100L + i.toLong, "5-LOW")))
+      .toDF("o_orderkey", "o_orderpriority")
+    val plain = liDf.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_items"))
+      .as[(String, Long)].collect().toMap
+    val skew = Relational.skewJoin(liDf, ord, threshold = 1000L)
+      .select(col("o_orderpriority"), col("n_items"))
+      .as[(String, Long)].collect().toMap
+    assert(skew == plain)
+    assert(plain == Map("1-URGENT" -> 5000L, "5-LOW" -> 50L))
+  }
+
   test("binned range join == naive inequality join") {
     val ev = Tables.events(spark, sfDir)
     val naive = ev.as("a").join(ev.as("b"),
