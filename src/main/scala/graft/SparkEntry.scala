@@ -16,6 +16,7 @@ object SparkEntry {
   private def allDefs: Vector[QueryDef] =
     ReferenceParity.defs ++ Relational.defs ++ Dedup.defs ++
       Similarity.defs ++ TextAnalysis.defs ++ Multimodal.defs ++
+      Pipeline.defs ++
       graft.streaming.EventsStream.defs ++ graft.streaming.Sessionize.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,385 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.functions.Fns._
+
+/** Training-data-pipeline operators beyond the dedup/similarity/text
+  * families: cohort analytics, funnels, deterministic sampling,
+  * benchmark-contamination checks, domain mixing, embedding
+  * quantization, a k-means assignment step, event-sequence statistics
+  * and within-document repetition scoring.
+  *
+  * The reference has none of these (its five jobs are scan→agg,
+  * SURVEY.md §2); they are north-star extensions in the same
+  * determinism discipline as the rest of the library: exact integer /
+  * decimal accumulation, md5-derived hashes, one double division at
+  * the end, every query closed under a total ORDER BY.
+  */
+object Pipeline {
+
+  // DuckDB twin of Fns.quantize (proven by the q24/q25 gate).
+  private val qvSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+
+  /** Weekly cohort retention over `events`: cohort = first active ISO
+    * week per user, cell = distinct users of that cohort active at
+    * week offset k. The workhorse report of any user-facing pipeline.
+    *
+    * Scale: one shuffle on user_id for the first-week aggregate; the
+    * activity⋈cohort join reuses that partitioning (exchange reuse, no
+    * second shuffle of the big side); the final (cohort, offset) grid
+    * is tiny. countDistinct is exact — at extreme cardinality swap for
+    * approx_count_distinct and accept the sketch (q14 shows the
+    * rows-only pattern). */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    // wk stays TimestampType: no query emits a plain DATE — the driver
+    // hash is representation-sensitive and date32 parquet reads
+    // differently from DuckDB DATE (timestamp[us] is identical in both).
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    e.join(first, Seq("user_id"))
+      .groupBy(col("cohort"), expr("CAST(datediff(wk, cohort) div 7 AS INT)").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wk
+      |  FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1)
+      |SELECT cohort, CAST(datediff('day', cohort, wk) // 7 AS INT) AS week_offset,
+      |       count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Ordered funnel signup → view → purchase: a user advances a step
+    * only with an event strictly after their previous step's first
+    * completion (min-timestamp semantics, the standard product
+    * funnel). Emits one row of stage counts.
+    *
+    * Scale: each stage is a filter → user-grouped min → co-partitioned
+    * join on user_id; every exchange hashes the same key so AQE reuses
+    * the layout. No window over the full event stream, no
+    * collect_list of a user's history — state per user is one
+    * timestamp per stage. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("t"))
+    val a = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("t")).as("ta"))
+    val b = e.filter(col("event_type") === "view").join(a, Seq("user_id"))
+      .filter(col("t") > col("ta"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("tb"))
+    val c = e.filter(col("event_type") === "purchase").join(b, Seq("user_id"))
+      .filter(col("t") > col("tb"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("tc"))
+    a.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(b.agg(count(lit(1)).as("n_signup_view")))
+      .crossJoin(c.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+      |a AS (SELECT user_id, min(t) AS ta FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |b AS (SELECT e.user_id, min(e.t) AS tb FROM e JOIN a USING (user_id)
+      |      WHERE e.event_type = 'view' AND e.t > a.ta GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.t) AS tc FROM e JOIN b USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.t > b.tb GROUP BY 1)
+      |SELECT (SELECT count(*) FROM a) AS n_signup,
+      |       (SELECT count(*) FROM b) AS n_signup_view,
+      |       (SELECT count(*) FROM c) AS n_full_funnel""".stripMargin
+
+  /** Deterministic stratified sampling: 20 documents per language,
+    * chosen by md5-hash order (seeded by a salt string), reproducible
+    * on any cluster at any partitioning — the holdout/eval-split
+    * primitive. Contrast with `sample()`, whose seed is
+    * partition-layout-sensitive (see q40 for the unstratified form).
+    *
+    * Scale: one shuffle on the stratum key; row_number needs a
+    * per-stratum sort but never a global one. For heavily skewed
+    * strata, pre-filter with an approximate per-stratum hash
+    * threshold so the sort sees ~k rows per stratum instead of all. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("h", hash32(concat(lit("strat"), col("doc_id").cast(StringType))))
+      .withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= 20)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("source"))
+      .orderBy("lang", "rnk")
+  }
+
+  val stratifiedSampleSql: String =
+    """WITH h AS (
+      |  SELECT lang, doc_id, source,
+      |         CAST('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id, source,
+      |         CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS INT) AS rnk
+      |  FROM h)
+      |SELECT lang, rnk, doc_id, source FROM r WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin
+
+  /** Benchmark-contamination check: which training documents (source
+    * <> 'src0') share an 8-token shingle with the benchmark corpus
+    * (source = 'src0'), and how many distinct shingles overlap — the
+    * n-gram decontamination pass every LLM data pipeline runs before
+    * training.
+    *
+    * Scale: the benchmark shingle set is tiny relative to the corpus
+    * (eval suites are MBs, training data is TBs) → distinct it and
+    * BROADCAST it; the corpus side then never shuffles. Shingles
+    * travel as 60-bit md5 hashes (8-byte keys), deduplicated per doc
+    * map-side via array_distinct before the explode. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(shingles(tokens(col("text")), 8))).as("g"))
+      .select(col("doc_id"), col("source"), hash60(col("g")).as("h"))
+    val bench = sh.filter(col("source") === "src0").select(col("h")).distinct()
+    sh.filter(col("source") =!= "src0")
+      .join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, sgl FROM (
+      |    SELECT doc_id, source,
+      |           unnest(list_transform(generate_series(1, len(w) - 7),
+      |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |                  w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS sgl
+      |    FROM toks WHERE len(w) >= 8) t),
+      |bench AS (SELECT DISTINCT sgl FROM sh WHERE source = 'src0')
+      |SELECT s.doc_id, s.source, count(*) AS n_overlap
+      |FROM sh s JOIN bench b USING (sgl)
+      |WHERE s.source <> 'src0'
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** Domain-mix planning: per-source token share and the uniform-target
+    * upsampling weight (target 1/|sources| of the token budget), the
+    * arithmetic behind data-mixture rebalancing. All counts are exact
+    * BIGINTs; the two output ratios are single divisions of exact
+    * integers (< 2^53), bit-identical across engines.
+    *
+    * Scale: one map-side-combined aggregate over the corpus; the
+    * totals row is a broadcast crossJoin (1 row). */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("source"), size(tokens(col("text"))).cast(LongType).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("src_tokens"))
+    val tot = per.agg(sum(col("src_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        (col("src_tokens").cast(DoubleType) / col("total_tokens").cast(DoubleType)).as("share"),
+        (col("total_tokens").cast(DoubleType) /
+          (col("n_sources") * col("src_tokens")).cast(DoubleType)).as("weight"))
+      .orderBy("source")
+  }
+
+  val domainMixSql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS src_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+      |               count(*) AS n_sources FROM per)
+      |SELECT source, n_docs, src_tokens,
+      |       CAST(src_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+      |       CAST(total_tokens AS DOUBLE) / CAST(n_sources * src_tokens AS DOUBLE) AS weight
+      |FROM per, tot ORDER BY source""".stripMargin
+
+  /** Symmetric int8 quantization of embeddings with exact error
+    * accounting: vectors are first lifted to exact 1e-6 integer units
+    * ([[graft.functions.Fns.quantize]]), scaled to [-127, 127] by
+    * their max |component|, and the per-element reconstruction error
+    * is measured in the integer domain (|x·127 − q8·maxabs|) so every
+    * aggregate is pure BIGINT — no float accumulation anywhere.
+    *
+    * Scale: embarrassingly parallel per row; one tiny per-label
+    * rollup. This is the compression pass before ANN index builds
+    * (4× memory cut; q26/q37 consume the same vectors). */
+  def embeddingQuantization(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+      .withColumn("maxabs", array_max(transform(col("qv"), x => abs(x))))
+      .filter(col("maxabs") > 0)
+      .withColumn("q8", transform(col("qv"),
+        x => floor((x * lit(127L)).cast(DoubleType) / col("maxabs").cast(DoubleType) + lit(0.5))
+          .cast(LongType)))
+      .withColumn("errs",
+        zip_with(col("qv"), col("q8"), (x, q) => abs(x * lit(127L) - q * col("maxabs"))))
+      .select(col("label"),
+        aggregate(col("errs"), lit(0L), (a, v) => a + v).as("sum_err"),
+        array_max(col("errs")).as("max_err"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sum_err")).as("tot_abs_err"),
+        max(col("max_err")).as("max_elem_err"))
+      .orderBy("label")
+
+  val embeddingQuantizationSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, label, $qvSql AS qv FROM embeddings),
+       |m AS (
+       |  SELECT vec_id, label, qv,
+       |         list_max(list_transform(qv, x -> abs(x))) AS maxabs
+       |  FROM q),
+       |e AS (
+       |  SELECT label, qv, maxabs,
+       |         list_transform(qv, x -> CAST(floor(CAST(x * 127 AS DOUBLE) / maxabs + 0.5) AS BIGINT)) AS q8
+       |  FROM m WHERE maxabs > 0),
+       |r AS (
+       |  SELECT label,
+       |         list_transform(generate_series(1, len(qv)), i -> abs(qv[i] * 127 - q8[i] * maxabs)) AS errs
+       |  FROM e)
+       |SELECT label, count(*) AS n_vecs,
+       |       CAST(sum(list_sum(errs)) AS BIGINT) AS tot_abs_err,
+       |       CAST(max(list_max(errs)) AS BIGINT) AS max_elem_err
+       |FROM r GROUP BY label ORDER BY label""".stripMargin
+
+  /** One Lloyd (k-means) assignment step: centroids = the 8 vectors
+    * with vec_id < 8 (deterministic seeding), every vector assigned to
+    * its nearest centroid by exact integer squared-L2 distance
+    * (qn(v) + qn(c) − 2·dot, ties to the lowest centroid id), then
+    * per-centroid cluster statistics. The building block of the
+    * pre-clustering that feeds IVF index training (q37 consumes such
+    * centroids).
+    *
+    * Scale: centroid table is K rows → broadcast nested loop, the
+    * corpus never shuffles for assignment; distance uses the native
+    * codegen'd dot ([[graft.functions.QDot]]) against precomputed
+    * norms, so the hot loop is one tight long-loop per (vector,
+    * centroid). The argmin is a groupBy min(struct), not a window —
+    * no sort. */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", qnorm2(col("qv")))
+    val cent = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast(IntegerType).as("cid"), col("qv").as("cv"), col("qn").as("cn"))
+    emb.crossJoin(broadcast(cent))
+      .withColumn("dist", col("qn") + col("cn") - lit(2L) * qdotNative(col("qv"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("b"))
+      .select(col("b.cid").as("cid"), col("b.dist").as("dist"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("dist")).as("sum_dist"),
+        min(col("dist")).as("min_dist"))
+      .orderBy("cid")
+  }
+
+  val kmeansStepSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, $qvSql AS qv FROM embeddings),
+       |c AS (SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM q WHERE vec_id < 8),
+       |d AS (
+       |  SELECT q.vec_id, c.cid,
+       |         list_sum(list_transform(generate_series(1, len(q.qv)),
+       |           i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS dist
+       |  FROM q, c),
+       |b AS (
+       |  SELECT vec_id, cid, dist,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM d)
+       |SELECT cid, count(*) AS n_assigned, CAST(sum(dist) AS BIGINT) AS sum_dist,
+       |       CAST(min(dist) AS BIGINT) AS min_dist
+       |FROM b WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin
+
+  /** Event-sequence transition matrix: per user, consecutive
+    * event_type pairs in (timestamp, event_id) order — the Markov
+    * statistics behind session modeling and bot detection.
+    *
+    * Scale: one shuffle on user_id, per-user sort inside the window
+    * (bounded by per-user history, not corpus size), then a tiny
+    * |types|² rollup with map-side combine. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+      |FROM o WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Within-document repetition scoring (Gopher-style quality rule):
+    * per document, the fraction of duplicate 3-token shingles; rolled
+    * up per source as a ratio of exact BIGINT sums plus the worst
+    * single-document ratio. High repetition flags boilerplate and
+    * degenerate generations before they enter a training mix.
+    *
+    * Scale: entirely per-row (shingle + distinct inside one row's
+    * array) — zero shuffle before the per-source rollup. */
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), shingles(tokens(col("text")), 3).as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("source"), size(col("g")).cast(LongType).as("n"),
+        size(array_distinct(col("g"))).cast(LongType).as("nd"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n") - col("nd")).as("rep_grams"),
+        sum(col("n")).as("tot_grams"),
+        (sum(col("n") - col("nd")).cast(DoubleType) / sum(col("n")).cast(DoubleType))
+          .as("rep_ratio"),
+        max((col("n") - col("nd")).cast(DoubleType) / col("n").cast(DoubleType))
+          .as("max_doc_ratio"))
+      .orderBy("source")
+
+  val repetitionRatioSql: String =
+    """WITH toks AS (
+      |  SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, list_transform(generate_series(1, len(w) - 2),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g
+      |  FROM toks WHERE len(w) >= 3),
+      |d AS (
+      |  SELECT source, CAST(len(g) AS BIGINT) AS n,
+      |         CAST(len(list_distinct(g)) AS BIGINT) AS nd
+      |  FROM g)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n - nd) AS BIGINT) AS rep_grams,
+      |       CAST(sum(n) AS BIGINT) AS tot_grams,
+      |       CAST(sum(n - nd) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS rep_ratio,
+      |       max(CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE)) AS max_doc_ratio
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  val defs: Vector[QueryDef] = Vector(
+    QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
+    QueryDef("q55_funnel", funnel, Some(funnelSql)),
+    QueryDef("q56_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    QueryDef("q57_contamination", contamination, Some(contaminationSql)),
+    QueryDef("q58_domain_mix", domainMix, Some(domainMixSql)),
+    QueryDef("q59_embed_quantize", embeddingQuantization, Some(embeddingQuantizationSql)),
+    QueryDef("q60_kmeans_step", kmeansStep, Some(kmeansStepSql)),
+    QueryDef("q61_event_transitions", eventTransitions, Some(eventTransitionsSql)),
+    QueryDef("q62_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
+  )
+}

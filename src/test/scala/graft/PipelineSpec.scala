@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+
+/** Behavior checks for the pipeline-analytics operators (q54–q62) on
+  * sf0.001 plus constructed inputs where invariants are easier to pin. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cohortRetention: offsets non-negative, offset-0 cell equals cohort size") {
+    val rows = Pipeline.cohortRetention(spark, sfDir)
+      .as[(java.sql.Timestamp, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0))
+    // at offset 0 every cohort member is by definition active
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (_, cells) =>
+      val zero = cells.find(_._2 == 0).map(_._3).getOrElse(0L)
+      assert(cells.forall(_._3 <= zero),
+        "a later-week cell exceeds the cohort's own size")
+    }
+  }
+
+  test("funnel stages are monotonically non-increasing") {
+    val Array((a, b, c)) = Pipeline.funnel(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(a >= b && b >= c && c >= 0)
+  }
+
+  test("stratifiedSample: exactly k rows per stratum, stable across runs") {
+    val s1 = Pipeline.stratifiedSample(spark, sfDir)
+      .as[(String, Int, Long, String)].collect().toSeq
+    val s2 = Pipeline.stratifiedSample(spark, sfDir)
+      .as[(String, Int, Long, String)].collect().toSeq
+    assert(s1 == s2) // deterministic, not layout/seed sensitive
+    s1.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted == (1 to rs.length).toList)
+      assert(rs.length <= 20)
+    }
+  }
+
+  test("contamination: planted overlap is found, benchmark source never emitted") {
+    val df = Seq(
+      (1L, "a b c d e f g h tail one", "en", "src0", 1L),
+      (2L, "a b c d e f g h other words here", "en", "src1", 1L),
+      (3L, "completely unrelated text with no shared shingle at all", "en", "src2", 1L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("contam").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Pipeline.contamination(spark, tmp)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(2L))
+    assert(got.head._3 == 1L) // exactly the one shared 8-gram "a b c d e f g h"
+  }
+
+  test("domainMix: shares sum to 1, weights inversely proportional to share") {
+    val rows = Pipeline.domainMix(spark, sfDir)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    // weight = 1 / (n_sources * share)
+    val n = rows.length
+    rows.foreach { case (_, _, _, share, weight) =>
+      assert(math.abs(weight - 1.0 / (n * share)) < 1e-9)
+    }
+  }
+
+  test("embeddingQuantization: per-element error bounded by maxabs/2 scale") {
+    // |x*127 - q8*maxabs| <= maxabs/2 + rounding slack
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val maxabs = emb
+      .select(array_max(transform(graft.functions.Fns.quantize(col("embedding")),
+        x => abs(x))).as("m"))
+      .agg(max("m")).as[Long].head()
+    val worst = Pipeline.embeddingQuantization(spark, sfDir)
+      .agg(max("max_elem_err")).as[Long].head()
+    assert(worst <= maxabs / 2 + 1)
+  }
+
+  test("kmeansStep: every vector assigned exactly once, seeds land in own cluster") {
+    val rows = Pipeline.kmeansStep(spark, sfDir)
+      .as[(Int, Long, Long, Long)].collect()
+    val total = rows.map(_._2).sum
+    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(total == n)
+    // a centroid's own vector is at distance 0 -> every cluster's min_dist is 0
+    assert(rows.forall(_._4 == 0L))
+  }
+
+  test("eventTransitions: totals equal events minus one per active user") {
+    val nTrans = Pipeline.eventTransitions(spark, sfDir)
+      .agg(sum("n_transitions")).as[Long].head()
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(nTrans == expected)
+  }
+
+  test("repetitionRatio: ratios in [0,1], constructed all-repeat doc scores 1 - 1/n") {
+    val df = Seq(
+      (1L, "x y z x y z x y z x y z", "en", "s", 1L), // 10 shingles, 3 distinct
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("rep").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val Array((_, _, rep, tot, ratio, maxr)) = Pipeline.repetitionRatio(spark, tmp)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(tot == 10 && rep == 7)
+    assert(math.abs(ratio - 0.7) < 1e-12 && math.abs(maxr - 0.7) < 1e-12)
+    val all = Pipeline.repetitionRatio(spark, sfDir)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(all.forall(r => r._5 >= 0.0 && r._5 <= 1.0 && r._6 >= 0.0 && r._6 <= 1.0))
+  }
+}
