@@ -35,7 +35,7 @@ object Dedup {
 
   /** md5 hex of a string, identical bytes to Spark's `md5()` and
     * DuckDB's `md5()` (UTF-8 input, lowercase hex). */
-  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+  private[operators] def md5Hex(md: java.security.MessageDigest, s: String): String = {
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val sb = new java.lang.StringBuilder(32)
