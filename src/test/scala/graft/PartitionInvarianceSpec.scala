@@ -18,7 +18,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round-3 shapes: map-only IVF assignment, binned range join,
     // quantized-idf ranking, salted join, range window frame
     "q37_ann_ivf", "q44_tfidf", "q45_range_join", "q46_salted_join",
-    "q49_range_frame")
+    "q49_range_frame",
+    // pipeline-analytics shapes: co-partitioned funnel joins,
+    // hash-ordered stratified sampling, broadcast contamination join,
+    // broadcast k-means assignment, partition-loop repetition scoring
+    "q54_cohort_retention", "q55_funnel", "q56_stratified_sample",
+    "q57_contamination", "q60_kmeans_step", "q62_repetition_ratio")
 
   names.foreach { name =>
     test(s"$name is invariant under shuffle-partition count") {
