@@ -27,6 +27,9 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Catalog tables (bucketed-join path, JoinShapesSpec) live under
+      // /tmp, never inside the repo checkout.
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       // The generated-class cache defaults to 100 entries; a workload of
       // 40+ distinct queries compiles several codegen stages each, so at
       // the default size classes are evicted and janino-recompiled on

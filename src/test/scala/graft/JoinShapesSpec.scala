@@ -39,6 +39,35 @@ class JoinShapesSpec extends SparkSpec {
     assert(plain == Map("1-URGENT" -> 5000L, "5-LOW" -> 50L))
   }
 
+  test("bucketed fact-fact join: zero shuffle in the plan, same result as plain join") {
+    // SURVEY §9: at 100 TB, lineitem+orders are BUCKETed by orderkey so
+    // the q07-shape join is shuffle-free. Prove the mechanism end to
+    // end: bucketed catalog tables -> SMJ with NO ShuffleExchange.
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_extendedprice")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+    ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_bucketed")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val n = joined.count()
+      val plain = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      assert(n == plain && n > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      assert(!plan.contains("ShuffleExchange"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("binned range join == naive inequality join") {
     val ev = Tables.events(spark, sfDir)
     val naive = ev.as("a").join(ev.as("b"),
