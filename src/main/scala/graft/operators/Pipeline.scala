@@ -415,6 +415,66 @@ object Pipeline {
       |       max(CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE)) AS max_doc_ratio
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** Count-min sketch heavy-hitter estimation over document tokens:
+    * 4 hash rows × 1024 buckets, bucket_i(t) = bits [10i, 10i+10) of
+    * the 60-bit md5 fingerprint (one md5 per term, disjoint bit ranges
+    * per row), estimate(t) = min_i counter[i][bucket_i(t)], reported
+    * against the true count for the 10 most frequent tokens. Unlike
+    * HLL (q14, rows-only by necessity), CMS with fixed md5-derived
+    * hashes is bit-deterministic — so this sketch query has a full
+    * DuckDB oracle, including the overestimation error itself.
+    *
+    * Scale: sketch state is a fixed 4×1024 BIGINT grid regardless of
+    * corpus size. The grid is built from the term-frequency aggregate
+    * (map-side combined, one corpus scan), not from raw occurrences:
+    * counter[i][b] = Σ tf(t) over terms with bucket_i(t)=b, identical
+    * by associativity. In a streaming setting the same grid comes from
+    * the per-batch tf with no vocabulary state at all. */
+  def countMin(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", hash60(col("term")))
+    val rows = 0 until 4
+    def bucketCols = explode(array(rows.map(i => struct(
+      lit(i).as("i"),
+      shiftright(col("h"), 10 * i).bitwiseAND(lit(1023L)).as("b"))): _*)).as("c")
+    val cells = tf.select(col("cnt"), bucketCols)
+      .groupBy(col("c.i").as("i"), col("c.b").as("b"))
+      .agg(sum(col("cnt")).as("cell"))
+    val top = tf.orderBy(col("cnt").desc, col("term")).limit(10)
+    top.select(col("term"), col("cnt").as("true_n"), bucketCols)
+      .select(col("term"), col("true_n"), col("c.i").as("i"), col("c.b").as("b"))
+      .join(broadcast(cells), Seq("i", "b"))
+      .groupBy(col("term"), col("true_n"))
+      .agg(min(col("cell")).as("est_n"))
+      .orderBy(col("true_n").desc, col("term"))
+  }
+
+  val countMinSql: String = {
+    val buckets = (0 until 4).map(i =>
+      s"SELECT term, cnt, $i AS i, (h >> ${10 * i}) & 1023 AS b FROM tf")
+      .mkString("\n  UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT term, count(*) AS cnt,
+       |         CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h
+       |  FROM t GROUP BY term),
+       |tb AS (
+       |  $buckets),
+       |cells AS (SELECT i, b, sum(cnt) AS cell FROM tb GROUP BY 1, 2),
+       |top AS (SELECT term, cnt AS true_n FROM tf ORDER BY cnt DESC, term LIMIT 10),
+       |probes AS (
+       |  SELECT top.term, top.true_n, tb.i, tb.b
+       |  FROM top JOIN tb ON top.term = tb.term)
+       |SELECT p.term, CAST(p.true_n AS BIGINT) AS true_n,
+       |       CAST(min(c.cell) AS BIGINT) AS est_n
+       |FROM probes p JOIN cells c ON p.i = c.i AND p.b = c.b
+       |GROUP BY 1, 2 ORDER BY true_n DESC, term""".stripMargin
+  }
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -425,5 +485,6 @@ object Pipeline {
     QueryDef("q60_kmeans_step", kmeansStep, Some(kmeansStepSql)),
     QueryDef("q61_event_transitions", eventTransitions, Some(eventTransitionsSql)),
     QueryDef("q62_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
+    QueryDef("q63_countmin", countMin, Some(countMinSql)),
   )
 }

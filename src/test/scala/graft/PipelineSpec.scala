@@ -95,6 +95,16 @@ class PipelineSpec extends SparkSpec {
     assert(nTrans == expected)
   }
 
+  test("countMin: estimates never underestimate and are exact sans collision") {
+    val rows = Pipeline.countMin(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 10)
+    assert(rows.forall { case (_, t, e) => e >= t }) // CMS one-sided error
+    // with a tiny vocabulary, at least one of 4 rows is collision-free
+    // for most terms — estimates should mostly be exact
+    assert(rows.count { case (_, t, e) => e == t } >= 5)
+  }
+
   test("repetitionRatio: ratios in [0,1], constructed all-repeat doc scores 1 - 1/n") {
     val df = Seq(
       (1L, "x y z x y z x y z x y z", "en", "s", 1L), // 10 shingles, 3 distinct
