@@ -475,6 +475,80 @@ object Pipeline {
        |GROUP BY 1, 2 ORDER BY true_n DESC, term""".stripMargin
   }
 
+  /** Bloom-filter pre-join pruning, measured: build a 4096-bit / 3-hash
+    * Bloom filter over the src0 document fingerprints (positions =
+    * disjoint 12-bit ranges of the 60-bit md5 fingerprint), pass every
+    * other source's docs through it, and report per source how many
+    * docs pass the filter vs how many truly match — i.e. the exact
+    * false-positive behavior of the filter. Fixed hashes make the
+    * whole thing bit-deterministic and fully oracle-checkable.
+    *
+    * Probing ALL sources (src0 included) makes both Bloom guarantees
+    * visible in the output: src0 rows have n_pass == n_match == n_docs
+    * (no false negatives, ever), while every other source's n_pass −
+    * n_match counts the filter's false positives at this occupancy.
+    *
+    * Scale: this is the mechanism behind runtime bloom-pruned joins —
+    * the occupied-position set (≤ 3·|build side| entries, here ≤ 4096
+    * longs ≈ 32 KB as a bitmap) broadcasts everywhere, and the probe
+    * side drops non-candidates BEFORE the join shuffle. A probe
+    * passes iff all 3 of its positions are occupied: 3 broadcast
+    * lookups, count==3 — no shuffle of the probe corpus. */
+  def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), hash60(normText(col("text"))).as("h"))
+    val pos = (0 until 3).map(i =>
+      shiftright(col("h"), 12 * i).bitwiseAND(lit(4095L)))
+    val build = docs.filter(col("source") === "src0")
+    val occupied = build
+      .select(explode(array(pos: _*)).as("p")).distinct()
+    val benchHashes = build.select(col("h")).distinct()
+    val probes = docs
+    val passed = probes
+      .select(col("doc_id"), col("source"), col("h"), explode(array(pos: _*)).as("p"))
+      .join(broadcast(occupied), Seq("p"))
+      .groupBy(col("doc_id"), col("source"), col("h"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === 3)
+    val trueMatch = probes.join(broadcast(benchHashes), Seq("h"), "left_semi")
+    probes.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(passed.groupBy(col("source")).agg(count(lit(1)).as("n_pass")), Seq("source"), "left")
+      .join(trueMatch.groupBy(col("source")).agg(count(lit(1)).as("n_match")), Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_pass"), lit(0L)).as("n_pass"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"))
+      .orderBy("source")
+  }
+
+  val bloomPrefilterSql: String = {
+    val posList = (0 until 3).map(i => s"(h >> ${12 * i}) & 4095").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         CAST('0x' || substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 15) AS BIGINT) AS h
+       |  FROM documents),
+       |build AS (SELECT * FROM d WHERE source = 'src0'),
+       |occupied AS (SELECT DISTINCT unnest([$posList]) AS p FROM build),
+       |bench AS (SELECT DISTINCT h FROM build),
+       |probes AS (SELECT * FROM d),
+       |pp AS (
+       |  SELECT doc_id, source, h, unnest([$posList]) AS p FROM probes),
+       |passed AS (
+       |  SELECT pp.doc_id, pp.source FROM pp JOIN occupied USING (p)
+       |  GROUP BY pp.doc_id, pp.source, pp.h HAVING count(*) = 3),
+       |n_all AS (SELECT source, count(*) AS n_docs FROM probes GROUP BY 1),
+       |n_pass AS (SELECT source, count(*) AS n_pass FROM passed GROUP BY 1),
+       |n_match AS (
+       |  SELECT source, count(*) AS n_match FROM probes
+       |  WHERE h IN (SELECT h FROM bench) GROUP BY 1)
+       |SELECT n_all.source, n_all.n_docs,
+       |       COALESCE(n_pass.n_pass, 0) AS n_pass,
+       |       COALESCE(n_match.n_match, 0) AS n_match
+       |FROM n_all
+       |LEFT JOIN n_pass ON n_all.source = n_pass.source
+       |LEFT JOIN n_match ON n_all.source = n_match.source
+       |ORDER BY n_all.source""".stripMargin
+  }
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -486,5 +560,6 @@ object Pipeline {
     QueryDef("q61_event_transitions", eventTransitions, Some(eventTransitionsSql)),
     QueryDef("q62_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
     QueryDef("q63_countmin", countMin, Some(countMinSql)),
+    QueryDef("q64_bloom_prefilter", bloomPrefilter, Some(bloomPrefilterSql)),
   )
 }

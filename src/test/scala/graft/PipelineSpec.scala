@@ -105,6 +105,14 @@ class PipelineSpec extends SparkSpec {
     assert(rows.count { case (_, t, e) => e == t } >= 5)
   }
 
+  test("bloomPrefilter: no false negatives on the build source, pass superset of match") {
+    val rows = Pipeline.bloomPrefilter(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    val src0 = rows.find(_._1 == "src0").get
+    assert(src0._2 == src0._3 && src0._3 == src0._4) // every build doc passes + matches
+    assert(rows.forall { case (_, n, p, m) => p >= m && n >= p }) // one-sided filter
+  }
+
   test("repetitionRatio: ratios in [0,1], constructed all-repeat doc scores 1 - 1/n") {
     val df = Seq(
       (1L, "x y z x y z x y z x y z", "en", "s", 1L), // 10 shingles, 3 distinct
