@@ -549,6 +549,76 @@ object Pipeline {
        |ORDER BY n_all.source""".stripMargin
   }
 
+  /** Deterministic importance sampling: keep each document with
+    * probability proportional to its token count (p = n/max_n), the
+    * length-weighted subsampling used to rebalance a mixture toward
+    * long documents. The keep decision is pure integer arithmetic —
+    * keep iff hash32("ws:"+doc_id) · max_n < n · 2^32 — so the sample
+    * is reproducible bit-for-bit on any engine, partitioning or
+    * cluster (same discipline as q40/q56; a float threshold would be
+    * ulp-sensitive at the boundary).
+    *
+    * Scale: one corpus scan + a broadcast 1-row max; zero shuffle
+    * before the per-source rollup. */
+  def importanceSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n"))
+    val mx = d.agg(max(col("n")).as("mx"))
+    d.crossJoin(broadcast(mx))
+      .withColumn("keep",
+        hash32(concat(lit("ws:"), col("doc_id").cast(StringType))) * col("mx") <
+          col("n") * lit(4294967296L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  val importanceSampleSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n,
+      |         CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+      |  FROM documents),
+      |m AS (SELECT max(n) AS mx FROM d)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN h * mx < n * 4294967296 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN h * mx < n * 4294967296 THEN n ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM d, m GROUP BY source ORDER BY source""".stripMargin
+
+  /** Decile buckets of document length per language (ntile over a
+    * total order), with per-bucket count and length range — the
+    * length-distribution report behind curriculum/packing decisions.
+    * ntile is deterministic here because the window order
+    * (n_chars, doc_id) is a total order.
+    *
+    * Scale: one shuffle on lang; the per-stratum sort is the same
+    * shape as q56. */
+  def lengthDeciles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(w).cast(IntegerType))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang", "decile")
+  }
+
+  val lengthDecilesSql: String =
+    """WITH d AS (
+      |  SELECT lang, n_chars,
+      |         CAST(ntile(10) OVER (PARTITION BY lang
+      |                              ORDER BY n_chars, doc_id) AS INT) AS decile
+      |  FROM documents)
+      |SELECT lang, decile, count(*) AS n_docs,
+      |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |       CAST(max(n_chars) AS BIGINT) AS max_chars
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -561,5 +631,7 @@ object Pipeline {
     QueryDef("q62_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
     QueryDef("q63_countmin", countMin, Some(countMinSql)),
     QueryDef("q64_bloom_prefilter", bloomPrefilter, Some(bloomPrefilterSql)),
+    QueryDef("q65_importance_sample", importanceSample, Some(importanceSampleSql)),
+    QueryDef("q66_length_deciles", lengthDeciles, Some(lengthDecilesSql)),
   )
 }

@@ -113,6 +113,29 @@ class PipelineSpec extends SparkSpec {
     assert(rows.forall { case (_, n, p, m) => p >= m && n >= p }) // one-sided filter
   }
 
+  test("importanceSample: kept sets nest as the length bias implies, stable across runs") {
+    val a = Pipeline.importanceSample(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val b = Pipeline.importanceSample(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(a == b) // bit-deterministic, no seed/layout sensitivity
+    assert(a.forall { case (_, n, k, _) => k >= 0 && k <= n })
+    assert(a.map(_._3).sum > 0)
+  }
+
+  test("lengthDeciles: 10 deciles per lang, ranges non-overlapping and ordered") {
+    val rows = Pipeline.lengthDeciles(spark, sfDir)
+      .as[(String, Int, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, ds) =>
+      assert(ds.map(_._2).sorted.toSeq == (1 to 10))
+      val sorted = ds.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, _, hiPrev), (_, _, _, lo, _)) => assert(hiPrev <= lo)
+        case _ => ()
+      }
+    }
+  }
+
   test("repetitionRatio: ratios in [0,1], constructed all-repeat doc scores 1 - 1/n") {
     val df = Seq(
       (1L, "x y z x y z x y z x y z", "en", "s", 1L), // 10 shingles, 3 distinct
