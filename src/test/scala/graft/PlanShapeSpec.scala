@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression tests: the scan/shuffle/broadcast shapes
+  * the 100 TB design depends on (SURVEY §8/§9) must survive refactors.
+  * Assertions are deliberately coarse — they pin the plan *class*
+  * (what shuffles, what broadcasts, what reaches the scan), not its
+  * cosmetics. */
+class PlanShapeSpec extends SparkSpec {
+
+  /** Final (post-AQE) executed plan: run the query first so
+    * AdaptiveSparkPlan reports the real stages incl. codegen `*(n)`
+    * markers, not the pre-execution sketch. */
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    // keep only the final-plan section — the adaptive toString appends
+    // the initial plan too, which would double-count every operator
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def countOf(p: String, token: String): Int =
+    token.r.findAllIn(p).length
+
+  test("q01: column pruning and filter pushdown reach the lineitem scan") {
+    val p = plan("q01_delay_avg")
+    // scan must not read the 16-column table — only the 5 used columns
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_shipdate"), "unused column read at scan")
+    assert(p.contains("PushedFilters") &&
+      p.contains("EqualTo(l_linestatus,F)"), s"filter not pushed:\n$p")
+  }
+
+  test("q06: dimension joins broadcast, fact side never shuffles for the join") {
+    val p = plan("q06_region_revenue")
+    assert(countOf(p, "BroadcastHashJoin") >= 2, "dims not broadcast")
+  }
+
+  test("q57: contamination is a broadcast join — corpus never shuffles pre-join") {
+    val p = plan("q57_contamination")
+    assert(p.contains("BroadcastHashJoin"))
+    // shuffles: bench distinct + final agg + orderBy only
+    assert(countOf(p, "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning") <= 4,
+      s"unexpected extra shuffles:\n$p")
+  }
+
+  test("q60: k-means assignment is a broadcast nested loop, argmin without sort") {
+    val p = plan("q60_kmeans_step")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("PushedFilters") && p.contains("LessThan(vec_id,8)"))
+    assert(!p.contains("Window"), "argmin must be groupBy min(struct), not a window sort")
+  }
+
+  test("q20: exact dedup needs only the hash-key shuffle plus summary agg/sort") {
+    val p = plan("q20_exact_dedup")
+    // window dedup on normText hash + per-source summary + output sort;
+    // the kept-vs-total comparison joins broadcast
+    val shuffles = countOf(p, "Exchange (hash|range)partitioning")
+    assert(shuffles <= 4, s"dedup shuffled $shuffles times:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "summary join should broadcast")
+  }
+
+  test("q25: probes broadcast; the corpus side of top-k never shuffles before scoring") {
+    val p = plan("q25_cosine_topk")
+    assert(p.contains("Broadcast"), s"probe side not broadcast:\n$p")
+  }
+
+  test("hot aggregation paths stay inside whole-stage codegen") {
+    // q01/q02 are pure scan->filter->agg: everything except the final
+    // exchange should be codegen'd — the final plan marks codegen
+    // stages with `*(n)` prefixes
+    Seq("q01_delay_avg", "q02_late_pct").foreach { q =>
+      val spans = countOf(plan(q), "\\*\\(\\d+\\)")
+      assert(spans >= 2, s"$q lost codegen: ${plan(q)}")
+    }
+  }
+}
