@@ -430,6 +430,21 @@ object Pipeline {
     * counter[i][b] = Σ tf(t) over terms with bucket_i(t)=b, identical
     * by associativity. In a streaming setting the same grid comes from
     * the per-batch tf with no vocabulary state at all. */
+  /** The raw CMS counter grid over a stream or batch of term
+    * occurrences (column `term`): one row per occupied (i, b) cell.
+    * Works unchanged under Structured Streaming because the grouped
+    * state is the GRID, not the vocabulary — at most 4×1024 cells
+    * regardless of how many distinct terms flow past (the whole point
+    * of the sketch; `StreamingSpec` proves stream == batch). */
+  def cmsCells(terms: DataFrame): DataFrame = {
+    val withH = terms.withColumn("h", hash60(col("term")))
+    withH.select(explode(array((0 until 4).map(i => struct(
+        lit(i).as("i"),
+        shiftright(col("h"), 10 * i).bitwiseAND(lit(1023L)).as("b"))): _*)).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cell"))
+  }
+
   def countMin(s: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("term"))

@@ -135,4 +135,28 @@ class StreamingSpec extends SparkSpec {
       assert(ids == Seq(1L, 2L, 3L)) // replays dropped, incl. cross-trigger
     } finally q.stop()
   }
+
+  test("streaming count-min grid == batch grid; state bounded by grid not vocab") {
+    import graft.operators.Pipeline
+    val terms = Seq("spark", "row", "spark", "agg", "row", "spark",
+      "scan", "agg", "batch", "spark")
+    val batch = Pipeline.cmsCells(terms.toDF("term"))
+      .as[(Int, Long, Long)].collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = Pipeline.cmsCells(mem.toDF().toDF("term"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(terms.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(terms.drop(4): _*) // counters merge across triggers
+      q.processAllAvailable()
+      val got = spark.table("cms_stream").as[(Int, Long, Long)].collect().toSet
+      assert(got == batch)
+      assert(got.size <= 4 * 1024) // state is the grid, never the vocabulary
+      assert(got.toSeq.map(_._3).sum == terms.length * 4L)
+    } finally q.stop()
+  }
 }
