@@ -634,6 +634,39 @@ object Pipeline {
       |       CAST(max(n_chars) AS BIGINT) AS max_chars
       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Feature hashing (the hashing trick): project the unbounded token
+    * vocabulary into a fixed 16-dim signed count vector — bucket =
+    * h mod 16, sign = bit 4 of h (signed hashing keeps collision bias
+    * zero-mean). Reported as the exact per-source aggregated feature
+    * vector. The fixed-width, vocabulary-free featurizer used when a
+    * vocab table would itself be big data.
+    *
+    * Scale: explode → one map-side-combined aggregate into at most
+    * |sources|·16 cells; no vocabulary state anywhere (same bounded-
+    * state argument as q63's sketch, proven streamable there). */
+  def featureHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .withColumn("h", hash60(col("term")))
+      .select(col("source"), pmod(col("h"), lit(16L)).as("j"),
+        (shiftright(col("h"), 4).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as("sgn"))
+      .groupBy(col("source"), col("j"))
+      .agg(sum(col("sgn")).as("weight"), count(lit(1)).as("n_terms"))
+      .orderBy("source", "j")
+
+  val featureHashSql: String =
+    """WITH t AS (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents),
+      |h AS (
+      |  SELECT source,
+      |         CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h
+      |  FROM t)
+      |SELECT source, h % 16 AS j,
+      |       CAST(sum(((h >> 4) & 1) * 2 - 1) AS BIGINT) AS weight,
+      |       count(*) AS n_terms
+      |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -648,5 +681,6 @@ object Pipeline {
     QueryDef("q64_bloom_prefilter", bloomPrefilter, Some(bloomPrefilterSql)),
     QueryDef("q65_importance_sample", importanceSample, Some(importanceSampleSql)),
     QueryDef("q66_length_deciles", lengthDeciles, Some(lengthDecilesSql)),
+    QueryDef("q67_feature_hash", featureHash, Some(featureHashSql)),
   )
 }

@@ -136,6 +136,16 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("featureHash: dims bounded by 16, token mass conserved, |weight| <= n_terms") {
+    val rows = Pipeline.featureHash(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.forall { case (_, j, w, n) => j >= 0 && j < 16 && math.abs(w) <= n })
+    val totalTokens = graft.sources.Tables.documents(spark, sfDir)
+      .select(size(graft.functions.Fns.tokens(col("text"))).cast("long"))
+      .as[Long].collect().sum
+    assert(rows.map(_._4).sum == totalTokens)
+  }
+
   test("repetitionRatio: ratios in [0,1], constructed all-repeat doc scores 1 - 1/n") {
     val df = Seq(
       (1L, "x y z x y z x y z x y z", "en", "s", 1L), // 10 shingles, 3 distinct
