@@ -145,7 +145,10 @@ object Pipeline {
     * UTF-8 md5), which the oracle gate proves end-to-end. */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, dir)
+    // the source predicate goes BEFORE the typed map: a filter after
+    // mapPartitions cannot reach the parquet scan, so the bench branch
+    // would shingle the whole corpus to keep 1/20th of it
+    def shingleRows(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
@@ -168,8 +171,10 @@ object Pipeline {
           }
         }
       }.toDF("doc_id", "source", "h")
-    val bench = sh.filter(col("source") === "src0").select(col("h")).distinct()
-    sh.filter(col("source") =!= "src0")
+    val docs = Tables.documents(s, dir)
+    val bench = shingleRows(docs.filter(col("source") === "src0"))
+      .select(col("h")).distinct()
+    shingleRows(docs.filter(col("source") =!= "src0"))
       .join(broadcast(bench), Seq("h"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_overlap"))
