@@ -642,6 +642,83 @@ object Relational {
       |                        WHERE o_orderstatus = 'F' AND o_totalprice < 1000)
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Snapshot diff via FULL OUTER join: per-customer order counts in
+    * two dataset versions (orders before 1998 vs the full table),
+    * classified added / removed / changed / unchanged — the
+    * reconciliation report between two versions of a large table. The
+    * only join type the rest of the surface doesn't exercise.
+    *
+    * Scale: both aggregates shuffle on o_custkey and the full-outer
+    * join reuses that partitioning — three stages, one key. A
+    * removed-only or added-only skew (new partition of data) lands in
+    * AQE's lap like any other join skew. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    def counts(f: DataFrame): DataFrame = f
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val o = Tables.orders(s, dir)
+    val v1 = counts(o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
+      .withColumnRenamed("n", "n1")
+    val v2 = counts(o).withColumnRenamed("n", "n2")
+    v1.join(v2, Seq("o_custkey"), "full_outer")
+      .withColumn("status",
+        when(col("n1").isNull, "added")
+          .when(col("n2").isNull, "removed")
+          .when(col("n1") === col("n2"), "unchanged")
+          .otherwise("changed"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(coalesce(col("n2"), lit(0L)) - coalesce(col("n1"), lit(0L))).as("order_delta"))
+      .orderBy("status")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH v1 AS (
+      |  SELECT o_custkey, count(*) AS n1 FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+      |v2 AS (SELECT o_custkey, count(*) AS n2 FROM orders GROUP BY 1),
+      |d AS (
+      |  SELECT CASE WHEN n1 IS NULL THEN 'added'
+      |              WHEN n2 IS NULL THEN 'removed'
+      |              WHEN n1 = n2 THEN 'unchanged'
+      |              ELSE 'changed' END AS status,
+      |         COALESCE(n2, 0) - COALESCE(n1, 0) AS delta
+      |  FROM v1 FULL OUTER JOIN v2 USING (o_custkey))
+      |SELECT status, count(*) AS n_customers,
+      |       CAST(sum(delta) AS BIGINT) AS order_delta
+      |FROM d GROUP BY status ORDER BY status""".stripMargin
+
+  /** UNPIVOT (melt): the lineitem measure columns as (metric, value)
+    * rows, aggregated per metric — the wide→long reshape feeding any
+    * metric-generic pipeline stage. Uses the engine's SQL UNPIVOT
+    * entry point (the DataFrame API twin is `unpivot`).
+    *
+    * Scale: Expand-style operator — n·4 rows, but only after the
+    * 4-column projection reaches the scan; one shuffle for the tiny
+    * per-metric rollup. */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_up")
+    s.sql(
+      """SELECT metric, count(*) AS n,
+        |       CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       CAST(min(val) AS DOUBLE) AS min_val,
+        |       CAST(max(val) AS DOUBLE) AS max_val
+        |FROM (
+        |  SELECT * FROM lineitem_up
+        |  UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+        |)
+        |GROUP BY metric ORDER BY metric""".stripMargin)
+  }
+
+  val unpivotMetricsSql: String =
+    """SELECT metric, count(*) AS n,
+      |       CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |       CAST(min(val) AS DOUBLE) AS min_val,
+      |       CAST(max(val) AS DOUBLE) AS max_val
+      |FROM (
+      |  SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem
+      |) UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+      |GROUP BY metric ORDER BY metric""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q06_region_revenue", regionRevenue, Some(regionRevenueSql)),
     QueryDef("q07_priority_revenue", priorityRevenue, Some(priorityRevenueSql)),
@@ -667,5 +744,7 @@ object Relational {
     QueryDef("q48_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("q49_range_frame", rangeFrame, Some(rangeFrameSql)),
     QueryDef("q53_subqueries", subqueries, Some(subqueriesSql)),
+    QueryDef("q68_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
+    QueryDef("q69_unpivot", unpivotMetrics, Some(unpivotMetricsSql)),
   )
 }
