@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through verbatim instead of routing it
+// via sbt's logger: the driver parses Bench's single JSON line from
+// stdout, and the logger's "[info] " prefix breaks that parse
+// (BENCH_r01/r02 both recorded parsed: null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
