@@ -538,6 +538,41 @@ object Dedup {
       |FROM s a JOIN s b ON a.doc_id < b.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Degree distribution of the near-dup pair graph: per document the
+    * number of LSH-confirmed near-dup partners, histogrammed — the
+    * graph-statistics view of dup structure (a fat tail here means
+    * boilerplate clusters, not pairwise dups, and changes the
+    * retention strategy from keep-one-of-pair to keep-one-per-cluster,
+    * q38).
+    *
+    * Scale: pairs are already distributed (q21 machinery); the
+    * endpoint explode doubles them, the degree aggregate shuffles
+    * 8-byte doc ids, and the histogram is tiny. */
+  def dupDegree(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    pairs.select(col("doc_a").as("doc"))
+      .union(pairs.select(col("doc_b").as("doc")))
+      .groupBy(col("doc")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
+  val dupDegreeSql: String = {
+    val pairGraph = minhashLshSql
+      .replace("SELECT doc_a, doc_b, n_eq, CAST(n_eq AS DOUBLE) / 16.0 AS est_j",
+        "SELECT doc_a, doc_b")
+      .replace("\nORDER BY doc_a, doc_b", "")
+    s"""WITH pairs AS ($pairGraph),
+       |deg AS (
+       |  SELECT doc, count(*) AS degree FROM (
+       |    SELECT doc_a AS doc FROM pairs
+       |    UNION ALL
+       |    SELECT doc_b AS doc FROM pairs) e
+       |  GROUP BY doc)
+       |SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_docs
+       |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+  }
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q20_exact_dedup", exactDedupStats, Some(exactDedupStatsSql)),
     QueryDef("q21_minhash_lsh", minhashLsh, Some(minhashLshSql)),
@@ -546,5 +581,6 @@ object Dedup {
     QueryDef("q38_dup_clusters", dupClusters, Some(dupClustersSql)),
     QueryDef("q43_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     QueryDef("q50_edit_distance", editDistance, Some(editDistanceSql)),
+    QueryDef("q70_dup_degree", dupDegree, Some(dupDegreeSql)),
   )
 }
