@@ -453,12 +453,21 @@ object Dedup {
     out
   }
 
+  /** q21's pair graph as a reusable CTE body (the final projection and
+    * total order stripped), shared by the q38 and q70 oracles. The
+    * asserts fail loudly if minhashLshSql is ever reworded — a silent
+    * no-op `.replace` would otherwise corrupt both derived oracles. */
+  private lazy val pairGraphSql: String = {
+    val sel = "SELECT doc_a, doc_b, n_eq, CAST(n_eq AS DOUBLE) / 16.0 AS est_j"
+    val ord = "\nORDER BY doc_a, doc_b"
+    require(minhashLshSql.contains(sel) && minhashLshSql.contains(ord),
+      "minhashLshSql reworded; update pairGraphSql surgery")
+    minhashLshSql.replace(sel, "SELECT doc_a, doc_b").replace(ord, "")
+  }
+
   val dupClustersSql: String = {
     // same pair graph as q21, then transitive min-label closure
-    val pairGraph = minhashLshSql
-      .replace("SELECT doc_a, doc_b, n_eq, CAST(n_eq AS DOUBLE) / 16.0 AS est_j",
-        "SELECT doc_a, doc_b")
-      .replace("\nORDER BY doc_a, doc_b", "")
+    val pairGraph = pairGraphSql
     s"""WITH RECURSIVE pairs AS ($pairGraph),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -557,12 +566,8 @@ object Dedup {
       .orderBy("degree")
   }
 
-  val dupDegreeSql: String = {
-    val pairGraph = minhashLshSql
-      .replace("SELECT doc_a, doc_b, n_eq, CAST(n_eq AS DOUBLE) / 16.0 AS est_j",
-        "SELECT doc_a, doc_b")
-      .replace("\nORDER BY doc_a, doc_b", "")
-    s"""WITH pairs AS ($pairGraph),
+  val dupDegreeSql: String =
+    s"""WITH pairs AS ($pairGraphSql),
        |deg AS (
        |  SELECT doc, count(*) AS degree FROM (
        |    SELECT doc_a AS doc FROM pairs
@@ -571,7 +576,6 @@ object Dedup {
        |  GROUP BY doc)
        |SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_docs
        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
-  }
 
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q20_exact_dedup", exactDedupStats, Some(exactDedupStatsSql)),

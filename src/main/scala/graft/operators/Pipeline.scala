@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -435,35 +435,38 @@ object Pipeline {
     * counter[i][b] = Σ tf(t) over terms with bucket_i(t)=b, identical
     * by associativity. In a streaming setting the same grid comes from
     * the per-batch tf with no vocabulary state at all. */
+  /** The CMS grid geometry, defined ONCE: 4 hash rows, bucket_i =
+    * bits [10i, 10i+10) of the 60-bit md5 fingerprint in column `h`.
+    * Both [[cmsCells]] (the streamable grid) and [[countMin]] (the
+    * oracle query) derive buckets from this single definition, so the
+    * streaming-parity proof and the batch sketch can never drift. */
+  private def cmsBuckets: Column =
+    explode(array((0 until 4).map(i => struct(
+      lit(i).as("i"),
+      shiftright(col("h"), 10 * i).bitwiseAND(lit(1023L)).as("b"))): _*))
+
   /** The raw CMS counter grid over a stream or batch of term
     * occurrences (column `term`): one row per occupied (i, b) cell.
     * Works unchanged under Structured Streaming because the grouped
     * state is the GRID, not the vocabulary — at most 4×1024 cells
     * regardless of how many distinct terms flow past (the whole point
     * of the sketch; `StreamingSpec` proves stream == batch). */
-  def cmsCells(terms: DataFrame): DataFrame = {
-    val withH = terms.withColumn("h", hash60(col("term")))
-    withH.select(explode(array((0 until 4).map(i => struct(
-        lit(i).as("i"),
-        shiftright(col("h"), 10 * i).bitwiseAND(lit(1023L)).as("b"))): _*)).as("c"))
+  def cmsCells(terms: DataFrame): DataFrame =
+    terms.withColumn("h", hash60(col("term")))
+      .select(cmsBuckets.as("c"))
       .groupBy(col("c.i").as("i"), col("c.b").as("b"))
       .agg(count(lit(1)).as("cell"))
-  }
 
   def countMin(s: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", hash60(col("term")))
-    val rows = 0 until 4
-    def bucketCols = explode(array(rows.map(i => struct(
-      lit(i).as("i"),
-      shiftright(col("h"), 10 * i).bitwiseAND(lit(1023L)).as("b"))): _*)).as("c")
-    val cells = tf.select(col("cnt"), bucketCols)
+    val cells = tf.select(col("cnt"), cmsBuckets.as("c"))
       .groupBy(col("c.i").as("i"), col("c.b").as("b"))
       .agg(sum(col("cnt")).as("cell"))
     val top = tf.orderBy(col("cnt").desc, col("term")).limit(10)
-    top.select(col("term"), col("cnt").as("true_n"), bucketCols)
+    top.select(col("term"), col("cnt").as("true_n"), cmsBuckets.as("c"))
       .select(col("term"), col("true_n"), col("c.i").as("i"), col("c.b").as("b"))
       .join(broadcast(cells), Seq("i", "b"))
       .groupBy(col("term"), col("true_n"))

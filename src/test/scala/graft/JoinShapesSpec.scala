@@ -54,12 +54,17 @@ class JoinShapesSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
       val joined = spark.table("li_bucketed")
         .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
-      val n = joined.count()
+      // collect() on THIS DataFrame so its queryExecution carries the
+      // final plan (count() would execute a separate one)
+      val n = joined.collect().length.toLong
       val plain = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
       assert(n == plain && n > 0)
       val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
       assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
-      assert(!plan.contains("ShuffleExchange"),
+      // shuffles print as "Exchange hashpartitioning(...)" — the node
+      // name is never "ShuffleExchange", so match the real token
+      assert("Exchange (hash|range)partitioning".r.findFirstIn(plan).isEmpty,
         s"bucketed join still shuffles:\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)

@@ -71,8 +71,8 @@ class PlanShapeSpec extends SparkSpec {
     // exchange should be codegen'd — the final plan marks codegen
     // stages with `*(n)` prefixes
     Seq("q01_delay_avg", "q02_late_pct").foreach { q =>
-      val spans = countOf(plan(q), "\\*\\(\\d+\\)")
-      assert(spans >= 2, s"$q lost codegen: ${plan(q)}")
+      val p = plan(q)
+      assert(countOf(p, "\\*\\(\\d+\\)") >= 2, s"$q lost codegen: $p")
     }
   }
 }
