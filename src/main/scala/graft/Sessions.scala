@@ -45,7 +45,11 @@ object Sessions {
         ext.injectFunction((
           new FunctionIdentifier("qdot_native"),
           new ExpressionInfo(classOf[QDot].getName, "qdot_native"),
-          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-            QDot(children.head, children(1))))
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            require(children.length == 2,
+              s"qdot_native expects 2 arguments (ARRAY<BIGINT>, ARRAY<BIGINT>), " +
+                s"got ${children.length}")
+            QDot(children.head, children(1))
+          }))
       }
 }

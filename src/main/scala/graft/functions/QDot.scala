@@ -20,8 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * [[Fns.qdotStatic]]). Semantics identical to [[Fns.qdot]]: pairwise
   * products summed left-to-right in Long arithmetic (exact,
   * overflow-free for 1e-6-quantized unit-scale vectors), length =
-  * min(|a|, |b|); null if either array is null. Array elements must be
-  * non-null (quantized vectors always are).
+  * min(|a|, |b|); null if either array is null, and — matching the
+  * higher-order-function form's null propagation — null if any
+  * compared element is null (quantized vectors never are, but the
+  * function is registered session-wide and must not read a null slot
+  * as garbage).
   */
 case class QDot(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -37,6 +40,11 @@ case class QDot(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  /** Always nullable: a null ELEMENT nulls the result even when both
+    * array columns are non-nullable (and nullSafeCodeGen only emits a
+    * mutable isNull when the expression declares itself nullable). */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "qdot_native"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -45,7 +53,11 @@ case class QDot(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -58,6 +70,7 @@ case class QDot(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $s;

@@ -65,7 +65,9 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
-          val toks = text.split(" ").filter(_.nonEmpty)
+          // null text: the SQL formulation's split(null) yields no rows
+          val toks = if (text == null) Array.empty[String]
+                     else text.split(" ").filter(_.nonEmpty)
           if (toks.length < 3) Iterator.empty
           else {
             val seen = new java.util.HashSet[String]()
@@ -228,7 +230,9 @@ object Dedup {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
           val bits = new Array[Long](60)
-          text.split(" ").foreach { t =>
+          // null text → zero-token doc → fingerprint 0 (split(null)
+          // would NPE; the SQL formulation's tokens(null) is empty)
+          (if (text == null) Array.empty[String] else text.split(" ")).foreach { t =>
             if (t.nonEmpty) {
               val h = java.lang.Long.parseLong(md5Hex(md, t).substring(0, 15), 16)
               var j = 0
@@ -485,7 +489,10 @@ object Dedup {
   /** Incremental dedup — the daily-ingest shape of a training pipeline:
     * an incoming batch (doc_id ≡ 0 mod 5 stands in for "today's crawl")
     * is anti-joined against the standing corpus (everything else) on
-    * the md5-derived hash of normalized text; only unseen documents
+    * the 60-bit md5-derived hash of normalized text (32 bits would
+    * collide ~once per 77k distinct texts and silently drop genuinely
+    * new documents; 2^60 pushes that beyond corpus scale); only unseen
+    * documents
     * survive. The LEFT ANTI join shuffles 8-byte hash keys, never the
     * document bodies, and the corpus side is pre-distinct so its
     * shuffle is one row per unique text — at 100 TB this is an
@@ -494,9 +501,9 @@ object Dedup {
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val corpusHashes = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-      .select(hash32(normText(col("text"))).as("nh")).distinct()
+      .select(hash60(normText(col("text"))).as("nh")).distinct()
     docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-      .withColumn("nh", hash32(normText(col("text"))))
+      .withColumn("nh", hash60(normText(col("text"))))
       .join(corpusHashes, Seq("nh"), "left_anti")
       .groupBy(col("source"))
       .agg(
@@ -509,7 +516,7 @@ object Dedup {
   val dedupIncrementalSql: String =
     """WITH nt AS (
       |  SELECT doc_id, source,
-      |         CAST('0x' || substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 8) AS BIGINT) AS nh
+      |         CAST('0x' || substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 15) AS BIGINT) AS nh
       |  FROM documents),
       |corp AS (SELECT DISTINCT nh FROM nt WHERE doc_id % 5 <> 0)
       |SELECT source, count(*) AS n_new,

@@ -154,7 +154,8 @@ object Pipeline {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, src, text) =>
-          val toks = text.split(" ").filter(_.nonEmpty)
+          val toks = if (text == null) Array.empty[String]
+                     else text.split(" ").filter(_.nonEmpty)
           if (toks.length < 8) Iterator.empty
           else {
             val seen = new java.util.HashSet[String]()
@@ -376,7 +377,8 @@ object Pipeline {
       .select(col("source"), col("text")).as[(String, String)]
       .mapPartitions { it =>
         it.flatMap { case (src, text) =>
-          val toks = text.split(" ").filter(_.nonEmpty)
+          val toks = if (text == null) Array.empty[String]
+                     else text.split(" ").filter(_.nonEmpty)
           if (toks.length < 3) Iterator.empty
           else {
             val n = toks.length - 2

@@ -67,9 +67,28 @@ object Similarity {
   private def jcosine(a: Array[Long], na: Long, b: Array[Long], nb: Long): Double =
     jdot(a, b).toDouble / math.sqrt(na.toDouble * nb.toDouble)
 
+  /** (cos, id) in Spark's `cos DESC, id ASC` sort order, as a TOTAL
+    * ordering: java.lang.Double.compare ranks NaN above every finite
+    * value, exactly where a Spark window's DESC sort and DuckDB's
+    * ORDER BY DESC place it. Scala tuple Orderings on Double are not
+    * total under NaN (sortWith/sortBy can throw or order
+    * nondeterministically). */
+  private[operators] object cosDescIdAsc extends Ordering[(Double, Long)] {
+    // a nested object, not an anonymous class: no $outer reference to
+    // the enclosing (non-serializable) object, so closures can use it
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      // a null embedding quantizes to null; the JVM partition loops
+      // (jdot etc.) would NPE on it, and the SQL twins drop such rows
+      // via NULL comparison semantics anyway — filter to match
+      .filter(col("q").isNotNull)
       .withColumn("qn", qnorm2(col("q")))
 
   /** Brute-force near-dup pairs: all pairs with cosine ≥ 0.4, as a
@@ -98,12 +117,7 @@ object Similarity {
       it.flatMap { case (ida, qa, qna) =>
         arr.iterator
           .filter(_._1 > ida)
-          .map { case (idb, qb, qnb) =>
-            var dot = 0L
-            var k = 0
-            while (k < qa.length) { dot += qa(k) * qb(k); k += 1 }
-            (ida, idb, dot.toDouble / math.sqrt(qna.toDouble * qnb.toDouble))
-          }
+          .map { case (idb, qb, qnb) => (ida, idb, jcosine(qa, qna, qb, qnb)) }
           .filter(_._3 >= 0.4)
       }
     }.toDF("vec_a", "vec_b", "cos")
@@ -287,7 +301,7 @@ object Similarity {
     def route(q: Array[Long], qn: Long, cs: Array[(Long, Array[Long], Long)],
               nprobe: Int): Seq[Long] =
       cs.map { case (cid, cq, cqn) => (jcosine(q, qn, cq, cqn), cid) }
-        .sortBy { case (c, cid) => (-c, cid) }.take(nprobe).toSeq.map(_._2)
+        .sorted(cosDescIdAsc).take(nprobe).toSeq.map(_._2)
 
     // inverted-list assignment: map-only, nearest (nprobe=1) centroid
     val assign = e.mapPartitions { it =>
@@ -368,13 +382,19 @@ object Similarity {
   object TopKCos extends org.apache.spark.sql.expressions.Aggregator[
       (Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
     private val K = 5
-    private def before(a: (Long, Double), b: (Long, Double)): Boolean =
-      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) // cos desc, id asc
+    // cos desc, id asc as a TOTAL ordering (NaN-safe — sortWith on a
+    // non-total predicate can throw or order nondeterministically)
+    private val ord: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
+      def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+      }
+    }
     override def zero: Seq[(Long, Double)] = Nil
     override def reduce(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] =
-      (buf :+ x).sortWith(before).take(K)
+      (buf :+ x).sorted(ord).take(K)
     override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
-      (a ++ b).sortWith(before).take(K)
+      (a ++ b).sorted(ord).take(K)
     override def finish(r: Seq[(Long, Double)]): Seq[(Long, Double)] = r
     override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

@@ -48,6 +48,18 @@ class QDotSpec extends SparkSpec {
     assert(got == Seq(Some(1L * 4 + 2 * 5), None))
   }
 
+  test("null ELEMENT propagates to null, matching the HOF form") {
+    val got = spark.sql(
+      "SELECT qdot_native(array(1L, CAST(NULL AS BIGINT)), array(1L, 1L)) AS d")
+      .as[Option[Long]].collect().head
+    assert(got.isEmpty) // not 1 — a null slot must not read as garbage/0
+    val hof = spark.sql(
+      """SELECT aggregate(zip_with(array(1L, CAST(NULL AS BIGINT)), array(1L, 1L),
+        |  (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS d""".stripMargin)
+      .as[Option[Long]].collect().head
+    assert(got == hof)
+  }
+
   test("wrong argument types are rejected at analysis time") {
     intercept[AnalysisException] {
       Seq(("x", 1L)).toDF("a", "b")
