@@ -45,7 +45,10 @@ object JobsMain {
     * `word TAB count`, key-sorted. */
   def wordCountLines(lines: Dataset[String]): Dataset[String] = {
     import lines.sparkSession.implicits._
-    lines.flatMap(_.split("\\s+").filter(_.nonEmpty))
+    // StringTokenizer's default delimiter set is exactly " \t\n\r\f" —
+    // \s would also split on vertical tab (\x0B), which the reference
+    // keeps inside tokens
+    lines.flatMap(_.split("[ \t\n\r\f]+").filter(_.nonEmpty))
       .groupByKey(identity).count()
       .toDF("word", "cnt").orderBy("word")
       .as[(String, Long)]
@@ -57,7 +60,10 @@ object JobsMain {
   private def weblogFields(lines: Dataset[String]): Dataset[(String, String, String)] = {
     import lines.sparkSession.implicits._
     lines.map { l =>
-      val t = l.trim.split("\\s+")
+      // same StringTokenizer delimiter set as wordCountLines; split
+      // yields a leading "" on delimiter-led lines, dropped like
+      // nextToken() skips leading delimiters
+      val t = l.split("[ \t\n\r\f]+").filter(_.nonEmpty)
       (t(0), t(1), t(2))
     }
   }

@@ -81,7 +81,14 @@ object Fidelity {
   def late(lines: Dataset[String]): DataFrame =
     parsed(lines)
       .filter(col("ad") === "D")
-      .groupBy(col("airline"), substring(col("period"), 1, 4).as("year"))
+      // the reference's substring(0, 4) THROWS on a short period field
+      // (Late.java:59); Spark's substring would silently return the
+      // short string — raise to keep the crash-fidelity contract
+      .groupBy(col("airline"),
+        when(length(col("period")) >= 4, substring(col("period"), 1, 4))
+          .otherwise(raise_error(concat(
+            lit("StringIndexOutOfBoundsException: period too short: "),
+            col("period")))).as("year"))
       .agg(
         sum(col("n")).as("flight_sum"),
         sum(javaRound(col("n") * col("late_pct") / 100)).as("delay_sum"))

@@ -28,11 +28,13 @@ object EventsStream {
     * accumulation, so batch/stream/oracle agree exactly). */
   def windowedAgg(events: DataFrame): DataFrame =
     events
-      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      // LongType, matching the oracle's CAST(... AS BIGINT): an int
+      // cast would null out k values beyond 2^31 that DuckDB keeps
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("k").cast(LongType)).as("k_sum"))
+        sum(col("k")).as("k_sum"))
 
   /** Streaming variant: watermark bounds the state store; late events
     * beyond 2 h are dropped deterministically. */

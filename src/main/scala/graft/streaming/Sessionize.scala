@@ -95,7 +95,16 @@ object Sessionize {
           times.foreach { t =>
             open match {
               case Some(o) if t - o.end_us <= GapUs =>
-                open = Some(o.copy(n_events = o.n_events + 1, end_us = t))
+                // t may be EARLIER than the stored bounds when a late
+                // event lands in a later trigger: merge with min/max so
+                // the open session never moves backwards (a bare
+                // end_us = t produced end < start on such input).
+                // Cross-trigger disorder beyond the gap window still
+                // cannot be reconciled without watermark-delayed
+                // emission — callers must bound lateness to the gap,
+                // which is the discipline SessionizeSpec drives.
+                open = Some(OpenSession(o.n_events + 1,
+                  math.min(o.start_us, t), math.max(o.end_us, t)))
               case Some(o) =>
                 closed += Session(user, o.n_events, o.start_us, o.end_us)
                 open = Some(OpenSession(1L, t, t))
@@ -121,7 +130,6 @@ object Sessionize {
     * oracle uses its NATIVE ASOF LEFT JOIN — an independent
     * implementation cross-validating the window encoding. */
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.events(s, dir)
       .filter(col("event_type").isin("purchase", "click"))
       .withColumn("us", unix_micros(col("ts")))

@@ -39,6 +39,26 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late in-gap event from a later trigger merges without moving the session backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = Sessionize.sessionsStreaming(mem.toDS())
+      .writeStream.format("memory").queryName("sessions_ooo").outputMode("append").start()
+    try {
+      mem.addData((1L, 100 * M))
+      q.processAllAvailable()
+      // a LATE event 10 min earlier (within the 30-min gap) arrives in
+      // the next trigger, then a far-future event closes the session:
+      // it must close as [90, 100] with 2 events — never end < start
+      mem.addData((1L, 90 * M))
+      q.processAllAvailable()
+      mem.addData((1L, 500 * M))
+      q.processAllAvailable()
+      val got = spark.table("sessions_ooo").as[Sessionize.Session].collect().toSet
+      assert(got == Set(Sessionize.Session(1L, 2L, 90 * M, 100 * M)))
+    } finally q.stop()
+  }
+
   test("batch sessionization is deterministic and gap-consistent") {
     val got = Sessionize.sessionsBatch(spark, sfDir)
       .as[(Long, Long, Long, Long)].collect()
