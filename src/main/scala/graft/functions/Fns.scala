@@ -24,7 +24,16 @@ import org.apache.spark.sql.types._
   */
 object Fns {
 
-  /** Java `Math.round` semantics: floor(x + 0.5), as a LongType column. */
+  /** Java `Math.round` semantics: floor(x + 0.5), as a LongType column.
+    *
+    * One documented divergence from a MODERN JVM's Math.round: for the
+    * single double 0.49999999999999994 (largest double < 0.5),
+    * floor(x + 0.5) double-rounds the sum up to 1.0 while JDK ≥ 7u40
+    * (JDK-8010430) computes the exact real x+0.5 first and returns 0.
+    * Both engines' oracles and the CAA-fidelity goldens use this same
+    * floor formula, so cross-engine hashes are unaffected; the caveat
+    * matters only for byte-parity against a reference run whose data
+    * contains that exact double (CAA percentages/delays do not). */
   def javaRound(c: Column): Column = floor(c + lit(0.5)).cast(LongType)
 
   /** Portable unsigned 32-bit hash as a non-negative long.

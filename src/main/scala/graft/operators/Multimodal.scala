@@ -97,10 +97,11 @@ object Multimodal {
         sum(col("frame_sum")).as("frame_sum"))
       .orderBy("kind")
 
-  /** DuckDB twin: payload bytes are md5(text) bytes repeated 4× —
-    * byte k = md5byte[k mod 16], so byte_sum = 4·Σ md5bytes and the
-    * stride-8 frame sample hits md5 bytes 1 and 9 four times each. */
-  val mediaFeaturesSql: String =
+  /** The media-table twin every oracle shares: payload bytes derive
+    * from md5(text) and kind from doc_id mod 3 — ONE definition (it
+    * also exists in Scala as [[mediaTable]]), so a change to payload
+    * derivation cannot silently diverge between the three oracles. */
+  private val mbCteSql: String =
     """WITH mb AS (
       |  SELECT doc_id,
       |         CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -108,7 +109,14 @@ object Multimodal {
       |              ELSE 'video' END AS kind,
       |         list_transform(generate_series(1, 16),
       |           i -> CAST('0x' || substr(md5(text), 2*i - 1, 2) AS BIGINT)) AS b
-      |  FROM documents),
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB twin: payload bytes are md5(text) bytes repeated 4× —
+    * byte k = md5byte[k mod 16], so byte_sum = 4·Σ md5bytes and the
+    * stride-8 frame sample hits md5 bytes 1 and 9 four times each. */
+  val mediaFeaturesSql: String =
+    mbCteSql + "," +
+    """|
       |f AS (
       |  SELECT doc_id, kind,
       |         64 AS n_bytes,
@@ -162,14 +170,8 @@ object Multimodal {
     * frame positions sample md5 byte 1 and odd positions byte 9
     * (1-based). */
   val frameStatsSql: String =
-    """WITH mb AS (
-      |  SELECT doc_id,
-      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
-      |              WHEN doc_id % 3 = 1 THEN 'audio'
-      |              ELSE 'video' END AS kind,
-      |         list_transform(generate_series(1, 16),
-      |           i -> CAST('0x' || substr(md5(text), 2*i - 1, 2) AS BIGINT)) AS b
-      |  FROM documents),
+    mbCteSql + "," +
+    """|
       |fr AS (
       |  SELECT kind, f.i AS frame_idx,
       |         CASE WHEN f.i % 2 = 0 THEN b[1] ELSE b[9] END AS frame_byte
@@ -180,10 +182,6 @@ object Multimodal {
       |       CAST(max(frame_byte) AS INT) AS max_byte
       |FROM fr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** A resized media record: binary → binary with metadata rewrite. */
-  final case class ResizedMedia(
-    media_id: Long, kind: String, payload: Array[Byte], width: Int, height: Int)
-
   /** Resize as a binary→binary partition transform with metadata
     * passthrough — the third multimodal shape (decode 1→1 features =
     * q31, frame-sample 1→N = q47, resize 1→1 payload = here). STUB
@@ -191,7 +189,7 @@ object Multimodal {
     * deployment swaps in the codec's scaler. The output is again an
     * opaque payload column, so resize stages compose (resize →
     * re-encode → feature-extract) with zero shuffle. */
-  def resizeStub(media: Dataset[MediaRecord]): Dataset[ResizedMedia] = {
+  def resizeStub(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
       records.map { r =>
@@ -199,7 +197,9 @@ object Multimodal {
         val out = new Array[Byte]((src.length + 1) / 2)
         var i = 0
         while (i < out.length) { out(i) = src(2 * i); i += 1 }
-        ResizedMedia(r.media_id, r.kind, out, (r.width + 1) / 2, r.height)
+        // output type IS MediaRecord, so resize stages genuinely
+        // compose with decodeStub/frameSample (no conversion layer)
+        MediaRecord(r.media_id, r.kind, out, (r.width + 1) / 2, r.height)
       }
     }
   }
@@ -228,14 +228,8 @@ object Multimodal {
     * 0,2,…,62 → md5 bytes at even 0-based indices, i.e. b[1],b[3],…,
     * b[15] (1-based) each 4×; width was b[1]+1, halved rounding up. */
   val mediaResizeSql: String =
-    """WITH mb AS (
-      |  SELECT doc_id,
-      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
-      |              WHEN doc_id % 3 = 1 THEN 'audio'
-      |              ELSE 'video' END AS kind,
-      |         list_transform(generate_series(1, 16),
-      |           i -> CAST('0x' || substr(md5(text), 2*i - 1, 2) AS BIGINT)) AS b
-      |  FROM documents),
+    mbCteSql + "," +
+    """|
       |r AS (
       |  SELECT kind,
       |         32 AS resized_bytes,

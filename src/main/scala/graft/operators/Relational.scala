@@ -448,10 +448,13 @@ object Relational {
         sum(q).as("sx"), sum(p).as("sy"),
         sum(q * q).as("sxx"), sum(p * p).as("syy"), sum(q * p).as("sxy"))
     val d = (c: String) => col(c).cast(DoubleType)
+    // zero-variance guard: Spark's double Divide by 0 yields NULL while
+    // DuckDB (ieee mode) yields inf/nan — make both sides NULL explicitly
+    val den = sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+      sqrt(d("n") * d("syy") - d("sy") * d("sy"))
     agg.select(col("l_returnflag"), col("n"),
-        ((d("n") * d("sxy") - d("sx") * d("sy")) /
-          (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
-            sqrt(d("n") * d("syy") - d("sy") * d("sy")))).as("corr_qty_price"))
+        when(den =!= 0.0,
+          (d("n") * d("sxy") - d("sx") * d("sy")) / den).as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
 
@@ -465,9 +468,12 @@ object Relational {
       |         sum(CAST(l_quantity AS BIGINT) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
+      |       CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                 * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
+      |            THEN NULL ELSE
       |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END
       |         AS corr_qty_price
       |FROM a ORDER BY l_returnflag""".stripMargin
 
@@ -526,9 +532,17 @@ object Relational {
   def skewJoin(li: DataFrame, ord: DataFrame, threshold: Long): DataFrame = {
     val hot = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("kn"))
       .filter(col("kn") > threshold).select(col("l_orderkey").as("hot_key"))
+    // salt from a HASH of per-row columns, not pmod(l_linenumber, 8):
+    // linenumber has 7 distinct values (one salt bucket structurally
+    // empty), and hot-key duplication that shares a linenumber would
+    // put ALL hot rows in one bucket — the straggler this exists to
+    // split. xxhash64 is fine here: the salt never reaches the result,
+    // so cross-engine hash portability is irrelevant.
     val liS = li.join(broadcast(hot), col("l_orderkey") === col("hot_key"), "left")
       .withColumn("salt", when(col("hot_key").isNull, 0)
-        .otherwise(pmod(col("l_linenumber"), lit(SaltBuckets))))
+        .otherwise(pmod(
+          xxhash64(col("l_linenumber"), col("l_extendedprice"), col("l_discount")),
+          lit(SaltBuckets)).cast(IntegerType)))
       .drop("hot_key")
     val ordS = ord.join(broadcast(hot), col("o_orderkey") === col("hot_key"), "left")
       .withColumn("salt", explode(when(col("hot_key").isNull, array(lit(0)))

@@ -95,8 +95,10 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("tot_tokens"),
-        (sum(col("n_char") - col("n_tok") + 1).cast(DoubleType) /
-          sum(col("n_tok")).cast(DoubleType)).as("avg_wlen"))
+        // all-empty-doc group guard: Spark double/0 is NULL, DuckDB inf
+        when(sum(col("n_tok")) > 0,
+          sum(col("n_char") - col("n_tok") + 1).cast(DoubleType) /
+            sum(col("n_tok")).cast(DoubleType)).as("avg_wlen"))
       .orderBy("source", "quality")
 
   val qualityScoreSql: String =
@@ -115,7 +117,9 @@ object TextAnalysis {
       |  FROM d)
       |SELECT source, quality, count(*) AS n_docs,
       |       CAST(sum(n_tok) AS BIGINT) AS tot_tokens,
-      |       CAST(sum(n_char - n_tok + 1) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE) AS avg_wlen
+      |       CASE WHEN sum(n_tok) > 0
+      |            THEN CAST(sum(n_char - n_tok + 1) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
+      |            END AS avg_wlen
       |FROM q GROUP BY source, quality ORDER BY source, quality""".stripMargin
 
   /** Token counting two ways per source: whitespace tokens and a
