@@ -13,11 +13,18 @@ import graft.operators._
 object SparkEntry {
 
   /** All query groups, in presentation order. */
-  private def allDefs: Vector[QueryDef] =
-    ReferenceParity.defs ++ Relational.defs ++ Dedup.defs ++
-      Similarity.defs ++ TextAnalysis.defs ++ Multimodal.defs ++
-      Pipeline.defs ++
-      graft.streaming.EventsStream.defs ++ graft.streaming.Sessionize.defs
+  private def allDefs: Vector[QueryDef] = {
+    val defs =
+      ReferenceParity.defs ++ Relational.defs ++ Dedup.defs ++
+        Similarity.defs ++ TextAnalysis.defs ++ Multimodal.defs ++
+        Pipeline.defs ++
+        graft.streaming.EventsStream.defs ++ graft.streaming.Sessionize.defs
+    // toMap would silently shadow a duplicated name — the gate would
+    // shrink by one query with no error anywhere. Fail loudly instead.
+    val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

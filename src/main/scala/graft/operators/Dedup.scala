@@ -228,24 +228,29 @@ object Dedup {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, text) =>
+        it.flatMap { case (id, text) =>
           val bits = new Array[Long](60)
-          // null text → zero-token doc → fingerprint 0 (split(null)
-          // would NPE; the SQL formulation's tokens(null) is empty)
-          (if (text == null) Array.empty[String] else text.split(" ")).foreach { t =>
-            if (t.nonEmpty) {
-              val h = java.lang.Long.parseLong(md5Hex(md, t).substring(0, 15), 16)
-              var j = 0
-              while (j < 60) {
-                bits(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L)
-                j += 1
-              }
+          // null text → zero tokens (split(null) would NPE)
+          val toks = if (text == null) Array.empty[String]
+                     else text.split(" ").filter(_.nonEmpty)
+          toks.foreach { t =>
+            val h = java.lang.Long.parseLong(md5Hex(md, t).substring(0, 15), 16)
+            var j = 0
+            while (j < 60) {
+              bits(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L)
+              j += 1
             }
           }
-          var f = 0L
-          var j = 0
-          while (j < 60) { if (bits(j) > 0) f |= 1L << j; j += 1 }
-          (id, f)
+          // zero-token docs emit NO fingerprint row: the SQL twin's
+          // unnest produces no rows for them, and a materialized fp=0
+          // would band two empty docs into a phantom pair
+          if (toks.isEmpty) Iterator.empty
+          else {
+            var f = 0L
+            var j = 0
+            while (j < 60) { if (bits(j) > 0) f |= 1L << j; j += 1 }
+            Iterator.single((id, f))
+          }
         }
       }.toDF("doc_id", "fp")
 
@@ -523,7 +528,8 @@ object Dedup {
       |       CAST(min(doc_id) AS BIGINT) AS first_doc,
       |       CAST(max(doc_id) AS BIGINT) AS last_doc
       |FROM nt
-      |WHERE doc_id % 5 = 0 AND nh NOT IN (SELECT nh FROM corp)
+      |WHERE doc_id % 5 = 0
+      |  AND NOT EXISTS (SELECT 1 FROM corp WHERE corp.nh = nt.nh)
       |GROUP BY source ORDER BY source""".stripMargin
 
   /** Edit-distance near-dup verification: Levenshtein distance on the

@@ -48,8 +48,7 @@ object Similarity {
     val md = MessageDigest.getInstance("MD5")
     Array.tabulate(Planes, Dim) { (j, i0) =>
       md.reset()
-      val hex = md.digest(s"p${j}_${i0 + 1}".getBytes(StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString
+      val hex = Dedup.md5Hex(md, s"p${j}_${i0 + 1}")
       1L - 2L * (java.lang.Long.parseLong(hex.substring(0, 8), 16) & 1L)
     }
   }
@@ -90,6 +89,12 @@ object Similarity {
       // via NULL comparison semantics anyway — filter to match
       .filter(col("q").isNotNull)
       .withColumn("qn", qnorm2(col("q")))
+      // zero-norm vectors make cosine 0/0 = NaN, which Spark SQL
+      // comparisons rank ABOVE every threshold while the JVM filters
+      // drop it — exclude them on both sides (the oracles' n CTE
+      // carries the same qn > 0 predicate) so all similarity paths
+      // agree on degenerate input
+      .filter(col("qn") > 0)
 
   /** Brute-force near-dup pairs: all pairs with cosine ≥ 0.4, as a
     * block nested-loop — the build side is broadcast as primitive
@@ -131,7 +136,8 @@ object Similarity {
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
-       |      FROM q),
+       |      FROM q
+       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |             CAST(list_sum(list_transform(generate_series(1, len(a.q)),
        |                    i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
@@ -168,7 +174,8 @@ object Similarity {
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
-       |      FROM q),
+       |      FROM q
+       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
        |scored AS (
        |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
        |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
@@ -241,7 +248,8 @@ object Similarity {
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
-       |      FROM q),
+       |      FROM q
+       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
        |planes AS (
        |  SELECT j.b AS j, i.b AS i,
        |         1 - 2 * (CAST('0x' || substr(md5('p' || CAST(j.b AS VARCHAR) || '_'
@@ -334,7 +342,8 @@ object Similarity {
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
-       |      FROM q),
+       |      FROM q
+       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
        |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM n
        |          WHERE vec_id % 32 = 0),
        |assign AS (
