@@ -25,5 +25,7 @@ class InvariantsSpec extends SparkSpec {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .filter(abs(col("k")) > (1L << 53)).count()
     assert(badK == 0L)
+    val badV = ev.filter(abs(col("value")) > (1L << 53).toDouble).count()
+    assert(badV == 0L)
   }
 }

@@ -14,7 +14,8 @@ class MultimodalSpec extends SparkSpec {
     assert(m.length == 500)
     assert(m.forall(_.payload.length == 64))
     assert(m.map(_.kind).toSet == Set("image", "audio", "video"))
-    assert(m.forall(r => r.width >= 1 && r.width <= 256 && r.height >= 1))
+    assert(m.forall(r => r.width >= 1 && r.width <= 256 &&
+      r.height >= 1 && r.height <= 256))
   }
 
   test("decodeStub features equal the md5-arithmetic recomputation") {

@@ -29,10 +29,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     test(s"$name is invariant under shuffle-partition count") {
       val q = SparkEntry.queries(name)
       val base = canon(q(spark, sfDir))
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
       Seq("1", "7").foreach { p =>
         spark.conf.set("spark.sql.shuffle.partitions", p)
         try assert(canon(q(spark, sfDir)) == base, s"differs at partitions=$p")
-        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
     }
   }

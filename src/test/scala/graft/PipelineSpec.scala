@@ -13,10 +13,19 @@ class PipelineSpec extends SparkSpec {
       .as[(java.sql.Timestamp, Int, Long)].collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_._2 >= 0))
-    // at offset 0 every cohort member is by definition active
+    // offset-0 must EQUAL the cohort's size (distinct users whose first
+    // active week is that week), recomputed independently here
+    val expected = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      .groupBy(col("cohort")).count()
+      .as[(java.sql.Timestamp, Long)].collect().toMap
     val byCohort = rows.groupBy(_._1)
-    byCohort.foreach { case (_, cells) =>
+    assert(byCohort.keySet == expected.keySet)
+    byCohort.foreach { case (cohort, cells) =>
       val zero = cells.find(_._2 == 0).map(_._3).getOrElse(0L)
+      assert(zero == expected(cohort),
+        s"offset-0 cell $zero != cohort size ${expected(cohort)}")
       assert(cells.forall(_._3 <= zero),
         "a later-week cell exceeds the cohort's own size")
     }
@@ -113,7 +122,7 @@ class PipelineSpec extends SparkSpec {
     assert(rows.forall { case (_, n, p, m) => p >= m && n >= p }) // one-sided filter
   }
 
-  test("importanceSample: kept sets nest as the length bias implies, stable across runs") {
+  test("importanceSample: matches an independent recomputation of the keep rule") {
     val a = Pipeline.importanceSample(spark, sfDir)
       .as[(String, Long, Long, Long)].collect().toSeq
     val b = Pipeline.importanceSample(spark, sfDir)
@@ -121,6 +130,26 @@ class PipelineSpec extends SparkSpec {
     assert(a == b) // bit-deterministic, no seed/layout sensitivity
     assert(a.forall { case (_, n, k, _) => k >= 0 && k <= n })
     assert(a.map(_._3).sum > 0)
+    // independent per-row recomputation of h*max_n < n*2^32 — catches a
+    // flipped inequality (short-doc bias) that bounds alone would not
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("text"))
+      .as[(String, Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(x: String): Long = {
+      md.reset()
+      val hex = md.digest(("ws:" + x).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val withN = docs.map { case (src, id, text) =>
+      (src, id, text.split(" ").count(_.nonEmpty).toLong)
+    }
+    val mx = withN.map(_._3).max
+    val expected = withN.groupBy(_._1).view.mapValues(rs =>
+      rs.count { case (_, id, n) => h32(id.toString) * mx < n * 4294967296L }.toLong).toMap
+    a.foreach { case (src, _, k, _) => assert(k == expected(src),
+      s"$src kept $k, rule says ${expected(src)}") }
   }
 
   test("lengthDeciles: 10 deciles per lang, ranges non-overlapping and ordered") {

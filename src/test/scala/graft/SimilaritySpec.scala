@@ -45,6 +45,10 @@ class SimilaritySpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
     val ivf = Similarity.annIvf(spark, sfDir)
       .as[(Long, Long, Double, Int)].collect()
+    // every probe (vec_id % 100 == 0) must be present with a full top-5
+    // — an empty or partial result must FAIL, not satisfy a vacuous
+    // forall over the reduced key set
+    assert(ivf.map(_._1).toSet == brute.keySet && brute.nonEmpty)
     assert(ivf.groupBy(_._1).forall(_._2.length == 5))
     // every IVF hit that also appears in the brute top-5 must carry the
     // exact same cosine (identical quantized math on both paths)
@@ -58,7 +62,16 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
     val ann = Similarity.annLsh(spark, sfDir)
       .as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty, "LSH banding found no candidates at all")
     assert(ann.forall { case (a, b, c) => brute.get((a, b)).contains(c) },
       "every LSH pair must appear in brute force with identical cosine")
+    // recall floor: 32 sign-planes at cos >= 0.4 should recover a
+    // nontrivial share of the strongest brute-force pairs
+    val strong = brute.filter(_._2 >= 0.9).keySet
+    if (strong.nonEmpty) {
+      val hit = ann.map(p => (p._1, p._2)).toSet
+      assert((strong & hit).size * 2 >= strong.size,
+        s"LSH recall on cos>=0.9 pairs below 50%: ${(strong & hit).size}/${strong.size}")
+    }
   }
 }
