@@ -677,6 +677,40 @@ object Pipeline {
       |       count(*) AS n_terms
       |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Linear-counting cardinality sketch with exact verification: each
+    * distinct token sets bit h mod 4096; the sketch state (occupied
+    * bit count) is emitted alongside the exact distinct count per
+    * source. The estimate −m·ln(1−V/m) is NOT emitted — ln is not
+    * bit-specified across engines (same reasoning as q44's quantized
+    * idf) — but n_occupied is the sketch's entire state, so the oracle
+    * fully verifies the mechanism. Completes the oracle-able sketch
+    * trio: count-min (frequency, q63), Bloom (membership, q64),
+    * linear counting (cardinality, here) — the deterministic
+    * counterparts to q14's rows-only HLL.
+    *
+    * Scale: per-source state is a 4096-bit bitmap regardless of
+    * vocabulary; the distinct-bucket aggregate combines map-side. */
+  def linearCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .withColumn("h", hash60(col("term")))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("term")).as("n_exact"),
+        countDistinct(col("h").bitwiseAND(lit(4095L))).as("n_occupied"))
+      .orderBy("source")
+
+  val linearCountSql: String =
+    """WITH t AS (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents),
+      |h AS (
+      |  SELECT source, term,
+      |         CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) & 4095 AS b
+      |  FROM t)
+      |SELECT source, count(DISTINCT term) AS n_exact,
+      |       count(DISTINCT b) AS n_occupied
+      |FROM h GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -692,5 +726,6 @@ object Pipeline {
     QueryDef("q65_importance_sample", importanceSample, Some(importanceSampleSql)),
     QueryDef("q66_length_deciles", lengthDeciles, Some(lengthDecilesSql)),
     QueryDef("q67_feature_hash", featureHash, Some(featureHashSql)),
+    QueryDef("q71_linear_count", linearCount, Some(linearCountSql)),
   )
 }

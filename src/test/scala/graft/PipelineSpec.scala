@@ -152,6 +152,15 @@ class PipelineSpec extends SparkSpec {
       s"$src kept $k, rule says ${expected(src)}") }
   }
 
+  test("linearCount: occupancy bounded by min(exact, m) and nonzero") {
+    val rows = Pipeline.linearCount(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, exact, occ) =>
+      assert(occ >= 1 && occ <= math.min(exact, 4096L))
+    }
+  }
+
   test("lengthDeciles: 10 deciles per lang, ranges non-overlapping and ordered") {
     val rows = Pipeline.lengthDeciles(spark, sfDir)
       .as[(String, Int, Long, Long, Long)].collect()
