@@ -16,6 +16,11 @@ run / fork := true
 // stdout, and the logger's "[info] " prefix breaks that parse
 // (BENCH_r01/r02 both recorded parsed: null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's own trailing "[success] Total time: ..." line,
+// which otherwise lands on stdout AFTER Bench's JSON and sits inside
+// the driver's captured tail buffer (BENCH_r03 recorded it verbatim).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consulted by the command engine, not a task
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,10 +34,20 @@ object Bench {
       // so a regression shows up in the JSON instead of LOWERING total
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal times: Double.toString of a 17-digit nanoTime ratio made
+    // the 71-query line ~3.3 KB — longer than the driver's captured
+    // stdout tail, so rounds 1-3 all recorded parsed:null. rint/1000
+    // then Double.toString (shortest-repr, locale-independent) keeps the
+    // full line under ~2 KB.
+    def f3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Repeat a short, complete summary object as the FINAL stdout line:
+    // even if a tail-buffer capture truncates the per-query line above
+    // mid-object, a parse that scans lines from the end finds this one.
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }
