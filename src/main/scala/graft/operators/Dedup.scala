@@ -58,9 +58,13 @@ object Dedup {
     * through codegen'd-but-allocating expressions. Hash values are
     * bit-identical to the SQL/DuckDB formulation (same UTF-8 md5, same
     * hex-prefix parse), which the oracle gate proves end-to-end. */
-  private def shingleHashRows(s: SparkSession, dir: String): DataFrame = {
+  private def shingleHashRows(s: SparkSession, dir: String): DataFrame =
+    shingleHashRowsFrom(Tables.documents(s, dir))
+
+  private[graft] def shingleHashRowsFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -89,8 +93,8 @@ object Dedup {
     * mh_i = min over shingles of ((2i+1)·h + 912367·i) mod (2^31-1),
     * i.e. 16 `min` aggregates over the exploded shingle hashes — partial
     * mins combine map-side, so the shuffle carries 16 longs per doc. */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val hs = shingleHashRows(s, dir).select(col("doc_id"), col("h32").as("h"))
+  private def minhashSigsFrom(docs: DataFrame): DataFrame = {
+    val hs = shingleHashRowsFrom(docs).select(col("doc_id"), col("h32").as("h"))
     val minCols = (0 until 16).map(i =>
       min(pmod(col("h") * (2 * i + 1) + lit(B) * i, lit(P))).as(s"m$i"))
     hs.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
@@ -138,13 +142,28 @@ object Dedup {
       |FROM tot LEFT JOIN kept ON tot.source = kept.source
       |ORDER BY 1""".stripMargin
 
+  /** LSH bucket-size cap ([[minhashLsh]]): a band bucket holding m
+    * documents generates m² candidate pairs, so one pathological bucket
+    * (boilerplate text, a template crawled a million times) turns the
+    * band equi-join into an effective cross join on that key. Buckets
+    * larger than the cap are dropped whole — their members are either
+    * exact/boilerplate dups better handled by q20's exact pass, or hash
+    * garbage; genuine near-dup clusters are orders of magnitude
+    * smaller. The cap never fires on the testdata (largest observed
+    * bucket ≪ cap), so oracle hashes are unchanged; `SkewCapSpec`
+    * exercises the firing path with a planted hot bucket. */
+  val MaxLshBucket = 1024
+
   /** MinHash + LSH near-dup candidates: 16 minhashes, 4 bands of 4.
     * Candidates = pairs sharing at least one full band; emitted when the
     * signature-estimated Jaccard (n_eq/16) clears 0.5. The band
     * equi-join is the whole point at scale: shuffle on (band, value),
-    * never n². */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(s, dir)
+    * never n² — with [[MaxLshBucket]] bounding per-bucket fan-out. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshFrom(Tables.documents(s, dir), MaxLshBucket)
+
+  private[graft] def minhashLshFrom(docs: DataFrame, bucketCap: Int): DataFrame = {
+    val sigs = minhashSigsFrom(docs)
 
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
@@ -152,9 +171,21 @@ object Dedup {
           v => v.cast(StringType))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
 
-    val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("siga"),
+    // hot-bucket cap: count members per (band, bval) on a slim key-only
+    // projection (map-side partial count -> the shuffle carries one row
+    // per distinct bucket per partition), then drop oversized buckets
+    // via a BROADCAST anti join — the hot set is at most n/cap buckets,
+    // tiny by construction
+    val hot = bands.select(col("band"), col("bval"))
+      .groupBy(col("band"), col("bval"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > bucketCap)
+      .select(col("band"), col("bval"))
+    val kept = bands.join(broadcast(hot), Seq("band", "bval"), "left_anti")
+
+    val a = kept.select(col("doc_id").as("doc_a"), col("sig").as("siga"),
       col("band"), col("bval"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sigb"),
+    val b = kept.select(col("doc_id").as("doc_b"), col("sig").as("sigb"),
       col("band"), col("bval"))
     a.join(b, Seq("band", "bval"))
       .filter(col("doc_a") < col("doc_b"))
@@ -302,23 +333,46 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Document-frequency cap for [[ngramJaccard]]'s shingle join: a
+    * shingle present in m documents contributes m² join pairs, so one
+    * boilerplate 3-gram ("all rights reserved") dominates the whole
+    * shuffle at corpus scale. Shingles with df above the cap are
+    * removed from the shingle UNIVERSE (consistently from both the
+    * intersection join and the per-doc set sizes — the standard
+    * df-capped Jaccard, which also sharpens the measure: ubiquitous
+    * shingles carry no dedup signal). Never fires on the testdata
+    * (max df ≪ cap → oracle hashes unchanged); `SkewCapSpec` exercises
+    * the firing path. */
+  val MaxShingleDf = 4096
+
   /** Exact n-gram Jaccard: distinct word-3-gram sets, pair intersection
     * via a shuffle join on the shingle itself. Exact but quadratic in
     * per-shingle df — the verification stage after LSH candidate
-    * generation, or a direct method when df is bounded (at 100 TB,
-    * df-cap hot shingles first). */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    * generation, or a direct method once [[MaxShingleDf]] bounds df. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardFrom(Tables.documents(s, dir), MaxShingleDf)
+
+  private[graft] def ngramJaccardFrom(docs: DataFrame, dfCap: Int): DataFrame = {
     // join on the 60-bit shingle hash, not the shingle text: the
     // pair-generation shuffle then carries 8-byte keys instead of
     // ~30-byte strings. The oracle hashes identically (same md5 math),
     // so results agree bit-for-bit even in the (≈2^-61) collision case.
     // The repartition is a deliberate materialization barrier: this
-    // subtree feeds the self-join twice plus the size aggregate, and
-    // without an exchange in between Spark recomputes the
-    // tokenize→shingle→md5 pipeline for every consumer (4 scans in the
-    // r02 plan); with it, ReuseExchange computes it once.
-    val sh = shingleHashRows(s, dir).select(col("doc_id"), col("h60").as("h"))
+    // subtree feeds the df-cap count, the self-join (twice) and the
+    // size aggregate, and without an exchange in between Spark
+    // recomputes the tokenize→shingle→md5 pipeline for every consumer
+    // (4 scans in the r02 plan); with it, ReuseExchange computes it
+    // once — and since the exchange partitions by h, the df count
+    // aggregates WITHOUT a further shuffle.
+    val sh0 = shingleHashRowsFrom(docs).select(col("doc_id"), col("h60").as("h"))
       .repartition(col("h"))
+    // df-cap: hot shingles (df > cap) are at most n_shingles/cap keys —
+    // a tiny set, removed via broadcast anti join
+    val sh = if (dfCap == Int.MaxValue) sh0 else {
+      val hot = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select(col("h"))
+      sh0.join(broadcast(hot), Seq("h"), "left_anti")
+    }
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
     val inter = sh.as("a").join(sh.as("b"),

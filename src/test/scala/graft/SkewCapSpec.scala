@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.Dedup
+
+/** The two operator-level skew hazards of the dedup family (SURVEY §9):
+  * an LSH band bucket with m members generates m² candidate pairs
+  * (q21), and a shingle with document frequency m generates m² join
+  * rows (q23). Both now carry a cap; these specs exercise the firing
+  * path with planted pathological input — the regime the sf testdata
+  * (bucket/df ≪ cap) cannot reach — and pin the no-op contract on
+  * normal data.
+  */
+class SkewCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Cap = 100
+
+  /** 150 hot docs sharing heavy overlap + one normal near-dup pair
+    * (901, 902 — identical text, so MinHash signatures are equal and
+    * n-gram Jaccard is exactly 1 regardless of hash luck). */
+  private def hotDocs(hotText: Long => String): DataFrame =
+    ((1L to 150L).map(i => (i, hotText(i))) ++ Seq(
+      (901L, "alpha beta gamma delta epsilon zeta"),
+      (902L, "alpha beta gamma delta epsilon zeta"),
+    )).toDF("doc_id", "text")
+
+  test("q21 hot-bucket cap drops the pathological bucket, keeps normal pairs") {
+    // identical text -> identical signature -> one bucket of 150 per band
+    val docs = hotDocs(_ => "same boilerplate text repeated everywhere always")
+    val capped = Dedup.minhashLshFrom(docs, Cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((901L, 902L)),
+      s"capped run must keep only the normal pair, got ${capped.size} pairs")
+    // uncapped control: the hot bucket really is quadratic (150·149/2)
+    val uncapped = Dedup.minhashLshFrom(docs, Int.MaxValue).count()
+    assert(uncapped == 150L * 149 / 2 + 1)
+  }
+
+  test("q21 cap is a no-op when no bucket exceeds it") {
+    val docs = hotDocs(_ => "x").filter($"doc_id" >= 900) // just the pair
+    val a = Dedup.minhashLshFrom(docs, Cap).collect().toSeq
+    val b = Dedup.minhashLshFrom(docs, Int.MaxValue).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("q23 df-cap removes hot-shingle fan-out, keeps normal pairs") {
+    // each hot doc: shingles {common-shared-token (df 150),
+    // shared-token-extra (df 150), token-extra-tail_i (df 1)} ->
+    // uncapped pairwise jaccard 2/4 = 0.5 (emitted); capped, the two
+    // hot shingles leave the universe -> zero intersection -> no pair
+    val docs = hotDocs(i => s"common shared token extra tail$i")
+    val capped = Dedup.ngramJaccardFrom(docs, Cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((901L, 902L)),
+      s"capped run must keep only the normal pair, got ${capped.size} pairs")
+    val uncapped = Dedup.ngramJaccardFrom(docs, Int.MaxValue).count()
+    assert(uncapped == 150L * 149 / 2 + 1)
+  }
+
+  test("q23 cap is a no-op when no shingle df exceeds it") {
+    val docs = hotDocs(_ => "x").filter($"doc_id" >= 900)
+    val a = Dedup.ngramJaccardFrom(docs, Cap).collect().toSeq
+    val b = Dedup.ngramJaccardFrom(docs, Int.MaxValue).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
