@@ -41,6 +41,24 @@ object Similarity {
   private val Planes = 32
   private val BandBits = 8 // planes per band → 4 bands
 
+  /** Probe-set cap for the top-k operators (q25/q37/q52). The probe
+    * predicate (vec_id ≡ 0 mod 100) selects a FRACTION of the corpus, so
+    * without a cap the probe broadcast grows Θ(n) — fine as a workload
+    * definition, fatal as a broadcast contract. The probes are the
+    * MaxProbes smallest qualifying vec_ids (a TakeOrdered — only K rows
+    * ever reach the driver), so the broadcast is ≤ ~0.5 MB at any corpus
+    * size. The oracles carry the identical ORDER BY vec_id LIMIT. */
+  private[graft] val MaxProbes = 1024
+
+  /** Build-side rows per q24 broadcast tile: ~528 B/row (64 longs + id +
+    * norm) → ~69 MB per tile, safely under a 128 MB broadcast budget. */
+  private[graft] val NearDupTileRows = 131072L
+
+  /** Fixed IVF coarse-quantizer size (q37). A constant — NOT a fraction
+    * of the table — so driver memory and the per-row assignment cost
+    * (K dot products) are independent of corpus size. */
+  private[graft] val IvfK = 64
+
   /** ±1 hyperplane weights, w(j)(i-1) = 1 - 2·(hash32("p{j}_{i}") & 1),
     * j in [0,32), i in [1,64] — md5-derived, no RNG, regenerated
     * identically by the DuckDB oracle in SQL. */
@@ -96,6 +114,15 @@ object Similarity {
       // agree on degenerate input
       .filter(col("qn") > 0)
 
+  /** The shared probe set of the top-k operators: qualifying vec_ids
+    * (≡ 0 mod 100), capped to the [[MaxProbes]] smallest — a
+    * TakeOrdered, so the plan ships K rows to the driver/broadcast no
+    * matter how large the corpus. Columns: vec_id, q, qn. */
+  private[graft] def boundedProbes(e: DataFrame): DataFrame =
+    e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .orderBy(col("vec_id"))
+      .limit(MaxProbes)
+
   /** Brute-force near-dup pairs: all pairs with cosine ≥ 0.4, as a
     * block nested-loop — the build side is broadcast as primitive
     * arrays, and each partition scans its rows against the block in a
@@ -103,30 +130,51 @@ object Similarity {
     * for exact search; a SQL-level triangular join would evaluate an
     * interpreted 64-term condition per pair, ~15× slower).
     *
-    * At 100 TB the build side no longer fits one broadcast: tile it —
-    * outer loop over build-side blocks of ~100 MB, one broadcast per
-    * block, union the results (cost is the same n² row-pairs, just
-    * blocked), or switch to [[annLsh]] when approximate recall is
-    * acceptable. The arithmetic is the exact quantized integer math of
-    * the oracle: dot and norms are BIGINT-exact, one IEEE double
+    * The build side is TILED, never collected whole: vec_ids are
+    * bucketed mod T (T sized so a tile is ~[[NearDupTileRows]] rows /
+    * ~70 MB), the outer loop collects + broadcasts ONE tile at a time,
+    * and each pass scans the probe side against that tile; the union of
+    * passes covers every (a, b) pair exactly once because each pair
+    * lands in exactly the tile of b's bucket. Cost is the same n²
+    * row-pairs, just blocked — T scans of the (columnar, pruned) fact
+    * side for T tiles, while peak driver/executor memory stays one tile
+    * regardless of corpus size. Switch to [[annLsh]] when approximate
+    * recall is acceptable. The arithmetic is the exact quantized integer
+    * math of the oracle: dot and norms are BIGINT-exact, one IEEE double
     * division at the end. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    // tile sizing needs only an upper bound on build rows — count the
+    // raw table (parquet row-group statistics, no quantize pass), not
+    // the filtered/quantized view
+    val n = Tables.embeddings(s, dir).count()
+    val tiles = math.max(1L, (n + NearDupTileRows - 1) / NearDupTileRows).toInt
+    embeddingNearDupTiled(s, dir, tiles)
+  }
+
+  /** [[embeddingNearDup]] with an explicit tile count (spec hook:
+    * `SimilaritySpec` proves tiled ≡ untiled). */
+  private[graft] def embeddingNearDupTiled(s: SparkSession, dir: String,
+                                           tiles: Int): DataFrame = {
     import s.implicits._
     val e = quantized(s, dir)
       .select(col("vec_id"), col("q"), col("qn"))
       .as[(Long, Array[Long], Long)]
-    val block = e.collect().sortBy(_._1) // broadcast build side (id-sorted)
-    val bc = s.sparkContext.broadcast(block)
-    e.mapPartitions { it =>
-      val arr = bc.value
-      it.flatMap { case (ida, qa, qna) =>
-        arr.iterator
-          .filter(_._1 > ida)
-          .map { case (idb, qb, qnb) => (ida, idb, jcosine(qa, qna, qb, qnb)) }
-          .filter(_._3 >= 0.4)
-      }
-    }.toDF("vec_a", "vec_b", "cos")
-      .orderBy("vec_a", "vec_b")
+    val passes = (0 until tiles).map { t =>
+      // one tile of the build side: bounded collect, bounded broadcast
+      val block = e.filter(pmod(col("vec_id"), lit(tiles)) === t)
+        .collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(block)
+      e.mapPartitions { it =>
+        val arr = bc.value
+        it.flatMap { case (ida, qa, qna) =>
+          arr.iterator
+            .filter(_._1 > ida)
+            .map { case (idb, qb, qnb) => (ida, idb, jcosine(qa, qna, qb, qnb)) }
+            .filter(_._3 >= 0.4)
+        }
+      }.toDF("vec_a", "vec_b", "cos")
+    }
+    passes.reduce(_ union _).orderBy("vec_a", "vec_b")
   }
 
   private val qListSql =
@@ -150,12 +198,13 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Brute-force cosine top-k: 5 nearest neighbours for each probe
-    * (vec_id ≡ 0 mod 100), ties broken by vec_id. The tiny probe set is
-    * broadcast against the full table — the fact side never shuffles
-    * for the join; only (probes·k) rows reach the window sort. */
+    * ([[boundedProbes]] — vec_id ≡ 0 mod 100, capped at [[MaxProbes]]),
+    * ties broken by vec_id. The bounded probe set is broadcast against
+    * the full table — the fact side never shuffles for the join; only
+    * (probes·k) rows reach the window sort. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+    val probes = boundedProbes(e)
       .select(col("vec_id").as("probe_id"), col("q").as("qa"), col("qn").as("qna"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -176,13 +225,15 @@ object Similarity {
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
        |      FROM q
        |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |pset AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
+       |         ORDER BY vec_id LIMIT $MaxProbes),
        |scored AS (
        |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
        |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
        |                i -> p.q[i] * c.q[i])) AS BIGINT) AS DOUBLE)
        |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(c.qn AS DOUBLE)) AS cos
-       |  FROM n p JOIN n c ON p.vec_id <> c.vec_id
-       |  WHERE p.vec_id % 100 = 0),
+       |  FROM n p JOIN pset ON p.vec_id = pset.vec_id
+       |  JOIN n c ON p.vec_id <> c.vec_id),
        |ranked AS (
        |  SELECT probe_id, vec_id, cos,
        |         CAST(row_number() OVER (PARTITION BY probe_id
@@ -285,12 +336,16 @@ object Similarity {
     * ties to the lowest centroid id); a query probes its nprobe=2
     * nearest centroids and searches only those lists.
     *
-    * Centroids here are a deterministic fixed subset (vec_id ≡ 0
-    * mod 32) standing in for offline-trained k-means — the INDEX
-    * STRUCTURE and query path are the point, shaped exactly like a
-    * production IVF build: the coarse quantizer is tiny (K ≪ n), so it
-    * is collected once and BROADCAST; list assignment is one map-only
-    * stage of n·K integer dot products (no shuffle of the vectors, no
+    * Centroids here are a deterministic FIXED-K subset — the
+    * [[IvfK]] vectors with the smallest md5-derived vec_id hash
+    * (ties to the lower id), standing in for offline-trained k-means.
+    * K is a constant, never a fraction of the table: the quantizer is
+    * selected by a TakeOrdered (only K rows reach the driver), so
+    * driver memory AND the per-row assignment cost (K dot products)
+    * are independent of corpus size. The INDEX STRUCTURE and query
+    * path are shaped exactly like a production IVF build: the coarse
+    * quantizer is broadcast; list assignment is one map-only stage of
+    * n·K integer dot products (no shuffle of the vectors, no
     * aggregation — earlier window/argmax formulations shuffled the
     * vector payload and cost ~10× the arithmetic); probe routing is
     * driver-side over the same broadcast quantizer. At 100 TB the
@@ -302,8 +357,15 @@ object Similarity {
     val e = quantized(s, dir)
       .select(col("vec_id"), col("q"), col("qn")).as[(Long, Array[Long], Long)]
 
-    // coarse quantizer: K = n/32 centroids, collected once (tiny)
-    val cents = e.filter(pmod(col("vec_id"), lit(32)) === 0).collect().sortBy(_._1)
+    // coarse quantizer: the IvfK smallest-hash vectors — a TakeOrdered
+    // (K rows collected), constant-size at any corpus scale
+    val cents = quantized(s, dir)
+      .withColumn("h", hash60(col("vec_id").cast(StringType)))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(IvfK)
+      .select(col("vec_id"), col("q"), col("qn"))
+      .as[(Long, Array[Long], Long)]
+      .collect().sortBy(_._1)
     val bcCents = s.sparkContext.broadcast(cents)
     // nprobe nearest centroids of a vector: cos desc, ties to low cent_id
     def route(q: Array[Long], qn: Long, cs: Array[(Long, Array[Long], Long)],
@@ -317,9 +379,11 @@ object Similarity {
       it.map { case (id, q, qn) => (id, route(q, qn, cs, 1).head, q, qn) }
     }.toDF("vec_id", "cent_id", "q", "qn")
 
-    // query path: probe set is tiny -> routed on the driver against the
-    // same quantizer, shipped as a broadcast local relation
-    val probeRows = e.filter(pmod(col("vec_id"), lit(100)) === 0).collect()
+    // query path: probe set is bounded (boundedProbes: TakeOrdered of
+    // MaxProbes rows) -> routed on the driver against the same
+    // quantizer, shipped as a broadcast local relation
+    val probeRows = boundedProbes(e.toDF)
+      .as[(Long, Array[Long], Long)].collect()
       .sortBy(_._1)
       .flatMap { case (pid, pq, pqn) =>
         route(pq, pqn, cents, 2).map(cid => (pid, cid, pq, pqn))
@@ -345,7 +409,11 @@ object Similarity {
        |      FROM q
        |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
        |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM n
-       |          WHERE vec_id % 32 = 0),
+       |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |                   vec_id
+       |          LIMIT $IvfK),
+       |pset AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
+       |         ORDER BY vec_id LIMIT $MaxProbes),
        |assign AS (
        |  SELECT vec_id, cent_id, q, qn FROM (
        |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
@@ -364,7 +432,8 @@ object Similarity {
        |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
        |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
        |             c.cent_id) AS rn
-       |    FROM n v CROSS JOIN cents c WHERE v.vec_id % 100 = 0) t
+       |    FROM n v JOIN pset ON v.vec_id = pset.vec_id
+       |    CROSS JOIN cents c) t
        |  WHERE rn <= 2),
        |scored AS (
        |  SELECT p.probe_id, a.vec_id,
@@ -419,7 +488,7 @@ object Similarity {
   def cosineTopKAgg(s: SparkSession, dir: String): DataFrame = {
     val tk = udaf(TopKCos)
     val e = quantized(s, dir)
-    val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+    val probes = boundedProbes(e)
       .select(col("vec_id").as("probe_id"), col("q").as("qa"), col("qn").as("qna"))
     e.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
       .withColumn("cos", qcosineNative(col("qa"), col("q"), col("qna"), col("qn")))

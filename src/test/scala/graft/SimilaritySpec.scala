@@ -74,4 +74,25 @@ class SimilaritySpec extends SparkSpec {
         s"LSH recall on cos>=0.9 pairs below 50%: ${(strong & hit).size}/${strong.size}")
     }
   }
+
+  test("embeddingNearDup tiled broadcast == single-tile (exact pair equality)") {
+    // the tile loop must cover every (a, b) pair exactly once: each pair
+    // lands in the tile of b's vec_id bucket, no pair in two tiles
+    val one = Similarity.embeddingNearDupTiled(spark, sfDir, 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    val three = Similarity.embeddingNearDupTiled(spark, sfDir, 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(one.nonEmpty)
+    assert(three == one, "tiling changed the near-dup pair set")
+  }
+
+  test("boundedProbes caps the probe broadcast at MaxProbes smallest ids") {
+    // 2000 qualifying ids -- well above the cap; the result must be the
+    // MaxProbes SMALLEST (deterministic under growth: adding corpus can
+    // never change the selected probes, only — eventually — nothing)
+    val ids = spark.range(0, 200000).toDF("vec_id")
+    val got = Similarity.boundedProbes(ids).as[Long].collect()
+    assert(got.length == Similarity.MaxProbes)
+    assert(got.min == 0L && got.max == (Similarity.MaxProbes - 1) * 100L)
+  }
 }
