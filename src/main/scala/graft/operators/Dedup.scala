@@ -626,8 +626,11 @@ object Dedup {
     * 8-byte doc ids, and the histogram is tiny. */
   def dupDegree(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
-    pairs.select(col("doc_a").as("doc"))
-      .union(pairs.select(col("doc_b").as("doc")))
+    // endpoint explode, not union: a union of two projections evaluates
+    // the whole post-join pair pipeline (dedup aggregate + score
+    // filter) once PER BRANCH — explode doubles the rows in a single
+    // pass over one evaluation
+    pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc"))
       .groupBy(col("doc")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
       .orderBy("degree")
