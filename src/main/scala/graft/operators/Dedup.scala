@@ -647,6 +647,43 @@ object Dedup {
        |SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_docs
        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** Cross-source near-dup overlap: the (source, source) matrix of
+    * LSH-confirmed near-dup pairs — which crawls/feeds duplicate each
+    * other, the diagnostic that decides source-level dedup ordering
+    * and ingest priorities in a training-data pipeline (high
+    * off-diagonal mass means a source is mostly re-crawl of another).
+    *
+    * Scale: the pair graph (q21 machinery) is orders smaller than the
+    * corpus; the two doc→source joins shuffle 8-byte doc ids against
+    * the (doc_id, source) projection, and the matrix aggregate is
+    * |sources|² at most. Unordered pair keyed by (least, greatest) so
+    * the matrix is upper-triangular with the diagonal = intra-source
+    * dup mass. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH pairs AS ($pairGraphSql),
+       |s AS (SELECT doc_id, source FROM documents),
+       |m AS (
+       |  SELECT least(sa.source, sb.source) AS src_a,
+       |         greatest(sa.source, sb.source) AS src_b
+       |  FROM pairs
+       |  JOIN s sa ON sa.doc_id = doc_a
+       |  JOIN s sb ON sb.doc_id = doc_b)
+       |SELECT src_a, src_b, count(*) AS n_pairs
+       |FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q20_exact_dedup", exactDedupStats, Some(exactDedupStatsSql)),
     QueryDef("q21_minhash_lsh", minhashLsh, Some(minhashLshSql)),
@@ -656,5 +693,6 @@ object Dedup {
     QueryDef("q43_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     QueryDef("q50_edit_distance", editDistance, Some(editDistanceSql)),
     QueryDef("q70_dup_degree", dupDegree, Some(dupDegreeSql)),
+    QueryDef("q72_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
   )
 }

@@ -223,11 +223,105 @@ object TextAnalysis {
       |       CAST(score AS BIGINT) AS score, rnk
       |FROM ranked WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
 
+  /** The quality-filter FUNNEL every pretraining pipeline runs — three
+    * sequential gates per document (language prediction matches the
+    * label → token count ≥ 25 (q28's medium bar) → 3-gram repetition
+    * rate < 20% (q62's Gopher rule)), rolled up per source as
+    * survivors-after-each-stage. The operator exists to prove the
+    * engine composes its scoring primitives into one decision pass:
+    * everything (stopword scores, pred cascade, token/shingle counts)
+    * is computed in a SINGLE per-partition loop over each document —
+    * one scan, zero shuffle before the per-source rollup.
+    *
+    * All comparisons are exact-integer (`5·(n−nd) < n`, never a double
+    * ratio), so Spark and the DuckDB oracle agree bit-for-bit. */
+  def filterFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val profs = stopwords.map { case (_, ws) => ws.toSet }
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"), col("text"))
+      .as[(String, String, String)]
+      .mapPartitions { it =>
+        it.map { case (src, lang, text) =>
+          val toks = if (text == null) Array.empty[String]
+                     else text.split(" ").filter(_.nonEmpty)
+          val sc = profs.map(ws => toks.count(ws.contains)).toIndexedSeq
+          // the same deterministic tie cascade as q27 / the SQL CASE
+          val pred =
+            if (sc(0) >= sc(1) && sc(0) >= sc(2) && sc(0) >= sc(3) && sc(0) >= sc(4)) "en"
+            else if (sc(1) >= sc(2) && sc(1) >= sc(3) && sc(1) >= sc(4)) "de"
+            else if (sc(2) >= sc(3) && sc(2) >= sc(4)) "es"
+            else if (sc(3) >= sc(4)) "fr"
+            else "zh"
+          val langOk = pred == lang
+          val qualOk = toks.length >= 25
+          val repOk = toks.length >= 3 && {
+            val n = toks.length - 2
+            val seen = new java.util.HashSet[String](n * 2)
+            var i = 0
+            while (i < n) {
+              seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+              i += 1
+            }
+            5L * (n - seen.size) < n
+          }
+          (src, langOk, langOk && qualOk, langOk && qualOk && repOk)
+        }
+      }.toDF("source", "lang_ok", "lq_ok", "kept")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang"),
+        sum(when(col("lq_ok"), 1L).otherwise(0L)).as("n_lang_qual"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        (sum(when(col("kept"), 1L).otherwise(0L)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("keep_rate"))
+      .orderBy("source")
+  }
+
+  val filterFunnelSql: String = {
+    val scores = stopwords.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(w, t -> list_contains($list, t))) AS s_$l"
+    }.mkString(",\n         ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, lang, list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, source, lang, w,
+       |         $scores
+       |  FROM toks),
+       |rep AS (
+       |  SELECT doc_id,
+       |         CAST(len(w) - 2 AS BIGINT) AS n,
+       |         CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+       |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS BIGINT) AS nd
+       |  FROM toks WHERE len(w) >= 3),
+       |flags AS (
+       |  SELECT s.source,
+       |         (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |               WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |               WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |               WHEN s_fr >= s_zh THEN 'fr'
+       |               ELSE 'zh' END) = s.lang AS lang_ok,
+       |         len(s.w) >= 25 AS qual_ok,
+       |         coalesce(5 * (r.n - r.nd) < r.n, FALSE) AS rep_ok
+       |  FROM scored s LEFT JOIN rep r ON r.doc_id = s.doc_id)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       |       CAST(sum(CASE WHEN lang_ok AND qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_qual,
+       |       CAST(sum(CASE WHEN lang_ok AND qual_ok AND rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN lang_ok AND qual_ok AND rep_ok THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS keep_rate
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q27_lang_id", langId, Some(langIdSql)),
     QueryDef("q28_quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("q29_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("q30_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("q44_tfidf", tfidfTopTerms, Some(tfidfTopTermsSql)),
+    QueryDef("q73_filter_funnel", filterFunnel, Some(filterFunnelSql)),
   )
 }

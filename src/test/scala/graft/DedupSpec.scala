@@ -90,4 +90,12 @@ class DedupSpec extends SparkSpec {
       .agg(sum(col("degree") * col("n_docs"))).as[Long].collect().head
     assert(pairs > 0 && degSum == 2 * pairs)
   }
+
+  test("sourceOverlap: matrix mass == |pairs|, keys upper-triangular") {
+    val pairs = Dedup.minhashLsh(spark, sfDir).count()
+    val m = Dedup.sourceOverlap(spark, sfDir)
+      .as[(String, String, Long)].collect()
+    assert(m.map(_._3).sum == pairs)
+    assert(m.forall { case (a, b, n) => a <= b && n > 0 })
+  }
 }
