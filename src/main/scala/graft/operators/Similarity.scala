@@ -255,7 +255,18 @@ object Similarity {
     * only shuffles are the band self-join and the final sort. No
     * per-row array lambdas, no plane-table join, no aggregation before
     * candidate generation. */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    annLshCapped(s, dir, Dedup.MaxLshBucket)
+
+  /** [[annLsh]] with an explicit bucket cap (spec hook): buckets with
+    * more than `bucketCap` members are dropped whole before the band
+    * self-join, exactly like q21's [[Dedup.MaxLshBucket]] — an 8-bit
+    * band bucket holding m vectors yields m² candidates, so one
+    * degenerate bucket (e.g. a constant embedding region) would own
+    * the join. Never fires on the testdata; `SimilaritySpec` forces
+    * it with cap=1. */
+  private[graft] def annLshCapped(s: SparkSession, dir: String,
+                                  bucketCap: Int): DataFrame = {
     import s.implicits._
     val e = quantized(s, dir)
     // The 32 sign projections are per-row arithmetic against constant
@@ -281,7 +292,16 @@ object Similarity {
         }
       }.toDF("vec_id", "band", "bucket")
 
-    val cand = bands.as("a").join(bands.as("b"), Seq("band", "bucket"))
+    // hot-bucket cap: slim key-only count (map-side partial), oversized
+    // buckets removed via broadcast anti join — same shape as q21
+    val hot = bands.select(col("band"), col("bucket"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > bucketCap)
+      .select(col("band"), col("bucket"))
+    val kept = bands.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+
+    val cand = kept.as("a").join(kept.as("b"), Seq("band", "bucket"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .filter(col("vec_a") < col("vec_b"))
       .dropDuplicates("vec_a", "vec_b")

@@ -75,6 +75,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annLsh bucket cap: cap=1 kills every candidate, default cap is a no-op") {
+    // a size-1 bucket yields no a<b pair, so cap=1 (drop every bucket
+    // with >=2 members) must produce the empty result — the firing
+    // path — while the default cap changes nothing on this data
+    assert(Similarity.annLshCapped(spark, sfDir, 1).count() == 0)
+    val capped = Similarity.annLshCapped(spark, sfDir, graft.operators.Dedup.MaxLshBucket)
+      .collect().toSeq
+    val default = Similarity.annLsh(spark, sfDir).collect().toSeq
+    assert(capped == default && default.nonEmpty)
+  }
+
   test("embeddingNearDup tiled broadcast == single-tile (exact pair equality)") {
     // the tile loop must cover every (a, b) pair exactly once: each pair
     // lands in the tile of b's vec_id bucket, no pair in two tiles
