@@ -711,6 +711,117 @@ object Pipeline {
       |       count(DISTINCT b) AS n_occupied
       |FROM h GROUP BY source ORDER BY source""".stripMargin
 
+  /** Fixed-size token chunking with overlap — the windowing step that
+    * turns documents into training sequences: chunks of [[ChunkLen]]
+    * tokens starting every [[ChunkStride]] (10-token overlap), chunk i
+    * covering tokens [i·stride, min(i·stride + len, n)). Rolled up per
+    * source: chunk counts, chunk-token totals (so overlap cost =
+    * chunk_tokens − raw_tokens is visible) and mean chunk fill.
+    *
+    * All counts are closed-form integer arithmetic per row
+    * (`(n + stride − 1) div stride` chunks; chunk-token sum via a
+    * bounded sequence aggregate — ~n/stride elements, no explode, no
+    * shuffle before the rollup). At 100 TB this is a map-only pass
+    * whatever the corpus size. */
+  private val ChunkLen = 50L
+  private val ChunkStride = 40L
+
+  def tokenChunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n", size(tokens(col("text"))).cast(LongType))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks", expr(s"(n + ${ChunkStride - 1}) div $ChunkStride"))
+      .withColumn("chunk_toks",
+        aggregate(sequence(lit(0L), col("n_chunks") - 1), lit(0L),
+          (acc, i) => acc + least(lit(ChunkLen), col("n") - i * ChunkStride)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("raw_tokens"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("chunk_toks")).as("chunk_tokens"),
+        (sum(col("chunk_toks")) - sum(col("n"))).as("overlap_tokens"),
+        (sum(col("chunk_toks")).cast(DoubleType) /
+          (sum(col("n_chunks")) * ChunkLen).cast(DoubleType)).as("mean_fill"))
+      .orderBy("source")
+
+  val tokenChunksSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, n,
+       |         (n + ${ChunkStride - 1}) // $ChunkStride AS n_chunks,
+       |         CAST(list_sum(list_transform(
+       |             generate_series(0, (n + ${ChunkStride - 1}) // $ChunkStride - 1),
+       |             i -> least($ChunkLen, n - i * $ChunkStride))) AS BIGINT) AS chunk_toks
+       |  FROM d WHERE n > 0)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(n) AS BIGINT) AS raw_tokens,
+       |       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       |       CAST(sum(chunk_toks) AS BIGINT) AS chunk_tokens,
+       |       CAST(sum(chunk_toks) - sum(n) AS BIGINT) AS overlap_tokens,
+       |       CAST(sum(chunk_toks) AS DOUBLE)
+       |         / CAST(sum(n_chunks) * $ChunkLen AS DOUBLE) AS mean_fill
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  /** Greedy concat-and-split sequence packing (bin = [[PackBin]]
+    * tokens): documents are concatenated in doc_id order per source and
+    * cut every 512 tokens — the standard packing that wastes zero pad
+    * but SPLITS documents at bin boundaries. The diagnostic this
+    * operator reports is exactly that split cost per source: how many
+    * documents straddle a boundary (their attention span is cut), plus
+    * bin count and totals.
+    *
+    * One running-sum window per source (a single shuffle on source —
+    * at 100 TB partition the corpus by source and the window sorts
+    * within partitions), then a per-source rollup. Start/end offsets
+    * are exact BIGINT cumsums; boundary tests are integer div. */
+  private val PackBin = 512L
+
+  def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("n", size(tokens(col("text"))).cast(LongType))
+      .filter(col("n") > 0)
+      .select(col("source"), col("doc_id"), col("n"))
+      .withColumn("endt", sum(col("n")).over(w))
+      .withColumn("startt", col("endt") - col("n"))
+      .withColumn("split",
+        expr(s"startt div $PackBin") =!= expr(s"(endt - 1) div $PackBin"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        expr(s"(sum(n) + ${PackBin - 1}) div $PackBin").as("n_bins"),
+        sum(when(col("split"), 1L).otherwise(0L)).as("n_split_docs"),
+        (sum(when(col("split"), 1L).otherwise(0L)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("split_rate"))
+      .orderBy("source")
+  }
+
+  val sequencePackingSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n
+       |  FROM documents),
+       |o AS (
+       |  SELECT source, n,
+       |         sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS endt
+       |  FROM d WHERE n > 0),
+       |f AS (
+       |  SELECT source, n,
+       |         ((endt - n) // $PackBin) <> ((endt - 1) // $PackBin) AS split
+       |  FROM o)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(n) AS BIGINT) AS total_tokens,
+       |       CAST((sum(n) + ${PackBin - 1}) // $PackBin AS BIGINT) AS n_bins,
+       |       CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+       |       CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS split_rate
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -727,5 +838,7 @@ object Pipeline {
     QueryDef("q66_length_deciles", lengthDeciles, Some(lengthDecilesSql)),
     QueryDef("q67_feature_hash", featureHash, Some(featureHashSql)),
     QueryDef("q71_linear_count", linearCount, Some(linearCountSql)),
+    QueryDef("q74_token_chunks", tokenChunks, Some(tokenChunksSql)),
+    QueryDef("q75_sequence_packing", sequencePacking, Some(sequencePackingSql)),
   )
 }

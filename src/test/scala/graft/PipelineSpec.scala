@@ -198,4 +198,29 @@ class PipelineSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Double, Double)].collect()
     assert(all.forall(r => r._5 >= 0.0 && r._5 <= 1.0 && r._6 >= 0.0 && r._6 <= 1.0))
   }
+
+  test("tokenChunks: coverage and fill invariants") {
+    val rows = Pipeline.tokenChunks(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, raw, nChunks, chunkToks, overlap, fill) =>
+      // chunks cover every raw token at least once, overlap is the excess
+      assert(chunkToks >= raw && overlap == chunkToks - raw, src)
+      assert(nChunks >= nDocs, src) // every non-empty doc has >= 1 chunk
+      assert(fill > 0.0 && fill <= 1.0, src)
+    }
+  }
+
+  test("sequencePacking: split docs bounded, bins = ceil(total/512)") {
+    val rows = Pipeline.sequencePacking(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, tot, nBins, nSplit, rate) =>
+      assert(nBins == (tot + 511) / 512, src)
+      // at most one straddling doc per interior bin boundary, and a doc
+      // of length L can straddle at most ceil(L/512) boundaries — the
+      // loose but always-true bound is n_split <= n_docs
+      assert(nSplit <= nDocs && rate == nSplit.toDouble / nDocs.toDouble, src)
+    }
+  }
 }
