@@ -66,6 +66,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Broadcast"), s"probe side not broadcast:\n$p")
   }
 
+  test("q73: the filter funnel is one scan + one rollup shuffle (+ sort)") {
+    val p = plan("q73_filter_funnel")
+    assert(countOf(p, "Scan parquet") == 1, s"funnel must read documents once:\n$p")
+    // the per-partition gate loop feeds a partial agg; only the rollup
+    // exchange and the final rangepartitioning sort may shuffle
+    assert(countOf(p, "Exchange (hash|range)partitioning") <= 2,
+      s"funnel shuffled more than rollup+sort:\n$p")
+  }
+
+  test("q74: token chunking is map-only before the rollup") {
+    val p = plan("q74_token_chunks")
+    assert(countOf(p, "Scan parquet") == 1)
+    assert(countOf(p, "Exchange (hash|range)partitioning") <= 2,
+      s"chunking shuffled more than rollup+sort:\n$p")
+    assert(!p.contains("Generate"), "chunk math must not explode rows")
+  }
+
   test("hot aggregation paths stay inside whole-stage codegen") {
     // q01/q02 are pure scan->filter->agg: everything except the final
     // exchange should be codegen'd — the final plan marks codegen
