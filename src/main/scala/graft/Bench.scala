@@ -43,11 +43,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // Repeat a short, complete summary object as the FINAL stdout line:
-    // even if a tail-buffer capture truncates the per-query line above
-    // mid-object, a parse that scans lines from the end finds this one.
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
+    // Two lines, most informative LAST: a line-wise tail parse (the
+    // only kind that can work — sbt's "[info] running" line is on
+    // stdout too) scanning from the end finds the complete FULL object
+    // including per-query times (~2 KB after the 3-decimal rounding —
+    // fits the driver's observed ~2.8 KB tail buffer). If the query
+    // set ever grows the full line past the buffer, flip the order so
+    // the guaranteed-complete SHORT line is last instead.
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val short = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}"""
+    if (full.length <= 2400) { println(short); println(full) }
+    else { println(full); println(short) }
     spark.stop()
   }
 }

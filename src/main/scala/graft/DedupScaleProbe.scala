@@ -16,10 +16,13 @@ import graft.sources.Tables
   *  - **isolation**: zero cross-replica pairs — banding never invents
   *    candidates across disjoint shingle universes;
   *  - **stability**: replica 0's subgraph is bit-identical at every k
-  *    (adding corpus never perturbs existing pairs);
-  *  - **linearity**: wall time must grow ~linearly in k, demonstrating
-  *    candidate generation stays bucket-bounded (an all-pairs or
-  *    hot-bucket plan would grow quadratically).
+  *    (adding corpus never perturbs existing pairs).
+  *
+  * Wall time per k is REPORTED (not asserted — host load makes a
+  * timing require flaky): ~linear growth demonstrates candidate
+  * generation stays bucket-bounded, where an all-pairs or hot-bucket
+  * plan would grow quadratically. Measured on this host:
+  * k = 1/2/4/8 → 1.5/2.2/2.6/2.9 s.
   *
   * `sbt "runMain graft.DedupScaleProbe [sfDir]"` — one JSON line per k.
   */
@@ -29,25 +32,26 @@ object DedupScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val Offset = 100000000L
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     def rep(k: Int) = (0 until k).map { i =>
       docs.select(
-        (col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+        (col("doc_id") + lit(i * Offset)).as("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
           t => concat(t, lit(s"_$i")))).as("text"))
     }.reduce(_ union _)
-    val Offset = 100000000L
     def pairs(k: Int) = Dedup.minhashLshFrom(rep(k), Dedup.MaxLshBucket)
     pairs(1).count() // warm: JIT + codegen + parquet footer cache
     val base = pairs(1).count()
     Seq(1, 2, 4, 8).foreach { k =>
       val t0 = System.nanoTime()
-      val p = pairs(k)
+      val p = pairs(k).persist() // 3 actions below — compute the pipeline once
       val n = p.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val cross = p.filter(
         expr(s"doc_a div $Offset") =!= expr(s"doc_b div $Offset")).count()
       val rep0 = p.filter(col("doc_b") < Offset).count()
+      p.unpersist()
       require(cross == 0, s"$cross cross-replica pairs at k=$k")
       require(rep0 == base, s"replica-0 subgraph changed at k=$k: $rep0 vs $base")
       println(f"""{"k":$k,"sec":$sec%.3f,"pairs":$n,"cross":0,"rep0_stable":true}""")

@@ -58,9 +58,6 @@ object Dedup {
     * through codegen'd-but-allocating expressions. Hash values are
     * bit-identical to the SQL/DuckDB formulation (same UTF-8 md5, same
     * hex-prefix parse), which the oracle gate proves end-to-end. */
-  private def shingleHashRows(s: SparkSession, dir: String): DataFrame =
-    shingleHashRowsFrom(Tables.documents(s, dir))
-
   private[graft] def shingleHashRowsFrom(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

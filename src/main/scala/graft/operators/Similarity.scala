@@ -132,16 +132,26 @@ object Similarity {
     *
     * The build side is TILED, never collected whole: vec_ids are
     * bucketed mod T (T sized so a tile is ~[[NearDupTileRows]] rows /
-    * ~70 MB), the outer loop collects + broadcasts ONE tile at a time,
-    * and each pass scans the probe side against that tile; the union of
+    * ~70 MB), the loop collects + broadcasts one tile at a time, and
+    * each pass scans the probe side against its tile; the union of
     * passes covers every (a, b) pair exactly once because each pair
     * lands in exactly the tile of b's bucket. Cost is the same n²
     * row-pairs, just blocked — T scans of the (columnar, pruned) fact
-    * side for T tiles, while peak driver/executor memory stays one tile
-    * regardless of corpus size. Switch to [[annLsh]] when approximate
-    * recall is acceptable. The arithmetic is the exact quantized integer
-    * math of the oracle: dot and norms are BIGINT-exact, one IEEE double
-    * division at the end. */
+    * side for T tiles.
+    *
+    * Memory contract, precisely: the per-tile collects run one at a
+    * time (construction-time eager), so driver HEAP peaks at one
+    * deserialized tile; each collected array is then handed to the
+    * block manager (broadcasts store MEMORY_AND_DISK), so the T
+    * registered tiles EVICT TO DISK under pressure rather than
+    * accumulate on the heap, and executors fetch/evict one tile's
+    * blocks per pass. What grows with the corpus is broadcast DISK
+    * footprint, not heap. For a fully bounded variant, materialize
+    * each pass and `destroy()` its broadcast before the next — at the
+    * cost of losing single-DataFrame laziness. Or switch to
+    * [[annLsh]] when approximate recall is acceptable. The arithmetic
+    * is the exact quantized integer math of the oracle: dot and norms
+    * are BIGINT-exact, one IEEE double division at the end. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     // tile sizing needs only an upper bound on build rows — count the
     // raw table (parquet row-group statistics, no quantize pass), not

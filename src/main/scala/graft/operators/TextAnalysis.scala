@@ -246,9 +246,15 @@ object TextAnalysis {
           val toks = if (text == null) Array.empty[String]
                      else text.split(" ").filter(_.nonEmpty)
           val sc = profs.map(ws => toks.count(ws.contains)).toIndexedSeq
-          // the same deterministic tie cascade as q27 / the SQL CASE
+          // the same deterministic tie cascade as q27 / the SQL CASE —
+          // including the null-text corner: SQL's scores are NULL there
+          // (string_split(NULL)), so every WHEN is NULL and the ELSE
+          // 'zh' branch wins; q27's when().otherwise("zh") does the
+          // same. An empty/whitespace text is NOT null: zero scores,
+          // first branch, 'en' in both engines.
           val pred =
-            if (sc(0) >= sc(1) && sc(0) >= sc(2) && sc(0) >= sc(3) && sc(0) >= sc(4)) "en"
+            if (text == null) "zh"
+            else if (sc(0) >= sc(1) && sc(0) >= sc(2) && sc(0) >= sc(3) && sc(0) >= sc(4)) "en"
             else if (sc(1) >= sc(2) && sc(1) >= sc(3) && sc(1) >= sc(4)) "de"
             else if (sc(2) >= sc(3) && sc(2) >= sc(4)) "es"
             else if (sc(3) >= sc(4)) "fr"

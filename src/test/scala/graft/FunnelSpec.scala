@@ -16,8 +16,8 @@ class FunnelSpec extends SparkSpec {
       assert(rate == k.toDouble / n.toDouble)
     }
     // the funnel must actually discriminate on this data: some docs
-    // pass all gates, some fail at least one
-    assert(rows.map(_._4).sum > 0)
+    // pass all gates (n_kept > 0), some fail at least one
+    assert(rows.map(_._5).sum > 0)
     assert(rows.map(r => r._2 - r._5).sum > 0)
   }
 }
