@@ -66,6 +66,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Broadcast"), s"probe side not broadcast:\n$p")
   }
 
+  test("q21/q23: skew-cap machinery reuses the shingle pipeline — one scan at runtime") {
+    // the caps' cost argument rests on AQE stage reuse: the hot-set
+    // aggregate and the capped stream must share ONE execution of the
+    // tokenize->shingle->md5 pipeline (static explain shows the subtree
+    // 4-6x; the runtime plan must not)
+    Seq("q21_minhash_lsh", "q23_ngram_jaccard").foreach { q =>
+      val p = plan(q)
+      assert(countOf(p, "Scan parquet") == 1, s"$q re-scanned documents:\n$p")
+      assert(p.contains("ReusedExchange"), s"$q lost exchange reuse:\n$p")
+    }
+  }
+
   test("q73: the filter funnel is one scan + one rollup shuffle (+ sort)") {
     val p = plan("q73_filter_funnel")
     assert(countOf(p, "Scan parquet") == 1, s"funnel must read documents once:\n$p")
