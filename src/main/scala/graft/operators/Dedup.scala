@@ -651,17 +651,21 @@ object Dedup {
     * off-diagonal mass means a source is mostly re-crawl of another).
     *
     * Scale: the pair graph (q21 machinery) is orders smaller than the
-    * corpus; the two doc→source joins shuffle 8-byte doc ids against
-    * the (doc_id, source) projection, and the matrix aggregate is
-    * |sources|² at most. Unordered pair keyed by (least, greatest) so
-    * the matrix is upper-triangular with the diagonal = intra-source
-    * dup mass. */
+    * corpus, so it is BROADCAST against the (doc_id, source) corpus
+    * projection — the corpus never shuffles for the endpoint lookups
+    * (two pruned scans map-side-join the broadcast pair list; left to
+    * its own stats Catalyst might shuffle both sides on doc_id at
+    * corpus scale). The matrix aggregate is |sources|² at most.
+    * Unordered pair keyed by (least, greatest) so the matrix is
+    * upper-triangular with the diagonal = intra-source dup mass. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    pairs
-      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
-      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+    val withA = src.join(broadcast(pairs), col("doc_id") === col("doc_a"))
+      .select(col("source").as("sa"), col("doc_b"))
+    val both = src.join(broadcast(withA), col("doc_id") === col("doc_b"))
+      .select(col("sa"), col("source").as("sb"))
+    both
       .select(least(col("sa"), col("sb")).as("src_a"),
         greatest(col("sa"), col("sb")).as("src_b"))
       .groupBy(col("src_a"), col("src_b"))
