@@ -139,19 +139,20 @@ object Similarity {
     * row-pairs, just blocked — T scans of the (columnar, pruned) fact
     * side for T tiles.
     *
-    * Memory contract, precisely: the per-tile collects run one at a
-    * time (construction-time eager), so driver HEAP peaks at one
-    * deserialized tile; each collected array is then handed to the
-    * block manager (broadcasts store MEMORY_AND_DISK), so the T
-    * registered tiles EVICT TO DISK under pressure rather than
-    * accumulate on the heap, and executors fetch/evict one tile's
-    * blocks per pass. What grows with the corpus is broadcast DISK
-    * footprint, not heap. For a fully bounded variant, materialize
-    * each pass and `destroy()` its broadcast before the next — at the
-    * cost of losing single-DataFrame laziness. Or switch to
-    * [[annLsh]] when approximate recall is acceptable. The arithmetic
-    * is the exact quantized integer math of the oracle: dot and norms
-    * are BIGINT-exact, one IEEE double division at the end. */
+    * Memory contract: with more than one tile, each pass is executed
+    * EAGERLY (`localCheckpoint`) and its broadcast `destroy()`ed
+    * before the next tile is collected — at any instant the cluster
+    * holds ONE tile (driver array + broadcast blocks) plus the
+    * accumulated pair results (tiny: they passed the 0.4 threshold).
+    * Peak memory is genuinely corpus-independent; the cost is that
+    * the multi-tile DataFrame is materialized at construction rather
+    * than lazy (re-planning it re-runs nothing — passes are served
+    * from the checkpoint). The single-tile case (any corpus that fits
+    * one broadcast, incl. the bench scale) stays fully lazy. Or
+    * switch to [[annLsh]] when approximate recall is acceptable. The
+    * arithmetic is the exact quantized integer math of the oracle:
+    * dot and norms are BIGINT-exact, one IEEE double division at the
+    * end. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     // tile sizing needs only an upper bound on build rows — count the
     // raw table (parquet row-group statistics, no quantize pass), not
@@ -169,12 +170,12 @@ object Similarity {
     val e = quantized(s, dir)
       .select(col("vec_id"), col("q"), col("qn"))
       .as[(Long, Array[Long], Long)]
-    val passes = (0 until tiles).map { t =>
+    def pass(t: Int): DataFrame = {
       // one tile of the build side: bounded collect, bounded broadcast
       val block = e.filter(pmod(col("vec_id"), lit(tiles)) === t)
         .collect().sortBy(_._1)
       val bc = s.sparkContext.broadcast(block)
-      e.mapPartitions { it =>
+      val out = e.mapPartitions { it =>
         val arr = bc.value
         it.flatMap { case (ida, qa, qna) =>
           arr.iterator
@@ -183,8 +184,16 @@ object Similarity {
             .filter(_._3 >= 0.4)
         }
       }.toDF("vec_a", "vec_b", "cos")
+      if (tiles == 1) out // single broadcast: keep the plan fully lazy
+      else {
+        // run the pass now, keep only its (small) result, then release
+        // this tile's broadcast before the next one is collected
+        val kept = out.localCheckpoint(true)
+        bc.destroy()
+        kept
+      }
     }
-    passes.reduce(_ union _).orderBy("vec_a", "vec_b")
+    (0 until tiles).map(pass).reduce(_ union _).orderBy("vec_a", "vec_b")
   }
 
   private val qListSql =
