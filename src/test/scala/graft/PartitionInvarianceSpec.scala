@@ -23,7 +23,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // hash-ordered stratified sampling, broadcast contamination join,
     // broadcast k-means assignment, partition-loop repetition scoring
     "q54_cohort_retention", "q55_funnel", "q56_stratified_sample",
-    "q57_contamination", "q60_kmeans_step", "q62_repetition_ratio")
+    "q57_contamination", "q60_kmeans_step", "q62_repetition_ratio",
+    // round-4 shapes: broadcast-pair overlap rollup, single-loop
+    // filter funnel, per-source packing window
+    "q72_source_overlap", "q73_filter_funnel", "q75_sequence_packing")
 
   names.foreach { name =>
     test(s"$name is invariant under shuffle-partition count") {
