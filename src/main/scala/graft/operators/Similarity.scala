@@ -421,7 +421,7 @@ object Similarity {
     // query path: probe set is bounded (boundedProbes: TakeOrdered of
     // MaxProbes rows) -> routed on the driver against the same
     // quantizer, shipped as a broadcast local relation
-    val probeRows = boundedProbes(e.toDF)
+    val probeRows = boundedProbes(e.toDF())
       .as[(Long, Array[Long], Long)].collect()
       .sortBy(_._1)
       .flatMap { case (pid, pq, pqn) =>
