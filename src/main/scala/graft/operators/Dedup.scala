@@ -432,7 +432,21 @@ object Dedup {
     * CTE transitive closure), cross-validating both. */
   val DriverCcMaxEdges = 5000000L
 
-  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterRollup(dupLabels(s, dir))
+
+  /** Per-cluster rollup of a (doc, lab) label set — lab is the
+    * component-min doc id on every path, so it doubles as cluster id. */
+  private def clusterRollup(labels: DataFrame): DataFrame =
+    labels.groupBy(col("lab").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc")).as("max_doc"))
+      .orderBy("cluster_id")
+
+  /** (doc, lab) labels over the LSH pair graph — only docs that appear
+    * in at least one pair have a row; lab = min doc id of the
+    * connected component (all three CC formulations — driver UF,
+    * distributed min-label, the oracle's recursive CTE — agree on it). */
+  private[graft] def dupLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b")).cache()
     // One action decides the path AND feeds the small-graph branch: a
@@ -443,15 +457,15 @@ object Dedup {
     // threshold the collected prefix is simply discarded.
     val edges = pairs.as[(Long, Long)].limit(DriverCcMaxEdges.toInt + 1).collect()
     val out =
-      if (edges.length <= DriverCcMaxEdges) dupClustersDriver(s, edges)
-      else dupClustersDistributed(pairs)
+      if (edges.length <= DriverCcMaxEdges) dupLabelsDriver(s, edges)
+      else dupLabelsDistributed(pairs)
     pairs.unpersist()
     out
   }
 
   /** Small-graph path: union-find on the collected edge list. */
-  private def dupClustersDriver(s: SparkSession,
-                                edges: Array[(Long, Long)]): DataFrame = {
+  private def dupLabelsDriver(s: SparkSession,
+                              edges: Array[(Long, Long)]): DataFrame = {
     import s.implicits._
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
@@ -466,11 +480,7 @@ object Dedup {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val labels = parent.keys.map(d => d -> find(d)).toSeq
-    labels.toDF("doc", "lab")
-      .groupBy(col("lab").as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"), max(col("doc")).as("max_doc"))
-      .orderBy("cluster_id")
+    parent.keys.map(d => d -> find(d)).toSeq.toDF("doc", "lab")
   }
 
   /** Large-graph path: distributed min-label propagation, iterated to
@@ -484,7 +494,10 @@ object Dedup {
     * partial results. */
   val CcRoundLimit = 1000
 
-  def dupClustersDistributed(pairs: org.apache.spark.sql.DataFrame): DataFrame = {
+  def dupClustersDistributed(pairs: org.apache.spark.sql.DataFrame): DataFrame =
+    clusterRollup(dupLabelsDistributed(pairs))
+
+  private[graft] def dupLabelsDistributed(pairs: org.apache.spark.sql.DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("doc")).distinct()
@@ -506,11 +519,10 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    val out = labels.groupBy(col("lab").as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"), max(col("doc")).as("max_doc"))
-      .orderBy("cluster_id")
+    // labels' cache is materialized (the changed-count actions ran), so
+    // the edge cache can go now
     edges.unpersist()
-    out
+    labels
   }
 
   /** q21's pair graph as a reusable CTE body (the final projection and
@@ -685,6 +697,52 @@ object Dedup {
        |SELECT src_a, src_b, count(*) AS n_pairs
        |FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
 
+  /** The near-dup RETENTION decision — the actual output of a dedup
+    * pipeline: keep one document per connected near-dup cluster (the
+    * cluster-min doc id, deterministic) plus every unclustered
+    * document, reported per source. This closes the dedup family's
+    * loop: q21 finds pairs, q38 names clusters, q76 says which rows
+    * survive.
+    *
+    * Scale: the label set ([[dupLabels]]) covers only documents that
+    * appear in a near-dup pair — orders smaller than the corpus — so
+    * it is BROADCAST against the (doc_id, source) projection; the
+    * corpus never shuffles for the keep/drop join. */
+  def dedupRetention(s: SparkSession, dir: String): DataFrame = {
+    val labels = dupLabels(s, dir)
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(labels), col("doc_id") === col("doc"), "left")
+      .select(col("source"),
+        (col("lab").isNull || col("doc_id") === col("lab")).as("keep"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+      .orderBy("source")
+  }
+
+  val dedupRetentionSql: String = {
+    // the same pair graph + transitive closure as q38's oracle, joined
+    // back to documents: kept = unclustered or the cluster minimum
+    val pairGraph = pairGraphSql
+    s"""WITH RECURSIVE pairs AS ($pairGraph),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(doc, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
+       |final AS (SELECT doc, min(lab) AS cid FROM reach GROUP BY doc)
+       |SELECT d.source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN f.doc IS NULL OR d.doc_id = f.cid THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN f.doc IS NULL OR d.doc_id = f.cid THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+       |FROM documents d LEFT JOIN final f ON f.doc = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q20_exact_dedup", exactDedupStats, Some(exactDedupStatsSql)),
     QueryDef("q21_minhash_lsh", minhashLsh, Some(minhashLshSql)),
@@ -695,5 +753,6 @@ object Dedup {
     QueryDef("q50_edit_distance", editDistance, Some(editDistanceSql)),
     QueryDef("q70_dup_degree", dupDegree, Some(dupDegreeSql)),
     QueryDef("q72_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
+    QueryDef("q76_dedup_retention", dedupRetention, Some(dedupRetentionSql)),
   )
 }

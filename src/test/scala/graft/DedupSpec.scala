@@ -91,6 +91,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs > 0 && degSum == 2 * pairs)
   }
 
+  test("dedupRetention: drops == Σ(cluster size − 1), totals conserve") {
+    val docs = graft.sources.Tables.documents(spark, sfDir).count()
+    val ret = Dedup.dedupRetention(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(ret.map(_._2).sum == docs)
+    assert(ret.forall { case (_, n, k, d) => n == k + d })
+    // keep-one-per-cluster drops exactly (size - 1) docs per cluster
+    val clusterDrops = Dedup.dupClusters(spark, sfDir)
+      .agg(sum(col("n_docs") - 1)).as[Long].collect().head
+    assert(ret.map(_._4).sum == clusterDrops && clusterDrops > 0)
+  }
+
   test("sourceOverlap: matrix mass == |pairs|, keys upper-triangular") {
     val pairs = Dedup.minhashLsh(spark, sfDir).count()
     val m = Dedup.sourceOverlap(spark, sfDir)
