@@ -86,17 +86,57 @@ object Dedup {
       }.toDF("doc_id", "h32", "h60")
   }
 
-  /** 16-permutation MinHash signatures as an aggregation:
-    * mh_i = min over shingles of ((2i+1)·h + 912367·i) mod (2^31-1),
-    * i.e. 16 `min` aggregates over the exploded shingle hashes — partial
-    * mins combine map-side, so the shuffle carries 16 longs per doc. */
+  /** 16-permutation MinHash signatures,
+    * mh_i = min over distinct shingles of ((2i+1)·h + 912367·i) mod
+    * (2^31-1) with h the 32-bit md5 prefix. A signature is per-DOCUMENT
+    * state over that document's own shingles — all inside one row — so
+    * the 16 running minima accumulate in the SAME partition loop that
+    * tokenizes and hashes: the stage is map-only, and the
+    * explode→groupBy formulation's shuffle of every (doc, shingle) row
+    * (~100× the document count) disappears from all five pair-graph
+    * consumers (q21/q38/q70/q72/q76). Arithmetic is bit-identical to
+    * the SQL oracle's list_min over the same terms: h < 2^32 and
+    * multiplier ≤ 31 keep the products far under 2^63, and x ≥ 0 makes
+    * JVM % equal to pmod. */
   private def minhashSigsFrom(docs: DataFrame): DataFrame = {
-    val hs = shingleHashRowsFrom(docs).select(col("doc_id"), col("h32").as("h"))
-    val minCols = (0 until 16).map(i =>
-      min(pmod(col("h") * (2 * i + 1) + lit(B) * i, lit(P))).as(s"m$i"))
-    hs.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = if (text == null) Array.empty[String]
+                     else text.split(" ").filter(_.nonEmpty)
+          if (toks.length < 3) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[String]()
+            val mins = Array.fill(16)(Long.MaxValue)
+            var i = 0
+            while (i <= toks.length - 3) {
+              val sgl = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+              if (seen.add(sgl)) {
+                val h = java.lang.Long.parseLong(md5Hex(md, sgl).substring(0, 8), 16)
+                var j = 0
+                while (j < 16) {
+                  val v = (h * (2 * j + 1) + B * j) % P
+                  if (v < mins(j)) mins(j) = v
+                  j += 1
+                }
+              }
+              i += 1
+            }
+            Iterator.single((id, mins.toSeq))
+          }
+        }
+      }.toDF("doc_id", "sig")
+      // materialization barrier: the sig stream feeds the bucket-size
+      // count, both band-join sides and the score lookup — without an
+      // exchange in between, each consumer re-runs the whole
+      // tokenize→md5→min loop (the q23 lesson). This shuffles one slim
+      // (doc_id, 16 longs) row per document — ~100× less than the
+      // explode→groupBy formulation this loop replaced — and runtime
+      // stage reuse serves every consumer from it (plan-pinned).
+      .repartition(col("doc_id"))
   }
 
   /** Deterministic exact dedup: keep the min-doc_id row of every
