@@ -129,14 +129,6 @@ object Dedup {
           }
         }
       }.toDF("doc_id", "sig")
-      // materialization barrier: the sig stream feeds the bucket-size
-      // count, both band-join sides and the score lookup — without an
-      // exchange in between, each consumer re-runs the whole
-      // tokenize→md5→min loop (the q23 lesson). This shuffles one slim
-      // (doc_id, 16 longs) row per document — ~100× less than the
-      // explode→groupBy formulation this loop replaced — and runtime
-      // stage reuse serves every consumer from it (plan-pinned).
-      .repartition(col("doc_id"))
   }
 
   /** Deterministic exact dedup: keep the min-doc_id row of every
@@ -207,12 +199,17 @@ object Dedup {
         b => concat_ws(",", transform(slice(col("sig"), b * lit(4) + 1, lit(4)),
           v => v.cast(StringType))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+      // ONE exchange on the join key serves everything downstream: the
+      // bucket-size count aggregates shuffle-free on top of it, both
+      // self-join sides read it via runtime stage reuse (without a
+      // barrier each consumer re-runs the tokenize→md5→min loop — the
+      // q23 lesson, plan-pinned), and the band join itself is
+      // co-partitioned so it adds no further exchange.
+      .repartition(col("band"), col("bval"))
 
-    // hot-bucket cap: count members per (band, bval) on a slim key-only
-    // projection (map-side partial count -> the shuffle carries one row
-    // per distinct bucket per partition), then drop oversized buckets
-    // via a BROADCAST anti join — the hot set is at most n/cap buckets,
-    // tiny by construction
+    // hot-bucket cap: count members per (band, bval), drop oversized
+    // buckets via a BROADCAST anti join — the hot set is at most
+    // n/cap buckets, tiny by construction
     val hot = bands.select(col("band"), col("bval"))
       .groupBy(col("band"), col("bval"))
       .agg(count(lit(1)).as("bsz"))
@@ -326,10 +323,24 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("fp"), 15 * b).bitwiseAND(32767)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+      // barrier on the join key: the per-token md5 fingerprint loop ran
+      // once per join side without it (2 scans in the executed plan);
+      // with it, one slim exchange is reused by both sides and the
+      // bucket count, and the self-join is co-partitioned
+      .repartition(col("band"), col("bval"))
 
-    val a = bands.select(col("doc_id").as("doc_a"), col("fp").as("fpa"),
+    // same hot-bucket hazard and cap as q21/q26: a 15-bit band bucket
+    // with m members yields m² candidates
+    val hot = bands.select(col("band"), col("bval"))
+      .groupBy(col("band"), col("bval"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > MaxLshBucket)
+      .select(col("band"), col("bval"))
+    val kept = bands.join(broadcast(hot), Seq("band", "bval"), "left_anti")
+
+    val a = kept.select(col("doc_id").as("doc_a"), col("fp").as("fpa"),
       col("band"), col("bval"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("fp").as("fpb"),
+    val b = kept.select(col("doc_id").as("doc_b"), col("fp").as("fpb"),
       col("band"), col("bval"))
     a.join(b, Seq("band", "bval"))
       .filter(col("doc_a") < col("doc_b"))

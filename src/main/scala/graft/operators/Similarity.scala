@@ -310,6 +310,10 @@ object Similarity {
           }
         }
       }.toDF("vec_id", "band", "bucket")
+      // barrier on the join key: the 32-projection loop ran once per
+      // join side without it; one slim exchange now serves the bucket
+      // count and both sides, and the self-join is co-partitioned
+      .repartition(col("band"), col("bucket"))
 
     // hot-bucket cap: slim key-only count (map-side partial), oversized
     // buckets removed via broadcast anti join — same shape as q21
