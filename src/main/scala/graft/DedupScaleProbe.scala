@@ -40,9 +40,12 @@ object DedupScaleProbe {
         concat_ws(" ", transform(split(col("text"), " "),
           t => concat(t, lit(s"_$i")))).as("text"))
     }.reduce(_ union _)
+    import spark.implicits._
     def pairs(k: Int) = Dedup.minhashLshFrom(rep(k), Dedup.MaxLshBucket)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
     pairs(1).count() // warm: JIT + codegen + parquet footer cache
-    val base = pairs(1).count()
+    val base = pairSet(pairs(1))
     Seq(1, 2, 4, 8).foreach { k =>
       val t0 = System.nanoTime()
       val p = pairs(k).persist() // 3 actions below — compute the pipeline once
@@ -50,10 +53,13 @@ object DedupScaleProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       val cross = p.filter(
         expr(s"doc_a div $Offset") =!= expr(s"doc_b div $Offset")).count()
-      val rep0 = p.filter(col("doc_b") < Offset).count()
+      // SET equality, not count equality: swapping one borderline pair
+      // for another would keep the count while breaking stability
+      val rep0 = pairSet(p.filter(col("doc_b") < Offset))
       p.unpersist()
       require(cross == 0, s"$cross cross-replica pairs at k=$k")
-      require(rep0 == base, s"replica-0 subgraph changed at k=$k: $rep0 vs $base")
+      require(rep0 == base,
+        s"replica-0 subgraph changed at k=$k: ±${(rep0 diff base).size + (base diff rep0).size} pairs")
       println(f"""{"k":$k,"sec":$sec%.3f,"pairs":$n,"cross":0,"rep0_stable":true}""")
     }
     spark.stop()

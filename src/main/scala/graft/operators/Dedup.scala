@@ -48,16 +48,35 @@ object Dedup {
     sb.toString
   }
 
+  /** The ONE definition of a document's distinct word-3-shingle md5
+    * hexes — tokenization (split on single spaces, empties dropped,
+    * null text → nothing), the <3-token exclusion, first-occurrence
+    * distinctness and the UTF-8 md5 all live here so the q23 family
+    * and the MinHash family cannot drift apart; the SQL oracles
+    * reproduce the identical values (proven end-to-end by the gate). */
+  private def distinctShingleHexes(md: java.security.MessageDigest,
+                                   text: String): Iterator[String] = {
+    val toks = if (text == null) Array.empty[String]
+               else text.split(" ").filter(_.nonEmpty)
+    if (toks.length < 3) Iterator.empty
+    else {
+      val seen = new java.util.HashSet[String]()
+      (0 to toks.length - 3).iterator.flatMap { i =>
+        val sgl = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+        if (seen.add(sgl)) Iterator.single(md5Hex(md, sgl)) else Iterator.empty
+      }
+    }
+  }
+
   /** (doc_id, h32, h60) rows: one row per DISTINCT word 3-shingle per
     * document, with the md5-derived 32- and 60-bit hashes ([[graft.functions.Fns.hash32]]/
     * [[graft.functions.Fns.hash60]] arithmetic) computed in a tight
-    * per-partition loop. Tokenize→shingle→md5 is row-local work, so a
-    * mapPartitions map stage beats the SQL formulation twice over:
-    * higher-order array functions evaluate interpreted per row, and
-    * the explode-then-hash pipeline paid the md5 string machinery
-    * through codegen'd-but-allocating expressions. Hash values are
-    * bit-identical to the SQL/DuckDB formulation (same UTF-8 md5, same
-    * hex-prefix parse), which the oracle gate proves end-to-end. */
+    * per-partition loop over [[distinctShingleHexes]]. Tokenize→
+    * shingle→md5 is row-local work, so a mapPartitions map stage beats
+    * the SQL formulation twice over: higher-order array functions
+    * evaluate interpreted per row, and the explode-then-hash pipeline
+    * paid the md5 string machinery through codegen'd-but-allocating
+    * expressions. */
   private[graft] def shingleHashRowsFrom(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -66,21 +85,10 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
-          // null text: the SQL formulation's split(null) yields no rows
-          val toks = if (text == null) Array.empty[String]
-                     else text.split(" ").filter(_.nonEmpty)
-          if (toks.length < 3) Iterator.empty
-          else {
-            val seen = new java.util.HashSet[String]()
-            (0 to toks.length - 3).iterator.flatMap { i =>
-              val sgl = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
-              if (seen.add(sgl)) {
-                val hex = md5Hex(md, sgl)
-                Iterator.single((id,
-                  java.lang.Long.parseLong(hex.substring(0, 8), 16),
-                  java.lang.Long.parseLong(hex.substring(0, 15), 16)))
-              } else Iterator.empty
-            }
+          distinctShingleHexes(md, text).map { hex =>
+            (id,
+              java.lang.Long.parseLong(hex.substring(0, 8), 16),
+              java.lang.Long.parseLong(hex.substring(0, 15), 16))
           }
         }
       }.toDF("doc_id", "h32", "h60")
@@ -105,28 +113,19 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
-          val toks = if (text == null) Array.empty[String]
-                     else text.split(" ").filter(_.nonEmpty)
-          if (toks.length < 3) Iterator.empty
-          else {
-            val seen = new java.util.HashSet[String]()
-            val mins = Array.fill(16)(Long.MaxValue)
-            var i = 0
-            while (i <= toks.length - 3) {
-              val sgl = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
-              if (seen.add(sgl)) {
-                val h = java.lang.Long.parseLong(md5Hex(md, sgl).substring(0, 8), 16)
-                var j = 0
-                while (j < 16) {
-                  val v = (h * (2 * j + 1) + B * j) % P
-                  if (v < mins(j)) mins(j) = v
-                  j += 1
-                }
-              }
-              i += 1
+          val mins = Array.fill(16)(Long.MaxValue)
+          var any = false
+          distinctShingleHexes(md, text).foreach { hex =>
+            any = true
+            val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+            var j = 0
+            while (j < 16) {
+              val v = (h * (2 * j + 1) + B * j) % P
+              if (v < mins(j)) mins(j) = v
+              j += 1
             }
-            Iterator.single((id, mins.toSeq))
           }
+          if (any) Iterator.single((id, mins.toSeq)) else Iterator.empty
         }
       }.toDF("doc_id", "sig")
   }
@@ -183,6 +182,24 @@ object Dedup {
     * exercises the firing path with a planted hot bucket. */
   val MaxLshBucket = 1024
 
+  /** The one implementation of the hot-bucket cap, shared by all three
+    * LSH surfaces (q21 minhash, q22 simhash, q26 embedding ANN): count
+    * members per bucket key on a slim projection (map-side partial —
+    * and shuffle-free when `bands` is already partitioned on the
+    * keys), then drop oversized buckets whole via a BROADCAST anti
+    * join; the hot set is at most n/cap buckets, tiny by
+    * construction. */
+  private[operators] def dropHotBuckets(bands: DataFrame, cap: Int,
+                                        keys: String*): DataFrame = {
+    val kc = keys.map(col)
+    val hot = bands.select(kc: _*)
+      .groupBy(kc: _*)
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > cap)
+      .drop("bsz")
+    bands.join(broadcast(hot), keys, "left_anti")
+  }
+
   /** MinHash + LSH near-dup candidates: 16 minhashes, 4 bands of 4.
     * Candidates = pairs sharing at least one full band; emitted when the
     * signature-estimated Jaccard (n_eq/16) clears 0.5. The band
@@ -207,15 +224,7 @@ object Dedup {
       // co-partitioned so it adds no further exchange.
       .repartition(col("band"), col("bval"))
 
-    // hot-bucket cap: count members per (band, bval), drop oversized
-    // buckets via a BROADCAST anti join — the hot set is at most
-    // n/cap buckets, tiny by construction
-    val hot = bands.select(col("band"), col("bval"))
-      .groupBy(col("band"), col("bval"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > bucketCap)
-      .select(col("band"), col("bval"))
-    val kept = bands.join(broadcast(hot), Seq("band", "bval"), "left_anti")
+    val kept = dropHotBuckets(bands, bucketCap, "band", "bval")
 
     val a = kept.select(col("doc_id").as("doc_a"), col("sig").as("siga"),
       col("band"), col("bval"))
@@ -278,9 +287,13 @@ object Dedup {
     * of 15 bits for candidate generation, Hamming ≤ 6 to emit. 60 bits
     * (not 32) so that unrelated documents — expected Hamming ≈ 30 —
     * essentially never pass the threshold, while planted near-dups stay
-    * at single digits. One groupBy(doc) for the fingerprint (partial
-    * sums map-side), one equi-join on (band, 15-bit bucket). */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+    * at single digits. One map-only fingerprint pass, one equi-join on
+    * (band, 15-bit bucket) with the shared [[dropHotBuckets]] cap. */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashFrom(Tables.documents(s, dir), MaxLshBucket)
+
+  private[graft] def simhashFrom(docs: DataFrame, bucketCap: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     // The fingerprint is per-DOCUMENT state over that document's token
     // occurrences (simhash weights by term frequency) — row-local
@@ -289,7 +302,7 @@ object Dedup {
     // doc. The earlier dataflow formulation shuffled every token
     // occurrence through a 60-aggregate groupBy to compute the same
     // integers. Zero shuffle until band candidate generation.
-    val fp = Tables.documents(s, dir)
+    val fp = docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -329,14 +342,9 @@ object Dedup {
       // bucket count, and the self-join is co-partitioned
       .repartition(col("band"), col("bval"))
 
-    // same hot-bucket hazard and cap as q21/q26: a 15-bit band bucket
-    // with m members yields m² candidates
-    val hot = bands.select(col("band"), col("bval"))
-      .groupBy(col("band"), col("bval"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > MaxLshBucket)
-      .select(col("band"), col("bval"))
-    val kept = bands.join(broadcast(hot), Seq("band", "bval"), "left_anti")
+    // same hot-bucket hazard as q21/q26: a 15-bit band bucket with m
+    // members yields m² candidates
+    val kept = dropHotBuckets(bands, bucketCap, "band", "bval")
 
     val a = kept.select(col("doc_id").as("doc_a"), col("fp").as("fpa"),
       col("band"), col("bval"))
@@ -713,20 +721,23 @@ object Dedup {
     * and ingest priorities in a training-data pipeline (high
     * off-diagonal mass means a source is mostly re-crawl of another).
     *
-    * Scale: the pair graph (q21 machinery) is orders smaller than the
-    * corpus, so it is BROADCAST against the (doc_id, source) corpus
-    * projection — the corpus never shuffles for the endpoint lookups
-    * (two pruned scans map-side-join the broadcast pair list; left to
-    * its own stats Catalyst might shuffle both sides on doc_id at
-    * corpus scale). The matrix aggregate is |sources|² at most.
-    * Unordered pair keyed by (least, greatest) so the matrix is
-    * upper-triangular with the diagonal = intra-source dup mass. */
+    * Scale: the joins are shaped corpus ⋈ pair-graph (the big
+    * projection on the left, the derived set on the right) so AQE
+    * picks the right physical join per regime — a clean pair graph is
+    * orders smaller than the corpus and gets BROADCAST (corpus never
+    * shuffles); a dup-heavy crawl where the pair graph itself is
+    * Θ(corpus) degrades to a shuffle join on 8-byte doc ids rather
+    * than an over-limit broadcast (a forced broadcast() hint here
+    * would fail exactly on the inputs dedup exists for). The matrix
+    * aggregate is |sources|² at most. Unordered pair keyed by
+    * (least, greatest) so the matrix is upper-triangular with the
+    * diagonal = intra-source dup mass. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    val withA = src.join(broadcast(pairs), col("doc_id") === col("doc_a"))
+    val withA = src.join(pairs, col("doc_id") === col("doc_a"))
       .select(col("source").as("sa"), col("doc_b"))
-    val both = src.join(broadcast(withA), col("doc_id") === col("doc_b"))
+    val both = src.join(withA, col("doc_id") === col("doc_b"))
       .select(col("sa"), col("source").as("sb"))
     both
       .select(least(col("sa"), col("sb")).as("src_a"),
@@ -756,13 +767,17 @@ object Dedup {
     * survive.
     *
     * Scale: the label set ([[dupLabels]]) covers only documents that
-    * appear in a near-dup pair — orders smaller than the corpus — so
-    * it is BROADCAST against the (doc_id, source) projection; the
-    * corpus never shuffles for the keep/drop join. */
+    * appear in a near-dup pair. On a clean corpus that is orders
+    * smaller than the table and AQE broadcasts it (no corpus
+    * shuffle); on a dup-heavy crawl — where labels approach corpus
+    * size, precisely the regime the >[[DriverCcMaxEdges]] distributed
+    * CC path exists for — the join degrades to a shuffle on 8-byte
+    * doc ids instead of an over-limit broadcast, so no forced
+    * broadcast() hint. */
   def dedupRetention(s: SparkSession, dir: String): DataFrame = {
     val labels = dupLabels(s, dir)
     Tables.documents(s, dir).select(col("doc_id"), col("source"))
-      .join(broadcast(labels), col("doc_id") === col("doc"), "left")
+      .join(labels, col("doc_id") === col("doc"), "left")
       .select(col("source"),
         (col("lab").isNull || col("doc_id") === col("lab")).as("keep"))
       .groupBy(col("source"))

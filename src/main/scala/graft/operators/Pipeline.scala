@@ -718,10 +718,15 @@ object Pipeline {
     * source: chunk counts, chunk-token totals (so overlap cost =
     * chunk_tokens − raw_tokens is visible) and mean chunk fill.
     *
-    * All counts are closed-form integer arithmetic per row
-    * (`(n + stride − 1) div stride` chunks; chunk-token sum via a
+    * Chunk count is the real chunker's rule — windows advance by
+    * stride until one REACHES the end: 1 chunk when n ≤ len, else
+    * `1 + ceil((n − len)/stride)` (a plain `ceil(n/stride)` would
+    * emit a final chunk fully contained in its predecessor whenever
+    * n mod stride lands in the overlap — e.g. 2 chunks for a 45-token
+    * doc that one 50-token window already covers). All counts are
+    * closed-form integer arithmetic per row, chunk-token sums via a
     * bounded sequence aggregate — ~n/stride elements, no explode, no
-    * shuffle before the rollup). At 100 TB this is a map-only pass
+    * shuffle before the rollup. At 100 TB this is a map-only pass
     * whatever the corpus size. */
   private val ChunkLen = 50L
   private val ChunkStride = 40L
@@ -730,7 +735,10 @@ object Pipeline {
     Tables.documents(s, dir)
       .withColumn("n", size(tokens(col("text"))).cast(LongType))
       .filter(col("n") > 0)
-      .withColumn("n_chunks", expr(s"(n + ${ChunkStride - 1}) div $ChunkStride"))
+      .withColumn("n_chunks",
+        when(col("n") <= ChunkLen, 1L)
+          .otherwise(lit(1L) +
+            expr(s"(n - $ChunkLen + ${ChunkStride - 1}) div $ChunkStride")))
       .withColumn("chunk_toks",
         aggregate(sequence(lit(0L), col("n_chunks") - 1), lit(0L),
           (acc, i) => acc + least(lit(ChunkLen), col("n") - i * ChunkStride)))
@@ -750,13 +758,18 @@ object Pipeline {
        |  SELECT source,
        |         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n
        |  FROM documents),
-       |c AS (
+       |c0 AS (
        |  SELECT source, n,
-       |         (n + ${ChunkStride - 1}) // $ChunkStride AS n_chunks,
+       |         CASE WHEN n <= $ChunkLen THEN 1
+       |              ELSE 1 + (n - $ChunkLen + ${ChunkStride - 1}) // $ChunkStride
+       |         END AS n_chunks
+       |  FROM d WHERE n > 0),
+       |c AS (
+       |  SELECT source, n, n_chunks,
        |         CAST(list_sum(list_transform(
-       |             generate_series(0, (n + ${ChunkStride - 1}) // $ChunkStride - 1),
+       |             generate_series(0, n_chunks - 1),
        |             i -> least($ChunkLen, n - i * $ChunkStride))) AS BIGINT) AS chunk_toks
-       |  FROM d WHERE n > 0)
+       |  FROM c0)
        |SELECT source, count(*) AS n_docs,
        |       CAST(sum(n) AS BIGINT) AS raw_tokens,
        |       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,

@@ -315,14 +315,9 @@ object Similarity {
       // count and both sides, and the self-join is co-partitioned
       .repartition(col("band"), col("bucket"))
 
-    // hot-bucket cap: slim key-only count (map-side partial), oversized
-    // buckets removed via broadcast anti join — same shape as q21
-    val hot = bands.select(col("band"), col("bucket"))
-      .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > bucketCap)
-      .select(col("band"), col("bucket"))
-    val kept = bands.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    // shared hot-bucket cap (Dedup.dropHotBuckets) — same m² hazard
+    // and same remedy as the q21/q22 band joins
+    val kept = Dedup.dropHotBuckets(bands, bucketCap, "band", "bucket")
 
     val cand = kept.as("a").join(kept.as("b"), Seq("band", "bucket"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))

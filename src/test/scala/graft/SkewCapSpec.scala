@@ -44,6 +44,18 @@ class SkewCapSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("q22 simhash hot-bucket cap drops the pathological bucket, keeps normal pairs") {
+    // identical text -> identical 60-bit fingerprint -> one bucket of
+    // 150 per band (and Hamming 0 pairs uncapped)
+    val docs = hotDocs(_ => "same boilerplate text repeated everywhere always")
+    val capped = Dedup.simhashFrom(docs, Cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((901L, 902L)),
+      s"capped run must keep only the normal pair, got ${capped.size} pairs")
+    val uncapped = Dedup.simhashFrom(docs, Int.MaxValue).count()
+    assert(uncapped == 150L * 149 / 2 + 1)
+  }
+
   test("q23 df-cap removes hot-shingle fan-out, keeps normal pairs") {
     // each hot doc: shingles {common-shared-token (df 150),
     // shared-token-extra (df 150), token-extra-tail_i (df 1)} ->
