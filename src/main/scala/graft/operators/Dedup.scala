@@ -60,11 +60,18 @@ object Dedup {
                else text.split(" ").filter(_.nonEmpty)
     if (toks.length < 3) Iterator.empty
     else {
+      // tight while loop into a buffer — a lazy flatMap/Iterator.single
+      // chain here costs measurable per-shingle allocation on the
+      // million-shingle hot path
       val seen = new java.util.HashSet[String]()
-      (0 to toks.length - 3).iterator.flatMap { i =>
+      val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+      var i = 0
+      while (i <= toks.length - 3) {
         val sgl = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
-        if (seen.add(sgl)) Iterator.single(md5Hex(md, sgl)) else Iterator.empty
+        if (seen.add(sgl)) out += md5Hex(md, sgl)
+        i += 1
       }
+      out.iterator
     }
   }
 
