@@ -235,10 +235,18 @@ object TextAnalysis {
     *
     * All comparisons are exact-integer (`5·(n−nd) < n`, never a double
     * ratio), so Spark and the DuckDB oracle agree bit-for-bit. */
-  def filterFunnel(s: SparkSession, dir: String): DataFrame = {
+  def filterFunnel(s: SparkSession, dir: String): DataFrame =
+    filterFunnelFrom(Tables.documents(s, dir))
+
+  /** [[filterFunnel]] over an explicit docs relation — works unchanged
+    * on a STREAMING DataFrame (stateless per-row gates + one
+    * aggregation: run in complete output mode as a live quality
+    * monitor; `FunnelSpec` proves stream/batch parity). */
+  private[graft] def filterFunnelFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val profs = stopwords.map { case (_, ws) => ws.toSet }
-    Tables.documents(s, dir)
+    docs
       .select(col("source"), col("lang"), col("text"))
       .as[(String, String, String)]
       .mapPartitions { it =>

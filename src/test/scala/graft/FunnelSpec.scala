@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.operators.TextAnalysis
 
 /** q73's funnel counts must be monotone by construction (each stage is
@@ -19,5 +20,37 @@ class FunnelSpec extends SparkSpec {
     // pass all gates (n_kept > 0), some fail at least one
     assert(rows.map(_._5).sum > 0)
     assert(rows.map(r => r._2 - r._5).sum > 0)
+  }
+
+  test("streaming filter funnel matches batch (complete mode quality monitor)") {
+    // one doc per outcome: keeps, fails lang, fails length, fails
+    // repetition (passes lang+length first)
+    val enLong = "the and of to a in is it you that one two three four " +
+      "five six seven eight nine ten eleven twelve thirteen fourteen " +
+      "fifteen sixteen"                       // 26 toks, en, low repetition
+    val repHeavy = ("the and of " * 10).trim  // 30 toks, en, rep 25/28 > 0.2
+    val rows = Seq(
+      (1L, enLong, "en", "s1", 0L),
+      (2L, enLong, "de", "s1", 0L),           // pred en != de
+      (3L, "the and of to", "en", "s1", 0L),  // 4 toks < 25
+      (4L, repHeavy, "en", "s2", 0L))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+    val batch = TextAnalysis.filterFunnelFrom(rows.toDF(cols: _*))
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    assert(batch.map(r => (r._1, r._5)) == Set(("s1", 1L), ("s2", 0L)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = TextAnalysis.filterFunnelFrom(mem.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("funnel_parity")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("funnel_parity")
+        .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
   }
 }
