@@ -181,21 +181,40 @@ object Dedup {
     * documents generates m² candidate pairs, so one pathological bucket
     * (boilerplate text, a template crawled a million times) turns the
     * band equi-join into an effective cross join on that key. Buckets
-    * larger than the cap are dropped whole — their members are either
-    * exact/boilerplate dups better handled by q20's exact pass, or hash
-    * garbage; genuine near-dup clusters are orders of magnitude
-    * smaller. The cap never fires on the testdata (largest observed
-    * bucket ≪ cap), so oracle hashes are unchanged; `SkewCapSpec`
-    * exercises the firing path with a planted hot bucket. */
+    * larger than the cap are dropped whole. That is LOSSY for genuine
+    * near-dup (non-byte-identical) clusters above the cap — q20's
+    * exact pass only recovers the byte-identical subset — so the drop
+    * is never silent: [[dropHotBuckets]] records (hot_buckets,
+    * dropped_rows) via an observed-metrics node, and an operator that
+    * sees the counter fire routes the affected corpus through the
+    * exact-fingerprint pass or re-runs with a raised cap. Genuine
+    * clusters are usually orders of magnitude smaller than the cap;
+    * it never fires on the testdata (largest observed bucket ≪ cap),
+    * so oracle hashes are unchanged. `SkewCapSpec` exercises the
+    * firing path with a planted hot bucket. */
   val MaxLshBucket = 1024
 
   /** The one implementation of the hot-bucket cap, shared by all three
     * LSH surfaces (q21 minhash, q22 simhash, q26 embedding ANN): count
     * members per bucket key on a slim projection (map-side partial —
     * and shuffle-free when `bands` is already partitioned on the
-    * keys), then drop oversized buckets whole via a BROADCAST anti
-    * join; the hot set is at most n/cap buckets, tiny by
-    * construction. */
+    * keys), then drop oversized buckets whole via an anti join. The
+    * hot set is bounded only by rows/cap — Θ(n) in the worst case (a
+    * pathologically dup-heavy corpus, exactly the regime the cap
+    * exists for) — so the join carries NO broadcast() hint: AQE
+    * broadcasts when the hot set is actually small and degrades to a
+    * shuffle anti join (co-partitioned here — `bands` is already
+    * exchanged on the keys) when it is not. A forced hint would OOM
+    * precisely on the inputs the cap protects against.
+    *
+    * Observability: dropping buckets whole is lossy for clusters
+    * larger than the cap (their members vanish from the pair graph
+    * and q38/q76 report them as kept), so the cap's firing is never
+    * silent — a CollectMetrics node on the hot subtree records
+    * (hot_buckets, dropped_rows), readable after any action from
+    * `df.queryExecution.observedMetrics("graft.cap(...)")` and
+    * surfaced to monitoring by the standard QueryExecutionListener.
+    * `SkewCapSpec` pins both the zero and firing cases. */
   private[operators] def dropHotBuckets(bands: DataFrame, cap: Int,
                                         keys: String*): DataFrame = {
     val kc = keys.map(col)
@@ -203,19 +222,52 @@ object Dedup {
       .groupBy(kc: _*)
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > cap)
+      .observe(s"graft.cap(${keys.mkString(",")})",
+        count(lit(1)).as("hot_buckets"),
+        coalesce(sum(col("bsz")), lit(0L)).as("dropped_rows"))
       .drop("bsz")
-    bands.join(broadcast(hot), keys, "left_anti")
+    bands.join(hot, keys, "left_anti")
   }
 
   /** MinHash + LSH near-dup candidates: 16 minhashes, 4 bands of 4.
     * Candidates = pairs sharing at least one full band; emitted when the
     * signature-estimated Jaccard (n_eq/16) clears 0.5. The band
     * equi-join is the whole point at scale: shuffle on (band, value),
-    * never n² — with [[MaxLshBucket]] bounding per-bucket fan-out. */
+    * never n² — with [[MaxLshBucket]] bounding per-bucket fan-out.
+    * Reads the session's materialized [[pairGraph]], so the shingle→
+    * signature→band pipeline runs ONCE per (session, dir) no matter
+    * how many dedup-family queries consume it. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
-    minhashLshFrom(Tables.documents(s, dir), MaxLshBucket)
+    pairGraph(s, dir).orderBy("doc_a", "doc_b")
 
-  private[graft] def minhashLshFrom(docs: DataFrame, bucketCap: Int): DataFrame = {
+  /** THE materialized pair graph — the single most reused intermediate
+    * of the dedup family: q21 emits it, q38 clusters it, q70 histograms
+    * it, q72 joins sources onto it, q76 derives retention from it.
+    * Recomputing shingle→MinHash→LSH per consumer was 5 of the 7
+    * slowest bench entries in round 4, so the pair DataFrame is
+    * persisted (memory+disk) per (session, dir) — the in-session
+    * equivalent of the pipeline stage a production deployment would
+    * write to a table once per corpus snapshot. The cache holds only
+    * confirmed near-dup pairs (est_j ≥ 0.5): orders of magnitude
+    * smaller than the corpus, so its footprint is negligible and its
+    * lifetime (the session) is the right scope — testdata dirs are
+    * immutable inputs keyed by path. Materialization stays lazy: the
+    * first consumer's first action fills it. */
+  private val pairGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def pairGraph(s: SparkSession, dir: String): DataFrame =
+    pairGraphCache.computeIfAbsent((s, dir),
+      _ => minhashPairsFrom(Tables.documents(s, dir), MaxLshBucket).persist())
+
+  /** Uncached, fully-ordered pair pipeline over explicit docs — the
+    * spec surface (`SkewCapSpec`, `PlanShapeSpec` pin cap firing and
+    * exchange reuse on THIS path, where the session cache cannot hide
+    * the scan). */
+  private[graft] def minhashLshFrom(docs: DataFrame, bucketCap: Int): DataFrame =
+    minhashPairsFrom(docs, bucketCap).orderBy("doc_a", "doc_b")
+
+  private[graft] def minhashPairsFrom(docs: DataFrame, bucketCap: Int): DataFrame = {
     val sigs = minhashSigsFrom(docs)
 
     val bands = sigs.select(col("doc_id"), col("sig"),
@@ -247,7 +299,6 @@ object Dedup {
       .filter(col("n_eq").cast(DoubleType) / 16.0 >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("n_eq"),
         (col("n_eq").cast(DoubleType) / 16.0).as("est_j"))
-      .orderBy("doc_a", "doc_b")
   }
 
   val minhashLshSql: String =
@@ -429,12 +480,19 @@ object Dedup {
     // aggregates WITHOUT a further shuffle.
     val sh0 = shingleHashRowsFrom(docs).select(col("doc_id"), col("h60").as("h"))
       .repartition(col("h"))
-    // df-cap: hot shingles (df > cap) are at most n_shingles/cap keys —
-    // a tiny set, removed via broadcast anti join
+    // df-cap: hot shingles (df > cap) are n_shingles/cap keys at most —
+    // usually tiny, but Θ(n) on a boilerplate-saturated corpus, so no
+    // broadcast() hint: AQE broadcasts when small, and the anti join is
+    // already co-partitioned on h (the repartition above) otherwise.
+    // The cap firing is observable (same contract as dropHotBuckets).
     val sh = if (dfCap == Int.MaxValue) sh0 else {
       val hot = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > dfCap).select(col("h"))
-      sh0.join(broadcast(hot), Seq("h"), "left_anti")
+        .filter(col("df") > dfCap)
+        .observe("graft.cap(shingle_df)",
+          count(lit(1)).as("hot_shingles"),
+          coalesce(sum(col("df")), lit(0L)).as("dropped_rows"))
+        .select(col("h"))
+      sh0.join(hot, Seq("h"), "left_anti")
     }
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
@@ -514,19 +572,18 @@ object Dedup {
     * distributed min-label, the oracle's recursive CTE — agree on it). */
   private[graft] def dupLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b")).cache()
+    // served from the session's materialized pair graph (shared with
+    // q21/q70/q72) — no local cache/unpersist: the shared persist is
+    // exactly the reuse point, and both CC paths read it
+    val pairs = pairGraph(s, dir).select(col("doc_a"), col("doc_b"))
     // One action decides the path AND feeds the small-graph branch: a
-    // limit-probe (cheap — stops at threshold+1 rows) would not cache
-    // the full pair set for the distributed branch, and count+collect
-    // would run two jobs over the pipeline; collect once instead — the
-    // LSH pair graph is orders smaller than the corpus, and above the
-    // threshold the collected prefix is simply discarded.
+    // limit-probe (cheap — stops at threshold+1 rows) collects at most
+    // DriverCcMaxEdges+1 rows; above the threshold the collected
+    // prefix is simply discarded and the distributed path re-reads the
+    // persisted pairs.
     val edges = pairs.as[(Long, Long)].limit(DriverCcMaxEdges.toInt + 1).collect()
-    val out =
-      if (edges.length <= DriverCcMaxEdges) dupLabelsDriver(s, edges)
-      else dupLabelsDistributed(pairs)
-    pairs.unpersist()
-    out
+    if (edges.length <= DriverCcMaxEdges) dupLabelsDriver(s, edges)
+    else dupLabelsDistributed(pairs)
   }
 
   /** Small-graph path: union-find on the collected edge list. */
@@ -700,7 +757,7 @@ object Dedup {
     * endpoint explode doubles them, the degree aggregate shuffles
     * 8-byte doc ids, and the histogram is tiny. */
   def dupDegree(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = pairGraph(s, dir).select(col("doc_a"), col("doc_b"))
     // endpoint explode, not union: a union of two projections evaluates
     // the whole post-join pair pipeline (dedup aggregate + score
     // filter) once PER BRANCH — explode doubles the rows in a single
@@ -740,7 +797,7 @@ object Dedup {
     * (least, greatest) so the matrix is upper-triangular with the
     * diagonal = intra-source dup mass. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = pairGraph(s, dir).select(col("doc_a"), col("doc_b"))
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
     val withA = src.join(pairs, col("doc_id") === col("doc_a"))
       .select(col("source").as("sa"), col("doc_b"))

@@ -54,6 +54,15 @@ object Similarity {
     * norm) → ~69 MB per tile, safely under a 128 MB broadcast budget. */
   private[graft] val NearDupTileRows = 131072L
 
+  /** Hard ceiling on q24's tile count. Exact all-pairs is O(n²)
+    * compute BY DEFINITION — the memory tiling bounds the footprint,
+    * not the work — so beyond ~64 passes (≈8.4M vectors, ≈4096 full
+    * fact-side scans' worth of pair evaluations) brute force stops
+    * being a verification baseline and becomes a runaway job.
+    * [[embeddingNearDup]] REFUSES rather than silently launching it;
+    * the scale operator for that regime is [[annLsh]] (q26). */
+  private[graft] val MaxNearDupTiles = 64
+
   /** Fixed IVF coarse-quantizer size (q37). A constant — NOT a fraction
     * of the table — so driver memory and the per-row assignment cost
     * (K dot products) are independent of corpus size. */
@@ -124,7 +133,23 @@ object Similarity {
       .limit(MaxProbes)
 
   /** Brute-force near-dup pairs: all pairs with cosine ≥ 0.4, as a
-    * block nested-loop — the build side is broadcast as primitive
+    * block nested-loop.
+    *
+    * CONTRACT — exact-search BASELINE, not a 100 TB operator: memory
+    * is corpus-independent (tiling below) but compute is O(n²)
+    * row-pairs by definition — 100× the corpus is 10,000× the work.
+    * Its role is verification ground truth for [[annLsh]] (q26, the
+    * scale path) and exact search over bounded corpora;
+    * [[MaxNearDupTiles]] enforces that boundary by refusing oversized
+    * inputs instead of silently launching them. Known trade, accepted
+    * and documented: the multi-tile path runs eagerly at construction
+    * (tile passes + localCheckpoint), and a checkpointed pass does not
+    * survive executor loss because its source broadcast is destroyed —
+    * a retry restarts the query. Both are the price of the hard
+    * one-tile-live memory bound; the lazy/recoverable operator for
+    * unbounded corpora is q26.
+    *
+    * Mechanics: the build side is broadcast as primitive
     * arrays, and each partition scans its rows against the block in a
     * tight integer loop (the same shape every vector-search engine uses
     * for exact search; a SQL-level triangular join would evaluate an
@@ -158,8 +183,19 @@ object Similarity {
     // raw table (parquet row-group statistics, no quantize pass), not
     // the filtered/quantized view
     val n = Tables.embeddings(s, dir).count()
+    embeddingNearDupTiled(s, dir, tilesFor(n))
+  }
+
+  /** Tile count for an n-row build side, guarded by
+    * [[MaxNearDupTiles]]: throws (with the q26 pointer) instead of
+    * launching a quadratic job past the baseline's contract. */
+  private[graft] def tilesFor(n: Long): Int = {
     val tiles = math.max(1L, (n + NearDupTileRows - 1) / NearDupTileRows).toInt
-    embeddingNearDupTiled(s, dir, tiles)
+    require(tiles <= MaxNearDupTiles,
+      s"embeddingNearDup is the exact all-pairs BASELINE (O(n²) compute): " +
+        s"$n rows need $tiles tiles > MaxNearDupTiles=$MaxNearDupTiles. " +
+        "Use annLsh (q26) for corpora of this size, or raise the cap deliberately.")
+    tiles
   }
 
   /** [[embeddingNearDup]] with an explicit tile count (spec hook:

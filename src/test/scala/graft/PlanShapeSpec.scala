@@ -70,12 +70,43 @@ class PlanShapeSpec extends SparkSpec {
     // the caps' cost argument rests on AQE stage reuse: the hot-set
     // aggregate and the capped stream must share ONE execution of the
     // tokenize->shingle->md5 pipeline (static explain shows the subtree
-    // 4-6x; the runtime plan must not)
-    Seq("q21_minhash_lsh", "q23_ngram_jaccard").foreach { q =>
-      val p = plan(q)
-      assert(countOf(p, "Scan parquet") == 1, s"$q re-scanned documents:\n$p")
-      assert(p.contains("ReusedExchange"), s"$q lost exchange reuse:\n$p")
-    }
+    // 4-6x; the runtime plan must not). q21 is pinned on the UNCACHED
+    // builder — the session pair-graph cache would hide the scan.
+    val df21 = graft.operators.Dedup.minhashLshFrom(
+      graft.sources.Tables.documents(spark, sfDir), graft.operators.Dedup.MaxLshBucket)
+    df21.collect()
+    val p21 = df21.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(countOf(p21, "Scan parquet") == 1, s"q21 re-scanned documents:\n$p21")
+    assert(p21.contains("ReusedExchange"), s"q21 lost exchange reuse:\n$p21")
+    val p23 = plan("q23_ngram_jaccard")
+    assert(countOf(p23, "Scan parquet") == 1, s"q23 re-scanned documents:\n$p23")
+    assert(p23.contains("ReusedExchange"), s"q23 lost exchange reuse:\n$p23")
+  }
+
+  test("dedup family consumes ONE materialized pair graph — no shingle recomputation") {
+    // q21 produces the pair graph; q70/q72 (and q38/q76 via dupLabels)
+    // must read the session-persisted copy, not re-run
+    // tokenize->minhash->band. Executed-plan evidence: after q21 has
+    // materialized the cache, q70's whole plan reads the in-memory
+    // relation (zero parquet scans), and q72 scans parquet exactly once
+    // (the corpus side of its source join).
+    plan("q21_minhash_lsh") // materializes the session pair graph
+    // the InMemoryRelation node prints its cached BUILD plan (incl. the
+    // original parquet scan) — runtime work is everything above it
+    def runtime(p: String): String = p.split("InMemoryRelation")(0)
+    val p70 = plan("q70_dup_degree")
+    assert(p70.contains("InMemoryTableScan") || p70.contains("TableCacheQueryStage"),
+      s"q70 not reading the materialized pair graph:\n$p70")
+    assert(countOf(runtime(p70), "Scan parquet") == 0,
+      s"q70 re-ran the shingle pipeline:\n$p70")
+    val p72 = plan("q72_source_overlap")
+    // two slim (doc_id, source) corpus scans — one per pair endpoint,
+    // both broadcast — are the design; what must NOT appear is the
+    // signature pipeline (the MapPartitions shingle loop) re-running
+    assert(countOf(runtime(p72), "Scan parquet") <= 2,
+      s"q72 scans beyond the two corpus projections:\n$p72")
+    assert(countOf(runtime(p72), "MapPartitions") == 0,
+      s"q72 re-ran the shingle pipeline:\n$p72")
   }
 
   test("q73: the filter funnel is one scan + one rollup shuffle (+ sort)") {

@@ -106,4 +106,13 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length == Similarity.MaxProbes)
     assert(got.min == 0L && got.max == (Similarity.MaxProbes - 1) * 100L)
   }
+
+  test("q24 tile guard: refuses corpora beyond the exact-baseline contract") {
+    assert(Similarity.tilesFor(1L) == 1)
+    assert(Similarity.tilesFor(Similarity.NearDupTileRows) == 1)
+    val atCap = Similarity.NearDupTileRows * Similarity.MaxNearDupTiles
+    assert(Similarity.tilesFor(atCap) == Similarity.MaxNearDupTiles)
+    val e = intercept[IllegalArgumentException](Similarity.tilesFor(atCap + 1))
+    assert(e.getMessage.contains("annLsh"), "refusal must point at the scale operator")
+  }
 }

@@ -76,4 +76,42 @@ class SkewCapSpec extends SparkSpec {
     val b = Dedup.ngramJaccardFrom(docs, Int.MaxValue).collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  // ---- cap observability: dropping is lossy for genuine over-cap
+  // near-dup clusters, so it must never be silent. The CollectMetrics
+  // node records (hot buckets, dropped rows) on every execution.
+
+  test("q21 bucket-cap firing is observable: hot bucket/row counts recorded") {
+    val docs = hotDocs(_ => "same boilerplate text repeated everywhere always")
+    val df = Dedup.minhashLshFrom(docs, Cap)
+    df.collect()
+    val m = df.queryExecution.observedMetrics("graft.cap(band,bval)")
+    // identical hot text -> one 150-member bucket in each of 4 bands
+    assert(m.getAs[Long]("hot_buckets") == 4L, m.toString)
+    assert(m.getAs[Long]("dropped_rows") == 600L, m.toString)
+  }
+
+  test("q21 bucket-cap no-op records zero drops") {
+    val docs = hotDocs(_ => "x").filter($"doc_id" >= 900)
+    val df = Dedup.minhashLshFrom(docs, Cap)
+    df.collect()
+    // AQE's empty-relation propagation may prune the (empty) metrics
+    // node out of the final plan entirely — absence IS the zero signal;
+    // if the node survived, its counters must both read zero
+    val m = df.queryExecution.observedMetrics.get("graft.cap(band,bval)")
+    assert(m.forall(r =>
+      r.getAs[Long]("hot_buckets") == 0L && r.getAs[Long]("dropped_rows") == 0L),
+      m.toString)
+  }
+
+  test("q23 df-cap firing is observable: hot shingle/row counts recorded") {
+    // the two shared shingles each hit df=150; the pair docs' shingles
+    // stay at df=2
+    val docs = hotDocs(i => s"common shared token extra tail$i")
+    val df = Dedup.ngramJaccardFrom(docs, Cap)
+    df.collect()
+    val m = df.queryExecution.observedMetrics("graft.cap(shingle_df)")
+    assert(m.getAs[Long]("hot_shingles") == 2L, m.toString)
+    assert(m.getAs[Long]("dropped_rows") == 300L, m.toString)
+  }
 }
