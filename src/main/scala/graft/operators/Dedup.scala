@@ -267,22 +267,24 @@ object Dedup {
   private[graft] def minhashLshFrom(docs: DataFrame, bucketCap: Int): DataFrame =
     minhashPairsFrom(docs, bucketCap).orderBy("doc_a", "doc_b")
 
-  private[graft] def minhashPairsFrom(docs: DataFrame, bucketCap: Int): DataFrame = {
-    val sigs = minhashSigsFrom(docs)
-
-    val bands = sigs.select(col("doc_id"), col("sig"),
+  /** The LSH band table of a document set: (doc_id, sig, band, bval),
+    * 4 rows per signed document. The trailing repartition is the
+    * materialization barrier the whole family leans on: ONE exchange
+    * on the join key serves everything downstream — the bucket-size
+    * count aggregates shuffle-free on top of it, join sides read it
+    * via runtime stage reuse (without a barrier each consumer re-runs
+    * the tokenize→md5→min loop — the q23 lesson, plan-pinned), and
+    * band joins are co-partitioned so they add no further exchange. */
+  private def bandTable(docs: DataFrame): DataFrame =
+    minhashSigsFrom(docs).select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => concat_ws(",", transform(slice(col("sig"), b * lit(4) + 1, lit(4)),
           v => v.cast(StringType))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
-      // ONE exchange on the join key serves everything downstream: the
-      // bucket-size count aggregates shuffle-free on top of it, both
-      // self-join sides read it via runtime stage reuse (without a
-      // barrier each consumer re-runs the tokenize→md5→min loop — the
-      // q23 lesson, plan-pinned), and the band join itself is
-      // co-partitioned so it adds no further exchange.
       .repartition(col("band"), col("bval"))
 
+  private[graft] def minhashPairsFrom(docs: DataFrame, bucketCap: Int): DataFrame = {
+    val bands = bandTable(docs)
     val kept = dropHotBuckets(bands, bucketCap, "band", "bval")
 
     val a = kept.select(col("doc_id").as("doc_a"), col("sig").as("siga"),
@@ -718,6 +720,82 @@ object Dedup {
       |  AND NOT EXISTS (SELECT 1 FROM corp WHERE corp.nh = nt.nh)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Incremental NEAR-dup detection — q43's shape extended from exact
+    * hashes to MinHash-LSH: the incoming batch (doc_id ≡ 0 mod 5, the
+    * same "today's crawl" convention as q43) computes signatures for
+    * ITS OWN documents only and band-joins them against the standing
+    * corpus band table. Output: (doc_new, doc_corpus) near-dup pairs
+    * with the usual est_j ≥ 0.5 score — the ingest-time "is this new
+    * document a near-copy of something we already hold" check.
+    *
+    * Scale contract: per ingest the signature pipeline runs over the
+    * BATCH only — O(batch) new work — and the corpus side is read as a
+    * band table, which a production deployment persists once per
+    * corpus snapshot (exactly the table [[bandTable]] emits; here it
+    * is recomputed because the driver contract gives each query a
+    * fresh cold session, and q21's session [[pairGraph]] demonstrates
+    * the persisted form). No corpus×corpus pairs are ever generated:
+    * the join is batch-bands ⋈ index-bands, so bucket fan-out is
+    * m_batch·m_corpus per bucket, with [[dropHotBuckets]] capping the
+    * index side (the unbounded factor; the batch is bounded by the
+    * ingest window). Both band tables are partitioned on (band, bval),
+    * so the join is co-partitioned. */
+  def incrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    incrementalLshFrom(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      MaxLshBucket)
+  }
+
+  private[graft] def incrementalLshFrom(batch: DataFrame, corpus: DataFrame,
+                                        bucketCap: Int): DataFrame = {
+    val nb = bandTable(batch)
+    val ib0 = bandTable(corpus)
+    val ib = if (bucketCap == Int.MaxValue) ib0
+             else dropHotBuckets(ib0, bucketCap, "band", "bval")
+    val a = nb.select(col("doc_id").as("doc_new"), col("sig").as("siga"),
+      col("band"), col("bval"))
+    val b = ib.select(col("doc_id").as("doc_corpus"), col("sig").as("sigb"),
+      col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .select("doc_new", "doc_corpus", "siga", "sigb")
+      .dropDuplicates("doc_new", "doc_corpus")
+      .withColumn("n_eq",
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v))
+      .filter(col("n_eq").cast(DoubleType) / 16.0 >= 0.5)
+      .select(col("doc_new"), col("doc_corpus"), col("n_eq"),
+        (col("n_eq").cast(DoubleType) / 16.0).as("est_j"))
+      .orderBy("doc_new", "doc_corpus")
+  }
+
+  /** q77's oracle reuses q21's CTE chain (tokens→shingles→signatures→
+    * bands) verbatim up to candidate generation, then restricts the
+    * band join to batch×corpus pairs. Same loud-failure surgery
+    * contract as [[pairGraphSql]]. */
+  val incrementalLshSql: String = {
+    val marker = "cand AS ("
+    require(minhashLshSql.contains(marker),
+      "minhashLshSql reworded; update incrementalLshSql surgery")
+    minhashLshSql.substring(0, minhashLshSql.indexOf(marker)) +
+      """cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_corpus
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+        |sc AS (
+        |  SELECT doc_new, doc_corpus,
+        |         CAST(len(list_filter(generate_series(1, 16),
+        |                i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_eq
+        |  FROM cand
+        |  JOIN sig sa ON sa.doc_id = doc_new
+        |  JOIN sig sb ON sb.doc_id = doc_corpus)
+        |SELECT doc_new, doc_corpus, n_eq, CAST(n_eq AS DOUBLE) / 16.0 AS est_j
+        |FROM sc
+        |WHERE CAST(n_eq AS DOUBLE) / 16.0 >= 0.5
+        |ORDER BY doc_new, doc_corpus""".stripMargin
+  }
+
   /** Edit-distance near-dup verification: Levenshtein distance on the
     * 60-char prefixes of a deterministic document sample (doc_id ≡ 0
     * mod 100, all pairs) — the character-level complement to the
@@ -884,5 +962,6 @@ object Dedup {
     QueryDef("q70_dup_degree", dupDegree, Some(dupDegreeSql)),
     QueryDef("q72_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     QueryDef("q76_dedup_retention", dedupRetention, Some(dedupRetentionSql)),
+    QueryDef("q77_incremental_lsh", incrementalLsh, Some(incrementalLshSql)),
   )
 }

@@ -53,6 +53,27 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall $recall too low")
   }
 
+  test("q77 incremental LSH == full recompute restricted to batch×corpus pairs") {
+    // the point of the incremental path: signing only the batch and
+    // joining against the persisted index must find EXACTLY the pairs
+    // the full-corpus recompute finds across the batch/corpus boundary
+    // (batch×batch and corpus×corpus pairs are by-design out of scope)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val inc = Dedup.incrementalLshFrom(
+        docs.filter(pmod($"doc_id", lit(5)) === 0),
+        docs.filter(pmod($"doc_id", lit(5)) =!= 0), Int.MaxValue)
+      .select("doc_new", "doc_corpus", "n_eq")
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Dedup.minhashLshFrom(docs, Int.MaxValue)
+      .select("doc_a", "doc_b", "n_eq").as[(Long, Long, Long)].collect()
+      .filter { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b, n) => if (a % 5 == 0) (a, b, n) else (b, a, n) }
+      .toSet
+    assert(inc.nonEmpty, "testdata must contain cross-boundary near-dups")
+    assert(inc == full,
+      s"incremental != recompute: only-inc=${inc -- full}, only-full=${full -- inc}")
+  }
+
   test("dupClusters: driver union-find == distributed min-label propagation") {
     val pairs = Dedup.minhashLsh(spark, sfDir).select("doc_a", "doc_b")
     val viaDriver = Dedup.dupClusters(spark, sfDir) // small graph -> driver path
