@@ -538,6 +538,134 @@ object Dedup {
       |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Distinct [[WindowLen]]-token window md5 hexes of a document,
+    * stride 1 — the window generalization of [[distinctShingleHexes]]
+    * (kept separate: the 3-gram loop is the hot path of five queries
+    * and stays allocation-tuned). O(n·win) char copying per document;
+    * a rolling hash would be O(n) but md5-of-window keeps the DuckDB
+    * oracle bit-exact, and the work is row-local map-only either
+    * way. */
+  private def distinctWindowHexes(md: java.security.MessageDigest,
+                                  text: String, win: Int): Iterator[String] = {
+    val toks = if (text == null) Array.empty[String]
+               else text.split(" ").filter(_.nonEmpty)
+    if (toks.length < win) Iterator.empty
+    else {
+      val seen = new java.util.HashSet[String]()
+      val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - win) {
+        sb.setLength(0)
+        var j = 0
+        while (j < win) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        val sgl = sb.toString
+        if (seen.add(sgl)) out += md5Hex(md, sgl)
+        i += 1
+      }
+      out.iterator
+    }
+  }
+
+  /** q78 window length: 20 tokens ≈ a sentence-and-a-half of verbatim
+    * text — long enough that a shared window is real copying, short
+    * enough that the testdata's 10-99-token documents produce
+    * windows. (The 50-token chunking constant belongs to q74's
+    * training-chunk economics, not to span detection.) */
+  val WindowLen = 20
+
+  /** Hot-window df-cap (q78) — same hazard and same treatment as q23's
+    * [[MaxShingleDf]]: a boilerplate window present in m documents
+    * contributes m² join pairs. Capped windows leave the window
+    * universe consistently (join AND per-doc sizes); the firing is
+    * observable via "graft.cap(window_df)". */
+  val MaxWindowDf = 4096
+
+  /** Exact substring-overlap dedup — the shared-SPAN modality that
+    * shingle-set Jaccard (q21/q23) does not cover: q23 measures
+    * whole-document set similarity, so a 200-token verbatim span
+    * pasted into an otherwise-different 5000-token document scores
+    * near zero; here it lights up as a run of shared windows. Every
+    * overlapping [[WindowLen]]-token window (stride 1) is hashed;
+    * documents sharing windows are found by an equi-join on the
+    * 60-bit window hash — the scalable, equi-join-shaped
+    * approximation of suffix-array dedup (windows at every offset ⇒
+    * any shared span ≥ WindowLen tokens produces span−WindowLen+1
+    * matching windows REGARDLESS of its alignment in either
+    * document). Output per pair: shared window count and containment
+    * (shared / smaller doc's window count); containment ≥ 0.5 means
+    * most of the smaller document is verbatim inside the larger.
+    *
+    * Scale: one map-only window pass (row count = token count, same
+    * as the 3-gram shingle table), one exchange on the 8-byte hash
+    * reused by the df count, both join sides and the size aggregate
+    * (the q23 barrier pattern), [[MaxWindowDf]] bounding per-window
+    * fan-out. */
+  def spanOverlap(s: SparkSession, dir: String): DataFrame =
+    spanOverlapFrom(Tables.documents(s, dir), MaxWindowDf)
+
+  private[graft] def spanOverlapFrom(docs: DataFrame, dfCap: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val win0 = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          distinctWindowHexes(md, text, WindowLen)
+            .map(hex => (id, java.lang.Long.parseLong(hex.substring(0, 15), 16)))
+        }
+      }.toDF("doc_id", "h")
+      .repartition(col("h"))
+    val win = if (dfCap == Int.MaxValue) win0 else {
+      val hot = win0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap)
+        .observe("graft.cap(window_df)",
+          count(lit(1)).as("hot_windows"),
+          coalesce(sum(col("df")), lit(0L)).as("dropped_rows"))
+        .select(col("h"))
+      win0.join(hot, Seq("h"), "left_anti")
+    }
+    val sz = win.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val inter = win.as("a").join(win.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("nw").as("nwa")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("nw").as("nwb")), Seq("doc_b"))
+      .withColumn("min_windows", least(col("nwa"), col("nwb")))
+      .withColumn("containment",
+        col("shared_windows").cast(DoubleType) / col("min_windows").cast(DoubleType))
+      .filter(col("containment") >= 0.5)
+      .select("doc_a", "doc_b", "shared_windows", "min_windows", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val spanOverlapSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM documents),
+       |win AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(sgl), 1, 15) AS BIGINT) AS h
+       |  FROM (
+       |    SELECT DISTINCT doc_id, sgl FROM (
+       |      SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - ${WindowLen - 1}),
+       |               i -> array_to_string(list_slice(w, i, i + ${WindowLen - 1}), ' '))) AS sgl
+       |      FROM toks WHERE len(w) >= $WindowLen) t0) t),
+       |sz AS (SELECT doc_id, count(*) AS nw FROM win GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_windows
+       |  FROM win a JOIN win b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared_windows,
+       |       least(sa.nw, sb.nw) AS min_windows,
+       |       CAST(shared_windows AS DOUBLE) / CAST(least(sa.nw, sb.nw) AS DOUBLE) AS containment
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(shared_windows AS DOUBLE) / CAST(least(sa.nw, sb.nw) AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Near-dup clustering: connected components over the MinHash-LSH
     * pair graph — the "keep one per cluster" worklist of a dedup
     * pipeline. Output: one row per cluster (cluster id = min doc_id),
@@ -963,5 +1091,6 @@ object Dedup {
     QueryDef("q72_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     QueryDef("q76_dedup_retention", dedupRetention, Some(dedupRetentionSql)),
     QueryDef("q77_incremental_lsh", incrementalLsh, Some(incrementalLshSql)),
+    QueryDef("q78_span_overlap", spanOverlap, Some(spanOverlapSql)),
   )
 }

@@ -74,6 +74,25 @@ class DedupSpec extends SparkSpec {
       s"incremental != recompute: only-inc=${inc -- full}, only-full=${full -- inc}")
   }
 
+  test("q78 span overlap is alignment-independent: a shared span is found at ANY offset") {
+    // the property stride-1 windows buy over strided chunking: the same
+    // 25-token span sits at offset 3 in doc 1 and offset 0 in doc 2 —
+    // a stride-10 chunker would hash it at incompatible boundaries and
+    // find nothing; stride-1 guarantees span-20+1 = 6 matching windows
+    val span = (1 to 25).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"pre1 pre2 pre3 $span"),
+      (2L, s"$span post1 post2 post3 post4 post5"),
+      (3L, (1 to 30).map(i => s"other$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanOverlapFrom(docs, Int.MaxValue)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSeq == Seq((1L, 2L)))
+    val (_, _, shared, minW, cont) = got.head
+    assert(shared == 6L, s"expected 6 shared windows, got $shared")
+    assert(minW == 9L && math.abs(cont - 6.0 / 9.0) < 1e-15)
+  }
+
   test("dupClusters: driver union-find == distributed min-label propagation") {
     val pairs = Dedup.minhashLsh(spark, sfDir).select("doc_a", "doc_b")
     val viaDriver = Dedup.dupClusters(spark, sfDir) // small graph -> driver path

@@ -77,6 +77,31 @@ class SkewCapSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("q78 window df-cap removes boilerplate fan-out, keeps normal pairs") {
+    // hot docs: common 20-token prefix (window df=150) + unique tail
+    // (second window df=1). Uncapped: every hot pair shares 1 of 2
+    // windows -> containment 0.5 -> quadratic pair set. Capped: the
+    // boilerplate window leaves the universe consistently (sizes too),
+    // so hot docs have no shared windows; the normal identical pair
+    // (one window each) stays at containment 1.
+    val common = (1 to 20).map(i => s"c$i").mkString(" ")
+    val pairTxt = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs = ((1L to 150L).map(i => (i, s"$common tail$i")) ++ Seq(
+      (901L, pairTxt), (902L, pairTxt))).toDF("doc_id", "text")
+    val capped = Dedup.spanOverlapFrom(docs, Cap)
+    // observed metrics live on the executed QueryExecution — act on
+    // `capped` itself, not a derived projection
+    val rows = capped.collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((901L, 902L)),
+      s"capped run must keep only the normal pair, got ${got.size} pairs")
+    val m = capped.queryExecution.observedMetrics("graft.cap(window_df)")
+    assert(m.getAs[Long]("hot_windows") == 1L && m.getAs[Long]("dropped_rows") == 150L,
+      m.toString)
+    val uncapped = Dedup.spanOverlapFrom(docs, Int.MaxValue).count()
+    assert(uncapped == 150L * 149 / 2 + 1)
+  }
+
   // ---- cap observability: dropping is lossy for genuine over-cap
   // near-dup clusters, so it must never be silent. The CollectMetrics
   // node records (hot buckets, dropped rows) on every execution.
