@@ -733,6 +733,36 @@ object Relational {
       |) UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
       |GROUP BY metric ORDER BY metric""".stripMargin
 
+  /** The layout-producer query (q79): write lineitem + orders as
+    * bucketed-by-orderkey catalog tables ([[graft.sources.Layout]] —
+    * once per session/dir), then run the q07-shape fact⋈fact join ON
+    * THE RE-READ TABLES. Layout is semantics-free, so the oracle runs
+    * the plain SQL over the original parquet; what the layout buys is
+    * the PLAN — the bucketed join needs no ShuffleExchange (pinned in
+    * `LayoutWriterSpec`), because the write paid the shuffle once for
+    * every future consumer. At 100 TB the write runs once per corpus
+    * snapshot and every orderkey join downstream rides the layout for
+    * free. */
+  def bucketedLayout(s: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = graft.sources.Layout.bucketedLineitemOrders(s, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast(DoubleType).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  // declared BEFORE defs: object vals initialize in declaration order,
+  // and a Some(null) oracle would NPE the Verify dump
+  val bucketedLayoutSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q06_region_revenue", regionRevenue, Some(regionRevenueSql)),
     QueryDef("q07_priority_revenue", priorityRevenue, Some(priorityRevenueSql)),
@@ -760,5 +790,6 @@ object Relational {
     QueryDef("q53_subqueries", subqueries, Some(subqueriesSql)),
     QueryDef("q68_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("q69_unpivot", unpivotMetrics, Some(unpivotMetricsSql)),
+    QueryDef("q79_bucketed_layout", bucketedLayout, Some(bucketedLayoutSql)),
   )
 }

@@ -9,11 +9,9 @@ import graft.sources.Tables
 class LayoutSpec extends SparkSpec {
 
   test("date-partitioned events: a day filter prunes to 1/30th of the files") {
-    val dir = "/tmp/graft_events_parted"
-    Tables.events(spark, sfDir)
-      .withColumn("day", to_date(col("ts")))
-      .write.mode("overwrite").partitionBy("day").parquet(dir)
-    val all = spark.read.parquet(dir)
+    // the layout is written by the PRODUCT writer (graft.sources.Layout),
+    // not test-local code — the spec proves the shipped component
+    val all = graft.sources.Layout.partitionedEvents(spark, sfDir)
     val oneDay = all.filter(col("day") === lit("2024-01-05").cast("date"))
     // pruning is visible in the plan and in the files actually read:
     // the day predicate becomes a PartitionFilter and the executed
