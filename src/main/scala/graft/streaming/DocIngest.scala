@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Fns._
+
+/** The streaming front door of the dedup family — q43's incremental
+  * exact dedup as an INGEST-time operator: documents arriving on a
+  * stream are admitted only if their normalized-text hash is (a) not
+  * already in the standing corpus and (b) not already seen earlier in
+  * the stream (replays, re-crawls).
+  *
+  * One definition serves batch and streaming (`DataFrame` in, the
+  * engine decides): on a streaming input, `dropDuplicates` keeps the
+  * first-per-hash across ALL triggers (state store), and the corpus
+  * check is a stream-static LEFT ANTI join — both append-mode
+  * compatible, so admitted documents flow out exactly once.
+  * `StreamingSpec` proves stream == batch on identical rows and that
+  * trigger boundaries never change the admitted set.
+  *
+  * 100 TB notes: the 60-bit hash key makes the state store and the
+  * anti join carry 8-byte keys, never document bodies (the q43
+  * argument); the corpus side is pre-distinct so the static relation
+  * is one row per unique text. Unbounded streams should bound the
+  * replay state with `dropDuplicatesWithinWatermark` once a re-crawl
+  * horizon is known — the state then holds one hash per IN-HORIZON
+  * document instead of forever; the corpus anti join is the backstop
+  * for older dups (at scale: a bucketed corpus-hash table, q79's
+  * layout machinery). */
+object DocIngest {
+
+  def dedupedIngest(incoming: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusHashes = corpus
+      .select(hash60(normText(col("text"))).as("nh")).distinct()
+    incoming
+      .withColumn("nh", hash60(normText(col("text"))))
+      .dropDuplicates("nh")
+      .join(corpusHashes, Seq("nh"), "left_anti")
+  }
+}

@@ -159,4 +159,48 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSeq.map(_._3).sum == terms.length * 4L)
     } finally q.stop()
   }
+
+  test("streaming incremental dedup (q43 shape): corpus anti join + replay state == batch, across triggers") {
+    import graft.streaming.DocIngest
+    val corpus = Seq((100L, "old doc one"), (101L, "old doc two"))
+      .toDF("doc_id", "text")
+    // trigger 1: a corpus dup, two fresh docs, an in-trigger replay
+    val t1 = Seq(
+      (1L, "old doc one"),   // already in corpus -> rejected
+      (2L, "fresh alpha"),   // admitted
+      (3L, "fresh beta"),    // admitted
+      (4L, "fresh alpha"))   // replay of 2 -> rejected
+    // trigger 2: a normalization dup of corpus, a CROSS-trigger replay,
+    // one genuinely new doc
+    val t2 = Seq(
+      (5L, "Old  Doc Two"),  // normText dup of corpus -> rejected
+      (6L, "fresh beta"),    // cross-trigger replay of 3 -> rejected
+      (7L, "fresh gamma"))   // admitted
+
+    // batch reference on the full input (admitted TEXTS are
+    // deterministic — a replay keeps some row of the same text)
+    def texts(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("text").as[String].collect().toSet
+    val batch = texts(DocIngest.dedupedIngest((t1 ++ t2).toDF("doc_id", "text"), corpus))
+    assert(batch == Set("fresh alpha", "fresh beta", "fresh gamma"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = DocIngest.dedupedIngest(mem.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("ingest_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(t1: _*)
+      q.processAllAvailable()
+      mem.addData(t2: _*)
+      q.processAllAvailable()
+      val got = spark.table("ingest_dedup")
+      assert(texts(got) == batch, "stream admitted a different document set than batch")
+      // exactly-once admission: one output row per admitted text, and
+      // the cross-trigger replay (6) was suppressed by the state store
+      assert(got.count() == 3)
+      val ids = got.select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(2L, 3L, 7L), s"first-arrival rows must win, got $ids")
+    } finally q.stop()
+  }
 }
