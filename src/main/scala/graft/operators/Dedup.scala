@@ -868,18 +868,35 @@ object Dedup {
     * index side (the unbounded factor; the batch is bounded by the
     * ingest window). Both band tables are partitioned on (band, bval),
     * so the join is co-partitioned. */
-  def incrementalLsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    incrementalLshFrom(
-      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
-      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
-      MaxLshBucket)
-  }
+  /** The corpus band table, materialized per (session, dir) — this IS
+    * the "persisted index" of the operator's contract (the table a
+    * deployment writes once per corpus snapshot): without it every
+    * q77 execution re-signs the standing corpus, which is exactly the
+    * O(corpus)-per-ingest cost the incremental path exists to avoid.
+    * Cached UNCAPPED; the hot-bucket cap is applied per read so its
+    * observability fires on every execution. */
+  private val bandIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  private def corpusBandIndex(s: SparkSession, dir: String): DataFrame =
+    bandIndexCache.computeIfAbsent((s, dir), _ =>
+      bandTable(Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(5)) =!= 0)).persist())
+
+  def incrementalLsh(s: SparkSession, dir: String): DataFrame =
+    incrementalJoin(
+      bandTable(Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)),
+      corpusBandIndex(s, dir),
+      MaxLshBucket)
+
+  /** Uncached form over explicit frames (the `DedupSpec` equivalence
+    * surface). */
   private[graft] def incrementalLshFrom(batch: DataFrame, corpus: DataFrame,
-                                        bucketCap: Int): DataFrame = {
-    val nb = bandTable(batch)
-    val ib0 = bandTable(corpus)
+                                        bucketCap: Int): DataFrame =
+    incrementalJoin(bandTable(batch), bandTable(corpus), bucketCap)
+
+  private def incrementalJoin(nb: DataFrame, ib0: DataFrame,
+                              bucketCap: Int): DataFrame = {
     val ib = if (bucketCap == Int.MaxValue) ib0
              else dropHotBuckets(ib0, bucketCap, "band", "bval")
     val a = nb.select(col("doc_id").as("doc_new"), col("sig").as("siga"),

@@ -109,6 +109,20 @@ class PlanShapeSpec extends SparkSpec {
       s"q72 re-ran the shingle pipeline:\n$p72")
   }
 
+  test("q77: the corpus band index is materialized — only the batch is re-signed") {
+    plan("q77_incremental_lsh") // first run materializes the index
+    val p = plan("q77_incremental_lsh")
+    def runtime(s: String): String = s.split("InMemoryRelation")(0)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"q77 not reading the persisted band index:\n$p")
+    // per ingest: ONE signature loop (the batch side) over ONE parquet
+    // scan — the corpus is never re-signed
+    assert(countOf(runtime(p), "MapPartitions") == 1,
+      s"q77 re-signed the corpus:\n$p")
+    assert(countOf(runtime(p), "Scan parquet") == 1,
+      s"q77 re-scanned beyond the batch side:\n$p")
+  }
+
   test("q73: the filter funnel is one scan + one rollup shuffle (+ sort)") {
     val p = plan("q73_filter_funnel")
     assert(countOf(p, "Scan parquet") == 1, s"funnel must read documents once:\n$p")
