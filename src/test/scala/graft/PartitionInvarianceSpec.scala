@@ -26,7 +26,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q57_contamination", "q60_kmeans_step", "q62_repetition_ratio",
     // round-4 shapes: broadcast-pair overlap rollup, single-loop
     // filter funnel, per-source packing window
-    "q72_source_overlap", "q73_filter_funnel", "q75_sequence_packing")
+    "q72_source_overlap", "q73_filter_funnel", "q75_sequence_packing",
+    // round-5 shapes: batch-vs-index band join (cached index), stride-1
+    // window-hash equi-join, bucketed-layout fact join
+    "q77_incremental_lsh", "q78_span_overlap", "q79_bucketed_layout")
 
   names.foreach { name =>
     test(s"$name is invariant under shuffle-partition count") {
