@@ -4,27 +4,32 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 import graft.sources.Tables
 
-/** Empirical scaling probe for the MinHash-LSH dedup shape (q21):
+/** Empirical scaling probe for the two exact-ish dedup pair shapes —
+  * MinHash-LSH (q21) and stride-1 window-hash span overlap (q78):
   * replicates `documents` k× (k = 1, 2, 4, 8), with every token of
-  * replica i suffixed `_i` so replicas share NO shingles across copies
-  * — the near-dup pair graph of the replicated corpus is k DISJOINT
-  * per-replica graphs. (Each replica's borderline est_j ≈ 0.5 pairs
-  * differ by hash draw — the suffix changes every shingle — so the
+  * replica i suffixed `_i` so replicas share NO shingles/windows across
+  * copies — the pair graph of the replicated corpus is k DISJOINT
+  * per-replica graphs. (Each replica's borderline-threshold pairs
+  * differ by hash draw — the suffix changes every hash — so the
   * TOTAL is only ≈k×; the per-replica structure is what's exact.)
-  * Asserted per k:
+  * Asserted per k and per shape:
   *
-  *  - **isolation**: zero cross-replica pairs — banding never invents
-  *    candidates across disjoint shingle universes;
+  *  - **isolation**: zero cross-replica pairs — banding / window
+  *    equi-joins never invent candidates across disjoint universes;
   *  - **stability**: replica 0's subgraph is bit-identical at every k
   *    (adding corpus never perturbs existing pairs).
   *
   * Wall time per k is REPORTED (not asserted — host load makes a
   * timing require flaky): ~linear growth demonstrates candidate
-  * generation stays bucket-bounded, where an all-pairs or hot-bucket
-  * plan would grow quadratically. Measured on this host:
-  * k = 1/2/4/8 → 1.5/2.2/2.6/2.9 s.
+  * generation stays bucket/df-bounded, where an all-pairs or
+  * hot-bucket plan would grow quadratically. Measured on this host:
+  * q21 k = 1/2/4/8 → 2.8/2.5/3.7/6.6 s (8× data → 2.4× wall);
+  * q78 → 1.8/3.0/5.6/10.1 s (8× → 5.6× — near-linear, as expected
+  * for a stride-1 window table that grows linearly with the corpus;
+  * quadratic would be 64×).
   *
-  * `sbt "runMain graft.DedupScaleProbe [sfDir]"` — one JSON line per k.
+  * `sbt "runMain graft.DedupScaleProbe [sfDir]"` — one JSON line per
+  * (shape, k).
   */
 object DedupScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -41,27 +46,32 @@ object DedupScaleProbe {
           t => concat(t, lit(s"_$i")))).as("text"))
     }.reduce(_ union _)
     import spark.implicits._
-    def pairs(k: Int) = Dedup.minhashLshFrom(rep(k), Dedup.MaxLshBucket)
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
-    pairs(1).count() // warm: JIT + codegen + parquet footer cache
-    val base = pairSet(pairs(1))
-    Seq(1, 2, 4, 8).foreach { k =>
-      val t0 = System.nanoTime()
-      val p = pairs(k).persist() // 3 actions below — compute the pipeline once
-      val n = p.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val cross = p.filter(
-        expr(s"doc_a div $Offset") =!= expr(s"doc_b div $Offset")).count()
-      // SET equality, not count equality: swapping one borderline pair
-      // for another would keep the count while breaking stability
-      val rep0 = pairSet(p.filter(col("doc_b") < Offset))
-      p.unpersist()
-      require(cross == 0, s"$cross cross-replica pairs at k=$k")
-      require(rep0 == base,
-        s"replica-0 subgraph changed at k=$k: ±${(rep0 diff base).size + (base diff rep0).size} pairs")
-      println(f"""{"k":$k,"sec":$sec%.3f,"pairs":$n,"cross":0,"rep0_stable":true}""")
+
+    def probe(shape: String, mk: Int => org.apache.spark.sql.DataFrame): Unit = {
+      mk(1).count() // warm: JIT + codegen + parquet footer cache
+      val base = pairSet(mk(1))
+      Seq(1, 2, 4, 8).foreach { k =>
+        val t0 = System.nanoTime()
+        val p = mk(k).persist() // 3 actions below — compute the pipeline once
+        val n = p.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val cross = p.filter(
+          expr(s"doc_a div $Offset") =!= expr(s"doc_b div $Offset")).count()
+        // SET equality, not count equality: swapping one borderline pair
+        // for another would keep the count while breaking stability
+        val rep0 = pairSet(p.filter(col("doc_b") < Offset))
+        p.unpersist()
+        require(cross == 0, s"[$shape] $cross cross-replica pairs at k=$k")
+        require(rep0 == base,
+          s"[$shape] replica-0 subgraph changed at k=$k: ±${(rep0 diff base).size + (base diff rep0).size} pairs")
+        println(f"""{"shape":"$shape","k":$k,"sec":$sec%.3f,"pairs":$n,"cross":0,"rep0_stable":true}""")
+      }
     }
+
+    probe("q21_minhash_lsh", k => Dedup.minhashLshFrom(rep(k), Dedup.MaxLshBucket))
+    probe("q78_span_overlap", k => Dedup.spanOverlapFrom(rep(k), Dedup.MaxWindowDf))
     spark.stop()
   }
 }

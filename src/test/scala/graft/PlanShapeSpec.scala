@@ -81,6 +81,10 @@ class PlanShapeSpec extends SparkSpec {
     val p23 = plan("q23_ngram_jaccard")
     assert(countOf(p23, "Scan parquet") == 1, s"q23 re-scanned documents:\n$p23")
     assert(p23.contains("ReusedExchange"), s"q23 lost exchange reuse:\n$p23")
+    // q78 copies q23's barrier pattern on the window hash — same pin
+    val p78 = plan("q78_span_overlap")
+    assert(countOf(p78, "Scan parquet") == 1, s"q78 re-scanned documents:\n$p78")
+    assert(p78.contains("ReusedExchange"), s"q78 lost exchange reuse:\n$p78")
   }
 
   test("dedup family consumes ONE materialized pair graph — no shingle recomputation") {
