@@ -10,11 +10,29 @@ object Bench {
     // single-query timing during development.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val doWarmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    // Setup pass, timed separately: materialize the session-shared
+    // intermediates (pair graph, corpus band index, bucketed +
+    // partitioned layouts) BEFORE any timed pass — and regardless of
+    // the SPARK_GRAFT_ONLY filter — so the one-time build cost is
+    // reported as its own `setup_sec` field instead of being absorbed
+    // by whichever dedup/layout-family query happens to execute first
+    // in a given run order. This is what makes per-query medians
+    // comparable between the builder's run order and the driver's.
+    val setupSec = if (!doWarmup) 0.0 else {
+      val t0 = System.nanoTime()
+      try {
+        graft.operators.Dedup.warmSharedState(spark, sfDir)
+        graft.sources.Layout.bucketedLineitemOrders(spark, sfDir)
+        graft.sources.Layout.partitionedEvents(spark, sfDir)
+      } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
     // Warmup pass: JVM/JIT + whole-stage-codegen compilation dominate
     // first-execution wall time at these scales (a 0.9 s query reads
     // 5.4 s cold). One untimed pass first, so the timed pass measures
     // steady-state engine throughput. Disable with SPARK_GRAFT_WARMUP=0.
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+    if (doWarmup) {
       selected.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
@@ -48,32 +66,10 @@ object Bench {
       val v = samples.collect { case (`n`, t) => t }.sorted
       n -> v((v.length - 1) / 2) // lower median: never averages two passes
     }
-    // 3-decimal times: Double.toString of a 17-digit nanoTime ratio made
-    // the 71-query line ~3.3 KB — longer than the driver's captured
-    // stdout tail, so rounds 1-3 all recorded parsed:null. rint/1000
-    // then Double.toString (shortest-repr, locale-independent) keeps the
-    // full line under ~2 KB.
-    def f3(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // Two lines, most informative LAST: a line-wise tail parse (the
-    // only kind that can work — sbt's "[info] running" line is on
-    // stdout too) scanning from the end finds the complete FULL object
-    // including per-query times (~2 KB after the 3-decimal rounding —
-    // fits the driver's observed ~2.8 KB tail buffer). If the query
-    // set ever grows the full line past the buffer, the SHORT line is
-    // printed last instead — and each line says which form it is via
-    // "queries_inline", so the consumer KNOWS when it parsed the
-    // degraded no-per-query form rather than inferring from absence.
-    def line(withQueries: Boolean): String = {
-      val qpart = if (withQueries) s""","queries":$qs""" else ""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes""" +
-        s""","queries_inline":$withQueries$qpart,"sf":"$sfDir"}"""
-    }
-    val (full, short) = (line(true), line(false))
-    if (full.length <= 2400) { println(short); println(full) }
-    else { println(full); println(short) }
+    // Line order + length budget live in BenchReport (unit-tested in
+    // BenchTailSpec): the LAST line is always a complete JSON object
+    // under the driver's measured ~2,000-char stdout tail buffer.
+    BenchReport.lines(results, passes, sfDir, setupSec).foreach(println)
     spark.stop()
   }
 }

@@ -1,0 +1,45 @@
+package graft
+
+/** Pure renderer for [[Bench]]'s stdout contract — separated from the
+  * Spark main so the tail-budget invariant is unit-testable without a
+  * session (`BenchTailSpec`).
+  *
+  * The driver captures a ~2,000-char stdout TAIL and parses it
+  * line-wise from the end. Measured across rounds: a 1,961-char final
+  * line parsed; a 2,074-char one was truncated mid-object and recorded
+  * `parsed: null` — the 2,400-char guard the previous revision used was
+  * calibrated against a mis-observed "~2.8 KB" buffer. The contract is
+  * therefore keyed on the LAST line only: it must always be a complete
+  * JSON object shorter than [[MaxLastLineChars]], margin under the
+  * measured 2,000. */
+object BenchReport {
+  val MaxLastLineChars = 1900
+
+  /** Locale-independent shortest-repr 3-decimal rendering (keeps the
+    * full per-query line ~2 KB instead of the ~3.3 KB that raw
+    * `Double.toString` of nanoTime ratios produced). */
+  def f3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+
+  /** The two report lines in PRINT ORDER — the last is what the
+    * driver's tail parse finds first. Both carry `queries_inline` so
+    * the consumer KNOWS which form it parsed rather than inferring
+    * from absence. When the full per-query line fits the last-line
+    * budget, richest-last; once the query set grows it past the
+    * budget, the guaranteed-short total-only line goes last and the
+    * full line rides earlier in the stream (recoverable from logs,
+    * and partially from the tail buffer itself). */
+  def lines(results: Seq[(String, Double)], passes: Int, sfDir: String,
+            setupSec: Double): Seq[String] = {
+    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    def line(withQueries: Boolean): String = {
+      val qpart = if (withQueries) s""","queries":$qs""" else ""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes""" +
+        s""","setup_sec":${f3(setupSec)},"queries_inline":$withQueries$qpart""" +
+        s""","sf":"$sfDir"}"""
+    }
+    val (full, short) = (line(true), line(false))
+    if (full.length < MaxLastLineChars) Seq(short, full) else Seq(full, short)
+  }
+}

@@ -260,6 +260,17 @@ object Dedup {
     pairGraphCache.computeIfAbsent((s, dir),
       _ => minhashPairsFrom(Tables.documents(s, dir), MaxLshBucket).persist())
 
+  /** Materialize every session-shared intermediate of the dedup family
+    * (pair graph + corpus band index) in one call. The bench's setup
+    * pass invokes this before any timed pass — and regardless of query
+    * filters — so the one-time build cost lands in its own `setup_sec`
+    * report field instead of being attributed to whichever dedup-family
+    * query happens to run first in a given run order. */
+  private[graft] def warmSharedState(s: SparkSession, dir: String): Unit = {
+    pairGraph(s, dir).count()
+    corpusBandIndex(s, dir).count()
+  }
+
   /** Uncached, fully-ordered pair pipeline over explicit docs — the
     * spec surface (`SkewCapSpec`, `PlanShapeSpec` pin cap firing and
     * exchange reuse on THIS path, where the session cache cannot hide

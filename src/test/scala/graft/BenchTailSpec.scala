@@ -1,0 +1,74 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench stdout contract, as an invariant instead of a
+  * calibration: the driver captures a ~2,000-char stdout tail and
+  * parses it line-wise from the end, so the LAST line [[BenchReport]]
+  * prints must always be a complete, independently-parseable JSON
+  * object under [[BenchReport.MaxLastLineChars]] — for ANY query-set
+  * size. Rounds 1–3 and round 5 each lost their bench record to a
+  * violation of exactly this; no Spark session involved here, so the
+  * spec runs in milliseconds. */
+class BenchTailSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+
+  private def synthetic(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => (f"q$i%02d_some_operator_name" -> (0.001 * i + 0.1)))
+
+  private def check(n: Int): Unit = {
+    val lines = BenchReport.lines(synthetic(n), passes = 3,
+      sfDir = "/root/testdata/sf0.1", setupSec = 12.345)
+    assert(lines.size == 2)
+    val last = lines.last
+    assert(last.length < BenchReport.MaxLastLineChars,
+      s"n=$n: last line ${last.length} chars >= ${BenchReport.MaxLastLineChars}")
+    val node = mapper.readTree(last) // throws on malformed JSON
+    assert(node.get("metric").asText() == "total")
+    assert(node.has("value") && node.get("value").isNumber)
+    assert(node.has("setup_sec") && node.get("setup_sec").isNumber)
+    // queries_inline tells the consumer which form it parsed, and must
+    // agree with the actual presence of the per-query map.
+    assert(node.get("queries_inline").asBoolean() == node.has("queries"))
+    // Every printed line must be parseable on its own (the full line,
+    // wherever it lands in the stream, is still consumed from logs).
+    lines.foreach(l => mapper.readTree(l))
+  }
+
+  test("last line fits the tail budget at 79, 120, and 200 queries") {
+    Seq(79, 120, 200).foreach(check)
+  }
+
+  test("last line fits at every size 1..250 (sweep across the cutover)") {
+    (1 to 250).foreach(check)
+  }
+
+  test("small query sets keep the rich per-query form last") {
+    val lines = BenchReport.lines(synthetic(10), 3, "/root/testdata/sf0.01", 0.0)
+    val node = mapper.readTree(lines.last)
+    assert(node.get("queries_inline").asBoolean())
+    assert(node.get("queries").size() == 10)
+  }
+
+  test("at 79 real-shaped queries the full line no longer fits and the short form is last") {
+    // Round 5's regression shape: ~2,074-char full line vs a 2,000-char
+    // buffer. With realistic name lengths the renderer must cut over to
+    // short-form-last rather than gamble on the buffer.
+    val lines = BenchReport.lines(synthetic(79), 3, "/root/testdata/sf0.1", 5.0)
+    val node = mapper.readTree(lines.last)
+    assert(!node.get("queries_inline").asBoolean())
+    assert(node.has("value"))
+    // The full line still rides earlier in the stream, parseable from logs.
+    val fullNode = mapper.readTree(lines.head)
+    assert(fullNode.get("queries_inline").asBoolean())
+    assert(fullNode.get("queries").size() == 79)
+  }
+
+  test("totals and per-query values agree between the two forms") {
+    val rs = synthetic(42)
+    val Seq(a, b) = BenchReport.lines(rs, 5, "/tmp/x", 1.5).map(mapper.readTree)
+    assert(a.get("value").asDouble() == b.get("value").asDouble())
+    assert(a.get("passes").asInt() == 5 && b.get("passes").asInt() == 5)
+  }
+}

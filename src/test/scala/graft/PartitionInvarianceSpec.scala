@@ -8,9 +8,28 @@ import org.apache.spark.sql.DataFrame
   * every engine query partition-invariant by construction — asserted
   * here on representative shapes. */
 class PartitionInvarianceSpec extends SparkSpec {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.functions.{col, lit, pmod}
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
+
+  /** q21/q77 pin the UNCACHED builders: through `SparkEntry` the base
+    * run fills the session pair graph / corpus band index, so the
+    * partitions=1/7 reruns would read the persisted result instead of
+    * re-executing the shuffle pipeline under the changed setting —
+    * vacuous invariance (the same reason `PlanShapeSpec` pins plans on
+    * this surface). */
+  private val uncached: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_minhash_lsh" -> ((s, d) => operators.Dedup.minhashLshFrom(
+      sources.Tables.documents(s, d), operators.Dedup.MaxLshBucket)),
+    "q77_incremental_lsh" -> ((s, d) => {
+      val docs = sources.Tables.documents(s, d)
+      operators.Dedup.incrementalLshFrom(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        operators.Dedup.MaxLshBucket)
+    }))
 
   private val names = Seq(
     "q01_delay_avg", "q02_late_pct", "q06_region_revenue",
@@ -33,7 +52,7 @@ class PartitionInvarianceSpec extends SparkSpec {
 
   names.foreach { name =>
     test(s"$name is invariant under shuffle-partition count") {
-      val q = SparkEntry.queries(name)
+      val q = uncached.getOrElse(name, SparkEntry.queries(name))
       val base = canon(q(spark, sfDir))
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       Seq("1", "7").foreach { p =>
