@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.sources.Tables
+import graft.sources.{Layout, Tables}
 import graft.functions.Fns._
 
 /** Deduplication operators over `documents` — the LLM-pipeline extension
@@ -244,21 +244,27 @@ object Dedup {
     * of the dedup family: q21 emits it, q38 clusters it, q70 histograms
     * it, q72 joins sources onto it, q76 derives retention from it.
     * Recomputing shingle→MinHash→LSH per consumer was 5 of the 7
-    * slowest bench entries in round 4, so the pair DataFrame is
-    * persisted (memory+disk) per (session, dir) — the in-session
-    * equivalent of the pipeline stage a production deployment would
-    * write to a table once per corpus snapshot. The cache holds only
-    * confirmed near-dup pairs (est_j ≥ 0.5): orders of magnitude
-    * smaller than the corpus, so its footprint is negligible and its
-    * lifetime (the session) is the right scope — testdata dirs are
-    * immutable inputs keyed by path. Materialization stays lazy: the
-    * first consumer's first action fills it. */
-  private val pairGraphCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
+    * slowest bench entries in round 4; it is now WRITTEN, once per
+    * (session, dir), as a warehouse table via [[Layout.materializedTable]]
+    * — the literal pipeline stage a production deployment runs once per
+    * corpus snapshot, with every consumer reading the on-disk artifact.
+    * The table holds only confirmed near-dup pairs (est_j ≥ 0.5):
+    * orders of magnitude smaller than the corpus, so re-reading it per
+    * consumer is a trivial scan. Testdata dirs are immutable inputs
+    * keyed by path, so write-once is exact.
+    *
+    * Observability: the [[dropHotBuckets]] cap inside the build fires
+    * its CollectMetrics on the WRITE execution — the materializing job
+    * a production QueryExecutionListener monitors when the snapshot is
+    * produced. Consumers of the written table see the capped graph but
+    * no counter (there is nothing left to count: the cap is part of
+    * the snapshot's provenance, recorded when it was built). Specs pin
+    * per-execution observability on the uncapped→cap-per-read q77
+    * path and on [[minhashLshFrom]], where every run materializes. */
   private[graft] def pairGraph(s: SparkSession, dir: String): DataFrame =
-    pairGraphCache.computeIfAbsent((s, dir),
-      _ => minhashPairsFrom(Tables.documents(s, dir), MaxLshBucket).persist())
+    Layout.materializedTable(s, dir, "pairgraph") {
+      minhashPairsFrom(Tables.documents(s, dir), MaxLshBucket)
+    }
 
   /** Materialize every session-shared intermediate of the dedup family
     * (pair graph + corpus band index) in one call. The bench's setup
@@ -868,31 +874,27 @@ object Dedup {
     * document a near-copy of something we already hold" check.
     *
     * Scale contract: per ingest the signature pipeline runs over the
-    * BATCH only — O(batch) new work — and the corpus side is read as a
-    * band table, which a production deployment persists once per
-    * corpus snapshot (exactly the table [[bandTable]] emits; here it
-    * is recomputed because the driver contract gives each query a
-    * fresh cold session, and q21's session [[pairGraph]] demonstrates
-    * the persisted form). No corpus×corpus pairs are ever generated:
+    * BATCH only — O(batch) new work — and the corpus side is read from
+    * [[corpusBandIndex]], the band table a deployment writes once per
+    * corpus snapshot. No corpus×corpus pairs are ever generated:
     * the join is batch-bands ⋈ index-bands, so bucket fan-out is
     * m_batch·m_corpus per bucket, with [[dropHotBuckets]] capping the
     * index side (the unbounded factor; the batch is bounded by the
-    * ingest window). Both band tables are partitioned on (band, bval),
-    * so the join is co-partitioned. */
-  /** The corpus band table, materialized per (session, dir) — this IS
-    * the "persisted index" of the operator's contract (the table a
-    * deployment writes once per corpus snapshot): without it every
-    * q77 execution re-signs the standing corpus, which is exactly the
-    * O(corpus)-per-ingest cost the incremental path exists to avoid.
-    * Cached UNCAPPED; the hot-bucket cap is applied per read so its
-    * observability fires on every execution. */
-  private val bandIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
+    * ingest window). The index table is BUCKETED by (band, bval), so
+    * the standing corpus is never re-shuffled at query time — only the
+    * O(batch) side exchanges to meet it. */
+  /** The corpus band table — the "persisted index" of the operator's
+    * contract, WRITTEN once per (session, dir) as a warehouse table
+    * bucketed by the join keys via [[Layout.materializedTable]]:
+    * without it every q77 execution re-signs the standing corpus,
+    * which is exactly the O(corpus)-per-ingest cost the incremental
+    * path exists to avoid. Written UNCAPPED; the hot-bucket cap is
+    * applied per read so its observability fires on every execution. */
   private def corpusBandIndex(s: SparkSession, dir: String): DataFrame =
-    bandIndexCache.computeIfAbsent((s, dir), _ =>
-      bandTable(Tables.documents(s, dir)
-        .filter(pmod(col("doc_id"), lit(5)) =!= 0)).persist())
+    Layout.materializedTable(s, dir, "bandindex",
+        Some((Layout.Buckets, Seq("band", "bval")))) {
+      bandTable(Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    }
 
   def incrementalLsh(s: SparkSession, dir: String): DataFrame =
     incrementalJoin(

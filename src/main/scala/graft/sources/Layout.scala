@@ -36,10 +36,19 @@ object Layout {
   private def tag(dir: String): String =
     java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
 
-  private val ensured = new ConcurrentHashMap[(SparkSession, String, String), String]()
+  /** Write-once gate, WEAKLY keyed by session: a long-running
+    * multi-session driver stops sessions and builds new ones, and a
+    * strongly-keyed map would pin every dead session (and through it
+    * the whole SparkContext object graph) forever. Values are plain
+    * strings — never DataFrames, which hold a reference back to their
+    * session and would defeat the weak keys — so a stopped session's
+    * entry is collectable as soon as the caller drops it. */
+  private val ensured = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, String]]())
 
   private def once(s: SparkSession, dir: String, what: String)(write: => Unit): Unit =
-    ensured.computeIfAbsent((s, dir, what), { _ => write; "done" })
+    ensured.computeIfAbsent(s, _ => new ConcurrentHashMap[String, String]())
+      .computeIfAbsent(s"$dir#$what", { _ => write; "done" })
 
   /** Clear a managed table AND its leftover warehouse location before
     * (re)writing. The warehouse outlives the in-memory catalog: a
@@ -54,6 +63,31 @@ object Layout {
       s"${s.conf.get("spark.sql.warehouse.dir")}/$table")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Generic once-per-(session, dir) materialized table: build the
+    * DataFrame, write it to the warehouse (optionally bucketed), and
+    * hand every caller the catalog re-read. This is the production
+    * shape for the dedup family's shared intermediates — the pair
+    * graph and the corpus band index are TABLES written once per
+    * corpus snapshot, not per-session in-memory persists — so
+    * consumers across the pipeline read one on-disk artifact and the
+    * expensive build runs exactly once. Any `observe` metrics inside
+    * `build` fire on the WRITE execution (the materializing job), the
+    * hook a production QueryExecutionListener monitors. */
+  private[graft] def materializedTable(
+      s: SparkSession, dir: String, what: String,
+      buckets: Option[(Int, Seq[String])] = None)(build: => DataFrame): DataFrame = {
+    val name = s"graft_${what}_${tag(dir)}"
+    once(s, dir, what) {
+      refresh(s, name)
+      val w = build.write
+      buckets match {
+        case Some((n, cols)) => w.bucketBy(n, cols.head, cols.tail: _*).saveAsTable(name)
+        case None            => w.saveAsTable(name)
+      }
+    }
+    s.table(name)
   }
 
   /** Bucketed-by-orderkey lineitem + orders, written once per

@@ -87,44 +87,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(p78.contains("ReusedExchange"), s"q78 lost exchange reuse:\n$p78")
   }
 
-  test("dedup family consumes ONE materialized pair graph — no shingle recomputation") {
-    // q21 produces the pair graph; q70/q72 (and q38/q76 via dupLabels)
-    // must read the session-persisted copy, not re-run
-    // tokenize->minhash->band. Executed-plan evidence: after q21 has
-    // materialized the cache, q70's whole plan reads the in-memory
-    // relation (zero parquet scans), and q72 scans parquet exactly once
-    // (the corpus side of its source join).
-    plan("q21_minhash_lsh") // materializes the session pair graph
-    // the InMemoryRelation node prints its cached BUILD plan (incl. the
-    // original parquet scan) — runtime work is everything above it
-    def runtime(p: String): String = p.split("InMemoryRelation")(0)
+  test("dedup family consumes ONE written pair-graph table — no shingle recomputation") {
+    // q21 produces the pair-graph TABLE (graft.sources.Layout
+    // materializedTable — the per-snapshot production artifact);
+    // q70/q72 (and q38/q76 via dupLabels) must read the on-disk copy,
+    // not re-run tokenize->minhash->band. Executed-plan evidence:
+    // q70's only scan is the pair-graph table, and q72 adds only its
+    // two slim (doc_id, source) corpus projections.
+    plan("q21_minhash_lsh") // writes the pair-graph table
     val p70 = plan("q70_dup_degree")
-    assert(p70.contains("InMemoryTableScan") || p70.contains("TableCacheQueryStage"),
-      s"q70 not reading the materialized pair graph:\n$p70")
-    assert(countOf(runtime(p70), "Scan parquet") == 0,
+    assert(p70.contains("graft_pairgraph"),
+      s"q70 not reading the written pair graph:\n$p70")
+    assert(countOf(p70, "Scan parquet") == 1,
+      s"q70 scanned beyond the pair-graph table:\n$p70")
+    assert(countOf(p70, "MapPartitions") == 0,
       s"q70 re-ran the shingle pipeline:\n$p70")
     val p72 = plan("q72_source_overlap")
-    // two slim (doc_id, source) corpus scans — one per pair endpoint,
-    // both broadcast — are the design; what must NOT appear is the
-    // signature pipeline (the MapPartitions shingle loop) re-running
-    assert(countOf(runtime(p72), "Scan parquet") <= 2,
-      s"q72 scans beyond the two corpus projections:\n$p72")
-    assert(countOf(runtime(p72), "MapPartitions") == 0,
+    // pair-graph table + two slim (doc_id, source) corpus scans — one
+    // per pair endpoint, both broadcast — are the design; what must NOT
+    // appear is the signature pipeline (the MapPartitions shingle loop)
+    assert(p72.contains("graft_pairgraph"),
+      s"q72 not reading the written pair graph:\n$p72")
+    assert(countOf(p72, "Scan parquet") <= 3,
+      s"q72 scans beyond pair graph + two corpus projections:\n$p72")
+    assert(countOf(p72, "MapPartitions") == 0,
       s"q72 re-ran the shingle pipeline:\n$p72")
   }
 
-  test("q77: the corpus band index is materialized — only the batch is re-signed") {
-    plan("q77_incremental_lsh") // first run materializes the index
+  test("q77: the corpus band index is a written bucketed table — only the batch is re-signed") {
+    plan("q77_incremental_lsh") // first run writes the index table
     val p = plan("q77_incremental_lsh")
-    def runtime(s: String): String = s.split("InMemoryRelation")(0)
-    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
-      s"q77 not reading the persisted band index:\n$p")
-    // per ingest: ONE signature loop (the batch side) over ONE parquet
-    // scan — the corpus is never re-signed
-    assert(countOf(runtime(p), "MapPartitions") == 1,
-      s"q77 re-signed the corpus:\n$p")
-    assert(countOf(runtime(p), "Scan parquet") == 1,
-      s"q77 re-scanned beyond the batch side:\n$p")
+    assert(p.contains("graft_bandindex"),
+      s"q77 not reading the written band index:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"q77 index scan ignores the (band, bval) bucketing:\n$p")
+    // per ingest: ONE signature loop (the batch side) over the batch
+    // docs scan; the only other scan is the index table itself — the
+    // corpus is never re-signed
+    assert(countOf(p, "MapPartitions") == 1, s"q77 re-signed the corpus:\n$p")
+    assert(countOf(p, "Scan parquet") == 2,
+      s"q77 scanned beyond batch + index table:\n$p")
   }
 
   test("q73: the filter funnel is one scan + one rollup shuffle (+ sort)") {
