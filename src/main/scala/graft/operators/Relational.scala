@@ -763,6 +763,33 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q80: day-level rollup over the INCREMENTALLY-maintained events
+    * layout (base snapshot + appended day partitions + late-data
+    * dynamic partition overwrite — [[graft.sources.Layout.incrementalEvents]]).
+    * The oracle computes the same rollup over the RAW events table, so
+    * a hash match proves the incremental lifecycle reconstructed the
+    * one-shot layout exactly: nothing lost in the append, nothing
+    * duplicated by the late-day swap. Integer/date-only outputs keep
+    * the comparison partition-order independent. */
+  def incrementalLayout(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.incrementalEvents(s, dir)
+      // day emitted as yyyy-MM-dd STRING: DuckDB's nanos timestamp
+      // casts to a DATE whose arrow repr differs — string is the
+      // engine-neutral form of a calendar day
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+      .orderBy("day")
+
+  val incrementalLayoutSql: String =
+    """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users,
+      |       min(event_id) AS min_event, max(event_id) AS max_event
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q06_region_revenue", regionRevenue, Some(regionRevenueSql)),
     QueryDef("q07_priority_revenue", priorityRevenue, Some(priorityRevenueSql)),
@@ -791,5 +818,6 @@ object Relational {
     QueryDef("q68_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("q69_unpivot", unpivotMetrics, Some(unpivotMetricsSql)),
     QueryDef("q79_bucketed_layout", bucketedLayout, Some(bucketedLayoutSql)),
+    QueryDef("q80_incremental_layout", incrementalLayout, Some(incrementalLayoutSql)),
   )
 }

@@ -122,4 +122,76 @@ object Layout {
     }
     s.read.parquet(path)
   }
+
+  /** INCREMENTAL maintenance of the date-partitioned events layout —
+    * the snapshot-to-snapshot lifecycle of a production 100 TB fact
+    * table, exercised end to end:
+    *
+    *  1. base snapshot: all but the last two days, with the latest base
+    *     day only half-delivered (the late-data scenario);
+    *  2. the two new days land as a pure APPEND of new partition
+    *     directories — existing files untouched, O(new data) work;
+    *  3. the corrected late day is re-delivered whole and swapped in
+    *     via DYNAMIC partition overwrite — only that partition's files
+    *     are replaced, O(one partition) work, never a table rewrite.
+    *
+    * The resulting layout is row-identical to the one-shot write and
+    * still prunes on day filters (`LayoutIncrementalSpec`; q80 is the
+    * oracled driver-gated consumer). The distinct-day collect is
+    * bounded by the calendar — one row per day — not by data volume. */
+  def incrementalEvents(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_events_inc_${tag(dir)}"
+    once(s, dir, "events_inc") {
+      val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      val days = ev.select(col("day")).distinct().orderBy(col("day"))
+        .collect().map(_.getDate(0).toString).toSeq
+      require(days.size >= 3, s"incremental lifecycle needs >=3 days, got ${days.size}")
+      val newDays = days.takeRight(2)
+      val lateDay = days(days.size - 3)
+      val dayStr = col("day").cast("string")
+      ev.filter(!dayStr.isInCollection(newDays) &&
+          !(dayStr === lateDay && pmod(col("event_id"), lit(2)) === 0))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      ev.filter(dayStr.isInCollection(newDays))
+        .write.mode("append").partitionBy("day").parquet(path)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try ev.filter(dayStr === lateDay)
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    s.read.parquet(path)
+  }
+
+  /** Incremental APPEND into the bucketed join layout: the "daily
+    * increment lands in the standing bucketed fact" path. Spark
+    * validates the existing bucket spec on append and adds per-bucket
+    * files, so join-key co-location survives and downstream orderkey
+    * joins still plan ZERO ShuffleExchange after the append
+    * (`LayoutIncrementalSpec`). Compacting the per-append bucket files
+    * is a background maintenance concern at scale, not a plan change. */
+  def bucketedIncremental(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = s"graft_lineitem_binc_${tag(dir)}"
+    val ord = s"graft_orders_binc_${tag(dir)}"
+    once(s, dir, "bucketed_inc") {
+      refresh(s, li)
+      refresh(s, ord)
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val newL = pmod(col("l_orderkey"), lit(10)) === 0
+      val newO = pmod(col("o_orderkey"), lit(10)) === 0
+      l.filter(!newL).write
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey").saveAsTable(li)
+      o.filter(!newO).write
+        .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(ord)
+      l.filter(newL).write.mode("append")
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey").saveAsTable(li)
+      o.filter(newO).write.mode("append")
+        .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(ord)
+    }
+    (s.table(li), s.table(ord))
+  }
 }
