@@ -835,6 +835,118 @@ object Pipeline {
        |         / CAST(count(*) AS DOUBLE) AS split_rate
        |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  /** q81: the END-TO-END training-data pipeline as ONE DataFrame —
+    * exact ingest dedup (q20's keep-min rule) → language/quality/
+    * repetition funnel (q73's gates, shared via
+    * [[TextAnalysis.gateFlags]]) → fixed-size chunk accounting (q74's
+    * math) → greedy sequence packing (q75's boundary test), rolled up
+    * per source. The composition is the shape a real corpus build
+    * executes; running it as a single plan proves the stages compose
+    * without cross-operator plan interference inside one job.
+    *
+    * Shuffle budget, pinned in `PlanShapeSpec`: ONE documents scan and
+    * THREE exchanges total — (1) hash on the 60-bit text hash for the
+    * dedup window; (2) hash on source for the packing window, whose
+    * partitioning the per-source rollup then reuses (no fourth
+    * exchange); (3) the final rangepartitioning sort. Gates and chunk
+    * math are map-side. At 100 TB: the dedup shuffle carries
+    * 8-byte-hash-keyed rows, the packing shuffle one slim
+    * (doc_id, source, n) row per SURVIVING document — the corpus text
+    * itself is never shuffled. */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wDedup = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val deduped = Tables.documents(s, dir)
+      .withColumn("h", hash60(col("text")))
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val gated = deduped.as[(Long, String, String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, src, lang, text) =>
+          val (langOk, qualOk, repOk, n) = TextAnalysis.gateFlags(lang, text)
+          if (langOk && qualOk && repOk) Some((id, src, n.toLong)) else None
+        }
+      }.toDF("doc_id", "source", "n")
+    val wPack = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    gated
+      .withColumn("n_chunks",
+        when(col("n") <= ChunkLen, 1L)
+          .otherwise(lit(1L) +
+            expr(s"(n - $ChunkLen + ${ChunkStride - 1}) div $ChunkStride")))
+      .withColumn("chunk_toks",
+        aggregate(sequence(lit(0L), col("n_chunks") - 1), lit(0L),
+          (acc, i) => acc + least(lit(ChunkLen), col("n") - i * ChunkStride)))
+      .withColumn("endt", sum(col("n")).over(wPack))
+      .withColumn("split",
+        expr(s"(endt - n) div $PackBin") =!= expr(s"(endt - 1) div $PackBin"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n")).as("total_tokens"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("chunk_toks")).as("chunk_tokens"),
+        expr(s"(sum(n) + ${PackBin - 1}) div $PackBin").as("n_bins"),
+        sum(when(col("split"), 1L).otherwise(0L)).as("n_split_docs"))
+      .orderBy("source")
+  }
+
+  val pipelineE2eSql: String =
+    s"""WITH dd AS (
+       |  SELECT doc_id, source, lang, text
+       |  FROM (SELECT doc_id, source, lang, text,
+       |               row_number() OVER (
+       |                 PARTITION BY CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+       |                 ORDER BY doc_id) AS rn
+       |        FROM documents)
+       |  WHERE rn = 1),
+       |toks AS (
+       |  SELECT doc_id, source, lang,
+       |         list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM dd),
+       |scored AS (
+       |  SELECT doc_id, source, lang, w,
+       |         ${TextAnalysis.gateScoresSql}
+       |  FROM toks),
+       |rep AS (
+       |  SELECT doc_id,
+       |         CAST(len(w) - 2 AS BIGINT) AS n,
+       |         CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+       |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS BIGINT) AS nd
+       |  FROM toks WHERE len(w) >= 3),
+       |kept AS (
+       |  SELECT s.doc_id, s.source, CAST(len(s.w) AS BIGINT) AS n
+       |  FROM scored s LEFT JOIN rep r ON r.doc_id = s.doc_id
+       |  WHERE (${TextAnalysis.gateCaseSql}) = s.lang
+       |    AND len(s.w) >= 25
+       |    AND coalesce(5 * (r.n - r.nd) < r.n, FALSE)),
+       |chunks AS (
+       |  SELECT source, doc_id, n,
+       |         CASE WHEN n <= $ChunkLen THEN 1
+       |              ELSE 1 + (n - $ChunkLen + ${ChunkStride - 1}) // $ChunkStride
+       |         END AS n_chunks
+       |  FROM kept),
+       |c AS (
+       |  SELECT source, doc_id, n, n_chunks,
+       |         CAST(list_sum(list_transform(generate_series(0, n_chunks - 1),
+       |             i -> least($ChunkLen, n - i * $ChunkStride))) AS BIGINT) AS chunk_toks
+       |  FROM chunks),
+       |o AS (
+       |  SELECT source, n, n_chunks, chunk_toks,
+       |         sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS endt
+       |  FROM c),
+       |f AS (
+       |  SELECT source, n, n_chunks, chunk_toks,
+       |         ((endt - n) // $PackBin) <> ((endt - 1) // $PackBin) AS split
+       |  FROM o)
+       |SELECT source, count(*) AS n_kept,
+       |       CAST(sum(n) AS BIGINT) AS total_tokens,
+       |       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       |       CAST(sum(chunk_toks) AS BIGINT) AS chunk_tokens,
+       |       CAST((sum(n) + ${PackBin - 1}) // $PackBin AS BIGINT) AS n_bins,
+       |       CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -853,5 +965,6 @@ object Pipeline {
     QueryDef("q71_linear_count", linearCount, Some(linearCountSql)),
     QueryDef("q74_token_chunks", tokenChunks, Some(tokenChunksSql)),
     QueryDef("q75_sequence_packing", sequencePacking, Some(sequencePackingSql)),
+    QueryDef("q81_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
   )
 }

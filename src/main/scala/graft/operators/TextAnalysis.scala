@@ -242,43 +242,54 @@ object TextAnalysis {
     * on a STREAMING DataFrame (stateless per-row gates + one
     * aggregation: run in complete output mode as a live quality
     * monitor; `FunnelSpec` proves stream/batch parity). */
+  private val gateProfs: IndexedSeq[Set[String]] =
+    stopwords.map { case (_, ws) => ws.toSet }.toIndexedSeq
+
+  /** The per-document funnel decision — (lang_ok, qual_ok, rep_ok,
+    * n_tokens) — shared by q73 and the q81 end-to-end pipeline so the
+    * two queries gate identically by construction.
+    *
+    * The tie cascade is the same deterministic order as q27 / the SQL
+    * CASE — including the null-text corner: SQL's scores are NULL
+    * there (string_split(NULL)), so every WHEN is NULL and the ELSE
+    * 'zh' branch wins; q27's when().otherwise("zh") does the same. An
+    * empty/whitespace text is NOT null: zero scores, first branch,
+    * 'en' in both engines. */
+  private[graft] def gateFlags(lang: String, text: String): (Boolean, Boolean, Boolean, Int) = {
+    val toks = if (text == null) Array.empty[String]
+               else text.split(" ").filter(_.nonEmpty)
+    val sc = gateProfs.map(ws => toks.count(ws.contains))
+    val pred =
+      if (text == null) "zh"
+      else if (sc(0) >= sc(1) && sc(0) >= sc(2) && sc(0) >= sc(3) && sc(0) >= sc(4)) "en"
+      else if (sc(1) >= sc(2) && sc(1) >= sc(3) && sc(1) >= sc(4)) "de"
+      else if (sc(2) >= sc(3) && sc(2) >= sc(4)) "es"
+      else if (sc(3) >= sc(4)) "fr"
+      else "zh"
+    val langOk = pred == lang
+    val qualOk = toks.length >= 25
+    val repOk = toks.length >= 3 && {
+      val n = toks.length - 2
+      val seen = new java.util.HashSet[String](n * 2)
+      var i = 0
+      while (i < n) {
+        seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+      5L * (n - seen.size) < n
+    }
+    (langOk, qualOk, repOk, toks.length)
+  }
+
   private[graft] def filterFunnelFrom(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val profs = stopwords.map { case (_, ws) => ws.toSet }
     docs
       .select(col("source"), col("lang"), col("text"))
       .as[(String, String, String)]
       .mapPartitions { it =>
         it.map { case (src, lang, text) =>
-          val toks = if (text == null) Array.empty[String]
-                     else text.split(" ").filter(_.nonEmpty)
-          val sc = profs.map(ws => toks.count(ws.contains)).toIndexedSeq
-          // the same deterministic tie cascade as q27 / the SQL CASE —
-          // including the null-text corner: SQL's scores are NULL there
-          // (string_split(NULL)), so every WHEN is NULL and the ELSE
-          // 'zh' branch wins; q27's when().otherwise("zh") does the
-          // same. An empty/whitespace text is NOT null: zero scores,
-          // first branch, 'en' in both engines.
-          val pred =
-            if (text == null) "zh"
-            else if (sc(0) >= sc(1) && sc(0) >= sc(2) && sc(0) >= sc(3) && sc(0) >= sc(4)) "en"
-            else if (sc(1) >= sc(2) && sc(1) >= sc(3) && sc(1) >= sc(4)) "de"
-            else if (sc(2) >= sc(3) && sc(2) >= sc(4)) "es"
-            else if (sc(3) >= sc(4)) "fr"
-            else "zh"
-          val langOk = pred == lang
-          val qualOk = toks.length >= 25
-          val repOk = toks.length >= 3 && {
-            val n = toks.length - 2
-            val seen = new java.util.HashSet[String](n * 2)
-            var i = 0
-            while (i < n) {
-              seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-              i += 1
-            }
-            5L * (n - seen.size) < n
-          }
+          val (langOk, qualOk, repOk, _) = gateFlags(lang, text)
           (src, langOk, langOk && qualOk, langOk && qualOk && repOk)
         }
       }.toDF("source", "lang_ok", "lq_ok", "kept")
@@ -293,11 +304,23 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** DuckDB fragments of the gate — the stopword scores (over a `w`
+    * token-list column) and the tie cascade — shared by q73's oracle
+    * and q81's, so the two oracles gate identically by construction. */
+  private[graft] val gateScoresSql: String = stopwords.map { case (l, ws) =>
+    val list = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(w, t -> list_contains($list, t))) AS s_$l"
+  }.mkString(",\n         ")
+
+  private[graft] val gateCaseSql: String = Seq(
+    "CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'",
+    "     WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'",
+    "     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'",
+    "     WHEN s_fr >= s_zh THEN 'fr'",
+    "     ELSE 'zh' END").mkString("\n")
+
   val filterFunnelSql: String = {
-    val scores = stopwords.map { case (l, ws) =>
-      val list = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"len(list_filter(w, t -> list_contains($list, t))) AS s_$l"
-    }.mkString(",\n         ")
+    val scores = gateScoresSql
     s"""WITH toks AS (
        |  SELECT doc_id, source, lang, list_filter(string_split(text, ' '), t -> t <> '') AS w
        |  FROM documents),

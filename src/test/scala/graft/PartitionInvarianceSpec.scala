@@ -48,7 +48,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q72_source_overlap", "q73_filter_funnel", "q75_sequence_packing",
     // round-5 shapes: batch-vs-index band join (cached index), stride-1
     // window-hash equi-join, bucketed-layout fact join
-    "q77_incremental_lsh", "q78_span_overlap", "q79_bucketed_layout")
+    "q77_incremental_lsh", "q78_span_overlap", "q79_bucketed_layout",
+    // round-6 shapes: incremental partitioned layout, end-to-end
+    // dedup→funnel→chunk→pack composition
+    "q80_incremental_layout", "q81_pipeline_e2e")
 
   names.foreach { name =>
     test(s"$name is invariant under shuffle-partition count") {

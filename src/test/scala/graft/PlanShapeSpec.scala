@@ -129,6 +129,20 @@ class PlanShapeSpec extends SparkSpec {
       s"q77 scanned beyond batch + index table:\n$p")
   }
 
+  test("q81: the end-to-end pipeline is one scan + three exchanges") {
+    // dedup window (hash on text hash) + packing window (hash on
+    // source, reused by the rollup) + final sort — the documented
+    // composition shuffle budget; gates and chunk math are map-side
+    val p = plan("q81_pipeline_e2e")
+    assert(countOf(p, "Scan parquet") == 1, s"q81 must read documents once:\n$p")
+    assert(countOf(p, "Exchange (hash|range)partitioning") <= 3,
+      s"q81 shuffled beyond dedup window + packing window + sort:\n$p")
+    // the rollup must NOT add a fourth exchange on top of the packing
+    // window's partitioning
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      s"per-source rollup re-shuffled after the packing window:\n$p")
+  }
+
   test("q73: the filter funnel is one scan + one rollup shuffle (+ sort)") {
     val p = plan("q73_filter_funnel")
     assert(countOf(p, "Scan parquet") == 1, s"funnel must read documents once:\n$p")
