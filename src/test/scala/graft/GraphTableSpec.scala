@@ -46,6 +46,34 @@ class GraphTableSpec extends SparkSpec {
     assert(exchanges <= 2, s"unexpected exchange count $exchanges:\n$plan")
   }
 
+  test("observe metrics inside a materializedTable build fire on the write execution") {
+    // the amended cap-observability contract: metrics wrapped around a
+    // snapshot build are recorded when the snapshot is WRITTEN — the
+    // execution a production QueryExecutionListener monitors. Proven
+    // with a probe metric through the real writer.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit =
+        qe.observedMetrics.get("graft.obs_probe")
+          .foreach(r => seen.add((r.getAs[Long]("n_rows"), r.getAs[Long]("max_id"))))
+      override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.sources.Layout.materializedTable(spark, sfDir, "obsprobe") {
+        spark.range(10).toDF("id").observe("graft.obs_probe",
+          count(lit(1)).as("n_rows"), max(col("id")).as("max_id"))
+      }
+      // listener delivery is async; poll to a deadline
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.peek() == (10L, 9L),
+        s"write-execution metrics not observed: ${seen}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("consumers of the written graph are unchanged: q38 clusters == recursive-CTE shape") {
     // q70's degree histogram is a pure function of the pair graph; its
     // total degree mass must equal 2x the pair count read from the table.
