@@ -216,13 +216,20 @@ object Dedup {
     * surfaced to monitoring by the standard QueryExecutionListener.
     * `SkewCapSpec` pins both the zero and firing cases. */
   private[operators] def dropHotBuckets(bands: DataFrame, cap: Int,
-                                        keys: String*): DataFrame = {
+                                        keys: String*): DataFrame =
+    dropHotBucketsNamed(bands, cap, s"graft.cap(${keys.mkString(",")})", keys: _*)
+
+  /** As [[dropHotBuckets]] with an explicit metric name — observe
+    * names must be unique per plan, so a query applying the cap twice
+    * (q82: index side AND batch side) labels each firing site. */
+  private[operators] def dropHotBucketsNamed(bands: DataFrame, cap: Int,
+                                             name: String, keys: String*): DataFrame = {
     val kc = keys.map(col)
     val hot = bands.select(kc: _*)
       .groupBy(kc: _*)
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > cap)
-      .observe(s"graft.cap(${keys.mkString(",")})",
+      .observe(name,
         count(lit(1)).as("hot_buckets"),
         coalesce(sum(col("bsz")), lit(0L)).as("dropped_rows"))
       .drop("bsz")
@@ -275,6 +282,7 @@ object Dedup {
   private[graft] def warmSharedState(s: SparkSession, dir: String): Unit = {
     pairGraph(s, dir).count()
     corpusBandIndex(s, dir).count()
+    corpusPairGraph(s, dir).count()
   }
 
   /** Uncached, fully-ordered pair pipeline over explicit docs — the
@@ -292,7 +300,7 @@ object Dedup {
     * via runtime stage reuse (without a barrier each consumer re-runs
     * the tokenize→md5→min loop — the q23 lesson, plan-pinned), and
     * band joins are co-partitioned so they add no further exchange. */
-  private def bandTable(docs: DataFrame): DataFrame =
+  private[graft] def bandTable(docs: DataFrame): DataFrame =
     minhashSigsFrom(docs).select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => concat_ws(",", transform(slice(col("sig"), b * lit(4) + 1, lit(4)),
@@ -300,10 +308,13 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
       .repartition(col("band"), col("bval"))
 
-  private[graft] def minhashPairsFrom(docs: DataFrame, bucketCap: Int): DataFrame = {
-    val bands = bandTable(docs)
-    val kept = dropHotBuckets(bands, bucketCap, "band", "bval")
+  private[graft] def minhashPairsFrom(docs: DataFrame, bucketCap: Int): DataFrame =
+    selfPairsFrom(dropHotBuckets(bandTable(docs), bucketCap, "band", "bval"))
 
+  /** Band-bucket self-join → confirmed pairs, over an already-capped
+    * band table (factored out so q82 can reuse ONE batch band table
+    * for both its self-join and its cross join). */
+  private def selfPairsFrom(kept: DataFrame): DataFrame = {
     val a = kept.select(col("doc_id").as("doc_a"), col("sig").as("siga"),
       col("band"), col("bval"))
     val b = kept.select(col("doc_id").as("doc_b"), col("sig").as("sigb"),
@@ -908,8 +919,54 @@ object Dedup {
                                         bucketCap: Int): DataFrame =
     incrementalJoin(bandTable(batch), bandTable(corpus), bucketCap)
 
+  /** The standing corpus's pair graph as its own written table — the
+    * PREVIOUS snapshot's artifact that q82 updates incrementally. */
+  private def corpusPairGraph(s: SparkSession, dir: String): DataFrame =
+    Layout.materializedTable(s, dir, "pairgraphbase") {
+      minhashPairsFrom(Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(5)) =!= 0), MaxLshBucket)
+    }
+
+  /** q82: INCREMENTAL PAIR-GRAPH MAINTENANCE — the snapshot lifecycle
+    * of the dedup family's central table. The standing corpus's pair
+    * graph and band index are written tables (previous snapshot); an
+    * ingest batch arrives, and the next snapshot's graph is
+    *
+    *   previous graph ∪ (batch ⋈ index cross pairs) ∪ (batch-internal pairs)
+    *
+    * — O(batch) signing work (ONE band table serves both the cross
+    * join and the self join), zero corpus re-signing, zero corpus
+    * shuffling (the index is bucketed on the join keys). The ORACLE is
+    * q21's full-recompute SQL verbatim: the driver gate itself proves
+    * update == rebuild. (Under hot-bucket caps the decompositions can
+    * differ — a bucket can cross the cap in the combined corpus but
+    * not in either part; equality is exact when no bucket crosses the
+    * cap in either decomposition, the regime the testdata is in. The
+    * capped regime is property-tested separately in
+    * `DedupCapPropertySpec`.) */
+  def pairGraphUpdate(s: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
+    val nb = bandTable(batch)
+    val cross = incrementalPairs(nb, corpusBandIndex(s, dir), MaxLshBucket)
+      .select(least(col("doc_new"), col("doc_corpus")).as("doc_a"),
+        greatest(col("doc_new"), col("doc_corpus")).as("doc_b"),
+        col("n_eq"), col("est_j"))
+    val fresh = selfPairsFrom(dropHotBucketsNamed(nb, MaxLshBucket,
+      "graft.cap(batch:band,bval)", "band", "bval"))
+    corpusPairGraph(s, dir).unionByName(cross).unionByName(fresh)
+      .orderBy("doc_a", "doc_b")
+  }
+
   private def incrementalJoin(nb: DataFrame, ib0: DataFrame,
-                              bucketCap: Int): DataFrame = {
+                              bucketCap: Int): DataFrame =
+    incrementalPairs(nb, ib0, bucketCap).orderBy("doc_new", "doc_corpus")
+
+  /** The unordered batch-bands ⋈ index-bands core — shared by the
+    * batch q77 (which appends a total-order sort), the q82 pair-graph
+    * update, and [[graft.streaming.DocIngest.nearDupIngest]] (where a
+    * sort would be illegal on the unaggregated stream). */
+  private[graft] def incrementalPairs(nb: DataFrame, ib0: DataFrame,
+                                      bucketCap: Int): DataFrame = {
     val ib = if (bucketCap == Int.MaxValue) ib0
              else dropHotBuckets(ib0, bucketCap, "band", "bval")
     val a = nb.select(col("doc_id").as("doc_new"), col("sig").as("siga"),
@@ -925,7 +982,6 @@ object Dedup {
       .filter(col("n_eq").cast(DoubleType) / 16.0 >= 0.5)
       .select(col("doc_new"), col("doc_corpus"), col("n_eq"),
         (col("n_eq").cast(DoubleType) / 16.0).as("est_j"))
-      .orderBy("doc_new", "doc_corpus")
   }
 
   /** q77's oracle reuses q21's CTE chain (tokens→shingles→signatures→
@@ -1122,5 +1178,8 @@ object Dedup {
     QueryDef("q76_dedup_retention", dedupRetention, Some(dedupRetentionSql)),
     QueryDef("q77_incremental_lsh", incrementalLsh, Some(incrementalLshSql)),
     QueryDef("q78_span_overlap", spanOverlap, Some(spanOverlapSql)),
+    // q82's oracle IS q21's full-recompute SQL: the gate proves
+    // incremental graph maintenance == full rebuild
+    QueryDef("q82_pair_graph_update", pairGraphUpdate, Some(minhashLshSql)),
   )
 }

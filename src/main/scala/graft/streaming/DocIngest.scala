@@ -37,4 +37,21 @@ object DocIngest {
       .dropDuplicates("nh")
       .join(corpusHashes, Seq("nh"), "left_anti")
   }
+
+  /** NEAR-dup ingest — q77's incremental MinHash-LSH as the stream
+    * front door: each arriving document is signed in the stream
+    * (map-side band table over the micro-batch) and band-joined
+    * against the standing corpus band index (a STATIC relation — in
+    * production the written, bucketed `graft_bandindex` table), so
+    * every trigger does O(micro-batch) work and the corpus is never
+    * re-signed or re-shuffled. Output: (doc_new, doc_corpus, n_eq,
+    * est_j) near-dup hits, append mode (pair identity is
+    * `dropDuplicates` state, exactly-once across triggers; the q77
+    * sort is omitted — a total order is illegal on an unaggregated
+    * stream and meaningless for an admission signal).
+    * `StreamingSpec` proves stream == batch across trigger splits. */
+  def nearDupIngest(incoming: DataFrame, corpusBands: DataFrame,
+                    bucketCap: Int = graft.operators.Dedup.MaxLshBucket): DataFrame =
+    graft.operators.Dedup.incrementalPairs(
+      graft.operators.Dedup.bandTable(incoming), corpusBands, bucketCap)
 }

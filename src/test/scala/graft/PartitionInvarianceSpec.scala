@@ -50,8 +50,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // window-hash equi-join, bucketed-layout fact join
     "q77_incremental_lsh", "q78_span_overlap", "q79_bucketed_layout",
     // round-6 shapes: incremental partitioned layout, end-to-end
-    // dedup→funnel→chunk→pack composition
-    "q80_incremental_layout", "q81_pipeline_e2e")
+    // dedup→funnel→chunk→pack composition, incremental pair-graph
+    // maintenance over the written snapshot tables
+    "q80_incremental_layout", "q81_pipeline_e2e", "q82_pair_graph_update")
 
   names.foreach { name =>
     test(s"$name is invariant under shuffle-partition count") {

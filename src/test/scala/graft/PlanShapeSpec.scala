@@ -129,6 +129,21 @@ class PlanShapeSpec extends SparkSpec {
       s"q77 scanned beyond batch + index table:\n$p")
   }
 
+  test("q82: graph update reads the written tables and signs only the batch") {
+    val p = plan("q82_pair_graph_update")
+    assert(p.contains("graft_pairgraphbase"),
+      s"q82 not reading the previous snapshot's graph table:\n$p")
+    assert(p.contains("graft_bandindex"),
+      s"q82 not reading the written band index:\n$p")
+    // O(batch) signing: the ONE batch band table (its exchange reused
+    // by the cross join and the self join) is the only signature loop;
+    // the corpus is never re-signed
+    assert(countOf(p, "MapPartitions") == 1, s"q82 re-signed beyond the batch:\n$p")
+    assert(p.contains("ReusedExchange"), s"q82 lost batch band-table reuse:\n$p")
+    // scans: batch documents + the two written tables, nothing else
+    assert(countOf(p, "Scan parquet") == 3, s"q82 scanned beyond batch+tables:\n$p")
+  }
+
   test("q81: the end-to-end pipeline is one scan + three exchanges") {
     // dedup window (hash on text hash) + packing window (hash on
     // source, reused by the rollup) + final sort — the documented

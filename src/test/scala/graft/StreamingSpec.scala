@@ -203,4 +203,42 @@ class StreamingSpec extends SparkSpec {
       assert(ids == Set(2L, 3L, 7L), s"first-arrival rows must win, got $ids")
     } finally q.stop()
   }
+
+  test("streaming NEAR-dup ingest (q77 shape): band join vs static index == batch, across triggers") {
+    import graft.operators.Dedup
+    import graft.streaming.DocIngest
+    def txt(i: Int) = s"unique document number $i with tokens t$i u$i v$i w$i"
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = ((1L to 30L).map(i => (i, txt(i.toInt))) :+ ((99L, shared)))
+      .toDF("doc_id", "text")
+    val batchRows = Seq(
+      (101L, txt(201)),  // unique -> no hit
+      (102L, shared),    // near-copy of corpus 99 -> hit
+      (103L, txt(203)), (104L, txt(204)))
+    val want = Dedup.incrementalLshFrom(batchRows.toDF("doc_id", "text"),
+        corpus, Dedup.MaxLshBucket)
+      .select("doc_new", "doc_corpus", "n_eq")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = DocIngest.nearDupIngest(mem.toDF().toDF("doc_id", "text"),
+        Dedup.bandTable(corpus))
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(batchRows.take(2): _*)
+      q.processAllAvailable()
+      // trigger 2 includes a REPLAY of the hit — pair state must
+      // suppress the duplicate emission
+      mem.addData((batchRows.drop(2) :+ ((102L, shared))): _*)
+      q.processAllAvailable()
+      val got = spark.table("neardup_stream")
+        .select("doc_new", "doc_corpus", "n_eq")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(got == want && got.nonEmpty, s"stream=$got batch=$want")
+      assert(got == Seq((102L, 99L, 16L)),
+        s"expected exactly the planted near-copy once, got $got")
+    } finally q.stop()
+  }
 }
