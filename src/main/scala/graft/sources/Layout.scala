@@ -194,4 +194,41 @@ object Layout {
     }
     (s.table(li), s.table(ord))
   }
+
+  /** COMPACTION — the background maintenance the incremental-append
+    * path defers: every append adds per-bucket files, and after enough
+    * increments small files dominate scan cost. Compaction rewrites
+    * the table into a fresh bucketed table fed one task per bucket
+    * (repartition on the bucket column before the write), so each
+    * bucket lands as a SINGLE file and — because the writer's input is
+    * already bucket-sorted per task — the sortBy metadata is truthful,
+    * letting SortMergeJoins skip their per-query sorts entirely
+    * (Spark emits the sorted-bucket scan ordering behind
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`,
+    * SPARK-28595, and only when every bucket is one file — exactly
+    * the invariant compaction establishes; a deployment turns the
+    * conf on after its compaction job). One shuffle per maintenance
+    * run, amortized over every scan after it; a production job would
+    * atomically swap the compacted table in, which is a catalog
+    * rename, not a plan change (`LayoutIncrementalSpec` proves
+    * result + zero-shuffle + SORT-FREE join invariance and the
+    * one-file-per-bucket layout). */
+  /** Catalog names of the incremental bucketed tables (the compaction
+    * job's input handle). */
+  def bucketedIncrementalNames(dir: String): (String, String) =
+    (s"graft_lineitem_binc_${tag(dir)}", s"graft_orders_binc_${tag(dir)}")
+
+  def compactBucketed(s: SparkSession, table: String, bucketCol: String): DataFrame = {
+    val compacted = s"${table}_compact"
+    refresh(s, compacted)
+    s.table(table)
+      // partition on the BUCKET ID itself — pmod(murmur3, n) is
+      // Spark's bucket formula — so every bucket's rows are co-located
+      // in one write task and land as exactly one file, whatever the
+      // task count or AQE coalescing does
+      .repartition(Buckets, pmod(hash(col(bucketCol)), lit(Buckets)))
+      .write.bucketBy(Buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(compacted)
+    s.table(compacted)
+  }
 }

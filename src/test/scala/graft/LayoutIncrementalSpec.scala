@@ -64,6 +64,45 @@ class LayoutIncrementalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compaction: one file per bucket, same rows, join zero-shuffle AND sort-free") {
+    val (liRaw, ordRaw) = Layout.bucketedIncremental(spark, sfDir)
+    val (liName, ordName) = Layout.bucketedIncrementalNames(sfDir)
+    val li = Layout.compactBucketed(spark, liName, "l_orderkey")
+    val ord = Layout.compactBucketed(spark, ordName, "o_orderkey")
+    // each bucket collapsed to a single file...
+    assert(li.inputFiles.length == Layout.Buckets,
+      s"expected ${Layout.Buckets} files, got ${li.inputFiles.length}")
+    assert(ord.inputFiles.length == Layout.Buckets)
+    // ...with nothing lost
+    assert(li.count() == liRaw.count() && ord.count() == ordRaw.count())
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // harvest switch for the compaction dividend: Spark only emits
+      // the sorted-bucket scan ordering behind this conf (SPARK-28595),
+      // and only when every bucket is a single file — exactly the
+      // invariant compaction establishes
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val n = joined.collect().length.toLong
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert("Exchange (hash|range)partitioning".r.findFirstIn(plan).isEmpty,
+        s"compaction broke co-location:\n$plan")
+      // the compaction dividend: one file per bucket makes the sortBy
+      // metadata usable, so the SMJ plans with NO per-query sorts
+      assert("""Sort \[""".r.findFirstIn(plan).isEmpty,
+        s"compacted join still sorts per query:\n$plan")
+      assert(n == Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+        .count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
+
   test("bucketed append grew the table without rewriting the base files") {
     val (li, _) = Layout.bucketedIncremental(spark, sfDir)
     // base + append both present: per-bucket file count must exceed one
