@@ -52,7 +52,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round-6 shapes: incremental partitioned layout, end-to-end
     // dedup→funnel→chunk→pack composition, incremental pair-graph
     // maintenance over the written snapshot tables
-    "q80_incremental_layout", "q81_pipeline_e2e", "q82_pair_graph_update")
+    "q80_incremental_layout", "q81_pipeline_e2e", "q82_pair_graph_update",
+    "q83_ann_ivf_indexed")
 
   names.foreach { name =>
     test(s"$name is invariant under shuffle-partition count") {

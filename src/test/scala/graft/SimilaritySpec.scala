@@ -115,4 +115,28 @@ class SimilaritySpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Similarity.tilesFor(atCap + 1))
     assert(e.getMessage.contains("annLsh"), "refusal must point at the scale operator")
   }
+
+  test("q83: the written IVF index serves queries with bucket pruning, no quantization") {
+    val df = Similarity.annIvfIndexed(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("graft_ivfassign"),
+      s"q83 not reading the written index:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"index scan ignores the cent_id bucketing:\n$plan")
+    // the nprobe/K claim made physical: the probed-centroid filter
+    // prunes buckets at planning time
+    val sel = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in plan:\n$plan")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"probe filter pruned nothing: ${sel.get.matched}")
+    // query time reads tables only — zero quantization loops
+    assert(!plan.contains("MapPartitions"),
+      s"q83 re-quantized at query time:\n$plan")
+    // and the result is the inline rebuild's, row for row
+    val inline = Similarity.annIvf(spark, sfDir).collect().map(_.toString).toSeq
+    assert(df.collect().map(_.toString).toSeq == inline && inline.nonEmpty)
+  }
 }
