@@ -23,8 +23,11 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         graft.operators.Dedup.warmSharedState(spark, sfDir)
+        graft.operators.Similarity.warmSharedState(spark, sfDir)
         graft.sources.Layout.bucketedLineitemOrders(spark, sfDir)
         graft.sources.Layout.partitionedEvents(spark, sfDir)
+        graft.sources.Layout.incrementalEvents(spark, sfDir)
+        graft.sources.Layout.bucketedIncremental(spark, sfDir)
       } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
