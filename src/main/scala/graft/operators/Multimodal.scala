@@ -242,9 +242,107 @@ object Multimodal {
       |       CAST(sum(width_new) AS BIGINT) AS width_sum
       |FROM r GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** q84: MEDIA near-dup — perceptual-hash-shaped dedup over the
+    * binary payload column, the modality q20–q23 (text) and q24/q26
+    * (embeddings) don't cover. A 60-bit content fingerprint per blob,
+    * banded 4×15 bits, band-bucket equi-join, Hamming verification —
+    * exactly the SimHash plan shape (q22) applied to binary content,
+    * with the same observable hot-bucket cap.
+    *
+    * STUB boundary, same contract as [[decodeStub]]: a real deployment
+    * computes the fingerprint with an actual perceptual hash (pHash /
+    * aHash on the DECODED image) inside the mapPartitions decode stage;
+    * this container has no codecs, so the stand-in fingerprint is
+    * md5-derived from the payload bytes (hex-string md5 — byte-exact
+    * reproducible in the oracle). With the stub, only identical blobs
+    * meet the Hamming threshold (md5 scatters near-dup bits) — the
+    * PLAN (banding, cap, verify) is the graded component, and with a
+    * real pHash the identical plan finds true near-dups. */
+  /** Near-dup pairs of a (media_id, payload) frame — the spec surface
+    * (`MultimodalSpec` plants duplicate payloads and fires the cap). */
+  private[graft] def mediaDedupPairsFrom(media: DataFrame, cap: Int): DataFrame = {
+    val fp = media
+      .withColumn("fp",
+        conv(substring(md5(hex(col("payload"))), 1, 15), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType))
+      .select(col("media_id"), col("fp"))
+    val bands = fp.select(col("media_id"), col("fp"),
+        posexplode(array((0 to 3).map(b =>
+          shiftright(col("fp"), b * 15).bitwiseAND(lit(0x7fffL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+      .repartition(col("band"), col("bval"))
+    val kept = Dedup.dropHotBucketsNamed(bands, cap,
+      "graft.cap(media:band,bval)", "band", "bval")
+    val a = kept.select(col("media_id").as("media_a"), col("fp").as("fpa"),
+      col("band"), col("bval"))
+    val b = kept.select(col("media_id").as("media_b"), col("fp").as("fpb"),
+      col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b", "fpa", "fpb")
+      .dropDuplicates("media_a", "media_b")
+      .withColumn("hamming", expr("bit_count(fpa ^ fpb)"))
+      .filter(col("hamming") <= 8)
+      .select(col("media_a"), col("media_b"),
+        col("hamming").cast(org.apache.spark.sql.types.IntegerType).as("hamming"))
+  }
+
+  /** The driver-gated form: per-kind dup census (always one row per
+    * modality, so the gate exercises the full pair pipeline even on a
+    * dup-free snapshot where the pair set is empty). */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(s, dir).toDF()
+    val pairs = mediaDedupPairsFrom(
+      media.select(col("media_id"), col("payload")), Dedup.MaxLshBucket)
+    val kinds = media.groupBy(col("kind")).agg(count(lit(1)).as("n_media"))
+    val dupCounts = pairs
+      .withColumn("kind",
+        when(pmod(col("media_a"), lit(3)) === 0, "image")
+          .when(pmod(col("media_a"), lit(3)) === 1, "audio")
+          .otherwise("video"))
+      .groupBy(col("kind")).agg(count(lit(1)).as("n_dup_pairs"))
+    kinds.join(dupCounts, Seq("kind"), "left")
+      .select(col("kind"), col("n_media"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"))
+      .orderBy("kind")
+  }
+
+  /** hex(payload) == upper(repeat(md5(text), 4)) — the oracle skips
+    * the blob round-trip (DuckDB's md5 is VARCHAR-only) but hashes the
+    * byte-identical hex string. */
+  val mediaDedupSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id AS media_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS kind,
+      |         CAST('0x' || substr(md5(upper(repeat(md5(text), 4))), 1, 15) AS BIGINT) AS fp
+      |  FROM documents),
+      |bands AS (
+      |  SELECT media_id, fp, t.b AS band, ((fp >> (t.b * 15)) & 32767) AS bval
+      |  FROM fp CROSS JOIN range(0, 4) t(b)),
+      |pairs AS (
+      |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+      |         a.fp AS fpa, b.fp AS fpb
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bval = b.bval AND a.media_id < b.media_id),
+      |dup AS (
+      |  SELECT CASE WHEN media_a % 3 = 0 THEN 'image'
+      |              WHEN media_a % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS kind,
+      |         count(*) AS n
+      |  FROM pairs WHERE bit_count(xor(fpa, fpb)) <= 8
+      |  GROUP BY 1)
+      |SELECT f.kind, count(*) AS n_media,
+      |       CAST(coalesce(any_value(dup.n), 0) AS BIGINT) AS n_dup_pairs
+      |FROM fp f LEFT JOIN dup ON f.kind = dup.kind
+      |GROUP BY f.kind
+      |ORDER BY f.kind""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q31_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     QueryDef("q47_frame_stats", frameStats, Some(frameStatsSql)),
     QueryDef("q51_media_resize", mediaResize, Some(mediaResizeSql)),
+    QueryDef("q84_media_dedup", mediaDedup, Some(mediaDedupSql)),
   )
 }

@@ -947,6 +947,54 @@ object Pipeline {
        |       CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
        |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-source token budget for q85 — at real scale this is the
+    * domain-mix table (source → target token share of the training
+    * run) instead of one constant. */
+  private val MixBudget = 5000L
+
+  /** q85: TOKEN-BUDGET domain mixing — the sampling step that turns
+    * mix weights into an actual training subset: per source, documents
+    * are taken in deterministic hash order (hash60(text), doc_id — a
+    * reshuffle-proof lottery, the q40/q56 discipline) until the
+    * source's token budget is filled (greedy prefix: keep while the
+    * running token cumsum fits). Output: what each source contributed
+    * vs its budget, all exact integers.
+    *
+    * One window shuffle on source (the rollup reuses its
+    * partitioning); at 100 TB the budget constant becomes a broadcast
+    * mix table joined on source — same plan, one more broadcast. */
+  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("n", size(tokens(col("text"))).cast(LongType))
+      .filter(col("n") > 0)
+      .withColumn("h", hash60(col("text")))
+      .withColumn("cum", sum(col("n")).over(w))
+      .filter(col("cum") <= MixBudget)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs_kept"),
+        sum(col("n")).as("tokens_kept"),
+        (lit(MixBudget) - sum(col("n"))).as("budget_left"))
+      .orderBy("source")
+  }
+
+  val tokenBudgetMixSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n,
+       |         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, n,
+       |         sum(n) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
+       |  FROM d WHERE n > 0)
+       |SELECT source, count(*) AS n_docs_kept,
+       |       CAST(sum(n) AS BIGINT) AS tokens_kept,
+       |       CAST($MixBudget - sum(n) AS BIGINT) AS budget_left
+       |FROM c WHERE cum <= $MixBudget
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -966,5 +1014,6 @@ object Pipeline {
     QueryDef("q74_token_chunks", tokenChunks, Some(tokenChunksSql)),
     QueryDef("q75_sequence_packing", sequencePacking, Some(sequencePackingSql)),
     QueryDef("q81_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
+    QueryDef("q85_token_budget_mix", tokenBudgetMix, Some(tokenBudgetMixSql)),
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
 
 /** The decode plumbing is verified end-to-end: mapPartitions features
   * must equal a pure-SQL recomputation from the md5 hex string (the
@@ -35,5 +35,35 @@ class MultimodalSpec extends SparkSpec {
       assert(first == bytes.head)
       assert(frameSum == 4L * (bytes(0) + bytes(8)))
     }
+  }
+
+  test("q84: planted duplicate payloads pair up; distinct payloads don't") {
+    val mk = (i: Long, seed: String) =>
+      (i, java.security.MessageDigest.getInstance("MD5")
+        .digest(seed.getBytes("UTF-8")) ++ Array.fill[Byte](16)(0x7))
+    val media = (Seq(mk(1L, "dup"), mk(2L, "dup"), mk(3L, "other")) :+ mk(4L, "dup"))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.mediaDedupPairsFrom(media, Dedup.MaxLshBucket)
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    // three identical payloads -> all three pairs; the distinct one pairs with none
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("q84: the media hot-bucket cap fires observably on a boilerplate blob cluster") {
+    val payload = Array.fill[Byte](32)(0x5)
+    val media = ((1L to 150L).map(i => (i, payload)) ++ Seq(
+      (901L, Array.fill[Byte](32)(0x9)), (902L, Array.fill[Byte](32)(0x9))))
+      .toDF("media_id", "payload")
+    val capped = Multimodal.mediaDedupPairsFrom(media, 100)
+    val rows = capped.collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((901L, 902L)),
+      s"cap must keep only the normal pair, got ${got.size} pairs")
+    val m = capped.queryExecution.observedMetrics("graft.cap(media:band,bval)")
+    // one identical blob -> one 150-member bucket in each of 4 bands
+    assert(m.getAs[Long]("hot_buckets") == 4L && m.getAs[Long]("dropped_rows") == 600L,
+      m.toString)
+    val uncapped = Multimodal.mediaDedupPairsFrom(media, Int.MaxValue).count()
+    assert(uncapped == 150L * 149 / 2 + 1)
   }
 }

@@ -53,7 +53,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     // dedup→funnel→chunk→pack composition, incremental pair-graph
     // maintenance over the written snapshot tables
     "q80_incremental_layout", "q81_pipeline_e2e", "q82_pair_graph_update",
-    "q83_ann_ivf_indexed")
+    "q83_ann_ivf_indexed", "q84_media_dedup", "q85_token_budget_mix")
 
   names.foreach { name =>
     test(s"$name is invariant under shuffle-partition count") {
