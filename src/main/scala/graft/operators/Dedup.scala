@@ -496,6 +496,31 @@ object Dedup {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramJaccardFrom(Tables.documents(s, dir), MaxShingleDf)
 
+  /** The df-capped (doc_id, h) shingle-hash table shared by q23 and
+    * q88: one exchange on h serves the df-cap count, both self-join
+    * sides and the per-doc size aggregate (the barrier comment below).
+    * `capName` keeps each query's CollectMetrics name unique — two
+    * observe nodes with one name in one plan is an analysis error. */
+  private def cappedShingleHashes(docs: DataFrame, dfCap: Int,
+                                  capName: String): DataFrame = {
+    val sh0 = shingleHashRowsFrom(docs).select(col("doc_id"), col("h60").as("h"))
+      .repartition(col("h"))
+    // df-cap: hot shingles (df > cap) are n_shingles/cap keys at most —
+    // usually tiny, but Θ(n) on a boilerplate-saturated corpus, so no
+    // broadcast() hint: AQE broadcasts when small, and the anti join is
+    // already co-partitioned on h (the repartition above) otherwise.
+    // The cap firing is observable (same contract as dropHotBuckets).
+    if (dfCap == Int.MaxValue) sh0 else {
+      val hot = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap)
+        .observe(capName,
+          count(lit(1)).as("hot_shingles"),
+          coalesce(sum(col("df")), lit(0L)).as("dropped_rows"))
+        .select(col("h"))
+      sh0.join(hot, Seq("h"), "left_anti")
+    }
+  }
+
   private[graft] def ngramJaccardFrom(docs: DataFrame, dfCap: Int): DataFrame = {
     // join on the 60-bit shingle hash, not the shingle text: the
     // pair-generation shuffle then carries 8-byte keys instead of
@@ -508,22 +533,7 @@ object Dedup {
     // (4 scans in the r02 plan); with it, ReuseExchange computes it
     // once — and since the exchange partitions by h, the df count
     // aggregates WITHOUT a further shuffle.
-    val sh0 = shingleHashRowsFrom(docs).select(col("doc_id"), col("h60").as("h"))
-      .repartition(col("h"))
-    // df-cap: hot shingles (df > cap) are n_shingles/cap keys at most —
-    // usually tiny, but Θ(n) on a boilerplate-saturated corpus, so no
-    // broadcast() hint: AQE broadcasts when small, and the anti join is
-    // already co-partitioned on h (the repartition above) otherwise.
-    // The cap firing is observable (same contract as dropHotBuckets).
-    val sh = if (dfCap == Int.MaxValue) sh0 else {
-      val hot = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > dfCap)
-        .observe("graft.cap(shingle_df)",
-          count(lit(1)).as("hot_shingles"),
-          coalesce(sum(col("df")), lit(0L)).as("dropped_rows"))
-        .select(col("h"))
-      sh0.join(hot, Seq("h"), "left_anti")
-    }
+    val sh = cappedShingleHashes(docs, dfCap, "graft.cap(shingle_df)")
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
     val inter = sh.as("a").join(sh.as("b"),
@@ -564,6 +574,63 @@ object Dedup {
       |JOIN sz sa ON sa.doc_id = doc_a
       |JOIN sz sb ON sb.doc_id = doc_b
       |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q88: ASYMMETRIC containment dedup — the overlap coefficient
+    * |A∩B| / min(|A|, |B|) over distinct 3-gram shingle sets. Jaccard
+    * (q23) misses subset duplicates by construction: a document fully
+    * quoted inside a 10× longer one has J ≈ 0.1 but containment 1.0.
+    * This operator is the standard answer (quote/excerpt detection,
+    * page-within-crawl containment) and shares q23's entire physical
+    * shape: the same df-capped shingle-hash table, one exchange on the
+    * 60-bit hash, a co-partitioned self-join, and per-doc sizes off
+    * the same exchange. The emission gate is exact-integer
+    * (10·inter ≥ 8·min) with the double ratio computed once for the
+    * report — Spark and DuckDB agree bit-for-bit. */
+  def containment(s: SparkSession, dir: String): DataFrame =
+    containmentFrom(Tables.documents(s, dir), MaxShingleDf)
+
+  private[graft] def containmentFrom(docs: DataFrame, dfCap: Int): DataFrame = {
+    val sh = cappedShingleHashes(docs, dfCap, "graft.cap(containment_df)")
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(col("inter") * 10 >= least(col("na"), col("nb")) * 8)
+      .withColumn("containment",
+        col("inter").cast(DoubleType) / least(col("na"), col("nb")).cast(DoubleType))
+      .select("doc_a", "doc_b", "inter", "na", "nb", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val containmentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(sgl), 1, 15) AS BIGINT) AS h
+      |  FROM (
+      |    SELECT DISTINCT doc_id, sgl FROM (
+      |      SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+      |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sgl
+      |      FROM toks WHERE len(w) >= 3) t0) t),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
+      |       CAST(inter AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = doc_a
+      |JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE inter * 10 >= least(sa.n, sb.n) * 8
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Distinct [[WindowLen]]-token window md5 hexes of a document,
@@ -1071,6 +1138,91 @@ object Dedup {
        |SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_docs
        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** q89: PageRank over the near-dup pair graph — graph CENTRALITY as
+    * a dedup diagnostic (a high-rank document is the hub of a
+    * boilerplate neighbourhood; rank, unlike raw degree q70,
+    * propagates through chains, separating template hubs from
+    * incidental pairs). Three Jacobi iterations, damping 0.85, over
+    * the WRITTEN pair-graph table.
+    *
+    * All arithmetic is integer-quantized (the q44 convention): ranks
+    * live in micro-units, each step is
+    * r′(v) = 150000 + (850 · Σ_{u~v} (r(u) div deg(u))) div 1000 —
+    * integer sums are order-independent under any partitioning, where
+    * float PageRank would differ engine-to-engine in the last ulp.
+    *
+    * Scale: the classic iterative join-agg shape — each iteration is
+    * one equi-join of edges against the current rank vector plus one
+    * aggregate on dst, both keyed by 8-byte doc ids; the pair graph is
+    * orders smaller than the corpus (and AQE broadcasts the rank
+    * vector when it is small). Iterations compose lazily into one
+    * plan — at production depth you would checkpoint every few
+    * rounds, exactly like the distributed-CC fixpoint ([[dupLabelsDistributed]]). */
+  def dupPagerank(s: SparkSession, dir: String): DataFrame =
+    dupPagerankFrom(pairGraph(s, dir))
+
+  /** [[dupPagerank]] over an explicit (doc_a, doc_b) pair relation —
+    * the spec surface (`DedupSpec` hand-checks the integer fixpoint on
+    * a three-node path graph). */
+  private[graft] def dupPagerankFrom(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select(col("doc_a"), col("doc_b"))
+    // one scan: explode each pair into both directed edges (the q70
+    // union-vs-explode lesson)
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val deg = edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+    val nc = deg.agg(count(lit(1)).as("n"))
+    var r = deg.crossJoin(nc)
+      .select(col("doc_id"), col("deg"), expr("1000000 div n").as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(r.select(col("doc_id").as("src"), col("deg").as("sdeg"),
+          col("r").as("sr")), Seq("src"))
+        .select(col("dst"), expr("sr div sdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      r = deg.join(contrib, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"), col("deg"),
+          (lit(150000L) + expr("(850 * coalesce(cs, 0)) div 1000")).as("r"))
+    }
+    r.select(col("doc_id"), col("deg"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("doc_id"))
+  }
+
+  val dupPagerankSql: String =
+    s"""WITH pairs AS ($pairGraphSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |deg AS (SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+       |nc AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT doc_id, deg, CAST(1000000 // n AS BIGINT) AS r FROM deg, nc),
+       |r1 AS (
+       |  SELECT d.doc_id, d.deg,
+       |         150000 + (850 * COALESCE(sum(p.r // p.deg), 0)) // 1000 AS r
+       |  FROM deg d
+       |  LEFT JOIN edges e ON e.dst = d.doc_id
+       |  LEFT JOIN r0 p ON p.doc_id = e.src
+       |  GROUP BY 1, 2),
+       |r2 AS (
+       |  SELECT d.doc_id, d.deg,
+       |         150000 + (850 * COALESCE(sum(p.r // p.deg), 0)) // 1000 AS r
+       |  FROM deg d
+       |  LEFT JOIN edges e ON e.dst = d.doc_id
+       |  LEFT JOIN r1 p ON p.doc_id = e.src
+       |  GROUP BY 1, 2),
+       |r3 AS (
+       |  SELECT d.doc_id, d.deg,
+       |         150000 + (850 * COALESCE(sum(p.r // p.deg), 0)) // 1000 AS r
+       |  FROM deg d
+       |  LEFT JOIN edges e ON e.dst = d.doc_id
+       |  LEFT JOIN r2 p ON p.doc_id = e.src
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, CAST(deg AS BIGINT) AS deg, CAST(r AS BIGINT) AS rank_micro
+       |FROM r3 ORDER BY rank_micro DESC, doc_id""".stripMargin
+
   /** Cross-source near-dup overlap: the (source, source) matrix of
     * LSH-confirmed near-dup pairs — which crawls/feeds duplicate each
     * other, the diagnostic that decides source-level dedup ordering
@@ -1181,5 +1333,7 @@ object Dedup {
     // q82's oracle IS q21's full-recompute SQL: the gate proves
     // incremental graph maintenance == full rebuild
     QueryDef("q82_pair_graph_update", pairGraphUpdate, Some(minhashLshSql)),
+    QueryDef("q88_containment", containment, Some(containmentSql)),
+    QueryDef("q89_dup_pagerank", dupPagerank, Some(dupPagerankSql)),
   )
 }

@@ -583,6 +583,42 @@ object Similarity {
   private[graft] def warmSharedState(s: SparkSession, dir: String): Unit =
     annIvfIndexed(s, dir).count()
 
+  /** The written coarse quantizer (q83's `ivfcents` snapshot table),
+    * collected to its K-row driver array — the only collect in the ANN
+    * index path, constant-size at any corpus scale. */
+  private def ivfCents(s: SparkSession, dir: String): Array[(Long, Array[Long], Long)] = {
+    import s.implicits._
+    Layout.materializedTable(s, dir, "ivfcents") {
+      quantized(s, dir)
+        .withColumn("h", hash60(col("vec_id").cast(StringType)))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(IvfK)
+        .select(col("vec_id"), col("q"), col("qn"))
+    }.as[(Long, Array[Long], Long)].collect().sortBy(_._1)
+  }
+
+  /** The written inverted-list assignment (q83's `ivfassign` snapshot
+    * table, BUCKETED by cent_id): every vector routed to its single
+    * nearest centroid (cos desc, ties to the low cent_id) in one
+    * map-only pass over the broadcast quantizer. Shared by the q83
+    * query path and q86's within-cluster semantic dedup — the one
+    * index serves both workloads, exactly as a production deployment
+    * would run it. */
+  private def ivfAssignTable(s: SparkSession, dir: String,
+                             cents: Array[(Long, Array[Long], Long)]): DataFrame = {
+    import s.implicits._
+    val bcCents = s.sparkContext.broadcast(cents)
+    Layout.materializedTable(s, dir, "ivfassign",
+        Some((Layout.Buckets, Seq("cent_id")))) {
+      quantized(s, dir)
+        .select(col("vec_id"), col("q"), col("qn")).as[(Long, Array[Long], Long)]
+        .mapPartitions { it =>
+          val cs = bcCents.value
+          it.map { case (id, q, qn) => (id, routeCents(q, qn, cs, 1).head, q, qn) }
+        }.toDF("vec_id", "cent_id", "q", "qn")
+    }
+  }
+
   /** q83: IVF over a WRITTEN index — the ANN family's snapshot
     * artifact, parallel to the dedup family's written pair graph
     * (q82). The coarse quantizer (K rows) and the inverted-list
@@ -598,24 +634,8 @@ object Similarity {
     * index-backed == inline rebuild. */
   def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val centsDf = Layout.materializedTable(s, dir, "ivfcents") {
-      quantized(s, dir)
-        .withColumn("h", hash60(col("vec_id").cast(StringType)))
-        .orderBy(col("h"), col("vec_id"))
-        .limit(IvfK)
-        .select(col("vec_id"), col("q"), col("qn"))
-    }
-    val cents = centsDf.as[(Long, Array[Long], Long)].collect().sortBy(_._1)
-    val bcCents = s.sparkContext.broadcast(cents)
-    val assign = Layout.materializedTable(s, dir, "ivfassign",
-        Some((Layout.Buckets, Seq("cent_id")))) {
-      quantized(s, dir)
-        .select(col("vec_id"), col("q"), col("qn")).as[(Long, Array[Long], Long)]
-        .mapPartitions { it =>
-          val cs = bcCents.value
-          it.map { case (id, q, qn) => (id, routeCents(q, qn, cs, 1).head, q, qn) }
-        }.toDF("vec_id", "cent_id", "q", "qn")
-    }
+    val cents = ivfCents(s, dir)
+    val assign = ivfAssignTable(s, dir, cents)
     // probe vectors come off the index too — zero query-time
     // quantization (production: external queries quantized client-side)
     val probeRows = boundedProbes(assign)
@@ -642,6 +662,103 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Cluster-size cap for q86's within-cluster pair join. Within-cluster
+    * pairing is O(Σ sᶜ²): balanced clusters cost n²/K total — the point
+    * of clustering first — but ONE degenerate cluster (a constant
+    * embedding, a zero-vector sink) reintroduces the all-pairs blowup.
+    * Clusters above the cap are excluded from pairing (their docs are
+    * kept, not dropped — the conservative direction for a dedup), and
+    * the exclusion is observable via the same CollectMetrics contract
+    * as [[Dedup.dropHotBuckets]]. Never fires at testdata scale
+    * (clusters average n/K ≈ 8 rows); `SimilaritySpec` fires it
+    * synthetically. */
+  private[graft] val MaxSemCluster = 4096
+
+  /** q86: SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    * arXiv:2303.09540 — cluster embeddings, then prune near-duplicates
+    * within each cluster only). This is the scale answer to q24's
+    * O(n²) exact near-dup: candidate pairs are confined to
+    * same-cluster vectors, so total pair work is Σ sᶜ² ≈ n²/K with
+    * balanced clusters, and each cluster's pairing is LOCAL — the
+    * join reads the written `ivfassign` snapshot table (q83's index,
+    * BUCKETED by cent_id), so the self-join is co-partitioned with
+    * ZERO exchange on either side.
+    *
+    * Retention policy is keep-lowest-id: a vector is dropped iff some
+    * lower-id cluster-mate has cosine ≥ 0.4 with it; the output is the
+    * drop list with provenance (the minimum keeper id, how many
+    * cluster-mates matched, the strongest match). All cosine math is
+    * the exact quantized integer arithmetic of the family (BIGINT dot
+    * and norms, one IEEE division), so the DuckDB oracle — which
+    * rebuilds the identical assignment in SQL — agrees bit-for-bit. */
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    semDedupFrom(ivfAssignTable(s, dir, ivfCents(s, dir)), MaxSemCluster)
+
+  /** [[semDedup]] over an explicit (vec_id, cent_id, q, qn) assignment —
+    * the spec surface where `SimilaritySpec` fires the cluster cap. */
+  private[graft] def semDedupFrom(assign: DataFrame, clusterCap: Int): DataFrame = {
+    val kept =
+      if (clusterCap == Int.MaxValue) assign
+      else {
+        val hot = assign.groupBy(col("cent_id"))
+          .agg(count(lit(1)).as("sz"))
+          .filter(col("sz") > clusterCap)
+          .observe("graft.cap(sem_cluster)",
+            count(lit(1)).as("hot_clusters"),
+            coalesce(sum(col("sz")), lit(0L)).as("excluded_rows"))
+          .select(col("cent_id"))
+        assign.join(hot, Seq("cent_id"), "left_anti")
+      }
+    val a = kept.select(col("cent_id"), col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("qn").as("qna"))
+    val b = kept.select(col("cent_id"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("qn").as("qnb"))
+    a.join(b, Seq("cent_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", qcosineNative(col("qa"), col("qb"), col("qna"), col("qnb")))
+      .filter(col("cos") >= 0.4)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("kept_by"),
+        count(lit(1)).as("n_dups"),
+        max(col("cos")).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** The q86 oracle rebuilds the coarse quantizer + nearest-centroid
+    * assignment in SQL (the annIvfSql machinery) and applies the same
+    * within-cluster keep-lowest-id rule. */
+  val semDedupSql: String =
+    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |      FROM q
+       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM n
+       |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |                   vec_id
+       |          LIMIT $IvfK),
+       |assign AS (
+       |  SELECT vec_id, cent_id, q, qn FROM (
+       |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v CROSS JOIN cents c) t
+       |  WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+       |                i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(a.qn AS DOUBLE) * CAST(b.qn AS DOUBLE)) AS cos
+       |  FROM assign a JOIN assign b
+       |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+       |SELECT vec_b AS vec_id, min(vec_a) AS kept_by,
+       |       CAST(count(*) AS BIGINT) AS n_dups, max(cos) AS max_cos
+       |FROM pairs WHERE cos >= 0.4
+       |GROUP BY vec_b ORDER BY vec_id""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     QueryDef("q25_cosine_topk", cosineTopK, Some(cosineTopKSql)),
@@ -650,5 +767,6 @@ object Similarity {
     QueryDef("q52_topk_aggregator", cosineTopKAgg, Some(cosineTopKSql)),
     // q83's oracle IS q37's SQL: the gate proves index-backed == rebuild
     QueryDef("q83_ann_ivf_indexed", annIvfIndexed, Some(annIvfSql)),
+    QueryDef("q86_semdedup", semDedup, Some(semDedupSql)),
   )
 }

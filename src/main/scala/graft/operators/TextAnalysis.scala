@@ -353,6 +353,86 @@ object TextAnalysis {
        |FROM flags GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q87: corpus-trained bigram LANGUAGE-MODEL quality scoring — the
+    * CCNet/KenLM filtering shape (score each document by how probable
+    * its text is under a model fit on the corpus itself; low scorers
+    * are boilerplate/garble candidates). The model is a bigram MLE:
+    * p(v|u) = c2(u,v) / c1(u) over all bigram occurrences, with each
+    * conditional quantized to the exact integer (1000000·c2) div c1 —
+    * the [[tfidfTopTerms]] convention: a float ln-perplexity ranks the
+    * same but `ln` is not bit-specified across engines, while integer
+    * micro-probabilities make Spark and the DuckDB oracle agree
+    * bit-for-bit at any partitioning. A document's score is the
+    * integer mean micro-probability over its bigram occurrences.
+    *
+    * Scale: one scan → explode to bigram occurrences → ONE exchange on
+    * u (the repartition barrier): the per-doc occurrence rollup
+    * (doc_id, u, v), the model tables c2 (u, v) and c1 (u), and the
+    * score joins all reuse it — hashpartitioning(u) satisfies every
+    * downstream clustering ([u] ⊆ [doc,u,v], [u,v], [u]), so nothing
+    * re-shuffles until the final per-doc rollup. The model tables are
+    * vocabulary-sized (≪ corpus — AQE broadcasts them when small). */
+  def bigramLm(s: SparkSession, dir: String): DataFrame =
+    bigramLmFrom(Tables.documents(s, dir))
+
+  private[graft] def bigramLmFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // bigram emission is row-local text work — a tight partition loop,
+    // not a transform/element_at lambda chain (higher-order array
+    // functions evaluate interpreted per element; the
+    // [[graft.operators.Dedup.shingleHashRowsFrom]] lesson — the SQL
+    // formulation measured ~3x this loop on the explode stage alone)
+    val occ = docs
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val w = if (text == null) Array.empty[String]
+                  else text.split(" ").filter(_.nonEmpty)
+          if (w.length < 2) Iterator.empty
+          else (0 until w.length - 1).iterator.map(i => (id, w(i), w(i + 1)))
+        }
+      }.toDF("doc_id", "u", "v")
+      // explicit (vacuously true) null gate: the c2 join pushes
+      // isnotnull(u, v) below the barrier but the c1 join only
+      // isnotnull(u) — without one shared filter the three consumers'
+      // pre-exchange subtrees canonicalize differently and AQE reuse
+      // is lost (2 scans instead of 1; plan-pinned in PlanShapeSpec)
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .repartition(col("u"))
+      .groupBy(col("doc_id"), col("u"), col("v"))
+      .agg(count(lit(1)).as("k"))
+    val c2 = occ.groupBy(col("u"), col("v")).agg(sum(col("k")).as("c2"))
+    val c1 = occ.groupBy(col("u")).agg(sum(col("k")).as("c1"))
+    occ.join(c2, Seq("u", "v"))
+      .join(c1, Seq("u"))
+      .withColumn("micro", expr("k * ((1000000 * c2) div c1)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"), sum(col("micro")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s div n_bigrams").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  val bigramLmSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+      |           i -> struct_pack(u := w[i], v := w[i+1]))) AS b
+      |  FROM toks WHERE len(w) >= 2),
+      |occ AS (SELECT doc_id, b.u AS u, b.v AS v, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+      |c2 AS (SELECT u, v, sum(k) AS c2 FROM occ GROUP BY 1, 2),
+      |c1 AS (SELECT u, sum(k) AS c1 FROM occ GROUP BY 1),
+      |scored AS (
+      |  SELECT o.doc_id, sum(o.k * ((1000000 * c2.c2) // c1.c1)) AS s,
+      |         sum(o.k) AS m
+      |  FROM occ o JOIN c2 ON o.u = c2.u AND o.v = c2.v JOIN c1 ON o.u = c1.u
+      |  GROUP BY o.doc_id)
+      |SELECT doc_id, CAST(m AS BIGINT) AS n_bigrams, CAST(s // m AS BIGINT) AS score
+      |FROM scored ORDER BY score DESC, doc_id""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q27_lang_id", langId, Some(langIdSql)),
     QueryDef("q28_quality_score", qualityScore, Some(qualityScoreSql)),
@@ -360,5 +440,6 @@ object TextAnalysis {
     QueryDef("q30_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("q44_tfidf", tfidfTopTerms, Some(tfidfTopTermsSql)),
     QueryDef("q73_filter_funnel", filterFunnel, Some(filterFunnelSql)),
+    QueryDef("q87_bigram_lm", bigramLm, Some(bigramLmSql)),
   )
 }

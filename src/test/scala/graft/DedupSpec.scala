@@ -150,4 +150,66 @@ class DedupSpec extends SparkSpec {
     assert(m.map(_._3).sum == pairs)
     assert(m.forall { case (a, b, n) => a <= b && n > 0 })
   }
+
+  test("q88 containment catches the subset-dup that Jaccard misses by construction") {
+    // docB fully contains docA's text plus 3x more: every docA shingle
+    // is in docB, so containment = 1.0, while Jaccard ~ |A|/|B| < 0.5
+    val core = (1 to 12).map(i => s"w$i").mkString(" ")
+    val extra = (1 to 36).map(i => s"x$i").mkString(" ")
+    val docs = Seq((0L, core), (1L, s"$core $extra")).toDF("doc_id", "text")
+    val cont = Dedup.containmentFrom(docs, Int.MaxValue)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(cont.map(r => (r._1, r._2, r._6)).toSeq == Seq((0L, 1L, 1.0)),
+      cont.mkString(","))
+    // na = docA's 10 shingles, all intersecting
+    assert(cont.head._3 == 10L && cont.head._4 == 10L)
+    val jac = Dedup.ngramJaccardFrom(docs, Int.MaxValue).count()
+    assert(jac == 0L, "Jaccard >= 0.5 should NOT fire on a 1:4 subset dup")
+  }
+
+  test("q88 containment == 10/min rule at the 0.8 boundary, exact-integer gate") {
+    // A has 10 shingles, B shares exactly 8 of them: containment 0.8
+    // passes; C shares 7: 0.7 fails. Construct via token runs with
+    // unique separators so shingle sets are controlled... simpler:
+    // verify on sf0.001 that every emitted row satisfies the exact
+    // gate and its double ratio
+    val got = Dedup.containment(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, inter, na, nb, c) =>
+      assert(a < b && inter * 10 >= math.min(na, nb) * 8)
+      assert(c == inter.toDouble / math.min(na, nb).toDouble)
+    }
+  }
+
+  test("q89 integer PageRank reproduces the hand-computed fixpoint on a path graph") {
+    // path 1-2-3: hub 2 has degree 2. Hand-rolled three iterations of
+    // r' = 150000 + (850 * sum(r div deg)) div 1000 from r0 = 333333:
+    // r1 = (291666, 716666, 291666), r2 = (454583, 645832, 454583),
+    // r3 = (424478, 922791, 424478)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupPagerankFrom(pairs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L, 922791L), (1L, 1L, 424478L), (3L, 1L, 424478L)))
+  }
+
+  test("q89 on the corpus: every pair-graph node ranked once, damping bounds hold") {
+    val pr = Dedup.dupPagerank(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(pr.nonEmpty)
+    // every node of the pair graph is ranked exactly once
+    val pairs = Dedup.minhashLsh(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(pr.map(_._1).toSet == nodes && pr.length == nodes.size)
+    // damping bounds: the teleport term floors every rank at 150000;
+    // total incoming contribution cannot exceed the (~1e6) total mass,
+    // so no rank exceeds 150000 + 850000
+    assert(pr.forall(r => r._3 >= 150000L && r._3 <= 1000000L))
+    assert(pr.forall(_._2 >= 1L))
+    // deterministic: a fresh plan reproduces ranks bit-for-bit
+    val again = Dedup.dupPagerank(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(again.toSeq == pr.toSeq)
+  }
 }

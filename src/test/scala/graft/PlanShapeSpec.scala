@@ -85,6 +85,27 @@ class PlanShapeSpec extends SparkSpec {
     val p78 = plan("q78_span_overlap")
     assert(countOf(p78, "Scan parquet") == 1, s"q78 re-scanned documents:\n$p78")
     assert(p78.contains("ReusedExchange"), s"q78 lost exchange reuse:\n$p78")
+    // q88 reads the same capped shingle table — same pin
+    val p88 = plan("q88_containment")
+    assert(countOf(p88, "Scan parquet") == 1, s"q88 re-scanned documents:\n$p88")
+    assert(p88.contains("ReusedExchange"), s"q88 lost exchange reuse:\n$p88")
+  }
+
+  test("q87: one scan, one model exchange — occ/c2/c1 share the repartition(u) barrier") {
+    // the bigram model derives three relations (per-doc occurrences,
+    // bigram counts, prefix counts) from one exploded scan; the
+    // repartition(u) barrier must be built once and reused, and since
+    // hashpartitioning(u) satisfies every downstream grouping
+    // ([u] ⊆ [doc,u,v], [u,v], [u]), none of the model aggregates may
+    // introduce a further shuffle — only the final per-doc rollup and
+    // output sort shuffle after it.
+    val p = plan("q87_bigram_lm")
+    assert(countOf(p, "Scan parquet") == 1, s"q87 re-scanned documents:\n$p")
+    assert(p.contains("ReusedExchange"), s"q87 lost exchange reuse:\n$p")
+    // a ReusedExchange line repeats its target's "Exchange hash..."
+    // description — subtract them to count real shuffles
+    val shuffles = countOf(p, "Exchange (hash|range)partitioning") - countOf(p, "ReusedExchange")
+    assert(shuffles <= 3, s"q87 shuffled $shuffles times (expect u-barrier + doc rollup + sort):\n$p")
   }
 
   test("dedup family consumes ONE written pair-graph table — no shingle recomputation") {

@@ -139,4 +139,46 @@ class SimilaritySpec extends SparkSpec {
     val inline = Similarity.annIvf(spark, sfDir).collect().map(_.toString).toSeq
     assert(df.collect().map(_.toString).toSeq == inline && inline.nonEmpty)
   }
+
+  test("q86 semDedup drops exactly the lower-id-matched vectors, keep-min provenance") {
+    val got = Similarity.semDedup(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // drop rows are well-formed: keeper below the dropped id, a real
+    // match count, max_cos at/above the threshold
+    assert(got.forall { case (v, k, n, c) => k < v && n >= 1 && c >= 0.4 && c <= 1.0 })
+    // semantic containment: every (kept_by, vec_id) drop edge is a
+    // GENUINE near-dup pair — q86's within-cluster matches are a
+    // subset of the brute-force all-pairs ground truth (q24)
+    val brute = Similarity.embeddingNearDup(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2)).toSet
+    got.foreach { case (v, k, _, _) =>
+      assert(brute.contains((k, v)), s"drop edge ($k,$v) not in brute-force pairs")
+    }
+  }
+
+  test("q86 cluster cap excludes oversized clusters (keeps their docs) and is observable") {
+    import org.apache.spark.sql.functions.col
+    // one degenerate 6-member cluster (identical vectors — all pairs
+    // match) over a cap of 4, plus one normal 2-member dup cluster
+    val v = Array(1000000L, 0L)
+    val qn = 1000000L * 1000000L
+    val assign = ((10L to 15L).map(i => (i, 1L, v, qn)) ++
+      Seq((20L, 2L, v, qn), (21L, 2L, v, qn)))
+      .toDF("vec_id", "cent_id", "q", "qn")
+    val capped = Similarity.semDedupFrom(assign, 4)
+    val rows = capped.collect()
+    // the hot cluster contributes NO drops (conservative direction);
+    // the normal cluster drops its higher id with full provenance
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      == Seq((21L, 20L, 1L, 1.0)))
+    val m = capped.queryExecution.observedMetrics("graft.cap(sem_cluster)")
+    assert(m.getAs[Long]("hot_clusters") == 1L, m.toString)
+    assert(m.getAs[Long]("excluded_rows") == 6L, m.toString)
+    // uncapped: the degenerate cluster collapses to keep-min as usual
+    val un = Similarity.semDedupFrom(assign, Int.MaxValue)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(un == Set(11L, 12L, 13L, 14L, 15L, 21L))
+  }
 }

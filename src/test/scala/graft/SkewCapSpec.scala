@@ -139,4 +139,19 @@ class SkewCapSpec extends SparkSpec {
     assert(m.getAs[Long]("hot_shingles") == 2L, m.toString)
     assert(m.getAs[Long]("dropped_rows") == 300L, m.toString)
   }
+
+  test("q88 containment df-cap fires on the same hazard (shared shingle table), observable") {
+    // same quadratic-join hazard as q23 — q88 reads the identically
+    // capped shingle table under its own metrics name
+    val docs = hotDocs(i => s"common shared token extra tail$i")
+    val df = Dedup.containmentFrom(docs, Cap)
+    val rows = df.collect()
+    // with the two hot shingles dropped, hot docs share nothing; the
+    // identical normal pair keeps containment 1.0
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+      == Set((901L, 902L, 1.0)))
+    val m = df.queryExecution.observedMetrics("graft.cap(containment_df)")
+    assert(m.getAs[Long]("hot_shingles") == 2L, m.toString)
+    assert(m.getAs[Long]("dropped_rows") == 300L, m.toString)
+  }
 }
