@@ -181,4 +181,47 @@ class SimilaritySpec extends SparkSpec {
       .select(col("vec_id")).as[Long].collect().toSet
     assert(un == Set(11L, 12L, 13L, 14L, 15L, 21L))
   }
+
+  test("q90 PQ encoding: every training vector encodes at exact distance 0 per subspace") {
+    val train = Similarity.pqTrain(spark, sfDir)
+    assert(train.length == 16)
+    val codes = Similarity.pqCodesTable(spark, sfDir, train)
+      .as[(Long, Seq[Int])].collect().toMap
+    // a codebook vector's own subvector is at squared-L2 distance 0
+    // from its code's centroid — the assigned code must be SOME code
+    // at exact distance 0 (its own, unless an identical subvector
+    // holds a lower code id)
+    train.foreach { case (vid, q) =>
+      val cs = codes(vid)
+      for (sub <- 0 until 8) {
+        val cb = train(cs(sub) - 1)._2
+        val d = (0 until 8).map { i =>
+          val diff = q(sub * 8 + i) - cb(sub * 8 + i); diff * diff
+        }.sum
+        assert(d == 0L, s"train vec $vid sub $sub code ${cs(sub)} dist $d")
+      }
+    }
+    // and every corpus vector got exactly one 8-code row
+    assert(codes.size == Similarity.pqCodesTable(spark, sfDir, train).count())
+    assert(codes.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 1 && c <= 16)))
+  }
+
+  test("q90 ADC top-k: 5 ascending rows per probe off the written code table") {
+    val df = Similarity.pqAdc(spark, sfDir)
+    val got = df.as[(Long, Long, Long, Int)].collect()
+    val byProbe = got.groupBy(_._1)
+    assert(byProbe.keySet == Set(0L, 100L, 200L, 300L, 400L))
+    byProbe.foreach { case (p, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      val d = rows.sortBy(_._4).map(_._3).toSeq
+      assert(d == d.sorted, s"probe $p ADC distances not ascending")
+      assert(rows.forall(r => r._2 != p && r._3 >= 0L))
+    }
+    // query-time work is one scan of the WRITTEN code table + the
+    // scoring map — no embedding re-read, no re-encode
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("graft_pqcodes"), s"q90 not reading the written codes:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"q90 scanned more than the code table:\n$plan")
+  }
 }
