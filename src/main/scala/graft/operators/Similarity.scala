@@ -583,6 +583,7 @@ object Similarity {
   private[graft] def warmSharedState(s: SparkSession, dir: String): Unit = {
     annIvfIndexed(s, dir).count()
     pqCodesTable(s, dir, pqTrain(s, dir)).count()
+    ivfAssignBase(s, dir, ivfCentsBase(s, dir)).count()
   }
 
   /** The written coarse quantizer (q83's `ivfcents` snapshot table),
@@ -742,7 +743,15 @@ object Similarity {
     * exact search is the documented quantization trade (the PQ paper's
     * ADC bound); candidates can be re-ranked exactly like q83 if
     * needed. */
-  def pqAdc(s: SparkSession, dir: String): DataFrame = {
+  def pqAdc(s: SparkSession, dir: String): DataFrame =
+    pqAdcRanked(s, dir)
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("vec_id"), col("adist"), col("rnk"))
+      .orderBy("probe_id", "rnk")
+
+  /** The full ADC ranking (every scored vector with its rank) — q90
+    * takes the top 5, q92's re-rank stage takes a top-20 shortlist. */
+  private def pqAdcRanked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val train = pqTrain(s, dir)
     val codes = pqCodesTable(s, dir, train)
@@ -785,10 +794,44 @@ object Similarity {
 
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("adist"), col("vec_id"))
-    scored
+    scored.withColumn("rnk", row_number().over(w).cast(IntegerType))
+  }
+
+  /** q92: the standard two-stage retrieval — q90's cheap ADC stage
+    * produces a top-[[PqShortlist]] shortlist per probe off the code
+    * table, then ONLY the shortlist is re-ranked with the exact
+    * quantized cosine against the real vectors. The expensive exact
+    * math runs on probes·20 rows instead of probes·n; the shortlist
+    * is AQE-broadcast against the embedding scan, so the corpus side
+    * never shuffles. This is how PQ deployments actually answer
+    * queries (ADC recall, exact precision at the top); the oracle
+    * re-derives both stages in SQL. */
+  private[graft] val PqShortlist = 20
+
+  def pqRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cand = pqAdcRanked(s, dir)
+      .filter(col("rnk") <= PqShortlist)
+      .select(col("probe_id"), col("vec_id"))
+    // probe vectors ride a small DF (bounded set, already collected in
+    // the ADC stage's contract); the vec side joins the corpus scan
+    val probeRows = boundedProbes(quantized(s, dir))
+      .select(col("vec_id"), col("q"), col("qn"))
+      .as[(Long, Array[Long], Long)].collect().sortBy(_._1).toSeq
+    val probes = probeRows.toDF("probe_id", "pq", "pqn")
+    val e = quantized(s, dir)
+      .select(col("vec_id"), col("q"), col("qn"))
+
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(e, Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cos", qcosineNative(col("pq"), col("q"), col("pqn"), col("qn")))
+      .select(col("probe_id"), col("vec_id"), col("cos"))
       .withColumn("rnk", row_number().over(w).cast(IntegerType))
       .filter(col("rnk") <= 5)
-      .select(col("probe_id"), col("vec_id"), col("adist"), col("rnk"))
+      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
       .orderBy("probe_id", "rnk")
   }
 
@@ -797,7 +840,9 @@ object Similarity {
     * the probes' ADC tables in SQL — all squared-L2 in exact BIGINTs. */
   val pqAdcSql: String =
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
-       |n AS (SELECT vec_id, q FROM q
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |      FROM q
        |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
        |train AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code, q
@@ -834,6 +879,30 @@ object Similarity {
        |           FROM scored)
        |SELECT probe_id, vec_id, adist, rnk FROM ranked WHERE rnk <= 5
        |ORDER BY probe_id, rnk""".stripMargin
+
+  /** The q92 oracle IS q90's SQL with its final top-5 select swapped
+    * for shortlist → exact-cosine re-rank CTEs — the require guards
+    * fail loudly if [[pqAdcSql]] is ever reworded (the
+    * [[graft.operators.Dedup]] pairGraphSql surgery contract). */
+  val pqRerankSql: String = {
+    val marker = "SELECT probe_id, vec_id, adist, rnk FROM ranked WHERE rnk <= 5\nORDER BY probe_id, rnk"
+    require(pqAdcSql.endsWith(marker), "pqAdcSql reworded; update pqRerankSql surgery")
+    pqAdcSql.stripSuffix(marker) +
+      s""",cand AS (SELECT probe_id, vec_id FROM ranked WHERE rnk <= $PqShortlist),
+         |rr AS (
+         |  SELECT cd.probe_id, cd.vec_id,
+         |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
+         |                i -> p.q[i] * v.q[i])) AS BIGINT) AS DOUBLE)
+         |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(v.qn AS DOUBLE)) AS cos
+         |  FROM cand cd JOIN n p ON p.vec_id = cd.probe_id
+         |  JOIN n v ON v.vec_id = cd.vec_id),
+         |rrk AS (SELECT probe_id, vec_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY probe_id
+         |                                ORDER BY cos DESC, vec_id) AS INT) AS rnk
+         |        FROM rr)
+         |SELECT probe_id, vec_id, cos, rnk FROM rrk WHERE rnk <= 5
+         |ORDER BY probe_id, rnk""".stripMargin
+  }
 
   /** Cluster-size cap for q86's within-cluster pair join. Within-cluster
     * pairing is O(Σ sᶜ²): balanced clusters cost n²/K total — the point
@@ -932,6 +1001,126 @@ object Similarity {
        |FROM pairs WHERE cos >= 0.4
        |GROUP BY vec_b ORDER BY vec_id""".stripMargin
 
+  /** The STANDING-corpus (vec_id ≢ 0 mod 5 — the q43/q77 "today's
+    * crawl" split) semantic index: centroids trained on the corpus
+    * subset and its nearest-centroid assignment, both written snapshot
+    * tables, the assignment bucketed by cent_id. The PREVIOUS
+    * snapshot's artifact that q91 probes at ingest time. */
+  private def ivfCentsBase(s: SparkSession, dir: String): Array[(Long, Array[Long], Long)] = {
+    import s.implicits._
+    Layout.materializedTable(s, dir, "ivfcentsbase") {
+      quantized(s, dir).filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        .withColumn("h", hash60(col("vec_id").cast(StringType)))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(IvfK)
+        .select(col("vec_id"), col("q"), col("qn"))
+    }.as[(Long, Array[Long], Long)].collect().sortBy(_._1)
+  }
+
+  private def ivfAssignBase(s: SparkSession, dir: String,
+                            cents: Array[(Long, Array[Long], Long)]): DataFrame = {
+    import s.implicits._
+    val bcCents = s.sparkContext.broadcast(cents)
+    Layout.materializedTable(s, dir, "ivfassignbase",
+        Some((Layout.Buckets, Seq("cent_id")))) {
+      quantized(s, dir).filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        .select(col("vec_id"), col("q"), col("qn")).as[(Long, Array[Long], Long)]
+        .mapPartitions { it =>
+          val cs = bcCents.value
+          it.map { case (id, q, qn) => (id, routeCents(q, qn, cs, 1).head, q, qn) }
+        }.toDF("vec_id", "cent_id", "q", "qn")
+    }
+  }
+
+  /** q91: INCREMENTAL semantic dedup — q86's within-cluster pruning in
+    * the ingest-time shape of q43/q77: "is this new embedding a
+    * semantic near-copy of something the corpus already holds?" The
+    * batch (vec_id ≡ 0 mod 5) routes itself against the BROADCAST
+    * corpus quantizer — O(batch) map-only work, zero corpus
+    * re-assignment — and equi-joins the written, cent_id-bucketed
+    * corpus assignment, so the standing corpus is never re-scanned
+    * beyond its own bucketed index read and never re-shuffled. Per
+    * admitted-batch vector with ≥ 1 same-cluster match at cosine
+    * ≥ 0.4: the best match (cos desc, ties low id) and the match
+    * count. The exact-integer cosine keeps the DuckDB oracle — which
+    * re-derives corpus centroids, both assignments and the join in
+    * SQL — bit-identical. */
+  def semDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = ivfCentsBase(s, dir)
+    val corpus = ivfAssignBase(s, dir, cents)
+      .select(col("cent_id"), col("vec_id").as("cvec"),
+        col("q").as("qc"), col("qn").as("qnc"))
+    val bcCents = s.sparkContext.broadcast(cents)
+    val batch = quantized(s, dir).filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id"), col("q"), col("qn")).as[(Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        it.map { case (id, q, qn) => (id, routeCents(q, qn, cs, 1).head, q, qn) }
+      }.toDF("vec_id", "cent_id", "qb", "qnb")
+
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cvec"))
+    val wc = Window.partitionBy(col("vec_id"))
+    batch.join(corpus, Seq("cent_id"))
+      .withColumn("cos", qcosineNative(col("qb"), col("qc"), col("qnb"), col("qnc")))
+      .filter(col("cos") >= 0.4)
+      // shed the vector payloads before the windows (the q25 lesson)
+      .select(col("vec_id"), col("cvec"), col("cos"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_matches", count(lit(1)).over(wc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cvec").as("best_match"),
+        col("cos").as("best_cos"), col("n_matches"))
+      .orderBy("vec_id")
+  }
+
+  val semDedupIncrementalSql: String =
+    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |      FROM q
+       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |corp AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+       |batch AS (SELECT * FROM n WHERE vec_id % 5 = 0),
+       |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM corp
+       |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |                   vec_id
+       |          LIMIT $IvfK),
+       |ac AS (
+       |  SELECT vec_id, cent_id, q, qn FROM (
+       |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM corp v CROSS JOIN cents c) t
+       |  WHERE rn = 1),
+       |ab AS (
+       |  SELECT vec_id, cent_id, q, qn FROM (
+       |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM batch v CROSS JOIN cents c) t
+       |  WHERE rn = 1),
+       |m AS (
+       |  SELECT b.vec_id, c.vec_id AS cvec,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(b.q)),
+       |                i -> b.q[i] * c.q[i])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(b.qn AS DOUBLE) * CAST(c.qn AS DOUBLE)) AS cos
+       |  FROM ab b JOIN ac c ON b.cent_id = c.cent_id),
+       |r AS (
+       |  SELECT vec_id, cvec, cos,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cvec) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_matches
+       |  FROM m WHERE cos >= 0.4)
+       |SELECT vec_id, cvec AS best_match, cos AS best_cos, n_matches
+       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     QueryDef("q25_cosine_topk", cosineTopK, Some(cosineTopKSql)),
@@ -942,5 +1131,7 @@ object Similarity {
     QueryDef("q83_ann_ivf_indexed", annIvfIndexed, Some(annIvfSql)),
     QueryDef("q86_semdedup", semDedup, Some(semDedupSql)),
     QueryDef("q90_pq_adc", pqAdc, Some(pqAdcSql)),
+    QueryDef("q91_semdedup_incremental", semDedupIncremental, Some(semDedupIncrementalSql)),
+    QueryDef("q92_pq_rerank", pqRerank, Some(pqRerankSql)),
   )
 }

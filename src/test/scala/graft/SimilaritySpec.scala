@@ -224,4 +224,49 @@ class SimilaritySpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).length == 1,
       s"q90 scanned more than the code table:\n$plan")
   }
+
+  test("q91 incremental matches are batch-vs-corpus near-dups off the written base index") {
+    val df = Similarity.semDedupIncremental(spark, sfDir)
+    val got = df.as[(Long, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    // batch side only, corpus matches only, thresholded, counted
+    assert(got.forall { case (v, m, c, n) =>
+      v % 5 == 0 && m % 5 != 0 && c >= 0.4 && c <= 1.0 && n >= 1 })
+    // every reported best edge is a genuine near-dup pair in the
+    // brute-force all-pairs ground truth (same exact cosine math)
+    val brute = Similarity.embeddingNearDup(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    got.foreach { case (v, m, c, _) =>
+      val key = (math.min(v, m), math.max(v, m))
+      assert(brute.contains(key), s"q91 edge $key not in brute pairs")
+      assert(brute(key) == c, s"q91 cos $c != brute ${brute(key)} for $key")
+    }
+    // the standing corpus is served from its written snapshot table
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("graft_ivfassignbase"),
+      s"q91 corpus side not reading the written base index:\n$plan")
+  }
+
+  test("q92 re-rank returns exact cosines in exact order over the ADC shortlist") {
+    val rr = Similarity.pqRerank(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect()
+    val byProbe = rr.groupBy(_._1)
+    assert(byProbe.keySet == Set(0L, 100L, 200L, 300L, 400L))
+    byProbe.foreach { case (p, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      val cs = rows.sortBy(_._4).map(_._3).toSeq
+      assert(cs == cs.sorted.reverse, s"probe $p not cos-descending")
+      assert(rows.forall(_._2 != p), "self-match excluded")
+    }
+    // stage-2 exactness: any re-ranked hit that is also in the exact
+    // brute-force top-5 carries the IDENTICAL cosine (same quantized
+    // integer math on both paths)
+    val brute = Similarity.cosineTopK(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    rr.foreach { case (p, v, c, _) =>
+      brute.get(p).flatMap(_.get(v)).foreach(bc => assert(bc == c))
+    }
+  }
 }
