@@ -744,23 +744,29 @@ object Similarity {
     * ADC bound); candidates can be re-ranked exactly like q83 if
     * needed. */
   def pqAdc(s: SparkSession, dir: String): DataFrame =
-    pqAdcRanked(s, dir)
+    pqAdcRanked(s, dir, pqProbes(s, dir))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("vec_id"), col("adist"), col("rnk"))
       .orderBy("probe_id", "rnk")
 
+  /** The bounded probe set with vectors + norms, collected ONCE per
+    * query (q92 needs it in both stages — ADC tables and the exact
+    * re-rank — so sharing one collect saves a full embedding scan). */
+  private def pqProbes(s: SparkSession, dir: String): Array[(Long, Array[Long], Long)] = {
+    import s.implicits._
+    boundedProbes(quantized(s, dir))
+      .select(col("vec_id"), col("q"), col("qn"))
+      .as[(Long, Array[Long], Long)].collect().sortBy(_._1)
+  }
+
   /** The full ADC ranking (every scored vector with its rank) — q90
     * takes the top 5, q92's re-rank stage takes a top-20 shortlist. */
-  private def pqAdcRanked(s: SparkSession, dir: String): DataFrame = {
+  private def pqAdcRanked(s: SparkSession, dir: String,
+                          probeRows: Array[(Long, Array[Long], Long)]): DataFrame = {
     import s.implicits._
     val train = pqTrain(s, dir)
     val codes = pqCodesTable(s, dir, train)
-    // probe ADC tables: probes are the bounded q25 set; adc(p)(sub*K+c)
-    // = exact integer ||p_sub - cb(c)_sub||² — (probes × 128) longs
-    val probeRows = boundedProbes(quantized(s, dir))
-      .select(col("vec_id"), col("q"))
-      .as[(Long, Array[Long])].collect().sortBy(_._1)
-    val adc: Array[(Long, Array[Long])] = probeRows.map { case (pid, pq) =>
+    val adc: Array[(Long, Array[Long])] = probeRows.map { case (pid, pq, _) =>
       val t = new Array[Long](PqSubs * PqK)
       var sub = 0
       while (sub < PqSubs) {
@@ -810,15 +816,12 @@ object Similarity {
 
   def pqRerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cand = pqAdcRanked(s, dir)
+    // ONE probe collect serves both stages (ADC tables + re-rank side)
+    val probeRows = pqProbes(s, dir)
+    val cand = pqAdcRanked(s, dir, probeRows)
       .filter(col("rnk") <= PqShortlist)
       .select(col("probe_id"), col("vec_id"))
-    // probe vectors ride a small DF (bounded set, already collected in
-    // the ADC stage's contract); the vec side joins the corpus scan
-    val probeRows = boundedProbes(quantized(s, dir))
-      .select(col("vec_id"), col("q"), col("qn"))
-      .as[(Long, Array[Long], Long)].collect().sortBy(_._1).toSeq
-    val probes = probeRows.toDF("probe_id", "pq", "pqn")
+    val probes = probeRows.toSeq.toDF("probe_id", "pq", "pqn")
     val e = quantized(s, dir)
       .select(col("vec_id"), col("q"), col("qn"))
 

@@ -53,7 +53,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     // dedup→funnel→chunk→pack composition, incremental pair-graph
     // maintenance over the written snapshot tables
     "q80_incremental_layout", "q81_pipeline_e2e", "q82_pair_graph_update",
-    "q83_ann_ivf_indexed", "q84_media_dedup", "q85_token_budget_mix")
+    "q83_ann_ivf_indexed", "q84_media_dedup", "q85_token_budget_mix",
+    // round-6 second wave: bucketed within-cluster self-join, one-
+    // barrier bigram model, shared-shingle containment join, iterative
+    // integer PageRank, PQ encode/ADC off written tables, incremental
+    // batch-vs-index semantic join, shortlist re-rank
+    "q86_semdedup", "q87_bigram_lm", "q88_containment",
+    "q89_dup_pagerank", "q90_pq_adc", "q91_semdedup_incremental",
+    "q92_pq_rerank")
 
   names.foreach { name =>
     test(s"$name is invariant under shuffle-partition count") {
