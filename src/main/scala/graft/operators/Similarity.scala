@@ -584,6 +584,7 @@ object Similarity {
     annIvfIndexed(s, dir).count()
     pqCodesTable(s, dir, pqTrain(s, dir)).count()
     ivfAssignBase(s, dir, ivfCentsBase(s, dir)).count()
+    ivfPq(s, dir).count() // materializes the composed graft_ivfpq table
   }
 
   /** The written coarse quantizer (q83's `ivfcents` snapshot table),
@@ -759,6 +760,28 @@ object Similarity {
       .as[(Long, Array[Long], Long)].collect().sortBy(_._1)
   }
 
+  /** One probe's 128-entry ADC lookup table: adc(sub·K + c) = exact
+    * integer squared-L2 between the probe's sub-vector and codebook
+    * entry c — shared by q90/q92 (full scan) and q93 (probed lists). */
+  private def adcTable(pq: Array[Long],
+                       train: Array[(Long, Array[Long])]): Array[Long] = {
+    val t = new Array[Long](PqSubs * PqK)
+    var sub = 0
+    while (sub < PqSubs) {
+      var c = 0
+      while (c < PqK) {
+        var d = 0L; var i = 0
+        while (i < PqDim) {
+          val diff = pq(sub * PqDim + i) - train(c)._2(sub * PqDim + i)
+          d += diff * diff; i += 1
+        }
+        t(sub * PqK + c) = d; c += 1
+      }
+      sub += 1
+    }
+    t
+  }
+
   /** The full ADC ranking (every scored vector with its rank) — q90
     * takes the top 5, q92's re-rank stage takes a top-20 shortlist. */
   private def pqAdcRanked(s: SparkSession, dir: String,
@@ -766,23 +789,8 @@ object Similarity {
     import s.implicits._
     val train = pqTrain(s, dir)
     val codes = pqCodesTable(s, dir, train)
-    val adc: Array[(Long, Array[Long])] = probeRows.map { case (pid, pq, _) =>
-      val t = new Array[Long](PqSubs * PqK)
-      var sub = 0
-      while (sub < PqSubs) {
-        var c = 0
-        while (c < PqK) {
-          var d = 0L; var i = 0
-          while (i < PqDim) {
-            val diff = pq(sub * PqDim + i) - train(c)._2(sub * PqDim + i)
-            d += diff * diff; i += 1
-          }
-          t(sub * PqK + c) = d; c += 1
-        }
-        sub += 1
-      }
-      (pid, t)
-    }
+    val adc: Array[(Long, Array[Long])] =
+      probeRows.map { case (pid, pq, _) => (pid, adcTable(pq, train)) }
     val bcAdc = s.sparkContext.broadcast(adc)
 
     val scored = codes.select(col("vec_id"), col("codes"))
@@ -906,6 +914,142 @@ object Similarity {
          |SELECT probe_id, vec_id, cos, rnk FROM rrk WHERE rnk <= 5
          |ORDER BY probe_id, rnk""".stripMargin
   }
+
+  /** q93: IVF-PQ — the two index structures COMPOSED, exactly the
+    * FAISS IVFPQ layout every production vector store ships: the
+    * written `graft_ivfpq` table holds (vec_id, cent_id, codes),
+    * BUCKETED by cent_id, so a query (a) routes to its nprobe=2
+    * nearest centroids on the driver, (b) prunes to those buckets at
+    * planning time (the q83 SelectedBucketsCount mechanism), and
+    * (c) ADC-scores ONLY the surviving lists with 8 integer lookups
+    * per vector. Work per query: nprobe/K of the corpus × 8 lookups —
+    * neither the full-scan cost of q90 nor the full-vector reads of
+    * q37. All-BIGINT adist; the oracle composes the IVF assignment
+    * and PQ encoding CTEs verbatim. */
+  def ivfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = ivfCents(s, dir)
+    val train = pqTrain(s, dir)
+    // materialize the two source indexes BEFORE entering the composed
+    // table's once-gate: a materializedTable call inside another's
+    // builder is a nested computeIfAbsent on the same gate map —
+    // ConcurrentHashMap detects it as a (bin-collision-dependent,
+    // i.e. flaky) "Recursive update" IllegalStateException
+    val assign = ivfAssignTable(s, dir, cents)
+    val codes = pqCodesTable(s, dir, train)
+    val index = Layout.materializedTable(s, dir, "ivfpq",
+        Some((Layout.Buckets, Seq("cent_id")))) {
+      assign.select(col("vec_id"), col("cent_id"))
+        .join(codes, Seq("vec_id"))
+        .select(col("vec_id"), col("cent_id"), col("codes"))
+    }
+    val probeRows = pqProbes(s, dir)
+    // (probe, its nprobe routed cents, its ADC table) — driver-side
+    // over the broadcast-scale quantizer, as in q37/q83
+    val probes: Array[(Long, Array[Long], Array[Long])] =
+      probeRows.map { case (pid, pq, pqn) =>
+        (pid, routeCents(pq, pqn, cents, 2).toArray, adcTable(pq, train))
+      }
+    val probedCents = probes.flatMap(_._2).distinct.toSeq
+    val bcProbes = s.sparkContext.broadcast(probes)
+
+    val scored = index
+      .filter(col("cent_id").isin(probedCents: _*)) // bucket pruning
+      .select(col("vec_id"), col("cent_id"), col("codes"))
+      .as[(Long, Long, Seq[Int])]
+      .mapPartitions { it =>
+        val ps = bcProbes.value
+        it.flatMap { case (id, cid, cs) =>
+          ps.iterator
+            .filter { case (pid, rcs, _) => pid != id && rcs.contains(cid) }
+            .map { case (pid, _, t) =>
+              var d = 0L; var sub = 0
+              while (sub < PqSubs) { d += t(sub * PqK + cs(sub) - 1); sub += 1 }
+              (pid, id, d)
+            }
+        }
+      }.toDF("probe_id", "vec_id", "adist")
+
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("vec_id"), col("adist"), col("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** The q93 oracle composes the IVF assignment (annIvfSql's machinery,
+    * nprobe=2 probe routing) with the PQ encoding and ADC tables
+    * (pqAdcSql's machinery), scoring only probed inverted lists. */
+  val ivfPqSql: String =
+    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |      FROM q
+       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM n
+       |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |                   vec_id
+       |          LIMIT $IvfK),
+       |assign AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT v.vec_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v CROSS JOIN cents c) t
+       |  WHERE rn = 1),
+       |train AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code, q
+       |  FROM (SELECT vec_id, q FROM n
+       |        ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |                 vec_id
+       |        LIMIT $PqK) t),
+       |cb AS (
+       |  SELECT s.s AS sub, t.code, list_slice(t.q, s.s*$PqDim+1, s.s*$PqDim+$PqDim) AS cq
+       |  FROM train t CROSS JOIN range(0, $PqSubs) s(s)),
+       |enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT v.vec_id, c.sub, c.code,
+       |           row_number() OVER (PARTITION BY v.vec_id, c.sub ORDER BY
+       |             list_sum(list_transform(generate_series(1, $PqDim),
+       |               i -> (v.q[c.sub*$PqDim+i] - c.cq[i]) * (v.q[c.sub*$PqDim+i] - c.cq[i]))),
+       |             c.code) AS rn
+       |    FROM n v CROSS JOIN cb c) t WHERE rn = 1),
+       |pset AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
+       |         ORDER BY vec_id LIMIT $MaxProbes),
+       |proutes AS (
+       |  SELECT probe_id, cent_id FROM (
+       |    SELECT v.vec_id AS probe_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v JOIN pset ON v.vec_id = pset.vec_id CROSS JOIN cents c) t
+       |  WHERE rn <= 2),
+       |pdist AS (
+       |  SELECT p.vec_id AS probe_id, c.sub, c.code,
+       |         CAST(list_sum(list_transform(generate_series(1, $PqDim),
+       |           i -> (p.q[c.sub*$PqDim+i] - c.cq[i]) * (p.q[c.sub*$PqDim+i] - c.cq[i]))) AS BIGINT) AS d
+       |  FROM n p JOIN pset ON p.vec_id = pset.vec_id CROSS JOIN cb c),
+       |scored AS (
+       |  SELECT pr.probe_id, a.vec_id, CAST(sum(pd.d) AS BIGINT) AS adist
+       |  FROM proutes pr
+       |  JOIN assign a ON a.cent_id = pr.cent_id
+       |  JOIN enc e ON e.vec_id = a.vec_id
+       |  JOIN pdist pd ON pd.probe_id = pr.probe_id AND pd.sub = e.sub AND pd.code = e.code
+       |  WHERE a.vec_id <> pr.probe_id
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT probe_id, vec_id, adist,
+       |           CAST(row_number() OVER (PARTITION BY probe_id
+       |                                   ORDER BY adist, vec_id) AS INT) AS rnk
+       |           FROM scored)
+       |SELECT probe_id, vec_id, adist, rnk FROM ranked WHERE rnk <= 5
+       |ORDER BY probe_id, rnk""".stripMargin
 
   /** Cluster-size cap for q86's within-cluster pair join. Within-cluster
     * pairing is O(Σ sᶜ²): balanced clusters cost n²/K total — the point
@@ -1136,5 +1280,6 @@ object Similarity {
     QueryDef("q90_pq_adc", pqAdc, Some(pqAdcSql)),
     QueryDef("q91_semdedup_incremental", semDedupIncremental, Some(semDedupIncrementalSql)),
     QueryDef("q92_pq_rerank", pqRerank, Some(pqRerankSql)),
+    QueryDef("q93_ivfpq", ivfPq, Some(ivfPqSql)),
   )
 }

@@ -248,6 +248,33 @@ class SimilaritySpec extends SparkSpec {
       s"q91 corpus side not reading the written base index:\n$plan")
   }
 
+  test("q93 IVF-PQ scores probed lists only, off the composed bucketed index") {
+    val df = Similarity.ivfPq(spark, sfDir)
+    val got = df.as[(Long, Long, Long, Int)].collect()
+    val byProbe = got.groupBy(_._1)
+    assert(byProbe.keySet == Set(0L, 100L, 200L, 300L, 400L))
+    byProbe.foreach { case (p, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      val d = rows.sortBy(_._4).map(_._3).toSeq
+      assert(d == d.sorted && rows.forall(r => r._2 != p && r._3 >= 0L))
+    }
+    // same ADC arithmetic as the full scan: any (probe, vec) hit shared
+    // with q90's top-5 carries the IDENTICAL integer distance
+    val full = Similarity.pqAdc(spark, sfDir)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (p, v, d, _) =>
+      full.get((p, v)).foreach(fd => assert(fd == d)) }
+    // the index is the written composed table, bucket-pruned at
+    // planning time (the q83 mechanism on the IVFPQ layout)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("graft_ivfpq"), s"q93 not reading the composed index:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"q93 scan ignores bucketing:\n$plan")
+    val sel = """SelectedBucketsCount: (\d+) out of (\d+)""".r.findFirstMatchIn(plan)
+    assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"q93 probe filter pruned nothing:\n$plan")
+  }
+
   test("q92 re-rank returns exact cosines in exact order over the ADC shortlist") {
     val rr = Similarity.pqRerank(spark, sfDir)
       .as[(Long, Long, Double, Int)].collect()
