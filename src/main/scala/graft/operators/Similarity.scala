@@ -117,7 +117,15 @@ object Similarity {
   }
 
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+    quantizedFrom(Tables.embeddings(s, dir))
+
+  /** The quantize + degenerate-row filter chain over an explicit
+    * (vec_id, embedding) relation — works unchanged on a STREAMING
+    * DataFrame (stateless expressions), which is what lets
+    * [[semanticMatchEvents]] serve both q91 and the streaming ingest
+    * front door. */
+  private[graft] def quantizedFrom(vecs: DataFrame): DataFrame =
+    vecs
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
       // a null embedding quantizes to null; the JVM partition loops
       // (jdot etc.) would NPE on it, and the SQL twins drop such rows
@@ -1153,7 +1161,7 @@ object Similarity {
     * subset and its nearest-centroid assignment, both written snapshot
     * tables, the assignment bucketed by cent_id. The PREVIOUS
     * snapshot's artifact that q91 probes at ingest time. */
-  private def ivfCentsBase(s: SparkSession, dir: String): Array[(Long, Array[Long], Long)] = {
+  private[graft] def ivfCentsBase(s: SparkSession, dir: String): Array[(Long, Array[Long], Long)] = {
     import s.implicits._
     Layout.materializedTable(s, dir, "ivfcentsbase") {
       quantized(s, dir).filter(pmod(col("vec_id"), lit(5)) =!= 0)
@@ -1164,7 +1172,7 @@ object Similarity {
     }.as[(Long, Array[Long], Long)].collect().sortBy(_._1)
   }
 
-  private def ivfAssignBase(s: SparkSession, dir: String,
+  private[graft] def ivfAssignBase(s: SparkSession, dir: String,
                             cents: Array[(Long, Array[Long], Long)]): DataFrame = {
     import s.implicits._
     val bcCents = s.sparkContext.broadcast(cents)
@@ -1192,29 +1200,44 @@ object Similarity {
     * count. The exact-integer cosine keeps the DuckDB oracle — which
     * re-derives corpus centroids, both assignments and the join in
     * SQL — bit-identical. */
-  def semDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+  /** Raw (vec_id, cvec, cos) semantic-match events of an incoming
+    * (vec_id, embedding) relation against the standing corpus
+    * assignment — the shared core of q91 (which rolls it up to
+    * best-match-per-vector) and the streaming ingest front door
+    * ([[graft.streaming.DocIngest.semanticIngest]] — stateless route +
+    * stream-static join, so it runs append-mode on a stream
+    * unchanged). */
+  private[graft] def semanticMatchEvents(incoming: DataFrame,
+                                         cents: Array[(Long, Array[Long], Long)],
+                                         corpusAssign: DataFrame): DataFrame = {
+    val s = corpusAssign.sparkSession
     import s.implicits._
-    val cents = ivfCentsBase(s, dir)
-    val corpus = ivfAssignBase(s, dir, cents)
+    val corpus = corpusAssign
       .select(col("cent_id"), col("vec_id").as("cvec"),
         col("q").as("qc"), col("qn").as("qnc"))
     val bcCents = s.sparkContext.broadcast(cents)
-    val batch = quantized(s, dir).filter(pmod(col("vec_id"), lit(5)) === 0)
+    val batch = quantizedFrom(incoming)
       .select(col("vec_id"), col("q"), col("qn")).as[(Long, Array[Long], Long)]
       .mapPartitions { it =>
         val cs = bcCents.value
         it.map { case (id, q, qn) => (id, routeCents(q, qn, cs, 1).head, q, qn) }
       }.toDF("vec_id", "cent_id", "qb", "qnb")
-
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("cvec"))
-    val wc = Window.partitionBy(col("vec_id"))
     batch.join(corpus, Seq("cent_id"))
       .withColumn("cos", qcosineNative(col("qb"), col("qc"), col("qnb"), col("qnc")))
       .filter(col("cos") >= 0.4)
-      // shed the vector payloads before the windows (the q25 lesson)
+      // shed the vector payloads early (the q25 lesson)
       .select(col("vec_id"), col("cvec"), col("cos"))
-      .withColumn("rn", row_number().over(w))
+  }
+
+  def semDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentsBase(s, dir)
+    val m = semanticMatchEvents(
+      Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(5)) === 0),
+      cents, ivfAssignBase(s, dir, cents))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cvec"))
+    val wc = Window.partitionBy(col("vec_id"))
+    m.withColumn("rn", row_number().over(w))
       .withColumn("n_matches", count(lit(1)).over(wc))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cvec").as("best_match"),

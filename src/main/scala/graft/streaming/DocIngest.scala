@@ -38,6 +38,25 @@ object DocIngest {
       .join(corpusHashes, Seq("nh"), "left_anti")
   }
 
+  /** SEMANTIC ingest — q91's incremental semantic dedup as the stream
+    * front door, completing the modality set (exact: [[dedupedIngest]],
+    * MinHash: [[nearDupIngest]], embeddings: this): each arriving
+    * embedding quantizes and routes itself against the broadcast
+    * corpus quantizer — stateless, O(micro-batch) per trigger — and
+    * joins the STATIC corpus assignment (in production the written,
+    * cent_id-bucketed `graft_ivfassignbase` table), so the standing
+    * corpus is never re-assigned or re-shuffled by the stream. Output:
+    * (vec_id, cvec, cos) semantic-match events at cosine ≥ 0.4,
+    * append mode; match identity (vec_id, cvec) is `dropDuplicates`
+    * state, so replays and re-crawls emit each match exactly once
+    * across triggers. `StreamingSpec` proves stream == batch across
+    * trigger splits incl. a cross-trigger replay. */
+  def semanticIngest(incoming: DataFrame,
+                     cents: Array[(Long, Array[Long], Long)],
+                     corpusAssign: DataFrame): DataFrame =
+    graft.operators.Similarity.semanticMatchEvents(incoming, cents, corpusAssign)
+      .dropDuplicates("vec_id", "cvec")
+
   /** NEAR-dup ingest — q77's incremental MinHash-LSH as the stream
     * front door: each arriving document is signed in the stream
     * (map-side band table over the micro-batch) and band-joined

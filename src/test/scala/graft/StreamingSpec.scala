@@ -241,4 +241,39 @@ class StreamingSpec extends SparkSpec {
         s"expected exactly the planted near-copy once, got $got")
     } finally q.stop()
   }
+
+  test("streaming SEMANTIC ingest (q91 shape): route + static assignment join == batch, across triggers") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.operators.Similarity
+    import graft.streaming.DocIngest
+    val cents = Similarity.ivfCentsBase(spark, sfDir)
+    val corpusAssign = Similarity.ivfAssignBase(spark, sfDir, cents)
+    val batchDf = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+    val want = Similarity.semanticMatchEvents(batchDf, cents, corpusAssign)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(want.nonEmpty, "sf0.001 must contain batch-vs-corpus semantic matches")
+
+    val rows = batchDf.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (t1, t2) = rows.splitAt(rows.length / 2)
+    val matched = want.head._1 // a vector known to match — replay it
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = DocIngest.semanticIngest(
+        mem.toDF().toDF("vec_id", "embedding"), cents, corpusAssign)
+      .writeStream.format("memory").queryName("semantic_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(t1: _*)
+      q.processAllAvailable()
+      // trigger 2 + a cross-trigger REPLAY of a matching vector —
+      // match-identity state must suppress the duplicate emission
+      mem.addData((t2 ++ rows.filter(_._1 == matched)): _*)
+      q.processAllAvailable()
+      val got = spark.table("semantic_stream")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      assert(got == want, s"stream=$got batch=$want")
+    } finally q.stop()
+  }
 }
