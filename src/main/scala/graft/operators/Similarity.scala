@@ -1059,6 +1059,69 @@ object Similarity {
        |SELECT probe_id, vec_id, adist, rnk FROM ranked WHERE rnk <= 5
        |ORDER BY probe_id, rnk""".stripMargin
 
+  /** q94's per-cluster retention cap: keep at most this many vectors
+    * per semantic cluster, chosen in deterministic hash order (a
+    * reshuffle-proof lottery — the q56/q85 convention). */
+  private[graft] val MaxPerCluster = 12
+
+  /** q94: cluster-balanced DIVERSITY sampling — the curation step
+    * that follows clustering in SemDeDup/DataComp-style pipelines:
+    * cap each semantic cluster's contribution so over-represented
+    * regions of embedding space (boilerplate, template families)
+    * cannot dominate the training mix. Keeps the [[MaxPerCluster]]
+    * hash-first vectors per cluster; reports kept/dropped per
+    * cluster.
+    *
+    * Plan shape: the written cent_id-BUCKETED assignment feeds a
+    * window PARTITIONed on cent_id and a groupBy on cent_id — both
+    * satisfied by the bucketing, so the query plans ZERO hash
+    * exchanges (plan-pinned): scan → sort-within-buckets → rank →
+    * rollup, with only the output sort shuffling. At 100 TB the
+    * rank-and-cap runs entirely within each bucket's files. */
+  def clusterBalance(s: SparkSession, dir: String): DataFrame = {
+    val assign = ivfAssignTable(s, dir, ivfCents(s, dir))
+    val w = Window.partitionBy(col("cent_id"))
+      .orderBy(hash60(col("vec_id").cast(StringType)), col("vec_id"))
+    assign.select(col("cent_id"), col("vec_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("rn") <= MaxPerCluster, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > MaxPerCluster, 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy("cent_id")
+  }
+
+  val clusterBalanceSql: String =
+    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |      FROM q
+       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM n
+       |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |                   vec_id
+       |          LIMIT $IvfK),
+       |assign AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT v.vec_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v CROSS JOIN cents c) t
+       |  WHERE rn = 1),
+       |ranked AS (
+       |  SELECT cent_id, vec_id,
+       |         row_number() OVER (PARTITION BY cent_id
+       |           ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |                    vec_id) AS rn
+       |  FROM assign)
+       |SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(sum(CASE WHEN rn <= $MaxPerCluster THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN rn > $MaxPerCluster THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM ranked GROUP BY cent_id ORDER BY cent_id""".stripMargin
+
   /** Cluster-size cap for q86's within-cluster pair join. Within-cluster
     * pairing is O(Σ sᶜ²): balanced clusters cost n²/K total — the point
     * of clustering first — but ONE degenerate cluster (a constant
@@ -1304,5 +1367,6 @@ object Similarity {
     QueryDef("q91_semdedup_incremental", semDedupIncremental, Some(semDedupIncrementalSql)),
     QueryDef("q92_pq_rerank", pqRerank, Some(pqRerankSql)),
     QueryDef("q93_ivfpq", ivfPq, Some(ivfPqSql)),
+    QueryDef("q94_cluster_balance", clusterBalance, Some(clusterBalanceSql)),
   )
 }

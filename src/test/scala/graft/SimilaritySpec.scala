@@ -275,6 +275,22 @@ class SimilaritySpec extends SparkSpec {
       s"q93 probe filter pruned nothing:\n$plan")
   }
 
+  test("q94 cluster balance: exhaustive partition of the corpus, zero-exchange rank") {
+    val df = Similarity.clusterBalance(spark, sfDir)
+    val got = df.as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, n, k, d) =>
+      assert(n == k + d && k <= 12L && k == math.min(n, 12L)) }
+    // every (non-degenerate) corpus vector lands in exactly one cluster
+    assert(got.map(_._2).sum == 500L)
+    // the bucketed assignment satisfies both the window partitioning
+    // and the rollup grouping — no hash exchange anywhere in the plan
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("Bucketed: true"), s"q94 scan ignores bucketing:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q94 planned a hash exchange over the bucketed assignment:\n$plan")
+  }
+
   test("q92 re-rank returns exact cosines in exact order over the ADC shortlist") {
     val rr = Similarity.pqRerank(spark, sfDir)
       .as[(Long, Long, Double, Int)].collect()
