@@ -1156,7 +1156,22 @@ object Similarity {
 
   /** [[semDedup]] over an explicit (vec_id, cent_id, q, qn) assignment —
     * the spec surface where `SimilaritySpec` fires the cluster cap. */
-  private[graft] def semDedupFrom(assign: DataFrame, clusterCap: Int): DataFrame = {
+  private[graft] def semDedupFrom(assign: DataFrame, clusterCap: Int): DataFrame =
+    semPairs(assign, clusterCap)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("kept_by"),
+        count(lit(1)).as("n_dups"),
+        max(col("cos")).as("max_cos"))
+      .orderBy("vec_id")
+
+  /** The capped within-cluster match-pair relation
+    * (cent_id, vec_a, vec_b, cos ≥ 0.4) shared by q86 and q95.
+    * Keeping cent_id on every pair is what lets q95's drop set group
+    * and join WITHOUT leaving the assignment's bucketing: a pair's
+    * vec_b lives in exactly one cluster, so grouping by
+    * (cent_id, vec_b) equals grouping by vec_b — and is satisfied by
+    * hashpartitioning(cent_id). */
+  private def semPairs(assign: DataFrame, clusterCap: Int): DataFrame = {
     val kept =
       if (clusterCap == Int.MaxValue) assign
       else {
@@ -1177,11 +1192,7 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", qcosineNative(col("qa"), col("qb"), col("qna"), col("qnb")))
       .filter(col("cos") >= 0.4)
-      .groupBy(col("vec_b").as("vec_id"))
-      .agg(min(col("vec_a")).as("kept_by"),
-        count(lit(1)).as("n_dups"),
-        max(col("cos")).as("max_cos"))
-      .orderBy("vec_id")
+      .select(col("cent_id"), col("vec_a"), col("vec_b"), col("cos"))
   }
 
   /** The q86 oracle rebuilds the coarse quantizer + nearest-centroid
@@ -1354,6 +1365,102 @@ object Similarity {
        |SELECT vec_id, cvec AS best_match, cos AS best_cos, n_matches
        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** q95: the embedding-modality END-TO-END pipeline — q81's
+    * composition proof for vectors: semantic dedup (q86's
+    * within-cluster keep-min) → cluster-balanced capping (q94) as ONE
+    * plan over the written assignment, reported per cluster as the
+    * full retention ledger (n_vecs = dup-dropped + balance-dropped +
+    * final). This is the curation pass a production embedding corpus
+    * actually runs, and it exercises cross-operator plan composition:
+    * the drop set carries its cluster key ([[semPairs]] — grouping by
+    * (cent_id, vec_b) equals grouping by vec_b and rides the
+    * bucketing), so the n_vecs and n_dup rollups and their cent_id
+    * join plan ZERO hash exchanges off the bucketed assignment; the
+    * survivor branch's anti join moves only slim (cent_id, vec_id)
+    * rows — AQE broadcasts the drop set at runtime — and no exchange
+    * anywhere carries a vector payload. */
+  def embeddingPipeline(s: SparkSession, dir: String): DataFrame = {
+    val assign = ivfAssignTable(s, dir, ivfCents(s, dir))
+    // drop set WITH its cluster key: groupBy(cent_id, vec_b) is
+    // semantically groupBy(vec_b) — a vector's pairs are all within
+    // one cluster — and rides the bucketing (see [[semPairs]])
+    val drops = semPairs(assign, MaxSemCluster)
+      .groupBy(col("cent_id"), col("vec_b").as("vec_id"))
+      .agg(count(lit(1)).as("_nd")).drop("_nd")
+    val surv = assign.select(col("cent_id"), col("vec_id"))
+      .join(drops, Seq("cent_id", "vec_id"), "left_anti")
+    val w = Window.partitionBy(col("cent_id"))
+      .orderBy(hash60(col("vec_id").cast(StringType)), col("vec_id"))
+    val aggAll = assign.groupBy(col("cent_id")).agg(count(lit(1)).as("n_vecs"))
+    // the dup rollup needs NO corpus join at all — drops carries cent_id
+    val aggDup = drops.groupBy(col("cent_id")).agg(count(lit(1)).as("n_dup"))
+    val aggBal = surv.withColumn("rn", row_number().over(w))
+      .groupBy(col("cent_id"))
+      .agg(sum(when(col("rn") <= MaxPerCluster, 1L).otherwise(0L)).as("n_final0"),
+        sum(when(col("rn") > MaxPerCluster, 1L).otherwise(0L)).as("n_bal"))
+    aggAll
+      .join(aggDup, Seq("cent_id"), "left")
+      .join(aggBal, Seq("cent_id"), "left")
+      .select(col("cent_id"), col("n_vecs"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_dropped"),
+        coalesce(col("n_bal"), lit(0L)).as("n_balance_dropped"),
+        coalesce(col("n_final0"), lit(0L)).as("n_final"))
+      .orderBy("cent_id")
+  }
+
+  val embeddingPipelineSql: String =
+    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |      FROM q
+       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM n
+       |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |                   vec_id
+       |          LIMIT $IvfK),
+       |assign AS (
+       |  SELECT vec_id, cent_id, q, qn FROM (
+       |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v CROSS JOIN cents c) t
+       |  WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+       |                i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(a.qn AS DOUBLE) * CAST(b.qn AS DOUBLE)) AS cos
+       |  FROM assign a JOIN assign b
+       |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+       |drops AS (SELECT DISTINCT vec_b AS vec_id FROM pairs WHERE cos >= 0.4),
+       |surv AS (
+       |  SELECT a.vec_id, a.cent_id FROM assign a
+       |  WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = a.vec_id)),
+       |ranked AS (
+       |  SELECT cent_id, vec_id,
+       |         row_number() OVER (PARTITION BY cent_id
+       |           ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |                    vec_id) AS rn
+       |  FROM surv),
+       |agg_all AS (SELECT cent_id, count(*) AS n_vecs FROM assign GROUP BY 1),
+       |agg_dup AS (SELECT a.cent_id, count(*) AS n_dup FROM assign a
+       |            JOIN drops d ON d.vec_id = a.vec_id GROUP BY 1),
+       |agg_bal AS (SELECT cent_id,
+       |            sum(CASE WHEN rn <= $MaxPerCluster THEN 1 ELSE 0 END) AS n_final,
+       |            sum(CASE WHEN rn > $MaxPerCluster THEN 1 ELSE 0 END) AS n_bal
+       |            FROM ranked GROUP BY 1)
+       |SELECT aa.cent_id, CAST(n_vecs AS BIGINT) AS n_vecs,
+       |       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_dropped,
+       |       CAST(COALESCE(n_bal, 0) AS BIGINT) AS n_balance_dropped,
+       |       CAST(COALESCE(n_final, 0) AS BIGINT) AS n_final
+       |FROM agg_all aa
+       |LEFT JOIN agg_dup USING (cent_id)
+       |LEFT JOIN agg_bal USING (cent_id)
+       |ORDER BY cent_id""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     QueryDef("q25_cosine_topk", cosineTopK, Some(cosineTopKSql)),
@@ -1368,5 +1475,6 @@ object Similarity {
     QueryDef("q92_pq_rerank", pqRerank, Some(pqRerankSql)),
     QueryDef("q93_ivfpq", ivfPq, Some(ivfPqSql)),
     QueryDef("q94_cluster_balance", clusterBalance, Some(clusterBalanceSql)),
+    QueryDef("q95_embedding_pipeline", embeddingPipeline, Some(embeddingPipelineSql)),
   )
 }

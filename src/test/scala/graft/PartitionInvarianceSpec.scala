@@ -60,7 +60,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     // batch-vs-index semantic join, shortlist re-rank
     "q86_semdedup", "q87_bigram_lm", "q88_containment",
     "q89_dup_pagerank", "q90_pq_adc", "q91_semdedup_incremental",
-    "q92_pq_rerank", "q93_ivfpq", "q94_cluster_balance")
+    "q92_pq_rerank", "q93_ivfpq", "q94_cluster_balance",
+    "q95_embedding_pipeline")
 
   names.foreach { name =>
     test(s"$name is invariant under shuffle-partition count") {

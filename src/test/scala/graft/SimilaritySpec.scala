@@ -291,6 +291,36 @@ class SimilaritySpec extends SparkSpec {
       s"q94 planned a hash exchange over the bucketed assignment:\n$plan")
   }
 
+  test("q95 embedding pipeline: retention ledger balances and agrees with q86/q94") {
+    val df = Similarity.embeddingPipeline(spark, sfDir)
+    val got = df.as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // per-cluster ledger identity: everything assigned is accounted for
+    got.foreach { case (_, n, dup, bal, fin) =>
+      assert(n == dup + bal + fin && fin <= 12L) }
+    // cross-operator consistency: the dup column IS q86's drop list
+    val q86drops = Similarity.semDedup(spark, sfDir).count()
+    assert(got.map(_._3).sum == q86drops)
+    // and the corpus total matches the assignment partition (q94)
+    val q94 = Similarity.clusterBalance(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._2).sum == q94.map(_._2).sum)
+    // composition stays bucketed: the n_vecs/n_dup rollups and their
+    // cent_id join ride the written assignment's buckets with zero
+    // exchanges (the drop set keeps its cluster key), and the few
+    // remaining hash exchanges are AQE stage boundaries around the
+    // slim (cent_id, vec_id) drop/survivor rows — never the vectors
+    df.collect() // read the FINAL adaptive plan, not the sketch
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Bucketed: true".r.findAllIn(plan).length >= 3,
+      s"q95 lost the bucketed index scans:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length -
+      "ReusedExchange".r.findAllIn(plan).length
+    assert(hashEx <= 3, s"q95 planned $hashEx hash exchanges:\n$plan")
+    // the pair join is the broadcast-capped q86 shape, not a shuffle
+    assert(plan.contains("BroadcastHashJoin"), s"q95 lost broadcast joins:\n$plan")
+  }
+
   test("q92 re-rank returns exact cosines in exact order over the ADC shortlist") {
     val rr = Similarity.pqRerank(spark, sfDir)
       .as[(Long, Long, Double, Int)].collect()
