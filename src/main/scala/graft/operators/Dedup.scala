@@ -283,6 +283,7 @@ object Dedup {
     pairGraph(s, dir).count()
     corpusBandIndex(s, dir).count()
     corpusPairGraph(s, dir).count()
+    shingleTable(s, dir).count()
   }
 
   /** Uncached, fully-ordered pair pipeline over explicit docs — the
@@ -494,21 +495,33 @@ object Dedup {
     * per-shingle df — the verification stage after LSH candidate
     * generation, or a direct method once [[MaxShingleDf]] bounds df. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardFrom(Tables.documents(s, dir), MaxShingleDf)
+    jaccardOn(capShingles(shingleTable(s, dir), MaxShingleDf,
+      "graft.cap(shingle_df)"))
 
-  /** The df-capped (doc_id, h) shingle-hash table shared by q23 and
-    * q88: one exchange on h serves the df-cap count, both self-join
-    * sides and the per-doc size aggregate (the barrier comment below).
+  /** The corpus shingle-hash table (doc_id, h) — the last shared
+    * intermediate of the exact set-overlap family (q23 Jaccard, q88
+    * containment), WRITTEN once per snapshot like the pair graph and
+    * band index, BUCKETED by the 60-bit hash so the df-count
+    * aggregate and both self-join sides are co-located with zero
+    * query-time exchange on h. Written UNCAPPED; the df-cap is
+    * applied per read ([[capShingles]]) so its CollectMetrics fires
+    * on every execution — the q77 band-index contract. */
+  private def shingleTable(s: SparkSession, dir: String): DataFrame =
+    Layout.materializedTable(s, dir, "shingles",
+        Some((Layout.Buckets, Seq("h")))) {
+      shingleHashRowsFrom(Tables.documents(s, dir))
+        .select(col("doc_id"), col("h60").as("h"))
+    }
+
+  /** Apply the df-cap to an explicit (doc_id, h) shingle relation.
     * `capName` keeps each query's CollectMetrics name unique — two
     * observe nodes with one name in one plan is an analysis error. */
-  private def cappedShingleHashes(docs: DataFrame, dfCap: Int,
-                                  capName: String): DataFrame = {
-    val sh0 = shingleHashRowsFrom(docs).select(col("doc_id"), col("h60").as("h"))
-      .repartition(col("h"))
+  private def capShingles(sh0: DataFrame, dfCap: Int,
+                          capName: String): DataFrame = {
     // df-cap: hot shingles (df > cap) are n_shingles/cap keys at most —
     // usually tiny, but Θ(n) on a boilerplate-saturated corpus, so no
     // broadcast() hint: AQE broadcasts when small, and the anti join is
-    // already co-partitioned on h (the repartition above) otherwise.
+    // already co-partitioned on h (bucketing/repartition) otherwise.
     // The cap firing is observable (same contract as dropHotBuckets).
     if (dfCap == Int.MaxValue) sh0 else {
       val hot = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -521,19 +534,30 @@ object Dedup {
     }
   }
 
-  private[graft] def ngramJaccardFrom(docs: DataFrame, dfCap: Int): DataFrame = {
-    // join on the 60-bit shingle hash, not the shingle text: the
-    // pair-generation shuffle then carries 8-byte keys instead of
-    // ~30-byte strings. The oracle hashes identically (same md5 math),
-    // so results agree bit-for-bit even in the (≈2^-61) collision case.
-    // The repartition is a deliberate materialization barrier: this
-    // subtree feeds the df-cap count, the self-join (twice) and the
-    // size aggregate, and without an exchange in between Spark
-    // recomputes the tokenize→shingle→md5 pipeline for every consumer
-    // (4 scans in the r02 plan); with it, ReuseExchange computes it
-    // once — and since the exchange partitions by h, the df count
-    // aggregates WITHOUT a further shuffle.
-    val sh = cappedShingleHashes(docs, dfCap, "graft.cap(shingle_df)")
+  /** Inline (uncached) capped shingle pipeline — the spec surface
+    * (`SkewCapSpec` fires the caps here, where nothing is table-backed);
+    * the product queries read [[shingleTable]] instead. */
+  private def cappedShingleHashes(docs: DataFrame, dfCap: Int,
+                                  capName: String): DataFrame =
+    capShingles(
+      shingleHashRowsFrom(docs).select(col("doc_id"), col("h60").as("h"))
+        .repartition(col("h")),
+      dfCap, capName)
+
+  private[graft] def ngramJaccardFrom(docs: DataFrame, dfCap: Int): DataFrame =
+    jaccardOn(cappedShingleHashes(docs, dfCap, "graft.cap(shingle_df)"))
+
+  /** Exact set-Jaccard over an already-capped (doc_id, h) relation.
+    * Joins on the 60-bit shingle hash, not the shingle text: the
+    * pair-generation shuffle then carries 8-byte keys instead of
+    * ~30-byte strings. The oracle hashes identically (same md5 math),
+    * so results agree bit-for-bit even in the (≈2^-61) collision case.
+    * The input must arrive h-partitioned — the written table's
+    * bucketing (product path) or the inline repartition barrier (spec
+    * path) — so the df-cap count, the self-join (twice) and the size
+    * aggregate all reuse ONE h-distribution instead of recomputing
+    * tokenize→shingle→md5 per consumer (4 scans in the r02 plan). */
+  private def jaccardOn(sh: DataFrame): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
     val inter = sh.as("a").join(sh.as("b"),
@@ -588,10 +612,13 @@ object Dedup {
     * (10·inter ≥ 8·min) with the double ratio computed once for the
     * report — Spark and DuckDB agree bit-for-bit. */
   def containment(s: SparkSession, dir: String): DataFrame =
-    containmentFrom(Tables.documents(s, dir), MaxShingleDf)
+    containmentOn(capShingles(shingleTable(s, dir), MaxShingleDf,
+      "graft.cap(containment_df)"))
 
-  private[graft] def containmentFrom(docs: DataFrame, dfCap: Int): DataFrame = {
-    val sh = cappedShingleHashes(docs, dfCap, "graft.cap(containment_df)")
+  private[graft] def containmentFrom(docs: DataFrame, dfCap: Int): DataFrame =
+    containmentOn(cappedShingleHashes(docs, dfCap, "graft.cap(containment_df)"))
+
+  private def containmentOn(sh: DataFrame): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
     val inter = sh.as("a").join(sh.as("b"),

@@ -78,17 +78,34 @@ class PlanShapeSpec extends SparkSpec {
     val p21 = df21.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(countOf(p21, "Scan parquet") == 1, s"q21 re-scanned documents:\n$p21")
     assert(p21.contains("ReusedExchange"), s"q21 lost exchange reuse:\n$p21")
-    val p23 = plan("q23_ngram_jaccard")
+    // q23/q88's INLINE builders keep the one-scan/reuse contract (the
+    // spec surface, matching q21's treatment); their product paths now
+    // read the written shingle table — pinned separately below
+    val df23 = graft.operators.Dedup.ngramJaccardFrom(
+      graft.sources.Tables.documents(spark, sfDir), graft.operators.Dedup.MaxShingleDf)
+    df23.collect()
+    val p23 = df23.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(countOf(p23, "Scan parquet") == 1, s"q23 re-scanned documents:\n$p23")
     assert(p23.contains("ReusedExchange"), s"q23 lost exchange reuse:\n$p23")
     // q78 copies q23's barrier pattern on the window hash — same pin
     val p78 = plan("q78_span_overlap")
     assert(countOf(p78, "Scan parquet") == 1, s"q78 re-scanned documents:\n$p78")
     assert(p78.contains("ReusedExchange"), s"q78 lost exchange reuse:\n$p78")
-    // q88 reads the same capped shingle table — same pin
-    val p88 = plan("q88_containment")
-    assert(countOf(p88, "Scan parquet") == 1, s"q88 re-scanned documents:\n$p88")
-    assert(p88.contains("ReusedExchange"), s"q88 lost exchange reuse:\n$p88")
+  }
+
+  test("q23/q88 product paths read the WRITTEN bucketed shingle table — no re-shingling") {
+    // the set-overlap family's shared intermediate is a snapshot table
+    // (like the pair graph and band index): query time must scan
+    // graft_shingles — bucketed on h, so the df-count and self-join
+    // need no exchange on h — and never re-run tokenize→shingle→md5
+    for (name <- Seq("q23_ngram_jaccard", "q88_containment")) {
+      val p = plan(name)
+      assert(p.contains("graft_shingles"), s"$name not reading the shingle table:\n$p")
+      assert(p.contains("Bucketed: true"), s"$name scan ignores the h-bucketing:\n$p")
+      assert(!p.contains("MapPartitions"), s"$name re-shingled at query time:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(h#"),
+        s"$name re-shuffled on h despite the bucketing:\n$p")
+    }
   }
 
   test("q87: one scan, one model exchange — occ/c2/c1 share the repartition(u) barrier") {
