@@ -242,6 +242,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming layout sink: stream-written day partitions == batch rows, pruning fires") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.LayoutSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view"),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "click"),
+      (Timestamp.valueOf("2024-01-02 09:00:00"), 3L, "view"),
+      // trigger 2 includes a LATE event for day 1 — must append into
+      // the OLD partition, not a new one
+      (Timestamp.valueOf("2024-01-02 10:00:00"), 4L, "error"),
+      (Timestamp.valueOf("2024-01-01 23:00:00"), 5L, "view"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = LayoutSink.eventsToLayout(
+      mem.toDF().toDF("ts", "user_id", "event_type"),
+      s"$dir/events", s"$dir/ckpt")
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(s"$dir/events")
+    // every streamed row landed exactly once, day derived from ts
+    assert(back.count() == 5)
+    assert(back.select("user_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 5L))
+    // the late event joined day 1's partition
+    val day1 = back.filter(col("day") === "2024-01-01")
+    assert(day1.select("user_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+    // and the layout prunes: a day filter reaches PartitionFilters
+    day1.collect()
+    val plan = day1.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("day"),
+      s"day filter not pushed to partition pruning:\n$plan")
+  }
+
   test("streaming SEMANTIC ingest (q91 shape): route + static assignment join == batch, across triggers") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     import graft.operators.Similarity
