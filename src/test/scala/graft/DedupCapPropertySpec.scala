@@ -137,4 +137,62 @@ class DedupCapPropertySpec extends SparkSpec {
       assert(a == b && a.nonEmpty, s"shape $i ($sh): capped/uncapped diverged")
     }
   }
+
+  // ---- q86: semantic dedup, cluster-size cap ------------------------
+
+  import graft.operators.Similarity
+
+  /** Random semantic shape: one degenerate cluster of mHot identical
+    * vectors (all-pairs matches — the quadratic hazard the cap exists
+    * for) + `planted` normal clusters, each holding one identical dup
+    * pair plus an ORTHOGONAL member (cos 0 — must never be dropped,
+    * proving the threshold discriminates within the kept clusters). */
+  private case class SemShape(mHot: Int, planted: Int)
+  private def semShapeGen(overCap: Boolean): Gen[SemShape] = for {
+    mHot <- if (overCap) Gen.chooseNum(Cap + 1, 160) else Gen.chooseNum(2, Cap - 1)
+    planted <- Gen.chooseNum(1, 3)
+  } yield SemShape(mHot, planted)
+
+  private def semAssign(sh: SemShape) = {
+    val v = Array(1000000L, 0L); val orth = Array(0L, 1000000L)
+    val qn = 1000000L * 1000000L
+    val hot = (1L to sh.mHot.toLong).map(i => (i, 0L, v, qn))
+    val planted = (0 until sh.planted).flatMap { j =>
+      Seq((2000L + 10 * j, 100L + j, v, qn),
+        (2001L + 10 * j, 100L + j, v, qn),
+        (2002L + 10 * j, 100L + j, orth, qn))
+    }
+    (hot ++ planted).toDF("vec_id", "cent_id", "q", "qn")
+  }
+
+  test("q86 property: cluster cap keeps exactly the planted per-cluster dups") {
+    (0 until 5).foreach { i =>
+      val sh = draw(semShapeGen(overCap = true), 600 + i)
+      val assign = semAssign(sh)
+      val capped = Similarity.semDedupFrom(assign, Cap)
+      val rows = capped.collect()
+      val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (0 until sh.planted).map(j => (2001L + 10 * j, 2000L + 10 * j)).toSet
+      assert(got == want, s"shape $i ($sh): got $got, want $want")
+      // orthogonal members survive; drops carry exact provenance
+      assert(rows.forall(r => r.getLong(2) == 1L && r.getDouble(3) == 1.0))
+      val m = capped.queryExecution.observedMetrics("graft.cap(sem_cluster)")
+      assert(m.getAs[Long]("hot_clusters") == 1L, s"shape $i: $m")
+      assert(m.getAs[Long]("excluded_rows") == sh.mHot.toLong, s"shape $i: $m")
+      // uncapped control: the hot cluster collapses to keep-min — the
+      // generated cluster really was the quadratic-match hazard
+      val un = Similarity.semDedupFrom(assign, Int.MaxValue).count()
+      assert(un == (sh.mHot - 1).toLong + sh.planted, s"shape $i: uncapped=$un")
+    }
+  }
+
+  test("q86 property: cap is a no-op when every cluster is under it") {
+    (0 until 3).foreach { i =>
+      val sh = draw(semShapeGen(overCap = false), 700 + i)
+      val assign = semAssign(sh)
+      val a = Similarity.semDedupFrom(assign, Cap).collect().toSeq
+      val b = Similarity.semDedupFrom(assign, Int.MaxValue).collect().toSeq
+      assert(a == b && a.nonEmpty, s"shape $i ($sh): capped/uncapped diverged")
+    }
+  }
 }
