@@ -6,6 +6,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Skew-cap tripwire: the caps never fire on well-behaved corpora,
+    // so a non-zero caps_fired in the report means some query produced
+    // a CAPPED (oracle-divergent) result this run — the explicit
+    // signal the oracle gate needs instead of a hash mismatch.
+    val caps = CapTripwire.install(spark)
     // SPARK_GRAFT_ONLY: optional comma-separated name filter for quick
     // single-query timing during development.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -69,10 +74,23 @@ object Bench {
       val v = samples.collect { case (`n`, t) => t }.sorted
       n -> v((v.length - 1) / 2) // lower median: never averages two passes
     }
+    val capsFired = caps.drain()
+    capsFired.foreach(c => System.err.println(s"[bench] skew cap fired: $c"))
     // Line order + length budget live in BenchReport (unit-tested in
     // BenchTailSpec): the LAST line is always a complete JSON object
     // under the driver's measured ~2,000-char stdout tail buffer.
-    BenchReport.lines(results, passes, sfDir, setupSec).foreach(println)
+    val lines = BenchReport.lines(results, passes, sfDir, setupSec, capsFired.length.toLong)
+    lines.foreach(println)
+    // The driver's ~2,000-char stdout tail can no longer hold the full
+    // per-query map at this query count, so the per-query medians are
+    // ALSO written as a file artifact — the versioned data source for
+    // round-over-round per-query diffs (committed as BENCHTABLE_r{N}
+    // .json; BASELINE.md's table is generated from it).
+    val tablePath = sys.env.getOrElse("SPARK_GRAFT_BENCHTABLE", "BENCHTABLE_latest.json")
+    if (tablePath.nonEmpty) {
+      val full = lines.find(_.contains("\"queries_inline\":true")).getOrElse(lines.last)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(tablePath), full + "\n")
+    }
     spark.stop()
   }
 }

@@ -29,14 +29,15 @@ object BenchReport {
     * full line rides earlier in the stream (recoverable from logs,
     * and partially from the tail buffer itself). */
   def lines(results: Seq[(String, Double)], passes: Int, sfDir: String,
-            setupSec: Double): Seq[String] = {
+            setupSec: Double, capsFired: Long = 0L): Seq[String] = {
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     def line(withQueries: Boolean): String = {
       val qpart = if (withQueries) s""","queries":$qs""" else ""
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes""" +
-        s""","setup_sec":${f3(setupSec)},"queries_inline":$withQueries$qpart""" +
+        s""","setup_sec":${f3(setupSec)},"caps_fired":$capsFired""" +
+        s""","queries_inline":$withQueries$qpart""" +
         s""","sf":"$sfDir"}"""
     }
     val (full, short) = (line(true), line(false))

@@ -13,11 +13,25 @@ object Verify {
     // SPARK_GRAFT_ONLY: optional comma-separated name filter (dev only;
     // the driver always runs the full set).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Skew-cap tripwire: a query whose execution fired any graft.cap()
+    // metric produced a CAPPED result the uncapped SQL oracle cannot
+    // match — deleting its dump makes the gate record an explicit
+    // error for that query instead of an opaque hash mismatch.
+    val caps = CapTripwire.install(spark)
+    caps.drain() // discard anything from session warmup
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val hit = caps.drain()
+        if (hit.nonEmpty) {
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$outDir/$name"))
+          System.err.println(s"[verify] $name SKIPPED: skew cap fired (capped result " +
+            s"cannot match the uncapped oracle): ${hit.mkString("; ")}")
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

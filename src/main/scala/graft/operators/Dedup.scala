@@ -1173,7 +1173,11 @@ object Dedup {
     * the WRITTEN pair-graph table.
     *
     * All arithmetic is integer-quantized (the q44 convention): ranks
-    * live in micro-units, each step is
+    * live in micro-units on the SUM-TO-N scale (r₀ = 1000000 per
+    * node, fixpoint teleport 150000 + damping 850/1000 — one
+    * convention throughout, so iteration-1 contributions carry full
+    * O(1) mass instead of the 1/N wash a mass-1 initialization
+    * gives), each step is
     * r′(v) = 150000 + (850 · Σ_{u~v} (r(u) div deg(u))) div 1000 —
     * integer sums are order-independent under any partitioning, where
     * float PageRank would differ engine-to-engine in the last ulp.
@@ -1200,9 +1204,7 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val deg = edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
-    val nc = deg.agg(count(lit(1)).as("n"))
-    var r = deg.crossJoin(nc)
-      .select(col("doc_id"), col("deg"), expr("1000000 div n").as("r"))
+    var r = deg.select(col("doc_id"), col("deg"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
       val contrib = edges
         .join(r.select(col("doc_id").as("src"), col("deg").as("sdeg"),
@@ -1224,8 +1226,7 @@ object Dedup {
        |  UNION ALL
        |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
        |deg AS (SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
-       |nc AS (SELECT count(*) AS n FROM deg),
-       |r0 AS (SELECT doc_id, deg, CAST(1000000 // n AS BIGINT) AS r FROM deg, nc),
+       |r0 AS (SELECT doc_id, deg, CAST(1000000 AS BIGINT) AS r FROM deg),
        |r1 AS (
        |  SELECT d.doc_id, d.deg,
        |         150000 + (850 * COALESCE(sum(p.r // p.deg), 0)) // 1000 AS r

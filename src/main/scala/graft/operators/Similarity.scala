@@ -688,12 +688,20 @@ object Similarity {
     * A constant-size driver array at any corpus scale. */
   private[graft] def pqTrain(s: SparkSession, dir: String): Array[(Long, Array[Long])] = {
     import s.implicits._
-    quantized(s, dir)
+    val train = quantized(s, dir)
       .withColumn("h", hash60(col("vec_id").cast(StringType)))
       .orderBy(col("h"), col("vec_id"))
       .limit(PqK)
       .select(col("vec_id"), col("q"))
       .as[(Long, Array[Long])].collect().sortBy(_._1)
+    // the encode/ADC loops index cb(0..PqK-1) unconditionally; a
+    // corpus with fewer than PqK non-degenerate vectors must fail
+    // HERE with a diagnosis, not as an ArrayIndexOutOfBounds deep in
+    // a partition loop (the SQL oracle's LIMIT would degrade
+    // silently, masking the mismatch)
+    require(train.length == PqK,
+      s"PQ codebook needs >= $PqK non-degenerate vectors; corpus has ${train.length}")
+    train
   }
 
   /** The WRITTEN PQ code table (vec_id, codes[8]) — the snapshot

@@ -28,6 +28,9 @@ class BenchTailSpec extends AnyFunSuite {
     assert(node.get("metric").asText() == "total")
     assert(node.has("value") && node.get("value").isNumber)
     assert(node.has("setup_sec") && node.get("setup_sec").isNumber)
+    // the skew-cap tripwire count rides in both forms: 0 is the
+    // oracle-gate-safe state, >0 flags a capped (oracle-divergent) run
+    assert(node.has("caps_fired") && node.get("caps_fired").asLong() == 0L)
     // queries_inline tells the consumer which form it parsed, and must
     // agree with the actual presence of the per-query map.
     assert(node.get("queries_inline").asBoolean() == node.has("queries"))
@@ -70,5 +73,11 @@ class BenchTailSpec extends AnyFunSuite {
     val Seq(a, b) = BenchReport.lines(rs, 5, "/tmp/x", 1.5).map(mapper.readTree)
     assert(a.get("value").asDouble() == b.get("value").asDouble())
     assert(a.get("passes").asInt() == 5 && b.get("passes").asInt() == 5)
+  }
+
+  test("a fired cap count is carried verbatim in both forms") {
+    val Seq(a, b) = BenchReport.lines(synthetic(12), 3, "/tmp/x", 0.0, capsFired = 2L)
+      .map(mapper.readTree)
+    assert(a.get("caps_fired").asLong() == 2L && b.get("caps_fired").asLong() == 2L)
   }
 }

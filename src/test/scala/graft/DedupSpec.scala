@@ -184,13 +184,14 @@ class DedupSpec extends SparkSpec {
 
   test("q89 integer PageRank reproduces the hand-computed fixpoint on a path graph") {
     // path 1-2-3: hub 2 has degree 2. Hand-rolled three iterations of
-    // r' = 150000 + (850 * sum(r div deg)) div 1000 from r0 = 333333:
-    // r1 = (291666, 716666, 291666), r2 = (454583, 645832, 454583),
-    // r3 = (424478, 922791, 424478)
+    // r' = 150000 + (850 * sum(r div deg)) div 1000 from r0 = 1000000
+    // (the sum-to-N scale matching the 150000 + 850000 fixpoint):
+    // r1 = (575000, 1850000, 575000), r2 = (936250, 1127500, 936250),
+    // r3 = (629187, 1741625, 629187)
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
     val got = Dedup.dupPagerankFrom(pairs)
       .as[(Long, Long, Long)].collect().toSeq
-    assert(got == Seq((2L, 2L, 922791L), (1L, 1L, 424478L), (3L, 1L, 424478L)))
+    assert(got == Seq((2L, 2L, 1741625L), (1L, 1L, 629187L), (3L, 1L, 629187L)))
   }
 
   test("q89 on the corpus: every pair-graph node ranked once, damping bounds hold") {
@@ -202,10 +203,16 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect()
     val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
     assert(pr.map(_._1).toSet == nodes && pr.length == nodes.size)
-    // damping bounds: the teleport term floors every rank at 150000;
-    // total incoming contribution cannot exceed the (~1e6) total mass,
-    // so no rank exceeds 150000 + 850000
-    assert(pr.forall(r => r._3 >= 150000L && r._3 <= 1000000L))
+    // damping bounds on the sum-to-N scale: the teleport term floors
+    // every rank at 150000, and total mass is conserved up to integer
+    // truncation — each iteration loses < deg(u) micro-units per node
+    // to `r div deg` and < 1 to `div 1000`, so over 3 iterations the
+    // sum sits in (N*1e6 - 3*(2*|pairs| + N), N*1e6]
+    val n = nodes.size.toLong
+    val mass = pr.map(_._3).sum
+    assert(pr.forall(_._3 >= 150000L))
+    assert(mass <= 1000000L * n && mass > 1000000L * n - 3L * (2L * pairs.length + n),
+      s"mass=$mass n=$n pairs=${pairs.length}")
     assert(pr.forall(_._2 >= 1L))
     // deterministic: a fresh plan reproduces ranks bit-for-bit
     val again = Dedup.dupPagerank(spark, sfDir)
