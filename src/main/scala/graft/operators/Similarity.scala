@@ -1469,6 +1469,184 @@ object Similarity {
        |LEFT JOIN agg_bal USING (cent_id)
        |ORDER BY cent_id""".stripMargin
 
+  /** q96: MEASURED recall@5 of every approximate ANN path against the
+    * exact q25 baseline, on the SAME probe set — the number that
+    * actually chooses nprobe/PqK for a training-data pipeline, as a
+    * gated query instead of prose. Per method: the size of the
+    * intersection between its per-probe top-5 and exact search's
+    * per-probe top-5, as exact integers (n_hits of 5·n_probes slots),
+    * with ONE double division at the end — so the oracle, which
+    * re-derives all four approximate paths and the exact baseline
+    * with the family's shared SQL machinery, hash-matches bit-for-bit.
+    *
+    * Methods: q83 (IVF, nprobe=2 of [[IvfK]]), q90 (PQ-ADC full code
+    * scan), q92 (ADC shortlist → exact re-rank), q93 (IVF-PQ composed).
+    *
+    * Scale: the dominant term is the exact baseline itself (the q25
+    * broadcast-probe scan) — recall measurement is inherently
+    * exact-search-priced, which is why production systems run it on a
+    * bounded probe sample exactly like this one ([[MaxProbes]]); the
+    * four method branches reuse the written index tables and the
+    * intersection joins carry ≤ 5·probes slim rows each. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact5 = cosineTopK(s, dir).select(col("probe_id"), col("vec_id"))
+    val np = boundedProbes(quantized(s, dir)).agg(count(lit(1)).as("np"))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "q83_ivf" -> annIvfIndexed(s, dir),
+      "q90_pq_adc" -> pqAdc(s, dir),
+      "q92_pq_rerank" -> pqRerank(s, dir),
+      "q93_ivfpq" -> ivfPq(s, dir))
+    methods.map { case (m, df) =>
+      df.select(col("probe_id"), col("vec_id"))
+        .join(exact5, Seq("probe_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(m).as("method"), col("n_hits"))
+    }.reduce(_ union _)
+      .crossJoin(broadcast(np))
+      .select(col("method"), col("np").as("n_probes"), col("n_hits"),
+        (col("n_hits").cast(DoubleType) /
+          (lit(5) * col("np")).cast(DoubleType)).as("recall_at_5"))
+      .orderBy("method")
+  }
+
+  /** The q96 oracle: ONE shared-CTE derivation — the exact baseline
+    * (q25's machinery), the IVF route (q37/q83's cents/assign/proutes),
+    * the PQ route (q90/q92's train/cb/enc/pdist) and the composed
+    * IVF-PQ route (q93) — then four intersection counts against the
+    * exact top-5. Every fragment is the (hash-gate-proven) SQL of its
+    * source query, so a recall mismatch localizes to the intersection
+    * math, not the methods. */
+  val annRecallSql: String =
+    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |      FROM q
+       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |pset AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
+       |         ORDER BY vec_id LIMIT $MaxProbes),
+       |escored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
+       |                i -> p.q[i] * c.q[i])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(c.qn AS DOUBLE)) AS cos
+       |  FROM n p JOIN pset ON p.vec_id = pset.vec_id
+       |  JOIN n c ON p.vec_id <> c.vec_id),
+       |exact5 AS (SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM escored) t WHERE rnk <= 5),
+       |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM n
+       |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |                   vec_id
+       |          LIMIT $IvfK),
+       |assign AS (
+       |  SELECT vec_id, cent_id, q, qn FROM (
+       |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v CROSS JOIN cents c) t
+       |  WHERE rn = 1),
+       |proutes AS (
+       |  SELECT probe_id, cent_id FROM (
+       |    SELECT v.vec_id AS probe_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v JOIN pset ON v.vec_id = pset.vec_id CROSS JOIN cents c) t
+       |  WHERE rn <= 2),
+       |iscored AS (
+       |  SELECT pr.probe_id, a.vec_id,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
+       |                i -> p.q[i] * a.q[i])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(a.qn AS DOUBLE)) AS cos
+       |  FROM proutes pr
+       |  JOIN n p ON p.vec_id = pr.probe_id
+       |  JOIN assign a ON a.cent_id = pr.cent_id
+       |  WHERE a.vec_id <> pr.probe_id),
+       |ivf5 AS (SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM iscored) t WHERE rnk <= 5),
+       |train AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code, q
+       |  FROM (SELECT vec_id, q FROM n
+       |        ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |                 vec_id
+       |        LIMIT $PqK) t),
+       |cb AS (
+       |  SELECT s.s AS sub, t.code, list_slice(t.q, s.s*$PqDim+1, s.s*$PqDim+$PqDim) AS cq
+       |  FROM train t CROSS JOIN range(0, $PqSubs) s(s)),
+       |enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT v.vec_id, c.sub, c.code,
+       |           row_number() OVER (PARTITION BY v.vec_id, c.sub ORDER BY
+       |             list_sum(list_transform(generate_series(1, $PqDim),
+       |               i -> (v.q[c.sub*$PqDim+i] - c.cq[i]) * (v.q[c.sub*$PqDim+i] - c.cq[i]))),
+       |             c.code) AS rn
+       |    FROM n v CROSS JOIN cb c) t WHERE rn = 1),
+       |pdist AS (
+       |  SELECT p.vec_id AS probe_id, c.sub, c.code,
+       |         CAST(list_sum(list_transform(generate_series(1, $PqDim),
+       |           i -> (p.q[c.sub*$PqDim+i] - c.cq[i]) * (p.q[c.sub*$PqDim+i] - c.cq[i]))) AS BIGINT) AS d
+       |  FROM n p JOIN pset ON p.vec_id = pset.vec_id CROSS JOIN cb c),
+       |ascored AS (
+       |  SELECT pd.probe_id, e.vec_id, CAST(sum(pd.d) AS BIGINT) AS adist
+       |  FROM enc e JOIN pdist pd ON pd.sub = e.sub AND pd.code = e.code
+       |  WHERE e.vec_id <> pd.probe_id
+       |  GROUP BY 1, 2),
+       |aranked AS (SELECT probe_id, vec_id, adist,
+       |            row_number() OVER (PARTITION BY probe_id
+       |                               ORDER BY adist, vec_id) AS rnk
+       |            FROM ascored),
+       |adc5 AS (SELECT probe_id, vec_id FROM aranked WHERE rnk <= 5),
+       |cand AS (SELECT probe_id, vec_id FROM aranked WHERE rnk <= $PqShortlist),
+       |rr AS (
+       |  SELECT cd.probe_id, cd.vec_id,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
+       |                i -> p.q[i] * v.q[i])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(v.qn AS DOUBLE)) AS cos
+       |  FROM cand cd JOIN n p ON p.vec_id = cd.probe_id
+       |  JOIN n v ON v.vec_id = cd.vec_id),
+       |rr5 AS (SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM rr) t WHERE rnk <= 5),
+       |pscored AS (
+       |  SELECT pr.probe_id, a.vec_id, CAST(sum(pd.d) AS BIGINT) AS adist
+       |  FROM proutes pr
+       |  JOIN assign a ON a.cent_id = pr.cent_id
+       |  JOIN enc e ON e.vec_id = a.vec_id
+       |  JOIN pdist pd ON pd.probe_id = pr.probe_id AND pd.sub = e.sub AND pd.code = e.code
+       |  WHERE a.vec_id <> pr.probe_id
+       |  GROUP BY 1, 2),
+       |ipq5 AS (SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY adist, vec_id) AS rnk
+       |    FROM pscored) t WHERE rnk <= 5),
+       |np AS (SELECT count(*) AS np FROM pset),
+       |hits AS (
+       |  SELECT 'q83_ivf' AS method, count(*) AS n_hits
+       |  FROM ivf5 JOIN exact5 USING (probe_id, vec_id)
+       |  UNION ALL
+       |  SELECT 'q90_pq_adc', count(*) FROM adc5 JOIN exact5 USING (probe_id, vec_id)
+       |  UNION ALL
+       |  SELECT 'q92_pq_rerank', count(*) FROM rr5 JOIN exact5 USING (probe_id, vec_id)
+       |  UNION ALL
+       |  SELECT 'q93_ivfpq', count(*) FROM ipq5 JOIN exact5 USING (probe_id, vec_id))
+       |SELECT method, CAST(np AS BIGINT) AS n_probes,
+       |       CAST(n_hits AS BIGINT) AS n_hits,
+       |       CAST(n_hits AS DOUBLE) / CAST(5 * np AS DOUBLE) AS recall_at_5
+       |FROM hits, np ORDER BY method""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     QueryDef("q25_cosine_topk", cosineTopK, Some(cosineTopKSql)),
@@ -1484,5 +1662,6 @@ object Similarity {
     QueryDef("q93_ivfpq", ivfPq, Some(ivfPqSql)),
     QueryDef("q94_cluster_balance", clusterBalance, Some(clusterBalanceSql)),
     QueryDef("q95_embedding_pipeline", embeddingPipeline, Some(embeddingPipelineSql)),
+    QueryDef("q96_ann_recall", annRecall, Some(annRecallSql)),
   )
 }
