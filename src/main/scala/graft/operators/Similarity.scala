@@ -68,6 +68,92 @@ object Similarity {
     * (K dot products) are independent of corpus size. */
   private[graft] val IvfK = 64
 
+  /** Lloyd-training sample bound: the IVF centroids and PQ codebooks
+    * are k-means-TRAINED (not hash-picked) over the [[TrainSample]]
+    * smallest-hash vectors — a TakeOrdered, so training cost and
+    * driver memory are CONSTANT at any corpus size (the standard
+    * bounded-sample k-means every production IVF/PQ build runs;
+    * FAISS trains on ~256 vectors/centroid). The hash order makes the
+    * sample deterministic and reshuffle-proof, and the DuckDB oracles
+    * re-derive the identical sample, seeds and iterations in SQL. */
+  private[graft] val TrainSample = 2048
+
+  /** Fixed Lloyd iteration count. Two suffice to move the codebooks
+    * well off their seeds at sample scale (q96 measures the recall
+    * gain); the SQL twins unroll exactly this many iteration CTEs. */
+  private[graft] val LloydIters = 2
+
+  /** Spec hook: the corpus training sample ([[trainSampleFrom]] over
+    * the quantized view) — `SimilaritySpec` measures the Lloyd
+    * objective improvement on it. */
+  private[graft] def trainSample(s: SparkSession, dir: String): Array[(Long, Array[Long], Long)] =
+    trainSampleFrom(quantized(s, dir))
+
+  /** The bounded hash-ordered training sample of a quantized relation
+    * — rows arrive IN hash order (seeds are its prefix). */
+  private def trainSampleFrom(e: DataFrame): Array[(Long, Array[Long], Long)] = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.withColumn("h", hash60(col("vec_id").cast(StringType)))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(TrainSample)
+      .select(col("vec_id"), col("q"), col("qn"))
+      .as[(Long, Array[Long], Long)].collect()
+  }
+
+  /** Spherical k-means over the training sample: seeds = the first
+    * [[IvfK]] sample rows (the previous hash-picked stand-ins —
+    * training strictly refines them), assignment by exact quantized
+    * cosine (ties to the low cent_id, [[routeCents]]'s order), update
+    * = element-wise floor(mean). All integer except the IEEE cosine
+    * and the floor division — and sample sums stay < 2^53, so the
+    * double division is exact enough that floor is deterministic
+    * (error ~1e-7 of a unit vs the ≥ 1/|sample| distance to the next
+    * integer). An empty or zero-norm update keeps the previous
+    * centroid (cosine needs cqn > 0). cent_id stays the seed's vec_id
+    * — a stable opaque label across iterations. */
+  private[graft] def lloydCents(
+      sample: Array[(Long, Array[Long], Long)]): Array[(Long, Array[Long], Long)] = {
+    var cents = sample.take(IvfK)
+    var iter = 0
+    while (iter < LloydIters) {
+      val k = cents.length
+      val counts = new Array[Long](k)
+      val sums = Array.fill(k)(new Array[Long](Dim))
+      var si = 0
+      while (si < sample.length) {
+        val (_, q, qn) = sample(si)
+        var bi = 0; var bestCos = Double.NegativeInfinity; var bestId = Long.MaxValue
+        var ci = 0
+        while (ci < k) {
+          val c = cents(ci)
+          val cos = jcosine(q, qn, c._2, c._3)
+          if (cos > bestCos || (cos == bestCos && c._1 < bestId)) {
+            bestCos = cos; bestId = c._1; bi = ci
+          }
+          ci += 1
+        }
+        counts(bi) += 1
+        val acc = sums(bi); var d = 0
+        while (d < Dim) { acc(d) += q(d); d += 1 }
+        si += 1
+      }
+      cents = Array.tabulate(cents.length) { ci =>
+        val (cid, oq, oqn) = cents(ci)
+        if (counts(ci) == 0L) (cid, oq, oqn)
+        else {
+          val nq = Array.tabulate(Dim)(d =>
+            math.floor(sums(ci)(d).toDouble / counts(ci)).toLong)
+          var nqn = 0L; var d = 0
+          while (d < Dim) { nqn += nq(d) * nq(d); d += 1 }
+          if (nqn == 0L) (cid, oq, oqn) else (cid, nq, nqn)
+        }
+      }
+      iter += 1
+    }
+    cents
+  }
+
   /** ±1 hyperplane weights, w(j)(i-1) = 1 - 2·(hash32("p{j}_{i}") & 1),
     * j in [0,32), i in [1,64] — md5-derived, no RNG, regenerated
     * identically by the DuckDB oracle in SQL. */
@@ -426,11 +512,13 @@ object Similarity {
     * ties to the lowest centroid id); a query probes its nprobe=2
     * nearest centroids and searches only those lists.
     *
-    * Centroids here are a deterministic FIXED-K subset — the
-    * [[IvfK]] vectors with the smallest md5-derived vec_id hash
-    * (ties to the lower id), standing in for offline-trained k-means.
-    * K is a constant, never a fraction of the table: the quantizer is
-    * selected by a TakeOrdered (only K rows reach the driver), so
+    * Centroids are k-means TRAINED ([[lloydCents]]): seeds = the
+    * [[IvfK]] smallest-hash sample rows, then [[LloydIters]]
+    * deterministic spherical-Lloyd iterations over the bounded
+    * [[TrainSample]] sample — the offline training step of a
+    * production IVF build, integer-deterministic so the oracle
+    * re-derives it in SQL. K and the sample are constants, never a
+    * fraction of the table: training is a TakeOrdered collect, so
     * driver memory AND the per-row assignment cost (K dot products)
     * are independent of corpus size. The INDEX STRUCTURE and query
     * path are shaped exactly like a production IVF build: the coarse
@@ -447,15 +535,11 @@ object Similarity {
     val e = quantized(s, dir)
       .select(col("vec_id"), col("q"), col("qn")).as[(Long, Array[Long], Long)]
 
-    // coarse quantizer: the IvfK smallest-hash vectors — a TakeOrdered
-    // (K rows collected), constant-size at any corpus scale
-    val cents = quantized(s, dir)
-      .withColumn("h", hash60(col("vec_id").cast(StringType)))
-      .orderBy(col("h"), col("vec_id"))
-      .limit(IvfK)
-      .select(col("vec_id"), col("q"), col("qn"))
-      .as[(Long, Array[Long], Long)]
-      .collect().sortBy(_._1)
+    // coarse quantizer: k-means trained over the bounded sample (a
+    // TakeOrdered — TrainSample rows collected), constant-size at any
+    // corpus scale; q83 serves the same centroids from its written
+    // table (the q83 == q37 oracle identity)
+    val cents = lloydCents(trainSampleFrom(quantized(s, dir))).sortBy(_._1)
     val bcCents = s.sparkContext.broadcast(cents)
     // inverted-list assignment: map-only, nearest (nprobe=1) centroid
     val assign = e.mapPartitions { it =>
@@ -486,16 +570,116 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** SQL fragment: the bounded hash-ordered Lloyd-training sample
+    * over `src` (which must expose vec_id, q, qn) — the exact twin of
+    * [[trainSampleFrom]]. `srn` (the hash rank) rides along so the
+    * seed CTEs can take prefixes. */
+  private def sampSql(src: String): String =
+    s"""samp AS (
+       |  SELECT vec_id, q, qn, srn FROM (
+       |    SELECT vec_id, q, qn,
+       |           row_number() OVER (ORDER BY
+       |             CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |             vec_id) AS srn
+       |    FROM $src) t
+       |  WHERE srn <= $TrainSample)""".stripMargin
+
+  /** One Lloyd iteration of the coarse quantizer in SQL (twin of the
+    * [[lloydCents]] loop body): assign the sample by cosine (ties low
+    * cent_id), floor(mean) update per dimension, empty/zero-norm
+    * clusters keep the previous centroid. */
+  private def lloydCentIterSql(k: Int): String = {
+    val prev = s"c${k - 1}"
+    s"""ca$k AS (
+       |  SELECT vec_id, q, cent_id FROM (
+       |    SELECT s.vec_id, s.q, c.cent_id,
+       |           row_number() OVER (PARTITION BY s.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(s.q)),
+       |                    i -> s.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(s.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM samp s CROSS JOIN $prev c) t
+       |  WHERE rn = 1),
+       |cm$k AS (
+       |  SELECT cent_id, i.i AS i,
+       |         CAST(floor(CAST(sum(q[i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+       |  FROM ca$k CROSS JOIN range(1, ${Dim + 1}) i(i)
+       |  GROUP BY cent_id, i.i),
+       |cl$k AS (SELECT cent_id, list(v ORDER BY i) AS cq FROM cm$k GROUP BY cent_id),
+       |c$k AS (
+       |  SELECT cent_id, cq,
+       |         CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS cqn
+       |  FROM (
+       |    SELECT p.cent_id,
+       |           CASE WHEN u.cq IS NULL
+       |                  OR list_sum(list_transform(u.cq, x -> x * x)) = 0
+       |                THEN p.cq ELSE u.cq END AS cq
+       |    FROM $prev p LEFT JOIN cl$k u ON u.cent_id = p.cent_id) t)""".stripMargin
+  }
+
+  /** SQL fragment chain producing `cents(cent_id, cq, cqn)` — seeds =
+    * the first [[IvfK]] sample rows, then [[LloydIters]] unrolled
+    * iterations (requires `samp`). */
+  private def trainedCentsSql: String = {
+    val iters = (1 to LloydIters).map(lloydCentIterSql).mkString(",\n")
+    s"""c0 AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM samp
+       |        WHERE srn <= $IvfK),
+       |$iters,
+       |cents AS (SELECT cent_id, cq, cqn FROM c$LloydIters)""".stripMargin
+  }
+
+  /** One per-subspace Lloyd iteration of the PQ codebook in SQL (twin
+    * of the [[lloydCodebook]] loop body): squared-L2 assignment (ties
+    * low code), floor(mean) update, empty codes keep their previous
+    * codeword. */
+  private def lloydCbIterSql(k: Int): String = {
+    val prev = s"pcb${k - 1}"
+    s"""pa$k AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT s.vec_id, c.sub, c.code,
+       |           row_number() OVER (PARTITION BY s.vec_id, c.sub ORDER BY
+       |             list_sum(list_transform(generate_series(1, $PqDim),
+       |               i -> (s.q[c.sub*$PqDim+i] - c.cq[i]) * (s.q[c.sub*$PqDim+i] - c.cq[i]))),
+       |             c.code) AS rn
+       |    FROM samp s CROSS JOIN $prev c) t
+       |  WHERE rn = 1),
+       |pm$k AS (
+       |  SELECT a.sub, a.code, i.i AS i,
+       |         CAST(floor(CAST(sum(s.q[a.sub*$PqDim + i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+       |  FROM pa$k a JOIN samp s ON s.vec_id = a.vec_id
+       |  CROSS JOIN range(1, ${PqDim + 1}) i(i)
+       |  GROUP BY a.sub, a.code, i.i),
+       |pl$k AS (SELECT sub, code, list(v ORDER BY i) AS cq FROM pm$k GROUP BY sub, code),
+       |pcb$k AS (
+       |  SELECT p.sub, p.code, COALESCE(u.cq, p.cq) AS cq
+       |  FROM $prev p LEFT JOIN pl$k u ON u.sub = p.sub AND u.code = p.code)""".stripMargin
+  }
+
+  /** SQL fragment chain producing `cb(sub, code, cq)` — the trained
+    * PQ codebook: seeds = the [[PqK]] smallest-hash vectors'
+    * subvectors, code = 1-based rank by seed vec_id, then
+    * [[LloydIters]] unrolled per-subspace iterations (requires
+    * `samp`). */
+  private def trainedCbSql: String = {
+    val iters = (1 to LloydIters).map(lloydCbIterSql).mkString(",\n")
+    s"""p0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code, q
+       |  FROM samp WHERE srn <= $PqK),
+       |pcb0 AS (
+       |  SELECT s.s AS sub, p0.code, list_slice(p0.q, s.s*$PqDim+1, s.s*$PqDim+$PqDim) AS cq
+       |  FROM p0 CROSS JOIN range(0, $PqSubs) s(s)),
+       |$iters,
+       |cb AS (SELECT sub, code, cq FROM pcb$LloydIters)""".stripMargin
+  }
+
   val annIvfSql: String =
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
        |      FROM q
        |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
-       |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM n
-       |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
-       |                   vec_id
-       |          LIMIT $IvfK),
+       |${sampSql("n")},
+       |$trainedCentsSql,
        |pset AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
        |         ORDER BY vec_id LIMIT $MaxProbes),
        |assign AS (
@@ -595,17 +779,16 @@ object Similarity {
     ivfPq(s, dir).count() // materializes the composed graft_ivfpq table
   }
 
-  /** The written coarse quantizer (q83's `ivfcents` snapshot table),
-    * collected to its K-row driver array — the only collect in the ANN
-    * index path, constant-size at any corpus scale. */
+  /** The written coarse quantizer (q83's `ivfcents` snapshot table):
+    * k-means-TRAINED centroids ([[lloydCents]] over the bounded
+    * sample), built once per snapshot inside the table builder, then
+    * collected to the K-row driver array — the only collect in the
+    * ANN index path, constant-size at any corpus scale. */
   private def ivfCents(s: SparkSession, dir: String): Array[(Long, Array[Long], Long)] = {
     import s.implicits._
     Layout.materializedTable(s, dir, "ivfcents") {
-      quantized(s, dir)
-        .withColumn("h", hash60(col("vec_id").cast(StringType)))
-        .orderBy(col("h"), col("vec_id"))
-        .limit(IvfK)
-        .select(col("vec_id"), col("q"), col("qn"))
+      lloydCents(trainSampleFrom(quantized(s, dir))).toSeq
+        .toDF("vec_id", "q", "qn")
     }.as[(Long, Array[Long], Long)].collect().sortBy(_._1)
   }
 
@@ -682,26 +865,76 @@ object Similarity {
   private[graft] val PqDim = 8
   private[graft] val PqK = 16
 
-  /** The PQ "codebook": per subspace, the subvectors of the [[PqK]]
-    * smallest-hash vectors (the same deterministic trained-offline
-    * stand-in contract as [[ivfCents]]), code = 1-based rank by vec_id.
-    * A constant-size driver array at any corpus scale. */
-  private[graft] def pqTrain(s: SparkSession, dir: String): Array[(Long, Array[Long])] = {
-    import s.implicits._
-    val train = quantized(s, dir)
-      .withColumn("h", hash60(col("vec_id").cast(StringType)))
-      .orderBy(col("h"), col("vec_id"))
-      .limit(PqK)
-      .select(col("vec_id"), col("q"))
-      .as[(Long, Array[Long])].collect().sortBy(_._1)
+  /** The TRAINED PQ codebook: per subspace, [[PqK]] codewords k-means
+    * trained ([[LloydIters]] iterations, squared-L2) over the bounded
+    * sample — seeds are the [[PqK]] smallest-hash vectors' subvectors
+    * (the previous stand-ins), code = 1-based rank of the seed's
+    * vec_id. Returned in the concatenated layout the encode/ADC loops
+    * index — entry c's array sliced at [sub·PqDim, sub·PqDim+PqDim) is
+    * subspace `sub`'s codeword for code c+1 (subspaces train
+    * independently on the SAME seeds, so the layout holds). A
+    * constant-size driver array at any corpus scale. */
+  private[graft] def pqTrain(s: SparkSession, dir: String): Array[(Long, Array[Long])] =
+    lloydCodebook(trainSampleFrom(quantized(s, dir)))
+
+  /** Per-subspace squared-L2 k-means over the sample (assignment ties
+    * to the LOW code — the SQL twin's (dist, code) row_number order;
+    * update = element-wise floor(mean); empty code keeps its previous
+    * codeword). */
+  private[graft] def lloydCodebook(
+      sample: Array[(Long, Array[Long], Long)]): Array[(Long, Array[Long])] = {
+    val seeds = sample.take(PqK).map { case (id, q, _) => (id, q) }
     // the encode/ADC loops index cb(0..PqK-1) unconditionally; a
     // corpus with fewer than PqK non-degenerate vectors must fail
     // HERE with a diagnosis, not as an ArrayIndexOutOfBounds deep in
     // a partition loop (the SQL oracle's LIMIT would degrade
     // silently, masking the mismatch)
-    require(train.length == PqK,
-      s"PQ codebook needs >= $PqK non-degenerate vectors; corpus has ${train.length}")
-    train
+    require(seeds.length == PqK,
+      s"PQ codebook needs >= $PqK non-degenerate vectors; corpus has ${seeds.length}")
+    val cb = seeds.sortBy(_._1).map { case (id, q) => (id, q.clone()) }
+    var sub = 0
+    while (sub < PqSubs) {
+      var iter = 0
+      while (iter < LloydIters) {
+        val counts = new Array[Long](PqK)
+        val sums = Array.fill(PqK)(new Array[Long](PqDim))
+        var si = 0
+        while (si < sample.length) {
+          val q = sample(si)._2
+          var best = 0; var bestD = Long.MaxValue
+          var c = 0
+          while (c < PqK) {
+            var d = 0L; var i = 0
+            while (i < PqDim) {
+              val diff = q(sub * PqDim + i) - cb(c)._2(sub * PqDim + i)
+              d += diff * diff; i += 1
+            }
+            // strict < keeps the LOWEST code on ties
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < PqDim) { sums(best)(i) += q(sub * PqDim + i); i += 1 }
+          si += 1
+        }
+        var c = 0
+        while (c < PqK) {
+          if (counts(c) > 0L) {
+            var i = 0
+            while (i < PqDim) {
+              cb(c)._2(sub * PqDim + i) =
+                math.floor(sums(c)(i).toDouble / counts(c)).toLong
+              i += 1
+            }
+          }
+          c += 1
+        }
+        iter += 1
+      }
+      sub += 1
+    }
+    cb
   }
 
   /** The WRITTEN PQ code table (vec_id, codes[8]) — the snapshot
@@ -862,24 +1095,19 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
-  /** The q90 oracle re-derives codebook (16 smallest-hash vectors,
-    * code = rank by vec_id), per-subspace nearest-code encoding, and
-    * the probes' ADC tables in SQL — all squared-L2 in exact BIGINTs. */
+  /** The q90 oracle re-derives the TRAINED codebook (seeds = the
+    * [[PqK]] smallest-hash vectors, code = rank by seed vec_id, then
+    * the unrolled per-subspace Lloyd iterations of [[trainedCbSql]]),
+    * per-subspace nearest-code encoding, and the probes' ADC tables
+    * in SQL — all squared-L2 in exact BIGINTs. */
   val pqAdcSql: String =
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
        |      FROM q
        |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
-       |train AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code, q
-       |  FROM (SELECT vec_id, q FROM n
-       |        ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
-       |                 vec_id
-       |        LIMIT $PqK) t),
-       |cb AS (
-       |  SELECT s.s AS sub, t.code, list_slice(t.q, s.s*$PqDim+1, s.s*$PqDim+$PqDim) AS cq
-       |  FROM train t CROSS JOIN range(0, $PqSubs) s(s)),
+       |${sampSql("n")},
+       |$trainedCbSql,
        |enc AS (
        |  SELECT vec_id, sub, code FROM (
        |    SELECT v.vec_id, c.sub, c.code,
@@ -1004,10 +1232,8 @@ object Similarity {
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
        |      FROM q
        |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
-       |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM n
-       |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
-       |                   vec_id
-       |          LIMIT $IvfK),
+       |${sampSql("n")},
+       |$trainedCentsSql,
        |assign AS (
        |  SELECT vec_id, cent_id FROM (
        |    SELECT v.vec_id, c.cent_id,
@@ -1018,15 +1244,7 @@ object Similarity {
        |             c.cent_id) AS rn
        |    FROM n v CROSS JOIN cents c) t
        |  WHERE rn = 1),
-       |train AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code, q
-       |  FROM (SELECT vec_id, q FROM n
-       |        ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
-       |                 vec_id
-       |        LIMIT $PqK) t),
-       |cb AS (
-       |  SELECT s.s AS sub, t.code, list_slice(t.q, s.s*$PqDim+1, s.s*$PqDim+$PqDim) AS cq
-       |  FROM train t CROSS JOIN range(0, $PqSubs) s(s)),
+       |$trainedCbSql,
        |enc AS (
        |  SELECT vec_id, sub, code FROM (
        |    SELECT v.vec_id, c.sub, c.code,
@@ -1105,10 +1323,8 @@ object Similarity {
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
        |      FROM q
        |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
-       |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM n
-       |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
-       |                   vec_id
-       |          LIMIT $IvfK),
+       |${sampSql("n")},
+       |$trainedCentsSql,
        |assign AS (
        |  SELECT vec_id, cent_id FROM (
        |    SELECT v.vec_id, c.cent_id,
@@ -1212,10 +1428,8 @@ object Similarity {
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
        |      FROM q
        |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
-       |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM n
-       |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
-       |                   vec_id
-       |          LIMIT $IvfK),
+       |${sampSql("n")},
+       |$trainedCentsSql,
        |assign AS (
        |  SELECT vec_id, cent_id, q, qn FROM (
        |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
@@ -1246,11 +1460,9 @@ object Similarity {
   private[graft] def ivfCentsBase(s: SparkSession, dir: String): Array[(Long, Array[Long], Long)] = {
     import s.implicits._
     Layout.materializedTable(s, dir, "ivfcentsbase") {
-      quantized(s, dir).filter(pmod(col("vec_id"), lit(5)) =!= 0)
-        .withColumn("h", hash60(col("vec_id").cast(StringType)))
-        .orderBy(col("h"), col("vec_id"))
-        .limit(IvfK)
-        .select(col("vec_id"), col("q"), col("qn"))
+      lloydCents(trainSampleFrom(
+        quantized(s, dir).filter(pmod(col("vec_id"), lit(5)) =!= 0))).toSeq
+        .toDF("vec_id", "q", "qn")
     }.as[(Long, Array[Long], Long)].collect().sortBy(_._1)
   }
 
@@ -1335,10 +1547,8 @@ object Similarity {
        |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
        |corp AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
        |batch AS (SELECT * FROM n WHERE vec_id % 5 = 0),
-       |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM corp
-       |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
-       |                   vec_id
-       |          LIMIT $IvfK),
+       |${sampSql("corp")},
+       |$trainedCentsSql,
        |ac AS (
        |  SELECT vec_id, cent_id, q, qn FROM (
        |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
@@ -1422,10 +1632,8 @@ object Similarity {
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
        |      FROM q
        |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
-       |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM n
-       |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
-       |                   vec_id
-       |          LIMIT $IvfK),
+       |${sampSql("n")},
+       |$trainedCentsSql,
        |assign AS (
        |  SELECT vec_id, cent_id, q, qn FROM (
        |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
@@ -1536,10 +1744,8 @@ object Similarity {
        |           row_number() OVER (PARTITION BY probe_id
        |                              ORDER BY cos DESC, vec_id) AS rnk
        |    FROM escored) t WHERE rnk <= 5),
-       |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM n
-       |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
-       |                   vec_id
-       |          LIMIT $IvfK),
+       |${sampSql("n")},
+       |$trainedCentsSql,
        |assign AS (
        |  SELECT vec_id, cent_id, q, qn FROM (
        |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
@@ -1574,15 +1780,7 @@ object Similarity {
        |           row_number() OVER (PARTITION BY probe_id
        |                              ORDER BY cos DESC, vec_id) AS rnk
        |    FROM iscored) t WHERE rnk <= 5),
-       |train AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code, q
-       |  FROM (SELECT vec_id, q FROM n
-       |        ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
-       |                 vec_id
-       |        LIMIT $PqK) t),
-       |cb AS (
-       |  SELECT s.s AS sub, t.code, list_slice(t.q, s.s*$PqDim+1, s.s*$PqDim+$PqDim) AS cq
-       |  FROM train t CROSS JOIN range(0, $PqSubs) s(s)),
+       |$trainedCbSql,
        |enc AS (
        |  SELECT vec_id, sub, code FROM (
        |    SELECT v.vec_id, c.sub, c.code,

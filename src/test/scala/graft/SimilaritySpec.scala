@@ -182,28 +182,63 @@ class SimilaritySpec extends SparkSpec {
     assert(un == Set(11L, 12L, 13L, 14L, 15L, 21L))
   }
 
-  test("q90 PQ encoding: every training vector encodes at exact distance 0 per subspace") {
+  private def subDist(q: Array[Long], cw: Array[Long], sub: Int): Long =
+    (0 until 8).map { i =>
+      val diff = q(sub * 8 + i) - cw(sub * 8 + i); diff * diff
+    }.sum
+
+  test("q90 PQ encoding: every sample vector gets the argmin code per subspace, ties low") {
     val train = Similarity.pqTrain(spark, sfDir)
     assert(train.length == 16)
     val codes = Similarity.pqCodesTable(spark, sfDir, train)
       .as[(Long, Seq[Int])].collect().toMap
-    // a codebook vector's own subvector is at squared-L2 distance 0
-    // from its code's centroid — the assigned code must be SOME code
-    // at exact distance 0 (its own, unless an identical subvector
-    // holds a lower code id)
-    train.foreach { case (vid, q) =>
+    // the TRAINED codewords are floor-means, not corpus vectors, so
+    // the invariant is argmin: the assigned code's distance must beat
+    // every lower code strictly and every higher code weakly
+    Similarity.trainSample(spark, sfDir).take(64).foreach { case (vid, q, _) =>
       val cs = codes(vid)
       for (sub <- 0 until 8) {
-        val cb = train(cs(sub) - 1)._2
-        val d = (0 until 8).map { i =>
-          val diff = q(sub * 8 + i) - cb(sub * 8 + i); diff * diff
-        }.sum
-        assert(d == 0L, s"train vec $vid sub $sub code ${cs(sub)} dist $d")
+        val got = cs(sub)
+        val d = subDist(q, train(got - 1)._2, sub)
+        for (c <- 1 to 16 if c != got) {
+          val dc = subDist(q, train(c - 1)._2, sub)
+          if (c < got) assert(dc > d, s"vec $vid sub $sub: code $c dist $dc <= assigned $got dist $d")
+          else assert(dc >= d, s"vec $vid sub $sub: code $c dist $dc < assigned $got dist $d")
+        }
       }
     }
     // and every corpus vector got exactly one 8-code row
     assert(codes.size == Similarity.pqCodesTable(spark, sfDir, train).count())
     assert(codes.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 1 && c <= 16)))
+  }
+
+  test("Lloyd training improves both codebook objectives over the hash-picked seeds") {
+    val sample = Similarity.trainSample(spark, sfDir)
+    def cos(q: Array[Long], qn: Long, c: Array[Long], cn: Long): Double = {
+      var s = 0L; var i = 0
+      while (i < q.length) { s += q(i) * c(i); i += 1 }
+      s.toDouble / math.sqrt(qn.toDouble * cn.toDouble)
+    }
+    // IVF objective: total best-centroid cosine over the sample
+    // (spherical k-means maximizes it)
+    val seeds = sample.take(64)
+    val trained = Similarity.lloydCents(sample)
+    def centObj(cents: Array[(Long, Array[Long], Long)]): Double =
+      sample.map { case (_, q, qn) =>
+        cents.map { case (_, cq, cqn) => cos(q, qn, cq, cqn) }.max
+      }.sum
+    val (so, to) = (centObj(seeds), centObj(trained))
+    assert(to > so, s"trained cosine objective $to <= seed objective $so")
+    // PQ objective: total assigned-codeword squared-L2 over
+    // (sample × subspace) (k-means minimizes it)
+    val seedCb = seeds.take(16).map { case (id, q, _) => (id, q) }.sortBy(_._1)
+    val trainedCb = Similarity.lloydCodebook(sample)
+    def cbObj(cb: Array[(Long, Array[Long])]): Long =
+      sample.map { case (_, q, _) =>
+        (0 until 8).map(sub => cb.map(c => subDist(q, c._2, sub)).min).sum
+      }.sum
+    val (sq, tq) = (cbObj(seedCb), cbObj(trainedCb))
+    assert(tq < sq, s"trained PQ quantization error $tq >= seed error $sq")
   }
 
   test("q90 ADC top-k: 5 ascending rows per probe off the written code table") {
