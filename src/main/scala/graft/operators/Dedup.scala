@@ -1187,7 +1187,8 @@ object Dedup {
     * aggregate on dst, both keyed by 8-byte doc ids; the pair graph is
     * orders smaller than the corpus (and AQE broadcasts the rank
     * vector when it is small). Iterations compose lazily into one
-    * plan — at production depth you would checkpoint every few
+    * plan — at production depth use [[dupPagerankDeepFrom]], which
+    * runs the SAME iteration body with lineage truncated every k
     * rounds, exactly like the distributed-CC fixpoint ([[dupLabelsDistributed]]). */
   def dupPagerank(s: SparkSession, dir: String): DataFrame =
     dupPagerankFrom(pairGraph(s, dir))
@@ -1196,24 +1197,71 @@ object Dedup {
     * the spec surface (`DedupSpec` hand-checks the integer fixpoint on
     * a three-node path graph). */
   private[graft] def dupPagerankFrom(pairsIn: DataFrame): DataFrame = {
+    val (edges, deg) = pagerankGraph(pairsIn)
+    var r = deg.select(col("doc_id"), col("deg"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) r = pagerankIter(edges, deg, r)
+    r.select(col("doc_id"), col("deg"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("doc_id"))
+  }
+
+  /** The (directed-edge, degree) pair both PageRank variants iterate
+    * over — one scan: explode each pair into both directed edges (the
+    * q70 union-vs-explode lesson). */
+  private def pagerankGraph(pairsIn: DataFrame): (DataFrame, DataFrame) = {
     val pairs = pairsIn.select(col("doc_a"), col("doc_b"))
-    // one scan: explode each pair into both directed edges (the q70
-    // union-vs-explode lesson)
     val edges = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val deg = edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+    (edges, deg)
+  }
+
+  /** One Jacobi step r′(v) = 150000 + (850·Σ_{u~v} (r(u) div deg(u)))
+    * div 1000 — shared verbatim by the lazy q89 and the checkpointed
+    * deep variant, so "deep == lazy" is equality of composition, not
+    * of two re-implementations. */
+  private def pagerankIter(edges: DataFrame, deg: DataFrame, r: DataFrame): DataFrame = {
+    val contrib = edges
+      .join(r.select(col("doc_id").as("src"), col("deg").as("sdeg"),
+        col("r").as("sr")), Seq("src"))
+      .select(col("dst"), expr("sr div sdeg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+    deg.join(contrib, col("doc_id") === col("dst"), "left")
+      .select(col("doc_id"), col("deg"),
+        (lit(150000L) + expr("(850 * coalesce(cs, 0)) div 1000")).as("r"))
+  }
+
+  /** Depth-parameterized PageRank for PRODUCTION iteration counts:
+    * identical per-iteration integer math to [[dupPagerankFrom]]
+    * (shared [[pagerankIter]]), but the lineage is TRUNCATED every
+    * `checkpointEvery` iterations with an eager `localCheckpoint`, so
+    * the plan Catalyst analyzes stays O(checkpointEvery) deep no
+    * matter how many iterations run — the lazy composition's plan
+    * (and its analysis/codegen cost) grows linearly per round, which
+    * is exactly the "checkpoint every few rounds" caveat q89's
+    * scaladoc carries. The edge list and degree vector feed every
+    * iteration, so they are pinned once up front rather than
+    * recomputed from the pair source each round.
+    *
+    * `localCheckpoint` keeps the truncated blocks on their executors
+    * (no driver traffic, no re-shuffle); on a real cluster a
+    * fault-tolerant job would use `checkpoint` into the reliable
+    * store instead — same plan shape, different block durability.
+    * Integer arithmetic makes deep == lazy EXACT at any depth
+    * (`DedupSpec` pins depth 6 bit-for-bit with plan size bounded). */
+  private[graft] def dupPagerankDeepFrom(pairsIn: DataFrame, iters: Int,
+      checkpointEvery: Int): DataFrame = {
+    require(iters >= 1 && checkpointEvery >= 1)
+    val (edgesLazy, degLazy) = pagerankGraph(pairsIn)
+    val edges = edgesLazy.localCheckpoint()
+    val deg = degLazy.localCheckpoint()
     var r = deg.select(col("doc_id"), col("deg"), lit(1000000L).as("r"))
-    for (_ <- 1 to 3) {
-      val contrib = edges
-        .join(r.select(col("doc_id").as("src"), col("deg").as("sdeg"),
-          col("r").as("sr")), Seq("src"))
-        .select(col("dst"), expr("sr div sdeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
-      r = deg.join(contrib, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id"), col("deg"),
-          (lit(150000L) + expr("(850 * coalesce(cs, 0)) div 1000")).as("r"))
+    var i = 1
+    while (i <= iters) {
+      r = pagerankIter(edges, deg, r)
+      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint()
+      i += 1
     }
     r.select(col("doc_id"), col("deg"), col("r").as("rank_micro"))
       .orderBy(col("rank_micro").desc, col("doc_id"))

@@ -194,6 +194,35 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((2L, 2L, 1741625L), (1L, 1L, 629187L), (3L, 1L, 629187L)))
   }
 
+  test("deep PageRank == lazy composition at depth 6, with plan depth bounded") {
+    // a shape with hubs and a tail so ranks separate: star 1-{2,3,4}
+    // plus path 4-5-6-7 plus an isolated pair 8-9
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (8L, 9L)).toDF("doc_a", "doc_b")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSeq
+    // checkpointEvery >= iters never truncates mid-run: the pure lazy
+    // composition at depth 6
+    val lazy6 = Dedup.dupPagerankDeepFrom(pairs, 6, Int.MaxValue)
+    // truncating every 2 iterations must be bit-identical (integer math)
+    val deep6 = Dedup.dupPagerankDeepFrom(pairs, 6, 2)
+    assert(ranks(deep6) == ranks(lazy6))
+    // and at depth 3 both agree with q89's lazy form exactly
+    assert(ranks(Dedup.dupPagerankDeepFrom(pairs, 3, 2)) ==
+      ranks(Dedup.dupPagerankFrom(pairs)))
+    // the point of the variant: the analyzed plan of the checkpointed
+    // run stays O(checkpointEvery) — the lazy depth-6 plan is strictly
+    // larger, and deep-6's plan is no bigger than a lazy TWO-iteration
+    // plan rebased on checkpoint scans (its tail since the last cut)
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p => p }.length
+    val lazy2 = Dedup.dupPagerankDeepFrom(pairs, 2, Int.MaxValue)
+    assert(planNodes(deep6) < planNodes(lazy6),
+      s"deep=${planNodes(deep6)} lazy=${planNodes(lazy6)}")
+    assert(planNodes(deep6) <= planNodes(lazy2),
+      s"deep6=${planNodes(deep6)} lazy2=${planNodes(lazy2)}")
+  }
+
   test("q89 on the corpus: every pair-graph node ranked once, damping bounds hold") {
     val pr = Dedup.dupPagerank(spark, sfDir)
       .as[(Long, Long, Long)].collect()
