@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -258,13 +258,28 @@ object Multimodal {
     * meet the Hamming threshold (md5 scatters near-dup bits) — the
     * PLAN (banding, cap, verify) is the graded component, and with a
     * real pHash the identical plan finds true near-dups. */
+  /** The md5 stand-in fingerprint (the STUB boundary above): 60 bits
+    * off the payload's hex — byte-exact reproducible in the oracle,
+    * but locality-DESTROYING (only identical payloads meet the
+    * Hamming gate). The default of [[mediaDedupPairsFrom]]; swap in
+    * the real pHash per deployment. */
+  private[graft] def md5Fingerprint(payload: Column): Column =
+    conv(substring(md5(hex(payload)), 1, 15), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType)
+
   /** Near-dup pairs of a (media_id, payload) frame — the spec surface
-    * (`MultimodalSpec` plants duplicate payloads and fires the cap). */
-  private[graft] def mediaDedupPairsFrom(media: DataFrame, cap: Int): DataFrame = {
+    * (`MultimodalSpec` plants duplicate payloads and fires the cap).
+    *
+    * `fingerprint` is the pluggable payload → 60-bit-fingerprint
+    * column (default [[md5Fingerprint]]): the banding/cap/Hamming
+    * pipeline is fingerprint-agnostic, and `MultimodalSpec` proves
+    * with a locality-PRESERVING toy fingerprint that the identical
+    * plan finds planted near-dups (not just exact dups) — the
+    * evidence that a real pHash slots in with no plan change. */
+  private[graft] def mediaDedupPairsFrom(media: DataFrame, cap: Int,
+      fingerprint: Column => Column = md5Fingerprint): DataFrame = {
     val fp = media
-      .withColumn("fp",
-        conv(substring(md5(hex(col("payload"))), 1, 15), 16, 10)
-          .cast(org.apache.spark.sql.types.LongType))
+      .withColumn("fp", fingerprint(col("payload")))
       .select(col("media_id"), col("fp"))
     val bands = fp.select(col("media_id"), col("fp"),
         posexplode(array((0 to 3).map(b =>

@@ -66,4 +66,44 @@ class MultimodalSpec extends SparkSpec {
     val uncapped = Multimodal.mediaDedupPairsFrom(media, Int.MaxValue).count()
     assert(uncapped == 150L * 149 / 2 + 1)
   }
+
+  test("q84 property: with a locality-preserving fingerprint the plan finds planted NEAR-dups") {
+    // toy locality-preserving fingerprint: bit i = sign of payload
+    // byte i — flipping k bytes flips exactly k bits, the property a
+    // real pHash has and md5 destroys. Product payloads use bytes
+    // ±100, so every bit is decisively set.
+    val toyFp = udf { (b: Array[Byte]) =>
+      var fp = 0L; var i = 0
+      while (i < 60 && i < b.length) { if (b(i) > 0) fp |= (1L << i); i += 1 }
+      fp
+    }
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val bases = Array.fill(30)(Array.fill[Byte](60)(
+        if (rnd.nextBoolean()) 100 else -100))
+      // near-dup partner: flip 1..8 byte signs at positions >= 15, so
+      // band 0 (bits 0-14) stays identical — banding MUST bucket the
+      // pair — while the Hamming distance equals the planted flip count
+      val flips = Array.tabulate(30) { i =>
+        val k = 1 + rnd.nextInt(8)
+        rnd.shuffle((15 until 60).toList).take(k)
+      }
+      val rows = (0 until 30).flatMap { i =>
+        val dup = bases(i).clone()
+        flips(i).foreach(p => dup(p) = (-dup(p)).toByte)
+        Seq((2L * i, bases(i)), (2L * i + 1, dup))
+      }
+      val got = Multimodal.mediaDedupPairsFrom(
+          rows.toDF("media_id", "payload"), Dedup.MaxLshBucket,
+          fingerprint = toyFp(_))
+        .as[(Long, Long, Int)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val want = (0 until 30).map(i =>
+        (2L * i, 2L * i + 1) -> flips(i).size).toMap
+      // every planted near-dup found at exactly its flip distance; no
+      // cross-base pair sneaks in (distinct random bases are ~30 bits
+      // apart — far beyond the Hamming gate)
+      assert(got == want, s"seed=$seed got=${got.size} want=${want.size}")
+    }
+  }
 }
