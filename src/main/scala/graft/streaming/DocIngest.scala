@@ -15,8 +15,12 @@ import graft.functions.Fns._
   * first-per-hash across ALL triggers (state store), and the corpus
   * check is a stream-static LEFT ANTI join — both append-mode
   * compatible, so admitted documents flow out exactly once.
-  * `StreamingSpec` proves stream == batch on identical rows and that
-  * trigger boundaries never change the admitted set.
+  * `StreamingSpec` proves stream == batch on identical rows, that
+  * trigger boundaries never change the admitted set, and that the
+  * replay state SURVIVES a kill/restart: a query resumed from its
+  * checkpoint rejects a replay of a pre-crash admission (recovered
+  * state store) while admitting fresh documents — exactly-once
+  * across process lifetimes, not just across triggers.
   *
   * 100 TB notes: the 60-bit hash key makes the state store and the
   * anti join carry 8-byte keys, never document bodies (the q43

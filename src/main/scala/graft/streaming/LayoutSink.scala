@@ -26,7 +26,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * append-correct without dynamic overwrite; replacing a corrected day
   * wholesale stays a batch job (`Layout.incrementalEvents`' dynamic
   * partition overwrite). `StreamingSpec` proves stream-written ==
-  * batch-written rows and that day pruning fires on the re-read. */
+  * batch-written rows, that day pruning fires on the re-read, and the
+  * recovery contract itself: a query killed between triggers and
+  * restarted from its checkpoint emits every row exactly once, and a
+  * torn file from an uncommitted batch is invisible to readers (the
+  * `_spark_metadata` log, exercised, not assumed). */
 object LayoutSink {
 
   /** Start an append-mode query writing (event-time day)-partitioned
