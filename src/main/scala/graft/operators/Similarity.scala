@@ -181,7 +181,7 @@ object Similarity {
 
   /** nprobe nearest centroids of a vector: cos desc, ties to low
     * cent_id — shared by q37's inline build and q83's written index. */
-  private def routeCents(q: Array[Long], qn: Long,
+  private[graft] def routeCents(q: Array[Long], qn: Long,
                          cs: Array[(Long, Array[Long], Long)],
                          nprobe: Int): Seq[Long] =
     cs.map { case (cid, cq, cqn) => (jcosine(q, qn, cq, cqn), cid) }
