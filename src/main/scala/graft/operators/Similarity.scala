@@ -1845,6 +1845,139 @@ object Similarity {
        |       CAST(n_hits AS DOUBLE) / CAST(5 * np AS DOUBLE) AS recall_at_5
        |FROM hits, np ORDER BY method""".stripMargin
 
+  /** q97: the IVF recall-vs-nprobe TUNING CURVE — recall@5 of the
+    * written-index path at nprobe = 1/2/4/8, against the exact q25
+    * baseline on the shared probe set. q96 answers "what recall does
+    * each method ship at its default dials"; q97 answers the question
+    * a deployment actually asks next: "what does one more probed list
+    * buy" — the nprobe dial measured, gated, and monotone (a superset
+    * of probed lists can only add candidates at or above the old
+    * ones' ranks... the spec pins non-decreasing hits).
+    *
+    * ONE plan, not four: probes route once at the MAX nprobe with
+    * their rank r retained, a 4-row level relation tags each route
+    * with every level ≥ r (broadcast), and a single bucket-pruned
+    * scan of the written assignment feeds a single
+    * (level, probe)-partitioned top-5 window — the level dimension
+    * rides the existing shuffle instead of multiplying scans.
+    *
+    * Scale: identical access pattern to q83 at nprobe=8 (the union of
+    * probed buckets), plus the exact baseline which dominates — the
+    * same bounded-probe-sample costing as q96. */
+  def ivfNprobeCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val levels = Seq(1, 2, 4, 8)
+    val cents = ivfCents(s, dir)
+    val assign = ivfAssignTable(s, dir, cents)
+    val exact5 = cosineTopK(s, dir).select(col("probe_id"), col("vec_id"))
+    val np = boundedProbes(quantized(s, dir)).agg(count(lit(1)).as("np"))
+    // one driver-side routing at max nprobe, rank retained
+    val probeRows = boundedProbes(assign)
+      .select(col("vec_id"), col("q"), col("qn"))
+      .as[(Long, Array[Long], Long)].collect()
+      .sortBy(_._1)
+      .flatMap { case (pid, pq, pqn) =>
+        routeCents(pq, pqn, cents, levels.max).zipWithIndex
+          .map { case (cid, i) => (pid, cid, i + 1, pq, pqn) }
+      }.toSeq
+    val probes = probeRows.toDF("probe_id", "cent_id", "r", "pq", "pqn")
+    val probedCents = probeRows.map(_._2).distinct
+    val lvl = levels.toDF("nprobe")
+    // each route joins every level that includes it: r <= nprobe
+    val leveled = probes.join(broadcast(lvl), col("r") <= col("nprobe"))
+      .select(col("nprobe"), col("probe_id"), col("cent_id"), col("pq"), col("pqn"))
+    val wTop = Window.partitionBy(col("nprobe"), col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assign
+      .filter(col("cent_id").isin(probedCents: _*)) // bucket pruning (level-8 union)
+      .join(broadcast(leveled), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", qcosineNative(col("pq"), col("q"), col("pqn"), col("qn")))
+      .select(col("nprobe"), col("probe_id"), col("vec_id"), col("cos"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 5)
+      .join(exact5, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(np))
+      .select(col("nprobe").cast(org.apache.spark.sql.types.IntegerType).as("nprobe"),
+        col("np").as("n_probes"), col("n_hits"),
+        (col("n_hits").cast(DoubleType) /
+          (lit(5) * col("np")).cast(DoubleType)).as("recall_at_5"))
+      .orderBy("nprobe")
+  }
+
+  /** The q97 oracle: q96's exact-baseline + trained-quantizer CTEs,
+    * probe routes kept to rank ≤ 8, a level relation unnested from
+    * [1,2,4,8], and ONE (nprobe, probe)-partitioned ranking — the
+    * same shape as the Spark plan. */
+  val ivfNprobeCurveSql: String =
+    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |      FROM q
+       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |pset AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
+       |         ORDER BY vec_id LIMIT $MaxProbes),
+       |escored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
+       |                i -> p.q[i] * c.q[i])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(c.qn AS DOUBLE)) AS cos
+       |  FROM n p JOIN pset ON p.vec_id = pset.vec_id
+       |  JOIN n c ON p.vec_id <> c.vec_id),
+       |exact5 AS (SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM escored) t WHERE rnk <= 5),
+       |${sampSql("n")},
+       |$trainedCentsSql,
+       |assign AS (
+       |  SELECT vec_id, cent_id, q, qn FROM (
+       |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v CROSS JOIN cents c) t
+       |  WHERE rn = 1),
+       |proutes AS (
+       |  SELECT probe_id, cent_id, rn AS r FROM (
+       |    SELECT v.vec_id AS probe_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v JOIN pset ON v.vec_id = pset.vec_id CROSS JOIN cents c) t
+       |  WHERE rn <= 8),
+       |lvl AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+       |iscored AS (
+       |  SELECT l.nprobe, pr.probe_id, a.vec_id,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
+       |                i -> p.q[i] * a.q[i])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(a.qn AS DOUBLE)) AS cos
+       |  FROM lvl l
+       |  JOIN proutes pr ON pr.r <= l.nprobe
+       |  JOIN n p ON p.vec_id = pr.probe_id
+       |  JOIN assign a ON a.cent_id = pr.cent_id
+       |  WHERE a.vec_id <> pr.probe_id),
+       |ivf5 AS (SELECT nprobe, probe_id, vec_id FROM (
+       |    SELECT nprobe, probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY nprobe, probe_id
+       |                              ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM iscored) t WHERE rnk <= 5),
+       |np AS (SELECT count(*) AS np FROM pset),
+       |hits AS (
+       |  SELECT i.nprobe, count(*) AS n_hits
+       |  FROM ivf5 i JOIN exact5 e USING (probe_id, vec_id)
+       |  GROUP BY 1)
+       |SELECT CAST(nprobe AS INT) AS nprobe, CAST(np AS BIGINT) AS n_probes,
+       |       CAST(n_hits AS BIGINT) AS n_hits,
+       |       CAST(n_hits AS DOUBLE) / CAST(5 * np AS DOUBLE) AS recall_at_5
+       |FROM hits, np ORDER BY nprobe""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     QueryDef("q25_cosine_topk", cosineTopK, Some(cosineTopKSql)),
@@ -1861,5 +1994,6 @@ object Similarity {
     QueryDef("q94_cluster_balance", clusterBalance, Some(clusterBalanceSql)),
     QueryDef("q95_embedding_pipeline", embeddingPipeline, Some(embeddingPipelineSql)),
     QueryDef("q96_ann_recall", annRecall, Some(annRecallSql)),
+    QueryDef("q97_nprobe_curve", ivfNprobeCurve, Some(ivfNprobeCurveSql)),
   )
 }

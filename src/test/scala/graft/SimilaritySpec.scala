@@ -241,6 +241,25 @@ class SimilaritySpec extends SparkSpec {
     assert(tq < sq, s"trained PQ quantization error $tq >= seed error $sq")
   }
 
+  test("q97 nprobe curve: monotone non-decreasing recall, consistent with q96 at nprobe=2") {
+    val curve = Similarity.ivfNprobeCurve(spark, sfDir)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(curve.map(_._1) == Seq(1, 2, 4, 8))
+    // a superset of probed lists can only add candidates: hits must be
+    // non-decreasing in nprobe, and recall stays a valid fraction
+    assert(curve.map(_._3) == curve.map(_._3).sorted,
+      s"recall not monotone in nprobe: $curve")
+    curve.foreach { case (np, nProbes, hits, rec) =>
+      assert(rec == hits.toDouble / (5.0 * nProbes) && rec >= 0.0 && rec <= 1.0)
+    }
+    // the nprobe=2 point IS q96's q83_ivf measurement — same index,
+    // same probes, same exact baseline
+    val q96Ivf = Similarity.annRecall(spark, sfDir)
+      .filter($"method" === "q83_ivf")
+      .select($"n_hits").as[Long].collect().head
+    assert(curve.find(_._1 == 2).get._3 == q96Ivf)
+  }
+
   test("q90 ADC top-k: 5 ascending rows per probe off the written code table") {
     val df = Similarity.pqAdc(spark, sfDir)
     val got = df.as[(Long, Long, Long, Int)].collect()
