@@ -1978,6 +1978,128 @@ object Similarity {
        |       CAST(n_hits AS DOUBLE) / CAST(5 * np AS DOUBLE) AS recall_at_5
        |FROM hits, np ORDER BY nprobe""".stripMargin
 
+  /** q98: the PQ two-stage retrieval's OTHER dial — recall@5 of the
+    * ADC-shortlist → exact-re-rank path (q92) at shortlist sizes
+    * L = 5/10/20/40, against the exact baseline. Recall is provably
+    * monotone in L (a superset shortlist's exact top-5 can only swap
+    * in higher-cosine candidates, and anything that displaces a true
+    * top-5 hit is itself a true top-5 hit — the spec pins it), so the
+    * curve shows where the exact-re-rank budget stops paying: the
+    * production trade is L·probes exact dots vs the recall ceiling of
+    * the ADC stage.
+    *
+    * Same one-plan shape as q97: the ADC ranking computes ONCE
+    * (rank ≤ max L retained), a broadcast level relation tags each
+    * candidate with every shortlist that includes it, and one exact
+    * re-rank + one (L, probe)-partitioned window serve all four
+    * curves. */
+  def rerankShortlistCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val levels = Seq(5, 10, 20, 40)
+    val probeRows = pqProbes(s, dir)
+    val exact5 = cosineTopK(s, dir).select(col("probe_id"), col("vec_id"))
+    val np = boundedProbes(quantized(s, dir)).agg(count(lit(1)).as("np"))
+    val ranked = pqAdcRanked(s, dir, probeRows)
+      .filter(col("rnk") <= levels.max)
+      .select(col("probe_id"), col("vec_id"), col("rnk"))
+    val lvl = levels.toDF("shortlist")
+    val cand = ranked.join(broadcast(lvl), col("rnk") <= col("shortlist"))
+      .select(col("shortlist"), col("probe_id"), col("vec_id"))
+    val probes = probeRows.toSeq.toDF("probe_id", "pq", "pqn")
+    val e = quantized(s, dir).select(col("vec_id"), col("q"), col("qn"))
+    val w = Window.partitionBy(col("shortlist"), col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(e, Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cos", qcosineNative(col("pq"), col("q"), col("pqn"), col("qn")))
+      .select(col("shortlist"), col("probe_id"), col("vec_id"), col("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .join(exact5, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy(col("shortlist")).agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(np))
+      .select(col("shortlist").cast(org.apache.spark.sql.types.IntegerType).as("shortlist"),
+        col("np").as("n_probes"), col("n_hits"),
+        (col("n_hits").cast(DoubleType) /
+          (lit(5) * col("np")).cast(DoubleType)).as("recall_at_5"))
+      .orderBy("shortlist")
+  }
+
+  /** The q98 oracle: the q90/q92 CTE machinery (trained codebook,
+    * encoding, ADC ranking) with rank ≤ 40 retained, a level relation
+    * unnested from [5,10,20,40], one exact re-rank and one
+    * (shortlist, probe)-partitioned top-5 — plus q96's exact-baseline
+    * CTEs for the intersection. */
+  val rerankShortlistCurveSql: String =
+    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |      FROM q
+       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |pset AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
+       |         ORDER BY vec_id LIMIT $MaxProbes),
+       |escored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
+       |                i -> p.q[i] * c.q[i])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(c.qn AS DOUBLE)) AS cos
+       |  FROM n p JOIN pset ON p.vec_id = pset.vec_id
+       |  JOIN n c ON p.vec_id <> c.vec_id),
+       |exact5 AS (SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM escored) t WHERE rnk <= 5),
+       |${sampSql("n")},
+       |$trainedCbSql,
+       |enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT v.vec_id, c.sub, c.code,
+       |           row_number() OVER (PARTITION BY v.vec_id, c.sub ORDER BY
+       |             list_sum(list_transform(generate_series(1, $PqDim),
+       |               i -> (v.q[c.sub*$PqDim+i] - c.cq[i]) * (v.q[c.sub*$PqDim+i] - c.cq[i]))),
+       |             c.code) AS rn
+       |    FROM n v CROSS JOIN cb c) t WHERE rn = 1),
+       |pdist AS (
+       |  SELECT p.vec_id AS probe_id, c.sub, c.code,
+       |         CAST(list_sum(list_transform(generate_series(1, $PqDim),
+       |           i -> (p.q[c.sub*$PqDim+i] - c.cq[i]) * (p.q[c.sub*$PqDim+i] - c.cq[i]))) AS BIGINT) AS d
+       |  FROM n p JOIN pset ON p.vec_id = pset.vec_id CROSS JOIN cb c),
+       |ascored AS (
+       |  SELECT pd.probe_id, e.vec_id, CAST(sum(pd.d) AS BIGINT) AS adist
+       |  FROM enc e JOIN pdist pd ON pd.sub = e.sub AND pd.code = e.code
+       |  WHERE e.vec_id <> pd.probe_id
+       |  GROUP BY 1, 2),
+       |aranked AS (SELECT probe_id, vec_id,
+       |            row_number() OVER (PARTITION BY probe_id
+       |                               ORDER BY adist, vec_id) AS rnk
+       |            FROM ascored),
+       |lvl AS (SELECT unnest([5, 10, 20, 40]) AS shortlist),
+       |cand AS (SELECT l.shortlist, a.probe_id, a.vec_id
+       |         FROM lvl l JOIN aranked a ON a.rnk <= l.shortlist),
+       |rr AS (
+       |  SELECT cd.shortlist, cd.probe_id, cd.vec_id,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
+       |                i -> p.q[i] * v.q[i])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(v.qn AS DOUBLE)) AS cos
+       |  FROM cand cd JOIN n p ON p.vec_id = cd.probe_id
+       |  JOIN n v ON v.vec_id = cd.vec_id),
+       |rr5 AS (SELECT shortlist, probe_id, vec_id FROM (
+       |    SELECT shortlist, probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY shortlist, probe_id
+       |                              ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM rr) t WHERE rnk <= 5),
+       |np AS (SELECT count(*) AS np FROM pset),
+       |hits AS (
+       |  SELECT r.shortlist, count(*) AS n_hits
+       |  FROM rr5 r JOIN exact5 e USING (probe_id, vec_id)
+       |  GROUP BY 1)
+       |SELECT CAST(shortlist AS INT) AS shortlist, CAST(np AS BIGINT) AS n_probes,
+       |       CAST(n_hits AS BIGINT) AS n_hits,
+       |       CAST(n_hits AS DOUBLE) / CAST(5 * np AS DOUBLE) AS recall_at_5
+       |FROM hits, np ORDER BY shortlist""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     QueryDef("q25_cosine_topk", cosineTopK, Some(cosineTopKSql)),
@@ -1995,5 +2117,6 @@ object Similarity {
     QueryDef("q95_embedding_pipeline", embeddingPipeline, Some(embeddingPipelineSql)),
     QueryDef("q96_ann_recall", annRecall, Some(annRecallSql)),
     QueryDef("q97_nprobe_curve", ivfNprobeCurve, Some(ivfNprobeCurveSql)),
+    QueryDef("q98_shortlist_curve", rerankShortlistCurve, Some(rerankShortlistCurveSql)),
   )
 }

@@ -260,6 +260,23 @@ class SimilaritySpec extends SparkSpec {
     assert(curve.find(_._1 == 2).get._3 == q96Ivf)
   }
 
+  test("q98 shortlist curve: monotone, L=5 == raw ADC, L=20 == q96's re-rank point") {
+    val curve = Similarity.rerankShortlistCurve(spark, sfDir)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(curve.map(_._1) == Seq(5, 10, 20, 40))
+    // displacing a true top-5 hit requires higher exact cosine, which
+    // makes the displacer a true top-5 hit itself: monotone in L
+    assert(curve.map(_._3) == curve.map(_._3).sorted,
+      s"recall not monotone in shortlist: $curve")
+    val q96 = Similarity.annRecall(spark, sfDir)
+      .select($"method", $"n_hits").as[(String, Long)].collect().toMap
+    // re-ranking an ADC top-5 shortlist reorders but cannot change the
+    // SET — recall at L=5 is exactly the raw ADC recall
+    assert(curve.find(_._1 == 5).get._3 == q96("q90_pq_adc"))
+    // and L=PqShortlist is exactly the q92 production point
+    assert(curve.find(_._1 == Similarity.PqShortlist).get._3 == q96("q92_pq_rerank"))
+  }
+
   test("q90 ADC top-k: 5 ascending rows per probe off the written code table") {
     val df = Similarity.pqAdc(spark, sfDir)
     val got = df.as[(Long, Long, Long, Int)].collect()
