@@ -1697,6 +1697,7 @@ object Similarity {
     * four method branches reuse the written index tables and the
     * intersection joins carry ≤ 5·probes slim rows each. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val exact5 = cosineTopK(s, dir).select(col("probe_id"), col("vec_id"))
     val np = boundedProbes(quantized(s, dir)).agg(count(lit(1)).as("np"))
     val methods: Seq[(String, DataFrame)] = Seq(
@@ -1704,12 +1705,22 @@ object Similarity {
       "q90_pq_adc" -> pqAdc(s, dir),
       "q92_pq_rerank" -> pqRerank(s, dir),
       "q93_ivfpq" -> ivfPq(s, dir))
-    methods.map { case (m, df) =>
-      df.select(col("probe_id"), col("vec_id"))
-        .join(exact5, Seq("probe_id", "vec_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-        .select(lit(m).as("method"), col("n_hits"))
+    // tag + union the four methods' top-5 sets FIRST, so the exact
+    // baseline (the dominant cost — a full broadcast-probe corpus
+    // scan) is joined ONCE: the per-branch formulation evaluated the
+    // exact5 subtree once per method (4× the baseline's cost,
+    // measured 4.7 → 2.9 s at sf0.1). The right join against the
+    // literal method list keeps the always-4-rows contract when a
+    // method scores zero hits (the oracle's count(*)-of-empty = 0)
+    val tagged = methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("probe_id"), col("vec_id"))
     }.reduce(_ union _)
+    val hits = tagged
+      .join(exact5, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy(col("method")).agg(count(lit(1)).as("h"))
+    methods.map(_._1).toDF("method")
+      .join(hits, Seq("method"), "left")
+      .select(col("method"), coalesce(col("h"), lit(0L)).as("n_hits"))
       .crossJoin(broadcast(np))
       .select(col("method"), col("np").as("n_probes"), col("n_hits"),
         (col("n_hits").cast(DoubleType) /
