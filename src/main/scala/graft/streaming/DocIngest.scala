@@ -54,7 +54,9 @@ object DocIngest {
     * append mode; match identity (vec_id, cvec) is `dropDuplicates`
     * state, so replays and re-crawls emit each match exactly once
     * across triggers. `StreamingSpec` proves stream == batch across
-    * trigger splits incl. a cross-trigger replay. */
+    * trigger splits incl. a cross-trigger replay, and that the match
+    * state survives a kill/restart from checkpoint (a post-restart
+    * replay of a pre-crash match is not re-emitted). */
   def semanticIngest(incoming: DataFrame,
                      cents: Array[(Long, Array[Long], Long)],
                      corpusAssign: DataFrame): DataFrame =
@@ -72,7 +74,10 @@ object DocIngest {
     * `dropDuplicates` state, exactly-once across triggers; the q77
     * sort is omitted — a total order is illegal on an unaggregated
     * stream and meaningless for an admission signal).
-    * `StreamingSpec` proves stream == batch across trigger splits. */
+    * `StreamingSpec` proves stream == batch across trigger splits AND
+    * across a kill/restart: the pair state recovers from the
+    * checkpoint, so a replayed pair is suppressed while new
+    * near-copies land exactly once. */
   def nearDupIngest(incoming: DataFrame, corpusBands: DataFrame,
                     bucketCap: Int = graft.operators.Dedup.MaxLshBucket): DataFrame =
     graft.operators.Dedup.incrementalPairs(

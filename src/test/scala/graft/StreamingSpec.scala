@@ -357,6 +357,82 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("near-dup ingest restart: pair state survives the checkpoint round-trip") {
+    import graft.operators.Dedup
+    import graft.streaming.DocIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_restart_").toString
+    def txt(i: Int) = s"unique document number $i with tokens t$i u$i v$i w$i"
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = ((1L to 30L).map(i => (i, txt(i.toInt))) :+ ((99L, shared)))
+      .toDF("doc_id", "text")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val ingest = DocIngest.nearDupIngest(mem.toDF().toDF("doc_id", "text"),
+      Dedup.bandTable(corpus))
+    def start() = ingest.writeStream.format("parquet")
+      .option("path", s"$dir/hits").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    def hits() = spark.read.parquet(s"$dir/hits")
+      .select("doc_new", "doc_corpus").as[(Long, Long)].collect().toSeq.sorted
+    // run 1: the near-copy fires once, then KILL
+    val q1 = start()
+    try {
+      mem.addData((101L, txt(201)), (102L, shared))
+      q1.processAllAvailable()
+      assert(hits() == Seq((102L, 99L)))
+    } finally q1.stop()
+    // while down: a replay of the already-emitted pair + a NEW near-copy
+    mem.addData((102L, shared), (105L, shared))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // recovered pair state suppresses the replay; the new near-copy
+      // lands exactly once
+      assert(hits() == Seq((102L, 99L), (105L, 99L)), s"got ${hits()}")
+    } finally q2.stop()
+  }
+
+  test("semantic ingest restart: match-identity state survives the checkpoint round-trip") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.operators.Similarity
+    import graft.streaming.DocIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_restart_").toString
+    val cents = Similarity.ivfCentsBase(spark, sfDir)
+    val corpusAssign = Similarity.ivfAssignBase(spark, sfDir, cents)
+    val batchDf = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+    val want = Similarity.semanticMatchEvents(batchDf, cents, corpusAssign)
+      .select("vec_id", "cvec").as[(Long, Long)].collect().toSeq.sorted
+    assert(want.nonEmpty)
+    val rows = batchDf.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (t1, t2) = rows.splitAt(rows.length / 2)
+    val matched = want.head._1
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val ingest = DocIngest.semanticIngest(
+      mem.toDF().toDF("vec_id", "embedding"), cents, corpusAssign)
+    def start() = ingest.writeStream.format("parquet")
+      .option("path", s"$dir/matches").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    // run 1: first half (includes a known match), then KILL
+    val q1 = start()
+    try { mem.addData(t1: _*); q1.processAllAvailable() } finally q1.stop()
+    // while down: the rest of the batch + a cross-RESTART replay of the
+    // matched vector
+    mem.addData((t2 ++ rows.filter(_._1 == matched)): _*)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/matches")
+        .select("vec_id", "cvec").as[(Long, Long)].collect().toSeq.sorted
+      // exactly the batch match set, each match exactly once: the
+      // replayed vector's match survived the restart as STATE, not as
+      // a duplicate output row
+      assert(got == want, s"stream=$got batch=$want")
+    } finally q2.stop()
+  }
+
   test("streaming SEMANTIC ingest (q91 shape): route + static assignment join == batch, across triggers") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     import graft.operators.Similarity
