@@ -213,6 +213,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Generate"), "chunk math must not explode rows")
   }
 
+  test("q96/q97/q98: recall harness shares subtrees — one baseline, one index scan per sweep") {
+    // q96's contract after the single-intersection fix: the exact
+    // baseline is evaluated ONCE, so the raw embeddings file is
+    // scanned exactly 4 times (baseline corpus + baseline probes +
+    // probe count + re-rank side) — the per-branch formulation scanned
+    // it 10 times (4.7 s vs 2.9 s at sf0.1)
+    val p96 = plan("q96_ann_recall")
+    assert(countOf(p96, "embeddings.parquet") == 4,
+      s"q96 re-evaluated the exact baseline:\n$p96")
+    // q97's one-plan claim: all four nprobe levels are served by ONE
+    // scan of the written bucketed assignment (bucketed, cent_id IN
+    // pushed), with zero quantization loops at query time
+    val p97 = plan("q97_nprobe_curve")
+    assert(countOf(p97, "spark_catalog.default.graft_ivfassign") == 1,
+      s"q97 scanned the assignment more than once:\n$p97")
+    assert(p97.contains("Bucketed: true") && p97.contains("PushedFilters: [In(cent_id"),
+      s"q97 lost bucket pruning:\n$p97")
+    assert(countOf(p97, "MapPartitions") == 0, s"q97 quantized at query time:\n$p97")
+    assert(countOf(p97, "embeddings.parquet") == 3,
+      s"q97 re-evaluated the exact baseline:\n$p97")
+    // q98: the ADC ranking is computed once for all four shortlists
+    // (one code-table scan), and the baseline once
+    val p98 = plan("q98_shortlist_curve")
+    assert(countOf(p98, "spark_catalog.default.graft_pqcodes") == 1,
+      s"q98 re-ranked the code table per level:\n$p98")
+    assert(countOf(p98, "embeddings.parquet") == 4,
+      s"q98 re-evaluated the exact baseline:\n$p98")
+  }
+
   test("hot aggregation paths stay inside whole-stage codegen") {
     // q01/q02 are pure scan->filter->agg: everything except the final
     // exchange should be codegen'd — the final plan marks codegen
