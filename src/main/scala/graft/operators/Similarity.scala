@@ -83,11 +83,23 @@ object Similarity {
     * gain); the SQL twins unroll exactly this many iteration CTEs. */
   private[graft] val LloydIters = 2
 
-  /** Spec hook: the corpus training sample ([[trainSampleFrom]] over
-    * the quantized view) — `SimilaritySpec` measures the Lloyd
-    * objective improvement on it. */
+  /** The corpus training sample, MEMOIZED per (session, dir) — the
+    * sample is a pure function of the snapshot (hash-ordered
+    * TakeOrdered), so one scan serves every trainer: the IVF/PQ table
+    * builders AND the per-query codebook derivations (q90/q92 and the
+    * recall harness retrain from the sample on each call — the memo
+    * turns those into driver-array lookups). Weakly keyed by session,
+    * the `Layout.once` idiom: values are plain arrays with no session
+    * references, so a stopped session's entry is collectable. */
+  private val sampleMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Long], Long)]]]())
+
   private[graft] def trainSample(s: SparkSession, dir: String): Array[(Long, Array[Long], Long)] =
-    trainSampleFrom(quantized(s, dir))
+    sampleMemo
+      .computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Long], Long)]]())
+      .computeIfAbsent(dir, _ => trainSampleFrom(quantized(s, dir)))
 
   /** The bounded hash-ordered training sample of a quantized relation
     * — rows arrive IN hash order (seeds are its prefix). */
@@ -539,7 +551,7 @@ object Similarity {
     // TakeOrdered — TrainSample rows collected), constant-size at any
     // corpus scale; q83 serves the same centroids from its written
     // table (the q83 == q37 oracle identity)
-    val cents = lloydCents(trainSampleFrom(quantized(s, dir))).sortBy(_._1)
+    val cents = lloydCents(trainSample(s, dir)).sortBy(_._1)
     val bcCents = s.sparkContext.broadcast(cents)
     // inverted-list assignment: map-only, nearest (nprobe=1) centroid
     val assign = e.mapPartitions { it =>
@@ -787,7 +799,7 @@ object Similarity {
   private def ivfCents(s: SparkSession, dir: String): Array[(Long, Array[Long], Long)] = {
     import s.implicits._
     Layout.materializedTable(s, dir, "ivfcents") {
-      lloydCents(trainSampleFrom(quantized(s, dir))).toSeq
+      lloydCents(trainSample(s, dir)).toSeq
         .toDF("vec_id", "q", "qn")
     }.as[(Long, Array[Long], Long)].collect().sortBy(_._1)
   }
@@ -875,7 +887,7 @@ object Similarity {
     * independently on the SAME seeds, so the layout holds). A
     * constant-size driver array at any corpus scale. */
   private[graft] def pqTrain(s: SparkSession, dir: String): Array[(Long, Array[Long])] =
-    lloydCodebook(trainSampleFrom(quantized(s, dir)))
+    lloydCodebook(trainSample(s, dir))
 
   /** Per-subspace squared-L2 k-means over the sample (assignment ties
     * to the LOW code — the SQL twin's (dist, code) row_number order;
