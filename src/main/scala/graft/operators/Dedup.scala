@@ -788,6 +788,186 @@ object Dedup {
        |WHERE CAST(shared_windows AS DOUBLE) / CAST(least(sa.nw, sb.nw) AS DOUBLE) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** All [[WindowLen]]-token window hashes of a document WITH their
+    * 1-based token positions (no dedup — position matters here, unlike
+    * [[distinctWindowHexes]] where repeated windows would double-count
+    * set overlap). Same md5-60-bit hash as every other window/shingle
+    * path so the DuckDB oracle reproduces it bit-for-bit. */
+  private def windowHashesAt(md: java.security.MessageDigest,
+                             text: String, win: Int): Iterator[(Long, Long)] = {
+    val toks = if (text == null) Array.empty[String]
+               else text.split(" ").filter(_.nonEmpty)
+    if (toks.length < win) Iterator.empty
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](toks.length)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - win) {
+        sb.setLength(0)
+        var j = 0
+        while (j < win) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        out += (((i + 1).toLong,
+          java.lang.Long.parseLong(md5Hex(md, sb.toString).substring(0, 15), 16)))
+        i += 1
+      }
+      out.iterator
+    }
+  }
+
+  /** Per-document duplicated-span FRACTION (q99) — the attribute-tagger
+    * view of q78: instead of emitting candidate pairs, score every
+    * document by how much of it is verbatim-shared with the rest of the
+    * corpus (the "duplicated fraction" gate public pipelines threshold
+    * on before deciding drop-vs-keep). For each doc with ≥ [[WindowLen]]
+    * tokens: `nw` distinct windows, `dup_windows` of them present in at
+    * least one OTHER document, `dup_frac` their ratio.
+    *
+    * Scale: strictly LINEAR, unlike the pair queries — there is no
+    * pair join to fan out, so no df cap is needed. The corpus-wide
+    * window df is a WINDOW AGGREGATE over the hash (one subtree, one
+    * scan by construction — an aggregate-plus-join-back formulation
+    * computes the same thing but column pruning makes the two
+    * consumer subtrees canonicalize differently, costing a second
+    * scan): scan → window emission → one exchange on the 8-byte hash
+    * → per-hash count → one exchange on doc_id for the rollup. */
+  def dupSpanFraction(s: SparkSession, dir: String): DataFrame =
+    dupSpanFractionFrom(Tables.documents(s, dir))
+
+  private[graft] def dupSpanFractionFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val win = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          distinctWindowHexes(md, text, WindowLen)
+            .map(hex => (id, java.lang.Long.parseLong(hex.substring(0, 15), 16)))
+        }
+      }.toDF("doc_id", "h")
+    // windows are distinct per doc, so per-hash row count == containing-doc count
+    val df = count(lit(1)).over(Window.partitionBy("h"))
+    win.withColumn("dup", (df >= 2).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), sum(col("dup")).as("dup_windows"))
+      .withColumn("dup_frac",
+        col("dup_windows").cast(DoubleType) / col("nw").cast(DoubleType))
+      .orderBy("doc_id")
+  }
+
+  val dupSpanFractionSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM documents),
+       |win AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(sgl), 1, 15) AS BIGINT) AS h
+       |  FROM (
+       |    SELECT DISTINCT doc_id, sgl FROM (
+       |      SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - ${WindowLen - 1}),
+       |               i -> array_to_string(list_slice(w, i, i + ${WindowLen - 1}), ' '))) AS sgl
+       |      FROM toks WHERE len(w) >= $WindowLen) t0) t),
+       |dfh AS (SELECT h, count(*) AS df FROM win GROUP BY h)
+       |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS nw,
+       |       CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+       |       CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS dup_frac
+       |FROM win w JOIN dfh d ON d.h = w.h
+       |GROUP BY w.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Duplicated-span LOCALIZATION (q100) — q99 says HOW MUCH of a doc
+    * is duplicated; this says WHERE: per document, the maximal runs of
+    * consecutive corpus-duplicated windows (a shared span of k ≥
+    * [[WindowLen]] tokens appears as a run of k − WindowLen + 1
+    * consecutive duplicated window positions), reported as the span
+    * count plus the longest span's start offset and token length — the
+    * attribute a surgical span-REMOVAL step consumes (cut the span,
+    * keep the doc) where doc-level dedup would discard the whole text.
+    *
+    * Positions make this the non-set variant: windows are NOT deduped
+    * per doc, and a window counts as duplicated only when its hash
+    * occurs in ≥ 2 DISTINCT documents (within-doc repetition is q62's
+    * business, not dedup's). Runs are found with the classic
+    * gaps-and-islands trick (pos − row_number is constant within a
+    * consecutive run); ties for longest span resolve to the earliest
+    * start, so output is total-order deterministic.
+    *
+    * Scale: linear like q99 — no pair join; one exchange on the window
+    * hash ("appears in ≥ 2 distinct docs" is exactly `min(doc_id) ≠
+    * max(doc_id)` over the hash partition, two O(1)-state window
+    * aggregates riding one exchange — no distinct-count, no
+    * join-back), one exchange on doc_id shared by BOTH analytic
+    * windows and the run rollup (partitionBy doc_id throughout),
+    * nothing quadratic anywhere. */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpansFrom(Tables.documents(s, dir))
+
+  private[graft] def dupSpansFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val win = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          windowHashesAt(md, text, WindowLen).map { case (pos, h) => (id, pos, h) }
+        }
+      }.toDF("doc_id", "pos", "h")
+    val byH = Window.partitionBy("h")
+    val dup = win
+      .withColumn("mn", min(col("doc_id")).over(byH))
+      .withColumn("mx", max(col("doc_id")).over(byH))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("pos"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = dup
+      .withColumn("grp", col("pos") - row_number().over(byPos))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"), count(lit(1)).as("span_windows"))
+    runs
+      .withColumn("n_spans", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("span_windows").desc, col("span_start").asc)))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("n_spans"), col("span_start"), col("span_windows"),
+        (col("span_windows") + lit(WindowLen - 1).cast(LongType)).as("span_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val dupSpansSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM documents),
+       |win AS (
+       |  SELECT doc_id,
+       |         unnest(generate_series(1, len(w) - ${WindowLen - 1})) AS pos,
+       |         unnest(list_transform(generate_series(1, len(w) - ${WindowLen - 1}),
+       |           i -> array_to_string(list_slice(w, i, i + ${WindowLen - 1}), ' '))) AS sgl
+       |  FROM toks WHERE len(w) >= $WindowLen),
+       |wh AS (
+       |  SELECT doc_id, pos, CAST('0x' || substr(md5(sgl), 1, 15) AS BIGINT) AS h
+       |  FROM win),
+       |dfh AS (SELECT h, count(DISTINCT doc_id) AS df FROM wh GROUP BY h),
+       |dup AS (
+       |  SELECT w.doc_id, w.pos FROM wh w JOIN dfh d ON d.h = w.h WHERE d.df >= 2),
+       |runs AS (
+       |  SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM dup),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start, count(*) AS span_windows
+       |  FROM runs GROUP BY doc_id, grp),
+       |best AS (
+       |  SELECT doc_id, span_start, span_windows,
+       |         count(*) OVER (PARTITION BY doc_id) AS n_spans,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY span_windows DESC, span_start ASC) AS rk
+       |  FROM spans)
+       |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+       |       CAST(span_start AS BIGINT) AS span_start,
+       |       CAST(span_windows AS BIGINT) AS span_windows,
+       |       CAST(span_windows + ${WindowLen - 1} AS BIGINT) AS span_tokens
+       |FROM best WHERE rk = 1
+       |ORDER BY doc_id""".stripMargin
+
   /** Near-dup clustering: connected components over the MinHash-LSH
     * pair graph — the "keep one per cluster" worklist of a dedup
     * pipeline. Output: one row per cluster (cluster id = min doc_id),
@@ -1411,5 +1591,7 @@ object Dedup {
     QueryDef("q82_pair_graph_update", pairGraphUpdate, Some(minhashLshSql)),
     QueryDef("q88_containment", containment, Some(containmentSql)),
     QueryDef("q89_dup_pagerank", dupPagerank, Some(dupPagerankSql)),
+    QueryDef("q99_dup_span_fraction", dupSpanFraction, Some(dupSpanFractionSql)),
+    QueryDef("q100_dup_spans", dupSpans, Some(dupSpansSql)),
   )
 }

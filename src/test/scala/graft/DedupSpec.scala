@@ -93,6 +93,51 @@ class DedupSpec extends SparkSpec {
     assert(minW == 9L && math.abs(cont - 6.0 / 9.0) < 1e-15)
   }
 
+  test("q99/q100: planted shared span is scored and localized exactly") {
+    // the q78 fixture viewed through the per-doc taggers: a 25-token
+    // span shared at different offsets is 6 duplicated stride-1 windows
+    val span = (1 to 25).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"pre1 pre2 pre3 $span"),                       // 28 toks, 9 windows, span windows at pos 4..9
+      (2L, s"$span post1 post2 post3 post4 post5"),        // 30 toks, 11 windows, span windows at pos 1..6
+      (3L, (1 to 30).map(i => s"other$i").mkString(" ")),  // 11 windows, none shared
+    ).toDF("doc_id", "text")
+    val frac = Dedup.dupSpanFractionFrom(docs)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(frac == Seq(
+      (1L, 9L, 6L, 6.0 / 9.0),
+      (2L, 11L, 6L, 6.0 / 11.0),
+      (3L, 11L, 0L, 0.0)))
+    // localization: doc 3 (nothing duplicated) must NOT appear; the
+    // span lands at its exact offset with span_tokens = 25 on both
+    val spans = Dedup.dupSpansFrom(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq(
+      (1L, 1L, 4L, 6L, 25L),
+      (2L, 1L, 1L, 6L, 25L)))
+  }
+
+  test("q100 separates disjoint spans and reports the longest") {
+    // doc 4 shares spanA (with doc 5) at its head and spanB (with doc
+    // 6) at its tail, 20 unique filler tokens apart — two maximal runs,
+    // not one; the longest (6 windows vs 3) wins the report
+    val spanA = (1 to 25).map(i => s"a$i").mkString(" ")
+    val spanB = (1 to 22).map(i => s"b$i").mkString(" ")
+    val filler = (1 to 20).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (4L, s"$spanA $filler $spanB"),
+      (5L, s"$spanA u1 u2 u3 u4 u5"),
+      (6L, s"v1 v2 v3 v4 v5 $spanB"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpansFrom(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 4: spanA windows at pos 1..6, spanB (toks 46..67) at 46..48
+    assert(got == Seq(
+      (4L, 2L, 1L, 6L, 25L),
+      (5L, 1L, 1L, 6L, 25L),
+      (6L, 1L, 6L, 3L, 22L)))
+  }
+
   test("dupClusters: driver union-find == distributed min-label propagation") {
     val pairs = Dedup.minhashLsh(spark, sfDir).select("doc_a", "doc_b")
     val viaDriver = Dedup.dupClusters(spark, sfDir) // small graph -> driver path

@@ -125,6 +125,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 3, s"q87 shuffled $shuffles times (expect u-barrier + doc rollup + sort):\n$p")
   }
 
+  test("q99/q100: linear span profilers — one scan, no join anywhere") {
+    // both taggers compute corpus-wide window df as a WINDOW AGGREGATE
+    // over the hash, so the whole query is one subtree: a single
+    // documents scan, the h exchange, the doc_id exchange(s), the
+    // output sort — and NO join node at all (an agg-plus-join-back
+    // formulation canonicalizes its two branches differently under
+    // column pruning and costs a second scan; pair fan-out is q78's
+    // business, these are strictly linear)
+    for (name <- Seq("q99_dup_span_fraction", "q100_dup_spans")) {
+      val p = plan(name)
+      assert(countOf(p, "Scan parquet") == 1, s"$name re-scanned documents:\n$p")
+      assert(!p.contains("Join"), s"$name grew a join:\n$p")
+      val shuffles = countOf(p, "Exchange (hash|range)partitioning") - countOf(p, "ReusedExchange")
+      assert(shuffles <= 3,
+        s"$name shuffled $shuffles times (expect h window + doc rollup + sort):\n$p")
+    }
+  }
+
   test("dedup family consumes ONE written pair-graph table — no shingle recomputation") {
     // q21 produces the pair-graph TABLE (graft.sources.Layout
     // materializedTable — the per-snapshot production artifact);
