@@ -241,6 +241,19 @@ class SimilaritySpec extends SparkSpec {
     assert(tq < sq, s"trained PQ quantization error $tq >= seed error $sq")
   }
 
+  test("trainSample is memoized per snapshot: repeat calls return the SAME collected array") {
+    // the sample is a pure function of the (session, dir) snapshot —
+    // every trainer (index builders, per-query codebook derivations,
+    // the recall harness) must share one corpus scan, not re-collect;
+    // reference identity proves the memo, distinct dirs stay distinct
+    val a = Similarity.trainSample(spark, sfDir)
+    assert(a eq Similarity.trainSample(spark, sfDir),
+      "repeat trainSample call re-collected the sample")
+    val other = Similarity.trainSample(spark, "/root/testdata/sf0.01")
+    assert(!(a eq other), "distinct snapshots must not share a sample")
+    assert(other eq Similarity.trainSample(spark, "/root/testdata/sf0.01"))
+  }
+
   test("q97 nprobe curve: monotone non-decreasing recall, consistent with q96 at nprobe=2") {
     val curve = Similarity.ivfNprobeCurve(spark, sfDir)
       .as[(Int, Long, Long, Double)].collect().toSeq
