@@ -968,6 +968,99 @@ object Dedup {
        |FROM best WHERE rk = 1
        |ORDER BY doc_id""".stripMargin
 
+  /** Surgical span REMOVAL (q101) — the step q100's attributes feed:
+    * rewrite each document with its corpus-duplicated spans cut out,
+    * keeping the CANONICAL copy — a window is removable in doc d iff
+    * d is not the minimum doc_id containing that window hash (the
+    * repo-wide keep-min convention; the smallest-id owner keeps its
+    * text intact, every other occurrence is trimmed). This is the
+    * span-level analogue of exact-dedup's keep-min row: duplicated
+    * material survives exactly once in the corpus, and a document is
+    * never dropped wholesale when only part of it is boilerplate.
+    * Emits per-doc before/after token counts and the md5 of the
+    * trimmed text (slim, gate-friendly; production would write the
+    * rewritten corpus to a layout table instead).
+    *
+    * Scale: linear — removability is ONE O(1)-state window aggregate
+    * (`min(doc_id)` over the hash partition, subsuming the df ≥ 2
+    * test: singleton windows have min == their own doc), covered
+    * token indexes explode to ≤ WindowLen rows per removable window,
+    * and reassembly is a per-doc sort of surviving tokens. No pair
+    * join anywhere; exchanges: window hash, (doc, idx) dedup, per-doc
+    * rollups. */
+  def spanTrim(s: SparkSession, dir: String): DataFrame =
+    spanTrimFrom(Tables.documents(s, dir))
+
+  private[graft] def spanTrimFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val win = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          windowHashesAt(md, text, WindowLen).map { case (pos, h) => (id, pos, h) }
+        }
+      }.toDF("doc_id", "pos", "h")
+    // removable ⟺ this doc is not the window's canonical (min-id) owner
+    val removable = win
+      .withColumn("mn", min(col("doc_id")).over(Window.partitionBy("h")))
+      .filter(col("doc_id") =!= col("mn"))
+      .select(col("doc_id"), col("pos"))
+    val covered = removable
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(WindowLen - 1).cast(LongType))).as("idx"))
+      .distinct()
+    // tokens with 1-based positions in the FILTERED token sequence —
+    // the same indexing every window emitter uses
+    val toks = docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "i0", "tok")
+      .filter(col("tok") =!= "")
+      .withColumn("idx",
+        row_number().over(Window.partitionBy("doc_id").orderBy("i0")).cast(LongType))
+      .select(col("doc_id"), col("idx"), col("tok"))
+    // one pass: mark covered tokens, count and reassemble in a single
+    // rollup (a separate n_before aggregate would prune the row_number
+    // away and canonicalize as a THIRD documents scan)
+    val marked = toks.join(covered.withColumn("cov", lit(1)), Seq("doc_id", "idx"), "left")
+    marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("cov").isNull, 1L).otherwise(0L)).as("n_after"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("cov").isNull, struct(col("idx"), col("tok"))))),
+            x => x.getField("tok")), " ")).as("trimmed_md5"))
+      .orderBy("doc_id")
+  }
+
+  val spanTrimSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM documents),
+       |win AS (
+       |  SELECT doc_id,
+       |         unnest(generate_series(1, len(w) - ${WindowLen - 1})) AS pos,
+       |         unnest(list_transform(generate_series(1, len(w) - ${WindowLen - 1}),
+       |           i -> array_to_string(list_slice(w, i, i + ${WindowLen - 1}), ' '))) AS sgl
+       |  FROM toks WHERE len(w) >= $WindowLen),
+       |wh AS (
+       |  SELECT doc_id, pos, CAST('0x' || substr(md5(sgl), 1, 15) AS BIGINT) AS h
+       |  FROM win),
+       |own AS (SELECT h, min(doc_id) AS mn FROM wh GROUP BY h),
+       |cov AS (
+       |  SELECT DISTINCT w.doc_id, unnest(generate_series(w.pos, w.pos + ${WindowLen - 1})) AS idx
+       |  FROM wh w JOIN own o ON o.h = w.h WHERE w.doc_id <> o.mn),
+       |tok AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(w))) AS idx, unnest(w) AS tok
+       |  FROM toks WHERE len(w) > 0)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_before,
+       |       CAST(sum(CASE WHEN c.idx IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+       |       md5(coalesce(string_agg(CASE WHEN c.idx IS NULL THEN t.tok END,
+       |                               ' ' ORDER BY t.idx), '')) AS trimmed_md5
+       |FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = t.idx
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Near-dup clustering: connected components over the MinHash-LSH
     * pair graph — the "keep one per cluster" worklist of a dedup
     * pipeline. Output: one row per cluster (cluster id = min doc_id),
@@ -1593,5 +1686,6 @@ object Dedup {
     QueryDef("q89_dup_pagerank", dupPagerank, Some(dupPagerankSql)),
     QueryDef("q99_dup_span_fraction", dupSpanFraction, Some(dupSpanFractionSql)),
     QueryDef("q100_dup_spans", dupSpans, Some(dupSpansSql)),
+    QueryDef("q101_span_trim", spanTrim, Some(spanTrimSql)),
   )
 }

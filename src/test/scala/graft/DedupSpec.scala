@@ -138,6 +138,27 @@ class DedupSpec extends SparkSpec {
       (6L, 1L, 6L, 3L, 22L)))
   }
 
+  test("q101 span trim keeps the canonical copy and cuts every other occurrence") {
+    // keep-min at span granularity: doc 1 (smallest id containing the
+    // shared span) survives verbatim; doc 2's copy is cut — exactly
+    // the 25 span tokens — and the untouched doc is bit-identical
+    val span = (1 to 25).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"pre1 pre2 pre3 $span"),
+      (2L, s"$span post1 post2 post3 post4 post5"),
+      (3L, (1 to 30).map(i => s"other$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Dedup.spanTrimFrom(docs)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 28L, 28L, md5hex(s"pre1 pre2 pre3 $span")),
+      (2L, 30L, 5L, md5hex("post1 post2 post3 post4 post5")),
+      (3L, 30L, 30L, md5hex((1 to 30).map(i => s"other$i").mkString(" ")))))
+  }
+
   test("dupClusters: driver union-find == distributed min-label propagation") {
     val pairs = Dedup.minhashLsh(spark, sfDir).select("doc_a", "doc_b")
     val viaDriver = Dedup.dupClusters(spark, sfDir) // small graph -> driver path

@@ -143,6 +143,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q101: span trim is two linear passes — token pass + window pass, one rollup") {
+    // removal is mark-and-reassemble: the token pass (row_number
+    // indexing) left-joins the covered-index set derived from the
+    // window pass, and counts + trimmed-text assembly ride ONE rollup
+    // (a separate n_before aggregate would canonicalize as a third
+    // documents scan); nothing pairwise, no cartesian anywhere
+    val p = plan("q101_span_trim")
+    assert(countOf(p, "Scan parquet") == 2,
+      s"q101 expects exactly token + window scans:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q101 grew a non-equi join:\n$p")
+  }
+
   test("dedup family consumes ONE written pair-graph table — no shingle recomputation") {
     // q21 produces the pair-graph TABLE (graft.sources.Layout
     // materializedTable — the per-snapshot production artifact);
