@@ -28,6 +28,13 @@ import graft.sources.Tables
   * for a stride-1 window table that grows linearly with the corpus;
   * quadratic would be 64×).
   *
+  * The per-DOC span taggers (q99 fraction, q101 trim) are probed the
+  * same way with doc-shaped invariants: replica-0 rows bit-identical
+  * at every k and total rows exactly k× the base. Measured:
+  * q99 → 0.8/1.0/1.2/1.5 s (8× → 1.8×), q101 → 1.4/1.8/2.3/3.3 s
+  * (8× → 2.3×) — the no-pair-join formulations scale like the scan
+  * they are.
+  *
   * `sbt "runMain graft.DedupScaleProbe [sfDir]"` — one JSON line per
   * (shape, k).
   */
@@ -70,8 +77,34 @@ object DedupScaleProbe {
       }
     }
 
+    /** Per-DOC outputs (the span-tagger family): replicas share no
+      * windows, so each replica's rows mirror replica 0's structure —
+      * assert replica-0 rows bit-identical at every k AND total rows
+      * exactly k× the base (every replica scored, none perturbed). */
+    def probeDoc(shape: String, mk: Int => org.apache.spark.sql.DataFrame): Unit = {
+      mk(1).count() // warm
+      def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.collect().map(_.mkString("|")).toSet
+      val base = rows(mk(1))
+      Seq(1, 2, 4, 8).foreach { k =>
+        val t0 = System.nanoTime()
+        val p = mk(k).persist()
+        val n = p.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rep0 = rows(p.filter(col("doc_id") < Offset))
+        p.unpersist()
+        require(rep0 == base,
+          s"[$shape] replica-0 rows changed at k=$k: ±${(rep0 diff base).size + (base diff rep0).size}")
+        require(n == k.toLong * base.size,
+          s"[$shape] expected ${k * base.size} rows at k=$k, got $n")
+        println(f"""{"shape":"$shape","k":$k,"sec":$sec%.3f,"rows":$n,"rep0_stable":true}""")
+      }
+    }
+
     probe("q21_minhash_lsh", k => Dedup.minhashLshFrom(rep(k), Dedup.MaxLshBucket))
     probe("q78_span_overlap", k => Dedup.spanOverlapFrom(rep(k), Dedup.MaxWindowDf))
+    probeDoc("q99_dup_span_fraction", k => Dedup.dupSpanFractionFrom(rep(k)))
+    probeDoc("q101_span_trim", k => Dedup.spanTrimFrom(rep(k)))
     spark.stop()
   }
 }
