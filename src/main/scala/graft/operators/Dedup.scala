@@ -968,6 +968,98 @@ object Dedup {
        |FROM best WHERE rk = 1
        |ORDER BY doc_id""".stripMargin
 
+  /** The standing corpus's window table as a WRITTEN index, bucketed
+    * by the window hash — the span family's per-snapshot artifact,
+    * exactly the band-index pattern (q77): written UNCAPPED so the
+    * per-read df cap stays observable on every execution. */
+  private def corpusWindowIndex(s: SparkSession, dir: String): DataFrame =
+    Layout.materializedTable(s, dir, "winindex",
+        Some((Layout.Buckets, Seq("h")))) {
+      windowTable(Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    }
+
+  /** Distinct (doc_id, h) window rows of a corpus — q78's emission as
+    * a reusable table builder. */
+  private[graft] def windowTable(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          distinctWindowHexes(md, text, WindowLen)
+            .map(hex => (id, java.lang.Long.parseLong(hex.substring(0, 15), 16)))
+        }
+      }.toDF("doc_id", "h")
+  }
+
+  /** INCREMENTAL span overlap (q102) — completes the incremental
+    * matrix: exact (q43), MinHash-LSH (q77), semantic (q91) and now
+    * shared-span, each an ingest batch against a WRITTEN corpus index.
+    * The admission question is asymmetric by design: "how much of the
+    * INCOMING document is material the corpus already has" —
+    * containment is shared windows over the NEW doc's window count
+    * (the corpus doc's size is irrelevant to an ingest gate, and not
+    * computing it keeps the standing corpus entirely un-aggregated).
+    *
+    * Scale: O(batch) new work — the batch signs only itself; the
+    * written index is bucketed on the join key h, so the corpus side
+    * joins WITHOUT re-shuffling (plan-pinned `Bucketed: true`, the
+    * q77 contract) and is never scanned beyond the hash join. The
+    * per-read [[MaxWindowDf]] cap bounds boilerplate-window fan-out
+    * observably. */
+  def spanIncremental(s: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
+    spanIncrementalJoin(windowTable(batch), corpusWindowIndex(s, dir), MaxWindowDf)
+  }
+
+  /** Uncached form over explicit frames (the spec equivalence surface). */
+  private[graft] def spanIncrementalFrom(batch: DataFrame, corpus: DataFrame,
+                                         dfCap: Int): DataFrame =
+    spanIncrementalJoin(windowTable(batch), windowTable(corpus), dfCap)
+
+  private def spanIncrementalJoin(nb: DataFrame, ib0: DataFrame,
+                                  dfCap: Int): DataFrame = {
+    val ib = if (dfCap == Int.MaxValue) ib0
+             else dropHotBucketsNamed(ib0, dfCap, "graft.cap(winindex_df)", "h")
+    val sz = nb.groupBy(col("doc_id")).agg(count(lit(1)).as("nw_new"))
+    val inter = nb.select(col("doc_id").as("doc_new"), col("h"))
+      .join(ib.select(col("doc_id").as("doc_corpus"), col("h")), Seq("h"))
+      .groupBy(col("doc_new"), col("doc_corpus"))
+      .agg(count(lit(1)).as("shared_windows"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_new"), col("nw_new")), Seq("doc_new"))
+      .withColumn("containment",
+        col("shared_windows").cast(DoubleType) / col("nw_new").cast(DoubleType))
+      .filter(col("containment") >= 0.5)
+      .select("doc_new", "doc_corpus", "shared_windows", "nw_new", "containment")
+      .orderBy("doc_new", "doc_corpus")
+  }
+
+  /** Full-recompute oracle restricted to cross pairs — the driver gate
+    * itself proves incremental == rebuild (the q77/q82 idiom). */
+  val spanIncrementalSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM documents),
+       |win AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(sgl), 1, 15) AS BIGINT) AS h
+       |  FROM (
+       |    SELECT DISTINCT doc_id, sgl FROM (
+       |      SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - ${WindowLen - 1}),
+       |               i -> array_to_string(list_slice(w, i, i + ${WindowLen - 1}), ' '))) AS sgl
+       |      FROM toks WHERE len(w) >= $WindowLen) t0) t),
+       |nw AS (SELECT doc_id, count(*) AS nw FROM win WHERE doc_id % 5 = 0 GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_new, b.doc_id AS doc_corpus, count(*) AS shared_windows
+       |  FROM win a JOIN win b ON a.h = b.h AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+       |  GROUP BY 1, 2)
+       |SELECT doc_new, doc_corpus, shared_windows, n.nw AS nw_new,
+       |       CAST(shared_windows AS DOUBLE) / CAST(n.nw AS DOUBLE) AS containment
+       |FROM inter JOIN nw n ON n.doc_id = doc_new
+       |WHERE CAST(shared_windows AS DOUBLE) / CAST(n.nw AS DOUBLE) >= 0.5
+       |ORDER BY doc_new, doc_corpus""".stripMargin
+
   /** Surgical span REMOVAL (q101) — the step q100's attributes feed:
     * rewrite each document with its corpus-duplicated spans cut out,
     * keeping the CANONICAL copy — a window is removable in doc d iff
@@ -1687,5 +1779,6 @@ object Dedup {
     QueryDef("q99_dup_span_fraction", dupSpanFraction, Some(dupSpanFractionSql)),
     QueryDef("q100_dup_spans", dupSpans, Some(dupSpansSql)),
     QueryDef("q101_span_trim", spanTrim, Some(spanTrimSql)),
+    QueryDef("q102_span_incremental", spanIncremental, Some(spanIncrementalSql)),
   )
 }

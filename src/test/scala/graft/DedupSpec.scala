@@ -138,6 +138,28 @@ class DedupSpec extends SparkSpec {
       (6L, 1L, 6L, 3L, 22L)))
   }
 
+  test("q102 incremental span admission: batch-vs-corpus only, new-side containment") {
+    // a batch doc that is PURE corpus material scores containment 1.0;
+    // batch-internal and corpus-internal shared spans are out of scope
+    // by construction (the full graph is q78's business)
+    val span = (1 to 25).map(i => s"s$i").mkString(" ")
+    val other = (1 to 25).map(i => s"t$i").mkString(" ")
+    val batch = Seq(
+      (5L, span),                                          // 6 windows, all in corpus doc 11
+      (10L, s"$other x1 x2 x3 x4 x5"),                     // shares `other` with batch doc 15 ONLY
+      (15L, s"y1 y2 y3 y4 y5 $other"),
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (11L, s"c1 c2 c3 $span c4 c5"),
+      (12L, (1 to 40).map(i => s"z$i").mkString(" ")),
+      (13L, (1 to 40).map(i => s"z$i").mkString(" ")),     // corpus-internal dup of 12
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanIncrementalFrom(batch, corpus, Int.MaxValue)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((5L, 11L, 6L, 6L, 1.0)),
+      s"expected only the batch->corpus admission row, got $got")
+  }
+
   test("q101 span trim keeps the canonical copy and cuts every other occurrence") {
     // keep-min at span granularity: doc 1 (smallest id containing the
     // shared span) survives verbatim; doc 2's copy is cut — exactly

@@ -156,6 +156,22 @@ class PlanShapeSpec extends SparkSpec {
       s"q101 grew a non-equi join:\n$p")
   }
 
+  test("q102: the corpus window index is a written bucketed table — only the batch re-windows") {
+    plan("q102_span_incremental") // first run writes the index table
+    val p = plan("q102_span_incremental")
+    assert(p.contains("graft_winindex"),
+      s"q102 not reading the written window index:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"q102 index scan ignores the h-bucketing:\n$p")
+    // per ingest: the batch windows itself (two MapPartitions — the
+    // size aggregate and the join probe each window the small batch;
+    // both are O(batch)); the corpus is never re-windowed, so the
+    // only scans are batch docs (×2) + the index table
+    assert(p.contains("MapPartitions"), s"q102 lost the batch window loop:\n$p")
+    assert(countOf(p, "Scan parquet") <= 3,
+      s"q102 scanned beyond batch + index table:\n$p")
+  }
+
   test("dedup family consumes ONE written pair-graph table — no shingle recomputation") {
     // q21 produces the pair-graph TABLE (graft.sources.Layout
     // materializedTable — the per-snapshot production artifact);
