@@ -1060,6 +1060,58 @@ object Dedup {
        |WHERE CAST(shared_windows AS DOUBLE) / CAST(n.nw AS DOUBLE) >= 0.5
        |ORDER BY doc_new, doc_corpus""".stripMargin
 
+  /** Span COVERAGE admission score (q103) — the per-DOC form of q102's
+    * pair output and the batch twin of the streaming span front door
+    * (`streaming.DocIngest.spanIngest`): for each incoming document,
+    * the fraction of its windows already present ANYWHERE in the
+    * standing corpus. q102 answers "which corpus doc does this
+    * duplicate"; this answers the admission question directly — "how
+    * much of it is known material" — with no per-pair fan-out at all.
+    *
+    * Scale: the known-window set is the written h-bucketed index
+    * distinct-projected (bucketed groupBy — zero exchange on the
+    * corpus side), the batch left-joins it on h and rolls up per doc:
+    * O(batch) rows end to end, the corpus is never aggregated beyond
+    * its own bucket-local distinct. */
+  def spanCoverage(s: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
+    spanCoverageFrom(batch, corpusWindowIndex(s, dir))
+  }
+
+  /** Uncached form over explicit frames: `index` is a (doc_id, h)
+    * window table ([[windowTable]] output or the written index). */
+  private[graft] def spanCoverageFrom(batch: DataFrame, index: DataFrame): DataFrame = {
+    val known = index.select(col("h")).distinct().withColumn("present", lit(1))
+    windowTable(batch).join(known, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"),
+        sum(coalesce(col("present"), lit(0)).cast(LongType)).as("known_windows"))
+      .withColumn("coverage",
+        col("known_windows").cast(DoubleType) / col("nw").cast(DoubleType))
+      .orderBy("doc_id")
+  }
+
+  val spanCoverageSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM documents),
+       |win AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(sgl), 1, 15) AS BIGINT) AS h
+       |  FROM (
+       |    SELECT DISTINCT doc_id, sgl FROM (
+       |      SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - ${WindowLen - 1}),
+       |               i -> array_to_string(list_slice(w, i, i + ${WindowLen - 1}), ' '))) AS sgl
+       |      FROM toks WHERE len(w) >= $WindowLen) t0) t),
+       |corp AS (SELECT DISTINCT h FROM win WHERE doc_id % 5 <> 0)
+       |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS nw,
+       |       CAST(sum(CASE WHEN c.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS known_windows,
+       |       CAST(sum(CASE WHEN c.h IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS coverage
+       |FROM win w LEFT JOIN corp c ON c.h = w.h
+       |WHERE w.doc_id % 5 = 0
+       |GROUP BY w.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Surgical span REMOVAL (q101) — the step q100's attributes feed:
     * rewrite each document with its corpus-duplicated spans cut out,
     * keeping the CANONICAL copy — a window is removable in doc d iff
@@ -1780,5 +1832,6 @@ object Dedup {
     QueryDef("q100_dup_spans", dupSpans, Some(dupSpansSql)),
     QueryDef("q101_span_trim", spanTrim, Some(spanTrimSql)),
     QueryDef("q102_span_incremental", spanIncremental, Some(spanIncrementalSql)),
+    QueryDef("q103_span_coverage", spanCoverage, Some(spanCoverageSql)),
   )
 }

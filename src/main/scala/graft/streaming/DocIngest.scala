@@ -1,8 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions.Fns._
+
+/** One admission-score row per arriving document (the q103 columns). */
+case class SpanCoverage(doc_id: Long, nw: Long, known_windows: Long, coverage: Double)
 
 /** The streaming front door of the dedup family — q43's incremental
   * exact dedup as an INGEST-time operator: documents arriving on a
@@ -62,6 +66,47 @@ object DocIngest {
                      corpusAssign: DataFrame): DataFrame =
     graft.operators.Similarity.semanticMatchEvents(incoming, cents, corpusAssign)
       .dropDuplicates("vec_id", "cvec")
+
+  /** SPAN-coverage ingest — q103 as the stream front door, the FOURTH
+    * modality (exact / MinHash / semantic / span): each arriving
+    * document windows only itself (map-side, O(micro-batch)), left-
+    * joins the STATIC known-window set (in production the written
+    * h-bucketed `graft_winindex` distinct-projected), and a
+    * `flatMapGroupsWithState` over doc_id rolls the flags into one
+    * coverage row per document — the custom-state formulation, since
+    * a streaming groupBy would demand a watermark these rows don't
+    * have, and a document's windows always share a trigger. The
+    * GroupState doubles as replay suppression: a doc_id seen in an
+    * earlier trigger emits nothing again (exactly-once per doc across
+    * triggers and, via the checkpointed state store, across process
+    * lifetimes); in-trigger duplicate rows collapse via per-group
+    * distinct. The same code path runs on a BATCH frame (state always
+    * absent) — `StreamingSpec` proves stream == batch and the restart
+    * round-trip. */
+  def spanIngest(incoming: DataFrame,
+                 corpusWindows: DataFrame): Dataset[SpanCoverage] = {
+    val s = incoming.sparkSession
+    import s.implicits._
+    val known = corpusWindows.select(col("h")).distinct().withColumn("present", lit(1))
+    graft.operators.Dedup.windowTable(incoming)
+      .join(known, Seq("h"), "left")
+      .select(col("doc_id"), col("h"),
+        coalesce(col("present"), lit(0)).as("present"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, SpanCoverage](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (doc, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val rs = rows.toArray.distinct // in-trigger replay: same (doc,h,flag) rows
+            val knownN = rs.count(_._3 == 1).toLong
+            Iterator.single(
+              SpanCoverage(doc, rs.length.toLong, knownN, knownN.toDouble / rs.length))
+          }
+      }
+  }
 
   /** NEAR-dup ingest — q77's incremental MinHash-LSH as the stream
     * front door: each arriving document is signed in the stream

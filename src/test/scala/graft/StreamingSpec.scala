@@ -392,6 +392,79 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming SPAN-coverage ingest (q103 shape): state rollup vs static index == batch, across triggers") {
+    import graft.operators.Dedup
+    import graft.streaming.DocIngest
+    val span = (1 to 25).map(i => s"s$i").mkString(" ")
+    val corpus = Seq((90L, s"c1 c2 c3 $span c4 c5"))
+      .toDF("doc_id", "text")
+    val fresh = (1 to 30).map(i => s"n$i").mkString(" ")
+    val half = s"$span ${(1 to 20).map(i => s"m$i").mkString(" ")}"
+    val rows = Seq(
+      (101L, span),   // pure corpus material -> coverage 1.0
+      (102L, fresh),  // nothing known -> coverage 0.0
+      (103L, half))   // leading span known, tail fresh
+    // batch reference: the q103 computation on the same frames
+    val want = Dedup.spanCoverageFrom(rows.toDF("doc_id", "text"),
+        Dedup.windowTable(corpus))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(want.map(r => (r._1, r._4 == 1.0, r._4 == 0.0)) ==
+      Seq((101L, true, false), (102L, false, true), (103L, false, false)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = DocIngest.spanIngest(mem.toDF().toDF("doc_id", "text"),
+        Dedup.windowTable(corpus))
+      .writeStream.format("memory").queryName("span_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(1): _*)
+      q.processAllAvailable()
+      // trigger 2 includes a cross-trigger REPLAY of 101 — the doc
+      // state must suppress a second coverage row
+      mem.addData((rows.drop(1) :+ ((101L, span))): _*)
+      q.processAllAvailable()
+      val got = spark.table("span_stream")
+        .select("doc_id", "nw", "known_windows", "coverage")
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"stream=$got batch=$want")
+    } finally q.stop()
+  }
+
+  test("span ingest restart: per-doc emission state survives the checkpoint round-trip") {
+    import graft.operators.Dedup
+    import graft.streaming.DocIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft_span_restart_").toString
+    val span = (1 to 25).map(i => s"s$i").mkString(" ")
+    val corpus = Seq((90L, s"c1 c2 c3 $span c4 c5")).toDF("doc_id", "text")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val ingest = DocIngest.spanIngest(mem.toDF().toDF("doc_id", "text"),
+      Dedup.windowTable(corpus))
+    def start() = ingest.writeStream.format("parquet")
+      .option("path", s"$dir/scored").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    def scored() = spark.read.parquet(s"$dir/scored")
+      .select("doc_id", "coverage").as[(Long, Double)].collect().toSeq.sorted
+    // run 1: the pure-corpus doc scores once, then KILL
+    val q1 = start()
+    try {
+      mem.addData((101L, span))
+      q1.processAllAvailable()
+      assert(scored() == Seq((101L, 1.0)))
+    } finally q1.stop()
+    // while down: a replay of the already-scored doc + a fresh doc
+    val fresh = (1 to 30).map(i => s"n$i").mkString(" ")
+    mem.addData((101L, span), (102L, fresh))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // recovered doc state suppresses the replay; the fresh doc
+      // scores exactly once
+      assert(scored() == Seq((101L, 1.0), (102L, 0.0)), s"got ${scored()}")
+    } finally q2.stop()
+  }
+
   test("semantic ingest restart: match-identity state survives the checkpoint round-trip") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     import graft.operators.Similarity
