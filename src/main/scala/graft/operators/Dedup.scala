@@ -284,6 +284,7 @@ object Dedup {
     corpusBandIndex(s, dir).count()
     corpusPairGraph(s, dir).count()
     shingleTable(s, dir).count()
+    corpusWindowIndex(s, dir).count()
   }
 
   /** Uncached, fully-ordered pair pipeline over explicit docs — the
