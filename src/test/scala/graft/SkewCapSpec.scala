@@ -102,6 +102,31 @@ class SkewCapSpec extends SparkSpec {
     assert(uncapped == 150L * 149 / 2 + 1)
   }
 
+  test("q102 index-side window df-cap drops boilerplate fan-out, keeps the real admission") {
+    // corpus: 150 docs sharing a boilerplate 20-token prefix (that
+    // window's index df = 150) + one doc of unique pair text. Batch:
+    // one doc that IS the boilerplate span (1 window, the hot one) and
+    // one that IS the pair text. Uncapped, the boilerplate batch doc
+    // "matches" all 150 corpus docs at containment 1.0 — pure fan-out;
+    // capped, the hot window leaves the INDEX (batch side untouched,
+    // so containment denominators are unaffected) and only the genuine
+    // admission remains, observably.
+    val common = (1 to 20).map(i => s"c$i").mkString(" ")
+    val pairTxt = (1 to 20).map(i => s"p$i").mkString(" ")
+    val corpus = ((1L to 150L).map(i => (i, s"$common tail$i")) :+ ((700L, pairTxt)))
+      .toDF("doc_id", "text")
+    val batch = Seq((901L, common), (902L, pairTxt)).toDF("doc_id", "text")
+    val capped = Dedup.spanIncrementalFrom(batch, corpus, Cap)
+    val rows = capped.collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((902L, 700L)),
+      s"capped run must keep only the genuine admission, got ${rows.length} pairs")
+    val m = capped.queryExecution.observedMetrics("graft.cap(winindex_df)")
+    assert(m.getAs[Long]("hot_buckets") == 1L && m.getAs[Long]("dropped_rows") == 150L,
+      m.toString)
+    val uncapped = Dedup.spanIncrementalFrom(batch, corpus, Int.MaxValue).count()
+    assert(uncapped == 151L) // 150 boilerplate hits + the genuine one
+  }
+
   // ---- cap observability: dropping is lossy for genuine over-cap
   // near-dup clusters, so it must never be silent. The CollectMetrics
   // node records (hot buckets, dropped rows) on every execution.
