@@ -138,6 +138,53 @@ class DedupCapPropertySpec extends SparkSpec {
     }
   }
 
+  // ---- q102: incremental span, index-side window df-cap -------------
+
+  /** Like [[incrementalFrames]] but span-shaped: the hot text is ONE
+    * boilerplate window (exactly [[Dedup.WindowLen]] tokens), so corpus
+    * hot docs carry (hot df=m, unique-tail df=1) windows, each batch hot
+    * doc IS the hot window (containment 1.0 to every hot corpus doc —
+    * the fan-out hazard), and planted pair j spans the boundary with
+    * identical unique 20-token text. */
+  private def spanFrames(sh: Shape) = {
+    val corpus = ((1L to sh.mCorpus.toLong).map(i => (i, s"${sh.hotText} t$i")) ++
+      (0 until sh.planted).map(j => (3001L + j, sh.pairText(j)))).toDF("doc_id", "text")
+    val batch = ((1L to sh.mBatch.toLong).map(i => (1000L + i, sh.hotText)) ++
+      (0 until sh.planted).map(j => (2001L + j, sh.pairText(j)))).toDF("doc_id", "text")
+    (batch, corpus)
+  }
+
+  private def spanShape(overCap: Boolean, seed: Long): Shape = {
+    val sh = draw(shapeGen(overCap, pairLen = Dedup.WindowLen), seed)
+    sh.copy(hotWords = draw(Gen.listOfN(Dedup.WindowLen, word), seed + 7000))
+  }
+
+  test("q102 property: index window cap keeps exactly the planted admissions") {
+    (0 until 5).foreach { i =>
+      val (batch, corpus) = spanFrames(spanShape(overCap = true, 800 + i))
+      val sh = spanShape(overCap = true, 800 + i)
+      val capped = Dedup.spanIncrementalFrom(batch, corpus, Cap)
+      val got = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (0 until sh.planted).map(j => (2001L + j, 3001L + j)).toSet
+      assert(got == want, s"shape $i ($sh): got ${got.size} pairs, want $want")
+      val m = capped.queryExecution.observedMetrics("graft.cap(winindex_df)")
+      assert(m.getAs[Long]("hot_buckets") == 1L, s"shape $i: $m")
+      assert(m.getAs[Long]("dropped_rows") == sh.mCorpus.toLong, s"shape $i: $m")
+      val uncapped = Dedup.spanIncrementalFrom(batch, corpus, Int.MaxValue).count()
+      assert(uncapped == sh.mBatch.toLong * sh.mCorpus + sh.planted,
+        s"shape $i: uncapped=$uncapped")
+    }
+  }
+
+  test("q102 property: cap is a no-op when every index window df is under it") {
+    (0 until 3).foreach { i =>
+      val (batch, corpus) = spanFrames(spanShape(overCap = false, 900 + i))
+      val a = Dedup.spanIncrementalFrom(batch, corpus, Cap).collect().toSeq
+      val b = Dedup.spanIncrementalFrom(batch, corpus, Int.MaxValue).collect().toSeq
+      assert(a == b && a.nonEmpty, s"shape $i: capped/uncapped diverged")
+    }
+  }
+
   // ---- q86: semantic dedup, cluster-size cap ------------------------
 
   import graft.operators.Similarity
