@@ -74,7 +74,7 @@ object Bench {
       val v = samples.collect { case (`n`, t) => t }.sorted
       n -> v((v.length - 1) / 2) // lower median: never averages two passes
     }
-    val capsFired = caps.drain()
+    val capsFired = caps.drain(spark)
     capsFired.foreach(c => System.err.println(s"[bench] skew cap fired: $c"))
     // Line order + length budget live in BenchReport (unit-tested in
     // BenchTailSpec): the LAST line is always a complete JSON object

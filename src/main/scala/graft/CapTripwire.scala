@@ -20,9 +20,13 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * and [[Bench]] reports a `caps_fired` count in its JSON line.
   *
   * QueryExecutionListener events post asynchronously on the listener
-  * bus, so consumers drain with a short settle wait after each action;
-  * attribution is therefore best-effort per query, but the END-of-run
-  * total is exact (nothing is ever removed except by [[drain]]).
+  * bus, so [[drain]] first FLUSHES the bus (`LiveListenerBus
+  * .waitUntilEmpty` via the `org.apache.spark.graftshim.BusFlush`
+  * shim — the private[spark] await the public API lacks): with the
+  * bus proven empty, per-query attribution in a single-threaded
+  * runner is exact, not best-effort, and the end-of-run total cannot
+  * undercount a tail event still in flight. If the bus's own timeout
+  * trips (a stuck listener), drain falls back to a settle sleep.
   */
 final class CapTripwire extends QueryExecutionListener {
   private val fired = new ConcurrentLinkedQueue[String]()
@@ -40,10 +44,11 @@ final class CapTripwire extends QueryExecutionListener {
 
   override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
 
-  /** Remove and return everything observed so far (after a settle wait
-    * for the async listener bus). */
-  def drain(settleMs: Long = 50L): Seq[String] = {
-    Thread.sleep(settleMs)
+  /** Remove and return everything observed so far, after flushing the
+    * async listener bus so nothing attributable is still in flight. */
+  def drain(spark: SparkSession): Seq[String] = {
+    try org.apache.spark.graftshim.BusFlush.waitEmpty(spark.sparkContext)
+    catch { case _: Throwable => Thread.sleep(50L) } // stuck bus: best-effort settle
     Iterator.continually(fired.poll()).takeWhile(_ != null).toSeq
   }
 }

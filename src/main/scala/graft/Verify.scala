@@ -18,14 +18,14 @@ object Verify {
     // match — deleting its dump makes the gate record an explicit
     // error for that query instead of an opaque hash mismatch.
     val caps = CapTripwire.install(spark)
-    caps.drain() // discard anything from session warmup
+    caps.drain(spark) // discard anything from session warmup
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        val hit = caps.drain()
+        val hit = caps.drain(spark)
         if (hit.nonEmpty) {
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$outDir/$name"))
           System.err.println(s"[verify] $name SKIPPED: skew cap fired (capped result " +
@@ -34,6 +34,11 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query may still have fired caps on partial
+        // executions — drain them HERE so they are not attributed to
+        // the next query's dump
+        caps.drain(spark).foreach(c =>
+          System.err.println(s"[verify] $name fired during failure: $c"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
