@@ -1671,9 +1671,12 @@ object Dedup {
   private[graft] def dupPagerankDeepFrom(pairsIn: DataFrame, iters: Int,
       checkpointEvery: Int): DataFrame = {
     require(iters >= 1 && checkpointEvery >= 1)
-    val (edgesLazy, degLazy) = pagerankGraph(pairsIn)
+    val (edgesLazy, _) = pagerankGraph(pairsIn)
     val edges = edgesLazy.localCheckpoint()
-    val deg = degLazy.localCheckpoint()
+    // derive deg from the CHECKPOINTED edges — aggregating the lazy
+    // form would re-scan and re-explode the pairs source a second time
+    val deg = edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
     var r = deg.select(col("doc_id"), col("deg"), lit(1000000L).as("r"))
     var i = 1
     while (i <= iters) {
