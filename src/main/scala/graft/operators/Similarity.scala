@@ -684,6 +684,30 @@ object Similarity {
        |cb AS (SELECT sub, code, cq FROM pcb$LloydIters)""".stripMargin
   }
 
+  /** SQL fragment: per-subspace nearest-code encoding of `n` against
+    * the trained codebook `cb` (ties to the LOW code — the twin of
+    * [[pqCodesTable]]'s encode loop). Shared by the four PQ oracles
+    * (q90/q93/q96/q98) so the encoding definition cannot drift. */
+  private def pqEncSql: String =
+    s"""enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT v.vec_id, c.sub, c.code,
+       |           row_number() OVER (PARTITION BY v.vec_id, c.sub ORDER BY
+       |             list_sum(list_transform(generate_series(1, $PqDim),
+       |               i -> (v.q[c.sub*$PqDim+i] - c.cq[i]) * (v.q[c.sub*$PqDim+i] - c.cq[i]))),
+       |             c.code) AS rn
+       |    FROM n v CROSS JOIN cb c) t WHERE rn = 1)""".stripMargin
+
+  /** SQL fragment: the probes' per-(sub, code) exact-integer squared-L2
+    * ADC lookup tables (twin of [[adcTable]]; requires `pset` and
+    * `cb`). Shared by the same four PQ oracles. */
+  private def pqPdistSql: String =
+    s"""pdist AS (
+       |  SELECT p.vec_id AS probe_id, c.sub, c.code,
+       |         CAST(list_sum(list_transform(generate_series(1, $PqDim),
+       |           i -> (p.q[c.sub*$PqDim+i] - c.cq[i]) * (p.q[c.sub*$PqDim+i] - c.cq[i]))) AS BIGINT) AS d
+       |  FROM n p JOIN pset ON p.vec_id = pset.vec_id CROSS JOIN cb c)""".stripMargin
+
   val annIvfSql: String =
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
@@ -839,32 +863,54 @@ object Similarity {
     * literal "each query touches nprobe/K of the data" claim made
     * physical. ORACLE: q37's SQL verbatim — the gate proves
     * index-backed == inline rebuild. */
-  def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+  /** The shared front half of q83 and q97: collects the bounded probe
+    * set off the written index (zero query-time quantization —
+    * production quantizes external queries client-side) and routes
+    * each probe to its `maxNprobe` nearest cells, route rank
+    * retained. Returns the bucketed assignment, the routed rows and
+    * the probe count. */
+  private def ivfRoutedProbes(s: SparkSession, dir: String, maxNprobe: Int)
+      : (DataFrame, Seq[(Long, Long, Int, Array[Long], Long)], Int) = {
     import s.implicits._
     val cents = ivfCents(s, dir)
     val assign = ivfAssignTable(s, dir, cents)
-    // probe vectors come off the index too — zero query-time
-    // quantization (production: external queries quantized client-side)
-    val probeRows = boundedProbes(assign)
+    val collected = boundedProbes(assign)
       .select(col("vec_id"), col("q"), col("qn"))
       .as[(Long, Array[Long], Long)].collect()
       .sortBy(_._1)
-      .flatMap { case (pid, pq, pqn) =>
-        routeCents(pq, pqn, cents, 2).map(cid => (pid, cid, pq, pqn))
-      }.toSeq
-    val probes = probeRows.toDF("probe_id", "cent_id", "pq", "pqn")
-    val probedCents = probeRows.map(_._2).distinct
+    val routes = collected.flatMap { case (pid, pq, pqn) =>
+      routeCents(pq, pqn, cents, maxNprobe).zipWithIndex
+        .map { case (cid, i) => (pid, cid, i + 1, pq, pqn) }
+    }.toSeq
+    (assign, routes, collected.length)
+  }
 
-    val wTop = Window.partitionBy(col("probe_id"))
+  /** The shared back half of q83 and q97: prunes the bucketed
+    * assignment to the probed cells, broadcast-joins the routed
+    * probes on cent_id, scores the native quantized cosine and ranks
+    * top-5 per (groupCols..., probe). q83 instantiates it with no
+    * group column; q97 groups by the nprobe level — so the
+    * q97@nprobe=2 == q83 identity holds by construction, not just
+    * numerically. */
+  private def ivfTop5(assign: DataFrame, probes: DataFrame,
+      probedCents: Seq[Long], groupCols: Seq[String]): DataFrame = {
+    val wTop = Window.partitionBy((groupCols :+ "probe_id").map(col): _*)
       .orderBy(col("cos").desc, col("vec_id"))
     assign
       .filter(col("cent_id").isin(probedCents: _*)) // bucket pruning
       .join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", qcosineNative(col("pq"), col("q"), col("pqn"), col("qn")))
-      .select(col("probe_id"), col("vec_id"), col("cos"))
+      .select((groupCols ++ Seq("probe_id", "vec_id", "cos")).map(col): _*)
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= 5)
+  }
+
+  def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (assign, routes, _) = ivfRoutedProbes(s, dir, 2)
+    val probes = routes.toDF("probe_id", "cent_id", "r", "pq", "pqn").drop("r")
+    ivfTop5(assign, probes, routes.map(_._2).distinct, Nil)
       .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
       .orderBy("probe_id", "rnk")
   }
@@ -1083,26 +1129,38 @@ object Similarity {
     * re-derives both stages in SQL. */
   private[graft] val PqShortlist = 20
 
-  def pqRerank(s: SparkSession, dir: String): DataFrame = {
+  /** The exact re-rank stage shared by q92 and q98: joins ADC-stage
+    * candidate rows (groupCols..., probe_id, vec_id) to the real
+    * vectors, scores the exact quantized cosine against the broadcast
+    * probes and ranks top-5 per (groupCols..., probe). q92
+    * instantiates it with no group column; q98 groups by the
+    * shortlist level — so the q98@shortlist=20 == q92 identity holds
+    * by construction, not just numerically. */
+  private def rerankTop5(s: SparkSession, dir: String,
+      probeRows: Array[(Long, Array[Long], Long)], cand: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
     import s.implicits._
-    // ONE probe collect serves both stages (ADC tables + re-rank side)
-    val probeRows = pqProbes(s, dir)
-    val cand = pqAdcRanked(s, dir, probeRows)
-      .filter(col("rnk") <= PqShortlist)
-      .select(col("probe_id"), col("vec_id"))
     val probes = probeRows.toSeq.toDF("probe_id", "pq", "pqn")
     val e = quantized(s, dir)
       .select(col("vec_id"), col("q"), col("qn"))
-
-    val w = Window.partitionBy(col("probe_id"))
+    val w = Window.partitionBy((groupCols :+ "probe_id").map(col): _*)
       .orderBy(col("cos").desc, col("vec_id"))
     cand
       .join(e, Seq("vec_id"))
       .join(broadcast(probes), Seq("probe_id"))
       .withColumn("cos", qcosineNative(col("pq"), col("q"), col("pqn"), col("qn")))
-      .select(col("probe_id"), col("vec_id"), col("cos"))
+      .select((groupCols ++ Seq("probe_id", "vec_id", "cos")).map(col): _*)
       .withColumn("rnk", row_number().over(w).cast(IntegerType))
       .filter(col("rnk") <= 5)
+  }
+
+  def pqRerank(s: SparkSession, dir: String): DataFrame = {
+    // ONE probe collect serves both stages (ADC tables + re-rank side)
+    val probeRows = pqProbes(s, dir)
+    val cand = pqAdcRanked(s, dir, probeRows)
+      .filter(col("rnk") <= PqShortlist)
+      .select(col("probe_id"), col("vec_id"))
+    rerankTop5(s, dir, probeRows, cand, Nil)
       .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
       .orderBy("probe_id", "rnk")
   }
@@ -1120,21 +1178,10 @@ object Similarity {
        |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
        |${sampSql("n")},
        |$trainedCbSql,
-       |enc AS (
-       |  SELECT vec_id, sub, code FROM (
-       |    SELECT v.vec_id, c.sub, c.code,
-       |           row_number() OVER (PARTITION BY v.vec_id, c.sub ORDER BY
-       |             list_sum(list_transform(generate_series(1, $PqDim),
-       |               i -> (v.q[c.sub*$PqDim+i] - c.cq[i]) * (v.q[c.sub*$PqDim+i] - c.cq[i]))),
-       |             c.code) AS rn
-       |    FROM n v CROSS JOIN cb c) t WHERE rn = 1),
+       |$pqEncSql,
        |pset AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
        |         ORDER BY vec_id LIMIT $MaxProbes),
-       |pdist AS (
-       |  SELECT p.vec_id AS probe_id, c.sub, c.code,
-       |         CAST(list_sum(list_transform(generate_series(1, $PqDim),
-       |           i -> (p.q[c.sub*$PqDim+i] - c.cq[i]) * (p.q[c.sub*$PqDim+i] - c.cq[i]))) AS BIGINT) AS d
-       |  FROM n p JOIN pset ON p.vec_id = pset.vec_id CROSS JOIN cb c),
+       |$pqPdistSql,
        |scored AS (
        |  SELECT pd.probe_id, e.vec_id, CAST(sum(pd.d) AS BIGINT) AS adist
        |  FROM enc e JOIN pdist pd ON pd.sub = e.sub AND pd.code = e.code
@@ -1257,14 +1304,7 @@ object Similarity {
        |    FROM n v CROSS JOIN cents c) t
        |  WHERE rn = 1),
        |$trainedCbSql,
-       |enc AS (
-       |  SELECT vec_id, sub, code FROM (
-       |    SELECT v.vec_id, c.sub, c.code,
-       |           row_number() OVER (PARTITION BY v.vec_id, c.sub ORDER BY
-       |             list_sum(list_transform(generate_series(1, $PqDim),
-       |               i -> (v.q[c.sub*$PqDim+i] - c.cq[i]) * (v.q[c.sub*$PqDim+i] - c.cq[i]))),
-       |             c.code) AS rn
-       |    FROM n v CROSS JOIN cb c) t WHERE rn = 1),
+       |$pqEncSql,
        |pset AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
        |         ORDER BY vec_id LIMIT $MaxProbes),
        |proutes AS (
@@ -1277,11 +1317,7 @@ object Similarity {
        |             c.cent_id) AS rn
        |    FROM n v JOIN pset ON v.vec_id = pset.vec_id CROSS JOIN cents c) t
        |  WHERE rn <= 2),
-       |pdist AS (
-       |  SELECT p.vec_id AS probe_id, c.sub, c.code,
-       |         CAST(list_sum(list_transform(generate_series(1, $PqDim),
-       |           i -> (p.q[c.sub*$PqDim+i] - c.cq[i]) * (p.q[c.sub*$PqDim+i] - c.cq[i]))) AS BIGINT) AS d
-       |  FROM n p JOIN pset ON p.vec_id = pset.vec_id CROSS JOIN cb c),
+       |$pqPdistSql,
        |scored AS (
        |  SELECT pr.probe_id, a.vec_id, CAST(sum(pd.d) AS BIGINT) AS adist
        |  FROM proutes pr
@@ -1740,15 +1776,14 @@ object Similarity {
       .orderBy("method")
   }
 
-  /** The q96 oracle: ONE shared-CTE derivation — the exact baseline
-    * (q25's machinery), the IVF route (q37/q83's cents/assign/proutes),
-    * the PQ route (q90/q92's train/cb/enc/pdist) and the composed
-    * IVF-PQ route (q93) — then four intersection counts against the
-    * exact top-5. Every fragment is the (hash-gate-proven) SQL of its
-    * source query, so a recall mismatch localizes to the intersection
-    * math, not the methods. */
-  val annRecallSql: String =
-    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+  /** Shared oracle fragment: q25's exact-cosine baseline as a CTE
+    * chain — quantized corpus (`n`), bounded probe set (`pset`),
+    * broadcast-probe scoring (`escored`) and its top-5 (`exact5`).
+    * The three recall oracles (q96/q97/q98) interpolate this ONE
+    * definition, so the baseline they all measure against cannot
+    * drift between them. */
+  private def exactBaseSql: String =
+    s"""q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
        |      FROM q
@@ -1766,7 +1801,17 @@ object Similarity {
        |    SELECT probe_id, vec_id,
        |           row_number() OVER (PARTITION BY probe_id
        |                              ORDER BY cos DESC, vec_id) AS rnk
-       |    FROM escored) t WHERE rnk <= 5),
+       |    FROM escored) t WHERE rnk <= 5)""".stripMargin
+
+  /** The q96 oracle: ONE shared-CTE derivation — the exact baseline
+    * (q25's machinery), the IVF route (q37/q83's cents/assign/proutes),
+    * the PQ route (q90/q92's train/cb/enc/pdist) and the composed
+    * IVF-PQ route (q93) — then four intersection counts against the
+    * exact top-5. Every fragment is the (hash-gate-proven) SQL of its
+    * source query, so a recall mismatch localizes to the intersection
+    * math, not the methods. */
+  val annRecallSql: String =
+    s"""WITH $exactBaseSql,
        |${sampSql("n")},
        |$trainedCentsSql,
        |assign AS (
@@ -1804,19 +1849,8 @@ object Similarity {
        |                              ORDER BY cos DESC, vec_id) AS rnk
        |    FROM iscored) t WHERE rnk <= 5),
        |$trainedCbSql,
-       |enc AS (
-       |  SELECT vec_id, sub, code FROM (
-       |    SELECT v.vec_id, c.sub, c.code,
-       |           row_number() OVER (PARTITION BY v.vec_id, c.sub ORDER BY
-       |             list_sum(list_transform(generate_series(1, $PqDim),
-       |               i -> (v.q[c.sub*$PqDim+i] - c.cq[i]) * (v.q[c.sub*$PqDim+i] - c.cq[i]))),
-       |             c.code) AS rn
-       |    FROM n v CROSS JOIN cb c) t WHERE rn = 1),
-       |pdist AS (
-       |  SELECT p.vec_id AS probe_id, c.sub, c.code,
-       |         CAST(list_sum(list_transform(generate_series(1, $PqDim),
-       |           i -> (p.q[c.sub*$PqDim+i] - c.cq[i]) * (p.q[c.sub*$PqDim+i] - c.cq[i]))) AS BIGINT) AS d
-       |  FROM n p JOIN pset ON p.vec_id = pset.vec_id CROSS JOIN cb c),
+       |$pqEncSql,
+       |$pqPdistSql,
        |ascored AS (
        |  SELECT pd.probe_id, e.vec_id, CAST(sum(pd.d) AS BIGINT) AS adist
        |  FROM enc e JOIN pdist pd ON pd.sub = e.sub AND pd.code = e.code
@@ -1890,42 +1924,29 @@ object Similarity {
   def ivfNprobeCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val levels = Seq(1, 2, 4, 8)
-    val cents = ivfCents(s, dir)
-    val assign = ivfAssignTable(s, dir, cents)
     val exact5 = cosineTopK(s, dir).select(col("probe_id"), col("vec_id"))
-    val np = boundedProbes(quantized(s, dir)).agg(count(lit(1)).as("np"))
-    // one driver-side routing at max nprobe, rank retained
-    val probeRows = boundedProbes(assign)
-      .select(col("vec_id"), col("q"), col("qn"))
-      .as[(Long, Array[Long], Long)].collect()
-      .sortBy(_._1)
-      .flatMap { case (pid, pq, pqn) =>
-        routeCents(pq, pqn, cents, levels.max).zipWithIndex
-          .map { case (cid, i) => (pid, cid, i + 1, pq, pqn) }
-      }.toSeq
-    val probes = probeRows.toDF("probe_id", "cent_id", "r", "pq", "pqn")
-    val probedCents = probeRows.map(_._2).distinct
+    // one driver-side routing at max nprobe, rank retained; the
+    // collected probe set IS the bounded probe sample, so its length
+    // is n_probes — no extra corpus aggregate needed
+    val (assign, routes, nProbesCollected) = ivfRoutedProbes(s, dir, levels.max)
+    val nProbes = nProbesCollected.toLong
+    val probes = routes.toDF("probe_id", "cent_id", "r", "pq", "pqn")
     val lvl = levels.toDF("nprobe")
-    // each route joins every level that includes it: r <= nprobe
+    // each route joins every level that includes it: r <= nprobe;
+    // bucket pruning below keeps the level-8 union of probed cells
     val leveled = probes.join(broadcast(lvl), col("r") <= col("nprobe"))
       .select(col("nprobe"), col("probe_id"), col("cent_id"), col("pq"), col("pqn"))
-    val wTop = Window.partitionBy(col("nprobe"), col("probe_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    assign
-      .filter(col("cent_id").isin(probedCents: _*)) // bucket pruning (level-8 union)
-      .join(broadcast(leveled), Seq("cent_id"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", qcosineNative(col("pq"), col("q"), col("pqn"), col("qn")))
-      .select(col("nprobe"), col("probe_id"), col("vec_id"), col("cos"))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= 5)
+    val hits = ivfTop5(assign, leveled, routes.map(_._2).distinct, Seq("nprobe"))
       .join(exact5, Seq("probe_id", "vec_id"), "left_semi")
       .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
-      .crossJoin(broadcast(np))
+    // left join FROM the level relation: a level scoring zero hits
+    // must still emit its curve row (the fixed 4-row contract)
+    lvl.join(hits, Seq("nprobe"), "left")
       .select(col("nprobe").cast(org.apache.spark.sql.types.IntegerType).as("nprobe"),
-        col("np").as("n_probes"), col("n_hits"),
-        (col("n_hits").cast(DoubleType) /
-          (lit(5) * col("np")).cast(DoubleType)).as("recall_at_5"))
+        lit(nProbes).as("n_probes"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) /
+          lit(5.0 * nProbes)).as("recall_at_5"))
       .orderBy("nprobe")
   }
 
@@ -1934,25 +1955,7 @@ object Similarity {
     * [1,2,4,8], and ONE (nprobe, probe)-partitioned ranking — the
     * same shape as the Spark plan. */
   val ivfNprobeCurveSql: String =
-    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
-       |n AS (SELECT vec_id, q,
-       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
-       |      FROM q
-       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
-       |pset AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
-       |         ORDER BY vec_id LIMIT $MaxProbes),
-       |escored AS (
-       |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
-       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
-       |                i -> p.q[i] * c.q[i])) AS BIGINT) AS DOUBLE)
-       |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(c.qn AS DOUBLE)) AS cos
-       |  FROM n p JOIN pset ON p.vec_id = pset.vec_id
-       |  JOIN n c ON p.vec_id <> c.vec_id),
-       |exact5 AS (SELECT probe_id, vec_id FROM (
-       |    SELECT probe_id, vec_id,
-       |           row_number() OVER (PARTITION BY probe_id
-       |                              ORDER BY cos DESC, vec_id) AS rnk
-       |    FROM escored) t WHERE rnk <= 5),
+    s"""WITH $exactBaseSql,
        |${sampSql("n")},
        |$trainedCentsSql,
        |assign AS (
@@ -1996,10 +1999,11 @@ object Similarity {
        |  SELECT i.nprobe, count(*) AS n_hits
        |  FROM ivf5 i JOIN exact5 e USING (probe_id, vec_id)
        |  GROUP BY 1)
-       |SELECT CAST(nprobe AS INT) AS nprobe, CAST(np AS BIGINT) AS n_probes,
-       |       CAST(n_hits AS BIGINT) AS n_hits,
-       |       CAST(n_hits AS DOUBLE) / CAST(5 * np AS DOUBLE) AS recall_at_5
-       |FROM hits, np ORDER BY nprobe""".stripMargin
+       |SELECT CAST(l.nprobe AS INT) AS nprobe, CAST(np AS BIGINT) AS n_probes,
+       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(5 * np AS DOUBLE) AS recall_at_5
+       |FROM lvl l LEFT JOIN hits h ON h.nprobe = l.nprobe CROSS JOIN np
+       |ORDER BY l.nprobe""".stripMargin
 
   /** q98: the PQ two-stage retrieval's OTHER dial — recall@5 of the
     * ADC-shortlist → exact-re-rank path (q92) at shortlist sizes
@@ -2021,31 +2025,26 @@ object Similarity {
     val levels = Seq(5, 10, 20, 40)
     val probeRows = pqProbes(s, dir)
     val exact5 = cosineTopK(s, dir).select(col("probe_id"), col("vec_id"))
-    val np = boundedProbes(quantized(s, dir)).agg(count(lit(1)).as("np"))
+    // the collected probe array IS the bounded probe sample — its
+    // length is n_probes, no extra corpus aggregate needed
+    val nProbes = probeRows.length.toLong
     val ranked = pqAdcRanked(s, dir, probeRows)
       .filter(col("rnk") <= levels.max)
       .select(col("probe_id"), col("vec_id"), col("rnk"))
     val lvl = levels.toDF("shortlist")
     val cand = ranked.join(broadcast(lvl), col("rnk") <= col("shortlist"))
       .select(col("shortlist"), col("probe_id"), col("vec_id"))
-    val probes = probeRows.toSeq.toDF("probe_id", "pq", "pqn")
-    val e = quantized(s, dir).select(col("vec_id"), col("q"), col("qn"))
-    val w = Window.partitionBy(col("shortlist"), col("probe_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    cand
-      .join(e, Seq("vec_id"))
-      .join(broadcast(probes), Seq("probe_id"))
-      .withColumn("cos", qcosineNative(col("pq"), col("q"), col("pqn"), col("qn")))
-      .select(col("shortlist"), col("probe_id"), col("vec_id"), col("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+    val hits = rerankTop5(s, dir, probeRows, cand, Seq("shortlist"))
       .join(exact5, Seq("probe_id", "vec_id"), "left_semi")
       .groupBy(col("shortlist")).agg(count(lit(1)).as("n_hits"))
-      .crossJoin(broadcast(np))
+    // left join FROM the level relation: a shortlist scoring zero
+    // hits must still emit its curve row (the fixed 4-row contract)
+    lvl.join(hits, Seq("shortlist"), "left")
       .select(col("shortlist").cast(org.apache.spark.sql.types.IntegerType).as("shortlist"),
-        col("np").as("n_probes"), col("n_hits"),
-        (col("n_hits").cast(DoubleType) /
-          (lit(5) * col("np")).cast(DoubleType)).as("recall_at_5"))
+        lit(nProbes).as("n_probes"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) /
+          lit(5.0 * nProbes)).as("recall_at_5"))
       .orderBy("shortlist")
   }
 
@@ -2055,40 +2054,11 @@ object Similarity {
     * (shortlist, probe)-partitioned top-5 — plus q96's exact-baseline
     * CTEs for the intersection. */
   val rerankShortlistCurveSql: String =
-    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
-       |n AS (SELECT vec_id, q,
-       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
-       |      FROM q
-       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
-       |pset AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
-       |         ORDER BY vec_id LIMIT $MaxProbes),
-       |escored AS (
-       |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
-       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
-       |                i -> p.q[i] * c.q[i])) AS BIGINT) AS DOUBLE)
-       |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(c.qn AS DOUBLE)) AS cos
-       |  FROM n p JOIN pset ON p.vec_id = pset.vec_id
-       |  JOIN n c ON p.vec_id <> c.vec_id),
-       |exact5 AS (SELECT probe_id, vec_id FROM (
-       |    SELECT probe_id, vec_id,
-       |           row_number() OVER (PARTITION BY probe_id
-       |                              ORDER BY cos DESC, vec_id) AS rnk
-       |    FROM escored) t WHERE rnk <= 5),
+    s"""WITH $exactBaseSql,
        |${sampSql("n")},
        |$trainedCbSql,
-       |enc AS (
-       |  SELECT vec_id, sub, code FROM (
-       |    SELECT v.vec_id, c.sub, c.code,
-       |           row_number() OVER (PARTITION BY v.vec_id, c.sub ORDER BY
-       |             list_sum(list_transform(generate_series(1, $PqDim),
-       |               i -> (v.q[c.sub*$PqDim+i] - c.cq[i]) * (v.q[c.sub*$PqDim+i] - c.cq[i]))),
-       |             c.code) AS rn
-       |    FROM n v CROSS JOIN cb c) t WHERE rn = 1),
-       |pdist AS (
-       |  SELECT p.vec_id AS probe_id, c.sub, c.code,
-       |         CAST(list_sum(list_transform(generate_series(1, $PqDim),
-       |           i -> (p.q[c.sub*$PqDim+i] - c.cq[i]) * (p.q[c.sub*$PqDim+i] - c.cq[i]))) AS BIGINT) AS d
-       |  FROM n p JOIN pset ON p.vec_id = pset.vec_id CROSS JOIN cb c),
+       |$pqEncSql,
+       |$pqPdistSql,
        |ascored AS (
        |  SELECT pd.probe_id, e.vec_id, CAST(sum(pd.d) AS BIGINT) AS adist
        |  FROM enc e JOIN pdist pd ON pd.sub = e.sub AND pd.code = e.code
@@ -2118,10 +2088,11 @@ object Similarity {
        |  SELECT r.shortlist, count(*) AS n_hits
        |  FROM rr5 r JOIN exact5 e USING (probe_id, vec_id)
        |  GROUP BY 1)
-       |SELECT CAST(shortlist AS INT) AS shortlist, CAST(np AS BIGINT) AS n_probes,
-       |       CAST(n_hits AS BIGINT) AS n_hits,
-       |       CAST(n_hits AS DOUBLE) / CAST(5 * np AS DOUBLE) AS recall_at_5
-       |FROM hits, np ORDER BY shortlist""".stripMargin
+       |SELECT CAST(l.shortlist AS INT) AS shortlist, CAST(np AS BIGINT) AS n_probes,
+       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(5 * np AS DOUBLE) AS recall_at_5
+       |FROM lvl l LEFT JOIN hits h ON h.shortlist = l.shortlist CROSS JOIN np
+       |ORDER BY l.shortlist""".stripMargin
 
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),

@@ -278,14 +278,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p97.contains("Bucketed: true") && p97.contains("PushedFilters: [In(cent_id"),
       s"q97 lost bucket pruning:\n$p97")
     assert(countOf(p97, "MapPartitions") == 0, s"q97 quantized at query time:\n$p97")
-    assert(countOf(p97, "embeddings.parquet") == 3,
+    // baseline corpus + baseline probes — the probe COUNT is a driver
+    // literal (the collected probe array's length), not a third scan
+    assert(countOf(p97, "embeddings.parquet") == 2,
       s"q97 re-evaluated the exact baseline:\n$p97")
     // q98: the ADC ranking is computed once for all four shortlists
-    // (one code-table scan), and the baseline once
+    // (one code-table scan), and the baseline once; probe count is a
+    // driver literal here too
     val p98 = plan("q98_shortlist_curve")
     assert(countOf(p98, "spark_catalog.default.graft_pqcodes") == 1,
       s"q98 re-ranked the code table per level:\n$p98")
-    assert(countOf(p98, "embeddings.parquet") == 4,
+    assert(countOf(p98, "embeddings.parquet") == 3,
       s"q98 re-evaluated the exact baseline:\n$p98")
   }
 
