@@ -22,16 +22,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** events.ts is written as parquet TIMESTAMP(NANOS), which Spark 4 does
-    * not map to a Catalyst type. Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (see
-    * [[graft.Sessions.builder]]) so the column arrives as a nanosecond
-    * long; we convert to TimestampType with exact integral division
-    * (`div`, not `/` — float division's 256 ns ULP at ~1.7e18 ns could
-    * flip the truncated microsecond), matching DuckDB's ns->us cast. */
+  /** events.ts normalization, tolerant of the two parquet encodings the
+    * driver's generator has shipped:
+    *
+    *  - TIMESTAMP(NANOS) (rounds ≤ 7), which Spark 4 does not map to a
+    *    Catalyst type: with `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    (set in [[graft.Sessions.builder]]) the column arrives as a
+    *    nanosecond long, converted here with exact integral division
+    *    (`div`, not `/` — float division's 256 ns ULP at ~1.7e18 ns
+    *    could flip the truncated microsecond), matching DuckDB's
+    *    ns→us cast;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 8 testdata),
+    *    which Spark reads as TIMESTAMP_NTZ: cast to the session-zone
+    *    TimestampType (session TZ is pinned UTC) so every downstream
+    *    consumer keeps seeing the same instants DuckDB reads.
+    *
+    * Dispatch is on the REALIZED schema, not the round number, so the
+    * loader keeps working against either generation of the files. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
