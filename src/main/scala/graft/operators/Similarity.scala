@@ -37,7 +37,7 @@ import graft.functions.Fns._
   */
 object Similarity {
 
-  private val Dim = 64     // embeddings.embedding length (TESTDATA.md)
+  private[graft] val Dim = 64 // embeddings.embedding length (TESTDATA.md)
   private val Planes = 32
   private val BandBits = 8 // planes per band → 4 bands
 
@@ -78,10 +78,45 @@ object Similarity {
     * re-derive the identical sample, seeds and iterations in SQL. */
   private[graft] val TrainSample = 2048
 
-  /** Fixed Lloyd iteration count. Two suffice to move the codebooks
-    * well off their seeds at sample scale (q96 measures the recall
-    * gain); the SQL twins unroll exactly this many iteration CTEs. */
-  private[graft] val LloydIters = 2
+  /** Fixed Lloyd iteration count. Four is where the recall grid
+    * (graft.RecallGrid, round 8) plateaus at both measured scales —
+    * more iterations moved no PQ recall row by more than one probe
+    * slot; the SQL twins unroll exactly this many iteration CTEs. */
+  private[graft] val LloydIters = 4
+
+  /** PQ codebook size as a function of the realized training-sample
+    * size — CAPACITY SCALES WITH THE CORPUS (bounded): round 7 shipped
+    * a fixed PqK=16, and measured recall DEGRADED as the corpus grew
+    * (sf0.01→sf0.1: ADC 0.28→0.14, re-rank 0.48→0.28) because a
+    * constant-capacity codebook quantizes a growing corpus ever more
+    * coarsely. One codeword per 8 sample vectors (floored to
+    * [16, 256] — 256 is the classic 8-bit-code PQ ceiling) keeps the
+    * quantization error roughly flat as the snapshot grows, and the
+    * round-8 recall grid measures every PQ row IMPROVING with corpus
+    * growth under it (the q96 no-degradation gate in
+    * `RecallRobustSpec`). Derived from the SAMPLE, not the corpus
+    * count, so both engines compute it from data they already have:
+    * the SQL twins derive the identical value via
+    * `(SELECT count(*) FROM samp) // 8` clamped in SQL. */
+  private[graft] def pqKOf(sampleLen: Int): Int =
+    math.max(16, math.min(256, sampleLen / 8))
+
+  /** The [[pqKOf]] clamp as a DuckDB scalar expression over `samp`. */
+  private def pqKSql: String =
+    "GREATEST(16, LEAST(256, (SELECT count(*) FROM samp) // 8))"
+
+  /** Force every CTE in a DuckDB oracle to `AS MATERIALIZED`: DuckDB
+    * INLINES each CTE reference by default, and the unrolled Lloyd
+    * chains reference their predecessor CTE ~3× per iteration — at
+    * [[LloydIters]] = 4 that inlining re-evaluates the whole training
+    * chain O(3^iters) times (measured: q90's oracle 30 s → 2 s at
+    * sf0.01). Pure evaluation-strategy hint; results are identical.
+    * Idempotent (the rewritten text no longer matches the pattern),
+    * and safe on these strings: `\\w+ AS (` only ever introduces a
+    * CTE — column aliases have no paren, CASTs have no AS-paren, and
+    * window clauses read `OVER (`. */
+  private def mat(sql: String): String =
+    sql.replaceAll("(\\w+) AS \\(", "$1 AS MATERIALIZED (")
 
   /** The corpus training sample, MEMOIZED per (session, dir) — the
     * sample is a pure function of the snapshot (hash-ordered
@@ -91,15 +126,20 @@ object Similarity {
     * turns those into driver-array lookups). Weakly keyed by session,
     * the `Layout.once` idiom: values are plain arrays with no session
     * references, so a stopped session's entry is collectable. */
-  private val sampleMemo = java.util.Collections.synchronizedMap(
+  private def snapMemo[T]() = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Long], Long)]]]())
+      java.util.concurrent.ConcurrentHashMap[String, T]]())
+
+  private def memoized[T](m: java.util.Map[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, T]],
+      s: SparkSession, dir: String)(f: => T): T =
+    m.computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap[String, T]())
+      .computeIfAbsent(dir, _ => f)
+
+  private val sampleMemo = snapMemo[Array[(Long, Array[Long], Long)]]()
 
   private[graft] def trainSample(s: SparkSession, dir: String): Array[(Long, Array[Long], Long)] =
-    sampleMemo
-      .computeIfAbsent(s,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Long], Long)]]())
-      .computeIfAbsent(dir, _ => trainSampleFrom(quantized(s, dir)))
+    memoized(sampleMemo, s, dir)(trainSampleFrom(quantized(s, dir)))
 
   /** The bounded hash-ordered training sample of a quantized relation
     * — rows arrive IN hash order (seeds are its prefix). */
@@ -125,19 +165,20 @@ object Similarity {
     * centroid (cosine needs cqn > 0). cent_id stays the seed's vec_id
     * — a stable opaque label across iterations. */
   private[graft] def lloydCents(
-      sample: Array[(Long, Array[Long], Long)]): Array[(Long, Array[Long], Long)] = {
-    var cents = sample.take(IvfK)
+      sample: Array[(Long, Array[Long], Long)],
+      k: Int = IvfK, iters: Int = LloydIters): Array[(Long, Array[Long], Long)] = {
+    var cents = sample.take(k)
     var iter = 0
-    while (iter < LloydIters) {
-      val k = cents.length
-      val counts = new Array[Long](k)
-      val sums = Array.fill(k)(new Array[Long](Dim))
+    while (iter < iters) {
+      val nc = cents.length
+      val counts = new Array[Long](nc)
+      val sums = Array.fill(nc)(new Array[Long](Dim))
       var si = 0
       while (si < sample.length) {
         val (_, q, qn) = sample(si)
         var bi = 0; var bestCos = Double.NegativeInfinity; var bestId = Long.MaxValue
         var ci = 0
-        while (ci < k) {
+        while (ci < nc) {
           val c = cents(ci)
           val cos = jcosine(q, qn, c._2, c._3)
           if (cos > bestCos || (cos == bestCos && c._1 < bestId)) {
@@ -180,7 +221,7 @@ object Similarity {
 
   /** Exact integer dot product of two quantized vectors (JVM side —
     * the same arithmetic [[graft.functions.Fns.qdot]] does in SQL). */
-  private def jdot(a: Array[Long], b: Array[Long]): Long = {
+  private[graft] def jdot(a: Array[Long], b: Array[Long]): Long = {
     var s = 0L; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
@@ -188,7 +229,7 @@ object Similarity {
 
   /** Cosine from quantized vectors + integer norms, one IEEE double
     * division — bit-identical to [[graft.functions.Fns.qcosine]]. */
-  private def jcosine(a: Array[Long], na: Long, b: Array[Long], nb: Long): Double =
+  private[graft] def jcosine(a: Array[Long], na: Long, b: Array[Long], nb: Long): Double =
     jdot(a, b).toDouble / math.sqrt(na.toDouble * nb.toDouble)
 
   /** nprobe nearest centroids of a vector: cos desc, ties to low
@@ -349,7 +390,7 @@ object Similarity {
   private val qListSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
 
-  val embeddingNearDupSql: String =
+  val embeddingNearDupSql: String = mat(
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
@@ -364,7 +405,7 @@ object Similarity {
        |       CAST(dot AS DOUBLE) / sqrt(CAST(qna AS DOUBLE) * CAST(qnb AS DOUBLE)) AS cos
        |FROM p
        |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(qna AS DOUBLE) * CAST(qnb AS DOUBLE)) >= 0.4
-       |ORDER BY vec_a, vec_b""".stripMargin
+       |ORDER BY vec_a, vec_b""".stripMargin)
 
   /** Brute-force cosine top-k: 5 nearest neighbours for each probe
     * ([[boundedProbes]] — vec_id ≡ 0 mod 100, capped at [[MaxProbes]]),
@@ -388,7 +429,7 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
-  val cosineTopKSql: String =
+  val cosineTopKSql: String = mat(
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
@@ -410,7 +451,7 @@ object Similarity {
        |  FROM scored)
        |SELECT probe_id, vec_id, cos, rnk
        |FROM ranked WHERE rnk <= 5
-       |ORDER BY probe_id, rnk""".stripMargin
+       |ORDER BY probe_id, rnk""".stripMargin)
 
   /** LSH-bucketed approximate near-dup: candidates must share one of 4
     * 8-bit sign-hyperplane bucket bytes; exact (quantized) cosine ≥ 0.4
@@ -483,7 +524,7 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  val annLshSql: String =
+  val annLshSql: String = mat(
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
@@ -517,7 +558,7 @@ object Similarity {
        |       CAST(dot AS DOUBLE) / sqrt(CAST(qna AS DOUBLE) * CAST(qnb AS DOUBLE)) AS cos
        |FROM p
        |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(qna AS DOUBLE) * CAST(qnb AS DOUBLE)) >= 0.4
-       |ORDER BY vec_a, vec_b""".stripMargin
+       |ORDER BY vec_a, vec_b""".stripMargin)
 
   /** IVF-style ANN: a coarse quantizer partitions vectors into inverted
     * lists (assignment = nearest centroid by exact quantized cosine,
@@ -643,60 +684,69 @@ object Similarity {
   /** One per-subspace Lloyd iteration of the PQ codebook in SQL (twin
     * of the [[lloydCodebook]] loop body): squared-L2 assignment (ties
     * low code), floor(mean) update, empty codes keep their previous
-    * codeword. */
-  private def lloydCbIterSql(k: Int): String = {
-    val prev = s"pcb${k - 1}"
-    s"""pa$k AS (
+    * codeword. `src` is the training relation (vec_id, q, srn); `pfx`
+    * namespaces the CTEs so the flat (`p…`) and residual (`rp…`)
+    * chains can coexist in one oracle (q96). */
+  private def lloydCbIterSql(k: Int, src: String, pfx: String): String = {
+    val prev = s"${pfx}pcb${k - 1}"
+    s"""${pfx}pa$k AS (
        |  SELECT vec_id, sub, code FROM (
        |    SELECT s.vec_id, c.sub, c.code,
        |           row_number() OVER (PARTITION BY s.vec_id, c.sub ORDER BY
        |             list_sum(list_transform(generate_series(1, $PqDim),
        |               i -> (s.q[c.sub*$PqDim+i] - c.cq[i]) * (s.q[c.sub*$PqDim+i] - c.cq[i]))),
        |             c.code) AS rn
-       |    FROM samp s CROSS JOIN $prev c) t
+       |    FROM $src s CROSS JOIN $prev c) t
        |  WHERE rn = 1),
-       |pm$k AS (
+       |${pfx}pm$k AS (
        |  SELECT a.sub, a.code, i.i AS i,
        |         CAST(floor(CAST(sum(s.q[a.sub*$PqDim + i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS v
-       |  FROM pa$k a JOIN samp s ON s.vec_id = a.vec_id
+       |  FROM ${pfx}pa$k a JOIN $src s ON s.vec_id = a.vec_id
        |  CROSS JOIN range(1, ${PqDim + 1}) i(i)
        |  GROUP BY a.sub, a.code, i.i),
-       |pl$k AS (SELECT sub, code, list(v ORDER BY i) AS cq FROM pm$k GROUP BY sub, code),
-       |pcb$k AS (
+       |${pfx}pl$k AS (SELECT sub, code, list(v ORDER BY i) AS cq FROM ${pfx}pm$k GROUP BY sub, code),
+       |${pfx}pcb$k AS (
        |  SELECT p.sub, p.code, COALESCE(u.cq, p.cq) AS cq
-       |  FROM $prev p LEFT JOIN pl$k u ON u.sub = p.sub AND u.code = p.code)""".stripMargin
+       |  FROM $prev p LEFT JOIN ${pfx}pl$k u ON u.sub = p.sub AND u.code = p.code)""".stripMargin
   }
 
-  /** SQL fragment chain producing `cb(sub, code, cq)` — the trained
-    * PQ codebook: seeds = the [[PqK]] smallest-hash vectors'
-    * subvectors, code = 1-based rank by seed vec_id, then
-    * [[LloydIters]] unrolled per-subspace iterations (requires
-    * `samp`). */
-  private def trainedCbSql: String = {
-    val iters = (1 to LloydIters).map(lloydCbIterSql).mkString(",\n")
-    s"""p0 AS (
+  /** SQL fragment chain producing `${out}(sub, code, cq)` — a trained
+    * PQ codebook over `src` (vec_id, q, srn): seeds = the
+    * [[pqKOf]]-many smallest-hash rows' subvectors (the clamp runs in
+    * SQL over `samp`'s realized count), code = 1-based rank by seed
+    * vec_id, then [[LloydIters]] unrolled per-subspace iterations.
+    * The flat chain is `cbSqlChain("samp", "p", "cb")`; the residual
+    * chain (q93/q96) is `cbSqlChain("rsamp", "rp", "rcb")`. */
+  private def cbSqlChain(src: String, pfx: String, out: String): String = {
+    val iters = (1 to LloydIters).map(lloydCbIterSql(_, src, pfx)).mkString(",\n")
+    s"""${pfx}0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code, q
-       |  FROM samp WHERE srn <= $PqK),
-       |pcb0 AS (
-       |  SELECT s.s AS sub, p0.code, list_slice(p0.q, s.s*$PqDim+1, s.s*$PqDim+$PqDim) AS cq
-       |  FROM p0 CROSS JOIN range(0, $PqSubs) s(s)),
+       |  FROM $src WHERE srn <= $pqKSql),
+       |${pfx}pcb0 AS (
+       |  SELECT s.s AS sub, ${pfx}0.code, list_slice(${pfx}0.q, s.s*$PqDim+1, s.s*$PqDim+$PqDim) AS cq
+       |  FROM ${pfx}0 CROSS JOIN range(0, $PqSubs) s(s)),
        |$iters,
-       |cb AS (SELECT sub, code, cq FROM pcb$LloydIters)""".stripMargin
+       |$out AS (SELECT sub, code, cq FROM ${pfx}pcb$LloydIters)""".stripMargin
   }
 
-  /** SQL fragment: per-subspace nearest-code encoding of `n` against
-    * the trained codebook `cb` (ties to the LOW code — the twin of
-    * [[pqCodesTable]]'s encode loop). Shared by the four PQ oracles
-    * (q90/q93/q96/q98) so the encoding definition cannot drift. */
-  private def pqEncSql: String =
-    s"""enc AS (
+  private def trainedCbSql: String = cbSqlChain("samp", "p", "cb")
+
+  /** SQL fragment: per-subspace nearest-code encoding of `src`
+    * (vec_id, q) against the trained codebook `cbRel` (ties to the
+    * LOW code — the twin of [[pqCodesTable]]'s encode loop). Shared
+    * by the PQ oracles (q90/q93/q96/q98) so the encoding definition
+    * cannot drift; q93 instantiates it over the residual relation. */
+  private def pqEncSqlOver(src: String, cbRel: String, out: String): String =
+    s"""$out AS (
        |  SELECT vec_id, sub, code FROM (
        |    SELECT v.vec_id, c.sub, c.code,
        |           row_number() OVER (PARTITION BY v.vec_id, c.sub ORDER BY
        |             list_sum(list_transform(generate_series(1, $PqDim),
        |               i -> (v.q[c.sub*$PqDim+i] - c.cq[i]) * (v.q[c.sub*$PqDim+i] - c.cq[i]))),
        |             c.code) AS rn
-       |    FROM n v CROSS JOIN cb c) t WHERE rn = 1)""".stripMargin
+       |    FROM $src v CROSS JOIN $cbRel c) t WHERE rn = 1)""".stripMargin
+
+  private def pqEncSql: String = pqEncSqlOver("n", "cb", "enc")
 
   /** SQL fragment: the probes' per-(sub, code) exact-integer squared-L2
     * ADC lookup tables (twin of [[adcTable]]; requires `pset` and
@@ -708,7 +758,7 @@ object Similarity {
        |           i -> (p.q[c.sub*$PqDim+i] - c.cq[i]) * (p.q[c.sub*$PqDim+i] - c.cq[i]))) AS BIGINT) AS d
        |  FROM n p JOIN pset ON p.vec_id = pset.vec_id CROSS JOIN cb c)""".stripMargin
 
-  val annIvfSql: String =
+  val annIvfSql: String = mat(
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
@@ -752,7 +802,7 @@ object Similarity {
        |                                 ORDER BY cos DESC, vec_id) AS INT) AS rnk
        |  FROM scored)
        |SELECT probe_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 5
-       |ORDER BY probe_id, rnk""".stripMargin
+       |ORDER BY probe_id, rnk""".stripMargin)
 
   /** Typed `Aggregator[IN, BUF, OUT]` top-k: the custom-UDAF extension
     * route (SURVEY.md §7.3) — a bounded k-element buffer per group, so
@@ -916,52 +966,63 @@ object Similarity {
   }
 
   /** PQ geometry (q90): [[PqSubs]] subspaces of [[PqDim]] dims each
-    * (8×8 = the 64-dim embedding), [[PqK]] codes per subspace — a
+    * (8×8 = the 64-dim embedding), [[pqKOf]] codes per subspace — a
     * vector compresses to 8 small ints, the 100 TB ANN memory story
     * (Jégou et al., TPAMI 2011: 256 B of floats → 8 B of codes). */
   private[graft] val PqSubs = 8
   private[graft] val PqDim = 8
-  private[graft] val PqK = 16
 
-  /** The TRAINED PQ codebook: per subspace, [[PqK]] codewords k-means
-    * trained ([[LloydIters]] iterations, squared-L2) over the bounded
-    * sample — seeds are the [[PqK]] smallest-hash vectors' subvectors
+  /** The TRAINED PQ codebook: per subspace, [[pqKOf]](sample) codewords
+    * k-means trained ([[LloydIters]] iterations, squared-L2) over the
+    * bounded sample — seeds are the smallest-hash vectors' subvectors
     * (the previous stand-ins), code = 1-based rank of the seed's
     * vec_id. Returned in the concatenated layout the encode/ADC loops
     * index — entry c's array sliced at [sub·PqDim, sub·PqDim+PqDim) is
     * subspace `sub`'s codeword for code c+1 (subspaces train
     * independently on the SAME seeds, so the layout holds). A
-    * constant-size driver array at any corpus scale. */
+    * bounded-size driver array at any corpus scale (≤ 256 rows), and
+    * the codebook array's LENGTH is the realized pqK — every encode /
+    * ADC consumer sizes its loops from `train.length`, so the Scala
+    * and SQL sides cannot disagree on capacity. MEMOIZED per
+    * (session, snapshot) like [[trainSample]]: at pqK 256 a Lloyd run
+    * costs ~10⁸ integer ops, and six queries retrain the identical
+    * codebook without the memo. */
+  private val cbMemo = snapMemo[Array[(Long, Array[Long])]]()
+
   private[graft] def pqTrain(s: SparkSession, dir: String): Array[(Long, Array[Long])] =
-    lloydCodebook(trainSample(s, dir))
+    memoized(cbMemo, s, dir) {
+      val smp = trainSample(s, dir)
+      lloydCodebook(smp, pqKOf(smp.length))
+    }
 
   /** Per-subspace squared-L2 k-means over the sample (assignment ties
     * to the LOW code — the SQL twin's (dist, code) row_number order;
     * update = element-wise floor(mean); empty code keeps its previous
     * codeword). */
   private[graft] def lloydCodebook(
-      sample: Array[(Long, Array[Long], Long)]): Array[(Long, Array[Long])] = {
-    val seeds = sample.take(PqK).map { case (id, q, _) => (id, q) }
+      sample: Array[(Long, Array[Long], Long)],
+      pqK: Int, iters: Int = LloydIters): Array[(Long, Array[Long])] = {
+    val seeds = sample.take(pqK).map { case (id, q, _) => (id, q) }
     // the encode/ADC loops index cb(0..PqK-1) unconditionally; a
     // corpus with fewer than PqK non-degenerate vectors must fail
     // HERE with a diagnosis, not as an ArrayIndexOutOfBounds deep in
     // a partition loop (the SQL oracle's LIMIT would degrade
     // silently, masking the mismatch)
-    require(seeds.length == PqK,
-      s"PQ codebook needs >= $PqK non-degenerate vectors; corpus has ${seeds.length}")
+    require(seeds.length == pqK,
+      s"PQ codebook needs >= $pqK non-degenerate vectors; corpus has ${seeds.length}")
     val cb = seeds.sortBy(_._1).map { case (id, q) => (id, q.clone()) }
     var sub = 0
     while (sub < PqSubs) {
       var iter = 0
-      while (iter < LloydIters) {
-        val counts = new Array[Long](PqK)
-        val sums = Array.fill(PqK)(new Array[Long](PqDim))
+      while (iter < iters) {
+        val counts = new Array[Long](pqK)
+        val sums = Array.fill(pqK)(new Array[Long](PqDim))
         var si = 0
         while (si < sample.length) {
           val q = sample(si)._2
           var best = 0; var bestD = Long.MaxValue
           var c = 0
-          while (c < PqK) {
+          while (c < pqK) {
             var d = 0L; var i = 0
             while (i < PqDim) {
               val diff = q(sub * PqDim + i) - cb(c)._2(sub * PqDim + i)
@@ -977,7 +1038,7 @@ object Similarity {
           si += 1
         }
         var c = 0
-        while (c < PqK) {
+        while (c < pqK) {
           if (counts(c) > 0L) {
             var i = 0
             while (i < PqDim) {
@@ -1009,30 +1070,36 @@ object Similarity {
         .select(col("vec_id"), col("q")).as[(Long, Array[Long])]
         .mapPartitions { it =>
           val cb = bc.value
-          it.map { case (id, q) =>
-            val cs = new Array[Int](PqSubs)
-            var sub = 0
-            while (sub < PqSubs) {
-              var best = 0; var bestD = Long.MaxValue
-              var c = 0
-              while (c < PqK) {
-                var d = 0L; var i = 0
-                while (i < PqDim) {
-                  val diff = q(sub * PqDim + i) - cb(c)._2(sub * PqDim + i)
-                  d += diff * diff; i += 1
-                }
-                // strict < keeps the LOWEST code on ties — the SQL
-                // twin's (dist, code) row_number order
-                if (d < bestD) { bestD = d; best = c }
-                c += 1
-              }
-              cs(sub) = best + 1 // 1-based, matching row_number
-              sub += 1
-            }
-            (id, cs.toSeq)
-          }
+          it.map { case (id, q) => (id, pqEncode(q, cb).toSeq) }
         }.toDF("vec_id", "codes")
     }
+  }
+
+  /** Per-subspace nearest-code assignment of one vector against a
+    * codebook (strict < keeps the LOWEST code on ties — the SQL
+    * twin's (dist, code) row_number order); 1-based codes, matching
+    * row_number. Shared by the flat (q90) and residual (q93) encode
+    * passes. */
+  private[graft] def pqEncode(q: Array[Long], cb: Array[(Long, Array[Long])]): Array[Int] = {
+    val pqK = cb.length
+    val cs = new Array[Int](PqSubs)
+    var sub = 0
+    while (sub < PqSubs) {
+      var best = 0; var bestD = Long.MaxValue
+      var c = 0
+      while (c < pqK) {
+        var d = 0L; var i = 0
+        while (i < PqDim) {
+          val diff = q(sub * PqDim + i) - cb(c)._2(sub * PqDim + i)
+          d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      cs(sub) = best + 1
+      sub += 1
+    }
+    cs
   }
 
   /** q90: product-quantization ANN with asymmetric-distance (ADC)
@@ -1040,7 +1107,7 @@ object Similarity {
     * is the compute-bound one: the corpus lives as 8 one-byte-scale
     * codes per vector (a WRITTEN table), and a query scores a vector
     * with 8 table lookups instead of 64 multiplies. The probe's
-    * 128-entry distance table (sub × code, exact integer squared-L2
+    * (sub × code) distance table (exact integer squared-L2
     * against the codebook) is computed once per probe on the driver
     * and broadcast; scoring is one map-only pass over the code table;
     * only (probe_id, vec_id, adist) slim rows reach the top-k window
@@ -1067,22 +1134,25 @@ object Similarity {
       .as[(Long, Array[Long], Long)].collect().sortBy(_._1)
   }
 
-  /** One probe's 128-entry ADC lookup table: adc(sub·K + c) = exact
-    * integer squared-L2 between the probe's sub-vector and codebook
-    * entry c — shared by q90/q92 (full scan) and q93 (probed lists). */
-  private def adcTable(pq: Array[Long],
+  /** One probe's (PqSubs × pqK)-entry ADC lookup table:
+    * adc(sub·pqK + c) = exact integer squared-L2 between the probe's
+    * sub-vector and codebook entry c, pqK = `train.length` — shared by
+    * q90/q92 (full scan, flat codebook) and q93 (probed lists,
+    * residual codebook). */
+  private[graft] def adcTable(pq: Array[Long],
                        train: Array[(Long, Array[Long])]): Array[Long] = {
-    val t = new Array[Long](PqSubs * PqK)
+    val pqK = train.length
+    val t = new Array[Long](PqSubs * pqK)
     var sub = 0
     while (sub < PqSubs) {
       var c = 0
-      while (c < PqK) {
+      while (c < pqK) {
         var d = 0L; var i = 0
         while (i < PqDim) {
           val diff = pq(sub * PqDim + i) - train(c)._2(sub * PqDim + i)
           d += diff * diff; i += 1
         }
-        t(sub * PqK + c) = d; c += 1
+        t(sub * pqK + c) = d; c += 1
       }
       sub += 1
     }
@@ -1100,6 +1170,7 @@ object Similarity {
       probeRows.map { case (pid, pq, _) => (pid, adcTable(pq, train)) }
     val bcAdc = s.sparkContext.broadcast(adc)
 
+    val pqK = train.length
     val scored = codes.select(col("vec_id"), col("codes"))
       .as[(Long, Seq[Int])]
       .mapPartitions { it =>
@@ -1107,7 +1178,7 @@ object Similarity {
         it.flatMap { case (id, cs) =>
           ps.iterator.filter(_._1 != id).map { case (pid, t) =>
             var d = 0L; var sub = 0
-            while (sub < PqSubs) { d += t(sub * PqK + cs(sub) - 1); sub += 1 }
+            while (sub < PqSubs) { d += t(sub * pqK + cs(sub) - 1); sub += 1 }
             (pid, id, d)
           }
         }
@@ -1166,11 +1237,11 @@ object Similarity {
   }
 
   /** The q90 oracle re-derives the TRAINED codebook (seeds = the
-    * [[PqK]] smallest-hash vectors, code = rank by seed vec_id, then
+    * [[pqKOf]]-many smallest-hash vectors, code = rank by seed vec_id, then
     * the unrolled per-subspace Lloyd iterations of [[trainedCbSql]]),
     * per-subspace nearest-code encoding, and the probes' ADC tables
     * in SQL — all squared-L2 in exact BIGINTs. */
-  val pqAdcSql: String =
+  val pqAdcSql: String = mat(
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
@@ -1192,7 +1263,7 @@ object Similarity {
        |                                   ORDER BY adist, vec_id) AS INT) AS rnk
        |           FROM scored)
        |SELECT probe_id, vec_id, adist, rnk FROM ranked WHERE rnk <= 5
-       |ORDER BY probe_id, rnk""".stripMargin
+       |ORDER BY probe_id, rnk""".stripMargin)
 
   /** The q92 oracle IS q90's SQL with its final top-5 select swapped
     * for shortlist → exact-cosine re-rank CTEs — the require guards
@@ -1201,7 +1272,7 @@ object Similarity {
   val pqRerankSql: String = {
     val marker = "SELECT probe_id, vec_id, adist, rnk FROM ranked WHERE rnk <= 5\nORDER BY probe_id, rnk"
     require(pqAdcSql.endsWith(marker), "pqAdcSql reworded; update pqRerankSql surgery")
-    pqAdcSql.stripSuffix(marker) +
+    mat(pqAdcSql.stripSuffix(marker) +
       s""",cand AS (SELECT probe_id, vec_id FROM ranked WHERE rnk <= $PqShortlist),
          |rr AS (
          |  SELECT cd.probe_id, cd.vec_id,
@@ -1215,46 +1286,91 @@ object Similarity {
          |                                ORDER BY cos DESC, vec_id) AS INT) AS rnk
          |        FROM rr)
          |SELECT probe_id, vec_id, cos, rnk FROM rrk WHERE rnk <= 5
-         |ORDER BY probe_id, rnk""".stripMargin
+         |ORDER BY probe_id, rnk""".stripMargin)
   }
+
+  /** The RESIDUAL PQ codebook (q93): codewords k-means trained over
+    * the sample's residuals q − c(q) (each sample vector minus its
+    * nearest trained centroid) — the actual FAISS IVFPQ design:
+    * residuals concentrate around the origin once the coarse
+    * quantizer has soaked up the between-cell variance, so the same
+    * codebook capacity buys far finer within-cell resolution than
+    * flat encoding (round-8 recall grid: the flat composed path
+    * DEGRADED with corpus growth, the residual path improves).
+    * `cents` must be the snapshot quantizer ([[ivfCents]]) — the memo
+    * is keyed by (session, dir) like the sample's. */
+  private val resCbMemo = snapMemo[Array[(Long, Array[Long])]]()
+
+  private[graft] def resTrain(s: SparkSession, dir: String,
+      cents: Array[(Long, Array[Long], Long)]): Array[(Long, Array[Long])] =
+    memoized(resCbMemo, s, dir) {
+      val smp = trainSample(s, dir)
+      val centById = cents.map(c => (c._1, c._2)).toMap
+      val res = smp.map { case (id, q, qn) =>
+        val cq = centById(routeCents(q, qn, cents, 1).head)
+        (id, Array.tabulate(Dim)(i => q(i) - cq(i)), 0L)
+      }
+      lloydCodebook(res, pqKOf(smp.length))
+    }
 
   /** q93: IVF-PQ — the two index structures COMPOSED, exactly the
     * FAISS IVFPQ layout every production vector store ships: the
-    * written `graft_ivfpq` table holds (vec_id, cent_id, codes),
-    * BUCKETED by cent_id, so a query (a) routes to its nprobe=2
-    * nearest centroids on the driver, (b) prunes to those buckets at
-    * planning time (the q83 SelectedBucketsCount mechanism), and
-    * (c) ADC-scores ONLY the surviving lists with 8 integer lookups
-    * per vector. Work per query: nprobe/K of the corpus × 8 lookups —
+    * written `graft_ivfpq` table holds (vec_id, cent_id, codes) with
+    * codes encoding the RESIDUAL q − c(q) against the [[resTrain]]
+    * codebook, BUCKETED by cent_id, so a query (a) routes to its
+    * nprobe=2 nearest centroids on the driver, (b) prunes to those
+    * buckets at planning time (the q83 SelectedBucketsCount
+    * mechanism), and (c) ADC-scores ONLY the surviving lists with 8
+    * integer lookups per vector against a PER-(probe, probed-cell)
+    * table built from the probe's residual to that cell — approximating
+    * the same ||probe − vector||² as flat ADC, with within-cell
+    * precision. Work per query: nprobe/K of the corpus × 8 lookups —
     * neither the full-scan cost of q90 nor the full-vector reads of
     * q37. All-BIGINT adist; the oracle composes the IVF assignment
-    * and PQ encoding CTEs verbatim. */
+    * and residual-PQ encoding CTEs verbatim. */
   def ivfPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cents = ivfCents(s, dir)
-    val train = pqTrain(s, dir)
-    // materialize the two source indexes BEFORE entering the composed
+    val train = resTrain(s, dir, cents)
+    val centById = cents.map(c => (c._1, c._2)).toMap
+    // materialize the source index BEFORE entering the composed
     // table's once-gate: a materializedTable call inside another's
     // builder is a nested computeIfAbsent on the same gate map —
     // ConcurrentHashMap detects it as a (bin-collision-dependent,
     // i.e. flaky) "Recursive update" IllegalStateException
     val assign = ivfAssignTable(s, dir, cents)
-    val codes = pqCodesTable(s, dir, train)
+    val bcC = s.sparkContext.broadcast(centById)
+    val bcCb = s.sparkContext.broadcast(train)
     val index = Layout.materializedTable(s, dir, "ivfpq",
         Some((Layout.Buckets, Seq("cent_id")))) {
-      assign.select(col("vec_id"), col("cent_id"))
-        .join(codes, Seq("vec_id"))
-        .select(col("vec_id"), col("cent_id"), col("codes"))
+      // one map-only residual-encode pass over the assignment (which
+      // already co-locates each vector with its cell id and payload)
+      assign.select(col("vec_id"), col("cent_id"), col("q"))
+        .as[(Long, Long, Array[Long])]
+        .mapPartitions { it =>
+          val cm = bcC.value; val cb = bcCb.value
+          it.map { case (id, cid, q) =>
+            val cq = cm(cid)
+            (id, cid, pqEncode(Array.tabulate(Dim)(i => q(i) - cq(i)), cb).toSeq)
+          }
+        }.toDF("vec_id", "cent_id", "codes")
     }
     val probeRows = pqProbes(s, dir)
-    // (probe, its nprobe routed cents, its ADC table) — driver-side
-    // over the broadcast-scale quantizer, as in q37/q83
-    val probes: Array[(Long, Array[Long], Array[Long])] =
+    // (probe, its nprobe routed cents, per-routed-cell ADC tables
+    // from the probe's residual to that cell) — driver-side over the
+    // broadcast-scale quantizer, as in q37/q83
+    val probes: Array[(Long, Array[Long], Array[Array[Long]])] =
       probeRows.map { case (pid, pq, pqn) =>
-        (pid, routeCents(pq, pqn, cents, 2).toArray, adcTable(pq, train))
+        val rcs = routeCents(pq, pqn, cents, 2).toArray
+        val ts = rcs.map { cid =>
+          val cq = centById(cid)
+          adcTable(Array.tabulate(Dim)(i => pq(i) - cq(i)), train)
+        }
+        (pid, rcs, ts)
       }
     val probedCents = probes.flatMap(_._2).distinct.toSeq
     val bcProbes = s.sparkContext.broadcast(probes)
+    val pqK = train.length
 
     val scored = index
       .filter(col("cent_id").isin(probedCents: _*)) // bucket pruning
@@ -1265,9 +1381,10 @@ object Similarity {
         it.flatMap { case (id, cid, cs) =>
           ps.iterator
             .filter { case (pid, rcs, _) => pid != id && rcs.contains(cid) }
-            .map { case (pid, _, t) =>
+            .map { case (pid, rcs, ts) =>
+              val t = ts(rcs.indexOf(cid))
               var d = 0L; var sub = 0
-              while (sub < PqSubs) { d += t(sub * PqK + cs(sub) - 1); sub += 1 }
+              while (sub < PqSubs) { d += t(sub * pqK + cs(sub) - 1); sub += 1 }
               (pid, id, d)
             }
         }
@@ -1282,10 +1399,55 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
-  /** The q93 oracle composes the IVF assignment (annIvfSql's machinery,
-    * nprobe=2 probe routing) with the PQ encoding and ADC tables
-    * (pqAdcSql's machinery), scoring only probed inverted lists. */
-  val ivfPqSql: String =
+  /** The residual-PQ CTE block shared verbatim by the q93 oracle and
+    * the q96 recall oracle (so the two cannot drift): the sample's
+    * residuals to their assigned centroids (`rsamp`), the residual
+    * codebook chain (`rcb`), every corpus vector's residual (`rvec`)
+    * and its encoding (`renc`), and the probes' PER-ROUTED-CELL
+    * residual ADC tables (`rpdist`). Requires `samp`, `cents`,
+    * `assign` (carrying q), `proutes` and `pset`/`n`. */
+  private def residualPqSql: String =
+    s"""rsamp AS (
+       |  SELECT s.vec_id,
+       |         list_transform(generate_series(1, $Dim), i -> s.q[i] - c.cq[i]) AS q,
+       |         s.srn
+       |  FROM samp s JOIN assign a ON a.vec_id = s.vec_id
+       |  JOIN cents c ON c.cent_id = a.cent_id),
+       |${cbSqlChain("rsamp", "rp", "rcb")},
+       |rvec AS (
+       |  SELECT a.vec_id,
+       |         list_transform(generate_series(1, $Dim), i -> a.q[i] - c.cq[i]) AS q
+       |  FROM assign a JOIN cents c ON c.cent_id = a.cent_id),
+       |${pqEncSqlOver("rvec", "rcb", "renc")},
+       |rpdist AS (
+       |  SELECT pr.probe_id, pr.cent_id, c.sub, c.code,
+       |         CAST(list_sum(list_transform(generate_series(1, $PqDim),
+       |           i -> (p.q[c.sub*$PqDim+i] - ct.cq[c.sub*$PqDim+i] - c.cq[i])
+       |              * (p.q[c.sub*$PqDim+i] - ct.cq[c.sub*$PqDim+i] - c.cq[i]))) AS BIGINT) AS d
+       |  FROM proutes pr
+       |  JOIN n p ON p.vec_id = pr.probe_id
+       |  JOIN cents ct ON ct.cent_id = pr.cent_id
+       |  CROSS JOIN rcb c)""".stripMargin
+
+  /** The residual-scored probed-lists CTE (twin of [[ivfPq]]'s scan):
+    * candidates from the probes' routed cells, adist = Σ over
+    * subspaces of the (probe, cell)-specific residual table entries. */
+  private def residualScoredSql(out: String): String =
+    s"""$out AS (
+       |  SELECT pr.probe_id, a.vec_id, CAST(sum(pd.d) AS BIGINT) AS adist
+       |  FROM proutes pr
+       |  JOIN assign a ON a.cent_id = pr.cent_id
+       |  JOIN renc e ON e.vec_id = a.vec_id
+       |  JOIN rpdist pd ON pd.probe_id = pr.probe_id AND pd.cent_id = pr.cent_id
+       |                AND pd.sub = e.sub AND pd.code = e.code
+       |  WHERE a.vec_id <> pr.probe_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The q93 oracle composes the IVF assignment (annIvfSql's
+    * machinery, nprobe=2 probe routing) with the RESIDUAL PQ encoding
+    * and per-cell ADC tables ([[residualPqSql]]), scoring only probed
+    * inverted lists. */
+  val ivfPqSql: String = mat(
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
@@ -1294,8 +1456,8 @@ object Similarity {
        |${sampSql("n")},
        |$trainedCentsSql,
        |assign AS (
-       |  SELECT vec_id, cent_id FROM (
-       |    SELECT v.vec_id, c.cent_id,
+       |  SELECT vec_id, cent_id, q FROM (
+       |    SELECT v.vec_id, c.cent_id, v.q,
        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
        |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
@@ -1303,8 +1465,6 @@ object Similarity {
        |             c.cent_id) AS rn
        |    FROM n v CROSS JOIN cents c) t
        |  WHERE rn = 1),
-       |$trainedCbSql,
-       |$pqEncSql,
        |pset AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
        |         ORDER BY vec_id LIMIT $MaxProbes),
        |proutes AS (
@@ -1317,21 +1477,14 @@ object Similarity {
        |             c.cent_id) AS rn
        |    FROM n v JOIN pset ON v.vec_id = pset.vec_id CROSS JOIN cents c) t
        |  WHERE rn <= 2),
-       |$pqPdistSql,
-       |scored AS (
-       |  SELECT pr.probe_id, a.vec_id, CAST(sum(pd.d) AS BIGINT) AS adist
-       |  FROM proutes pr
-       |  JOIN assign a ON a.cent_id = pr.cent_id
-       |  JOIN enc e ON e.vec_id = a.vec_id
-       |  JOIN pdist pd ON pd.probe_id = pr.probe_id AND pd.sub = e.sub AND pd.code = e.code
-       |  WHERE a.vec_id <> pr.probe_id
-       |  GROUP BY 1, 2),
+       |$residualPqSql,
+       |${residualScoredSql("scored")},
        |ranked AS (SELECT probe_id, vec_id, adist,
        |           CAST(row_number() OVER (PARTITION BY probe_id
        |                                   ORDER BY adist, vec_id) AS INT) AS rnk
        |           FROM scored)
        |SELECT probe_id, vec_id, adist, rnk FROM ranked WHERE rnk <= 5
-       |ORDER BY probe_id, rnk""".stripMargin
+       |ORDER BY probe_id, rnk""".stripMargin)
 
   /** q94's per-cluster retention cap: keep at most this many vectors
     * per semantic cluster, chosen in deterministic hash order (a
@@ -1365,7 +1518,7 @@ object Similarity {
       .orderBy("cent_id")
   }
 
-  val clusterBalanceSql: String =
+  val clusterBalanceSql: String = mat(
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
@@ -1392,7 +1545,7 @@ object Similarity {
        |SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs,
        |       CAST(sum(CASE WHEN rn <= $MaxPerCluster THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |       CAST(sum(CASE WHEN rn > $MaxPerCluster THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-       |FROM ranked GROUP BY cent_id ORDER BY cent_id""".stripMargin
+       |FROM ranked GROUP BY cent_id ORDER BY cent_id""".stripMargin)
 
   /** Cluster-size cap for q86's within-cluster pair join. Within-cluster
     * pairing is O(Σ sᶜ²): balanced clusters cost n²/K total — the point
@@ -1470,7 +1623,7 @@ object Similarity {
   /** The q86 oracle rebuilds the coarse quantizer + nearest-centroid
     * assignment in SQL (the annIvfSql machinery) and applies the same
     * within-cluster keep-lowest-id rule. */
-  val semDedupSql: String =
+  val semDedupSql: String = mat(
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
@@ -1498,7 +1651,7 @@ object Similarity {
        |SELECT vec_b AS vec_id, min(vec_a) AS kept_by,
        |       CAST(count(*) AS BIGINT) AS n_dups, max(cos) AS max_cos
        |FROM pairs WHERE cos >= 0.4
-       |GROUP BY vec_b ORDER BY vec_id""".stripMargin
+       |GROUP BY vec_b ORDER BY vec_id""".stripMargin)
 
   /** The STANDING-corpus (vec_id ≢ 0 mod 5 — the q43/q77 "today's
     * crawl" split) semantic index: centroids trained on the corpus
@@ -1587,7 +1740,7 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val semDedupIncrementalSql: String =
+  val semDedupIncrementalSql: String = mat(
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
@@ -1629,7 +1782,7 @@ object Similarity {
        |         CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_matches
        |  FROM m WHERE cos >= 0.4)
        |SELECT vec_id, cvec AS best_match, cos AS best_cos, n_matches
-       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
 
   /** q95: the embedding-modality END-TO-END pipeline — q81's
     * composition proof for vectors: semantic dedup (q86's
@@ -1674,7 +1827,7 @@ object Similarity {
       .orderBy("cent_id")
   }
 
-  val embeddingPipelineSql: String =
+  val embeddingPipelineSql: String = mat(
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
@@ -1723,7 +1876,7 @@ object Similarity {
        |FROM agg_all aa
        |LEFT JOIN agg_dup USING (cent_id)
        |LEFT JOIN agg_bal USING (cent_id)
-       |ORDER BY cent_id""".stripMargin
+       |ORDER BY cent_id""".stripMargin)
 
   /** q96: MEASURED recall@5 of every approximate ANN path against the
     * exact q25 baseline, on the SAME probe set — the number that
@@ -1810,7 +1963,7 @@ object Similarity {
     * exact top-5. Every fragment is the (hash-gate-proven) SQL of its
     * source query, so a recall mismatch localizes to the intersection
     * math, not the methods. */
-  val annRecallSql: String =
+  val annRecallSql: String = mat(
     s"""WITH $exactBaseSql,
        |${sampSql("n")},
        |$trainedCentsSql,
@@ -1874,14 +2027,8 @@ object Similarity {
        |           row_number() OVER (PARTITION BY probe_id
        |                              ORDER BY cos DESC, vec_id) AS rnk
        |    FROM rr) t WHERE rnk <= 5),
-       |pscored AS (
-       |  SELECT pr.probe_id, a.vec_id, CAST(sum(pd.d) AS BIGINT) AS adist
-       |  FROM proutes pr
-       |  JOIN assign a ON a.cent_id = pr.cent_id
-       |  JOIN enc e ON e.vec_id = a.vec_id
-       |  JOIN pdist pd ON pd.probe_id = pr.probe_id AND pd.sub = e.sub AND pd.code = e.code
-       |  WHERE a.vec_id <> pr.probe_id
-       |  GROUP BY 1, 2),
+       |$residualPqSql,
+       |${residualScoredSql("pscored")},
        |ipq5 AS (SELECT probe_id, vec_id FROM (
        |    SELECT probe_id, vec_id,
        |           row_number() OVER (PARTITION BY probe_id
@@ -1900,7 +2047,7 @@ object Similarity {
        |SELECT method, CAST(np AS BIGINT) AS n_probes,
        |       CAST(n_hits AS BIGINT) AS n_hits,
        |       CAST(n_hits AS DOUBLE) / CAST(5 * np AS DOUBLE) AS recall_at_5
-       |FROM hits, np ORDER BY method""".stripMargin
+       |FROM hits, np ORDER BY method""".stripMargin)
 
   /** q97: the IVF recall-vs-nprobe TUNING CURVE — recall@5 of the
     * written-index path at nprobe = 1/2/4/8, against the exact q25
@@ -1954,7 +2101,7 @@ object Similarity {
     * probe routes kept to rank ≤ 8, a level relation unnested from
     * [1,2,4,8], and ONE (nprobe, probe)-partitioned ranking — the
     * same shape as the Spark plan. */
-  val ivfNprobeCurveSql: String =
+  val ivfNprobeCurveSql: String = mat(
     s"""WITH $exactBaseSql,
        |${sampSql("n")},
        |$trainedCentsSql,
@@ -2003,7 +2150,7 @@ object Similarity {
        |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(5 * np AS DOUBLE) AS recall_at_5
        |FROM lvl l LEFT JOIN hits h ON h.nprobe = l.nprobe CROSS JOIN np
-       |ORDER BY l.nprobe""".stripMargin
+       |ORDER BY l.nprobe""".stripMargin)
 
   /** q98: the PQ two-stage retrieval's OTHER dial — recall@5 of the
     * ADC-shortlist → exact-re-rank path (q92) at shortlist sizes
@@ -2053,7 +2200,7 @@ object Similarity {
     * unnested from [5,10,20,40], one exact re-rank and one
     * (shortlist, probe)-partitioned top-5 — plus q96's exact-baseline
     * CTEs for the intersection. */
-  val rerankShortlistCurveSql: String =
+  val rerankShortlistCurveSql: String = mat(
     s"""WITH $exactBaseSql,
        |${sampSql("n")},
        |$trainedCbSql,
@@ -2092,7 +2239,7 @@ object Similarity {
        |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(5 * np AS DOUBLE) AS recall_at_5
        |FROM lvl l LEFT JOIN hits h ON h.shortlist = l.shortlist CROSS JOIN np
-       |ORDER BY l.shortlist""".stripMargin
+       |ORDER BY l.shortlist""".stripMargin)
 
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Similarity
+import org.apache.spark.sql.functions.col
 
 /** Similarity-search behavior on sf0.001 embeddings (500 × 64-dim). */
 class SimilaritySpec extends SparkSpec {
@@ -189,7 +190,11 @@ class SimilaritySpec extends SparkSpec {
 
   test("q90 PQ encoding: every sample vector gets the argmin code per subspace, ties low") {
     val train = Similarity.pqTrain(spark, sfDir)
-    assert(train.length == 16)
+    // capacity scales with the snapshot: one code per 8 sample rows,
+    // clamped to [16, 256] (the round-8 no-degradation fix)
+    val pqK = Similarity.pqKOf(Similarity.trainSample(spark, sfDir).length)
+    assert(train.length == pqK)
+    assert(pqK >= 16 && pqK <= 256)
     val codes = Similarity.pqCodesTable(spark, sfDir, train)
       .as[(Long, Seq[Int])].collect().toMap
     // the TRAINED codewords are floor-means, not corpus vectors, so
@@ -200,7 +205,7 @@ class SimilaritySpec extends SparkSpec {
       for (sub <- 0 until 8) {
         val got = cs(sub)
         val d = subDist(q, train(got - 1)._2, sub)
-        for (c <- 1 to 16 if c != got) {
+        for (c <- 1 to pqK if c != got) {
           val dc = subDist(q, train(c - 1)._2, sub)
           if (c < got) assert(dc > d, s"vec $vid sub $sub: code $c dist $dc <= assigned $got dist $d")
           else assert(dc >= d, s"vec $vid sub $sub: code $c dist $dc < assigned $got dist $d")
@@ -209,7 +214,7 @@ class SimilaritySpec extends SparkSpec {
     }
     // and every corpus vector got exactly one 8-code row
     assert(codes.size == Similarity.pqCodesTable(spark, sfDir, train).count())
-    assert(codes.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 1 && c <= 16)))
+    assert(codes.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 1 && c <= pqK)))
   }
 
   test("Lloyd training improves both codebook objectives over the hash-picked seeds") {
@@ -231,8 +236,9 @@ class SimilaritySpec extends SparkSpec {
     assert(to > so, s"trained cosine objective $to <= seed objective $so")
     // PQ objective: total assigned-codeword squared-L2 over
     // (sample × subspace) (k-means minimizes it)
-    val seedCb = seeds.take(16).map { case (id, q, _) => (id, q) }.sortBy(_._1)
-    val trainedCb = Similarity.lloydCodebook(sample)
+    val pqK = Similarity.pqKOf(sample.length)
+    val seedCb = sample.take(pqK).map { case (id, q, _) => (id, q) }.sortBy(_._1)
+    val trainedCb = Similarity.lloydCodebook(sample, pqK)
     def cbObj(cb: Array[(Long, Array[Long])]): Long =
       sample.map { case (_, q, _) =>
         (0 until 8).map(sub => cb.map(c => subDist(q, c._2, sub)).min).sum
@@ -342,13 +348,34 @@ class SimilaritySpec extends SparkSpec {
       val d = rows.sortBy(_._4).map(_._3).toSeq
       assert(d == d.sorted && rows.forall(r => r._2 != p && r._3 >= 0L))
     }
-    // same ADC arithmetic as the full scan: any (probe, vec) hit shared
-    // with q90's top-5 carries the IDENTICAL integer distance
-    val full = Similarity.pqAdc(spark, sfDir)
-      .as[(Long, Long, Long, Int)].collect()
-      .map(r => (r._1, r._2) -> r._3).toMap
+    // residual ADC arithmetic (round 8): every returned distance must
+    // equal the driver-side recomputation — encode the candidate's
+    // residual to ITS cell against the residual codebook, build the
+    // probe's residual table for that cell, sum the 8 lookups
+    val sample = Similarity.trainSample(spark, sfDir)
+    val cents = Similarity.lloydCents(sample).sortBy(_._1)
+    val centById = cents.map(c => (c._1, c._2)).toMap
+    val resCb = Similarity.resTrain(spark, sfDir, cents)
+    val pqK = resCb.length
+    val e = Similarity.quantizedFrom(graft.sources.Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("q"), col("qn"))
+      .as[(Long, Array[Long], Long)].collect().map(t => t._1 -> t).toMap
+    def cellOf(id: Long): Long = {
+      val (_, q, qn) = e(id); Similarity.routeCents(q, qn, cents, 1).head
+    }
     got.foreach { case (p, v, d, _) =>
-      full.get((p, v)).foreach(fd => assert(fd == d)) }
+      val cid = cellOf(v)
+      val cq = centById(cid)
+      val (_, pq, _) = e(p)
+      val (_, vq, _) = e(v)
+      val t = Similarity.adcTable(
+        Array.tabulate(Similarity.Dim)(i => pq(i) - cq(i)), resCb)
+      val cs = Similarity.pqEncode(
+        Array.tabulate(Similarity.Dim)(i => vq(i) - cq(i)), resCb)
+      val want = (0 until Similarity.PqSubs)
+        .map(sub => t(sub * pqK + cs(sub) - 1)).sum
+      assert(want == d, s"probe $p vec $v: residual adist $d != recomputed $want")
+    }
     // the index is the written composed table, bucket-pruned at
     // planning time (the q83 mechanism on the IVFPQ layout)
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
