@@ -834,7 +834,13 @@ object Dedup {
   def dupSpanFraction(s: SparkSession, dir: String): DataFrame =
     dupSpanFractionFrom(Tables.documents(s, dir))
 
-  private[graft] def dupSpanFractionFrom(docs: DataFrame): DataFrame = {
+  private[graft] def dupSpanFractionFrom(docs: DataFrame): DataFrame =
+    dupSpanStatsFrom(docs).orderBy("doc_id")
+
+  /** The unordered q99 rollup — factored so q105 can run it twice
+    * (pre-trim and post-trim corpora) inside one plan without
+    * intermediate sorts. */
+  private def dupSpanStatsFrom(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val win = docs.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -852,7 +858,6 @@ object Dedup {
       .agg(count(lit(1)).as("nw"), sum(col("dup")).as("dup_windows"))
       .withColumn("dup_frac",
         col("dup_windows").cast(DoubleType) / col("nw").cast(DoubleType))
-      .orderBy("doc_id")
   }
 
   val dupSpanFractionSql: String =
@@ -993,6 +998,43 @@ object Dedup {
         }
       }.toDF("doc_id", "h")
   }
+
+  /** q104: INCREMENTAL WINDOW-INDEX MAINTENANCE — the round-7 verdict's
+    * lifecycle asymmetry closed: the span family's written index
+    * (`graft_winindex`) previously only ever REBUILT per snapshot,
+    * while the pair graph had q82's incremental path. The next
+    * snapshot's window index is
+    *
+    *   previous written index ∪ batch window table
+    *
+    * — O(batch) hashing (the batch signs only itself), zero corpus
+    * re-hashing, zero corpus shuffle (the standing index streams
+    * through the union; at write time the next snapshot lands
+    * h-bucketed exactly like its predecessor, an append-shaped write
+    * because batch doc_ids are disjoint from the corpus's). The
+    * ORACLE is the full-rebuild window table over ALL documents (the
+    * q82 contract): the driver gate itself proves update == rebuild.
+    * Deterministic total order: [[windowTable]] emits DISTINCT
+    * (doc_id, h) rows and the batch/corpus doc sets are disjoint, so
+    * (doc_id, h) is a key. */
+  def winIndexUpdate(s: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
+    corpusWindowIndex(s, dir).unionByName(windowTable(batch))
+      .orderBy("doc_id", "h")
+  }
+
+  val winIndexUpdateSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM documents),
+       |win AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(sgl), 1, 15) AS BIGINT) AS h
+       |  FROM (
+       |    SELECT DISTINCT doc_id, sgl FROM (
+       |      SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - ${WindowLen - 1}),
+       |               i -> array_to_string(list_slice(w, i, i + ${WindowLen - 1}), ' '))) AS sgl
+       |      FROM toks WHERE len(w) >= $WindowLen) t0) t)
+       |SELECT doc_id, h FROM win ORDER BY doc_id, h""".stripMargin
 
   /** INCREMENTAL span overlap (q102) — completes the incremental
     * matrix: exact (q43), MinHash-LSH (q77), semantic (q91) and now
@@ -1136,7 +1178,10 @@ object Dedup {
   def spanTrim(s: SparkSession, dir: String): DataFrame =
     spanTrimFrom(Tables.documents(s, dir))
 
-  private[graft] def spanTrimFrom(docs: DataFrame): DataFrame = {
+  /** The marked token table behind q101/q105: every (filtered,
+    * 1-based-indexed) token of every doc, with `cov` = 1 where some
+    * removable (non-canonical) window occurrence covers it. */
+  private def markedTokensFrom(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val win = docs.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -1163,20 +1208,34 @@ object Dedup {
       .withColumn("idx",
         row_number().over(Window.partitionBy("doc_id").orderBy("i0")).cast(LongType))
       .select(col("doc_id"), col("idx"), col("tok"))
+    toks.join(covered.withColumn("cov", lit(1)), Seq("doc_id", "idx"), "left")
+  }
+
+  /** The surviving tokens of a doc in order, reassembled — collect_list
+    * skips the nulls the `when` leaves on covered tokens. */
+  private def survivingText: Column =
+    array_join(
+      transform(
+        array_sort(collect_list(
+          when(col("cov").isNull, struct(col("idx"), col("tok"))))),
+        x => x.getField("tok")), " ")
+
+  private[graft] def spanTrimFrom(docs: DataFrame): DataFrame =
     // one pass: mark covered tokens, count and reassemble in a single
     // rollup (a separate n_before aggregate would prune the row_number
     // away and canonicalize as a THIRD documents scan)
-    val marked = toks.join(covered.withColumn("cov", lit(1)), Seq("doc_id", "idx"), "left")
-    marked.groupBy(col("doc_id"))
+    markedTokensFrom(docs).groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_before"),
         sum(when(col("cov").isNull, 1L).otherwise(0L)).as("n_after"),
-        md5(array_join(
-          transform(
-            array_sort(collect_list(
-              when(col("cov").isNull, struct(col("idx"), col("tok"))))),
-            x => x.getField("tok")), " ")).as("trimmed_md5"))
+        md5(survivingText).as("trimmed_md5"))
       .orderBy("doc_id")
-  }
+
+  /** The TRIMMED corpus as a (doc_id, text) relation — what a
+    * production span-dedup pass would write back to the documents
+    * layout; q105 re-derives q99 over it. */
+  private[graft] def trimmedDocsFrom(docs: DataFrame): DataFrame =
+    markedTokensFrom(docs).groupBy(col("doc_id"))
+      .agg(survivingText.as("text"))
 
   val spanTrimSql: String =
     s"""WITH toks AS (
@@ -1205,6 +1264,100 @@ object Dedup {
        |FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = t.idx
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
+
+  /** q105: TRIM → FRACTION COMPOSITION — the span family's end-to-end
+    * proof (the q81/q95 pattern): rewrite the corpus with q101's
+    * surgical trim, re-run q99's duplicated-fraction tagger over the
+    * REWRITTEN corpus, and emit both generations side by side. The
+    * claim a pipeline operator needs — "after the trim pass, the
+    * corpus carries no cross-document duplicated spans; every shared
+    * span survives exactly once, in its canonical (min-id) owner" —
+    * becomes a gated number: dup_after is 0 on every row at both
+    * test scales, with the pre-trim dup counts alongside showing what
+    * the pass removed. (`SpanTrimCompositionSpec` additionally proves
+    * the trim is a FIXPOINT — a second pass changes nothing — and
+    * exercises both properties on a planted-span fixture.)
+    *
+    * Scale: two q99 passes plus one trim rewrite, all linear — the
+    * trim feeds the second tagger as columns, no pair join anywhere;
+    * a doc trimmed below [[WindowLen]] tokens leaves the second
+    * tagger's domain and reports nw_after/dup_after 0. */
+  def trimFraction(s: SparkSession, dir: String): DataFrame =
+    trimFractionFrom(Tables.documents(s, dir))
+
+  private[graft] def trimFractionFrom(docs: DataFrame): DataFrame = {
+    val before = dupSpanStatsFrom(docs)
+    val after = dupSpanStatsFrom(trimmedDocsFrom(docs))
+    before.select(col("doc_id"), col("nw").as("nw_before"),
+        col("dup_windows").as("dup_before"), col("dup_frac").as("dup_frac_before"))
+      .join(after.select(col("doc_id"), col("nw").as("nw_after"),
+        col("dup_windows").as("dup_after")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nw_before"), col("dup_before"), col("dup_frac_before"),
+        coalesce(col("nw_after"), lit(0L)).as("nw_after"),
+        coalesce(col("dup_after"), lit(0L)).as("dup_after"))
+      .orderBy("doc_id")
+  }
+
+  /** The q105 oracle: q101's trim CTEs rebuilt to emit the trimmed
+    * TEXT, then q99's window-df rollup over both corpora, left-joined
+    * (a doc trimmed below the window length vanishes from the second
+    * rollup → coalesced zeros). */
+  val trimFractionSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM documents),
+       |win AS (
+       |  SELECT doc_id,
+       |         unnest(generate_series(1, len(w) - ${WindowLen - 1})) AS pos,
+       |         unnest(list_transform(generate_series(1, len(w) - ${WindowLen - 1}),
+       |           i -> array_to_string(list_slice(w, i, i + ${WindowLen - 1}), ' '))) AS sgl
+       |  FROM toks WHERE len(w) >= $WindowLen),
+       |wh AS (
+       |  SELECT doc_id, pos, CAST('0x' || substr(md5(sgl), 1, 15) AS BIGINT) AS h
+       |  FROM win),
+       |own AS (SELECT h, min(doc_id) AS mn FROM wh GROUP BY h),
+       |cov AS (
+       |  SELECT DISTINCT w.doc_id, unnest(generate_series(w.pos, w.pos + ${WindowLen - 1})) AS idx
+       |  FROM wh w JOIN own o ON o.h = w.h WHERE w.doc_id <> o.mn),
+       |tok AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(w))) AS idx, unnest(w) AS tok
+       |  FROM toks WHERE len(w) > 0),
+       |trimmed AS (
+       |  SELECT t.doc_id,
+       |         coalesce(string_agg(CASE WHEN c.idx IS NULL THEN t.tok END,
+       |                             ' ' ORDER BY t.idx), '') AS text
+       |  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = t.idx
+       |  GROUP BY t.doc_id),
+       |bwin AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(sgl), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT DISTINCT doc_id, sgl FROM win) t),
+       |bdf AS (SELECT h, count(*) AS df FROM bwin GROUP BY h),
+       |before_agg AS (
+       |  SELECT w.doc_id, count(*) AS nw,
+       |         sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS dup
+       |  FROM bwin w JOIN bdf d ON d.h = w.h GROUP BY w.doc_id),
+       |toks2 AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM trimmed),
+       |awin AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(sgl), 1, 15) AS BIGINT) AS h
+       |  FROM (
+       |    SELECT DISTINCT doc_id, sgl FROM (
+       |      SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - ${WindowLen - 1}),
+       |               i -> array_to_string(list_slice(w, i, i + ${WindowLen - 1}), ' '))) AS sgl
+       |      FROM toks2 WHERE len(w) >= $WindowLen) t0) t),
+       |adf AS (SELECT h, count(*) AS df FROM awin GROUP BY h),
+       |after_agg AS (
+       |  SELECT w.doc_id, count(*) AS nw,
+       |         sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS dup
+       |  FROM awin w JOIN adf d ON d.h = w.h GROUP BY w.doc_id)
+       |SELECT b.doc_id, CAST(b.nw AS BIGINT) AS nw_before,
+       |       CAST(b.dup AS BIGINT) AS dup_before,
+       |       CAST(b.dup AS DOUBLE) / CAST(b.nw AS DOUBLE) AS dup_frac_before,
+       |       CAST(coalesce(a.nw, 0) AS BIGINT) AS nw_after,
+       |       CAST(coalesce(a.dup, 0) AS BIGINT) AS dup_after
+       |FROM before_agg b LEFT JOIN after_agg a ON a.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
 
   /** Near-dup clustering: connected components over the MinHash-LSH
     * pair graph — the "keep one per cluster" worklist of a dedup
@@ -1837,5 +1990,9 @@ object Dedup {
     QueryDef("q101_span_trim", spanTrim, Some(spanTrimSql)),
     QueryDef("q102_span_incremental", spanIncremental, Some(spanIncrementalSql)),
     QueryDef("q103_span_coverage", spanCoverage, Some(spanCoverageSql)),
+    // q104's oracle is the FULL-REBUILD window table: the gate proves
+    // incremental index maintenance == rebuild (the q82 contract)
+    QueryDef("q104_winindex_update", winIndexUpdate, Some(winIndexUpdateSql)),
+    QueryDef("q105_trim_fraction", trimFraction, Some(trimFractionSql)),
   )
 }
