@@ -240,6 +240,36 @@ object Similarity {
     cs.map { case (cid, cq, cqn) => (jcosine(q, qn, cq, cqn), cid) }
       .sorted(cosDescIdAsc).take(nprobe).toSeq.map(_._2)
 
+  /** DISTRIBUTED probe routing (round-8 item 3): a probe relation
+    * (vec_id, q, qn) against the BROADCAST quantizer, map-side argmin
+    * — (probe_id, cent_id, r ∈ [1, maxNprobe], pq, pqn) with NO
+    * driver transit of the probes. Earlier rounds collected the
+    * bounded probe set and ran [[routeCents]] on the driver; this is
+    * the same per-probe arithmetic (literally [[routeCents]], so the
+    * equality spec holds by construction) inside `mapPartitions`, so
+    * an UNBOUNDED production probe stream routes at full parallelism
+    * — the relation is stateless over its input and works unchanged
+    * on a streaming probe source. The only routing datum that still
+    * reaches the driver in the index-backed queries is the ≤ [[IvfK]]
+    * distinct probed cell ids, which become planning-time bucket-
+    * pruning LITERALS — driver-sized by K (a constant), never by the
+    * probe count. */
+  private[graft] def routeProbesDf(probes: DataFrame,
+      cents: Array[(Long, Array[Long], Long)], maxNprobe: Int): DataFrame = {
+    val s = probes.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    probes.select(col("vec_id"), col("q"), col("qn"))
+      .as[(Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, q, qn) =>
+          routeCents(q, qn, cs, maxNprobe).iterator.zipWithIndex
+            .map { case (cid, i) => (id, cid, i + 1, q, qn) }
+        }
+      }.toDF("probe_id", "cent_id", "r", "pq", "pqn")
+  }
+
   /** (cos, id) in Spark's `cos DESC, id ASC` sort order, as a TOTAL
     * ordering: java.lang.Double.compare ranks NaN above every finite
     * value, exactly where a Spark window's DESC sort and DuckDB's
@@ -600,16 +630,14 @@ object Similarity {
       it.map { case (id, q, qn) => (id, routeCents(q, qn, cs, 1).head, q, qn) }
     }.toDF("vec_id", "cent_id", "q", "qn")
 
-    // query path: probe set is bounded (boundedProbes: TakeOrdered of
-    // MaxProbes rows) -> routed on the driver against the same
-    // quantizer, shipped as a broadcast local relation
-    val probeRows = boundedProbes(e.toDF())
-      .as[(Long, Array[Long], Long)].collect()
-      .sortBy(_._1)
-      .flatMap { case (pid, pq, pqn) =>
-        routeCents(pq, pqn, cents, 2).map(cid => (pid, cid, pq, pqn))
-      }.toSeq
-    val probes = probeRows.toDF("probe_id", "cent_id", "pq", "pqn")
+    // query path: probes route DISTRIBUTED against the broadcast
+    // quantizer (routeProbesDf — map-side argmin, zero driver
+    // transit) and join the assignment as a broadcast relation; the
+    // bounded probe set keeps the broadcast small, but nothing here
+    // depends on the bound — an unbounded probe stream routes the
+    // same way (the pruning-literal collect of q83 does not exist on
+    // this inline path)
+    val probes = routeProbesDf(boundedProbes(e.toDF()), cents, 2).drop("r")
 
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -913,26 +941,28 @@ object Similarity {
     * literal "each query touches nprobe/K of the data" claim made
     * physical. ORACLE: q37's SQL verbatim — the gate proves
     * index-backed == inline rebuild. */
-  /** The shared front half of q83 and q97: collects the bounded probe
+  /** The shared front half of q83 and q97: takes the bounded probe
     * set off the written index (zero query-time quantization —
     * production quantizes external queries client-side) and routes
-    * each probe to its `maxNprobe` nearest cells, route rank
-    * retained. Returns the bucketed assignment, the routed rows and
-    * the probe count. */
+    * each probe to its `maxNprobe` nearest cells DISTRIBUTED
+    * ([[routeProbesDf]] — the probes never transit the driver), route
+    * rank retained. Returns the bucketed assignment, the routed probe
+    * relation and the probed cell ids — the ONE driver-side datum,
+    * a ≤ [[IvfK]]-element distinct list that becomes the
+    * planning-time bucket-pruning literals. */
   private def ivfRoutedProbes(s: SparkSession, dir: String, maxNprobe: Int)
-      : (DataFrame, Seq[(Long, Long, Int, Array[Long], Long)], Int) = {
-    import s.implicits._
+      : (DataFrame, DataFrame, Seq[Long], Long) = {
     val cents = ivfCents(s, dir)
     val assign = ivfAssignTable(s, dir, cents)
-    val collected = boundedProbes(assign)
-      .select(col("vec_id"), col("q"), col("qn"))
-      .as[(Long, Array[Long], Long)].collect()
-      .sortBy(_._1)
-    val routes = collected.flatMap { case (pid, pq, pqn) =>
-      routeCents(pq, pqn, cents, maxNprobe).zipWithIndex
-        .map { case (cid, i) => (pid, cid, i + 1, pq, pqn) }
-    }.toSeq
-    (assign, routes, collected.length)
+    val routed = routeProbesDf(boundedProbes(assign), cents, maxNprobe)
+    // ONE bounded auxiliary action serves both driver-side needs: the
+    // ≤ IvfK distinct probed cells (pruning literals) and the probe
+    // count (q97's n_probes literal) — no extra scan in the query plan
+    val row = routed
+      .agg(collect_set(col("cent_id")).as("cells"),
+        count_distinct(col("probe_id")).as("np"))
+      .head()
+    (assign, routed, row.getSeq[Long](0).sorted, row.getLong(1))
   }
 
   /** The shared back half of q83 and q97: prunes the bucketed
@@ -957,10 +987,8 @@ object Similarity {
   }
 
   def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val (assign, routes, _) = ivfRoutedProbes(s, dir, 2)
-    val probes = routes.toDF("probe_id", "cent_id", "r", "pq", "pqn").drop("r")
-    ivfTop5(assign, probes, routes.map(_._2).distinct, Nil)
+    val (assign, routed, probedCents, _) = ivfRoutedProbes(s, dir, 2)
+    ivfTop5(assign, routed.drop("r"), probedCents, Nil)
       .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
       .orderBy("probe_id", "rnk")
   }
@@ -1318,9 +1346,10 @@ object Similarity {
     * written `graft_ivfpq` table holds (vec_id, cent_id, codes) with
     * codes encoding the RESIDUAL q − c(q) against the [[resTrain]]
     * codebook, BUCKETED by cent_id, so a query (a) routes to its
-    * nprobe=2 nearest centroids on the driver, (b) prunes to those
-    * buckets at planning time (the q83 SelectedBucketsCount
-    * mechanism), and (c) ADC-scores ONLY the surviving lists with 8
+    * nprobe=2 nearest centroids DISTRIBUTED ([[routeProbesDf]]),
+    * (b) prunes to those buckets at planning time (the q83
+    * SelectedBucketsCount mechanism), and (c) ADC-scores ONLY the
+    * surviving lists with 8
     * integer lookups per vector against a PER-(probe, probed-cell)
     * table built from the probe's residual to that cell — approximating
     * the same ||probe − vector||² as flat ADC, with within-cell
@@ -1355,38 +1384,41 @@ object Similarity {
           }
         }.toDF("vec_id", "cent_id", "codes")
     }
-    val probeRows = pqProbes(s, dir)
-    // (probe, its nprobe routed cents, per-routed-cell ADC tables
-    // from the probe's residual to that cell) — driver-side over the
-    // broadcast-scale quantizer, as in q37/q83
-    val probes: Array[(Long, Array[Long], Array[Array[Long]])] =
-      probeRows.map { case (pid, pq, pqn) =>
-        val rcs = routeCents(pq, pqn, cents, 2).toArray
-        val ts = rcs.map { cid =>
-          val cq = centById(cid)
-          adcTable(Array.tabulate(Dim)(i => pq(i) - cq(i)), train)
+    // probes route DISTRIBUTED (routeProbesDf) and their
+    // per-(probe, routed-cell) residual ADC tables are built in the
+    // SAME map-side pass — the probe vectors never transit the
+    // driver; the broadcast relation carries (probe_id, cent_id,
+    // table) and equi-joins the pruned index on cent_id, so scoring
+    // is one codegen'd join + one typed lookup pass. Probe source is
+    // the written assignment (q83's convention — zero query-time
+    // quantization, no embeddings re-read)
+    val routed = routeProbesDf(boundedProbes(assign), cents, 2)
+    val probeT = routed.select(col("probe_id"), col("cent_id"), col("pq"))
+      .as[(Long, Long, Array[Long])]
+      .mapPartitions { it =>
+        val cm = bcC.value; val cb = bcCb.value
+        it.map { case (pid, cid, pq) =>
+          (pid, cid,
+            adcTable(Array.tabulate(Dim)(i => pq(i) - cm(cid)(i)), cb).toSeq)
         }
-        (pid, rcs, ts)
-      }
-    val probedCents = probes.flatMap(_._2).distinct.toSeq
-    val bcProbes = s.sparkContext.broadcast(probes)
+      }.toDF("probe_id", "cent_id", "t")
+    // the ≤ IvfK distinct probed cells — the one driver-side datum,
+    // sized by K, feeding the planning-time bucket-pruning literals
+    val probedCents = routed.select(col("cent_id")).distinct()
+      .as[Long].collect().sorted.toSeq
     val pqK = train.length
 
     val scored = index
       .filter(col("cent_id").isin(probedCents: _*)) // bucket pruning
-      .select(col("vec_id"), col("cent_id"), col("codes"))
-      .as[(Long, Long, Seq[Int])]
+      .join(broadcast(probeT), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("codes"), col("t"))
+      .as[(Long, Long, Seq[Int], Seq[Long])]
       .mapPartitions { it =>
-        val ps = bcProbes.value
-        it.flatMap { case (id, cid, cs) =>
-          ps.iterator
-            .filter { case (pid, rcs, _) => pid != id && rcs.contains(cid) }
-            .map { case (pid, rcs, ts) =>
-              val t = ts(rcs.indexOf(cid))
-              var d = 0L; var sub = 0
-              while (sub < PqSubs) { d += t(sub * pqK + cs(sub) - 1); sub += 1 }
-              (pid, id, d)
-            }
+        it.map { case (pid, id, cs, t) =>
+          var d = 0L; var sub = 0
+          while (sub < PqSubs) { d += t(sub * pqK + cs(sub) - 1); sub += 1 }
+          (pid, id, d)
         }
       }.toDF("probe_id", "vec_id", "adist")
 
@@ -2072,18 +2104,17 @@ object Similarity {
     import s.implicits._
     val levels = Seq(1, 2, 4, 8)
     val exact5 = cosineTopK(s, dir).select(col("probe_id"), col("vec_id"))
-    // one driver-side routing at max nprobe, rank retained; the
-    // collected probe set IS the bounded probe sample, so its length
-    // is n_probes — no extra corpus aggregate needed
-    val (assign, routes, nProbesCollected) = ivfRoutedProbes(s, dir, levels.max)
-    val nProbes = nProbesCollected.toLong
-    val probes = routes.toDF("probe_id", "cent_id", "r", "pq", "pqn")
+    // one DISTRIBUTED routing at max nprobe, rank retained
+    // (ivfRoutedProbes — the probes never transit the driver); the
+    // probe count arrives with the pruning literals' bounded action,
+    // not from collected probe vectors
+    val (assign, routed, probedCents, nProbes) = ivfRoutedProbes(s, dir, levels.max)
     val lvl = levels.toDF("nprobe")
     // each route joins every level that includes it: r <= nprobe;
     // bucket pruning below keeps the level-8 union of probed cells
-    val leveled = probes.join(broadcast(lvl), col("r") <= col("nprobe"))
+    val leveled = routed.join(broadcast(lvl), col("r") <= col("nprobe"))
       .select(col("nprobe"), col("probe_id"), col("cent_id"), col("pq"), col("pqn"))
-    val hits = ivfTop5(assign, leveled, routes.map(_._2).distinct, Seq("nprobe"))
+    val hits = ivfTop5(assign, leveled, probedCents, Seq("nprobe"))
       .join(exact5, Seq("probe_id", "vec_id"), "left_semi")
       .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
     // left join FROM the level relation: a level scoring zero hits

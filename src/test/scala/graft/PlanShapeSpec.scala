@@ -270,16 +270,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(p96, "embeddings.parquet") == 4,
       s"q96 re-evaluated the exact baseline:\n$p96")
     // q97's one-plan claim: all four nprobe levels are served by ONE
-    // scan of the written bucketed assignment (bucketed, cent_id IN
-    // pushed), with zero quantization loops at query time
+    // bucket-pruned scan of the written assignment on the INDEX side;
+    // the probe side adds a second assignment read (the bounded probe
+    // set now routes DISTRIBUTED — round 8 — instead of transiting
+    // the driver, so its source scan appears in the plan) and exactly
+    // one MapPartitions: the routing pass, not a quantization loop
     val p97 = plan("q97_nprobe_curve")
-    assert(countOf(p97, "spark_catalog.default.graft_ivfassign") == 1,
-      s"q97 scanned the assignment more than once:\n$p97")
+    assert(countOf(p97, "spark_catalog.default.graft_ivfassign") == 2,
+      s"q97's assignment reads should be index side + probe side:\n$p97")
     assert(p97.contains("Bucketed: true") && p97.contains("PushedFilters: [In(cent_id"),
       s"q97 lost bucket pruning:\n$p97")
-    assert(countOf(p97, "MapPartitions") == 0, s"q97 quantized at query time:\n$p97")
+    assert(countOf(p97, "MapPartitions") == 1,
+      s"q97 should carry exactly the routing MapPartitions:\n$p97")
+    // the only local relations are the 4-row level table (joined at
+    // two points) — a collected (driver-routed) probe relation would
+    // surface as a LocalTableScan carrying probe columns
+    assert(p97.linesIterator.filter(_.contains("LocalTableScan"))
+        .forall(_.contains("[nprobe")),
+      s"q97 still ships a collected (driver-routed) probe relation:\n$p97")
     // baseline corpus + baseline probes — the probe COUNT is a driver
-    // literal (the collected probe array's length), not a third scan
+    // literal (from the pruning literals' bounded action), not a
+    // third embeddings scan
     assert(countOf(p97, "embeddings.parquet") == 2,
       s"q97 re-evaluated the exact baseline:\n$p97")
     // q98: the ADC ranking is computed once for all four shortlists

@@ -133,12 +133,33 @@ class SimilaritySpec extends SparkSpec {
     assert(sel.isDefined, s"no bucket pruning in plan:\n$plan")
     assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
       s"probe filter pruned nothing: ${sel.get.matched}")
-    // query time reads tables only — zero quantization loops
-    assert(!plan.contains("MapPartitions"),
-      s"q83 re-quantized at query time:\n$plan")
+    // query time reads tables only — the ONE MapPartitions is the
+    // DISTRIBUTED probe routing (routeProbesDf, round 8), which
+    // consumes the written index's q/qn columns — there is no
+    // quantization loop and no collected probe relation in the plan
+    assert("MapPartitions".r.findAllIn(plan).size == 1,
+      s"q83 should carry exactly the routing MapPartitions:\n$plan")
+    assert(!plan.contains("LocalTableScan"),
+      s"q83 still ships a collected (driver-routed) probe relation:\n$plan")
     // and the result is the inline rebuild's, row for row
     val inline = Similarity.annIvf(spark, sfDir).collect().map(_.toString).toSeq
     assert(df.collect().map(_.toString).toSeq == inline && inline.nonEmpty)
+  }
+
+  test("distributed probe routing equals driver-side routeCents rank for rank") {
+    val cents = Similarity.lloydCents(Similarity.trainSample(spark, sfDir)).sortBy(_._1)
+    val probes = Similarity.boundedProbes(
+      Similarity.quantizedFrom(graft.sources.Tables.embeddings(spark, sfDir)))
+    val viaDf = Similarity.routeProbesDf(probes, cents, 8)
+      .select("probe_id", "cent_id", "r")
+      .as[(Long, Long, Int)].collect().toSet
+    val viaDriver = probes.select(col("vec_id"), col("q"), col("qn"))
+      .as[(Long, Array[Long], Long)].collect()
+      .flatMap { case (pid, q, qn) =>
+        Similarity.routeCents(q, qn, cents, 8).zipWithIndex
+          .map { case (cid, i) => (pid, cid, i + 1) }
+      }.toSet
+    assert(viaDf.nonEmpty && viaDf == viaDriver)
   }
 
   test("q86 semDedup drops exactly the lower-id-matched vectors, keep-min provenance") {
