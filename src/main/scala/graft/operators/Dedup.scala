@@ -333,8 +333,11 @@ object Dedup {
         (col("n_eq").cast(DoubleType) / 16.0).as("est_j"))
   }
 
-  val minhashLshSql: String =
-    """WITH toks AS (
+  /** The tokens→shingles→signatures→bands CTE chain of the q21 oracle
+    * — factored so the q106 delete-census oracle can re-derive the
+    * band index over the surviving corpus from the SAME text. */
+  private val lshBandChainSql: String =
+    """toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
       |  FROM documents),
       |sh AS (
@@ -356,7 +359,10 @@ object Dedup {
       |  SELECT doc_id, sig, t.b AS band,
       |         array_to_string(list_transform(list_slice(sig, t.b*4+1, t.b*4+4),
       |           v -> CAST(v AS VARCHAR)), ',') AS bval
-      |  FROM sig CROSS JOIN range(0, 4) t(b)),
+      |  FROM sig CROSS JOIN range(0, 4) t(b))""".stripMargin
+
+  val minhashLshSql: String =
+    s"""WITH $lshBandChainSql,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
@@ -1359,6 +1365,142 @@ object Dedup {
        |FROM before_agg b LEFT JOIN after_agg a ON a.doc_id = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  /** q106's takedown set: doc_id ≡ [[DelRem]] (mod [[DelMod]]) on
+    * documents, vec_id likewise on embeddings — deliberately coprime
+    * to the corpus/batch split (mod 5) so the delete cuts across both
+    * standing-corpus and batch-side artifacts. */
+  private[graft] val DelMod = 7
+  private[graft] val DelRem = 3
+
+  /** One census row: artifact name, surviving row count, and an
+    * order-independent content checksum (sum of 32-bit md5 hashes of
+    * the per-row key string — BIGINT-exact, 2^32·rows ≪ 2^63). */
+  private[operators] def censusRow(name: String, df: DataFrame, key: Column): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+      coalesce(sum(hash32(key)), lit(0L)).as("checksum"))
+      .select(lit(name).as("artifact"), col("n_rows"), col("checksum"))
+
+  /** q106: TARGETED-DELETE LIFECYCLE CENSUS — the takedown/opt-out
+    * path the round-7 verdict flagged as missing from the table
+    * lifecycle. A delete-key relation (docs AND their embeddings)
+    * is applied to EVERY derived written artifact via
+    * [[Layout.deleteRewrite]] — pair graph (both endpoints), shingle
+    * index, band index, window index, IVF assignment, PQ code table,
+    * composed IVFPQ index — each rewritten as `<what>del` with its
+    * bucket spec preserved, and the census reports each artifact's
+    * surviving row count plus an order-independent content checksum.
+    *
+    * The ORACLE re-derives every artifact FROM SCRATCH over the
+    * surviving corpus (held snapshot quantizer on the ANN side — see
+    * [[Similarity.deletedAnnTables]]), so the gate itself proves
+    * delete-maintained == rebuild-on-survivors, the q82/q104
+    * contract extended to the whole artifact family. (As with q82,
+    * equality is exact in the uncapped regime the testdata is in: a
+    * hot-bucket cap that fires differently on the two decompositions
+    * is the documented exception, property-tested separately.)
+    *
+    * Scale: each rewrite is one anti join against the takedown-sized
+    * delete relation (AQE-broadcast) streaming map-side through the
+    * artifact — nothing re-shuffles, bucket specs survive, and with
+    * key-partitioned layouts only affected files rewrite (the q80
+    * dynamic-overwrite granularity). */
+  def deleteCensus(s: SparkSession, dir: String): DataFrame = {
+    val docDel = Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(DelMod)) === lit(DelRem))
+      .select(col("doc_id"))
+    val vecDel = Tables.embeddings(s, dir)
+      .filter(pmod(col("vec_id"), lit(DelMod)) === lit(DelRem))
+      .select(col("vec_id"))
+    def del(what: String, buckets: Option[(Int, Seq[String])],
+            keyCols: Seq[String])(base: => DataFrame) =
+      Layout.deleteRewrite(s, dir, what, buckets, docDel, keyCols)(base)
+    val arts: Seq[(String, DataFrame, Column)] = Seq(
+      ("pairgraph",
+        del("pairgraph", None, Seq("doc_a", "doc_b"))(pairGraph(s, dir)),
+        concat_ws("|", col("doc_a"), col("doc_b"), col("n_eq"))),
+      ("shingles",
+        del("shingles", Some((Layout.Buckets, Seq("h"))), Seq("doc_id"))(
+          shingleTable(s, dir)),
+        concat_ws("|", col("doc_id"), col("h"))),
+      ("bandindex",
+        del("bandindex", Some((Layout.Buckets, Seq("band", "bval"))), Seq("doc_id"))(
+          corpusBandIndex(s, dir)),
+        concat_ws("|", col("doc_id"), col("band"), col("bval"))),
+      ("winindex",
+        del("winindex", Some((Layout.Buckets, Seq("h"))), Seq("doc_id"))(
+          corpusWindowIndex(s, dir)),
+        concat_ws("|", col("doc_id"), col("h")))
+    ) ++ Similarity.deletedAnnTables(s, dir, vecDel)
+    arts.map { case (nm, df, key) => censusRow(nm, df, key) }
+      .reduce(_ unionByName _)
+      .orderBy("artifact")
+  }
+
+  /** The q106 oracle: every artifact re-derived from scratch over the
+    * surviving corpus. `documents` is shadowed per subquery as the
+    * survivor set (`main.documents` reaches the base relation), so
+    * the q21/q23/q78 chains run unchanged over it; the ANN rows come
+    * from [[Similarity.annDeleteCensusSql]] (held quantizer). */
+  val deleteCensusSql: String = {
+    val survivors =
+      s"documents AS (SELECT * FROM main.documents WHERE doc_id % $DelMod <> $DelRem)"
+    val corpusSurvivors =
+      s"""documents AS (SELECT * FROM main.documents
+         |              WHERE doc_id % $DelMod <> $DelRem AND doc_id % 5 <> 0)""".stripMargin
+    require(minhashLshSql.startsWith("WITH toks AS ("),
+      "minhashLshSql reworded; update deleteCensusSql surgery")
+    val pairSurv = minhashLshSql.replace("WITH toks AS (",
+      s"WITH $survivors,\ntoks AS (")
+    def h32(key: String): String =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    s"""SELECT 'pairgraph' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+       |       ${h32("CAST(doc_a AS VARCHAR) || '|' || CAST(doc_b AS VARCHAR) || '|' || CAST(n_eq AS VARCHAR)")} AS checksum
+       |FROM ($pairSurv) p
+       |UNION ALL
+       |SELECT 'shingles', CAST(count(*) AS BIGINT),
+       |       ${h32("CAST(doc_id AS VARCHAR) || '|' || CAST(h AS VARCHAR)")}
+       |FROM (
+       |  WITH $survivors,
+       |  toks AS (
+       |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |    FROM documents),
+       |  sh AS (
+       |    SELECT doc_id, CAST('0x' || substr(md5(sgl), 1, 15) AS BIGINT) AS h
+       |    FROM (
+       |      SELECT DISTINCT doc_id, sgl FROM (
+       |        SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+       |                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sgl
+       |        FROM toks WHERE len(w) >= 3) t0) t)
+       |  SELECT doc_id, h FROM sh) s
+       |UNION ALL
+       |SELECT 'bandindex', CAST(count(*) AS BIGINT),
+       |       ${h32("CAST(doc_id AS VARCHAR) || '|' || CAST(band AS VARCHAR) || '|' || bval")}
+       |FROM (
+       |  WITH $corpusSurvivors,
+       |  $lshBandChainSql
+       |  SELECT doc_id, band, bval FROM bands) b
+       |UNION ALL
+       |SELECT 'winindex', CAST(count(*) AS BIGINT),
+       |       ${h32("CAST(doc_id AS VARCHAR) || '|' || CAST(h AS VARCHAR)")}
+       |FROM (
+       |  WITH $corpusSurvivors,
+       |  toks AS (
+       |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |    FROM documents),
+       |  win AS (
+       |    SELECT doc_id, CAST('0x' || substr(md5(sgl), 1, 15) AS BIGINT) AS h
+       |    FROM (
+       |      SELECT DISTINCT doc_id, sgl FROM (
+       |        SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - ${WindowLen - 1}),
+       |                 i -> array_to_string(list_slice(w, i, i + ${WindowLen - 1}), ' '))) AS sgl
+       |        FROM toks WHERE len(w) >= $WindowLen) t0) t)
+       |  SELECT doc_id, h FROM win) w
+       |UNION ALL
+       |SELECT artifact, n_rows, checksum FROM (
+       |${Similarity.annDeleteCensusSql(DelMod, DelRem)}) a
+       |ORDER BY artifact""".stripMargin
+  }
+
   /** Near-dup clustering: connected components over the MinHash-LSH
     * pair graph — the "keep one per cluster" worklist of a dedup
     * pipeline. Output: one row per cluster (cluster id = min doc_id),
@@ -1994,5 +2136,8 @@ object Dedup {
     // incremental index maintenance == rebuild (the q82 contract)
     QueryDef("q104_winindex_update", winIndexUpdate, Some(winIndexUpdateSql)),
     QueryDef("q105_trim_fraction", trimFraction, Some(trimFractionSql)),
+    // q106's oracle rebuilds every artifact from scratch on the
+    // surviving corpus: the gate proves delete-maintained == rebuild
+    QueryDef("q106_delete_census", deleteCensus, Some(deleteCensusSql)),
   )
 }

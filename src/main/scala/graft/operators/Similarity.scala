@@ -1357,7 +1357,10 @@ object Similarity {
     * neither the full-scan cost of q90 nor the full-vector reads of
     * q37. All-BIGINT adist; the oracle composes the IVF assignment
     * and residual-PQ encoding CTEs verbatim. */
-  def ivfPq(s: SparkSession, dir: String): DataFrame = {
+  /** The written `graft_ivfpq` index table alone (residual codes,
+    * cent_id-bucketed) — factored from [[ivfPq]] so the delete
+    * lifecycle (q106) can rewrite it without running the query. */
+  private[graft] def ivfPqIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cents = ivfCents(s, dir)
     val train = resTrain(s, dir, cents)
@@ -1370,7 +1373,7 @@ object Similarity {
     val assign = ivfAssignTable(s, dir, cents)
     val bcC = s.sparkContext.broadcast(centById)
     val bcCb = s.sparkContext.broadcast(train)
-    val index = Layout.materializedTable(s, dir, "ivfpq",
+    Layout.materializedTable(s, dir, "ivfpq",
         Some((Layout.Buckets, Seq("cent_id")))) {
       // one map-only residual-encode pass over the assignment (which
       // already co-locates each vector with its cell id and payload)
@@ -1384,6 +1387,17 @@ object Similarity {
           }
         }.toDF("vec_id", "cent_id", "codes")
     }
+  }
+
+  def ivfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = ivfCents(s, dir)
+    val train = resTrain(s, dir, cents)
+    val centById = cents.map(c => (c._1, c._2)).toMap
+    val assign = ivfAssignTable(s, dir, cents)
+    val bcC = s.sparkContext.broadcast(centById)
+    val bcCb = s.sparkContext.broadcast(train)
+    val index = ivfPqIndex(s, dir)
     // probes route DISTRIBUTED (routeProbesDf) and their
     // per-(probe, routed-cell) residual ADC tables are built in the
     // SAME map-side pass — the probe vectors never transit the
@@ -1438,19 +1452,30 @@ object Similarity {
     * and its encoding (`renc`), and the probes' PER-ROUTED-CELL
     * residual ADC tables (`rpdist`). Requires `samp`, `cents`,
     * `assign` (carrying q), `proutes` and `pset`/`n`. */
-  private def residualPqSql: String =
+  private def rsampSql: String =
     s"""rsamp AS (
        |  SELECT s.vec_id,
        |         list_transform(generate_series(1, $Dim), i -> s.q[i] - c.cq[i]) AS q,
        |         s.srn
        |  FROM samp s JOIN assign a ON a.vec_id = s.vec_id
-       |  JOIN cents c ON c.cent_id = a.cent_id),
-       |${cbSqlChain("rsamp", "rp", "rcb")},
-       |rvec AS (
+       |  JOIN cents c ON c.cent_id = a.cent_id)""".stripMargin
+
+  private def rvecSql: String =
+    s"""rvec AS (
        |  SELECT a.vec_id,
        |         list_transform(generate_series(1, $Dim), i -> a.q[i] - c.cq[i]) AS q
-       |  FROM assign a JOIN cents c ON c.cent_id = a.cent_id),
-       |${pqEncSqlOver("rvec", "rcb", "renc")},
+       |  FROM assign a JOIN cents c ON c.cent_id = a.cent_id)""".stripMargin
+
+  /** The residual ENCODING chain alone (no probe-side tables) —
+    * shared by [[residualPqSql]] and the q106 census oracle. */
+  private def residualEncSql: String =
+    s"""$rsampSql,
+       |${cbSqlChain("rsamp", "rp", "rcb")},
+       |$rvecSql,
+       |${pqEncSqlOver("rvec", "rcb", "renc")}""".stripMargin
+
+  private def residualPqSql: String =
+    s"""$residualEncSql,
        |rpdist AS (
        |  SELECT pr.probe_id, pr.cent_id, c.sub, c.code,
        |         CAST(list_sum(list_transform(generate_series(1, $PqDim),
@@ -2271,6 +2296,86 @@ object Similarity {
        |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(5 * np AS DOUBLE) AS recall_at_5
        |FROM lvl l LEFT JOIN hits h ON h.shortlist = l.shortlist CROSS JOIN np
        |ORDER BY l.shortlist""".stripMargin)
+
+  /** Round-8 item 5, ANN side of the delete lifecycle (q106): the
+    * three written embedding artifacts after a targeted delete of
+    * `vecDel` (a one-column vec_id relation), as (artifact, rewritten
+    * table, checksum key) triples for [[Dedup.deleteCensus]].
+    * SNAPSHOT-QUANTIZER semantics: the trained centroids and
+    * codebooks are HELD through deletes — production IVFPQ delete
+    * removes inverted-list entries and retrains at the next snapshot
+    * build, never per takedown — so the rewritten tables equal a
+    * from-scratch re-derivation with the held quantizer over the
+    * surviving vectors, which is exactly what the census oracle
+    * computes. */
+  private[operators] def deletedAnnTables(s: SparkSession, dir: String,
+      vecDel: DataFrame): Seq[(String, DataFrame, Column)] = {
+    val cents = ivfCents(s, dir)
+    val codesKey = concat_ws(",", transform(col("codes"), c => c.cast(StringType)))
+    def del(what: String, buckets: Option[(Int, Seq[String])], base: DataFrame) =
+      Layout.deleteRewrite(s, dir, what, buckets, vecDel, Seq("vec_id"))(base)
+    Seq(
+      ("ivfassign",
+        del("ivfassign", Some((Layout.Buckets, Seq("cent_id"))),
+          ivfAssignTable(s, dir, cents)),
+        concat_ws("|", col("vec_id"), col("cent_id"))),
+      ("ivfpq",
+        del("ivfpq", Some((Layout.Buckets, Seq("cent_id"))), ivfPqIndex(s, dir)),
+        concat_ws("|", col("vec_id"), col("cent_id"), codesKey)),
+      ("pqcodes",
+        del("pqcodes", None, pqCodesTable(s, dir, pqTrain(s, dir))),
+        concat_ws("|", col("vec_id"), codesKey)))
+  }
+
+  /** The ANN rows of the q106 census oracle: re-derive the held
+    * quantizer and codebooks from the FULL corpus sample (snapshot
+    * semantics), then count/checksum only the surviving vectors'
+    * assignment, flat codes and residual codes. */
+  private[operators] def annDeleteCensusSql(delMod: Int, delRem: Int): String = mat(
+    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |      FROM q
+       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |${sampSql("n")},
+       |$trainedCentsSql,
+       |assign AS (
+       |  SELECT vec_id, cent_id, q FROM (
+       |    SELECT v.vec_id, c.cent_id, v.q,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v CROSS JOIN cents c) t
+       |  WHERE rn = 1),
+       |$trainedCbSql,
+       |$pqEncSql,
+       |$residualEncSql,
+       |ecodes AS (
+       |  SELECT vec_id, array_to_string(list(code ORDER BY sub), ',') AS ck
+       |  FROM enc GROUP BY vec_id),
+       |rcodes AS (
+       |  SELECT vec_id, array_to_string(list(code ORDER BY sub), ',') AS ck
+       |  FROM renc GROUP BY vec_id)
+       |SELECT 'ivfassign' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(coalesce(sum(CAST('0x' || substr(md5(
+       |         CAST(vec_id AS VARCHAR) || '|' || CAST(cent_id AS VARCHAR)
+       |       ), 1, 8) AS BIGINT)), 0) AS BIGINT) AS checksum
+       |FROM assign WHERE vec_id % $delMod <> $delRem
+       |UNION ALL
+       |SELECT 'ivfpq', CAST(count(*) AS BIGINT),
+       |       CAST(coalesce(sum(CAST('0x' || substr(md5(
+       |         CAST(a.vec_id AS VARCHAR) || '|' || CAST(a.cent_id AS VARCHAR) || '|' || r.ck
+       |       ), 1, 8) AS BIGINT)), 0) AS BIGINT)
+       |FROM assign a JOIN rcodes r ON r.vec_id = a.vec_id
+       |WHERE a.vec_id % $delMod <> $delRem
+       |UNION ALL
+       |SELECT 'pqcodes', CAST(count(*) AS BIGINT),
+       |       CAST(coalesce(sum(CAST('0x' || substr(md5(
+       |         CAST(vec_id AS VARCHAR) || '|' || ck
+       |       ), 1, 8) AS BIGINT)), 0) AS BIGINT)
+       |FROM ecodes WHERE vec_id % $delMod <> $delRem""".stripMargin)
 
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),

@@ -36,6 +36,10 @@ object Layout {
   private def tag(dir: String): String =
     java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
 
+  /** Catalog name of a [[materializedTable]] artifact (spec surface). */
+  private[graft] def tableName(dir: String, what: String): String =
+    s"graft_${what}_${tag(dir)}"
+
   /** Write-once gate, WEAKLY keyed by session: a long-running
     * multi-session driver stops sessions and builds new ones, and a
     * strongly-keyed map would pin every dead session (and through it
@@ -89,6 +93,30 @@ object Layout {
     }
     s.table(name)
   }
+
+  /** TARGETED-DELETE rewrite of a written artifact (round-8 item 5 —
+    * the takedown/opt-out path): the surviving table is the artifact
+    * LEFT ANTI the delete-key relation on every key column it carries,
+    * written under `<what>del` with the SAME bucket spec, so every
+    * downstream plan property (bucket pruning, zero-exchange joins)
+    * survives the delete verbatim. The anti join is the 100 TB shape:
+    * the delete set is takedown-sized (AQE broadcasts it), the
+    * artifact streams through map-side, and nothing re-shuffles —
+    * with a partitioned/bucketed-on-key layout a production job
+    * rewrites only the affected partitions' files (the q80 dynamic-
+    * overwrite mechanism), which changes the write granularity, not
+    * the plan. Derived-table consistency is the caller's contract:
+    * `Dedup.deleteCensus` (q106) rewrites every derived artifact from
+    * one delete relation and the gate proves the result equals a
+    * from-scratch build over the surviving corpus. */
+  private[graft] def deleteRewrite(s: SparkSession, dir: String, what: String,
+      buckets: Option[(Int, Seq[String])], keys: DataFrame,
+      keyCols: Seq[String])(base: => DataFrame): DataFrame =
+    materializedTable(s, dir, what + "del", buckets) {
+      keyCols.foldLeft(base) { (df, kc) =>
+        df.join(keys.toDF(kc), Seq(kc), "left_anti")
+      }
+    }
 
   /** Bucketed-by-orderkey lineitem + orders, written once per
     * (session, dir), re-read from the catalog. sortBy additionally
