@@ -94,6 +94,86 @@ object Layout {
     s.table(name)
   }
 
+  /** Bits per dimension of the Z-ORDER documents layout: 2 bits of
+    * the doc_id rank × 2 bits of the 60-bit text hash → 16 interleaved
+    * grid cells, one partition directory each. At 100 TB the grid is
+    * deeper (e.g. 8×8 bits → 64k cells sized to ~files), which changes
+    * the constant, not the mechanics. */
+  private[graft] val ZBitsPerDim = 2
+
+  /** Interleaved-bit (Morton / Z-order) cell id from two per-dimension
+    * bucket ids in [0, 2^bits): dimension-a bits land on the odd
+    * positions, dimension-b on the even. */
+  private[graft] def zCell(aBucket: Int, bBucket: Int, bits: Int = ZBitsPerDim): Int =
+    (0 until bits).map { j =>
+      (((aBucket >> j) & 1) << (2 * j + 1)) | (((bBucket >> j) & 1) << (2 * j))
+    }.sum
+
+  /** All cells whose HASH-dimension bits equal `hTop` (a hash-range
+    * scan's partition set — 2^bits of the 4^bits cells). */
+  private[graft] def zCellsForHashTop(hTop: Int): Seq[Int] =
+    (0 until (1 << ZBitsPerDim)).map(i => zCell(i, hTop))
+
+  /** All cells whose ID-dimension bits equal `iTop` (an ingest-range
+    * scan's partition set). */
+  private[graft] def zCellsForIdTop(iTop: Int): Seq[Int] =
+    (0 until (1 << ZBitsPerDim)).map(h => zCell(iTop, h))
+
+  /** The top [[ZBitsPerDim]] bits of a 60-bit text hash. */
+  private[graft] def hashTopOf(nh: Long): Int =
+    ((nh >> (60 - ZBitsPerDim)) & ((1 << ZBitsPerDim) - 1)).toInt
+
+  /** The top [[ZBitsPerDim]] bits of a doc id's position in [0, maxId]. */
+  private[graft] def idTopOf(id: Long, maxId: Long): Int =
+    math.min((1 << ZBitsPerDim) - 1,
+      (id * (1L << ZBitsPerDim) / (maxId + 1)).toInt)
+
+  /** Z-ORDER CLUSTERED documents layout (round-8 item 7 — SURVEY §9's
+    * "z-ordering on the dedup keys" made code): documents plus their
+    * exact-dedup hash `nh`, written partitioned by the interleaved
+    * cell of (doc_id rank, nh top bits) and zk-sorted within each
+    * cell. A single-column sort can serve ONE predicate family; the
+    * interleaved layout keeps BOTH the ingest dimension (doc_id
+    * ranges — time-windowed reprocessing) and the dedup dimension
+    * (nh ranges / probe sets — incremental exact dedup, q43's shape)
+    * prunable from the same copy: either predicate maps to 2^bits of
+    * the 4^bits cells, so either scan reads ~1/2^bits of the files
+    * (planning-time PartitionFilters — `ZorderLayoutSpec` pins the
+    * numFiles metric and result invariance). */
+  def zorderedDocs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Fns
+    val path = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_docs_zorder_${tag(dir)}"
+    once(s, dir, "docs_zorder") {
+      val docs = Tables.documents(s, dir)
+        .withColumn("nh", Fns.hash60(Fns.normText(col("text"))))
+      // the id-dimension bucket needs the id range — one 1-value agg,
+      // the incrementalEvents day-listing precedent
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val bits = ZBitsPerDim
+      val idB = least(lit((1 << bits) - 1),
+        (col("doc_id") * lit(1L << bits) / lit(maxId + 1)).cast("int"))
+      val hB = shiftright(col("nh"), 60 - bits)
+        .bitwiseAND(lit((1 << bits) - 1)).cast("int")
+      val zb = (0 until bits).map { j =>
+        (shiftright(idB, j).bitwiseAND(lit(1)) * lit(1 << (2 * j + 1))) +
+          (shiftright(hB, j).bitwiseAND(lit(1)) * lit(1 << (2 * j)))
+      }.reduce(_ + _)
+      // full-precision interleave of (id position, hash) for the
+      // within-cell sort — row groups inside a cell stay clustered too
+      val idFine = (col("doc_id") * lit(1L << 20) / lit(maxId + 1)).cast("long")
+      val zkFine = (0 until 20).map { j =>
+        (shiftright(idFine, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1))) +
+          (shiftright(col("nh"), 40 + j).bitwiseAND(lit(1L)) * lit(1L << (2 * j)))
+      }.reduce(_ + _)
+      docs.withColumn("zb", zb).withColumn("zk", zkFine)
+        .repartition(1 << (2 * bits), col("zb"))
+        .sortWithinPartitions(col("zk"))
+        .drop("zk")
+        .write.mode("overwrite").partitionBy("zb").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** TARGETED-DELETE rewrite of a written artifact (round-8 item 5 —
     * the takedown/opt-out path): the surviving table is the artifact
     * LEFT ANTI the delete-key relation on every key column it carries,
