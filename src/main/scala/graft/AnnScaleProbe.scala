@@ -15,7 +15,7 @@ import graft.sources.{Layout, Tables}
   * probed-bucket rows, while q37's inline rebuild re-quantizes and
   * re-assigns the WHOLE corpus per query and tracks corpus size.
   *
-  * Setup per k (k = 1, 2, 4, 8 corpus replicas, disjoint vec_id
+  * Setup per k (k = 1, 4, 16, 64 corpus replicas, disjoint vec_id
   * ranges): the coarse quantizer is trained ONCE on the base snapshot
   * and FROZEN (the q91 incremental-growth model — replicas arrive
   * under the standing quantizer), and the k-replica assignment is

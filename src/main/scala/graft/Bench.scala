@@ -86,10 +86,17 @@ object Bench {
     // ALSO written as a file artifact — the versioned data source for
     // round-over-round per-query diffs (committed as BENCHTABLE_r{N}
     // .json; BASELINE.md's table is generated from it).
+    // The file artifact additionally carries the control query's time
+    // and control-normalized per-query ratios (BenchReport.tableJson)
+    // so cross-round diffs can cancel uniform host drift.
     val tablePath = sys.env.getOrElse("SPARK_GRAFT_BENCHTABLE", "BENCHTABLE_latest.json")
     if (tablePath.nonEmpty) {
-      val full = lines.find(_.contains("\"queries_inline\":true")).getOrElse(lines.last)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(tablePath), full + "\n")
+      val p = java.nio.file.Paths.get(tablePath).toAbsolutePath
+      java.nio.file.Files.writeString(p,
+        BenchReport.tableJson(results, passes, sfDir, setupSec, capsFired.length.toLong) + "\n")
+      // cwd-relative default: make the artifact discoverable whatever
+      // directory the bench ran from (round-7 advice)
+      System.err.println(s"[bench] wrote per-query table artifact: $p")
     }
     spark.stop()
   }

@@ -43,4 +43,36 @@ object BenchReport {
     val (full, short) = (line(true), line(false))
     if (full.length < MaxLastLineChars) Seq(short, full) else Seq(full, short)
   }
+
+  /** The control query for drift normalization: q01 touches none of
+    * the round-over-round work surfaces, so its movement between two
+    * runs measures the HOST, not the engine (round 7's driver run
+    * carried ~1.6× uniform drift that made raw cross-round deltas
+    * meaningless — the round-7 verdict's item 4). */
+  val ControlQuery = "q01_delay_avg"
+
+  /** The BENCHTABLE file artifact (NOT the stdout contract — the
+    * driver's tail budget never sees this): the stdout fields plus the
+    * control query's time and every query's control-normalized ratio,
+    * so `tools/benchtable.py --diff` can separate real per-query
+    * regressions from uniform host drift mechanically. */
+  def tableJson(results: Seq[(String, Double)], passes: Int, sfDir: String,
+                setupSec: Double, capsFired: Long = 0L): String = {
+    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val controlSec = results.collectFirst {
+      case (ControlQuery, t) if t > 0 => t
+    }.getOrElse(-1.0)
+    val norm =
+      if (controlSec <= 0) "{}"
+      else results.map { case (k, v) =>
+        "\"" + k + "\":" + f3(if (v < 0) -1.0 else v / controlSec)
+      }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes""" +
+      s""","setup_sec":${f3(setupSec)},"caps_fired":$capsFired""" +
+      s""","control":"$ControlQuery","control_sec":${f3(controlSec)}""" +
+      s""","queries":$qs,"queries_norm":$norm""" +
+      s""","sf":"$sfDir"}"""
+  }
 }

@@ -35,8 +35,17 @@ final class CapTripwire extends QueryExecutionListener {
     qe.observedMetrics.foreach { case (name, row) =>
       if (name.startsWith("graft.cap(")) {
         // schema is (hot_count, excluded_sum) with site-specific field
-        // names — any positive value means the cap excluded data
-        val vals = (0 until row.length).map(i => row.getLong(i))
+        // names — any positive value means the cap excluded data.
+        // Match numeric types DEFENSIVELY: a future cap site emitting a
+        // non-Long field would otherwise throw inside the listener, be
+        // swallowed by the bus, and silently disable the tripwire
+        // (round-7 advice); non-numeric fields count as 0, never as a
+        // crash
+        val vals = (0 until row.length).map(i => row.get(i) match {
+          case l: Long => l
+          case n: Int => n.toLong
+          case _ => 0L
+        })
         if (vals.exists(_ > 0L))
           fired.add(s"$name ${row.schema.fieldNames.zip(vals).map { case (f, v) => s"$f=$v" }.mkString(" ")}")
       }
@@ -47,8 +56,14 @@ final class CapTripwire extends QueryExecutionListener {
   /** Remove and return everything observed so far, after flushing the
     * async listener bus so nothing attributable is still in flight. */
   def drain(spark: SparkSession): Seq[String] = {
+    // catch the bus's own timeout specifically (a stuck listener) and
+    // fall back to a settle sleep; an interrupt must NOT be swallowed —
+    // re-set the flag so the caller's cancellation still lands
     try org.apache.spark.graftshim.BusFlush.waitEmpty(spark.sparkContext)
-    catch { case _: Throwable => Thread.sleep(50L) } // stuck bus: best-effort settle
+    catch {
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case _: java.util.concurrent.TimeoutException => Thread.sleep(50L)
+    }
     Iterator.continually(fired.poll()).takeWhile(_ != null).toSeq
   }
 }

@@ -80,4 +80,28 @@ class BenchTailSpec extends AnyFunSuite {
       .map(mapper.readTree)
     assert(a.get("caps_fired").asLong() == 2L && b.get("caps_fired").asLong() == 2L)
   }
+
+  test("table artifact carries the control time and control-normalized ratios") {
+    val rs = Seq(
+      BenchReport.ControlQuery -> 0.25,
+      "q07_priority_revenue" -> 0.75,
+      "q96_ann_recall" -> 2.0,
+      "q99_failed" -> -1.0)
+    val node = mapper.readTree(BenchReport.tableJson(rs, 3, "/tmp/x", 30.0, 0L))
+    assert(node.get("control").asText() == BenchReport.ControlQuery)
+    assert(node.get("control_sec").asDouble() == 0.25)
+    val norm = node.get("queries_norm")
+    assert(norm.get(BenchReport.ControlQuery).asDouble() == 1.0)
+    assert(norm.get("q07_priority_revenue").asDouble() == 3.0)
+    assert(norm.get("q96_ann_recall").asDouble() == 8.0)
+    // failed executions stay pinned at -1 in both forms
+    assert(norm.get("q99_failed").asDouble() == -1.0)
+    assert(node.get("queries").get("q99_failed").asDouble() == -1.0)
+    // a run whose control itself failed emits no normalized map at all
+    // rather than ratios against a bogus denominator
+    val noCtl = mapper.readTree(BenchReport.tableJson(
+      Seq("q07_priority_revenue" -> 0.75), 3, "/tmp/x", 0.0, 0L))
+    assert(noCtl.get("control_sec").asDouble() == -1.0)
+    assert(noCtl.get("queries_norm").size() == 0)
+  }
 }

@@ -1,21 +1,30 @@
 #!/usr/bin/env python3
-"""Generate BASELINE.md's per-query markdown table from a committed
-BENCHTABLE_r{N}.json (the builder's parsed median-of-3 bench output).
+"""Render and diff the committed BENCHTABLE_r{N}.json artifacts (the
+builder's parsed median-of-3 bench output).
 
 Usage:
-    python3 tools/benchtable.py BENCHTABLE_r07.json
+    python3 tools/benchtable.py BENCHTABLE_r08.json
+        Prints the two-column `| query | sec | query | sec |` markdown
+        table; paste it under the round's section in BASELINE.md. The
+        JSON artifact is the versioned source of truth — the markdown
+        is a rendering, never hand-edited.
 
-Prints the two-column `| query | sec | query | sec |` table to stdout;
-paste it under the round's section in BASELINE.md. The JSON artifact is
-the versioned source of truth for round-over-round per-query diffs —
-the markdown is a rendering, never hand-edited.
+    python3 tools/benchtable.py --diff OLD.json NEW.json [threshold]
+        Flags per-query regressions MECHANICALLY, corrected for uniform
+        host drift: when both artifacts carry `queries_norm` (round 8+,
+        each query's time divided by the control query's time in the
+        same run), the comparison is norm-vs-norm, so a run that is
+        uniformly 1.6x slower because of host load flags nothing.
+        Raw-seconds ratios are shown alongside for context. Artifacts
+        without `queries_norm` fall back to raw ratios with a warning.
+        Default threshold: 1.5x normalized.
 """
 import json
 import sys
 
 
-def main():
-    with open(sys.argv[1]) as f:
+def render(path):
+    with open(path) as f:
         t = json.load(f)
     qs = sorted(t["queries"].items())
     half = (len(qs) + 1) // 2
@@ -26,6 +35,54 @@ def main():
         l = f"| {left[i][0]} | {left[i][1]} |"
         r = f" {right[i][0]} | {right[i][1]} |" if i < len(right) else "  |  |"
         print(l + r)
+
+
+def diff(old_path, new_path, threshold):
+    with open(old_path) as f:
+        old = json.load(f)
+    with open(new_path) as f:
+        new = json.load(f)
+    use_norm = bool(old.get("queries_norm")) and bool(new.get("queries_norm"))
+    if not use_norm:
+        print("WARNING: missing queries_norm in an artifact; "
+              "raw-seconds ratios only (host drift NOT cancelled)")
+    o = old["queries_norm"] if use_norm else old["queries"]
+    n = new["queries_norm"] if use_norm else new["queries"]
+    kind = "normalized" if use_norm else "raw"
+    flagged = 0
+    for q in sorted(set(o) & set(n)):
+        ov, nv = o[q], n[q]
+        if ov <= 0 or nv <= 0:
+            print(f"SKIP  {q}: failed execution in a run (old={ov} new={nv})")
+            continue
+        ratio = nv / ov
+        if ratio >= threshold:
+            raw = ""
+            if use_norm:
+                ro, rn = old["queries"].get(q), new["queries"].get(q)
+                raw = f" (raw {ro} -> {rn} s)"
+            print(f"REGR  {q}: {kind} {ov} -> {nv} ({ratio:.2f}x){raw}")
+            flagged += 1
+    only_old = sorted(set(o) - set(n))
+    only_new = sorted(set(n) - set(o))
+    if only_new:
+        print(f"NEW   {len(only_new)} queries: {', '.join(only_new)}")
+    if only_old:
+        print(f"GONE  {len(only_old)} queries: {', '.join(only_old)}")
+    if use_norm:
+        print(f"control: {old.get('control')} "
+              f"{old.get('control_sec')} -> {new.get('control_sec')} s "
+              f"(uniform host factor cancelled)")
+    print(f"== {flagged} regressions >= {threshold}x {kind} ==")
+
+
+def main():
+    args = sys.argv[1:]
+    if args and args[0] == "--diff":
+        threshold = float(args[3]) if len(args) > 3 else 1.5
+        diff(args[1], args[2], threshold)
+    else:
+        render(args[0])
 
 
 if __name__ == "__main__":
