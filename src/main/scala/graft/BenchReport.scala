@@ -28,15 +28,27 @@ object BenchReport {
     * budget, the guaranteed-short total-only line goes last and the
     * full line rides earlier in the stream (recoverable from logs,
     * and partially from the tail buffer itself). */
+  /** The shared field fragments of the stdout lines AND the file
+    * artifact — factored so the two renderings cannot drift in how
+    * they compute the total or render the per-query map. */
+  private def totalOf(results: Seq[(String, Double)]): Double =
+    results.map(_._2).sum
+
+  private def queryMap(results: Seq[(String, Double)]): String =
+    results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+
+  private def headFields(results: Seq[(String, Double)], passes: Int,
+                         setupSec: Double, capsFired: Long): String =
+    s""""metric":"total","value":${f3(totalOf(results))},"unit":"sec","passes":$passes""" +
+      s""","setup_sec":${f3(setupSec)},"caps_fired":$capsFired"""
+
   def lines(results: Seq[(String, Double)], passes: Int, sfDir: String,
             setupSec: Double, capsFired: Long = 0L): Seq[String] = {
-    val total = results.map(_._2).sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    val qs = queryMap(results)
     def line(withQueries: Boolean): String = {
       val qpart = if (withQueries) s""","queries":$qs""" else ""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes""" +
-        s""","setup_sec":${f3(setupSec)},"caps_fired":$capsFired""" +
+      s"""{${headFields(results, passes, setupSec, capsFired)}""" +
         s""","queries_inline":$withQueries$qpart""" +
         s""","sf":"$sfDir"}"""
     }
@@ -58,9 +70,6 @@ object BenchReport {
     * regressions from uniform host drift mechanically. */
   def tableJson(results: Seq[(String, Double)], passes: Int, sfDir: String,
                 setupSec: Double, capsFired: Long = 0L): String = {
-    val total = results.map(_._2).sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
     val controlSec = results.collectFirst {
       case (ControlQuery, t) if t > 0 => t
     }.getOrElse(-1.0)
@@ -69,10 +78,9 @@ object BenchReport {
       else results.map { case (k, v) =>
         "\"" + k + "\":" + f3(if (v < 0) -1.0 else v / controlSec)
       }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes""" +
-      s""","setup_sec":${f3(setupSec)},"caps_fired":$capsFired""" +
+    s"""{${headFields(results, passes, setupSec, capsFired)}""" +
       s""","control":"$ControlQuery","control_sec":${f3(controlSec)}""" +
-      s""","queries":$qs,"queries_norm":$norm""" +
+      s""","queries":${queryMap(results)},"queries_norm":$norm""" +
       s""","sf":"$sfDir"}"""
   }
 }

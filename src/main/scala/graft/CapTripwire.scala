@@ -42,8 +42,10 @@ final class CapTripwire extends QueryExecutionListener {
         // (round-7 advice); non-numeric fields count as 0, never as a
         // crash
         val vals = (0 until row.length).map(i => row.get(i) match {
-          case l: Long => l
-          case n: Int => n.toLong
+          // any numeric field counts (ceil: a fractional excluded sum
+          // still flags); only genuinely non-numeric fields degrade to
+          // 0 instead of crashing inside the swallowed listener
+          case n: java.lang.Number => math.ceil(n.doubleValue()).toLong
           case _ => 0L
         })
         if (vals.exists(_ > 0L))

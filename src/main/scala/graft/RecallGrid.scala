@@ -23,13 +23,8 @@ object RecallGrid {
   private def hash60(id: Long): Long =
     java.lang.Long.parseLong(md5hex(id.toString).substring(0, 15), 16)
 
-  // (cos desc, id asc) and (dist asc, id asc) total orders
-  private val byCos: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
-    def compare(a: (Double, Long), b: (Double, Long)): Int = {
-      val c = java.lang.Double.compare(b._1, a._1)
-      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-    }
-  }
+  // the product total orders: cosDescIdAsc IS the queries' comparator
+  private val byCos: Ordering[(Double, Long)] = Similarity.cosDescIdAsc
   private val byDist: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
     def compare(a: (Long, Long), b: (Long, Long)): Int = {
       val c = java.lang.Long.compare(a._1, b._1)
@@ -39,27 +34,6 @@ object RecallGrid {
 
   private def top5Ids[T](xs: Seq[(T, Long)])(implicit ord: Ordering[(T, Long)]): Set[Long] =
     xs.sorted(ord).take(5).map(_._2).toSet
-
-  private def encode(q: Array[Long], cb: Array[(Long, Array[Long])], pqK: Int): Array[Int] = {
-    val cs = new Array[Int](Similarity.PqSubs)
-    var sub = 0
-    while (sub < Similarity.PqSubs) {
-      var best = 0; var bestD = Long.MaxValue
-      var c = 0
-      while (c < pqK) {
-        var d = 0L; var i = 0
-        while (i < Similarity.PqDim) {
-          val diff = q(sub * Similarity.PqDim + i) - cb(c)._2(sub * Similarity.PqDim + i)
-          d += diff * diff; i += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      cs(sub) = best + 1
-      sub += 1
-    }
-    cs
-  }
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")).getOrCreate()
@@ -98,10 +72,10 @@ object RecallGrid {
           })(byCos)
         }.toMap
         val centById = cents.map(c => c._1 -> c).toMap
-        val adaptive = math.max(16, math.min(256, sample.length / 8))
+        val adaptive = Similarity.pqKOf(sample.length)
         for (pqK <- args.lift(1).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(16, 64, adaptive, 256)).distinct) {
           val cb = Similarity.lloydCodebook(sample, pqK, iters)
-          val codes: Array[(Long, Array[Int])] = e.map { case (id, q, _) => (id, encode(q, cb, pqK)) }
+          val codes: Array[(Long, Array[Int])] = e.map { case (id, q, _) => (id, Similarity.pqEncode(q, cb)) }
           val eById = e.map(t => t._1 -> t).toMap
           def adist(t: Array[Long], cs: Array[Int]): Long = {
             var d = 0L; var sub = 0
@@ -163,7 +137,7 @@ object RecallGrid {
           val resCb = Similarity.lloydCodebook(resSample, pqK, iters)
           val resCodes: Map[Long, Array[Int]] = e.map { case (id, q, _) =>
             val cq = centById(assign(id))._2
-            id -> encode(Array.tabulate(Similarity.Dim)(i => q(i) - cq(i)), resCb, pqK)
+            id -> Similarity.pqEncode(Array.tabulate(Similarity.Dim)(i => q(i) - cq(i)), resCb)
           }.toMap
           val ripq5 = probes.map { case (pid, pq, _) =>
             val cand = routes(pid).toSeq.flatMap { cid =>

@@ -276,7 +276,7 @@ object Similarity {
     * ORDER BY DESC place it. Scala tuple Orderings on Double are not
     * total under NaN (sortWith/sortBy can throw or order
     * nondeterministically). */
-  private[operators] object cosDescIdAsc extends Ordering[(Double, Long)] {
+  private[graft] object cosDescIdAsc extends Ordering[(Double, Long)] {
     // a nested object, not an anonymous class: no $outer reference to
     // the enclosing (non-serializable) object, so closures can use it
     def compare(a: (Double, Long), b: (Double, Long)): Int = {

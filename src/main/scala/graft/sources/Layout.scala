@@ -150,8 +150,13 @@ object Layout {
       // the incrementalEvents day-listing precedent
       val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
       val bits = ZBitsPerDim
+      // EXACT integral division (`div`, never `/`): the reader-side
+      // cell contract ([[idTopOf]]) truncates with long division, and
+      // a double quotient rounding up across an integer boundary at
+      // large id magnitudes would write a row into cell k+1 while the
+      // pruner computes k — the Tables.events ULP rule applies here
       val idB = least(lit((1 << bits) - 1),
-        (col("doc_id") * lit(1L << bits) / lit(maxId + 1)).cast("int"))
+        expr(s"doc_id * ${1L << bits} div ${maxId + 1}").cast("int"))
       val hB = shiftright(col("nh"), 60 - bits)
         .bitwiseAND(lit((1 << bits) - 1)).cast("int")
       val zb = (0 until bits).map { j =>
@@ -159,8 +164,11 @@ object Layout {
           (shiftright(hB, j).bitwiseAND(lit(1)) * lit(1 << (2 * j)))
       }.reduce(_ + _)
       // full-precision interleave of (id position, hash) for the
-      // within-cell sort — row groups inside a cell stay clustered too
-      val idFine = (col("doc_id") * lit(1L << 20) / lit(maxId + 1)).cast("long")
+      // within-cell sort — row groups inside a cell stay clustered
+      // too. Sort-only precision: id*2^20 needs doc_id < 2^43; a
+      // deployment with a wider id space narrows the multiplier
+      // (changes row-group locality, never cell membership)
+      val idFine = expr(s"doc_id * ${1L << 20} div ${maxId + 1}").cast("long")
       val zkFine = (0 until 20).map { j =>
         (shiftright(idFine, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1))) +
           (shiftright(col("nh"), 40 + j).bitwiseAND(lit(1L)) * lit(1L << (2 * j)))
@@ -191,12 +199,18 @@ object Layout {
     * from-scratch build over the surviving corpus. */
   private[graft] def deleteRewrite(s: SparkSession, dir: String, what: String,
       buckets: Option[(Int, Seq[String])], keys: DataFrame,
-      keyCols: Seq[String])(base: => DataFrame): DataFrame =
+      keyCols: Seq[String])(base: => DataFrame): DataFrame = {
+    // force the (usually materializedTable-gated) base BEFORE entering
+    // the del table's own once-gate: a nested computeIfAbsent on the
+    // same per-session gate map is the bin-collision-dependent
+    // "Recursive update" hazard documented at Similarity.ivfPqIndex
+    val b = base
     materializedTable(s, dir, what + "del", buckets) {
-      keyCols.foldLeft(base) { (df, kc) =>
+      keyCols.foldLeft(b) { (df, kc) =>
         df.join(keys.toDF(kc), Seq(kc), "left_anti")
       }
     }
+  }
 
   /** Bucketed-by-orderkey lineitem + orders, written once per
     * (session, dir), re-read from the catalog. sortBy additionally

@@ -46,10 +46,13 @@ class ZorderLayoutSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(hPruned.select("doc_id").as[Long].collect().toSet == hWant && hWant.nonEmpty)
 
-    // id dimension: the second quarter of the id range
+    // id dimension: the second quarter of the id range — the cell set
+    // comes from the reader-side contract (idTopOf must agree with the
+    // writer's exact integral division on both endpoints)
     val maxId = raw.agg(max(col("doc_id"))).head().getLong(0)
     val idLo = (maxId + 1) / 4
     val idHi = (maxId + 1) / 2
+    assert(Layout.idTopOf(idLo, maxId) == 1 && Layout.idTopOf(idHi - 1, maxId) == 1)
     val iPruned = z.filter(col("zb").isInCollection(Layout.zCellsForIdTop(1)) &&
       col("doc_id") >= idLo && col("doc_id") < idHi)
     val iFiles = scanFiles(iPruned)
