@@ -54,7 +54,8 @@ object AnnScaleProbe {
       .reduce(_ union _)
 
     // the frozen coarse quantizer: trained once on the base snapshot
-    val cents = Similarity.lloydCents(Similarity.trainSample(spark, dir)).sortBy(_._1)
+    val cents = Similarity.lloydCents(
+      Similarity.trainSample(spark, dir), Similarity.ivfK(spark, dir)).sortBy(_._1)
     val bcCents = spark.sparkContext.broadcast(cents)
 
     def assignFrom(c: DataFrame): DataFrame =

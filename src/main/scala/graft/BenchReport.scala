@@ -18,7 +18,8 @@ object BenchReport {
   /** Locale-independent shortest-repr 3-decimal rendering (keeps the
     * full per-query line ~2 KB instead of the ~3.3 KB that raw
     * `Double.toString` of nanoTime ratios produced). */
-  def f3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+  def r3(v: Double): Double = math.rint(v * 1000) / 1000
+  def f3(v: Double): String = r3(v).toString
 
   /** The two report lines in PRINT ORDER — the last is what the
     * driver's tail parse finds first. Both carry `queries_inline` so
@@ -70,13 +71,18 @@ object BenchReport {
     * regressions from uniform host drift mechanically. */
   def tableJson(results: Seq[(String, Double)], passes: Int, sfDir: String,
                 setupSec: Double, capsFired: Long = 0L): String = {
+    // norms are computed from the SAME f3-rounded seconds rendered
+    // into `queries`, so an independent recomputation of
+    // queries[q]/control_sec from the artifact reproduces queries_norm
+    // exactly (round-8 advice: pre-rounding norms disagreed with the
+    // stored seconds by up to ~1%)
     val controlSec = results.collectFirst {
-      case (ControlQuery, t) if t > 0 => t
+      case (ControlQuery, t) if t > 0 => r3(t)
     }.getOrElse(-1.0)
     val norm =
       if (controlSec <= 0) "{}"
       else results.map { case (k, v) =>
-        "\"" + k + "\":" + f3(if (v < 0) -1.0 else v / controlSec)
+        "\"" + k + "\":" + f3(if (v < 0) -1.0 else r3(v) / controlSec)
       }.mkString("{", ",", "}")
     s"""{${headFields(results, passes, setupSec, capsFired)}""" +
       s""","control":"$ControlQuery","control_sec":${f3(controlSec)}""" +

@@ -58,13 +58,16 @@ final class CapTripwire extends QueryExecutionListener {
   /** Remove and return everything observed so far, after flushing the
     * async listener bus so nothing attributable is still in flight. */
   def drain(spark: SparkSession): Seq[String] = {
-    // catch the bus's own timeout specifically (a stuck listener) and
-    // fall back to a settle sleep; an interrupt must NOT be swallowed —
-    // re-set the flag so the caller's cancellation still lands
+    // the flush is best-effort: ANY failure of the private-API call —
+    // the bus's own timeout (a stuck listener), a stopped-context
+    // state exception, or a Spark-internal change — degrades to the
+    // settle sleep rather than crashing the bench/verify caller. An
+    // interrupt must NOT be swallowed — re-set the flag so the
+    // caller's cancellation still lands
     try org.apache.spark.graftshim.BusFlush.waitEmpty(spark.sparkContext)
     catch {
       case _: InterruptedException => Thread.currentThread().interrupt()
-      case _: java.util.concurrent.TimeoutException => Thread.sleep(50L)
+      case scala.util.control.NonFatal(_) => Thread.sleep(50L)
     }
     Iterator.continually(fired.poll()).takeWhile(_ != null).toSeq
   }

@@ -45,7 +45,7 @@ object RecallGrid {
         .select(col("vec_id"), col("q"), col("qn"))
         .as[(Long, Array[Long], Long)].collect().sortBy(_._1)
       val sample = e.map { case (id, q, qn) => ((hash60(id), id), (id, q, qn)) }
-        .sortBy(_._1).map(_._2).take(Similarity.TrainSample)
+        .sortBy(_._1).map(_._2).take(Similarity.trainNOf(e.length.toLong))
       val probes = e.filter(_._1 % 100 == 0).sortBy(_._1).take(Similarity.MaxProbes)
       val np = probes.length
       val exact5: Map[Long, Set[Long]] = probes.map { case (pid, pq, pqn) =>
@@ -57,8 +57,9 @@ object RecallGrid {
         sets.map { case (pid, s) => (s & exact5(pid)).size }.sum.toDouble / (5.0 * np)
 
       for (iters <- args.lift(0).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(2, 4, 8, 16))) {
-        // IVF at these iters (K fixed)
-        val cents = Similarity.lloydCents(sample, Similarity.IvfK, iters)
+        // IVF at these iters (K = the snapshot-adaptive capacity the
+        // queries would compile in: clamp(ceil(sqrt(n)), [16, 1024]))
+        val cents = Similarity.lloydCents(sample, Similarity.ivfKOf(e.length.toLong), iters)
         val assign: Map[Long, Long] = e.map { case (id, q, qn) =>
           id -> Similarity.routeCents(q, qn, cents, 1).head
         }.toMap

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Round-9 item 6: ONE sf1-class bench point for the headline queries
+  * (q01 agg, q15 window, q21 LSH, q78 span, q83 indexed ANN, q87
+  * bigram LM, q96 recall harness) — the per-round sf0.1 bench cannot
+  * catch a plan that flips to a broadcast/cartesian shape only past a
+  * size threshold (AQE thresholds are absolute bytes, not fractions).
+  *
+  * Builds a k=10 replica of the sf0.1 snapshot (~6M lineitem rows /
+  * 50k documents / 20k embeddings) as plain parquet under /tmp —
+  * /root/testdata is read-only — with the scale-probe replication
+  * discipline: fact keys offset per replica; every document token
+  * suffixed `_i` so replicas share no shingle/window universe (a
+  * replicated-verbatim corpus would manufacture a quadratic
+  * cross-replica pair graph no real corpus has); embeddings replicated
+  * with offset ids (the ANN corpus grows 10×, and the SNAPSHOT-
+  * ADAPTIVE quantizer sizes itself K = 625 = clamp(20000/32) — this
+  * run exercises the round-9 adaptive-capacity path for real, beyond
+  * the 64-floor both oracle scales sit at).
+  *
+  * Reports per-query seconds (median of `SPARK_GRAFT_PASSES`, default
+  * 2) plus PLAN PINS from the AQE-final executed plans:
+  *
+  *  - NO BroadcastNestedLoopJoin / CartesianProduct anywhere (the
+  *    flip this run exists to catch) — a violation FAILS the run;
+  *  - q83's SelectedBucketsCount line recorded verbatim (bucket
+  *    pruning still planning-time at the larger size);
+  *  - join strategy node names per query recorded.
+  *
+  * One JSON line on stdout; committed per round as SF1BENCH_r{N}.json
+  * (BASELINE.md carries the sf0.1-vs-sf1 scaling table). Not part of
+  * the driver's bench contract — run manually:
+  * `sbt "runMain graft.Sf1Bench"`. */
+object Sf1Bench {
+
+  private val Headline = Vector(
+    "q01_delay_avg", "q15_window_rank", "q21_minhash_lsh", "q78_span_overlap",
+    "q83_ann_ivf_indexed", "q87_bigram_lm", "q96_ann_recall")
+
+  private val Offset = 100000000L
+
+  /** Replicate the sf0.1 snapshot k× into `out` (idempotent via a
+    * _SUCCESS marker). Dims copy verbatim; facts offset their keys;
+    * documents additionally suffix every token per replica. */
+  private def buildSnapshot(s: SparkSession, src: String, out: String, k: Int): Unit = {
+    val done = new java.io.File(s"$out/_GRAFT_SF1_DONE")
+    if (done.exists()) return
+    new java.io.File(out).mkdirs()
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    def rep(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until k).map(i => f(base, i)).reduce(_ union _)
+
+    Seq("region", "nation", "customer", "supplier", "part").foreach { d =>
+      write(s.read.parquet(s"$src/$d.parquet"), d)
+    }
+    write(rep(s.read.parquet(s"$src/orders.parquet")) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * Offset))
+    }, "orders")
+    write(rep(s.read.parquet(s"$src/lineitem.parquet")) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * Offset))
+    }, "lineitem")
+    write(rep(s.read.parquet(s"$src/events.parquet")) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * Offset))
+    }, "events")
+    write(rep(s.read.parquet(s"$src/documents.parquet")) { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * Offset))
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "), t => concat(t, lit(s"_$i")))))
+    }, "documents")
+    write(rep(s.read.parquet(s"$src/embeddings.parquet")) { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * Offset))
+    }, "embeddings")
+    done.createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val k = sys.env.getOrElse("SPARK_GRAFT_SF1_K", "10").toInt
+    val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", s"/tmp/graft_sf1_k$k")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val tBuild0 = System.nanoTime()
+    buildSnapshot(spark, src, out, k)
+    val buildSec = (System.nanoTime() - tBuild0) / 1e9
+
+    // one-time shared-state build (written pair graph / band & window
+    // indexes / ANN index tables) — its own field, the Bench convention
+    val tSetup0 = System.nanoTime()
+    graft.operators.Dedup.warmSharedState(spark, out)
+    graft.operators.Similarity.warmSharedState(spark, out)
+    val setupSec = (System.nanoTime() - tSetup0) / 1e9
+
+    val selected = Headline.map(n => n -> SparkEntry.queries(n))
+    // warmup pass (JIT + codegen), then timed passes
+    selected.foreach { case (_, fn) => fn(spark, out).count() }
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    val samples = (1 to passes).flatMap { _ =>
+      selected.map { case (name, fn) =>
+        System.gc()
+        val t0 = System.nanoTime()
+        fn(spark, out).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val times = Headline.map { n =>
+      val v = samples.collect { case (`n`, t) => t }.sorted
+      n -> v((v.length - 1) / 2)
+    }
+
+    // plan pins off the AQE-final executed plans
+    val plans = selected.map { case (name, fn) =>
+      val df = fn(spark, out)
+      df.count()
+      name -> df.queryExecution.executedPlan.toString
+    }.toMap
+    val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
+    val flips = plans.collect {
+      case (n, p) if forbidden.exists(p.contains) =>
+        s"$n:${forbidden.filter(p.contains).mkString("+")}"
+    }
+    require(flips.isEmpty,
+      s"plan flipped to a nested-loop shape at sf1-class size: ${flips.mkString(", ")}")
+    def joinsOf(p: String): Seq[String] =
+      Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        .filter(p.contains)
+    val bucketLine = plans("q83_ann_ivf_indexed").linesIterator
+      .find(_.contains("SelectedBucketsCount"))
+      .map(_.trim.replaceAll(".*SelectedBucketsCount", "SelectedBucketsCount"))
+      .getOrElse("ABSENT")
+
+    val q = times.map { case (n, t) => s""""$n":${BenchReport.f3(t)}""" }.mkString(",")
+    val j = plans.map { case (n, p) =>
+      s""""$n":"${joinsOf(p).mkString("+")}"""" }.mkString(",")
+    println(
+      s"""{"metric":"sf1_total","value":${BenchReport.f3(times.map(_._2).sum)},"unit":"sec"""" +
+        s""","k":$k,"build_sec":${BenchReport.f3(buildSec)},"setup_sec":${BenchReport.f3(setupSec)}""" +
+        s""","passes":$passes,"ivf_k":${graft.operators.Similarity.ivfK(spark, out)}""" +
+        s""","queries":{$q},"joins":{$j},"q83_buckets":"$bucketLine","no_nlj":true}""")
+    spark.stop()
+  }
+}

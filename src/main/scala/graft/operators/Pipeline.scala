@@ -731,9 +731,32 @@ object Pipeline {
   private val ChunkLen = 50L
   private val ChunkStride = 40L
 
+  /** The PLUGGABLE TOKENIZER contract of the token-economy family
+    * (round-9 item 4 — the [[Multimodal.mediaDedupPairsFrom]]
+    * fingerprint pattern applied to tokens): a pure text-column →
+    * token-array-column function. The chunking (q74), packing (q75)
+    * and budget-mix (q85) plans — and q29's counting — are
+    * tokenizer-AGNOSTIC: every one consumes only `size(tokenizer(
+    * text))`, so swapping the whitespace default for a real BPE
+    * changes the numbers, never the plan (no extra shuffle, no UDF —
+    * provided the tokenizer is itself expression-based or a
+    * broadcast-table-driven encode). `TokenizerPluggableSpec` proves
+    * it by driving all three plans with a deterministic toy BPE
+    * (fixed merge table, greedy left-to-right merges, pure Column
+    * expressions) against an independent driver-side reference; the
+    * whitespace default stays the oracle-gated path. A training run
+    * budgets in REAL tokenizer tokens — whitespace counts mis-budget
+    * BPE costs by 1.3–1.5× on English text — which is why the
+    * tokenizer is a parameter and not a constant of the engine. */
+  private[graft] val wsTokenizer: Column => Column = tokens
+
   def tokenChunks(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("n", size(tokens(col("text"))).cast(LongType))
+    tokenChunksFrom(Tables.documents(s, dir), wsTokenizer)
+
+  private[graft] def tokenChunksFrom(docs: DataFrame,
+      tokenizer: Column => Column): DataFrame =
+    docs
+      .withColumn("n", size(tokenizer(col("text"))).cast(LongType))
       .filter(col("n") > 0)
       .withColumn("n_chunks",
         when(col("n") <= ChunkLen, 1L)
@@ -793,10 +816,14 @@ object Pipeline {
     * are exact BIGINT cumsums; boundary tests are integer div. */
   private val PackBin = 512L
 
-  def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+  def sequencePacking(s: SparkSession, dir: String): DataFrame =
+    sequencePackingFrom(Tables.documents(s, dir), wsTokenizer)
+
+  private[graft] def sequencePackingFrom(docs: DataFrame,
+      tokenizer: Column => Column): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    Tables.documents(s, dir)
-      .withColumn("n", size(tokens(col("text"))).cast(LongType))
+    docs
+      .withColumn("n", size(tokenizer(col("text"))).cast(LongType))
       .filter(col("n") > 0)
       .select(col("source"), col("doc_id"), col("n"))
       .withColumn("endt", sum(col("n")).over(w))
@@ -963,10 +990,14 @@ object Pipeline {
     * One window shuffle on source (the rollup reuses its
     * partitioning); at 100 TB the budget constant becomes a broadcast
     * mix table joined on source — same plan, one more broadcast. */
-  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetMixFrom(Tables.documents(s, dir), wsTokenizer)
+
+  private[graft] def tokenBudgetMixFrom(docs: DataFrame,
+      tokenizer: Column => Column): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-    Tables.documents(s, dir)
-      .withColumn("n", size(tokens(col("text"))).cast(LongType))
+    docs
+      .withColumn("n", size(tokenizer(col("text"))).cast(LongType))
       .filter(col("n") > 0)
       .withColumn("h", hash60(col("text")))
       .withColumn("cum", sum(col("n")).over(w))

@@ -63,20 +63,77 @@ object Similarity {
     * the scale operator for that regime is [[annLsh]] (q26). */
   private[graft] val MaxNearDupTiles = 64
 
-  /** Fixed IVF coarse-quantizer size (q37). A constant — NOT a fraction
-    * of the table — so driver memory and the per-row assignment cost
-    * (K dot products) are independent of corpus size. */
-  private[graft] val IvfK = 64
+  /** IVF coarse-quantizer capacity: SNAPSHOT-ADAPTIVE (round-9 lead
+    * item). K = clamp(n/32, [64, 1024]) where n is the corpus row
+    * count — one inverted list per ~32 vectors until the 1024 cap.
+    * Round 8 fixed exactly this defect class for the PQ codebook
+    * ([[pqKOf]]) but left the coarse quantizer at a compile-time 64,
+    * so at 100 TB every inverted list would be corpus/64 and
+    * nprobe-capped recall would stay dial-limited no matter the
+    * corpus. The floor 64 keeps sub-2048-vector snapshots (both
+    * driver test scales) at the dial whose recall the round-8 grid
+    * measured NON-DEGRADING under fixed probed fraction
+    * (`RecallRobustSpec` pins the direction); above the floor each
+    * list stays ~32 vectors, so the nprobe dial (q97's sweep) buys
+    * the same marginal coverage at every snapshot size instead of
+    * coarsening with it. Driver memory (K centroid rows, ≤ ~0.5 MB)
+    * and the per-row assignment cost (K dot products) are bounded by
+    * the cap. Derived from the SAME corpus count on both engines —
+    * [[ivfKOf]] in Scala, [[ivfKSql]]'s `count(*)` scalar subquery
+    * in SQL (integer floor division on both) — so they cannot
+    * disagree. */
+  private[graft] val IvfKFloor = 64
+  private[graft] val IvfKMax = 1024
 
-  /** Lloyd-training sample bound: the IVF centroids and PQ codebooks
-    * are k-means-TRAINED (not hash-picked) over the [[TrainSample]]
-    * smallest-hash vectors — a TakeOrdered, so training cost and
-    * driver memory are CONSTANT at any corpus size (the standard
-    * bounded-sample k-means every production IVF/PQ build runs;
-    * FAISS trains on ~256 vectors/centroid). The hash order makes the
-    * sample deterministic and reshuffle-proof, and the DuckDB oracles
-    * re-derive the identical sample, seeds and iterations in SQL. */
-  private[graft] val TrainSample = 2048
+  /** Training-sample rows per centroid: the sample SCALES WITH K
+    * (sample = 32·K ∈ [2048, 32768]) — a fixed 2048-row sample at
+    * K = 1024 would train 2 vectors per centroid, re-introducing the
+    * capacity-underfit bug one layer down (FAISS's clustering floor
+    * is ~32–39 training points per centroid). The collect stays
+    * bounded: 32768 rows × ~520 B ≈ 17 MB at the cap, once per
+    * snapshot. At both driver test scales 32·K = 2048 — the exact
+    * sample the round-8 oracles were gated on. */
+  private[graft] val SamplePerCent = 32
+
+  private[graft] def ivfKOf(n: Long): Int =
+    math.max(IvfKFloor.toLong, math.min(IvfKMax.toLong, n / SamplePerCent)).toInt
+
+  /** Realized training-sample bound for a corpus of n rows. */
+  private[graft] def trainNOf(n: Long): Int = SamplePerCent * ivfKOf(n)
+
+  /** The [[ivfKOf]] clamp as a DuckDB scalar expression over the
+    * corpus relation `src` (the SAME relation the sample is drawn
+    * from, so Scala and SQL count identical rows; `//` is floor
+    * division, matching Long division for non-negative counts). */
+  private def ivfKSql(src: String): String =
+    s"GREATEST($IvfKFloor, LEAST($IvfKMax, (SELECT count(*) FROM $src) // $SamplePerCent))"
+
+  /** The [[trainNOf]] bound as a DuckDB scalar expression. */
+  private def trainNSql(src: String): String =
+    s"($SamplePerCent * ${ivfKSql(src)})"
+
+  /** Corpus row count (the quantized, degenerate-filtered relation),
+    * MEMOIZED per (session, snapshot): one column-pruned count
+    * aggregate, once — it sizes the quantizer capacity and the
+    * training sample for every ANN build over the snapshot. */
+  private val countMemo = snapMemo[java.lang.Long]()
+
+  private[graft] def corpusN(s: SparkSession, dir: String): Long =
+    memoized[java.lang.Long](countMemo, s, dir)(quantized(s, dir).count())
+
+  /** The realized coarse-quantizer capacity for a snapshot. */
+  private[graft] def ivfK(s: SparkSession, dir: String): Int = ivfKOf(corpusN(s, dir))
+
+  /** Lloyd-training sample FLOOR (= [[SamplePerCent]] · [[IvfKFloor]]):
+    * the IVF centroids and PQ codebooks are k-means-TRAINED (not
+    * hash-picked) over the [[trainNOf]] smallest-hash vectors — a
+    * TakeOrdered, so training cost and driver memory are BOUNDED
+    * (≤ 32·[[IvfKMax]] rows) at any corpus size (the standard
+    * bounded-sample k-means every production IVF/PQ build runs). The
+    * hash order makes the sample deterministic and reshuffle-proof,
+    * and the DuckDB oracles re-derive the identical sample, seeds and
+    * iterations in SQL ([[trainNSql]]). */
+  private[graft] val TrainSample = SamplePerCent * IvfKFloor
 
   /** Fixed Lloyd iteration count. Four is where the recall grid
     * (graft.RecallGrid, round 8) plateaus at both measured scales —
@@ -139,22 +196,24 @@ object Similarity {
   private val sampleMemo = snapMemo[Array[(Long, Array[Long], Long)]]()
 
   private[graft] def trainSample(s: SparkSession, dir: String): Array[(Long, Array[Long], Long)] =
-    memoized(sampleMemo, s, dir)(trainSampleFrom(quantized(s, dir)))
+    memoized(sampleMemo, s, dir)(
+      trainSampleFrom(quantized(s, dir), trainNOf(corpusN(s, dir))))
 
   /** The bounded hash-ordered training sample of a quantized relation
-    * — rows arrive IN hash order (seeds are its prefix). */
-  private def trainSampleFrom(e: DataFrame): Array[(Long, Array[Long], Long)] = {
+    * — rows arrive IN hash order (seeds are its prefix). `n` is the
+    * snapshot-adaptive bound ([[trainNOf]] of the relation's count). */
+  private def trainSampleFrom(e: DataFrame, n: Int): Array[(Long, Array[Long], Long)] = {
     val s = e.sparkSession
     import s.implicits._
     e.withColumn("h", hash60(col("vec_id").cast(StringType)))
       .orderBy(col("h"), col("vec_id"))
-      .limit(TrainSample)
+      .limit(n)
       .select(col("vec_id"), col("q"), col("qn"))
       .as[(Long, Array[Long], Long)].collect()
   }
 
   /** Spherical k-means over the training sample: seeds = the first
-    * [[IvfK]] sample rows (the previous hash-picked stand-ins —
+    * k ([[ivfKOf]]) sample rows (the previous hash-picked stand-ins —
     * training strictly refines them), assignment by exact quantized
     * cosine (ties to the low cent_id, [[routeCents]]'s order), update
     * = element-wise floor(mean). All integer except the IEEE cosine
@@ -166,7 +225,7 @@ object Similarity {
     * — a stable opaque label across iterations. */
   private[graft] def lloydCents(
       sample: Array[(Long, Array[Long], Long)],
-      k: Int = IvfK, iters: Int = LloydIters): Array[(Long, Array[Long], Long)] = {
+      k: Int, iters: Int = LloydIters): Array[(Long, Array[Long], Long)] = {
     var cents = sample.take(k)
     var iter = 0
     while (iter < iters) {
@@ -250,7 +309,7 @@ object Similarity {
     * an UNBOUNDED production probe stream routes at full parallelism
     * — the relation is stateless over its input and works unchanged
     * on a streaming probe source. The only routing datum that still
-    * reaches the driver in the index-backed queries is the ≤ [[IvfK]]
+    * reaches the driver in the index-backed queries is the ≤ [[IvfKMax]]
     * distinct probed cell ids, which become planning-time bucket-
     * pruning LITERALS — driver-sized by K (a constant), never by the
     * probe count. */
@@ -596,7 +655,7 @@ object Similarity {
     * nearest centroids and searches only those lists.
     *
     * Centroids are k-means TRAINED ([[lloydCents]]): seeds = the
-    * [[IvfK]] smallest-hash sample rows, then [[LloydIters]]
+    * [[ivfKOf]]-many smallest-hash sample rows, then [[LloydIters]]
     * deterministic spherical-Lloyd iterations over the bounded
     * [[TrainSample]] sample — the offline training step of a
     * production IVF build, integer-deterministic so the oracle
@@ -622,7 +681,7 @@ object Similarity {
     // TakeOrdered — TrainSample rows collected), constant-size at any
     // corpus scale; q83 serves the same centroids from its written
     // table (the q83 == q37 oracle identity)
-    val cents = lloydCents(trainSample(s, dir)).sortBy(_._1)
+    val cents = lloydCents(trainSample(s, dir), ivfK(s, dir)).sortBy(_._1)
     val bcCents = s.sparkContext.broadcast(cents)
     // inverted-list assignment: map-only, nearest (nprobe=1) centroid
     val assign = e.mapPartitions { it =>
@@ -663,7 +722,7 @@ object Similarity {
        |             CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
        |             vec_id) AS srn
        |    FROM $src) t
-       |  WHERE srn <= $TrainSample)""".stripMargin
+       |  WHERE srn <= ${trainNSql(src)})""".stripMargin
 
   /** One Lloyd iteration of the coarse quantizer in SQL (twin of the
     * [[lloydCents]] loop body): assign the sample by cosine (ties low
@@ -699,12 +758,14 @@ object Similarity {
   }
 
   /** SQL fragment chain producing `cents(cent_id, cq, cqn)` — seeds =
-    * the first [[IvfK]] sample rows, then [[LloydIters]] unrolled
-    * iterations (requires `samp`). */
-  private def trainedCentsSql: String = {
+    * the first [[ivfKOf]]-many sample rows (the clamp runs in SQL
+    * over `src`'s realized count, [[ivfKSql]]), then [[LloydIters]]
+    * unrolled iterations (requires `samp`). `src` must be the SAME
+    * relation `samp` was drawn from. */
+  private def trainedCentsSql(src: String): String = {
     val iters = (1 to LloydIters).map(lloydCentIterSql).mkString(",\n")
     s"""c0 AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM samp
-       |        WHERE srn <= $IvfK),
+       |        WHERE srn <= ${ivfKSql(src)}),
        |$iters,
        |cents AS (SELECT cent_id, cq, cqn FROM c$LloydIters)""".stripMargin
   }
@@ -793,7 +854,7 @@ object Similarity {
        |      FROM q
        |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
        |${sampSql("n")},
-       |$trainedCentsSql,
+       |${trainedCentsSql("n")},
        |pset AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
        |         ORDER BY vec_id LIMIT $MaxProbes),
        |assign AS (
@@ -901,7 +962,7 @@ object Similarity {
   private def ivfCents(s: SparkSession, dir: String): Array[(Long, Array[Long], Long)] = {
     import s.implicits._
     Layout.materializedTable(s, dir, "ivfcents") {
-      lloydCents(trainSample(s, dir)).toSeq
+      lloydCents(trainSample(s, dir), ivfK(s, dir)).toSeq
         .toDF("vec_id", "q", "qn")
     }.as[(Long, Array[Long], Long)].collect().sortBy(_._1)
   }
@@ -948,7 +1009,7 @@ object Similarity {
     * ([[routeProbesDf]] — the probes never transit the driver), route
     * rank retained. Returns the bucketed assignment, the routed probe
     * relation and the probed cell ids — the ONE driver-side datum,
-    * a ≤ [[IvfK]]-element distinct list that becomes the
+    * a ≤ [[IvfKMax]]-element distinct list that becomes the
     * planning-time bucket-pruning literals. */
   private def ivfRoutedProbes(s: SparkSession, dir: String, maxNprobe: Int)
       : (DataFrame, DataFrame, Seq[Long], Long) = {
@@ -956,7 +1017,7 @@ object Similarity {
     val assign = ivfAssignTable(s, dir, cents)
     val routed = routeProbesDf(boundedProbes(assign), cents, maxNprobe)
     // ONE bounded auxiliary action serves both driver-side needs: the
-    // ≤ IvfK distinct probed cells (pruning literals) and the probe
+    // ≤ K distinct probed cells (pruning literals) and the probe
     // count (q97's n_probes literal) — no extra scan in the query plan
     val row = routed
       .agg(collect_set(col("cent_id")).as("cells"),
@@ -1416,7 +1477,7 @@ object Similarity {
             adcTable(Array.tabulate(Dim)(i => pq(i) - cm(cid)(i)), cb).toSeq)
         }
       }.toDF("probe_id", "cent_id", "t")
-    // the ≤ IvfK distinct probed cells — the one driver-side datum,
+    // the ≤ K distinct probed cells — the one driver-side datum,
     // sized by K, feeding the planning-time bucket-pruning literals
     val probedCents = routed.select(col("cent_id")).distinct()
       .as[Long].collect().sorted.toSeq
@@ -1511,7 +1572,7 @@ object Similarity {
        |      FROM q
        |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
        |${sampSql("n")},
-       |$trainedCentsSql,
+       |${trainedCentsSql("n")},
        |assign AS (
        |  SELECT vec_id, cent_id, q FROM (
        |    SELECT v.vec_id, c.cent_id, v.q,
@@ -1582,7 +1643,7 @@ object Similarity {
        |      FROM q
        |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
        |${sampSql("n")},
-       |$trainedCentsSql,
+       |${trainedCentsSql("n")},
        |assign AS (
        |  SELECT vec_id, cent_id FROM (
        |    SELECT v.vec_id, c.cent_id,
@@ -1687,7 +1748,7 @@ object Similarity {
        |      FROM q
        |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
        |${sampSql("n")},
-       |$trainedCentsSql,
+       |${trainedCentsSql("n")},
        |assign AS (
        |  SELECT vec_id, cent_id, q, qn FROM (
        |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
@@ -1718,8 +1779,12 @@ object Similarity {
   private[graft] def ivfCentsBase(s: SparkSession, dir: String): Array[(Long, Array[Long], Long)] = {
     import s.implicits._
     Layout.materializedTable(s, dir, "ivfcentsbase") {
-      lloydCents(trainSampleFrom(
-        quantized(s, dir).filter(pmod(col("vec_id"), lit(5)) =!= 0))).toSeq
+      // the base family's K and sample adapt to ITS corpus (the
+      // standing subset): one count aggregate, once per snapshot
+      // (inside the materialized-table gate)
+      val corpQ = quantized(s, dir).filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val n = corpQ.count()
+      lloydCents(trainSampleFrom(corpQ, trainNOf(n)), ivfKOf(n)).toSeq
         .toDF("vec_id", "q", "qn")
     }.as[(Long, Array[Long], Long)].collect().sortBy(_._1)
   }
@@ -1806,7 +1871,7 @@ object Similarity {
        |corp AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
        |batch AS (SELECT * FROM n WHERE vec_id % 5 = 0),
        |${sampSql("corp")},
-       |$trainedCentsSql,
+       |${trainedCentsSql("corp")},
        |ac AS (
        |  SELECT vec_id, cent_id, q, qn FROM (
        |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
@@ -1891,7 +1956,7 @@ object Similarity {
        |      FROM q
        |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
        |${sampSql("n")},
-       |$trainedCentsSql,
+       |${trainedCentsSql("n")},
        |assign AS (
        |  SELECT vec_id, cent_id, q, qn FROM (
        |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
@@ -1945,7 +2010,7 @@ object Similarity {
     * re-derives all four approximate paths and the exact baseline
     * with the family's shared SQL machinery, hash-matches bit-for-bit.
     *
-    * Methods: q83 (IVF, nprobe=2 of [[IvfK]]), q90 (PQ-ADC full code
+    * Methods: q83 (IVF, nprobe=2 of K=[[ivfKOf]]), q90 (PQ-ADC full code
     * scan), q92 (ADC shortlist → exact re-rank), q93 (IVF-PQ composed).
     *
     * Scale: the dominant term is the exact baseline itself (the q25
@@ -2023,7 +2088,7 @@ object Similarity {
   val annRecallSql: String = mat(
     s"""WITH $exactBaseSql,
        |${sampSql("n")},
-       |$trainedCentsSql,
+       |${trainedCentsSql("n")},
        |assign AS (
        |  SELECT vec_id, cent_id, q, qn FROM (
        |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
@@ -2160,7 +2225,7 @@ object Similarity {
   val ivfNprobeCurveSql: String = mat(
     s"""WITH $exactBaseSql,
        |${sampSql("n")},
-       |$trainedCentsSql,
+       |${trainedCentsSql("n")},
        |assign AS (
        |  SELECT vec_id, cent_id, q, qn FROM (
        |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
@@ -2338,7 +2403,7 @@ object Similarity {
        |      FROM q
        |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
        |${sampSql("n")},
-       |$trainedCentsSql,
+       |${trainedCentsSql("n")},
        |assign AS (
        |  SELECT vec_id, cent_id, q FROM (
        |    SELECT v.vec_id, c.cent_id, v.q,

@@ -126,8 +126,17 @@ object TextAnalysis {
     * BPE-ish regex segmentation (letter/digit runs + single symbols) —
     * the cheap token-budget estimator of a training-data pipeline. */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("ws_tok", size(tokens(col("text"))).cast(LongType))
+    tokenCountFrom(Tables.documents(s, dir), tokens)
+
+  /** The counting plan under the pluggable-tokenizer contract
+    * ([[Pipeline.tokenChunksFrom]]'s `tokenizer` parameter): `ws_tok`
+    * is whatever the plugged tokenizer yields (whitespace in the
+    * oracle-gated default), `re_tok` stays the fixed BPE-ish regex
+    * estimator the two-way comparison exists for. */
+  private[graft] def tokenCountFrom(docs: DataFrame,
+      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+    docs
+      .withColumn("ws_tok", size(tokenizer(col("text"))).cast(LongType))
       .withColumn("re_tok",
         size(regexp_extract_all(col("text"), lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0)))
           .cast(LongType))

@@ -182,21 +182,77 @@ object Layout {
     s.read.parquet(path)
   }
 
+  /** ATOMIC SNAPSHOT PUBLISH (round-9 item 5) — the batch-table
+    * analogue of the streaming sink's `_spark_metadata` exactly-once
+    * story. COMMIT PROTOCOL:
+    *
+    *  1. the new snapshot is written to a fresh VERSIONED catalog
+    *     table `<name>__v<N>` (bucketed under the artifact's original
+    *     spec — plan properties survive versioning);
+    *  2. the stable name `<name>` is a VIEW, repointed to the new
+    *     version with one `CREATE OR REPLACE VIEW` — a SINGLE
+    *     synchronized catalog operation, the atomic pointer swap;
+    *  3. prior versions' tables and files are NEVER touched by a
+    *     publish, so a reader that resolved the view before the swap
+    *     keeps scanning its version's immutable files to completion.
+    *
+    * A concurrent reader therefore sees EXACTLY the old or exactly
+    * the new snapshot — never a torn mix, never a vanished file
+    * (`AtomicPublishSpec` proves it with a racing reader loop). The
+    * view resolves to the underlying bucketed table at analysis time,
+    * so bucket pruning and zero-exchange joins pass through
+    * unchanged. Old-version GC is a lease question (drop versions no
+    * reader can still hold), deliberately out of scope here — the
+    * production analogue keeps k prior snapshots for time travel.
+    * Unlike [[materializedTable]] (write-once per snapshot, where
+    * in-place refresh is safe because the table is born before any
+    * reader exists), every REWRITE of a live artifact — the delete
+    * lifecycle — goes through this path. */
+  private[graft] def publishVersioned(s: SparkSession, dir: String, what: String,
+      buckets: Option[(Int, Seq[String])])(build: => DataFrame): DataFrame = {
+    val name = tableName(dir, what)
+    val n = publishCounter
+      .computeIfAbsent(s"$name", _ => new java.util.concurrent.atomic.AtomicLong(
+        // discover prior versions across sessions from the catalog
+        s.catalog.listTables().collect()
+          .map(_.name).filter(_.startsWith(s"${name}__v"))
+          .flatMap(t => scala.util.Try(t.stripPrefix(s"${name}__v").toLong).toOption)
+          .foldLeft(0L)(math.max)))
+      .incrementAndGet()
+    val versioned = s"${name}__v$n"
+    refresh(s, versioned)
+    val w = build.write
+    buckets match {
+      case Some((b, cols)) => w.bucketBy(b, cols.head, cols.tail: _*).saveAsTable(versioned)
+      case None            => w.saveAsTable(versioned)
+    }
+    // the commit point: one catalog op swaps every future reader over
+    s.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $versioned")
+    s.table(name)
+  }
+
+  private val publishCounter =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
   /** TARGETED-DELETE rewrite of a written artifact (round-8 item 5 —
     * the takedown/opt-out path): the surviving table is the artifact
     * LEFT ANTI the delete-key relation on every key column it carries,
-    * written under `<what>del` with the SAME bucket spec, so every
-    * downstream plan property (bucket pruning, zero-exchange joins)
-    * survives the delete verbatim. The anti join is the 100 TB shape:
-    * the delete set is takedown-sized (AQE broadcasts it), the
-    * artifact streams through map-side, and nothing re-shuffles —
-    * with a partitioned/bucketed-on-key layout a production job
-    * rewrites only the affected partitions' files (the q80 dynamic-
-    * overwrite mechanism), which changes the write granularity, not
-    * the plan. Derived-table consistency is the caller's contract:
-    * `Dedup.deleteCensus` (q106) rewrites every derived artifact from
-    * one delete relation and the gate proves the result equals a
-    * from-scratch build over the surviving corpus. */
+    * PUBLISHED under `<what>del` with the SAME bucket spec through the
+    * [[publishVersioned]] commit protocol — so every downstream plan
+    * property (bucket pruning, zero-exchange joins) survives the
+    * delete verbatim AND a reader concurrent with the rewrite sees
+    * exactly the pre- or post-delete snapshot (round-9 item 5; the
+    * round-8 form rebuilt in place with no concurrent-reader story).
+    * The anti join is the 100 TB shape: the delete set is
+    * takedown-sized (AQE broadcasts it), the artifact streams through
+    * map-side, and nothing re-shuffles — with a partitioned/
+    * bucketed-on-key layout a production job rewrites only the
+    * affected partitions' files (the q80 dynamic-overwrite mechanism),
+    * which changes the write granularity, not the plan. Derived-table
+    * consistency is the caller's contract: `Dedup.deleteCensus` (q106)
+    * rewrites every derived artifact from one delete relation and the
+    * gate proves the result equals a from-scratch build over the
+    * surviving corpus. */
   private[graft] def deleteRewrite(s: SparkSession, dir: String, what: String,
       buckets: Option[(Int, Seq[String])], keys: DataFrame,
       keyCols: Seq[String])(base: => DataFrame): DataFrame = {
@@ -205,11 +261,14 @@ object Layout {
     // same per-session gate map is the bin-collision-dependent
     // "Recursive update" hazard documented at Similarity.ivfPqIndex
     val b = base
-    materializedTable(s, dir, what + "del", buckets) {
-      keyCols.foldLeft(b) { (df, kc) =>
-        df.join(keys.toDF(kc), Seq(kc), "left_anti")
+    once(s, dir, what + "del") {
+      publishVersioned(s, dir, what + "del", buckets) {
+        keyCols.foldLeft(b) { (df, kc) =>
+          df.join(keys.toDF(kc), Seq(kc), "left_anti")
+        }
       }
     }
+    s.table(tableName(dir, what + "del"))
   }
 
   /** Bucketed-by-orderkey lineitem + orders, written once per

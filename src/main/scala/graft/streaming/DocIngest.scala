@@ -40,10 +40,20 @@ object DocIngest {
   def dedupedIngest(incoming: DataFrame, corpus: DataFrame): DataFrame = {
     val corpusHashes = corpus
       .select(hash60(normText(col("text"))).as("nh")).distinct()
+    // ORDER MATTERS (round-9 item 7): the corpus anti join runs BEFORE
+    // the replay-dedup, so corpus-rejected texts never enter the state
+    // store. With the reverse order a text rejected because the corpus
+    // held it would sit in dropDuplicates state FOREVER — and after a
+    // takedown deletes that document from the corpus, a restarted
+    // stream would keep rejecting legitimate re-submissions from stale
+    // state instead of letting the POST-delete index decide
+    // (`DeleteStreamingSpec` pins both directions). Replay state now
+    // also holds one hash per ADMITTED document only — strictly
+    // smaller state at any scale.
     incoming
       .withColumn("nh", hash60(normText(col("text"))))
-      .dropDuplicates("nh")
       .join(corpusHashes, Seq("nh"), "left_anti")
+      .dropDuplicates("nh")
   }
 
   /** SEMANTIC ingest — q91's incremental semantic dedup as the stream

@@ -19,6 +19,28 @@ import graft.operators.Similarity
 class RecallRobustSpec extends SparkSpec {
   import spark.implicits._
 
+  test("IVF capacity and training sample are snapshot-adaptive (round-9 lead item)") {
+    // the formula itself: one list per ~32 vectors, clamped [64, 1024];
+    // sample = 32·K — so capacity AND training depth track the corpus
+    // instead of being compile-time constants (the round-8 pqK fix,
+    // one layer up)
+    assert(Similarity.ivfKOf(500L) == 64 && Similarity.ivfKOf(2048L) == 64)
+    assert(Similarity.ivfKOf(4096L) == 128)
+    assert(Similarity.ivfKOf(32768L) == 1024)
+    assert(Similarity.ivfKOf(1000000000L) == 1024) // driver-memory cap holds
+    assert(Similarity.trainNOf(500L) == 2048)      // the gated test-scale sample
+    assert(Similarity.trainNOf(32768L) == 32768)   // 32 rows per centroid at the cap
+    // the realized snapshot artifacts obey the formula: the written
+    // quantizer has exactly ivfK(corpus) centroids at both scales
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      val k = Similarity.ivfK(spark, dir)
+      assert(k == Similarity.ivfKOf(Similarity.corpusN(spark, dir)))
+      val clusters = Similarity.clusterBalance(spark, dir).count()
+      assert(clusters <= k && clusters >= k * 9L / 10L,
+        s"$dir: $clusters realized clusters vs K=$k — quantizer capacity not tracking the snapshot")
+    }
+  }
+
   test("q96 recall@5 per method does not degrade from sf0.01 to sf0.1") {
     def recalls(dir: String): Map[String, Double] =
       Similarity.annRecall(spark, dir)

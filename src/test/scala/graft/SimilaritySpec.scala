@@ -147,7 +147,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("distributed probe routing equals driver-side routeCents rank for rank") {
-    val cents = Similarity.lloydCents(Similarity.trainSample(spark, sfDir)).sortBy(_._1)
+    val cents = Similarity.lloydCents(
+      Similarity.trainSample(spark, sfDir), Similarity.ivfK(spark, sfDir)).sortBy(_._1)
     val probes = Similarity.boundedProbes(
       Similarity.quantizedFrom(graft.sources.Tables.embeddings(spark, sfDir)))
     val viaDf = Similarity.routeProbesDf(probes, cents, 8)
@@ -247,8 +248,9 @@ class SimilaritySpec extends SparkSpec {
     }
     // IVF objective: total best-centroid cosine over the sample
     // (spherical k-means maximizes it)
-    val seeds = sample.take(64)
-    val trained = Similarity.lloydCents(sample)
+    val ivfK = Similarity.ivfKOf(sample.length.toLong)
+    val seeds = sample.take(ivfK)
+    val trained = Similarity.lloydCents(sample, ivfK)
     def centObj(cents: Array[(Long, Array[Long], Long)]): Double =
       sample.map { case (_, q, qn) =>
         cents.map { case (_, cq, cqn) => cos(q, qn, cq, cqn) }.max
@@ -374,7 +376,7 @@ class SimilaritySpec extends SparkSpec {
     // residual to ITS cell against the residual codebook, build the
     // probe's residual table for that cell, sum the 8 lookups
     val sample = Similarity.trainSample(spark, sfDir)
-    val cents = Similarity.lloydCents(sample).sortBy(_._1)
+    val cents = Similarity.lloydCents(sample, Similarity.ivfK(spark, sfDir)).sortBy(_._1)
     val centById = cents.map(c => (c._1, c._2)).toMap
     val resCb = Similarity.resTrain(spark, sfDir, cents)
     val pqK = resCb.length

@@ -15,9 +15,12 @@ Usage:
         each query's time divided by the control query's time in the
         same run), the comparison is norm-vs-norm, so a run that is
         uniformly 1.6x slower because of host load flags nothing.
-        Raw-seconds ratios are shown alongside for context. Artifacts
-        without `queries_norm` fall back to raw ratios with a warning.
-        Default threshold: 1.5x normalized.
+        Raw-seconds ratios are shown alongside for context. For an
+        artifact without `queries_norm` (round <= 7) the norms are
+        DERIVED as queries[q]/queries[control] so the comparison stays
+        drift-corrected; only a missing/failed control degrades to raw
+        ratios (with a warning). Default threshold: 1.3x normalized —
+        the threshold BASELINE.md's regression claims use.
 """
 import json
 import sys
@@ -42,12 +45,34 @@ def diff(old_path, new_path, threshold):
         old = json.load(f)
     with open(new_path) as f:
         new = json.load(f)
-    use_norm = bool(old.get("queries_norm")) and bool(new.get("queries_norm"))
+    # an artifact predating the queries_norm field (round <= 7) still
+    # carries everything needed to derive it: norm[q] = queries[q] /
+    # queries[control], control name taken from the OTHER artifact
+    # (fallback q01_delay_avg) — so the drift-corrected comparison
+    # works across the r07/r08 boundary instead of degrading to raw
+    def norms_of(art, other):
+        if art.get("queries_norm"):
+            return art["queries_norm"]
+        control = (art.get("control") or other.get("control")
+                   or "q01_delay_avg")
+        qs = art.get("queries", {})
+        c = qs.get(control, -1.0)
+        if c <= 0:
+            return None
+        derived = {q: (t / c if t > 0 else -1.0) for q, t in qs.items()}
+        art.setdefault("control", control)
+        art.setdefault("control_sec", c)
+        print(f"note: derived queries_norm for an artifact lacking it "
+              f"(control {control} = {c} s)")
+        return derived
+
+    o = norms_of(old, new)
+    n = norms_of(new, old)
+    use_norm = o is not None and n is not None
     if not use_norm:
-        print("WARNING: missing queries_norm in an artifact; "
+        print("WARNING: no usable control in an artifact; "
               "raw-seconds ratios only (host drift NOT cancelled)")
-    o = old["queries_norm"] if use_norm else old["queries"]
-    n = new["queries_norm"] if use_norm else new["queries"]
+        o, n = old["queries"], new["queries"]
     kind = "normalized" if use_norm else "raw"
     flagged = 0
     for q in sorted(set(o) & set(n)):
@@ -79,7 +104,7 @@ def diff(old_path, new_path, threshold):
 def main():
     args = sys.argv[1:]
     if args and args[0] == "--diff":
-        threshold = float(args[3]) if len(args) > 3 else 1.5
+        threshold = float(args[3]) if len(args) > 3 else 1.3
         diff(args[1], args[2], threshold)
     else:
         render(args[0])
