@@ -114,22 +114,28 @@ object Sf1Bench {
       n -> v((v.length - 1) / 2)
     }
 
-    // plan pins off the AQE-final executed plans
-    val plans = selected.map { case (name, fn) =>
-      val df = fn(spark, out)
+    // PLAN-FLIP pin: per query, the count of nested-loop join nodes in
+    // the AQE-final executed plan at sf1 must not EXCEED the sf0.1
+    // count — several queries legitimately carry a bounded broadcast
+    // NLJ by design (q96's crossJoin of a 1-row count; the exact
+    // baseline's non-equi probe broadcast), so "zero NLJ" is the wrong
+    // assertion; "no NEW nested-loop shape appears with size" is the
+    // flip this run exists to catch.
+    def planOf(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+               dir: String): String = {
+      val df = fn(spark, dir)
       df.count()
-      name -> df.queryExecution.executedPlan.toString
-    }.toMap
-    val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
-    val flips = plans.collect {
-      case (n, p) if forbidden.exists(p.contains) =>
-        s"$n:${forbidden.filter(p.contains).mkString("+")}"
+      df.queryExecution.executedPlan.toString
     }
-    require(flips.isEmpty,
-      s"plan flipped to a nested-loop shape at sf1-class size: ${flips.mkString(", ")}")
+    def nljCount(p: String): Int =
+      Seq("BroadcastNestedLoopJoin", "CartesianProduct")
+        .map(m => p.sliding(m.length).count(_ == m)).sum
+    val plans = selected.map { case (name, fn) => name -> planOf(fn, out) }.toMap
+    val basePlans = selected.map { case (name, fn) => name -> planOf(fn, src) }.toMap
+    val flips = Headline.filter(n => nljCount(plans(n)) > nljCount(basePlans(n)))
     def joinsOf(p: String): Seq[String] =
-      Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
-        .filter(p.contains)
+      Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct").filter(p.contains)
     val bucketLine = plans("q83_ann_ivf_indexed").linesIterator
       .find(_.contains("SelectedBucketsCount"))
       .map(_.trim.replaceAll(".*SelectedBucketsCount", "SelectedBucketsCount"))
@@ -142,7 +148,10 @@ object Sf1Bench {
       s"""{"metric":"sf1_total","value":${BenchReport.f3(times.map(_._2).sum)},"unit":"sec"""" +
         s""","k":$k,"build_sec":${BenchReport.f3(buildSec)},"setup_sec":${BenchReport.f3(setupSec)}""" +
         s""","passes":$passes,"ivf_k":${graft.operators.Similarity.ivfK(spark, out)}""" +
-        s""","queries":{$q},"joins":{$j},"q83_buckets":"$bucketLine","no_nlj":true}""")
+        s""","queries":{$q},"joins":{$j},"q83_buckets":"$bucketLine"""" +
+        s""","plan_flips":[${flips.map("\"" + _ + "\"").mkString(",")}]}""")
+    require(flips.isEmpty,
+      s"plan flipped to a nested-loop shape at sf1-class size: ${flips.mkString(", ")}")
     spark.stop()
   }
 }

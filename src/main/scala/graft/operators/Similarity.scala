@@ -2442,6 +2442,328 @@ object Similarity {
        |       ), 1, 8) AS BIGINT)), 0) AS BIGINT)
        |FROM ecodes WHERE vec_id % $delMod <> $delRem""".stripMargin)
 
+  // ------------------------------------------------------------------
+  // q107: GRAPH-based ANN (round-9 stretch item 8 — the third ANN
+  // regime next to quantization (IVF/PQ) and hashing (LSH)).
+  // ------------------------------------------------------------------
+
+  /** Graph-pool routing depth: each vector's neighbor candidates come
+    * from its [[GraphR]] nearest cells. Under the snapshot-adaptive
+    * quantizer (lists ~[[SamplePerCent]] vectors) the pool is
+    * R·32 ≈ 128 vectors per row — the graph BUILD is one bounded
+    * equi-join, O(n·R·32), LINEAR in the corpus (an exact kNN graph
+    * would be O(n²); HNSW builds incrementally and sequentially —
+    * this is the standard distributed approximation). */
+  private[graft] val GraphR = 4
+
+  /** Neighbors kept per vector (HNSW's M, layer-0). */
+  private[graft] val GraphG = 16
+
+  /** Beam width per hop and unrolled hop count of the BATCHED beam
+    * search: per hop, the [[BeamB]] best scored-but-unexpanded
+    * candidates per probe expand their graph edges. Sequential
+    * best-first (HNSW ef-search) is inherently per-candidate
+    * data-dependent; the batched form is its bulk-synchronous
+    * approximation — expressible as [[BeamH]] unrolled relational
+    * blocks on BOTH engines, which is what makes the recall row
+    * hash-gateable. Dial choice measured on `graft.GraphAnnProbe`
+    * (driver-math replica through the product's own routing/cosine):
+    * R4/G16/B4/H4 reaches recall@5 = 0.92/0.55 at sf0.01/sf0.1 vs
+    * IVF's 0.92@nprobe=21 / 0.48@nprobe=7 at the SAME eval budget —
+    * the graph matches IVF at the small scale and BEATS it at the
+    * larger one (the regime's textbook behavior: navigability pays
+    * off as the corpus grows). */
+  private[graft] val BeamB = 4
+  private[graft] val BeamH = 4
+
+  /** The written kNN neighbor-graph table (`graft_nngraph`): per
+    * vector its [[GraphG]] nearest neighbors among the members of its
+    * [[GraphR]] nearest cells (cos desc, ties low id), carrying the
+    * neighbor's quantized payload so hop scoring is map-side (the
+    * classic graph-ANN memory trade: G payload copies per vector,
+    * linear in the corpus — DiskANN ships exactly this layout). */
+  private[graft] def nnGraphTable(s: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCents(s, dir)
+    // force the base table BEFORE the nngraph once-gate (the
+    // ivfPqIndex "Recursive update" rule)
+    val assign = ivfAssignTable(s, dir, cents)
+    Layout.materializedTable(s, dir, "nngraph",
+        Some((Layout.Buckets, Seq("vec_id")))) {
+      val routed = routeProbesDf(assign, cents, GraphR)
+      val a = routed.select(col("probe_id").as("vec_id"), col("cent_id"),
+        col("pq").as("q"), col("pqn").as("qn"))
+      val b = routed.select(col("probe_id").as("nbr"), col("cent_id"),
+        col("pq").as("nq"), col("pqn").as("nqn"))
+      val wG = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("nbr"))
+      a.join(b, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("nbr"))
+        .dropDuplicates("vec_id", "nbr")
+        .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
+        .withColumn("rn", row_number().over(wG))
+        .filter(col("rn") <= GraphG)
+        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+    }
+  }
+
+  /** q107: measured recall@5 of the graph path vs IVF at the SAME
+    * eval budget, as a 2-row gated relation
+    * (method, n_probes, n_evals, n_hits, recall_at_5):
+    *
+    *  - `graph_beam`: entry = the probe's nprobe=1 cell fully scored
+    *    (exactly IVF's first list), then [[BeamH]] batched beam hops
+    *    over the written [[nnGraphTable]] — each hop broadcasts the
+    *    tiny (probes × [[BeamB]]) frontier against the graph table
+    *    and scores new candidates map-side against the broadcast
+    *    probe vectors. n_evals = the distinct scored-candidate count.
+    *  - `ivf_np_eq`: plain IVF over the same written index at
+    *    nprobe = round(n_evals·K / (P·n)) — the nprobe whose
+    *    candidate budget MATCHES what the beam actually spent, making
+    *    the comparison equal-budget by construction at any snapshot
+    *    size (derived with the same integer arithmetic in SQL).
+    *
+    * `GraphAnnSpec` pins recall(graph) ≥ recall(ivf_np_eq) at both
+    * driver scales — deterministic integers, so the inequality is a
+    * stable gate, and at sf0.1 it is strict (0.55 vs 0.48). The final
+    * 2-row relation is assembled from bounded aggregates (counts of
+    * distributed relations) — every candidate-generation and scoring
+    * step above runs distributed. */
+  def graphAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = ivfCents(s, dir)
+    val assign = ivfAssignTable(s, dir, cents)
+    val graph = nnGraphTable(s, dir)
+    val kK = cents.length.toLong
+    val nCorpus = corpusN(s, dir)
+
+    val probes = boundedProbes(assign)
+    val routed1 = routeProbesDf(probes, cents, 1).drop("r")
+    val probeVecs = routed1.select(col("probe_id"), col("pq"), col("pqn"))
+
+    def scoredCells(routed: DataFrame): DataFrame = {
+      // ≤ K distinct probed cells — planning-time bucket pruning
+      val cells = routed.select(col("cent_id")).distinct()
+        .as[Long].collect().sorted.toSeq
+      assign.filter(col("cent_id").isin(cells: _*))
+        .join(broadcast(routed), Seq("cent_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", qcosineNative(col("pq"), col("q"), col("pqn"), col("qn")))
+        .select(col("probe_id"), col("vec_id").as("v"), col("cos"))
+    }
+
+    var scored = scoredCells(routed1)
+    var expanded = scored.filter(lit(false)).select(col("probe_id"), col("v"))
+    (1 to BeamH).foreach { _ =>
+      val wB = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("v"))
+      val beam = scored.join(expanded, Seq("probe_id", "v"), "left_anti")
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= BeamB)
+        .select(col("probe_id"), col("v"))
+      val cand = broadcast(beam)
+        .join(graph, beam("v") === graph("vec_id"))
+        .filter(col("nbr") =!= col("probe_id"))
+        .select(col("probe_id"), col("nbr"), col("nq"), col("nqn"))
+        .dropDuplicates("probe_id", "nbr")
+        .join(broadcast(probeVecs), Seq("probe_id"))
+        .withColumn("cos", qcosineNative(col("pq"), col("nq"), col("pqn"), col("nqn")))
+        .select(col("probe_id"), col("nbr").as("v"), col("cos"))
+        .join(scored.select(col("probe_id"), col("v")), Seq("probe_id", "v"), "left_anti")
+      expanded = expanded.union(beam)
+      scored = scored.union(cand)
+    }
+    scored = scored.persist()
+
+    val exact5 = cosineTopK(s, dir).select(col("probe_id"), col("vec_id").as("v"))
+      .persist()
+    def top5Hits(cand: DataFrame): Long = {
+      val w5 = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("v"))
+      cand.withColumn("rn", row_number().over(w5)).filter(col("rn") <= 5)
+        .select(col("probe_id"), col("v"))
+        .join(exact5, Seq("probe_id", "v"), "left_semi")
+        .count()
+    }
+
+    val nProbes = probeVecs.count()
+    val totEvals = scored.count()
+    val gHits = top5Hits(scored)
+    scored.unpersist()
+    // equal-budget nprobe: round(totEvals·K / (P·n)) in exact integer
+    // arithmetic (the SQL twin computes the identical expression)
+    val npEq = math.max(1L,
+      (2L * totEvals * kK + nProbes * nCorpus) / (2L * nProbes * nCorpus))
+    val ivfCand = scoredCells(
+      routeProbesDf(probes, cents, npEq.toInt).drop("r")).persist()
+    val ivfEvals = ivfCand.count()
+    val iHits = top5Hits(ivfCand)
+    ivfCand.unpersist()
+    exact5.unpersist()
+
+    Seq(
+      ("graph_beam", nProbes, totEvals, gHits,
+        gHits.toDouble / (5L * nProbes).toDouble),
+      ("ivf_np_eq", nProbes, ivfEvals, iHits,
+        iHits.toDouble / (5L * nProbes).toDouble))
+      .toDF("method", "n_probes", "n_evals", "n_hits", "recall_at_5")
+      .orderBy("method")
+  }
+
+  /** One batched-beam hop as SQL CTEs (twin of the [[graphAnn]] loop
+    * body): beam h = top-[[BeamB]] scored-not-expanded per probe;
+    * new candidates = beam's graph edges, deduped, not yet scored,
+    * exact-scored against the probe. */
+  private def beamHopSql(h: Int): String = {
+    val (ps, pe) = (s"s${h - 1}", s"e${h - 1}")
+    s"""b$h AS (
+       |  SELECT probe_id, v FROM (
+       |    SELECT s.probe_id, s.v,
+       |           row_number() OVER (PARTITION BY s.probe_id
+       |                              ORDER BY s.cos DESC, s.v) AS rn
+       |    FROM $ps s
+       |    WHERE NOT EXISTS (SELECT 1 FROM $pe e
+       |                      WHERE e.probe_id = s.probe_id AND e.v = s.v)) t
+       |  WHERE rn <= $BeamB),
+       |nc$h AS (
+       |  SELECT DISTINCT b.probe_id, g.nbr AS v
+       |  FROM b$h b JOIN graph g ON g.vec_id = b.v
+       |  WHERE g.nbr <> b.probe_id
+       |    AND NOT EXISTS (SELECT 1 FROM $ps s
+       |                    WHERE s.probe_id = b.probe_id AND s.v = g.nbr)),
+       |ns$h AS (
+       |  SELECT c.probe_id, c.v,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
+       |                i -> p.q[i] * w.q[i])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(w.qn AS DOUBLE)) AS cos
+       |  FROM nc$h c JOIN n p ON p.vec_id = c.probe_id
+       |  JOIN n w ON w.vec_id = c.v),
+       |s$h AS (SELECT * FROM $ps UNION ALL SELECT * FROM ns$h),
+       |e$h AS (SELECT * FROM $pe UNION ALL SELECT probe_id, v FROM b$h)""".stripMargin
+  }
+
+  /** The q107 oracle: the exact baseline + trained quantizer +
+    * assignment CTEs, the graph-pool routing (rn ≤ [[GraphR]]), the
+    * top-[[GraphG]] neighbor graph, [[BeamH]] unrolled beam-hop
+    * blocks, and the equal-budget IVF comparison derived from the
+    * SAME realized eval count. */
+  val graphAnnSql: String = mat(
+    s"""WITH $exactBaseSql,
+       |${sampSql("n")},
+       |${trainedCentsSql("n")},
+       |assign AS (
+       |  SELECT vec_id, cent_id, q, qn FROM (
+       |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v CROSS JOIN cents c) t
+       |  WHERE rn = 1),
+       |rr AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT v.vec_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v CROSS JOIN cents c) t
+       |  WHERE rn <= $GraphR),
+       |gpool AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr
+       |  FROM rr a JOIN rr b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+       |graph AS (
+       |  SELECT vec_id, nbr FROM (
+       |    SELECT p.vec_id, p.nbr,
+       |           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(va.q)),
+       |                    i -> va.q[i] * vb.q[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(va.qn AS DOUBLE) * CAST(vb.qn AS DOUBLE)) DESC,
+       |             p.nbr) AS rn
+       |    FROM gpool p JOIN n va ON va.vec_id = p.vec_id
+       |    JOIN n vb ON vb.vec_id = p.nbr) t
+       |  WHERE rn <= $GraphG),
+       |pr1 AS (
+       |  SELECT probe_id, cent_id FROM (
+       |    SELECT v.vec_id AS probe_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v JOIN pset ON v.vec_id = pset.vec_id
+       |    CROSS JOIN cents c) t
+       |  WHERE rn = 1),
+       |s0 AS (
+       |  SELECT pr.probe_id, a.vec_id AS v,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
+       |                i -> p.q[i] * a.q[i])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(a.qn AS DOUBLE)) AS cos
+       |  FROM pr1 pr JOIN assign a ON a.cent_id = pr.cent_id
+       |  JOIN n p ON p.vec_id = pr.probe_id
+       |  WHERE a.vec_id <> pr.probe_id),
+       |e0 AS (SELECT probe_id, v FROM s0 WHERE 1 = 0),
+       |${(1 to BeamH).map(beamHopSql).mkString(",\n")},
+       |gtop AS (
+       |  SELECT probe_id, v FROM (
+       |    SELECT probe_id, v,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY cos DESC, v) AS rn
+       |    FROM s$BeamH) t WHERE rn <= 5),
+       |stats AS (
+       |  SELECT (SELECT count(*) FROM s$BeamH) AS tot,
+       |         (SELECT count(*) FROM pset) AS p,
+       |         (SELECT count(*) FROM cents) AS kk,
+       |         (SELECT count(*) FROM n) AS nn),
+       |npeq AS (
+       |  SELECT GREATEST(1, (2 * tot * kk + p * nn) // (2 * p * nn)) AS np
+       |  FROM stats),
+       |preq AS (
+       |  SELECT probe_id, cent_id FROM (
+       |    SELECT v.vec_id AS probe_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v JOIN pset ON v.vec_id = pset.vec_id
+       |    CROSS JOIN cents c) t
+       |  WHERE rn <= (SELECT np FROM npeq)),
+       |icand AS (
+       |  SELECT pr.probe_id, a.vec_id AS v,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
+       |                i -> p.q[i] * a.q[i])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(a.qn AS DOUBLE)) AS cos
+       |  FROM preq pr JOIN assign a ON a.cent_id = pr.cent_id
+       |  JOIN n p ON p.vec_id = pr.probe_id
+       |  WHERE a.vec_id <> pr.probe_id),
+       |itop AS (
+       |  SELECT probe_id, v FROM (
+       |    SELECT probe_id, v,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY cos DESC, v) AS rn
+       |    FROM icand) t WHERE rn <= 5),
+       |ghits AS (SELECT count(*) AS h FROM gtop g
+       |          JOIN exact5 e ON e.probe_id = g.probe_id AND e.vec_id = g.v),
+       |ihits AS (SELECT count(*) AS h FROM itop i
+       |          JOIN exact5 e ON e.probe_id = i.probe_id AND e.vec_id = i.v)
+       |SELECT method, n_probes, n_evals, n_hits, recall_at_5 FROM (
+       |  SELECT 'graph_beam' AS method,
+       |         CAST(p AS BIGINT) AS n_probes,
+       |         CAST(tot AS BIGINT) AS n_evals,
+       |         CAST((SELECT h FROM ghits) AS BIGINT) AS n_hits,
+       |         CAST((SELECT h FROM ghits) AS DOUBLE)
+       |           / CAST(5 * p AS DOUBLE) AS recall_at_5
+       |  FROM stats
+       |  UNION ALL
+       |  SELECT 'ivf_np_eq',
+       |         CAST(p AS BIGINT),
+       |         CAST((SELECT count(*) FROM icand) AS BIGINT),
+       |         CAST((SELECT h FROM ihits) AS BIGINT),
+       |         CAST((SELECT h FROM ihits) AS DOUBLE)
+       |           / CAST(5 * p AS DOUBLE)
+       |  FROM stats) t
+       |ORDER BY method""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     QueryDef("q25_cosine_topk", cosineTopK, Some(cosineTopKSql)),
@@ -2460,5 +2782,6 @@ object Similarity {
     QueryDef("q96_ann_recall", annRecall, Some(annRecallSql)),
     QueryDef("q97_nprobe_curve", ivfNprobeCurve, Some(ivfNprobeCurveSql)),
     QueryDef("q98_shortlist_curve", rerankShortlistCurve, Some(rerankShortlistCurveSql)),
+    QueryDef("q107_graph_ann", graphAnn, Some(graphAnnSql)),
   )
 }
