@@ -54,7 +54,13 @@ object Bench {
     // reports a genuine time, while a consistently failing query stays
     // pinned at -1 and never masquerades as fast.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
-    val names = selected.keys.toVector
+    // SORTED, not Map-iteration order: hash order silently reshuffles
+    // whenever the query set grows, so each round's per-query numbers
+    // carried a different neighbor-effect lottery (GC/broadcast-
+    // cleanup tails land on whoever runs next). A fixed total order
+    // makes round-over-round medians measure the query, not the
+    // year's Map layout. (Round-9 q38 diagnosis — see BASELINE.md.)
+    val names = selected.keys.toVector.sorted
     val samples = (1 to passes).flatMap { _ =>
       names.map { name =>
         // Broadcast/shuffle state from prior queries is reclaimed by the

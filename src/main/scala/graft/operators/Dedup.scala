@@ -1521,8 +1521,28 @@ object Dedup {
     * CTE transitive closure), cross-validating both. */
   val DriverCcMaxEdges = 5000000L
 
-  def dupClusters(s: SparkSession, dir: String): DataFrame =
-    clusterRollup(dupLabels(s, dir))
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = pairGraph(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.as[(Long, Long)].limit(DriverCcMaxEdges.toInt + 1).collect()
+    if (edges.length <= DriverCcMaxEdges) {
+      // the labels are ALREADY driver-resident after the union-find —
+      // roll them up here too, instead of round-tripping 2·E label
+      // rows through parallelize + two shuffles (groupBy + orderBy)
+      // to aggregate data the driver holds. On the tiny graphs this
+      // path exists for, the relational rollup was ~0.2 s of pure
+      // job-scheduling overhead per call (round-9 q38 diagnosis —
+      // the r7→r8 "regression" itself was bench run-order noise, but
+      // the fixed overhead was real). The emitted order is the
+      // pre-sorted cluster id — identical to the distributed path's
+      // ORDER BY (`DedupSpec` pins sequence equality of the two).
+      val rows = driverLabelPairs(edges)
+        .groupBy(_._2).map { case (lab, xs) =>
+          (lab, xs.size.toLong, xs.map(_._1).max)
+        }.toSeq.sortBy(_._1)
+      rows.toDF("cluster_id", "n_docs", "max_doc")
+    } else dupClustersDistributed(pairs)
+  }
 
   /** Per-cluster rollup of a (doc, lab) label set — lab is the
     * component-min doc id on every path, so it doubles as cluster id. */
@@ -1551,10 +1571,11 @@ object Dedup {
     else dupLabelsDistributed(pairs)
   }
 
-  /** Small-graph path: union-find on the collected edge list. */
-  private def dupLabelsDriver(s: SparkSession,
-                              edges: Array[(Long, Long)]): DataFrame = {
-    import s.implicits._
+  /** Small-graph path: union-find on the collected edge list, as
+    * driver-resident (doc, lab) pairs — [[dupLabelsDriver]] lifts
+    * them to a DataFrame for join consumers (q76); [[dupClusters]]
+    * rolls them up in place. */
+  private def driverLabelPairs(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -1568,7 +1589,13 @@ object Dedup {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    parent.keys.map(d => d -> find(d)).toSeq.toDF("doc", "lab")
+    parent.keys.map(d => d -> find(d)).toSeq
+  }
+
+  private def dupLabelsDriver(s: SparkSession,
+                              edges: Array[(Long, Long)]): DataFrame = {
+    import s.implicits._
+    driverLabelPairs(edges).toDF("doc", "lab")
   }
 
   /** Large-graph path: distributed min-label propagation, iterated to

@@ -2551,7 +2551,14 @@ object Similarity {
         .select(col("probe_id"), col("vec_id").as("v"), col("cos"))
     }
 
-    var scored = scoredCells(routed1)
+    // each hop references the running `scored` relation THREE times
+    // (beam source, already-scored anti join, union) — left lazy, the
+    // final DAG would re-evaluate the previous hop's subtree ~3^H
+    // times (the exact blowup the oracle's AS MATERIALIZED hint
+    // prevents in DuckDB; measured 26 s → ~1 s). Eager localCheckpoint
+    // per hop materializes each generation once and truncates lineage
+    // — the q89 deep-PageRank discipline.
+    var scored = scoredCells(routed1).localCheckpoint()
     var expanded = scored.filter(lit(false)).select(col("probe_id"), col("v"))
     (1 to BeamH).foreach { _ =>
       val wB = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("v"))
@@ -2568,10 +2575,11 @@ object Similarity {
         .withColumn("cos", qcosineNative(col("pq"), col("nq"), col("pqn"), col("nqn")))
         .select(col("probe_id"), col("nbr").as("v"), col("cos"))
         .join(scored.select(col("probe_id"), col("v")), Seq("probe_id", "v"), "left_anti")
+      // expanded stays lazy: its lineage is a union of beams over
+      // CHECKPOINTED scored generations — shallow by construction
       expanded = expanded.union(beam)
-      scored = scored.union(cand)
+      scored = scored.union(cand).localCheckpoint()
     }
-    scored = scored.persist()
 
     val exact5 = cosineTopK(s, dir).select(col("probe_id"), col("vec_id").as("v"))
       .persist()
@@ -2586,7 +2594,6 @@ object Similarity {
     val nProbes = probeVecs.count()
     val totEvals = scored.count()
     val gHits = top5Hits(scored)
-    scored.unpersist()
     // equal-budget nprobe: round(totEvals·K / (P·n)) in exact integer
     // arithmetic (the SQL twin computes the identical expression)
     val npEq = math.max(1L,
