@@ -952,6 +952,7 @@ object Similarity {
     pqCodesTable(s, dir, pqTrain(s, dir)).count()
     ivfAssignBase(s, dir, ivfCentsBase(s, dir)).count()
     ivfPq(s, dir).count() // materializes the composed graft_ivfpq table
+    nnGraphTable(s, dir).count() // q107's written neighbor graph
   }
 
   /** The written coarse quantizer (q83's `ivfcents` snapshot table):

