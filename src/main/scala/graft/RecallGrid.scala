@@ -58,7 +58,7 @@ object RecallGrid {
 
       for (iters <- args.lift(0).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(2, 4, 8, 16))) {
         // IVF at these iters (K = the snapshot-adaptive capacity the
-        // queries would compile in: clamp(ceil(sqrt(n)), [16, 1024]))
+        // queries would compile in: clamp(n/32, [64, 1024]) — see ivfKOf)
         val cents = Similarity.lloydCents(sample, Similarity.ivfKOf(e.length.toLong), iters)
         val assign: Map[Long, Long] = e.map { case (id, q, qn) =>
           id -> Similarity.routeCents(q, qn, cents, 1).head

@@ -2559,8 +2559,27 @@ object Similarity {
     // prevents in DuckDB; measured 26 s → ~1 s). Eager localCheckpoint
     // per hop materializes each generation once and truncates lineage
     // — the q89 deep-PageRank discipline.
+    // Round-10 advice fix: each hop's eager localCheckpoint used to
+    // leave its predecessor's blocks in the block manager for the GC /
+    // ContextCleaner to find, so a bench run (warmup + timed passes)
+    // accumulated BeamH+1 stale generations per invocation. Now each
+    // generation's newly-persisted RDD ids are tracked (diffs of
+    // getPersistentRDDs, so unrelated caches are never touched) and
+    // generation h-1 is freed as soon as generation h materializes.
+    // `expanded` is checkpointed per hop too — a localCheckpoint
+    // cannot be recomputed once unpersisted, so nothing lazy may keep
+    // a lineage edge into a freed generation. Only the latest
+    // generation is ever live.
+    val sc = s.sparkContext
+    def persistedIds(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
+    var pre = persistedIds()
     var scored = scoredCells(routed1).localCheckpoint()
     var expanded = scored.filter(lit(false)).select(col("probe_id"), col("v"))
+      .localCheckpoint()
+    var gen = persistedIds() -- pre
     (1 to BeamH).foreach { _ =>
       val wB = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("v"))
       val beam = scored.join(expanded, Seq("probe_id", "v"), "left_anti")
@@ -2576,10 +2595,12 @@ object Similarity {
         .withColumn("cos", qcosineNative(col("pq"), col("nq"), col("pqn"), col("nqn")))
         .select(col("probe_id"), col("nbr").as("v"), col("cos"))
         .join(scored.select(col("probe_id"), col("v")), Seq("probe_id", "v"), "left_anti")
-      // expanded stays lazy: its lineage is a union of beams over
-      // CHECKPOINTED scored generations — shallow by construction
-      expanded = expanded.union(beam)
+      pre = persistedIds()
+      expanded = expanded.union(beam).localCheckpoint()
       scored = scored.union(cand).localCheckpoint()
+      val g = persistedIds() -- pre
+      free(gen)
+      gen = g
     }
 
     val exact5 = cosineTopK(s, dir).select(col("probe_id"), col("vec_id").as("v"))
@@ -2595,6 +2616,7 @@ object Similarity {
     val nProbes = probeVecs.count()
     val totEvals = scored.count()
     val gHits = top5Hits(scored)
+    free(gen) // last generation: nothing reads `scored` past this point
     // equal-budget nprobe: round(totEvals·K / (P·n)) in exact integer
     // arithmetic (the SQL twin computes the identical expression)
     val npEq = math.max(1L,

@@ -73,6 +73,64 @@ class AtomicPublishSpec extends SparkSpec {
     assert(last == Seq(6L))
   }
 
+  test("racing publishers of the same artifact never leave the view on an older generation") {
+    // round-10 advice fix: version allocation + write + view swap are
+    // one critical section per name, so out-of-order swaps (stable
+    // name regressing to an older generation) are impossible
+    val what = "racerpub"
+    Layout.publishVersioned(spark, sfDir, what, None)(rowsOf(1L, 100L))
+    val name = Layout.tableName(sfDir, what)
+    def maxVersion(): Long = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(s"${name}__v"))
+      .map(_.stripPrefix(s"${name}__v").toLong).max
+    val v0 = maxVersion()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ths = (2L to 5L).map { g =>
+      new Thread(() => {
+        try Layout.publishVersioned(spark, sfDir, what, None)(rowsOf(g, 100L))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    ths.foreach(_.start()); ths.foreach(_.join())
+    assert(errs.isEmpty, s"publisher failed: ${errs.peek()}")
+    val maxV = maxVersion()
+    assert(maxV == v0 + 4L,
+      s"expected 4 new committed versions above $v0, counter reached $maxV")
+    val viewGen = spark.table(name).select("gen").distinct().as[Long].collect().toSeq
+    val lastGen = spark.table(s"${name}__v$maxV")
+      .select("gen").distinct().as[Long].collect().toSeq
+    assert(viewGen == lastGen,
+      s"stable name serves generation $viewGen but highest version $maxV holds $lastGen")
+  }
+
+  test("version discovery survives a counter reset via the warehouse directory listing") {
+    // simulate a fresh SparkContext over a persisted warehouse: the
+    // in-memory counters are gone, the catalog may be too — only the
+    // on-disk <name>__v<N> directories remain. Publishing must resume
+    // AFTER the highest on-disk version, never clobber it at __v1.
+    val what = "whdisc"
+    val name = Layout.tableName(sfDir, what)
+    val whUri = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val wh = new java.io.File(
+      if (whUri.getScheme == null) whUri.toString else whUri.getPath)
+    // stage an on-disk version safely above anything a prior run left
+    val existing = Option(wh.listFiles()).getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filter(_.startsWith(s"${name}__v"))
+      .flatMap(t => scala.util.Try(t.stripPrefix(s"${name}__v").toLong).toOption)
+      .foldLeft(0L)(math.max)
+    val staged = existing + 50L
+    val fake = new java.io.File(wh, s"${name}__v$staged")
+    assert(fake.mkdirs(), s"could not stage $fake")
+    try {
+      Layout.resetPublishCounters()
+      Layout.publishVersioned(spark, sfDir, what, None)(rowsOf(staged + 1L, 10L))
+      assert(spark.catalog.tableExists(s"${name}__v${staged + 1L}"),
+        "publish after restart did not resume above the on-disk version")
+      val gen = spark.table(name).select("gen").distinct().as[Long].collect().toSeq
+      assert(gen == Seq(staged + 1L))
+    } finally fake.delete()
+  }
+
   test("a reader racing deleteRewrite sees the full pre- or full post-delete artifact") {
     val base = spark.range(1000L).select(col("id").as("doc_id"),
       (col("id") * 7L % 100L).as("payload"))
@@ -138,7 +196,12 @@ class AtomicPublishSpec extends SparkSpec {
       spark.range(0, 200, 5).toDF("doc_id"), Seq("doc_id"))(base)
     assert(out.filter(col("doc_id") % 5 === 0).count() == 0)
     assert(out.count() == 160)
-    val versioned = Layout.tableName(sfDir, "bktspecdel") + "__v1"
+    // resolve the version the view actually points at (the counter
+    // resumes above leftover warehouse dirs from earlier runs, so the
+    // version number is not fixed)
+    val prefix = Layout.tableName(sfDir, "bktspecdel") + "__v"
+    val versioned = prefix + spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong).max
     val cat = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(versioned))
     assert(cat.bucketSpec.exists(b =>

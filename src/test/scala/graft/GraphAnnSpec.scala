@@ -34,6 +34,16 @@ class GraphAnnSpec extends SparkSpec {
       }
   }
 
+  test("graphAnn frees every beam-hop checkpoint generation it creates") {
+    val dir = "/root/testdata/sf0.01"
+    Similarity.graphAnn(spark, dir).collect() // warm indexes + first run
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    Similarity.graphAnn(spark, dir).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty,
+      s"graphAnn left ${leaked.size} persisted RDD(s) behind: $leaked")
+  }
+
   test("the written neighbor graph has bounded degree and self-free edges") {
     val dir = "/root/testdata/sf0.01"
     val g = Similarity.nnGraphTable(spark, dir)
