@@ -305,6 +305,38 @@ object Layout {
     s.table(tableName(dir, what + "del"))
   }
 
+  /** INCREMENTAL-APPEND rewrite of a written artifact (round-10 item
+    * 1 — the ingest path's dual of [[deleteRewrite]]): the next
+    * snapshot of `<what>` is `base ∪ batch`, PUBLISHED under
+    * `<what>upd` with the SAME bucket spec through the
+    * [[publishVersioned]] commit protocol, so bucket pruning and
+    * zero-exchange joins survive the append verbatim AND a reader
+    * concurrent with the rewrite sees exactly the pre- or post-append
+    * snapshot. The union is append-SHAPED: the batch's keys are
+    * disjoint from the base's, the base side streams through without
+    * re-shuffling, and only the batch side is new work — O(batch), the
+    * q82/q104 contract. (A production deployment with a partitioned
+    * layout appends only new files — q80's dynamic-overwrite
+    * granularity — which changes the write granularity, not the
+    * plan.) Derived-artifact consistency is the caller's contract:
+    * `Similarity.annIndexAppend` (q108) appends every ANN artifact
+    * from one batch and its gate proves update == rebuild under the
+    * held snapshot quantizer. */
+  private[graft] def appendRewrite(s: SparkSession, dir: String, what: String,
+      buckets: Option[(Int, Seq[String])], batch: DataFrame)
+      (base: => DataFrame): DataFrame = {
+    // force the (usually materializedTable-gated) base BEFORE entering
+    // the upd table's own once-gate (the "Recursive update" hazard —
+    // see deleteRewrite)
+    val b = base
+    once(s, dir, what + "upd") {
+      publishVersioned(s, dir, what + "upd", buckets) {
+        b.unionByName(batch)
+      }
+    }
+    s.table(tableName(dir, what + "upd"))
+  }
+
   /** Bucketed-by-orderkey lineitem + orders, written once per
     * (session, dir), re-read from the catalog. sortBy additionally
     * lets a SortMergeJoin skip its per-query sorts when each bucket
