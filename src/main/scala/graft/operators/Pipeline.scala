@@ -750,6 +750,46 @@ object Pipeline {
     * tokenizer is a parameter and not a constant of the engine. */
   private[graft] val wsTokenizer: Column => Column = tokens
 
+  /** The deterministic merge-table BPE (round-10 item 2 — promoted
+    * from `TokenizerPluggableSpec` into the product): whitespace
+    * pre-tokenize (as real BPE does), split each word to characters,
+    * then apply the merge table IN ORDER (BPE merge priority), each
+    * rule as one greedy left-to-right pass. Entirely Column
+    * expressions — an `aggregate` fold per pass, no UDF, stays in
+    * codegen. The table is toy-sized but the MECHANISM is the real
+    * algorithm; a production ~50k-rule vocab drives the same
+    * expression shape (or a broadcast-table encode), plan-identical.
+    *
+    * Every rule keeps a ≠ b (checked): under that condition two
+    * matches of one rule can never overlap, so the greedy
+    * left-to-right pass equals a SIMULTANEOUS merge of all match
+    * sites — which is what lets the q109 oracle re-derive the pass in
+    * SQL as a position-indexed `list_transform` (emit `ab` at a match
+    * head, drop the consumed `b`, keep the rest) instead of an
+    * inexpressible sequential fold. */
+  private[graft] val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d", "e" -> "r")
+
+  /** One greedy left-to-right merge pass of rule (a, b) → ab over a
+    * token array: fold tokens, merging a trailing `a` with an
+    * incoming `b`. `get` (never element_at) reads the accumulator
+    * tail — it returns NULL on the empty array instead of throwing
+    * under ANSI. */
+  private def bpeMergePass(toks: Column, a: String, b: String): Column =
+    aggregate(toks, array().cast(ArrayType(StringType)),
+      (acc, x) =>
+        when(get(acc, size(acc) - 1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  private def bpeWord(w: Column): Column =
+    BpeMerges.foldLeft(regexp_extract_all(w, lit("."), lit(0))) {
+      case (t, (a, b)) => bpeMergePass(t, a, b)
+    }
+
+  private[graft] val bpeTokenizer: Column => Column =
+    text => flatten(transform(tokens(text), bpeWord(_)))
+
   def tokenChunks(s: SparkSession, dir: String): DataFrame =
     tokenChunksFrom(Tables.documents(s, dir), wsTokenizer)
 
@@ -861,6 +901,113 @@ object Pipeline {
        |       CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS DOUBLE)
        |         / CAST(count(*) AS DOUBLE) AS split_rate
        |FROM f GROUP BY source ORDER BY source""".stripMargin
+
+  /** q109: TOKEN ECONOMY IN REAL TOKENIZER UNITS (round-10 item 2) —
+    * the q74 chunking and q75 packing accounting computed under the
+    * merge-table [[bpeTokenizer]] instead of the whitespace proxy,
+    * per source: document counts, whitespace vs BPE token totals and
+    * their ratio (the budget-correction factor a whitespace-budgeted
+    * run mis-plans by), chunk counts/tokens at [[ChunkLen]]/
+    * [[ChunkStride]], and bin/boundary-split counts at [[PackBin]].
+    * One window (running token sum per source) + one rollup — the
+    * same single source-keyed exchange as q75; the tokenizer itself
+    * is per-row Column expressions, so the plan is q74/q75's with
+    * different leaf arithmetic (the pluggable-tokenizer contract made
+    * a GATED query: the ORACLE re-derives the greedy merges in SQL,
+    * so token budgeting is proven in real-token units end to end). */
+  def bpeTokenEconomy(s: SparkSession, dir: String): DataFrame =
+    bpeTokenEconomyFrom(Tables.documents(s, dir))
+
+  private[graft] def bpeTokenEconomyFrom(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs
+      .withColumn("nws", size(wsTokenizer(col("text"))).cast(LongType))
+      .withColumn("n", size(bpeTokenizer(col("text"))).cast(LongType))
+      .filter(col("n") > 0)
+      .select(col("source"), col("doc_id"), col("nws"), col("n"))
+      .withColumn("n_chunks",
+        when(col("n") <= ChunkLen, 1L)
+          .otherwise(lit(1L) +
+            expr(s"(n - $ChunkLen + ${ChunkStride - 1}) div $ChunkStride")))
+      .withColumn("chunk_toks",
+        aggregate(sequence(lit(0L), col("n_chunks") - 1), lit(0L),
+          (acc, i) => acc + least(lit(ChunkLen), col("n") - i * ChunkStride)))
+      .withColumn("endt", sum(col("n")).over(w))
+      .withColumn("split",
+        expr(s"(endt - n) div $PackBin") =!= expr(s"(endt - 1) div $PackBin"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nws")).as("ws_tokens"),
+        sum(col("n")).as("bpe_tokens"),
+        (sum(col("n")).cast(DoubleType) /
+          sum(col("nws")).cast(DoubleType)).as("bpe_per_ws"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("chunk_toks")).as("chunk_tokens"),
+        expr(s"(sum(n) + ${PackBin - 1}) div $PackBin").as("n_bins"),
+        sum(when(col("split"), 1L).otherwise(0L)).as("n_split_docs"))
+      .orderBy("source")
+  }
+
+  /** One BPE merge pass of rule (a, b) in SQL — the SIMULTANEOUS form
+    * (valid because a ≠ b, see [[BpeMerges]]): emit `ab` at every
+    * match head, drop every consumed `b`, keep everything else. */
+  private def bpePassSql(a: String, b: String): String =
+    s"""list_filter(list_transform(generate_series(1, len(t)),
+       |    i -> CASE WHEN t[i] = '$a' AND i < len(t) AND t[i+1] = '$b' THEN '${a + b}'
+       |              WHEN t[i] = '$b' AND i > 1 AND t[i-1] = '$a' THEN NULL
+       |              ELSE t[i] END), x -> x IS NOT NULL)""".stripMargin
+
+  val bpeTokenEconomySql: String = {
+    require(BpeMerges.forall { case (a, b) => a != b },
+      "the SQL simultaneous-merge rewrite needs a != b in every rule")
+    val passes = BpeMerges.zipWithIndex.map { case ((a, b), k) =>
+      s"m${k + 1} AS (SELECT source, doc_id, ${bpePassSql(a, b)} AS t FROM m$k)"
+    }.mkString(",\n")
+    s"""WITH d0 AS (
+       |  SELECT source, doc_id,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |words AS (SELECT source, doc_id, unnest(ws) AS w FROM d0),
+       |m0 AS (SELECT source, doc_id, regexp_extract_all(w, '.', 0) AS t FROM words),
+       |$passes,
+       |bpe AS (
+       |  SELECT source, doc_id, CAST(sum(len(t)) AS BIGINT) AS n
+       |  FROM m${BpeMerges.length} GROUP BY source, doc_id),
+       |d AS (
+       |  SELECT d0.source, d0.doc_id, CAST(len(d0.ws) AS BIGINT) AS nws, b.n
+       |  FROM d0 JOIN bpe b ON b.source = d0.source AND b.doc_id = d0.doc_id
+       |  WHERE b.n > 0),
+       |c0 AS (
+       |  SELECT source, doc_id, nws, n,
+       |         CASE WHEN n <= $ChunkLen THEN 1
+       |              ELSE 1 + (n - $ChunkLen + ${ChunkStride - 1}) // $ChunkStride
+       |         END AS n_chunks
+       |  FROM d),
+       |c AS (
+       |  SELECT source, doc_id, nws, n, n_chunks,
+       |         CAST(list_sum(list_transform(
+       |             generate_series(0, n_chunks - 1),
+       |             i -> least($ChunkLen, n - i * $ChunkStride))) AS BIGINT) AS chunk_toks
+       |  FROM c0),
+       |o AS (
+       |  SELECT source, nws, n, n_chunks, chunk_toks,
+       |         sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS endt
+       |  FROM c),
+       |f AS (
+       |  SELECT source, nws, n, n_chunks, chunk_toks,
+       |         ((endt - n) // $PackBin) <> ((endt - 1) // $PackBin) AS split
+       |  FROM o)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(nws) AS BIGINT) AS ws_tokens,
+       |       CAST(sum(n) AS BIGINT) AS bpe_tokens,
+       |       CAST(sum(n) AS DOUBLE) / CAST(sum(nws) AS DOUBLE) AS bpe_per_ws,
+       |       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       |       CAST(sum(chunk_toks) AS BIGINT) AS chunk_tokens,
+       |       CAST((sum(n) + ${PackBin - 1}) // $PackBin AS BIGINT) AS n_bins,
+       |       CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
 
   /** q81: the END-TO-END training-data pipeline as ONE DataFrame —
     * exact ingest dedup (q20's keep-min rule) → language/quality/
@@ -1046,5 +1193,8 @@ object Pipeline {
     QueryDef("q75_sequence_packing", sequencePacking, Some(sequencePackingSql)),
     QueryDef("q81_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
     QueryDef("q85_token_budget_mix", tokenBudgetMix, Some(tokenBudgetMixSql)),
+    // q109's oracle re-derives the greedy BPE merges in SQL: token
+    // budgeting proven in real-token units, not the whitespace proxy
+    QueryDef("q109_bpe_token_economy", bpeTokenEconomy, Some(bpeTokenEconomySql)),
   )
 }

@@ -25,32 +25,18 @@ import graft.operators.{Pipeline, TextAnalysis}
 class TokenizerPluggableSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Fixed merge table, applied IN ORDER (BPE merge priority). */
-  private val Merges: Seq[(String, String)] = Seq(
-    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d", "e" -> "r")
+  // ---- The product's merge-table BPE (round-10: promoted from this
+  // spec into Pipeline and gated as q109; the spec now checks the
+  // PRODUCT tokenizer against its own independent driver reference,
+  // so the two definitions cannot drift) ----
 
-  // ---- Column-expression toy BPE (what the plans are driven with) ----
+  private val Merges: Seq[(String, String)] = Pipeline.BpeMerges
 
-  /** One greedy left-to-right merge pass of rule (a, b) -> ab over a
-    * token array: fold tokens, merging a trailing `a` with an incoming
-    * `b`. `get` (never element_at) reads the accumulator tail — it
-    * returns NULL on the empty array instead of throwing under ANSI. */
-  private def mergePass(toks: Column, a: String, b: String): Column =
-    aggregate(toks, array().cast(ArrayType(StringType)),
-      (acc, x) =>
-        when(get(acc, size(acc) - 1) === lit(a) && x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(x))))
+  private val toyBpe: Column => Column = Pipeline.bpeTokenizer
 
-  private def bpeWord(w: Column): Column =
-    Merges.foldLeft(regexp_extract_all(w, lit("."), lit(0))) {
-      case (t, (a, b)) => mergePass(t, a, b)
-    }
-
-  /** The toy tokenizer under test: whitespace pre-tokenize (as real
-    * BPE does), per-word character split + merge passes, flatten. */
-  private val toyBpe: Column => Column =
-    text => flatten(transform(graft.functions.Fns.tokens(text), bpeWord(_)))
+  /** One word's tokenization (a space-free word passes through the
+    * whitespace pre-tokenize unchanged), for the hand-check test. */
+  private def bpeWord(w: Column): Column = toyBpe(w)
 
   // ---- Driver-side reference (independent arithmetic) ----
 
