@@ -24,17 +24,26 @@ object Bench {
     // by whichever dedup/layout-family query happens to execute first
     // in a given run order. This is what makes per-query medians
     // comparable between the builder's run order and the driver's.
-    val setupSec = if (!doWarmup) 0.0 else {
-      val t0 = System.nanoTime()
-      try {
-        graft.operators.Dedup.warmSharedState(spark, sfDir)
-        graft.operators.Similarity.warmSharedState(spark, sfDir)
-        graft.sources.Layout.bucketedLineitemOrders(spark, sfDir)
-        graft.sources.Layout.partitionedEvents(spark, sfDir)
-        graft.sources.Layout.incrementalEvents(spark, sfDir)
-        graft.sources.Layout.bucketedIncremental(spark, sfDir)
-      } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+    // Each shared-state build timed INDIVIDUALLY (round-9 verdict
+    // finding #2: setup_sec more than doubled as one unattributed lump
+    // when the nngraph build joined it — per-entry timings make the
+    // next such jump attributable from the artifact alone).
+    val setupBuilds: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Any)] = Seq(
+      "dedup_shared" -> ((s, d) => graft.operators.Dedup.warmSharedState(s, d)),
+      "similarity_shared" -> ((s, d) => graft.operators.Similarity.warmSharedState(s, d)),
+      "bucketed_lineitem_orders" -> ((s, d) => graft.sources.Layout.bucketedLineitemOrders(s, d)),
+      "partitioned_events" -> ((s, d) => graft.sources.Layout.partitionedEvents(s, d)),
+      "incremental_events" -> ((s, d) => graft.sources.Layout.incrementalEvents(s, d)),
+      "bucketed_incremental" -> ((s, d) => graft.sources.Layout.bucketedIncremental(s, d)))
+    val setupTables: Seq[(String, Double)] = if (!doWarmup) Nil else
+      setupBuilds.map { case (name, build) =>
+        val t0 = System.nanoTime()
+        try build(spark, sfDir) catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val setupSec = setupTables.map(_._2).sum
+    setupTables.foreach { case (n, t) =>
+      System.err.println(s"[bench] setup $n: ${BenchReport.f3(t)} s")
     }
     // Warmup pass: JVM/JIT + whole-stage-codegen compilation dominate
     // first-execution wall time at these scales (a 0.9 s query reads
@@ -45,15 +54,20 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
-    // Median-of-N timed passes (default 3, SPARK_GRAFT_PASSES to
-    // override): single-pass numbers on this host drift ±10-25% with
-    // load — larger than most real per-query deltas — so a regression
-    // call on one pass is noise. Per-query median + total = Σ(medians)
-    // makes round-over-round comparison signal. A failed execution
-    // records -1.0; with a majority of good passes the median still
-    // reports a genuine time, while a consistently failing query stays
-    // pinned at -1 and never masquerades as fast.
-    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
+    // Median-of-N timed passes (default 5 since round 10 — the round-9
+    // verdict proved 3-pass medians of sub-0.5 s queries are noise-
+    // dominated at ±30%; SPARK_GRAFT_PASSES to override): single-pass
+    // numbers on this host drift ±10-25% with load — larger than most
+    // real per-query deltas — so a regression call on one pass is
+    // noise. Per-query median + total = Σ(medians) makes round-over-
+    // round comparison signal, and the per-query [min, max] band of
+    // the successful passes is published as queries_lo/queries_hi so
+    // the diff tool can tell a real shift from the run's own measured
+    // noise. A failed execution records -1.0; with a majority of good
+    // passes the median still reports a genuine time, while a
+    // consistently failing query stays pinned at -1 and never
+    // masquerades as fast.
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt)
     // SORTED, not Map-iteration order: hash order silently reshuffles
     // whenever the query set grows, so each round's per-query numbers
     // carried a different neighbor-effect lottery (GC/broadcast-
@@ -80,6 +94,11 @@ object Bench {
       val v = samples.collect { case (`n`, t) => t }.sorted
       n -> v((v.length - 1) / 2) // lower median: never averages two passes
     }
+    // measured noise band per query: [min, max] over SUCCESSFUL passes
+    val spread: Map[String, (Double, Double)] = names.flatMap { n =>
+      val ok = samples.collect { case (`n`, t) if t >= 0 => t }
+      if (ok.isEmpty) None else Some(n -> (ok.min, ok.max))
+    }.toMap
     val capsFired = caps.drain(spark)
     capsFired.foreach(c => System.err.println(s"[bench] skew cap fired: $c"))
     // Line order + length budget live in BenchReport (unit-tested in
@@ -99,7 +118,8 @@ object Bench {
     if (tablePath.nonEmpty) {
       val p = java.nio.file.Paths.get(tablePath).toAbsolutePath
       java.nio.file.Files.writeString(p,
-        BenchReport.tableJson(results, passes, sfDir, setupSec, capsFired.length.toLong) + "\n")
+        BenchReport.tableJson(results, passes, sfDir, setupSec,
+          capsFired.length.toLong, spread, setupTables) + "\n")
       // cwd-relative default: make the artifact discoverable whatever
       // directory the bench ran from (round-7 advice)
       System.err.println(s"[bench] wrote per-query table artifact: $p")

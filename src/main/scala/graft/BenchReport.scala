@@ -68,9 +68,23 @@ object BenchReport {
     * driver's tail budget never sees this): the stdout fields plus the
     * control query's time and every query's control-normalized ratio,
     * so `tools/benchtable.py --diff` can separate real per-query
-    * regressions from uniform host drift mechanically. */
+    * regressions from uniform host drift mechanically.
+    *
+    * Round 10 (verdict finding #1: the 3-pass medians of sub-0.5 s
+    * queries were noise-dominated — ±32% on the control across the
+    * builder's own 4-run experiment — so the 1.3× regression detector
+    * flagged 10 phantom regressions): the artifact now ALSO carries
+    *  - `queries_lo` / `queries_hi`: per-query min/max of the
+    *    successful timed passes — the measured noise band at this
+    *    run's own resolution. `--diff` flags a regression only when
+    *    the bands are disjoint in the regression direction.
+    *  - `setup_tables`: per-artifact seconds inside the setup pass
+    *    (verdict finding #2: setup_sec doubled as one unattributed
+    *    lump — now each shared-state build is its own entry). */
   def tableJson(results: Seq[(String, Double)], passes: Int, sfDir: String,
-                setupSec: Double, capsFired: Long = 0L): String = {
+                setupSec: Double, capsFired: Long = 0L,
+                spread: Map[String, (Double, Double)] = Map.empty,
+                setupTables: Seq[(String, Double)] = Nil): String = {
     // norms are computed from the SAME f3-rounded seconds rendered
     // into `queries`, so an independent recomputation of
     // queries[q]/control_sec from the artifact reproduces queries_norm
@@ -84,9 +98,20 @@ object BenchReport {
       else results.map { case (k, v) =>
         "\"" + k + "\":" + f3(if (v < 0) -1.0 else r3(v) / controlSec)
       }.mkString("{", ",", "}")
+    // lo/hi rendered in result order for every query that has a band
+    // (a query whose every pass failed has none — it stays median -1
+    // and is SKIPped by the diff anyway)
+    def bandMap(pick: ((Double, Double)) => Double): String =
+      results.collect { case (k, _) if spread.contains(k) =>
+        "\"" + k + "\":" + f3(pick(spread(k)))
+      }.mkString("{", ",", "}")
+    val setupMap = setupTables.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     s"""{${headFields(results, passes, setupSec, capsFired)}""" +
       s""","control":"$ControlQuery","control_sec":${f3(controlSec)}""" +
       s""","queries":${queryMap(results)},"queries_norm":$norm""" +
+      s""","queries_lo":${bandMap(_._1)},"queries_hi":${bandMap(_._2)}""" +
+      s""","setup_tables":$setupMap""" +
       s""","sf":"$sfDir"}"""
   }
 }

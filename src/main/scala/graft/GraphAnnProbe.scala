@@ -194,6 +194,145 @@ object GraphAnnProbe {
         }
         println(f"""{"sf":"$sf","method":"bounded_beam","R":$rB,"G":$g,"B":$beamB,"H":$hH,"recall":${hits / (5.0 * np)}%.3f,"evals_per_probe":${evals / np}}""")
       }
+
+      // NN-DESCENT refinement (round-10 item 4): the pool-based graph
+      // misses true neighbors that share no routed cell; each NND
+      // round proposes neighbors-of-best-neighbors (expansion via the
+      // top-NdB edges only — the sampled-candidate form, n·NdB·G
+      // candidate pairs per round, linear) and re-takes top-G. Rows
+      // measure how much of the 0.55 → 0.65 exact-kNN-graph headroom
+      // each round recovers at the GATED beam dials (R4/G16/B4/H4).
+      {
+        val rB = 4; val g = 16; val beamB = 4; val hH = 4
+        val gc = e.flatMap { case (id, q, qn) =>
+          Similarity.routeCents(q, qn, cents, rB).map(c => (c, id)) }
+          .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sorted }
+        val g0: Map[Long, Array[Long]] = e.map { case (id, q, qn) =>
+          val pool = Similarity.routeCents(q, qn, cents, rB)
+            .flatMap(c => gc.getOrElse(c, Array.empty[Long]))
+            .distinct.filter(_ != id)
+          id -> pool.map(u => (cos(id, u), u)).sorted(Similarity.cosDescIdAsc)
+            .take(g).map(_._2).toArray
+        }.toMap
+        def nndRound(graph: Map[Long, Array[Long]], ndB: Int,
+                     rev: Boolean): Map[Long, Array[Long]] = {
+          val reverse: Map[Long, Array[Long]] =
+            if (!rev) Map.empty
+            else graph.toSeq.flatMap { case (id, nbrs) => nbrs.map(_ -> id) }
+              .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted.toArray }
+          graph.map { case (id, nbrs) =>
+            val seed = if (rev)
+              (nbrs ++ reverse.getOrElse(id, Array.empty[Long])).distinct
+            else nbrs
+            val cand = (nbrs ++ seed.sorted.take(ndB)
+              .flatMap(m => graph.getOrElse(m, Array.empty[Long])
+                ++ reverse.getOrElse(m, Array.empty[Long])))
+              .distinct.filter(_ != id)
+            id -> cand.map(u => (cos(id, u), u)).sorted(Similarity.cosDescIdAsc)
+              .take(g).map(_._2)
+          }
+        }
+        // ADDITIVE variant: keep every pool edge (their far edges carry
+        // the navigability the replace-variant destroys at sf0.01) and
+        // add the top-`ndAdd` NEW candidates per vertex.
+        def nndAdd(graph: Map[Long, Array[Long]], ndB: Int, ndAdd: Int,
+                   rev: Boolean): Map[Long, Array[Long]] = {
+          val reverse: Map[Long, Array[Long]] =
+            if (!rev) Map.empty
+            else graph.toSeq.flatMap { case (id, nbrs) => nbrs.map(_ -> id) }
+              .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted.toArray }
+          graph.map { case (id, nbrs) =>
+            val have = nbrs.toSet
+            val seed = if (rev)
+              (nbrs ++ reverse.getOrElse(id, Array.empty[Long])).distinct
+            else nbrs
+            val fresh = seed.sorted.take(ndB)
+              .flatMap(m => graph.getOrElse(m, Array.empty[Long])
+                ++ reverse.getOrElse(m, Array.empty[Long]))
+              .distinct.filter(u => u != id && !have.contains(u))
+            id -> (nbrs ++ fresh.map(u => (cos(id, u), u))
+              .sorted(Similarity.cosDescIdAsc).take(ndAdd).map(_._2))
+          }
+        }
+        // PRODUCT-EXACT additive round: expansion via the top-`ndB`
+        // edges BY RANK (the gated rn <= NdExp), candidates scored,
+        // top-`ndAdd` not-already-adjacent appended. Also derives the
+        // realized np_eq with the gated integer formula and reports
+        // the IVF row at exactly that nprobe — so a grid cell here IS
+        // the (graph_recall, ivf_recall) pair GraphAnnSpec would gate.
+        val nCorpus = e.length.toLong
+        def nndAddRank(graph: Map[Long, Array[Long]], ndB: Int,
+                       ndAdd: Int): Map[Long, Array[Long]] =
+          graph.map { case (id, nbrs) =>
+            val have = nbrs.toSet
+            val fresh = nbrs.take(ndB)
+              .flatMap(m => graph.getOrElse(m, Array.empty[Long]))
+              .distinct.filter(u => u != id && !have.contains(u))
+            id -> (nbrs ++ fresh.map(u => (cos(id, u), u))
+              .sorted(Similarity.cosDescIdAsc).take(ndAdd).map(_._2))
+          }
+        for (ndB <- Seq(4, 8, 16); ndAdd <- Seq(2, 4)) {
+          val graph = nndAddRank(g0, ndB, ndAdd)
+          var hits = 0; var evals = 0L
+          probes.foreach { p =>
+            val c0 = Similarity.routeCents(p._2, p._3, cents, 1).head
+            val entry = cells.getOrElse(c0, Array.empty[Long]).filter(_ != p._1)
+            val scored = scala.collection.mutable.Map[Long, Double]()
+            entry.foreach(v => scored.getOrElseUpdate(v, cosP(p, v)))
+            val expanded = scala.collection.mutable.Set[Long]()
+            (1 to hH).foreach { _ =>
+              val beam = scored.filter(kv => !expanded.contains(kv._1)).toSeq
+                .map { case (v, c) => (c, v) }.sorted(Similarity.cosDescIdAsc)
+                .take(beamB).map(_._2)
+              expanded ++= beam
+              beam.foreach(v => graph.getOrElse(v, Array.empty[Long])
+                .filter(_ != p._1).foreach(u => scored.getOrElseUpdate(u, cosP(p, u))))
+            }
+            evals += scored.size
+            val top5 = scored.toSeq.map { case (v, c) => (c, v) }
+              .sorted(Similarity.cosDescIdAsc).take(5).map(_._2).toSet
+            hits += (top5 & exact5(p._1)).size
+          }
+          // the gated equal-budget comparison at the REALIZED evals
+          val npEq = math.max(1L,
+            (2L * evals * cents.length + np * nCorpus) / (2L * np * nCorpus)).toInt
+          var ihits = 0; var ievals = 0L
+          probes.foreach { p =>
+            val cs = Similarity.routeCents(p._2, p._3, cents, npEq)
+            val cand = cs.flatMap(c => cells.getOrElse(c, Array.empty[Long]))
+              .filter(_ != p._1)
+            ievals += cand.size
+            val top5 = cand.map(v => (cosP(p, v), v)).sorted(Similarity.cosDescIdAsc)
+              .take(5).map(_._2).toSet
+            ihits += (top5 & exact5(p._1)).size
+          }
+          println(f"""{"sf":"$sf","method":"nnd_add_rank","ndB":$ndB,"ndAdd":$ndAdd,"recall":${hits / (5.0 * np)}%.3f,"evals_per_probe":${evals / np},"np_eq":$npEq,"ivf_recall":${ihits / (5.0 * np)}%.3f,"ivf_evals":${ievals / np}}""")
+        }
+        for (ndB <- Seq(2, 4, 8); rounds <- Seq(1, 2); rev <- Seq(false, true)) {
+          val graph = (1 to rounds).foldLeft(g0)((gr, _) => nndRound(gr, ndB, rev))
+          var hits = 0; var evals = 0L
+          probes.foreach { p =>
+            val c0 = Similarity.routeCents(p._2, p._3, cents, 1).head
+            val entry = cells.getOrElse(c0, Array.empty[Long]).filter(_ != p._1)
+            val scored = scala.collection.mutable.Map[Long, Double]()
+            entry.foreach(v => scored.getOrElseUpdate(v, cosP(p, v)))
+            val expanded = scala.collection.mutable.Set[Long]()
+            (1 to hH).foreach { _ =>
+              val beam = scored.filter(kv => !expanded.contains(kv._1)).toSeq
+                .map { case (v, c) => (c, v) }.sorted(Similarity.cosDescIdAsc)
+                .take(beamB).map(_._2)
+              expanded ++= beam
+              beam.foreach(v => graph.getOrElse(v, Array.empty[Long])
+                .filter(_ != p._1).foreach(u => scored.getOrElseUpdate(u, cosP(p, u))))
+            }
+            evals += scored.size
+            val top5 = scored.toSeq.map { case (v, c) => (c, v) }
+              .sorted(Similarity.cosDescIdAsc).take(5).map(_._2).toSet
+            hits += (top5 & exact5(p._1)).size
+          }
+          println(f"""{"sf":"$sf","method":"bounded_beam_nnd","R":$rB,"G":$g,"B":$beamB,"H":$hH,"ndB":$ndB,"rounds":$rounds,"rev":$rev,"recall":${hits / (5.0 * np)}%.3f,"evals_per_probe":${evals / np}}""")
+        }
+      }
     }
     spark.stop()
   }

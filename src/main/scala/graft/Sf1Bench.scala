@@ -141,6 +141,47 @@ object Sf1Bench {
       .map(_.trim.replaceAll(".*SelectedBucketsCount", "SelectedBucketsCount"))
       .getOrElse("ABSENT")
 
+    // PRODUCTION-REGIME pruning point (round-10, verdict finding #3):
+    // the q83 gate's MaxProbes-probe union covers every bucket
+    // ("8 out of 8" above), so it cannot demonstrate pruning. One
+    // external point query at nprobe=2 — ≤ 2 cell literals — must
+    // provably skip buckets at the sf1 size.
+    val pointPlan = planOf((sp, d) =>
+      graft.operators.Similarity.ivfPointQuery(sp, d, 2), out)
+    val pointLine = pointPlan.linesIterator
+      .find(_.contains("SelectedBucketsCount"))
+      .map(_.trim.replaceAll(".*SelectedBucketsCount", "SelectedBucketsCount"))
+      .getOrElse("ABSENT")
+    val prunes = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(pointLine)
+      .exists(m => m.group(1).toInt < m.group(2).toInt)
+    require(prunes,
+      s"production-regime point query does not prune buckets at sf1: $pointLine")
+
+    // sf1 CORRECTNESS dump (round-10 item 5): the headline queries'
+    // results + their oracle SQL in the Verify layout, so
+    // `python3 tools/check.py <sf1_dir> <sf1_dir>/verify` hash-gates
+    // the same queries the wall-clock point measures — correctness
+    // above the quantizer floor, not just plan shape.
+    val vDir = s"$out/verify"
+    new java.io.File(vDir).mkdirs()
+    selected.foreach { case (name, fn) =>
+      fn(spark, out).coalesce(1).write.mode("overwrite").parquet(s"$vDir/$name")
+    }
+    def jq(x: String): String = "\"" + x.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$vDir/oracle_sql.json"),
+      Headline.flatMap(n => SparkEntry.oracleSql.get(n).map(sql =>
+        s"${jq(n)}: ${jq(sql)}")).mkString("{", ",", "}"))
+
     val q = times.map { case (n, t) => s""""$n":${BenchReport.f3(t)}""" }.mkString(",")
     val j = plans.map { case (n, p) =>
       s""""$n":"${joinsOf(p).mkString("+")}"""" }.mkString(",")
@@ -149,6 +190,8 @@ object Sf1Bench {
         s""","k":$k,"build_sec":${BenchReport.f3(buildSec)},"setup_sec":${BenchReport.f3(setupSec)}""" +
         s""","passes":$passes,"ivf_k":${graft.operators.Similarity.ivfK(spark, out)}""" +
         s""","queries":{$q},"joins":{$j},"q83_buckets":"$bucketLine"""" +
+        s""","q83_point_nprobe2_buckets":"$pointLine"""" +
+        s""","verify_dump":"$vDir"""" +
         s""","plan_flips":[${flips.map("\"" + _ + "\"").mkString(",")}]}""")
     require(flips.isEmpty,
       s"plan flipped to a nested-loop shape at sf1-class size: ${flips.mkString(", ")}")

@@ -277,10 +277,19 @@ object Multimodal {
     * plan finds planted near-dups (not just exact dups) — the
     * evidence that a real pHash slots in with no plan change. */
   private[graft] def mediaDedupPairsFrom(media: DataFrame, cap: Int,
-      fingerprint: Column => Column = md5Fingerprint): DataFrame = {
-    val fp = media
-      .withColumn("fp", fingerprint(col("payload")))
-      .select(col("media_id"), col("fp"))
+      fingerprint: Column => Column = md5Fingerprint): DataFrame =
+    bandedFpPairs(
+      media.withColumn("fp", fingerprint(col("payload")))
+        .select(col("media_id"), col("fp")),
+      cap)
+
+  /** The fingerprint-agnostic back half of the perceptual-dedup plan
+    * (band equi-join + hot-bucket cap + Hamming verify) over an
+    * ALREADY-COMPUTED (media_id, fp) relation — factored out so a
+    * codec whose fingerprint is computed in the decode stage (the
+    * real [[graft.functions.Ppm.aHash60]] path, q111) shares the
+    * identical plan with the Column-expressed stand-ins (q84). */
+  private[graft] def bandedFpPairs(fp: DataFrame, cap: Int): DataFrame = {
     val bands = fp.select(col("media_id"), col("fp"),
         posexplode(array((0 to 3).map(b =>
           shiftright(col("fp"), b * 15).bitwiseAND(lit(0x7fffL))): _*)))
@@ -354,10 +363,219 @@ object Multimodal {
       |GROUP BY f.kind
       |ORDER BY f.kind""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q110: REAL codec decode — the non-stub instance of the multimodal
+  // contract (round-10 item 6). [[graft.functions.Ppm]] is an actual
+  // Netpbm P6 parser (magic, comment-skipping, whitespace-robust
+  // header, binary raster), and the gated query drives REAL P6 bytes
+  // through it: the payloads are genuine spec-conformant images (three
+  // header dialects — canonical, single-line, comment-bearing — plus a
+  // deliberately corrupt subset), while the ORACLE never parses:
+  // it recomputes the expected stats analytically from the same md5
+  // byte derivation, so the hash gate proves the byte-level parse
+  // (offsets, dims, comment handling, corrupt-reject) extracted
+  // exactly the right numbers.
+  // ------------------------------------------------------------------
+
+  import graft.functions.Ppm
+
+  /** Per-image decode output ([[Ppm.decodeP6]] through the same
+    * batched mapPartitions shape as [[decodeStub]]). `ok` = parsed;
+    * corrupt blobs keep their id with zeroed features — the
+    * skip-and-count discipline a 100 TB crawl needs (a bad blob must
+    * never throw a task). */
+  final case class PpmFeatures(
+    media_id: Long, ok: Boolean, width: Int, height: Int,
+    r_sum: Long, g_sum: Long, b_sum: Long, ahash: Long)
+
+  /** Real P6 payloads derived from `documents`: 10×6 RGB raster =
+    * first 180 bytes of md5(text)‖md5(text‖"1")‖…‖md5(text‖"11"),
+    * behind one of three header dialects by doc_id mod 3 (canonical
+    * multi-line, all-on-one-line, comment + tab/multi-space — all
+    * spec-valid), and doc_id ≡ 0 mod 97 swaps the magic to P5 → a
+    * corrupt blob the decoder must reject, not misparse. */
+  def ppmMediaTable(s: SparkSession, dir: String): DataFrame = {
+    val hx = concat((0 to 11).map {
+      case 0 => md5(col("text"))
+      case i => md5(concat(col("text"), lit(i.toString)))
+    }: _*)
+    val raster = unhex(substring(hx, 1, 360))
+    val hdr = when(pmod(col("doc_id"), lit(97)) === 0, lit("P5\n10 6\n255\n"))
+      .when(pmod(col("doc_id"), lit(3)) === 0, lit("P6\n# graft r10\n10 6\n255\n"))
+      .when(pmod(col("doc_id"), lit(3)) === 1, lit("P6 10 6 255\n"))
+      .otherwise(lit("P6\n10  6\t255 "))
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"),
+        concat(hdr.cast(org.apache.spark.sql.types.BinaryType), raster).as("payload"))
+  }
+
+  /** Batched real decode: same per-partition iterator shape as
+    * [[decodeStub]], with [[Ppm]] as the codec. */
+  def ppmDecode(media: DataFrame): Dataset[PpmFeatures] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { records =>
+        records.map { case (id, bytes) =>
+          Ppm.decodeP6(bytes) match {
+            case Some(img) =>
+              var r = 0L; var g = 0L; var b = 0L
+              var k = 0
+              val n = img.width * img.height
+              while (k < n) {
+                r += img.rgb(3 * k) & 0xff
+                g += img.rgb(3 * k + 1) & 0xff
+                b += img.rgb(3 * k + 2) & 0xff
+                k += 1
+              }
+              PpmFeatures(id, ok = true, img.width, img.height, r, g, b,
+                Ppm.aHash60(img))
+            case None =>
+              PpmFeatures(id, ok = false, 0, 0, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+  }
+
+  /** q110: per-group census over the REAL decode — counts of parsed
+    * vs rejected blobs, summed dims (proving width/height came from
+    * the header bytes), summed per-channel values (proving raster
+    * offsets), and bit_xor/min/max of the average-hash (proving the
+    * whole luma/threshold pipeline bit-for-bit). */
+  def ppmDecodeCensus(s: SparkSession, dir: String): DataFrame = {
+    ppmDecode(ppmMediaTable(s, dir))
+      .groupBy(pmod(col("media_id"), lit(7)).as("grp"))
+      .agg(
+        count(when(col("ok"), 1)).as("n_imgs"),
+        count(when(!col("ok"), 1)).as("n_bad"),
+        sum(when(col("ok"), col("width")).otherwise(0)).cast("long").as("sum_w"),
+        sum(when(col("ok"), col("height")).otherwise(0)).cast("long").as("sum_h"),
+        sum(col("r_sum")).as("sum_r"),
+        sum(col("g_sum")).as("sum_g"),
+        sum(col("b_sum")).as("sum_b"),
+        expr("bit_xor(CASE WHEN ok THEN ahash END)").as("xor_ahash"),
+        min(when(col("ok"), col("ahash"))).as("min_ahash"),
+        max(when(col("ok"), col("ahash"))).as("max_ahash"))
+      .orderBy("grp")
+  }
+
+  /** The DuckDB twin derives every number ANALYTICALLY from the md5
+    * construction — it never parses a header, so agreement means the
+    * Scala parser read the real bytes correctly. */
+  val ppmDecodeCensusSql: String =
+    """WITH px AS (
+      |  SELECT doc_id, doc_id % 7 AS grp, doc_id % 97 = 0 AS bad,
+      |         md5(text) || md5(text || '1') || md5(text || '2') ||
+      |         md5(text || '3') || md5(text || '4') || md5(text || '5') ||
+      |         md5(text || '6') || md5(text || '7') || md5(text || '8') ||
+      |         md5(text || '9') || md5(text || '10') || md5(text || '11') AS hx
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, grp, bad,
+      |         list_transform(generate_series(1, 180),
+      |           i -> CAST('0x' || substr(hx, 2*i - 1, 2) AS BIGINT)) AS pb
+      |  FROM px),
+      |f AS (
+      |  SELECT doc_id, grp, bad,
+      |         list_sum(list_transform(generate_series(0, 59), k -> pb[3*k + 1])) AS r_sum,
+      |         list_sum(list_transform(generate_series(0, 59), k -> pb[3*k + 2])) AS g_sum,
+      |         list_sum(list_transform(generate_series(0, 59), k -> pb[3*k + 3])) AS b_sum,
+      |         list_transform(generate_series(0, 59),
+      |           k -> pb[3*k + 1] + pb[3*k + 2] + pb[3*k + 3]) AS ls
+      |  FROM b),
+      |a AS (
+      |  SELECT doc_id, grp, bad, r_sum, g_sum, b_sum,
+      |         CAST(list_sum(list_transform(generate_series(0, 59),
+      |           k -> CASE WHEN ls[k + 1] * 60 > r_sum + g_sum + b_sum
+      |                THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS ahash
+      |  FROM f)
+      |SELECT CAST(grp AS BIGINT) AS grp,
+      |       count(*) FILTER (WHERE NOT bad) AS n_imgs,
+      |       count(*) FILTER (WHERE bad) AS n_bad,
+      |       CAST(10 * count(*) FILTER (WHERE NOT bad) AS BIGINT) AS sum_w,
+      |       CAST(6 * count(*) FILTER (WHERE NOT bad) AS BIGINT) AS sum_h,
+      |       CAST(sum(CASE WHEN bad THEN 0 ELSE r_sum END) AS BIGINT) AS sum_r,
+      |       CAST(sum(CASE WHEN bad THEN 0 ELSE g_sum END) AS BIGINT) AS sum_g,
+      |       CAST(sum(CASE WHEN bad THEN 0 ELSE b_sum END) AS BIGINT) AS sum_b,
+      |       bit_xor(ahash) FILTER (WHERE NOT bad) AS xor_ahash,
+      |       min(ahash) FILTER (WHERE NOT bad) AS min_ahash,
+      |       max(ahash) FILTER (WHERE NOT bad) AS max_ahash
+      |FROM a GROUP BY grp ORDER BY grp""".stripMargin
+
+  /** q111: perceptual near-dup over the REAL average-hash — the q84
+    * band/cap/Hamming plan fed by [[Ppm.aHash60]] fingerprints off the
+    * real decode (via [[bandedFpPairs]], so the plan is IDENTICAL to
+    * q84's — only the fingerprint source changed from an md5 stand-in
+    * to a genuine locality-preserving pHash). Census per doc_id-mod-7
+    * group so the gate exercises the full pair pipeline even where the
+    * pair set is empty. */
+  def ppmNearDup(s: SparkSession, dir: String): DataFrame = {
+    val fp = ppmDecode(ppmMediaTable(s, dir)).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("ahash").as("fp"))
+    val pairs = bandedFpPairs(fp, Dedup.MaxLshBucket)
+    val groups = fp.groupBy(pmod(col("media_id"), lit(7)).as("grp"))
+      .agg(count(lit(1)).as("n_media"))
+    val dupCounts = pairs
+      .groupBy(pmod(col("media_a"), lit(7)).as("grp"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+    groups.join(dupCounts, Seq("grp"), "left")
+      .select(col("grp"), col("n_media"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"))
+      .orderBy("grp")
+  }
+
+  /** DuckDB twin: the same analytic ahash as q110's oracle, banded
+    * 4×15 bits and Hamming-verified exactly like q84's SQL. */
+  val ppmNearDupSql: String =
+    """WITH px AS (
+      |  SELECT doc_id, doc_id % 7 AS grp, doc_id % 97 = 0 AS bad,
+      |         md5(text) || md5(text || '1') || md5(text || '2') ||
+      |         md5(text || '3') || md5(text || '4') || md5(text || '5') ||
+      |         md5(text || '6') || md5(text || '7') || md5(text || '8') ||
+      |         md5(text || '9') || md5(text || '10') || md5(text || '11') AS hx
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, grp, bad,
+      |         list_transform(generate_series(1, 180),
+      |           i -> CAST('0x' || substr(hx, 2*i - 1, 2) AS BIGINT)) AS pb
+      |  FROM px),
+      |f AS (
+      |  SELECT doc_id, grp, bad,
+      |         list_sum(list_transform(generate_series(0, 179), i -> pb[i + 1])) AS tot,
+      |         list_transform(generate_series(0, 59),
+      |           k -> pb[3*k + 1] + pb[3*k + 2] + pb[3*k + 3]) AS ls
+      |  FROM b),
+      |a AS (
+      |  SELECT doc_id, grp,
+      |         CAST(list_sum(list_transform(generate_series(0, 59),
+      |           k -> CASE WHEN ls[k + 1] * 60 > tot
+      |                THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS fp
+      |  FROM f WHERE NOT bad),
+      |bands AS (
+      |  SELECT doc_id AS media_id, grp, fp, t.b AS band,
+      |         ((fp >> (t.b * 15)) & 32767) AS bval
+      |  FROM a CROSS JOIN range(0, 4) t(b)),
+      |pairs AS (
+      |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+      |         x.fp AS fpa, y.fp AS fpb
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bval = y.bval AND x.media_id < y.media_id),
+      |dup AS (
+      |  SELECT media_a % 7 AS grp, count(*) AS n
+      |  FROM pairs WHERE bit_count(xor(fpa, fpb)) <= 8
+      |  GROUP BY 1)
+      |SELECT CAST(a.grp AS BIGINT) AS grp, count(*) AS n_media,
+      |       CAST(coalesce(any_value(dup.n), 0) AS BIGINT) AS n_dup_pairs
+      |FROM a LEFT JOIN dup ON a.grp = dup.grp
+      |GROUP BY a.grp
+      |ORDER BY a.grp""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q31_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     QueryDef("q47_frame_stats", frameStats, Some(frameStatsSql)),
     QueryDef("q51_media_resize", mediaResize, Some(mediaResizeSql)),
     QueryDef("q84_media_dedup", mediaDedup, Some(mediaDedupSql)),
+    QueryDef("q110_ppm_decode", ppmDecodeCensus, Some(ppmDecodeCensusSql)),
+    QueryDef("q111_ppm_neardup", ppmNearDup, Some(ppmNearDupSql)),
   )
 }

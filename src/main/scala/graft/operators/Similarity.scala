@@ -518,6 +518,23 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** The WRITTEN exact-top-5 ground-truth table (`exacttopk`) — q25's
+    * result materialized once per snapshot (round-10, verdict item 7:
+    * every recall harness — q96/q97/q98/q107 — recomputed the
+    * probes×corpus exact scan on EVERY run, so the measurement
+    * harnesses cost a multiple of the operators they measure; q107
+    * alone was 10× the median query). Ground truth is a pure function
+    * of the snapshot, exactly like the IVF/PQ index tables, so it
+    * belongs in the same once-per-snapshot artifact family: the
+    * harnesses read ≤ 5·[[MaxProbes]] slim rows instead of re-scanning
+    * the corpus, and at 100 TB the (expensive, exact) baseline is
+    * priced once per snapshot build, never per recall query. Results
+    * are bit-identical by construction — same deterministic query, one
+    * write — and the oracle twins keep recomputing it inline, so the
+    * driver gate itself proves written == recomputed every round. */
+  private[graft] def exactTopKTable(s: SparkSession, dir: String): DataFrame =
+    Layout.materializedTable(s, dir, "exacttopk") { cosineTopK(s, dir) }
+
   val cosineTopKSql: String = mat(
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
@@ -948,6 +965,7 @@ object Similarity {
     * one-time build cost lands in `setup_sec`, mirroring
     * `Dedup.warmSharedState`. */
   private[graft] def warmSharedState(s: SparkSession, dir: String): Unit = {
+    exactTopKTable(s, dir).count() // recall harnesses' ground truth
     annIvfIndexed(s, dir).count()
     pqCodesTable(s, dir, pqTrain(s, dir)).count()
     ivfAssignBase(s, dir, ivfCentsBase(s, dir)).count()
@@ -1056,6 +1074,30 @@ object Similarity {
   def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
     val (assign, routed, probedCents, _) = ivfRoutedProbes(s, dir, 2)
     ivfTop5(assign, routed.drop("r"), probedCents, Nil)
+      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** PRODUCTION-REGIME point lookup (round-10 item 5, verdict finding
+    * #3): ONE probe routed `nprobe` cells deep over the written index
+    * — q83's exact plan shape with a single-vector probe set. The
+    * per-round q83 gate routes the whole [[MaxProbes]] sample at once,
+    * so its cell-id literals cover every bucket and
+    * `SelectedBucketsCount` shows "8 out of 8" — which reads as "no
+    * pruning" when it actually means "union of 400 cells". The
+    * production regime is THIS shape: one external query, nprobe ≪ K,
+    * ≤ nprobe cell literals → the scan provably skips buckets
+    * (`Sf1Bench` records the SelectedBucketsCount line at the sf1
+    * point). */
+  private[graft] def ivfPointQuery(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val cents = ivfCents(s, dir)
+    val assign = ivfAssignTable(s, dir, cents)
+    val probe = boundedProbes(assign).orderBy(col("vec_id")).limit(1)
+    val routed = routeProbesDf(probe, cents, nprobe).drop("r")
+    val probedCents = routed.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    ivfTop5(assign, routed, probedCents, Nil)
       .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
       .orderBy("probe_id", "rnk")
   }
@@ -2065,7 +2107,7 @@ object Similarity {
     * intersection joins carry ≤ 5·probes slim rows each. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val exact5 = cosineTopK(s, dir).select(col("probe_id"), col("vec_id"))
+    val exact5 = exactTopKTable(s, dir).select(col("probe_id"), col("vec_id"))
     val np = boundedProbes(quantized(s, dir)).agg(count(lit(1)).as("np"))
     val methods: Seq[(String, DataFrame)] = Seq(
       "q83_ivf" -> annIvfIndexed(s, dir),
@@ -2237,7 +2279,7 @@ object Similarity {
   def ivfNprobeCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val levels = Seq(1, 2, 4, 8)
-    val exact5 = cosineTopK(s, dir).select(col("probe_id"), col("vec_id"))
+    val exact5 = exactTopKTable(s, dir).select(col("probe_id"), col("vec_id"))
     // one DISTRIBUTED routing at max nprobe, rank retained
     // (ivfRoutedProbes — the probes never transit the driver); the
     // probe count arrives with the pruning literals' bounded action,
@@ -2336,7 +2378,7 @@ object Similarity {
     import s.implicits._
     val levels = Seq(5, 10, 20, 40)
     val probeRows = pqProbes(s, dir)
-    val exact5 = cosineTopK(s, dir).select(col("probe_id"), col("vec_id"))
+    val exact5 = exactTopKTable(s, dir).select(col("probe_id"), col("vec_id"))
     // the collected probe array IS the bounded probe sample — its
     // length is n_probes, no extra corpus aggregate needed
     val nProbes = probeRows.length.toLong
@@ -2568,7 +2610,13 @@ object Similarity {
 
   /** The held snapshot's kNN neighbor graph over the standing corpus
     * (`nngraphbase`, vec_id-bucketed) — [[nnGraphTable]]'s base-family
-    * twin, built from the written routing table's self-join. */
+    * twin, built from the written routing table's self-join.
+    * DELIBERATELY pool-only (no NN-descent round): the base family is
+    * the HELD snapshot that q108's O(batch) append maintains, and its
+    * oracle re-derives exactly the pool construction; the refinement
+    * pass belongs to the snapshot REBUILD (q107's [[nnGraphTable]]),
+    * the same deferred-improvement discipline as the graph's
+    * back-edges. */
   private[graft] def nnGraphBaseTable(s: SparkSession, dir: String): DataFrame = {
     val routes = gRoutesBase(s, dir) // force before the once-gate
     Layout.materializedTable(s, dir, "nngraphbase",
@@ -2826,18 +2874,45 @@ object Similarity {
   private[graft] val BeamB = 4
   private[graft] val BeamH = 4
 
+  /** NN-DESCENT refinement dials (round-10 item 4). The pool graph
+    * alone leaves measured recall headroom (0.55 at sf0.1 vs the 0.65
+    * exact-kNN-graph bound, `GraphAnnProbe`): vectors near a cell
+    * boundary miss true neighbors that share none of their routed
+    * cells. One ADDITIVE NN-descent round closes most of it: each
+    * vertex proposes its best [[NdExp]] neighbors' adjacency lists
+    * (n·NdExp·G candidate pairs — one equi-join, linear), exact-scores
+    * the pairs, and APPENDS the best [[NdAdd]] candidates not already
+    * adjacent. Additive, never replace: the probe measured the
+    * replace-variant DESTROYING recall at sf0.01 (0.92 → 0.88 — the
+    * pool edges' far/diverse tail is what the beam navigates with,
+    * the same reason DiskANN α-prunes for diversity instead of keeping
+    * pure-nearest), while append lifts both scales. Dial choice from
+    * the probe's product-exact grid (rank-based expansion + the gated
+    * np_eq integer formula + the IVF row at exactly that nprobe, so a
+    * grid cell IS the pair GraphAnnSpec gates): NdExp=16/NdAdd=4 →
+    * 0.92 → 0.96 at sf0.01 (ties equal-budget IVF) and 0.55 → 0.63 at
+    * sf0.1 (IVF 0.53) — narrower expansion (NdExp 4/8) loses the
+    * sf0.01 tie because the denser graph's extra evals push np_eq to
+    * 25 where tiny-scale IVF reaches 0.96. Equal-budget fairness is
+    * automatic: np_eq derives from the realized eval count. */
+  private[graft] val NdExp = 16
+  private[graft] val NdAdd = 4
+
   /** The written kNN neighbor-graph table (`graft_nngraph`): per
     * vector its [[GraphG]] nearest neighbors among the members of its
-    * [[GraphR]] nearest cells (cos desc, ties low id), carrying the
-    * neighbor's quantized payload so hop scoring is map-side (the
-    * classic graph-ANN memory trade: G payload copies per vector,
-    * linear in the corpus — DiskANN ships exactly this layout). */
+    * [[GraphR]] nearest cells (cos desc, ties low id) PLUS up to
+    * [[NdAdd]] NN-descent-refined extras, carrying the neighbor's
+    * quantized payload so hop scoring is map-side (the classic
+    * graph-ANN memory trade: ~G payload copies per vector, linear in
+    * the corpus — DiskANN ships exactly this layout). */
   private[graft] def nnGraphTable(s: SparkSession, dir: String): DataFrame = {
     val cents = ivfCents(s, dir)
     // force the base table BEFORE the nngraph once-gate (the
     // ivfPqIndex "Recursive update" rule)
     val assign = ivfAssignTable(s, dir, cents)
-    Layout.materializedTable(s, dir, "nngraph",
+    val sc = s.sparkContext
+    val pre = sc.getPersistentRDDs.keySet.toSet
+    val t = Layout.materializedTable(s, dir, "nngraph",
         Some((Layout.Buckets, Seq("vec_id")))) {
       val routed = routeProbesDf(assign, cents, GraphR)
       val a = routed.select(col("probe_id").as("vec_id"), col("cent_id"),
@@ -2846,14 +2921,42 @@ object Similarity {
         col("pq").as("nq"), col("pqn").as("nqn"))
       val wG = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("nbr"))
-      a.join(b, Seq("cent_id"))
+      // referenced three times below (edge output, expansion seed,
+      // already-adjacent anti-join) — checkpointed so the pool join
+      // runs once, freed right after the table write (below)
+      val g0 = a.join(b, Seq("cent_id"))
         .filter(col("vec_id") =!= col("nbr"))
         .dropDuplicates("vec_id", "nbr")
         .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
         .withColumn("rn", row_number().over(wG))
         .filter(col("rn") <= GraphG)
+        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"), col("rn"))
+        .localCheckpoint()
+      // one ADDITIVE NN-descent round (see NdExp/NdAdd): candidates =
+      // adjacency of the best NdExp neighbors, minus self, minus
+      // already-adjacent; candidate payload rides the hop edge, so
+      // only the probe-side payload joins (one n-row equi-join)
+      val mid = g0.filter(col("rn") <= NdExp)
+        .select(col("vec_id"), col("nbr").as("mid"))
+      val extras = mid.join(
+          g0.select(col("vec_id").as("mid"), col("nbr"), col("nq"), col("nqn")),
+          Seq("mid"))
+        .filter(col("vec_id") =!= col("nbr"))
         .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+        .dropDuplicates("vec_id", "nbr")
+        .join(g0.select(col("vec_id"), col("nbr")), Seq("vec_id", "nbr"), "left_anti")
+        .join(assign.select(col("vec_id"), col("q"), col("qn")), Seq("vec_id"))
+        .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
+        .withColumn("rn", row_number().over(wG))
+        .filter(col("rn") <= NdAdd)
+        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+      g0.select(col("vec_id"), col("nbr"), col("nq"), col("nqn")).union(extras)
     }
+    // free the builder's g0 checkpoint (only present on the run that
+    // actually built the table; subsequent calls diff to the empty set)
+    (sc.getPersistentRDDs.keySet.toSet -- pre)
+      .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    t
   }
 
   /** q107: measured recall@5 of the graph path vs IVF at the SAME
@@ -2952,7 +3055,7 @@ object Similarity {
       gen = g
     }
 
-    val exact5 = cosineTopK(s, dir).select(col("probe_id"), col("vec_id").as("v"))
+    val exact5 = exactTopKTable(s, dir).select(col("probe_id"), col("vec_id").as("v"))
       .persist()
     def top5Hits(cand: DataFrame): Long = {
       val w5 = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("v"))
@@ -3020,9 +3123,11 @@ object Similarity {
 
   /** The q107 oracle: the exact baseline + trained quantizer +
     * assignment CTEs, the graph-pool routing (rn ≤ [[GraphR]]), the
-    * top-[[GraphG]] neighbor graph, [[BeamH]] unrolled beam-hop
-    * blocks, and the equal-budget IVF comparison derived from the
-    * SAME realized eval count. */
+    * top-[[GraphG]] neighbor graph plus the additive NN-descent round
+    * (ndc/nd CTEs — candidates via the best-[[NdExp]] edges, top-
+    * [[NdAdd]] appended), [[BeamH]] unrolled beam-hop blocks, and the
+    * equal-budget IVF comparison derived from the SAME realized eval
+    * count. */
   val graphAnnSql: String = mat(
     s"""WITH $exactBaseSql,
        |${sampSql("n")},
@@ -3050,8 +3155,8 @@ object Similarity {
        |gpool AS (
        |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr
        |  FROM rr a JOIN rr b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
-       |graph AS (
-       |  SELECT vec_id, nbr FROM (
+       |g0 AS (
+       |  SELECT vec_id, nbr, rn FROM (
        |    SELECT p.vec_id, p.nbr,
        |           row_number() OVER (PARTITION BY p.vec_id ORDER BY
        |             CAST(CAST(list_sum(list_transform(generate_series(1, len(va.q)),
@@ -3061,6 +3166,26 @@ object Similarity {
        |    FROM gpool p JOIN n va ON va.vec_id = p.vec_id
        |    JOIN n vb ON vb.vec_id = p.nbr) t
        |  WHERE rn <= $GraphG),
+       |ndc AS (
+       |  SELECT DISTINCT a.vec_id, b.nbr
+       |  FROM g0 a JOIN g0 b ON b.vec_id = a.nbr
+       |  WHERE a.rn <= $NdExp AND b.nbr <> a.vec_id
+       |    AND NOT EXISTS (SELECT 1 FROM g0 e
+       |                    WHERE e.vec_id = a.vec_id AND e.nbr = b.nbr)),
+       |nd AS (
+       |  SELECT vec_id, nbr FROM (
+       |    SELECT c.vec_id, c.nbr,
+       |           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(va.q)),
+       |                    i -> va.q[i] * vb.q[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(va.qn AS DOUBLE) * CAST(vb.qn AS DOUBLE)) DESC,
+       |             c.nbr) AS rn
+       |    FROM ndc c JOIN n va ON va.vec_id = c.vec_id
+       |    JOIN n vb ON vb.vec_id = c.nbr) t
+       |  WHERE rn <= $NdAdd),
+       |graph AS (
+       |  SELECT vec_id, nbr FROM g0
+       |  UNION ALL SELECT vec_id, nbr FROM nd),
        |pr1 AS (
        |  SELECT probe_id, cent_id FROM (
        |    SELECT v.vec_id AS probe_id, c.cent_id,

@@ -104,4 +104,31 @@ class BenchTailSpec extends AnyFunSuite {
     assert(noCtl.get("control_sec").asDouble() == -1.0)
     assert(noCtl.get("queries_norm").size() == 0)
   }
+
+  test("table artifact carries per-query noise bands and per-table setup times") {
+    val rs = Seq(
+      BenchReport.ControlQuery -> 0.25,
+      "q07_priority_revenue" -> 0.75,
+      "q99_failed" -> -1.0)
+    val spread = Map(
+      BenchReport.ControlQuery -> (0.24, 0.31),
+      "q07_priority_revenue" -> (0.7, 0.9))
+    // q99_failed has NO band (every pass failed) — it must be absent
+    // from the maps, not rendered as a bogus [-1, -1]
+    val node = mapper.readTree(BenchReport.tableJson(rs, 5, "/tmp/x", 30.0, 0L,
+      spread, Seq("dedup_shared" -> 12.5, "similarity_shared" -> 17.5)))
+    assert(node.get("queries_lo").get(BenchReport.ControlQuery).asDouble() == 0.24)
+    assert(node.get("queries_hi").get(BenchReport.ControlQuery).asDouble() == 0.31)
+    assert(node.get("queries_lo").get("q07_priority_revenue").asDouble() == 0.7)
+    assert(node.get("queries_hi").get("q07_priority_revenue").asDouble() == 0.9)
+    assert(!node.get("queries_lo").has("q99_failed"))
+    assert(!node.get("queries_hi").has("q99_failed"))
+    assert(node.get("setup_tables").get("dedup_shared").asDouble() == 12.5)
+    assert(node.get("setup_tables").get("similarity_shared").asDouble() == 17.5)
+    // band median must sit inside its own band for every banded query
+    rs.filter(r => spread.contains(r._1)).foreach { case (q, med) =>
+      val (lo, hi) = spread(q)
+      assert(lo <= med && med <= hi)
+    }
+  }
 }

@@ -261,14 +261,20 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q96/q97/q98: recall harness shares subtrees — one baseline, one index scan per sweep") {
-    // q96's contract after the single-intersection fix: the exact
-    // baseline is evaluated ONCE, so the raw embeddings file is
-    // scanned exactly 4 times (baseline corpus + baseline probes +
-    // probe count + re-rank side) — the per-branch formulation scanned
-    // it 10 times (4.7 s vs 2.9 s at sf0.1)
+    // q96's contract after the round-10 exacttopk materialization:
+    // the exact baseline is no longer evaluated AT ALL per run — the
+    // harness reads the written `graft_exacttopk` snapshot table
+    // (≤ 5·MaxProbes slim rows), so the raw embeddings file is
+    // scanned exactly twice (probe count + re-rank side). History:
+    // the per-branch formulation scanned it 10 times (4.7 s), the
+    // round-7 single-intersection fix 4 times (2.9 s), and pricing
+    // the baseline once per SNAPSHOT instead of once per QUERY
+    // removes the remaining two baseline scans.
     val p96 = plan("q96_ann_recall")
-    assert(countOf(p96, "embeddings.parquet") == 4,
+    assert(countOf(p96, "embeddings.parquet") == 2,
       s"q96 re-evaluated the exact baseline:\n$p96")
+    assert(countOf(p96, "graft_exacttopk") > 0,
+      s"q96 does not read the written ground-truth table:\n$p96")
     // q97's one-plan claim: all four nprobe levels are served by ONE
     // bucket-pruned scan of the written assignment on the INDEX side;
     // the probe side adds a second assignment read (the bounded probe
@@ -288,19 +294,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p97.linesIterator.filter(_.contains("LocalTableScan"))
         .forall(_.contains("[nprobe")),
       s"q97 still ships a collected (driver-routed) probe relation:\n$p97")
-    // baseline corpus + baseline probes — the probe COUNT is a driver
-    // literal (from the pruning literals' bounded action), not a
-    // third embeddings scan
-    assert(countOf(p97, "embeddings.parquet") == 2,
+    // with the baseline a written table (round 10), q97 touches the
+    // raw embeddings file ZERO times — probes come off the written
+    // assignment, ground truth off graft_exacttopk
+    assert(countOf(p97, "embeddings.parquet") == 0,
       s"q97 re-evaluated the exact baseline:\n$p97")
+    assert(countOf(p97, "graft_exacttopk") > 0,
+      s"q97 does not read the written ground-truth table:\n$p97")
     // q98: the ADC ranking is computed once for all four shortlists
     // (one code-table scan), and the baseline once; probe count is a
     // driver literal here too
     val p98 = plan("q98_shortlist_curve")
     assert(countOf(p98, "spark_catalog.default.graft_pqcodes") == 1,
       s"q98 re-ranked the code table per level:\n$p98")
-    assert(countOf(p98, "embeddings.parquet") == 3,
+    assert(countOf(p98, "embeddings.parquet") == 1,
       s"q98 re-evaluated the exact baseline:\n$p98")
+    assert(countOf(p98, "graft_exacttopk") > 0,
+      s"q98 does not read the written ground-truth table:\n$p98")
   }
 
   test("hot aggregation paths stay inside whole-stage codegen") {

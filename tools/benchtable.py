@@ -21,6 +21,19 @@ Usage:
         drift-corrected; only a missing/failed control degrades to raw
         ratios (with a warning). Default threshold: 1.3x normalized —
         the threshold BASELINE.md's regression claims use.
+
+        Round 10: the round-9 verdict proved 3-pass medians of
+        sub-0.5 s queries carry +/-30% run-to-run noise (the builder's
+        own 4-run control experiment: 0.238-0.315 s), so a bare 1.3x
+        median ratio flags phantom regressions. When BOTH artifacts
+        carry per-query spread (`queries_lo`/`queries_hi`, emitted by
+        the 5-pass bench from round 10 on), a query is flagged ONLY
+        when, in addition to the median ratio, its measured noise
+        bands are disjoint in the regression direction:
+        new_lo_norm > old_hi_norm. Overlapping bands mean the two
+        medians are indistinguishable at the bench's own measured
+        resolution -> NOISE, not REGR. Artifacts without spread fall
+        back to the round-8 median-only rule (with a note).
 """
 import json
 import sys
@@ -29,14 +42,23 @@ import sys
 def render(path):
     with open(path) as f:
         t = json.load(f)
+    lo, hi = t.get("queries_lo", {}), t.get("queries_hi", {})
+
+    def cell(q, v):
+        if q in lo and q in hi:
+            return f"{v} [{lo[q]}..{hi[q]}]"
+        return f"{v}"
+
     qs = sorted(t["queries"].items())
     half = (len(qs) + 1) // 2
     left, right = qs[:half], qs[half:]
-    print("| query | sec | query | sec |")
+    spread = " [lo..hi]" if lo and hi else ""
+    print(f"| query | sec{spread} | query | sec{spread} |")
     print("| --- | --- | --- | --- |")
     for i in range(half):
-        l = f"| {left[i][0]} | {left[i][1]} |"
-        r = f" {right[i][0]} | {right[i][1]} |" if i < len(right) else "  |  |"
+        l = f"| {left[i][0]} | {cell(*left[i])} |"
+        r = (f" {right[i][0]} | {cell(*right[i])} |"
+             if i < len(right) else "  |  |")
         print(l + r)
 
 
@@ -74,7 +96,27 @@ def diff(old_path, new_path, threshold):
               "raw-seconds ratios only (host drift NOT cancelled)")
         o, n = old["queries"], new["queries"]
     kind = "normalized" if use_norm else "raw"
-    flagged = 0
+
+    # Per-query noise bands, in the SAME units as o/n (normalized when
+    # use_norm, else raw seconds): [lo, hi] of the successful passes.
+    # Only round-10+ artifacts carry queries_lo/queries_hi.
+    def bands_of(art):
+        lo, hi = art.get("queries_lo"), art.get("queries_hi")
+        if not lo or not hi:
+            return None
+        if use_norm:
+            c = art.get("control_sec", -1.0)
+            if not c or c <= 0:
+                return None
+            return {q: (lo[q] / c, hi[q] / c) for q in lo if q in hi}
+        return {q: (lo[q], hi[q]) for q in lo if q in hi}
+
+    ob, nb = bands_of(old), bands_of(new)
+    use_bands = ob is not None and nb is not None
+    if not use_bands:
+        print("note: an artifact lacks queries_lo/queries_hi spread; "
+              "median-only flagging (pre-round-10 rule, noise-blind)")
+    flagged = noise = 0
     for q in sorted(set(o) & set(n)):
         ov, nv = o[q], n[q]
         if ov <= 0 or nv <= 0:
@@ -86,6 +128,18 @@ def diff(old_path, new_path, threshold):
             if use_norm:
                 ro, rn = old["queries"].get(q), new["queries"].get(q)
                 raw = f" (raw {ro} -> {rn} s)"
+            if use_bands and q in ob and q in nb:
+                o_lo, o_hi = ob[q]
+                n_lo, n_hi = nb[q]
+                if n_lo <= o_hi:
+                    print(f"NOISE {q}: {kind} {ov} -> {nv} ({ratio:.2f}x) "
+                          f"but bands overlap "
+                          f"[{o_lo:.3f},{o_hi:.3f}] vs [{n_lo:.3f},{n_hi:.3f}]"
+                          f"{raw}")
+                    noise += 1
+                    continue
+                raw += (f" bands [{o_lo:.3f},{o_hi:.3f}] -> "
+                        f"[{n_lo:.3f},{n_hi:.3f}] disjoint")
             print(f"REGR  {q}: {kind} {ov} -> {nv} ({ratio:.2f}x){raw}")
             flagged += 1
     only_old = sorted(set(o) - set(n))
@@ -98,7 +152,9 @@ def diff(old_path, new_path, threshold):
         print(f"control: {old.get('control')} "
               f"{old.get('control_sec')} -> {new.get('control_sec')} s "
               f"(uniform host factor cancelled)")
-    print(f"== {flagged} regressions >= {threshold}x {kind} ==")
+    band_note = (f" ({noise} above-threshold medians adjudicated NOISE "
+                 f"by band overlap)" if use_bands else "")
+    print(f"== {flagged} regressions >= {threshold}x {kind}{band_note} ==")
 
 
 def main():
