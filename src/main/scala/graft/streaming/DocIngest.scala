@@ -118,6 +118,48 @@ object DocIngest {
       }
   }
 
+  /** VECTOR-INDEX ingest — q108's O(batch) ANN index maintenance as
+    * the FIFTH stream front door (exact / MinHash / semantic / span /
+    * INDEX): each arriving embedding quantizes, routes itself against
+    * the broadcast HELD quantizer (nearest cell), and encodes its
+    * residual PQ codes map-side — stateless, O(micro-batch) per
+    * trigger, the standing corpus and the written index are never
+    * touched. Output rows carry exactly the `ivfpqbase` index schema
+    * (vec_id, cent_id, codes), so the stream composes directly with
+    * the layout sink / [[graft.sources.Layout.appendRewrite]] — the
+    * streaming form of the q108 append. Replay suppression on vec_id
+    * (`dropDuplicates` state: an index entry is immutable under the
+    * held quantizer, so first-write-wins IS the right merge), append
+    * mode. `StreamingSpec` proves stream == batch across trigger
+    * splits with a cross-trigger replay, AND that the door's rows are
+    * byte-identical to what the BATCH append (q108) published into the
+    * maintained `ivfpqbase` table for the same vectors — the stream
+    * and batch maintenance paths provably write the same index. */
+  def indexIngest(incoming: DataFrame,
+                  cents: Array[(Long, Array[Long], Long)],
+                  resCodebook: Array[(Long, Array[Long])]): DataFrame = {
+    val s = incoming.sparkSession
+    import s.implicits._
+    import graft.operators.Similarity
+    val centById = cents.map(c => (c._1, c._2)).toMap
+    val bcC = s.sparkContext.broadcast(cents)
+    val bcCm = s.sparkContext.broadcast(centById)
+    val bcR = s.sparkContext.broadcast(resCodebook)
+    Similarity.quantizedFrom(incoming)
+      .select(col("vec_id"), col("q"), col("qn")).as[(Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val cs = bcC.value; val cm = bcCm.value; val rc = bcR.value
+        it.map { case (id, q, qn) =>
+          val cid = Similarity.routeCents(q, qn, cs, 1).head
+          val cq = cm(cid)
+          (id, cid,
+            Similarity.pqEncode(
+              Array.tabulate(Similarity.Dim)(i => q(i) - cq(i)), rc).toSeq)
+        }
+      }.toDF("vec_id", "cent_id", "codes")
+      .dropDuplicates("vec_id")
+  }
+
   /** NEAR-dup ingest — q77's incremental MinHash-LSH as the stream
     * front door: each arriving document is signed in the stream
     * (map-side band table over the micro-batch) and band-joined

@@ -540,4 +540,53 @@ class StreamingSpec extends SparkSpec {
       assert(got == want, s"stream=$got batch=$want")
     } finally q.stop()
   }
+
+  test("streaming INDEX ingest (q108 shape): held-quantizer encode == batch == the batch-maintained index") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.operators.Similarity
+    import graft.streaming.DocIngest
+    val cents = Similarity.ivfCentsBase(spark, sfDir)
+    val rcb = Similarity.resTrainBase(spark, sfDir, cents)
+    val batchDf = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, String)] =
+      df.select(col("vec_id"), col("cent_id"),
+          concat_ws(",", col("codes")).as("ck"))
+        .as[(Long, Long, String)].collect().sorted.toSeq
+    val want = rowsOf(DocIngest.indexIngest(batchDf, cents, rcb))
+    assert(want.nonEmpty)
+
+    // stream == batch across a trigger split, with a cross-trigger
+    // replay (an index entry is immutable under the held quantizer, so
+    // first-write-wins dedup state must swallow the duplicate)
+    val rows = batchDf.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (t1, t2) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = DocIngest.indexIngest(
+        mem.toDF().toDF("vec_id", "embedding"), cents, rcb)
+      .writeStream.format("memory").queryName("index_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(t1: _*)
+      q.processAllAvailable()
+      mem.addData((t2 ++ t1.take(2)): _*) // replay two already-indexed vectors
+      q.processAllAvailable()
+      val got = rowsOf(spark.table("index_stream"))
+      assert(got == want, s"stream=$got batch=$want")
+    } finally q.stop()
+
+    // cross-path proof: the stream door's rows are EXACTLY the rows
+    // the BATCH append (q108) published into the maintained ivfpqbase
+    // table for the same vectors — streaming and batch maintenance
+    // write the same index
+    Similarity.annIndexAppend(spark, sfDir).collect()
+    val maintained = rowsOf(
+      spark.table(graft.sources.Layout.tableName(sfDir, "ivfpqbaseupd"))
+        .filter(pmod(col("vec_id"), lit(5)) === 0))
+    assert(maintained == want,
+      s"batch-maintained index rows diverge from the stream door:\n" +
+        s"maintained=$maintained\nstream=$want")
+  }
 }
