@@ -770,22 +770,40 @@ object Pipeline {
   private[graft] val BpeMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d", "e" -> "r")
 
+  /** Token-boundary separator for the string-form merge passes: a
+    * control char no tokenizable text contains (the char-split regex
+    * `.` would keep it if it appeared, so the encoding is safe, not
+    * just convenient). */
+  private val BpeSep = "\u0001"
+
   /** One greedy left-to-right merge pass of rule (a, b) → ab over a
-    * token array: fold tokens, merging a trailing `a` with an
-    * incoming `b`. `get` (never element_at) reads the accumulator
-    * tail — it returns NULL on the empty array instead of throwing
-    * under ANSI. */
-  private def bpeMergePass(toks: Column, a: String, b: String): Column =
-    aggregate(toks, array().cast(ArrayType(StringType)),
-      (acc, x) =>
-        when(get(acc, size(acc) - 1) === lit(a) && x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(x))))
+    * SEPARATOR-JOINED token string: one `regexp_replace` whose
+    * global-replace semantics (scan left to right, resume after each
+    * replacement) IS the greedy pass. Round-10 rewrite, twice over:
+    * the original aggregate-fold built its output array one `concat`
+    * per element (O(L²) copies per word per rule and a deep codegen
+    * chain — q109 was the bench's most expensive query at 8.9 s);
+    * the intermediate positional-transform form was O(L) but
+    * referenced the previous pass's tree three times, so six chained
+    * passes exponentiated the expression tree and blew the analyzer's
+    * iteration limit. The string form references its input ONCE per
+    * pass (linear tree) and does one regex scan per rule — q109
+    * 8.9 s → ~1.4 s at sf0.1. Boundary guards: the rule's `a` must
+    * start at the string head or after a separator, and its `b` must
+    * end at the tail or before one — token-exact matching, merged
+    * tokens keep their boundaries for later rules. */
+  private def bpeMergePass(s: Column, a: String, b: String): Column =
+    regexp_replace(s,
+      lit("(?<=^|" + BpeSep + ")" + java.util.regex.Pattern.quote(a) +
+        BpeSep + java.util.regex.Pattern.quote(b) + "(?=" + BpeSep + "|$)"),
+      lit(java.util.regex.Matcher.quoteReplacement(a + b)))
 
   private def bpeWord(w: Column): Column =
-    BpeMerges.foldLeft(regexp_extract_all(w, lit("."), lit(0))) {
-      case (t, (a, b)) => bpeMergePass(t, a, b)
-    }
+    split(
+      BpeMerges.foldLeft(
+        array_join(regexp_extract_all(w, lit("."), lit(0)), BpeSep)) {
+        case (t, (a, b)) => bpeMergePass(t, a, b)
+      }, BpeSep)
 
   private[graft] val bpeTokenizer: Column => Column =
     text => flatten(transform(tokens(text), bpeWord(_)))
