@@ -39,7 +39,7 @@ object Sf1Bench {
 
   private val Headline = Vector(
     "q01_delay_avg", "q15_window_rank", "q21_minhash_lsh", "q78_span_overlap",
-    "q83_ann_ivf_indexed", "q87_bigram_lm", "q96_ann_recall")
+    "q83_ann_ivf_indexed", "q87_bigram_lm", "q96_ann_recall", "q107_graph_ann")
 
   private val Offset = 100000000L
 

@@ -58,7 +58,12 @@ def df_strs(df):
 def main():
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        # driver testdata ships single parquet FILES; the Sf1Bench
+        # snapshot writes Spark DIRECTORIES of part files
+        pat = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(pat):
+            pat += "/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
     with open(os.path.join(OUT_DIR, "oracle_sql.json")) as f:
         oracles = json.load(f)
