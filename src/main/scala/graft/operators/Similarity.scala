@@ -864,7 +864,12 @@ object Similarity {
        |           i -> (p.q[c.sub*$PqDim+i] - c.cq[i]) * (p.q[c.sub*$PqDim+i] - c.cq[i]))) AS BIGINT) AS d
        |  FROM n p JOIN pset ON p.vec_id = pset.vec_id CROSS JOIN cb c)""".stripMargin
 
-  val annIvfSql: String = mat(
+  /** The q37/q83 oracle parameterized on the probe-set size: q37/q83
+    * run the full bounded sample ([[MaxProbes]]); q113 is the SAME
+    * derivation at limit 1 — the single-probe production point
+    * lookup, so the gate proves the point path == the batch path
+    * restricted to one probe. */
+  private def annIvfSqlFor(probeLimit: Int): String = mat(
     s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q,
        |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
@@ -873,7 +878,7 @@ object Similarity {
        |${sampSql("n")},
        |${trainedCentsSql("n")},
        |pset AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
-       |         ORDER BY vec_id LIMIT $MaxProbes),
+       |         ORDER BY vec_id LIMIT $probeLimit),
        |assign AS (
        |  SELECT vec_id, cent_id, q, qn FROM (
        |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
@@ -909,6 +914,21 @@ object Similarity {
        |  FROM scored)
        |SELECT probe_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 5
        |ORDER BY probe_id, rnk""".stripMargin)
+
+  val annIvfSql: String = annIvfSqlFor(MaxProbes)
+
+  /** The q113 oracle: one probe, nprobe = 2 — [[annIvfSqlFor]](1). */
+  val annPointSql: String = annIvfSqlFor(1)
+
+  /** q113: the production point-lookup shape as a GATED query — one
+    * external probe over the written index at nprobe = 2 (the regime
+    * where planning-time bucket pruning is visible, `Sf1Bench`'s
+    * SelectedBucketsCount 2-of-8 point). Oracle = the q37 derivation
+    * restricted to the same single probe, so the gate proves the
+    * point path returns exactly what the batch path would for that
+    * probe. */
+  def annPointLookup(s: SparkSession, dir: String): DataFrame =
+    ivfPointQuery(s, dir, 2)
 
   /** Typed `Aggregator[IN, BUF, OUT]` top-k: the custom-UDAF extension
     * route (SURVEY.md §7.3) — a bounded k-element buffer per group, so
@@ -2852,6 +2872,175 @@ object Similarity {
          |ORDER BY artifact""".stripMargin)
   }
 
+  /** q112: GRAPH BACK-EDGE FOLD — closes q108's one deliberate
+    * asymmetry. q108 appends the BATCH's graph rows but leaves the
+    * base rows held (DiskANN's deferred back-edges: a corpus vector
+    * gains its edges toward new arrivals only at the next snapshot
+    * rebuild). This operator IS that fold, still O(batch-affected):
+    *
+    *  - cross candidates = written corpus routing (`groutesbase`,
+    *    streamed out of its cent_id buckets) ⋈ the batch's own
+    *    routing — every (corpus u, batch v) sharing a routed cell;
+    *  - ONLY the affected u (those with ≥ 1 cross candidate) re-rank:
+    *    top-[[GraphG]] over (held edges ∪ cross candidates) — by the
+    *    top-k merge property, top-G(top-G(corpus) ∪ batch) equals
+    *    top-G(corpus ∪ batch), so the maintained row set is EXACTLY
+    *    the full-pool rebuild's, not an approximation;
+    *  - untouched u keep their held rows verbatim; batch rows are
+    *    q108's (their pools already see the whole corpus).
+    *
+    * Published atomically as the `nngraphfold` table
+    * ([[graft.sources.Layout.replaceRewrite]] — affected rows are
+    * REPLACED, which appendRewrite's base ∪ batch shape cannot
+    * express). The ORACLE re-derives the ENTIRE graph from scratch
+    * with FULL pools (no base/batch restriction) under the held
+    * quantizer, and the census separates refreshed / untouched /
+    * batch rows (the affected set re-derived in SQL) — so the gate
+    * proves fold-maintained == whole-graph rebuild, upgrading the
+    * q108 contract from "batch rows exact, base rows stale" to
+    * "every row exact". */
+  def annGraphBackfold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = ivfCentsBase(s, dir)
+    // materialize the base artifacts BEFORE the fold's once-gate
+    val assignBase = ivfAssignBase(s, dir, cents)
+    val routesBase = gRoutesBase(s, dir)
+    val graphBase = nnGraphBaseTable(s, dir)
+
+    val bcC = s.sparkContext.broadcast(cents)
+    val batchQ = quantizedFrom(
+      Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(5)) === 0))
+    val assignBatch = batchQ
+      .select(col("vec_id"), col("q"), col("qn")).as[(Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        it.map { case (id, q, qn) => (id, routeCents(q, qn, cs, 1).head, q, qn) }
+      }.toDF("vec_id", "cent_id", "q", "qn")
+    val routedBatch = routeProbesDf(assignBatch, cents, GraphR)
+      .select(col("probe_id").as("vec_id"), col("cent_id"),
+        col("pq").as("q"), col("pqn").as("qn"))
+
+    val wG = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr"))
+    val folded = Layout.replaceRewrite(s, dir, "nngraphfold",
+        Some((Layout.Buckets, Seq("vec_id")))) {
+      // (corpus u, batch v) candidates sharing a routed cell — the
+      // back edges the held graph is missing
+      val rbNbr = routedBatch.select(col("vec_id").as("nbr"), col("cent_id"),
+        col("q").as("nq"), col("qn").as("nqn"))
+      val crossU = routesBase.select(col("vec_id"), col("cent_id"))
+        .join(rbNbr, Seq("cent_id"))
+        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+        .dropDuplicates("vec_id", "nbr")
+      val affected = crossU.select(col("vec_id")).distinct()
+      val uPay = assignBase.select(col("vec_id"), col("q"), col("qn"))
+      val refreshed = graphBase.join(affected, Seq("vec_id"), "left_semi")
+        .unionByName(crossU)
+        .join(uPay, Seq("vec_id"))
+        .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
+        .withColumn("rn", row_number().over(wG))
+        .filter(col("rn") <= GraphG)
+        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+      val untouched = graphBase.join(affected, Seq("vec_id"), "left_anti")
+      // batch rows: q108's derivation (pools = corpus routing ∪ own)
+      val candSide = routesBase.unionByName(routedBatch)
+        .select(col("vec_id").as("nbr"), col("cent_id"),
+          col("q").as("nq"), col("qn").as("nqn"))
+      val graphBatch = routedBatch.join(candSide, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("nbr"))
+        .dropDuplicates("vec_id", "nbr")
+        .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
+        .withColumn("rn", row_number().over(wG))
+        .filter(col("rn") <= GraphG)
+        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+      untouched.unionByName(refreshed).unionByName(graphBatch)
+    }
+
+    // census over the PUBLISHED artifact; the affected set re-derived
+    // here exactly as in the oracle (bounded: a semi/anti flag join)
+    val affectedNow = routesBase.select(col("vec_id"), col("cent_id"))
+      .join(routedBatch.select(col("cent_id")).distinct(), Seq("cent_id"))
+      .select(col("vec_id")).distinct()
+    Seq(
+      Dedup.censusRow("nngraph_base_refreshed",
+        folded.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+          .join(affectedNow, Seq("vec_id"), "left_semi"),
+        concat_ws("|", col("vec_id"), col("nbr"))),
+      Dedup.censusRow("nngraph_base_untouched",
+        folded.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+          .join(affectedNow, Seq("vec_id"), "left_anti"),
+        concat_ws("|", col("vec_id"), col("nbr"))),
+      Dedup.censusRow("nngraph_batch",
+        folded.filter(pmod(col("vec_id"), lit(5)) === 0),
+        concat_ws("|", col("vec_id"), col("nbr"))))
+      .reduce(_ unionByName _)
+      .orderBy("artifact")
+  }
+
+  /** The q112 oracle: held quantizer (trained on the standing
+    * corpus), FULL pools over the whole updated corpus — every row of
+    * the fold-maintained graph must equal the from-scratch rebuild,
+    * refreshed/untouched/batch partitions included. */
+  val annGraphBackfoldSql: String = {
+    def h32(key: String): String =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    mat(
+      s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+         |n AS (SELECT vec_id, q,
+         |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+         |      FROM q
+         |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+         |corp AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+         |${sampSql("corp")},
+         |${trainedCentsSql("corp")},
+         |rr AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+         |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+         |             c.cent_id) AS rn
+         |    FROM n v CROSS JOIN cents c) t
+         |  WHERE rn <= $GraphR),
+         |gpool AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr
+         |  FROM rr a JOIN rr b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+         |graph AS (
+         |  SELECT vec_id, nbr FROM (
+         |    SELECT p.vec_id, p.nbr,
+         |           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(va.q)),
+         |                    i -> va.q[i] * vb.q[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(va.qn AS DOUBLE) * CAST(vb.qn AS DOUBLE)) DESC,
+         |             p.nbr) AS rn
+         |    FROM gpool p JOIN n va ON va.vec_id = p.vec_id
+         |    JOIN n vb ON vb.vec_id = p.nbr) t
+         |  WHERE rn <= $GraphG),
+         |affected AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM rr a JOIN rr b ON a.cent_id = b.cent_id
+         |  WHERE a.vec_id % 5 <> 0 AND b.vec_id % 5 = 0)
+         |SELECT artifact, n_rows, checksum FROM (
+         |  SELECT 'nngraph_base_refreshed' AS artifact,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR)")} AS checksum
+         |  FROM graph g
+         |  WHERE g.vec_id % 5 <> 0
+         |    AND EXISTS (SELECT 1 FROM affected a WHERE a.vec_id = g.vec_id)
+         |  UNION ALL
+         |  SELECT 'nngraph_base_untouched', CAST(count(*) AS BIGINT),
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR)")}
+         |  FROM graph g
+         |  WHERE g.vec_id % 5 <> 0
+         |    AND NOT EXISTS (SELECT 1 FROM affected a WHERE a.vec_id = g.vec_id)
+         |  UNION ALL
+         |  SELECT 'nngraph_batch', CAST(count(*) AS BIGINT),
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR)")}
+         |  FROM graph WHERE vec_id % 5 = 0) t
+         |ORDER BY artifact""".stripMargin)
+  }
+
   // ------------------------------------------------------------------
   // q107: GRAPH-based ANN (round-9 stretch item 8 — the third ANN
   // regime next to quantization (IVF/PQ) and hashing (LSH)).
@@ -3290,5 +3479,10 @@ object Similarity {
     // q108's oracle is the FULL-REBUILD census under the held
     // quantizer: the gate proves append-maintained == rebuild
     QueryDef("q108_ann_index_append", annIndexAppend, Some(annIndexAppendSql)),
+    // q112's oracle is the WHOLE-graph rebuild with full pools under
+    // the held quantizer: the gate proves fold-maintained == rebuild
+    // for every row — refreshed, untouched and batch alike
+    QueryDef("q112_ann_graph_backfold", annGraphBackfold, Some(annGraphBackfoldSql)),
+    QueryDef("q113_ann_point_lookup", annPointLookup, Some(annPointSql)),
   )
 }

@@ -337,6 +337,20 @@ object Layout {
     s.table(tableName(dir, what + "upd"))
   }
 
+  /** Publish a REPLACED (not purely appended) maintained artifact:
+    * build once per (session, dir), commit through the atomic
+    * versioned swap, hand every caller the catalog read. q112's graph
+    * back-edge fold REPLACES the affected base rows, which
+    * [[appendRewrite]]'s base ∪ batch shape cannot express. */
+  private[graft] def replaceRewrite(s: SparkSession, dir: String, what: String,
+      buckets: Option[(Int, Seq[String])])(build: => DataFrame): DataFrame = {
+    once(s, dir, what) {
+      publishVersioned(s, dir, what, buckets)(build)
+      ()
+    }
+    s.table(tableName(dir, what))
+  }
+
   /** Bucketed-by-orderkey lineitem + orders, written once per
     * (session, dir), re-read from the catalog. sortBy additionally
     * lets a SortMergeJoin skip its per-query sorts when each bucket

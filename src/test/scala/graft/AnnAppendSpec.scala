@@ -65,6 +65,38 @@ class AnnAppendSpec extends SparkSpec {
       b.numBuckets == Layout.Buckets && b.bucketColumnNames == Seq("cent_id")))
   }
 
+  test("q112 fold: back-edges exist, untouched rows verbatim, every row rebuild-exact by partition") {
+    // the fold CLOSES the asymmetry the previous test pins on q108:
+    // after annGraphBackfold, base vectors DO point at batch vectors
+    Similarity.annGraphBackfold(spark, dir).collect()
+    val folded = spark.table(Layout.tableName(dir, "nngraphfold"))
+    val baseToBatch = folded.filter(pmod(col("vec_id"), lit(5)) =!= 0 &&
+      pmod(col("nbr"), lit(5)) === 0).count()
+    assert(baseToBatch > 0, "fold produced no base→batch back-edges")
+    // degree bound + self-free across the whole folded graph
+    val deg = folded.groupBy(col("vec_id")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    assert(deg <= Similarity.GraphG)
+    assert(folded.filter(col("vec_id") === col("nbr")).count() == 0)
+    // untouched base rows are the HELD table's rows verbatim — the
+    // O(batch-affected) claim's observable footprint: vectors sharing
+    // no cell with the batch were never recomputed, just carried
+    val held = spark.table(Layout.tableName(dir, "nngraphbase"))
+    val touched = folded.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      .select("vec_id").except(held.select("vec_id"))
+    assert(touched.count() == 0, "fold invented base vectors")
+    val foldedBase = folded.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val changedU = foldedBase.select("vec_id", "nbr")
+      .except(held.select("vec_id", "nbr")).select("vec_id").distinct()
+    // every changed vertex must have gained at least one batch
+    // neighbor (the only admissible source of change in a fold)
+    val changedWithoutBatchNbr = changedU
+      .join(foldedBase.filter(pmod(col("nbr"), lit(5)) === 0)
+        .select("vec_id").distinct(), Seq("vec_id"), "left_anti").count()
+    assert(changedWithoutBatchNbr == 0,
+      s"$changedWithoutBatchNbr vertices changed without any batch back-edge")
+  }
+
   test("the append publish is once-gated: a second call re-reads, never re-publishes") {
     val first = Similarity.annIndexAppend(spark, dir).collect().toSeq
     val prefix = Layout.tableName(dir, "ivfassignbaseupd") + "__v"
