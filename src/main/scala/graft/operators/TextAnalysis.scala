@@ -442,6 +442,117 @@ object TextAnalysis {
       |SELECT doc_id, CAST(m AS BIGINT) AS n_bigrams, CAST(s // m AS BIGINT) AS score
       |FROM scored ORDER BY score DESC, doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q114: PII REDACTION (round-10 extension) — the scrubbing pass
+  // every training-data pipeline runs before tokenization: find and
+  // redact emails / phone numbers / IPv4 addresses, report per-source
+  // detection counts, redaction rate and a checksum of the REDACTED
+  // corpus. The synthetic corpus contains no PII-shaped tokens (no
+  // digits, no '@' — verified), so the query PLANTS deterministic
+  // md5-derived entities (the q110 analytic-oracle pattern): both
+  // engines derive the same augmented text, and the hash gate then
+  // proves the regex machinery — patterns, global replacement,
+  // count extraction — byte-for-byte, since one mis-matched or
+  // half-replaced entity flips the redacted-corpus checksum.
+  // ------------------------------------------------------------------
+
+  /** The three redaction patterns — deliberately identical strings on
+    * both engines (Java regex and DuckDB's RE2 agree on this subset:
+    * classes, bounded repeats, anchorless alternation-free atoms). */
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}-[0-9]{4}"
+  private val IpPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** doc_id-gated planted entities, all derived from md5(text):
+    * email `u<hex6>@ex<hex4>.com` when doc_id ≡ 0 (mod 3); phone
+    * `+1-<d3>-<d4>-<d4>` when ≡ 0 (mod 4); IP `10.<o>.<o>.<o>`
+    * (octets = hex-byte values, 0–255) when ≡ 1 (mod 5). */
+  private def augmentedText: Column = {
+    val h = md5(col("text"))
+    def dec(start: Int, len: Int, mod: Long): Column =
+      pmod(conv(substring(h, start, len), 16, 10).cast(LongType), lit(mod))
+    def pad(c: Column, n: Int): Column = lpad(c.cast(StringType), n, "0")
+    val email = concat(lit(" u"), substring(h, 1, 6), lit("@ex"),
+      substring(h, 7, 4), lit(".com"))
+    val phone = concat(lit(" +1-"), pad(dec(11, 3, 1000L), 3), lit("-"),
+      pad(dec(14, 4, 10000L), 4), lit("-"), pad(dec(18, 4, 10000L), 4))
+    val ip = concat(lit(" 10."), dec(22, 2, 256L), lit("."),
+      dec(24, 2, 256L), lit("."), dec(26, 2, 256L))
+    concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0, email).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0, phone).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 1, ip).otherwise(lit("")))
+  }
+
+  def piiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val aug = augmentedText
+    // redaction order matters only if patterns overlap — they cannot
+    // (an email needs '@', a phone '+', an IP neither), so the three
+    // global replaces compose order-independently; fixed order anyway
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(aug, EmailPat, "<EMAIL>"),
+        PhonePat, "<PHONE>"),
+      IpPat, "<IP>")
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(regexp_extract_all(aug, lit(EmailPat), lit(0))).as("ne"),
+        size(regexp_extract_all(aug, lit(PhonePat), lit(0))).as("np"),
+        size(regexp_extract_all(aug, lit(IpPat), lit(0))).as("ni"),
+        hash32(red).as("rh"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ne")).cast(LongType).as("n_emails"),
+        sum(col("np")).cast(LongType).as("n_phones"),
+        sum(col("ni")).cast(LongType).as("n_ips"),
+        (sum((col("ne") + col("np") + col("ni")).cast(LongType))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType))
+          .as("pii_per_doc"),
+        sum(col("rh")).as("redacted_checksum"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin: same augmentation arithmetic, same patterns; the
+    * only engine-syntax differences are conv → CAST('0x'…) and the
+    * explicit 'g' flag (DuckDB's regexp_replace is first-match by
+    * default where Spark's is global). */
+  val piiRedactionSql: String = {
+    val email = "' u' || substr(h, 1, 6) || '@ex' || substr(h, 7, 4) || '.com'"
+    def dec(start: Int, len: Int, mod: Long): String =
+      s"(CAST('0x' || substr(h, $start, $len) AS BIGINT) % $mod)"
+    def pad(e: String, n: Int): String = s"lpad(CAST($e AS VARCHAR), $n, '0')"
+    val phone = s"' +1-' || ${pad(dec(11, 3, 1000L), 3)} || '-' || " +
+      s"${pad(dec(14, 4, 10000L), 4)} || '-' || ${pad(dec(18, 4, 10000L), 4)}"
+    val ip = s"' 10.' || ${dec(22, 2, 256L)} || '.' || ${dec(24, 2, 256L)} || '.' || ${dec(26, 2, 256L)}"
+    s"""WITH a AS (
+       |  SELECT source, doc_id,
+       |         text ||
+       |         CASE WHEN doc_id % 3 = 0 THEN $email ELSE '' END ||
+       |         CASE WHEN doc_id % 4 = 0 THEN $phone ELSE '' END ||
+       |         CASE WHEN doc_id % 5 = 1 THEN $ip ELSE '' END AS aug
+       |  FROM (SELECT source, doc_id, text, md5(text) AS h FROM documents) t),
+       |r AS (
+       |  SELECT source, doc_id,
+       |         len(regexp_extract_all(aug, '$EmailPat')) AS ne,
+       |         len(regexp_extract_all(aug, '$PhonePat')) AS np,
+       |         len(regexp_extract_all(aug, '$IpPat')) AS ni,
+       |         CAST('0x' || substr(md5(
+       |           regexp_replace(regexp_replace(regexp_replace(aug,
+       |             '$EmailPat', '<EMAIL>', 'g'),
+       |             '$PhonePat', '<PHONE>', 'g'),
+       |             '$IpPat', '<IP>', 'g')), 1, 8) AS BIGINT) AS rh
+       |  FROM a)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(ne) AS BIGINT) AS n_emails,
+       |       CAST(sum(np) AS BIGINT) AS n_phones,
+       |       CAST(sum(ni) AS BIGINT) AS n_ips,
+       |       CAST(sum(ne + np + ni) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |         AS pii_per_doc,
+       |       CAST(sum(rh) AS BIGINT) AS redacted_checksum
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q27_lang_id", langId, Some(langIdSql)),
     QueryDef("q28_quality_score", qualityScore, Some(qualityScoreSql)),
@@ -450,5 +561,6 @@ object TextAnalysis {
     QueryDef("q44_tfidf", tfidfTopTerms, Some(tfidfTopTermsSql)),
     QueryDef("q73_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     QueryDef("q87_bigram_lm", bigramLm, Some(bigramLmSql)),
+    QueryDef("q114_pii_redaction", piiRedaction, Some(piiRedactionSql)),
   )
 }
