@@ -61,7 +61,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q86_semdedup", "q87_bigram_lm", "q88_containment",
     "q89_dup_pagerank", "q90_pq_adc", "q91_semdedup_incremental",
     "q92_pq_rerank", "q93_ivfpq", "q94_cluster_balance",
-    "q95_embedding_pipeline")
+    "q95_embedding_pipeline",
+    // round-10 shapes: real-BPE token economy (regex merge passes +
+    // per-source window), real-codec decode census and real-aHash
+    // banding, point lookup off the written index, regex redaction
+    "q109_bpe_token_economy", "q110_ppm_decode", "q111_ppm_neardup",
+    "q113_ann_point_lookup", "q114_pii_redaction")
 
   names.foreach { name =>
     test(s"$name is invariant under shuffle-partition count") {

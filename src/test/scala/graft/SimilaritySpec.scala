@@ -117,6 +117,26 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("annLsh"), "refusal must point at the scale operator")
   }
 
+  test("q113: the point lookup prunes to at most its nprobe's buckets") {
+    val df = Similarity.ivfPointQuery(spark, sfDir, 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val sel = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in the point plan:\n$plan")
+    // one probe, nprobe = 2 → ≤ 2 cell-id literals → ≤ 2 buckets of 8
+    // touched (the production regime Sf1Bench demonstrates at sf1)
+    assert(sel.get.group(1).toInt <= 2 && sel.get.group(2).toInt > 2,
+      s"point lookup did not prune to its nprobe: ${sel.get.matched}")
+    // the result is exactly the batch path's rows for that probe
+    val batch = Similarity.annIvfIndexed(spark, sfDir)
+    val probe = df.select("probe_id").head().getLong(0)
+    val want = batch.filter(org.apache.spark.sql.functions.col("probe_id") === probe)
+      .collect().map(_.toString).toSeq
+    assert(df.collect().map(_.toString).toSeq == want)
+  }
+
   test("q83: the written IVF index serves queries with bucket pruning, no quantization") {
     val df = Similarity.annIvfIndexed(spark, sfDir)
     df.collect()
