@@ -113,9 +113,32 @@ def diff(old_path, new_path, threshold):
 
     ob, nb = bands_of(old), bands_of(new)
     use_bands = ob is not None and nb is not None
+
+    # the r09/r10 generation boundary: exactly ONE side carries bands.
+    # The unbanded side's median is a point with UNKNOWABLE spread (the
+    # round-9 experiment measured +/-30% on 3-pass medians), so
+    # norm-interval overlap cannot be evaluated. The mechanical rule
+    # that still has teeth: flag only when the RAW delta exceeds the
+    # banded side's own observed band WIDTH for that query — a real
+    # regression (say 2x) dwarfs the query's noise width, while
+    # control-drift-inflated normalized ratios ride deltas far inside
+    # it. Raw band width in raw seconds, no normalization involved.
+    def widths_of(art):
+        lo, hi = art.get("queries_lo"), art.get("queries_hi")
+        if not lo or not hi:
+            return None
+        return {q: hi[q] - lo[q] for q in lo if q in hi}
+
+    one_sided = None
     if not use_bands:
-        print("note: an artifact lacks queries_lo/queries_hi spread; "
-              "median-only flagging (pre-round-10 rule, noise-blind)")
+        one_sided = widths_of(new) or widths_of(old)
+        if one_sided is not None:
+            print("note: only one artifact carries queries_lo/queries_hi; "
+                  "flagging requires raw |delta| > the banded side's band "
+                  "width (norm-interval overlap needs both sides)")
+        else:
+            print("note: no artifact carries queries_lo/queries_hi spread; "
+                  "median-only flagging (pre-round-10 rule, noise-blind)")
     flagged = noise = 0
     for q in sorted(set(o) & set(n)):
         ov, nv = o[q], n[q]
@@ -140,6 +163,16 @@ def diff(old_path, new_path, threshold):
                     continue
                 raw += (f" bands [{o_lo:.3f},{o_hi:.3f}] -> "
                         f"[{n_lo:.3f},{n_hi:.3f}] disjoint")
+            elif one_sided is not None and q in one_sided:
+                d = abs(new["queries"].get(q, 0.0) - old["queries"].get(q, 0.0))
+                w = one_sided[q]
+                if d <= w:
+                    print(f"NOISE {q}: {kind} {ov} -> {nv} ({ratio:.2f}x) "
+                          f"but raw delta {d:.3f} s inside the banded "
+                          f"side's band width {w:.3f} s{raw}")
+                    noise += 1
+                    continue
+                raw += f" raw delta {d:.3f} s > band width {w:.3f} s"
             print(f"REGR  {q}: {kind} {ov} -> {nv} ({ratio:.2f}x){raw}")
             flagged += 1
     only_old = sorted(set(o) - set(n))
@@ -153,7 +186,9 @@ def diff(old_path, new_path, threshold):
               f"{old.get('control_sec')} -> {new.get('control_sec')} s "
               f"(uniform host factor cancelled)")
     band_note = (f" ({noise} above-threshold medians adjudicated NOISE "
-                 f"by band overlap)" if use_bands else "")
+                 f"by band overlap)" if use_bands else
+                 (f" ({noise} above-threshold medians adjudicated NOISE by "
+                  f"sub-band-width raw delta)" if one_sided else ""))
     print(f"== {flagged} regressions >= {threshold}x {kind}{band_note} ==")
 
 
