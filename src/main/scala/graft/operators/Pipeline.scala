@@ -941,7 +941,6 @@ object Pipeline {
     docs
       .withColumn("nws", size(wsTokenizer(col("text"))).cast(LongType))
       .withColumn("n", size(bpeTokenizer(col("text"))).cast(LongType))
-      .filter(col("n") > 0)
       .select(col("source"), col("doc_id"), col("nws"), col("n"))
       .withColumn("n_chunks",
         when(col("n") <= ChunkLen, 1L)
@@ -951,6 +950,15 @@ object Pipeline {
         aggregate(sequence(lit(0L), col("n_chunks") - 1), lit(0L),
           (acc, i) => acc + least(lit(ChunkLen), col("n") - i * ChunkStride)))
       .withColumn("endt", sum(col("n")).over(w))
+      // the n > 0 gate sits ABOVE the window exchange, not next to the
+      // tokenizing projection: adjacent, predicate pushdown clones the
+      // whole 6-pass BPE tree into the Filter and every row tokenizes
+      // TWICE (measured 12 regexp_replace nodes in the executed plan).
+      // Above the exchange the filter reads the shuffled column value,
+      // and the move is semantics-free — a zero-n row contributes 0 to
+      // every later doc's running sum, so endt and the split flags of
+      // surviving rows are unchanged.
+      .filter(col("n") > 0)
       .withColumn("split",
         expr(s"(endt - n) div $PackBin") =!= expr(s"(endt - 1) div $PackBin"))
       .groupBy(col("source"))
