@@ -160,6 +160,21 @@ object DocIngest {
       .dropDuplicates("vec_id")
   }
 
+  /** MEDIA ingest — the multimodal modality's front door: arriving
+    * binary blobs decode through the REAL codec
+    * ([[graft.operators.Multimodal.ppmDecode]] → [[graft.functions.Ppm]])
+    * inside the stream — stateless mapPartitions, the production
+    * shape (per-partition codec init, corrupt blobs skip-and-count as
+    * `ok = false` rows rather than throwing a task) — with replay
+    * suppression on media_id. Output rows carry the decode-features
+    * schema incl. the real average-hash, so the stream composes
+    * directly with the q111 banding dedup or a layout sink.
+    * `StreamingSpec` proves stream == batch across trigger splits
+    * with a replay, corrupt blobs included. */
+  def mediaIngest(incoming: DataFrame): DataFrame =
+    graft.operators.Multimodal.ppmDecode(incoming).toDF()
+      .dropDuplicates("media_id")
+
   /** NEAR-dup ingest — q77's incremental MinHash-LSH as the stream
     * front door: each arriving document is signed in the stream
     * (map-side band table over the micro-batch) and band-joined

@@ -589,4 +589,37 @@ class StreamingSpec extends SparkSpec {
       s"batch-maintained index rows diverge from the stream door:\n" +
         s"maintained=$maintained\nstream=$want")
   }
+
+  test("streaming MEDIA ingest: real-codec decode on the stream == batch, corrupt blobs counted not thrown") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Multimodal
+    import graft.streaming.DocIngest
+    val media = Multimodal.ppmMediaTable(spark, sfDir)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val want = rowsOf(DocIngest.mediaIngest(media))
+    assert(want.nonEmpty)
+    // the planted corrupt subset must arrive as ok=false ROWS (the
+    // skip-and-count contract), not kill the stream
+    val wantBad = DocIngest.mediaIngest(media).filter(!col("ok")).count()
+    assert(wantBad > 0, "fixture lost its corrupt blobs")
+
+    val rows = media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])].collect().toSeq
+    val (t1, t2) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = DocIngest.mediaIngest(mem.toDF().toDF("media_id", "payload"))
+      .writeStream.format("memory").queryName("media_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(t1: _*)
+      q.processAllAvailable()
+      mem.addData((t2 ++ t1.take(3)): _*) // replay three decoded blobs
+      q.processAllAvailable()
+      val got = rowsOf(spark.table("media_stream"))
+      assert(got == want, s"stream=$got batch=$want")
+      assert(spark.table("media_stream").filter(!col("ok")).count() == wantBad)
+    } finally q.stop()
+  }
 }
