@@ -72,8 +72,24 @@ object Sf1Bench {
         .withColumn("text", concat_ws(" ",
           transform(split(col("text"), " "), t => concat(t, lit(s"_$i")))))
     }, "documents")
+    // Replicated embeddings are PERTURBED (round 10): verbatim clones
+    // made every probe's exact top-5 its own copies, so both ANN
+    // methods scored recall 1.0 — a degenerate measurement (the r10
+    // verdict-honesty note). Each replica keeps ~2/3 of its dims and
+    // flips the rest to deterministic hash-derived values in the
+    // corpus's own value range — clusters of 10 correlated-but-
+    // distinct vectors, so sf1 recall measures real retrieval
+    // structure while the snapshot stays fully deterministic (both
+    // engines recompute from the same parquet, so the hash gate is
+    // unaffected).
     write(rep(s.read.parquet(s"$src/embeddings.parquet")) { (df, i) =>
-      df.withColumn("vec_id", col("vec_id") + lit(i * Offset))
+      val v = df.withColumn("vec_id", col("vec_id") + lit(i * Offset))
+      if (i == 0) v else v.withColumn("embedding",
+        transform(col("embedding"), (x, j) =>
+          when(pmod(hash(col("vec_id"), lit(i), j), lit(3)) === 0,
+            ((pmod(hash(col("vec_id"), j), lit(601)) - lit(300))
+              .cast("double") / lit(1000.0)).cast("float"))
+            .otherwise(x)))
     }, "embeddings")
     done.createNewFile()
   }
@@ -81,7 +97,10 @@ object Sf1Bench {
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
     val k = sys.env.getOrElse("SPARK_GRAFT_SF1_K", "10").toInt
-    val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", s"/tmp/graft_sf1_k$k")
+    // dir name carries the snapshot recipe generation (p1 = perturbed
+    // replica embeddings) so a stale pre-perturbation snapshot's
+    // _DONE marker can never satisfy the idempotence check
+    val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", s"/tmp/graft_sf1_k${k}_p1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
