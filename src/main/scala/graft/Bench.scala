@@ -31,6 +31,7 @@ object Bench {
     val setupBuilds: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Any)] = Seq(
       "dedup_shared" -> ((s, d) => graft.operators.Dedup.warmSharedState(s, d)),
       "similarity_shared" -> ((s, d) => graft.operators.Similarity.warmSharedState(s, d)),
+      "multimodal_shared" -> ((s, d) => graft.operators.Multimodal.ppmFeatTable(s, d).count()),
       "bucketed_lineitem_orders" -> ((s, d) => graft.sources.Layout.bucketedLineitemOrders(s, d)),
       "partitioned_events" -> ((s, d) => graft.sources.Layout.partitionedEvents(s, d)),
       "incremental_events" -> ((s, d) => graft.sources.Layout.incrementalEvents(s, d)),

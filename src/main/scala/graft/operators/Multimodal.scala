@@ -501,15 +501,28 @@ object Multimodal {
       |       max(ahash) FILTER (WHERE NOT bad) AS max_ahash
       |FROM a GROUP BY grp ORDER BY grp""".stripMargin
 
+  /** The WRITTEN per-snapshot decode-features table (`ppmfeat`) — the
+    * real-codec analog of the dedup family's written band index:
+    * decode is the expensive step once the codec is real, and q111's
+    * banding plan consumes the features at three points (group census
+    * + both self-join sides), which re-ran the decode FIVE times when
+    * expressed inline (plan-probed). Priced once per snapshot, every
+    * consumer reads the table. */
+  private[graft] def ppmFeatTable(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.materializedTable(s, dir, "ppmfeat") {
+      ppmDecode(ppmMediaTable(s, dir)).toDF()
+    }
+
   /** q111: perceptual near-dup over the REAL average-hash — the q84
     * band/cap/Hamming plan fed by [[Ppm.aHash60]] fingerprints off the
     * real decode (via [[bandedFpPairs]], so the plan is IDENTICAL to
     * q84's — only the fingerprint source changed from an md5 stand-in
-    * to a genuine locality-preserving pHash). Census per doc_id-mod-7
-    * group so the gate exercises the full pair pipeline even where the
-    * pair set is empty. */
+    * to a genuine locality-preserving pHash), reading the WRITTEN
+    * [[ppmFeatTable]] so the decode runs once per snapshot, never per
+    * consumer. Census per doc_id-mod-7 group so the gate exercises the
+    * full pair pipeline even where the pair set is empty. */
   def ppmNearDup(s: SparkSession, dir: String): DataFrame = {
-    val fp = ppmDecode(ppmMediaTable(s, dir)).toDF()
+    val fp = ppmFeatTable(s, dir)
       .filter(col("ok"))
       .select(col("media_id"), col("ahash").as("fp"))
     val pairs = bandedFpPairs(fp, Dedup.MaxLshBucket)
