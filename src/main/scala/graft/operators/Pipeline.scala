@@ -899,6 +899,69 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Tokens per training SHARD — [[PackBin]]·8 = 8 packed bins per
+    * shard file, the write-granularity layer above bins. */
+  private val ShardTokens = PackBin * 8
+
+  /** q115: TRAINING-SHARD MANIFEST — the accounting of the pipeline's
+    * final WRITE step (chunk → pack → shard files): every document is
+    * assigned to the shard its first token lands in (startt div
+    * [[ShardTokens]] under the q75 running sum), and the manifest
+    * reports, per (source, shard): document count, the doc_id range
+    * (what a resumable writer seeks to), declared token payload, and
+    * how many documents CROSS the shard's end (the carryover a
+    * shard-parallel writer must hand to its neighbor). Pure window
+    * arithmetic over the same source-keyed exchange as q75 — the
+    * manifest of deterministic shard files any worker set can
+    * reproduce bit-identically at any parallelism. */
+  def shardManifest(s: SparkSession, dir: String): DataFrame =
+    shardManifestFrom(Tables.documents(s, dir), wsTokenizer)
+
+  private[graft] def shardManifestFrom(docs: DataFrame,
+      tokenizer: Column => Column): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs
+      .withColumn("n", size(tokenizer(col("text"))).cast(LongType))
+      .filter(col("n") > 0)
+      .select(col("source"), col("doc_id"), col("n"))
+      .withColumn("endt", sum(col("n")).over(w))
+      .withColumn("startt", col("endt") - col("n"))
+      .withColumn("shard_id", expr(s"startt div $ShardTokens"))
+      .withColumn("carry",
+        expr(s"startt div $ShardTokens") =!= expr(s"(endt - 1) div $ShardTokens"))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("n")).as("shard_tokens"),
+        sum(when(col("carry"), 1L).otherwise(0L)).as("n_carryover"))
+      .orderBy("source", "shard_id")
+  }
+
+  val shardManifestSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n
+       |  FROM documents),
+       |o AS (
+       |  SELECT source, doc_id, n,
+       |         sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS endt
+       |  FROM d WHERE n > 0),
+       |f AS (
+       |  SELECT source, doc_id, n,
+       |         (endt - n) // $ShardTokens AS shard_id,
+       |         ((endt - n) // $ShardTokens) <> ((endt - 1) // $ShardTokens) AS carry
+       |  FROM o)
+       |SELECT source, CAST(shard_id AS BIGINT) AS shard_id,
+       |       count(*) AS n_docs,
+       |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       |       CAST(max(doc_id) AS BIGINT) AS last_doc,
+       |       CAST(sum(n) AS BIGINT) AS shard_tokens,
+       |       CAST(sum(CASE WHEN carry THEN 1 ELSE 0 END) AS BIGINT) AS n_carryover
+       |FROM f GROUP BY source, shard_id
+       |ORDER BY source, shard_id""".stripMargin
+
   val sequencePackingSql: String =
     s"""WITH d AS (
        |  SELECT source, doc_id,
@@ -1217,6 +1280,7 @@ object Pipeline {
     QueryDef("q71_linear_count", linearCount, Some(linearCountSql)),
     QueryDef("q74_token_chunks", tokenChunks, Some(tokenChunksSql)),
     QueryDef("q75_sequence_packing", sequencePacking, Some(sequencePackingSql)),
+    QueryDef("q115_shard_manifest", shardManifest, Some(shardManifestSql)),
     QueryDef("q81_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
     QueryDef("q85_token_budget_mix", tokenBudgetMix, Some(tokenBudgetMixSql)),
     // q109's oracle re-derives the greedy BPE merges in SQL: token

@@ -66,7 +66,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     // per-source window), real-codec decode census and real-aHash
     // banding, point lookup off the written index, regex redaction
     "q109_bpe_token_economy", "q110_ppm_decode", "q111_ppm_neardup",
-    "q113_ann_point_lookup", "q114_pii_redaction")
+    "q113_ann_point_lookup", "q114_pii_redaction", "q115_shard_manifest")
 
   names.foreach { name =>
     test(s"$name is invariant under shuffle-partition count") {
