@@ -1383,12 +1383,18 @@ object Dedup {
   /** q106: TARGETED-DELETE LIFECYCLE CENSUS — the takedown/opt-out
     * path the round-7 verdict flagged as missing from the table
     * lifecycle. A delete-key relation (docs AND their embeddings)
-    * is applied to EVERY derived written artifact via
+    * is applied to the PER-KEY written artifacts via
     * [[Layout.deleteRewrite]] — pair graph (both endpoints), shingle
     * index, band index, window index, IVF assignment, PQ code table,
     * composed IVFPQ index — each rewritten as `<what>del` with its
     * bucket spec preserved, and the census reports each artifact's
     * surviving row count plus an order-independent content checksum.
+    * The graph-ANN family's artifacts — whose rows carry NEIGHBOR
+    * payloads a pure anti join cannot maintain — get the same
+    * takedown under [[Similarity.annDeleteGraph]] (q116: `nngraph`,
+    * `exacttopk`) and [[Similarity.annDeleteBase]] (q117:
+    * `groutesbase`, `nngraphbase`), so the one delete relation spans
+    * the whole written-artifact family.
     *
     * The ORACLE re-derives every artifact FROM SCRATCH over the
     * surviving corpus (held snapshot quantizer on the ANN side — see

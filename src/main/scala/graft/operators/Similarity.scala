@@ -3093,7 +3093,14 @@ object Similarity {
     * [[NdAdd]] NN-descent-refined extras, carrying the neighbor's
     * quantized payload so hop scoring is map-side (the classic
     * graph-ANN memory trade: ~G payload copies per vector, linear in
-    * the corpus — DiskANN ships exactly this layout). */
+    * the corpus — DiskANN ships exactly this layout). Each row also
+    * carries its PROVENANCE marker `src` ('g' = pool edge, 'x' =
+    * NN-descent extra): the delete lifecycle ([[annDeleteGraph]],
+    * q116) maintains the two row classes differently — pool rows
+    * refill from the surviving pool, extras recompute from the
+    * refreshed pool graph — and the classes are not reconstructible
+    * from the edge alone (an extra may share a routed cell with its
+    * vertex yet rank below G). */
   private[graft] def nnGraphTable(s: SparkSession, dir: String): DataFrame = {
     val cents = ivfCents(s, dir)
     // force the base table BEFORE the nngraph once-gate (the
@@ -3139,7 +3146,9 @@ object Similarity {
         .withColumn("rn", row_number().over(wG))
         .filter(col("rn") <= NdAdd)
         .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
-      g0.select(col("vec_id"), col("nbr"), col("nq"), col("nqn")).union(extras)
+      g0.select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+        .withColumn("src", lit("g"))
+        .union(extras.withColumn("src", lit("x")))
     }
     // free the builder's g0 checkpoint (only present on the run that
     // actually built the table; subsequent calls diff to the empty set)
@@ -3457,6 +3466,432 @@ object Similarity {
        |  FROM stats) t
        |ORDER BY method""".stripMargin)
 
+  // ------------------------------------------------------------------
+  // q116/q117: DELETE LIFECYCLE OVER THE GRAPH-ANN ARTIFACT FAMILY
+  // (round-11 lead item). q106 covers ivfassign/ivfpq/pqcodes (+ the
+  // dedup artifacts); the round-9/10 additions — the written kNN graph
+  // (whose rows CARRY neighbor payloads: a takedown must purge the
+  // deleted vector where it appears as a NEIGHBOR, not just as a
+  // vertex), the routing table, and the exact-top-k ground truth —
+  // get the same contract here: maintained-delete == rebuild-on-
+  // survivors under the held snapshot quantizer, proven by the oracle.
+  // ------------------------------------------------------------------
+
+  /** The shared takedown relation (vec_id ≡ [[Dedup.DelRem]] mod
+    * [[Dedup.DelMod]] — the q106 delete set, so the whole artifact
+    * family is censused under ONE takedown event). */
+  private def vecDelSet(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(pmod(col("vec_id"), lit(Dedup.DelMod)) === lit(Dedup.DelRem))
+      .select(col("vec_id"))
+
+  /** q116: TARGETED DELETE over the SNAPSHOT-family graph artifacts —
+    * the written kNN graph (`nngraph`, q107's index) and the written
+    * exact-top-k ground truth (`exacttopk`). Both are REFILL deletes,
+    * not plain anti joins: dropping a vector's own rows is O(scan),
+    * but a surviving vertex/probe that LISTED the deleted vector must
+    * re-rank to admit its next-best candidate, or the maintained
+    * artifact drifts from the rebuild. The maintenance is O(affected)
+    * compute on top of the purge scan:
+    *
+    *  - `exacttopk`: probes that are deleted vanish; surviving probes
+    *    with a deleted vector in their held top-5 (the AFFECTED set —
+    *    takedown-sized) re-score against the surviving corpus
+    *    (broadcast affected probes, one streamed pass); every other
+    *    probe's rows are kept verbatim — provably equal to the
+    *    rebuild's rows, because removing non-top-5 candidates cannot
+    *    change a top-5.
+    *  - `nngraph`: pool rows (`src='g'`) of vertices that lost a
+    *    top-[[GraphG]] neighbor (A1) refill from their FULL surviving
+    *    pool (re-ranked off the written survivor assignment's
+    *    routing); NN-descent extras (`src='x'`) recompute for
+    *    A2 = A1 ∪ in-neighbors(A1) — the exact dependency cone of the
+    *    one additive NN-descent round (a vertex's extras depend only
+    *    on its own pool rows and its pool neighbors' pool rows), so
+    *    every other vertex's held rows ARE the rebuild's rows. A
+    *    deleted vector therefore vanishes both as a VERTEX and as a
+    *    NEIGHBOR PAYLOAD (`nq`/`nqn`), the compliance property.
+    *
+    * SNAPSHOT-QUANTIZER semantics throughout (the q106 contract): the
+    * coarse quantizer and the probe SET are held through deletes —
+    * production retrains/re-probes at the next snapshot build, never
+    * per takedown. Both maintained artifacts publish atomically
+    * ([[graft.sources.Layout.replaceRewrite]] — affected rows are
+    * REPLACED, which deleteRewrite's pure anti-join cannot express),
+    * and the census reports refreshed/untouched row classes
+    * separately so the O(affected) claim is itself gated. The ORACLE
+    * re-derives both artifacts FROM SCRATCH over the survivors (held
+    * quantizer + held probe set, scored once with dual held/survivor
+    * rankings), so the gate proves maintained == rebuild row-for-row
+    * (`nqn`/`rnk` ride the checksum as payload witnesses). */
+  def annDeleteGraph(s: SparkSession, dir: String): DataFrame = {
+    // the extras dependency-cone argument below needs every pool row
+    // eligible for NN-descent expansion
+    require(NdExp >= GraphG, "extras recompute assumes NdExp >= GraphG")
+    val cents = ivfCents(s, dir)
+    val assign = ivfAssignTable(s, dir, cents)
+    val graph = nnGraphTable(s, dir)
+    val etk = exactTopKTable(s, dir)
+    val del = vecDelSet(s, dir)
+    // the survivors' assignment — q106's `ivfassigndel` artifact
+    // (same delete set, same once-gate: the two censuses share it)
+    val assignSurv = Layout.deleteRewrite(s, dir, "ivfassign",
+      Some((Layout.Buckets, Seq("cent_id"))), del, Seq("vec_id"))(assign)
+
+    // ---- exacttopk: purge + affected-probe re-rank ----
+    val delP = del.select(col("vec_id").as("probe_id"))
+    val heldSurvP = etk.join(delP, Seq("probe_id"), "left_anti")
+    val affP = heldSurvP.join(del, Seq("vec_id"), "left_semi")
+      .select(col("probe_id")).distinct()
+    val wT = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val etkPub = Layout.replaceRewrite(s, dir, "exacttopkdel", None) {
+      val probesA = assignSurv
+        .join(affP, assignSurv("vec_id") === affP("probe_id"), "left_semi")
+        .select(col("vec_id").as("probe_id"), col("q").as("qa"), col("qn").as("qna"))
+      val refreshed = assignSurv.select(col("vec_id"), col("q"), col("qn"))
+        .join(broadcast(probesA), col("probe_id") =!= col("vec_id"))
+        .withColumn("cos", qcosineNative(col("qa"), col("q"), col("qna"), col("qn")))
+        .select(col("probe_id"), col("vec_id"), col("cos"))
+        .withColumn("rnk", row_number().over(wT))
+        .filter(col("rnk") <= 5)
+      heldSurvP.join(affP, Seq("probe_id"), "left_anti")
+        .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
+        .unionByName(refreshed)
+    }
+
+    // ---- nngraph: purge + A1 pool refill + A2 extras recompute ----
+    val delN = del.select(col("vec_id").as("nbr"))
+    val g0Held = graph.filter(col("src") === "g")
+    val xHeld = graph.filter(col("src") === "x")
+    val survG0 = g0Held.join(del, Seq("vec_id"), "left_anti")
+    val a1 = survG0.join(delN, Seq("nbr"), "left_semi")
+      .select(col("vec_id")).distinct()
+    // routing of the survivors against the held quantizer: one
+    // map-only pass over the written survivor assignment (a production
+    // deployment would read a written snapshot routing table, the
+    // base family's `groutesbase` shape — q117)
+    val routedSurv = routeProbesDf(
+        assignSurv.select(col("vec_id"), col("q"), col("qn")), cents, GraphR)
+      .select(col("probe_id").as("vec_id"), col("cent_id"),
+        col("pq").as("q"), col("pqn").as("qn"))
+    val a2 = a1.unionByName(
+        survG0.join(a1.select(col("vec_id").as("nbr")), Seq("nbr"), "left_semi")
+          .select(col("vec_id")))
+      .distinct()
+    val wG = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr"))
+    val gPub = Layout.replaceRewrite(s, dir, "nngraphdel",
+        Some((Layout.Buckets, Seq("vec_id")))) {
+      val poolNbr = routedSurv.select(col("vec_id").as("nbr"), col("cent_id"),
+        col("q").as("nq"), col("qn").as("nqn"))
+      // A2's pool rows re-ranked over the FULL surviving pool (for
+      // A2∖A1 this reproduces the held rows — no deleted neighbor in
+      // their top-G means the shrunk pool has the same top-G — but
+      // recomputing keeps the refill one uniform derivation)
+      val g0Refill = routedSurv.join(a2, Seq("vec_id"), "left_semi")
+        .join(poolNbr, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("nbr"))
+        .dropDuplicates("vec_id", "nbr")
+        .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
+        .withColumn("rn", row_number().over(wG))
+        .filter(col("rn") <= GraphG)
+        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+      val g0New = survG0.join(a2, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+        .unionByName(g0Refill)
+      // extras recompute for A2, mirroring the build's NN-descent
+      // round over the refreshed pool graph
+      val midA2 = g0New.join(a2, Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("nbr").as("mid"))
+      val xRe = midA2.join(
+          g0New.select(col("vec_id").as("mid"), col("nbr"), col("nq"), col("nqn")),
+          Seq("mid"))
+        .filter(col("vec_id") =!= col("nbr"))
+        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+        .dropDuplicates("vec_id", "nbr")
+        .join(g0New.select(col("vec_id"), col("nbr")), Seq("vec_id", "nbr"), "left_anti")
+        .join(assignSurv.select(col("vec_id"), col("q"), col("qn")), Seq("vec_id"))
+        .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
+        .withColumn("rn", row_number().over(wG))
+        .filter(col("rn") <= NdAdd)
+        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+      // held extras outside A2 cannot reference a deleted neighbor: an
+      // extra arrives through a pool neighbor's adjacency, so a
+      // deleted extra-neighbor implies that pool neighbor is in A1 and
+      // the vertex in A2 (the oracle equality enforces the invariant)
+      val xKeep = xHeld.join(del, Seq("vec_id"), "left_anti")
+        .join(a2, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+      g0New.withColumn("src", lit("g"))
+        .unionByName(xKeep.withColumn("src", lit("x")))
+        .unionByName(xRe.withColumn("src", lit("x")))
+    }
+
+    Seq(
+      Dedup.censusRow("exacttopk_refreshed",
+        etkPub.join(affP, Seq("probe_id"), "left_semi"),
+        concat_ws("|", col("probe_id"), col("vec_id"), col("rnk"))),
+      Dedup.censusRow("exacttopk_untouched",
+        etkPub.join(affP, Seq("probe_id"), "left_anti"),
+        concat_ws("|", col("probe_id"), col("vec_id"), col("rnk"))),
+      Dedup.censusRow("nngraph_refreshed",
+        gPub.join(a2, Seq("vec_id"), "left_semi"),
+        concat_ws("|", col("vec_id"), col("nbr"), col("nqn"))),
+      Dedup.censusRow("nngraph_untouched",
+        gPub.join(a2, Seq("vec_id"), "left_anti"),
+        concat_ws("|", col("vec_id"), col("nbr"), col("nqn"))))
+      .reduce(_ unionByName _)
+      .orderBy("artifact")
+  }
+
+  /** The q116 oracle: held quantizer + held probe set over the FULL
+    * corpus, then both artifacts re-derived from scratch over the
+    * survivors. Pool pairs and probe scores are each computed ONCE
+    * and ranked twice (held ranking → the affected sets; survivor
+    * ranking → the rebuilt rows), so the oracle is the same cost
+    * class as q107's. */
+  val annDeleteGraphSql: String = {
+    val dM = Dedup.DelMod; val dR = Dedup.DelRem
+    def h32(key: String): String =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    mat(
+      s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+         |n AS (SELECT vec_id, q,
+         |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+         |      FROM q
+         |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+         |${sampSql("n")},
+         |${trainedCentsSql("n")},
+         |pset AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
+         |         ORDER BY vec_id LIMIT $MaxProbes),
+         |psurv AS (SELECT vec_id FROM pset WHERE vec_id % $dM <> $dR),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
+         |                i -> p.q[i] * c.q[i])) AS BIGINT) AS DOUBLE)
+         |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(c.qn AS DOUBLE)) AS cos
+         |  FROM n p JOIN psurv ps ON p.vec_id = ps.vec_id
+         |  JOIN n c ON p.vec_id <> c.vec_id),
+         |held5 AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id
+         |                              ORDER BY cos DESC, vec_id) AS rnk
+         |    FROM scored) t WHERE rnk <= 5),
+         |affp AS (SELECT DISTINCT probe_id FROM held5 WHERE vec_id % $dM = $dR),
+         |surv5 AS (
+         |  SELECT probe_id, vec_id, rnk FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id
+         |                              ORDER BY cos DESC, vec_id) AS rnk
+         |    FROM scored WHERE vec_id % $dM <> $dR) t WHERE rnk <= 5),
+         |rr AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+         |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+         |             c.cent_id) AS rn
+         |    FROM n v CROSS JOIN cents c) t
+         |  WHERE rn <= $GraphR),
+         |gpool AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr
+         |  FROM rr a JOIN rr b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+         |gsc AS (
+         |  SELECT p.vec_id, p.nbr,
+         |         CAST(CAST(list_sum(list_transform(generate_series(1, len(va.q)),
+         |                i -> va.q[i] * vb.q[i])) AS BIGINT) AS DOUBLE)
+         |           / sqrt(CAST(va.qn AS DOUBLE) * CAST(vb.qn AS DOUBLE)) AS cos,
+         |         vb.qn AS nqn
+         |  FROM gpool p JOIN n va ON va.vec_id = p.vec_id
+         |  JOIN n vb ON vb.vec_id = p.nbr),
+         |g0h AS (
+         |  SELECT vec_id, nbr FROM (
+         |    SELECT vec_id, nbr,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY cos DESC, nbr) AS rn
+         |    FROM gsc) t WHERE rn <= $GraphG),
+         |g0s AS (
+         |  SELECT vec_id, nbr, nqn, rn FROM (
+         |    SELECT vec_id, nbr, nqn,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY cos DESC, nbr) AS rn
+         |    FROM gsc
+         |    WHERE vec_id % $dM <> $dR AND nbr % $dM <> $dR) t
+         |  WHERE rn <= $GraphG),
+         |a1 AS (SELECT DISTINCT vec_id FROM g0h
+         |       WHERE vec_id % $dM <> $dR AND nbr % $dM = $dR),
+         |a2 AS (SELECT vec_id FROM a1
+         |       UNION SELECT g.vec_id FROM g0s g JOIN a1 ON a1.vec_id = g.nbr),
+         |ndc AS (
+         |  SELECT DISTINCT a.vec_id, b.nbr
+         |  FROM g0s a JOIN g0s b ON b.vec_id = a.nbr
+         |  WHERE a.rn <= $NdExp AND b.nbr <> a.vec_id
+         |    AND NOT EXISTS (SELECT 1 FROM g0s e
+         |                    WHERE e.vec_id = a.vec_id AND e.nbr = b.nbr)),
+         |nd AS (
+         |  SELECT vec_id, nbr, nqn FROM (
+         |    SELECT c.vec_id, c.nbr, vb.qn AS nqn,
+         |           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(va.q)),
+         |                    i -> va.q[i] * vb.q[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(va.qn AS DOUBLE) * CAST(vb.qn AS DOUBLE)) DESC,
+         |             c.nbr) AS rn
+         |    FROM ndc c JOIN n va ON va.vec_id = c.vec_id
+         |    JOIN n vb ON vb.vec_id = c.nbr) t
+         |  WHERE rn <= $NdAdd),
+         |graphs AS (
+         |  SELECT vec_id, nbr, nqn FROM g0s
+         |  UNION ALL SELECT vec_id, nbr, nqn FROM nd)
+         |SELECT artifact, n_rows, checksum FROM (
+         |  SELECT 'exacttopk_refreshed' AS artifact,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         ${h32("CAST(probe_id AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR) || '|' || CAST(rnk AS VARCHAR)")} AS checksum
+         |  FROM surv5 WHERE probe_id IN (SELECT probe_id FROM affp)
+         |  UNION ALL
+         |  SELECT 'exacttopk_untouched', CAST(count(*) AS BIGINT),
+         |         ${h32("CAST(probe_id AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR) || '|' || CAST(rnk AS VARCHAR)")}
+         |  FROM surv5 WHERE probe_id NOT IN (SELECT probe_id FROM affp)
+         |  UNION ALL
+         |  SELECT 'nngraph_refreshed', CAST(count(*) AS BIGINT),
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")}
+         |  FROM graphs WHERE vec_id IN (SELECT vec_id FROM a2)
+         |  UNION ALL
+         |  SELECT 'nngraph_untouched', CAST(count(*) AS BIGINT),
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")}
+         |  FROM graphs WHERE vec_id NOT IN (SELECT vec_id FROM a2)) t
+         |ORDER BY artifact""".stripMargin)
+  }
+
+  /** q117: TARGETED DELETE over the BASE-family graph artifacts — the
+    * written routing table (`groutesbase`) and the held-snapshot kNN
+    * graph (`nngraphbase`). Routing rows are per-vector, so the
+    * routing delete is a pure anti join
+    * ([[graft.sources.Layout.deleteRewrite]], bucket spec preserved);
+    * the graph delete is the q116 refill shape WITHOUT the NN-descent
+    * stage (the base family is pool-only by design): vertices that
+    * lost a top-[[GraphG]] neighbor (A1) re-rank over their full
+    * surviving pool — read STRAIGHT from the written survivor routing
+    * table's cent_id buckets, zero recompute of the standing corpus —
+    * and every other surviving row is kept verbatim. The ORACLE
+    * re-derives both from scratch over the survivors under the held
+    * base quantizer (trained on the standing corpus, the q108
+    * contract), with the pool scored once and ranked twice. */
+  def annDeleteBase(s: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentsBase(s, dir)
+    ivfAssignBase(s, dir, cents) // force the base chain's once-gates
+    val routesB = gRoutesBase(s, dir)
+    val graphB = nnGraphBaseTable(s, dir)
+    val del = vecDelSet(s, dir)
+    val routesSurv = Layout.deleteRewrite(s, dir, "groutesbase",
+      Some((Layout.Buckets, Seq("cent_id"))), del, Seq("vec_id"))(routesB)
+
+    val survG = graphB.join(del, Seq("vec_id"), "left_anti")
+    val a1 = survG.join(del.select(col("vec_id").as("nbr")), Seq("nbr"), "left_semi")
+      .select(col("vec_id")).distinct()
+    val wG = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr"))
+    val gPub = Layout.replaceRewrite(s, dir, "nngraphbasedel",
+        Some((Layout.Buckets, Seq("vec_id")))) {
+      val poolNbr = routesSurv.select(col("vec_id").as("nbr"), col("cent_id"),
+        col("q").as("nq"), col("qn").as("nqn"))
+      val refill = routesSurv.join(a1, Seq("vec_id"), "left_semi")
+        .join(poolNbr, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("nbr"))
+        .dropDuplicates("vec_id", "nbr")
+        .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
+        .withColumn("rn", row_number().over(wG))
+        .filter(col("rn") <= GraphG)
+        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+      survG.join(a1, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+        .unionByName(refill)
+    }
+
+    Seq(
+      Dedup.censusRow("groutes", routesSurv,
+        concat_ws("|", col("vec_id"), col("cent_id"), col("qn"))),
+      Dedup.censusRow("nngraphbase_refreshed",
+        gPub.join(a1, Seq("vec_id"), "left_semi"),
+        concat_ws("|", col("vec_id"), col("nbr"), col("nqn"))),
+      Dedup.censusRow("nngraphbase_untouched",
+        gPub.join(a1, Seq("vec_id"), "left_anti"),
+        concat_ws("|", col("vec_id"), col("nbr"), col("nqn"))))
+      .reduce(_ unionByName _)
+      .orderBy("artifact")
+  }
+
+  /** The q117 oracle: base quantizer trained on the standing corpus
+    * (q108's held-snapshot contract), routing + pool re-derived from
+    * scratch over the survivors; the pool scored once, ranked held
+    * (→ A1) and survivor (→ rebuilt rows). */
+  val annDeleteBaseSql: String = {
+    val dM = Dedup.DelMod; val dR = Dedup.DelRem
+    def h32(key: String): String =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    mat(
+      s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+         |n AS (SELECT vec_id, q,
+         |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+         |      FROM q
+         |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+         |corp AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+         |${sampSql("corp")},
+         |${trainedCentsSql("corp")},
+         |rr AS (
+         |  SELECT vec_id, cent_id, qn FROM (
+         |    SELECT v.vec_id, c.cent_id, v.qn,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+         |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+         |             c.cent_id) AS rn
+         |    FROM corp v CROSS JOIN cents c) t
+         |  WHERE rn <= $GraphR),
+         |gpool AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr
+         |  FROM rr a JOIN rr b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+         |gsc AS (
+         |  SELECT p.vec_id, p.nbr,
+         |         CAST(CAST(list_sum(list_transform(generate_series(1, len(va.q)),
+         |                i -> va.q[i] * vb.q[i])) AS BIGINT) AS DOUBLE)
+         |           / sqrt(CAST(va.qn AS DOUBLE) * CAST(vb.qn AS DOUBLE)) AS cos,
+         |         vb.qn AS nqn
+         |  FROM gpool p JOIN n va ON va.vec_id = p.vec_id
+         |  JOIN n vb ON vb.vec_id = p.nbr),
+         |g0h AS (
+         |  SELECT vec_id, nbr FROM (
+         |    SELECT vec_id, nbr,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY cos DESC, nbr) AS rn
+         |    FROM gsc) t WHERE rn <= $GraphG),
+         |g0s AS (
+         |  SELECT vec_id, nbr, nqn FROM (
+         |    SELECT vec_id, nbr, nqn,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY cos DESC, nbr) AS rn
+         |    FROM gsc
+         |    WHERE vec_id % $dM <> $dR AND nbr % $dM <> $dR) t
+         |  WHERE rn <= $GraphG),
+         |a1 AS (SELECT DISTINCT vec_id FROM g0h
+         |       WHERE vec_id % $dM <> $dR AND nbr % $dM = $dR)
+         |SELECT artifact, n_rows, checksum FROM (
+         |  SELECT 'groutes' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(cent_id AS VARCHAR) || '|' || CAST(qn AS VARCHAR)")} AS checksum
+         |  FROM rr WHERE vec_id % $dM <> $dR
+         |  UNION ALL
+         |  SELECT 'nngraphbase_refreshed', CAST(count(*) AS BIGINT),
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")}
+         |  FROM g0s WHERE vec_id IN (SELECT vec_id FROM a1)
+         |  UNION ALL
+         |  SELECT 'nngraphbase_untouched', CAST(count(*) AS BIGINT),
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")}
+         |  FROM g0s WHERE vec_id NOT IN (SELECT vec_id FROM a1)) t
+         |ORDER BY artifact""".stripMargin)
+  }
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     QueryDef("q25_cosine_topk", cosineTopK, Some(cosineTopKSql)),
@@ -3484,5 +3919,10 @@ object Similarity {
     // for every row — refreshed, untouched and batch alike
     QueryDef("q112_ann_graph_backfold", annGraphBackfold, Some(annGraphBackfoldSql)),
     QueryDef("q113_ann_point_lookup", annPointLookup, Some(annPointSql)),
+    // q116/q117's oracles are REBUILD-ON-SURVIVORS censuses under the
+    // held quantizer: the gates prove delete-maintained == rebuild for
+    // the graph-ANN artifact family, neighbor payloads included
+    QueryDef("q116_ann_delete_graph", annDeleteGraph, Some(annDeleteGraphSql)),
+    QueryDef("q117_ann_delete_base", annDeleteBase, Some(annDeleteBaseSql)),
   )
 }

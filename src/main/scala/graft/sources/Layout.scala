@@ -306,22 +306,43 @@ object Layout {
   }
 
   /** INCREMENTAL-APPEND rewrite of a written artifact (round-10 item
-    * 1 — the ingest path's dual of [[deleteRewrite]]): the next
-    * snapshot of `<what>` is `base ∪ batch`, PUBLISHED under
-    * `<what>upd` with the SAME bucket spec through the
-    * [[publishVersioned]] commit protocol, so bucket pruning and
-    * zero-exchange joins survive the append verbatim AND a reader
-    * concurrent with the rewrite sees exactly the pre- or post-append
-    * snapshot. The union is append-SHAPED: the batch's keys are
-    * disjoint from the base's, the base side streams through without
-    * re-shuffling, and only the batch side is new work — O(batch), the
-    * q82/q104 contract. (A production deployment with a partitioned
-    * layout appends only new files — q80's dynamic-overwrite
-    * granularity — which changes the write granularity, not the
-    * plan.) Derived-artifact consistency is the caller's contract:
+    * 1; write path made O(batch) in round 11 — the round-10 form
+    * published `base ∪ batch` as a full-table rewrite, so a daily
+    * batch paid a full corpus-sized write, the exact cost q108 avoids
+    * on the compute side): the next snapshot of `<what>` is published
+    * under `<what>upd` through an MVCC GENERATION STORE:
+    *
+    *  - the physical storage is ONE standing bucketed table
+    *    (`<what>updstore`) whose rows carry a `gen` column — gen 1 is
+    *    the held snapshot's segment (written once, at snapshot-build
+    *    time; re-used by every later maintenance event), gen 2 the
+    *    batch;
+    *  - the append itself is `mode("append")` into the standing
+    *    table: Spark validates the bucket spec and lands the batch as
+    *    NEW per-bucket files — O(batch) write I/O, the
+    *    [[bucketedIncremental]] mechanism (with [[compactBucketed]]
+    *    as the background small-file maintenance, as for the facts);
+    *  - each VERSION is a view `<what>upd__vN` = `WHERE gen <= N`
+    *    over the store, and the commit point is the single
+    *    CREATE-OR-REPLACE of the stable view — one atomic catalog
+    *    op. A reader racing the append sees exactly the pre- or
+    *    post-append snapshot: in-flight batch FILES may become
+    *    visible to its listing mid-job, but every row in them carries
+    *    gen 2 and the pre-swap view's predicate excludes them (and
+    *    half-written task files sit under `_temporary`, hidden from
+    *    table listings) — MVCC snapshot isolation, proven by the
+    *    racing-reader loop in `AtomicPublishSpec`.
+    *
+    * Bucket pruning and zero-exchange joins pass through the view
+    * unchanged (a Filter/Project over the bucketed scan preserves its
+    * output partitioning — the [[publishVersioned]] property), and
+    * old versions stay readable for time travel (`gen <= N-1`).
+    * Derived-artifact consistency is the caller's contract:
     * `Similarity.annIndexAppend` (q108) appends every ANN artifact
     * from one batch and its gate proves update == rebuild under the
-    * held snapshot quantizer. */
+    * held snapshot quantizer. `AnnScaleProbe`'s write-side row
+    * measures the I/O contract directly: bytes written per append
+    * stay flat as the base grows. */
   private[graft] def appendRewrite(s: SparkSession, dir: String, what: String,
       buckets: Option[(Int, Seq[String])], batch: DataFrame)
       (base: => DataFrame): DataFrame = {
@@ -329,12 +350,33 @@ object Layout {
     // the upd table's own once-gate (the "Recursive update" hazard —
     // see deleteRewrite)
     val b = base
+    val name = tableName(dir, what + "upd")
     once(s, dir, what + "upd") {
-      publishVersioned(s, dir, what + "upd", buckets) {
-        b.unionByName(batch)
+      val store = s"${name}store"
+      refresh(s, store)
+      val cols = b.columns.map(c => s"`$c`").mkString(", ")
+      def write(df: DataFrame, gen: Int, mode: String): Unit = {
+        val w = df.withColumn("gen", lit(gen)).write.mode(mode)
+        buckets match {
+          case Some((k, bc)) => w.bucketBy(k, bc.head, bc.tail: _*).saveAsTable(store)
+          case None          => w.saveAsTable(store)
+        }
       }
+      // gen 1 — the held snapshot's segment (snapshot-build I/O, paid
+      // once; in a deployment the snapshot builder writes the store
+      // directly and maintenance never rewrites it)
+      write(b, 1, "error")
+      s.sql(s"CREATE OR REPLACE VIEW ${name}__v1 AS SELECT $cols FROM $store WHERE gen <= 1")
+      s.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM ${name}__v1")
+      // gen 2 — the O(batch) append: only the batch's rows land, as
+      // new files in their buckets
+      write(batch, 2, "append")
+      s.catalog.refreshTable(store)
+      s.sql(s"CREATE OR REPLACE VIEW ${name}__v2 AS SELECT $cols FROM $store WHERE gen <= 2")
+      // the commit point
+      s.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM ${name}__v2")
     }
-    s.table(tableName(dir, what + "upd"))
+    s.table(name)
   }
 
   /** Publish a REPLACED (not purely appended) maintained artifact:

@@ -56,13 +56,50 @@ class AnnAppendSpec extends SparkSpec {
 
   test("the appended assignment keeps its bucket spec through the published view") {
     Similarity.annIndexAppend(spark, dir).collect()
-    val prefix = Layout.tableName(dir, "ivfassignbaseupd") + "__v"
-    val versioned = prefix + spark.catalog.listTables().collect().map(_.name)
-      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong).max
+    // the physical storage is ONE standing bucketed table; versions
+    // are MVCC views (gen <= N) over it
+    val store = Layout.tableName(dir, "ivfassignbaseupd") + "store"
     val cat = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(versioned))
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(store))
     assert(cat.bucketSpec.exists(b =>
       b.numBuckets == Layout.Buckets && b.bucketColumnNames == Seq("cent_id")))
+    // both generations share the store: gen 1 = the held snapshot's
+    // segment, gen 2 = the appended batch — the append never rewrote
+    // the base segment's rows
+    val gens = spark.table(store).select("gen").distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(gens == Set(1, 2), s"store generations: $gens")
+    // generation membership is exactly the base/batch split
+    assert(spark.table(store)
+      .filter(col("gen") === 1 && pmod(col("vec_id"), lit(5)) === 0).count() == 0)
+    assert(spark.table(store)
+      .filter(col("gen") === 2 && pmod(col("vec_id"), lit(5)) =!= 0).count() == 0)
+    // the published view exposes the base schema (no gen column)
+    val upd = spark.table(Layout.tableName(dir, "ivfassignbaseupd"))
+    assert(!upd.columns.contains("gen"))
+  }
+
+  test("the append's write I/O is O(batch): base-segment files untouched, batch files added") {
+    Similarity.annIndexAppend(spark, dir).collect()
+    val store = Layout.tableName(dir, "ivfassignbaseupd") + "store"
+    val loc = new java.io.File(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(store))
+      .location)
+    val files = loc.listFiles().filter(f => f.getName.startsWith("part-"))
+    assert(files.nonEmpty)
+    // the O(batch) witness: no physical file mixes generations — the
+    // append landed the batch as NEW files and never rewrote a base
+    // row into a fresh file (a union-rewrite publish interleaves both
+    // generations through every written file)
+    val mixed = spark.table(store)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(countDistinct(col("gen")).as("g"))
+      .filter(col("g") > 1).count()
+    assert(mixed == 0, s"$mixed store files mix base and batch generations")
+    val batchRows = spark.table(store).filter(col("gen") === 2).count()
+    val baseRows = spark.table(store).filter(col("gen") === 1).count()
+    assert(batchRows > 0)
+    assert(baseRows > batchRows, "test premise: base larger than batch")
   }
 
   test("q112 fold: back-edges exist, untouched rows verbatim, every row rebuild-exact by partition") {

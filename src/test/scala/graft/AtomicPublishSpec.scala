@@ -185,6 +185,60 @@ class AtomicPublishSpec extends SparkSpec {
     assert(settled == postIds)
   }
 
+  test("a reader racing the MVCC append sees the full base or full base∪batch, never in between") {
+    // round-11 item 2: appendRewrite's store is ONE standing bucketed
+    // table; the batch lands as appended gen-2 files and the commit is
+    // a single view swap. The MVCC property under test: a reader may
+    // LIST the freshly appended files mid-maintenance, but the
+    // pre-swap view's gen-predicate excludes their rows — so every
+    // read is exactly the base or exactly base∪batch.
+    val all = spark.range(3000L).select(col("id").as("vec_id"),
+      pmod(col("id"), lit(16)).as("cent_id"))
+    val base = all.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = all.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val baseIds = (0L until 3000L).filterNot(_ % 5 == 0).toSet
+    val allIds = (0L until 3000L).toSet
+    val name = Layout.tableName(sfDir, "mvccappupd")
+
+    val stop = new AtomicBoolean(false)
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try Layout.appendRewrite(spark, sfDir, "mvccapp",
+        Some((Layout.Buckets, Seq("cent_id"))), batch)(base)
+      catch { case t: Throwable => writerErr.set(t) }
+      finally stop.set(true)
+    })
+    writer.start()
+
+    var reads = 0
+    try {
+      while (!stop.get() || reads == 0) {
+        val got =
+          try spark.table(name).select("vec_id").as[Long].collect().toSet
+          catch {
+            // before the first view commits the stable name is absent —
+            // the "old snapshot = absent" state, not a torn read
+            case _: org.apache.spark.sql.AnalysisException => null
+          }
+        if (got != null) {
+          assert(got == baseIds || got == allIds,
+            s"torn append read: ${got.size} rows (base=${baseIds.size}, all=${allIds.size})")
+          reads += 1
+        }
+      }
+    } finally writer.join()
+    assert(writerErr.get() == null, s"writer failed: ${writerErr.get()}")
+    assert(reads >= 1, "race not exercised")
+    val settled = spark.table(name).select("vec_id").as[Long].collect().toSet
+    assert(settled == allIds)
+    // the store keeps the bucket spec; the view hides the gen column
+    assert(!spark.table(name).columns.contains("gen"))
+    val cat = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${name}store"))
+    assert(cat.bucketSpec.exists(b =>
+      b.numBuckets == Layout.Buckets && b.bucketColumnNames == Seq("cent_id")))
+  }
+
   test("deleteRewrite's published artifact keeps its bucket spec through the view") {
     // the real lifecycle path: a bucketed artifact, delete-published,
     // read back through the stable name — bucket metadata must survive
