@@ -132,6 +132,43 @@ object AnnScaleProbe {
         s""""indexed_query_sec":${math.rint(indexedSec * 100) / 100},""" +
         s""""inline_rebuild_sec":${math.rint(inlineSec * 100) / 100}}""")
     }
+
+    // ---- WRITE-side probe (round-11 item 2): the MVCC append's I/O
+    // contract — a FIXED batch appended into bases of growing size
+    // must land a flat number of batch bytes, because appendRewrite
+    // adds per-bucket files and never rewrites the base segment. The
+    // gen-1 base write is the once-per-snapshot build (its bytes grow
+    // with k by design); the claim under probe is that the BATCH
+    // segment's bytes — the only per-maintenance-event write — do not.
+    val batchDf = assignFrom(
+      emb.select((col("vec_id") + lit(999L * Offset)).as("vec_id"), col("embedding")))
+    Seq(1, 4, 16).foreach { k =>
+      val what = s"annwprobe_$k"
+      val t0 = System.nanoTime()
+      Layout.appendRewrite(spark, dir, what,
+        Some((Layout.Buckets, Seq("cent_id"))), batchDf)(assignFrom(corpus(k)))
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      val store = Layout.tableName(dir, what + "upd") + "store"
+      val loc = new java.io.File(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(store)).location)
+      val sizes = Option(loc.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> f.length).toMap
+      val byGen = spark.table(store)
+        .withColumn("f", input_file_name())
+        .groupBy(col("gen")).agg(collect_set(col("f")).as("fs"),
+          count(lit(1)).as("n"))
+        .as[(Int, Seq[String], Long)].collect().sortBy(_._1)
+      def bytesOf(files: Seq[String]): Long = files.map { f =>
+        sizes.getOrElse(new java.io.File(new java.net.URI(f).getPath).getName, 0L)
+      }.sum
+      val base = byGen.find(_._1 == 1).get
+      val batch = byGen.find(_._1 == 2).get
+      println(s"""{"probe":"ann_append_write","k":$k,""" +
+        s""""base_rows":${base._3},"batch_rows":${batch._3},""" +
+        s""""base_bytes":${bytesOf(base._2)},"batch_bytes":${bytesOf(batch._2)},""" +
+        s""""build_plus_append_sec":${math.rint(wallSec * 100) / 100}}""")
+    }
     spark.stop()
   }
 }

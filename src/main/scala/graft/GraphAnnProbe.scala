@@ -308,6 +308,54 @@ object GraphAnnProbe {
           }
           println(f"""{"sf":"$sf","method":"nnd_add_rank","ndB":$ndB,"ndAdd":$ndAdd,"recall":${hits / (5.0 * np)}%.3f,"evals_per_probe":${evals / np},"np_eq":$npEq,"ivf_recall":${ihits / (5.0 * np)}%.3f,"ivf_evals":${ievals / np}}""")
         }
+        // round-11 item 7: a SECOND product-exact additive round at
+        // the GATED dials (NdExp=16/NdAdd=4) — round 2 re-sorts each
+        // adjacency list by cosine (the union of pool rank order and
+        // appended extras has no global rank) and appends up to NdAdd
+        // more not-already-adjacent candidates. Adopt round 2 in the
+        // gated build only if this pair's recall rises; otherwise the
+        // plateau is recorded in BASELINE.md.
+        for (rounds <- Seq(1, 2)) {
+          val graph = (1 to rounds).foldLeft(g0) { (gr, _) =>
+            val sorted = gr.map { case (id, nbrs) =>
+              id -> nbrs.map(u => (cos(id, u), u))
+                .sorted(Similarity.cosDescIdAsc).map(_._2)
+            }
+            nndAddRank(sorted, 16, 4)
+          }
+          var hits = 0; var evals = 0L
+          probes.foreach { p =>
+            val c0 = Similarity.routeCents(p._2, p._3, cents, 1).head
+            val entry = cells.getOrElse(c0, Array.empty[Long]).filter(_ != p._1)
+            val scored = scala.collection.mutable.Map[Long, Double]()
+            entry.foreach(v => scored.getOrElseUpdate(v, cosP(p, v)))
+            val expanded = scala.collection.mutable.Set[Long]()
+            (1 to hH).foreach { _ =>
+              val beam = scored.filter(kv => !expanded.contains(kv._1)).toSeq
+                .map { case (v, c) => (c, v) }.sorted(Similarity.cosDescIdAsc)
+                .take(beamB).map(_._2)
+              expanded ++= beam
+              beam.foreach(v => graph.getOrElse(v, Array.empty[Long])
+                .filter(_ != p._1).foreach(u => scored.getOrElseUpdate(u, cosP(p, u))))
+            }
+            evals += scored.size
+            val top5 = scored.toSeq.map { case (v, c) => (c, v) }
+              .sorted(Similarity.cosDescIdAsc).take(5).map(_._2).toSet
+            hits += (top5 & exact5(p._1)).size
+          }
+          val npEq = math.max(1L,
+            (2L * evals * cents.length + np * nCorpus) / (2L * np * nCorpus)).toInt
+          var ihits = 0L
+          probes.foreach { p =>
+            val cs = Similarity.routeCents(p._2, p._3, cents, npEq)
+            val cand = cs.flatMap(c => cells.getOrElse(c, Array.empty[Long]))
+              .filter(_ != p._1)
+            val top5 = cand.map(v => (cosP(p, v), v)).sorted(Similarity.cosDescIdAsc)
+              .take(5).map(_._2).toSet
+            ihits += (top5 & exact5(p._1)).size
+          }
+          println(f"""{"sf":"$sf","method":"nnd_gated_rounds","rounds":$rounds,"recall":${hits / (5.0 * np)}%.3f,"evals_per_probe":${evals / np},"np_eq":$npEq,"ivf_recall":${ihits / (5.0 * np)}%.3f}""")
+        }
         for (ndB <- Seq(2, 4, 8); rounds <- Seq(1, 2); rev <- Seq(false, true)) {
           val graph = (1 to rounds).foldLeft(g0)((gr, _) => nndRound(gr, ndB, rev))
           var hits = 0; var evals = 0L

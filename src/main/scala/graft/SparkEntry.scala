@@ -18,7 +18,8 @@ object SparkEntry {
       ReferenceParity.defs ++ Relational.defs ++ Dedup.defs ++
         Similarity.defs ++ TextAnalysis.defs ++ Multimodal.defs ++
         Pipeline.defs ++
-        graft.streaming.EventsStream.defs ++ graft.streaming.Sessionize.defs
+        graft.streaming.EventsStream.defs ++ graft.streaming.Sessionize.defs ++
+        graft.streaming.StreamDoor.defs
     // toMap would silently shadow a duplicated name — the gate would
     // shrink by one query with no error anywhere. Fail loudly instead.
     val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys

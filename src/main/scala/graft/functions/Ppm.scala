@@ -92,6 +92,32 @@ object Ppm {
     out
   }
 
+  /** REAL raster resize, stride 2 (round-11 item 4 — q51's codec
+    * scaler): keep every second column and every second row (even x,
+    * even y), so a w×h image becomes ⌈w/2⌉×⌈h/2⌉ with each surviving
+    * pixel's RGB triplet copied verbatim (nearest-neighbor
+    * downsample — the base case every real scaler degenerates to at
+    * integer strides). */
+  def resizeStride2(img: Image): Image = {
+    val w2 = (img.width + 1) / 2
+    val h2 = (img.height + 1) / 2
+    val out = new Array[Byte](3 * w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val src = 3 * (2 * y * img.width + 2 * x)
+        val dst = 3 * (y * w2 + x)
+        out(dst) = img.rgb(src)
+        out(dst + 1) = img.rgb(src + 1)
+        out(dst + 2) = img.rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Image(w2, h2, img.maxval, out)
+  }
+
   /** A REAL average-hash over the decoded raster: bit k of the 60-bit
     * fingerprint = 1 iff pixel k's luma is strictly above the image
     * mean (compared as n·luma_k > Σ luma — integer, no rounding

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Ppm
 import graft.sources.Tables
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
@@ -132,115 +133,166 @@ object Multimodal {
       |       CAST(sum(frame_sum) AS BIGINT) AS frame_sum
       |FROM f GROUP BY kind ORDER BY kind""".stripMargin
 
-  /** One sampled frame (the 1→N decode output: a video decodes to many
-    * frames, an audio file to many windows). */
-  final case class FrameFeature(
-    media_id: Long, kind: String, frame_idx: Int, frame_byte: Int)
+  /** Shared P6-oracle base CTEs — the analytic pixel-byte derivation
+    * every real-codec twin starts from (doc_id, grp, bad, pb[180]):
+    * ONE definition, so the payload construction cannot drift between
+    * the q47/q51/q84/q110/q111 oracles (the [[mbCteSql]] discipline
+    * applied to the real-raster corpus). */
+  private val ppmPxCteSql: String =
+    """WITH px AS (
+      |  SELECT doc_id, doc_id % 7 AS grp, doc_id % 97 = 0 AS bad,
+      |         md5(text) || md5(text || '1') || md5(text || '2') ||
+      |         md5(text || '3') || md5(text || '4') || md5(text || '5') ||
+      |         md5(text || '6') || md5(text || '7') || md5(text || '8') ||
+      |         md5(text || '9') || md5(text || '10') || md5(text || '11') AS hx
+      |  FROM documents),
+      |pb AS (
+      |  SELECT doc_id, grp, bad,
+      |         list_transform(generate_series(1, 180),
+      |           i -> CAST('0x' || substr(hx, 2*i - 1, 2) AS BIGINT)) AS pb
+      |  FROM px)""".stripMargin
+
+  /** One sampled frame of the REAL 1→N decode (round-11 item 4 —
+    * q47's stub retired): each raster ROW of a decoded P6 image is a
+    * frame (the degenerate video: a 10×6 image is 6 frames of 10
+    * pixels — codec frame iteration over real bytes, not an md5
+    * stand-in), with per-channel sums as the frame features. */
+  final case class PpmFrame(
+    media_id: Long, frame_idx: Int, r_sum: Long, g_sum: Long, b_sum: Long)
 
   /** Frame sampling as a flatMap over partitions — the 1→N shape of
     * real media decode (video → frame grid, audio → spectrogram
-    * windows), where q31 is the 1→1 shape. STUB frame = every 8th
-    * payload byte; a real deployment replaces the inner loop with
-    * codec frame iteration. Still a pure map stage: the fan-out
-    * happens inside the partition, so no shuffle until the rollup. */
-  def frameSample(media: Dataset[MediaRecord]): Dataset[FrameFeature] = {
+    * windows), where q110 is the 1→1 shape. Corrupt blobs emit zero
+    * frames (skip-and-count, never a thrown task). Still a pure map
+    * stage: the fan-out happens inside the partition, so no shuffle
+    * until the rollup. */
+  def ppmFrameSample(media: DataFrame): Dataset[PpmFrame] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { records =>
-      records.flatMap { r =>
-        val bytes = r.payload
-        (0 until bytes.length by 8).iterator.zipWithIndex.map {
-          case (k, idx) => FrameFeature(r.media_id, r.kind, idx, bytes(k) & 0xff)
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { records =>
+        records.flatMap { case (id, bytes) =>
+          Ppm.decodeP6(bytes).iterator.flatMap { img =>
+            (0 until img.height).iterator.map { y =>
+              var r = 0L; var g = 0L; var b = 0L
+              var x = 0
+              while (x < img.width) {
+                val k = 3 * (y * img.width + x)
+                r += img.rgb(k) & 0xff
+                g += img.rgb(k + 1) & 0xff
+                b += img.rgb(k + 2) & 0xff
+                x += 1
+              }
+              PpmFrame(id, y, r, g, b)
+            }
+          }
         }
       }
-    }
   }
 
-  /** Per-(kind, frame position) stats over the sampled frames. */
+  /** q47: per-frame-position stats over the real frame sample —
+    * counts prove every parsed image fanned out to exactly its
+    * height's frames, channel sums prove the per-row raster offsets,
+    * and the min/max row-luma bound the distribution per position. */
   def frameStats(s: SparkSession, dir: String): DataFrame =
-    frameSample(mediaTable(s, dir))
-      .groupBy(col("kind"), col("frame_idx"))
+    ppmFrameSample(ppmMediaTable(s, dir))
+      .groupBy(col("frame_idx"))
       .agg(
         count(lit(1)).as("n_frames"),
-        sum(col("frame_byte").cast("long")).as("byte_sum"),
-        min(col("frame_byte")).as("min_byte"),
-        max(col("frame_byte")).as("max_byte"))
-      .orderBy("kind", "frame_idx")
+        sum(col("r_sum")).as("sum_r"),
+        sum(col("g_sum")).as("sum_g"),
+        sum(col("b_sum")).as("sum_b"),
+        min(col("r_sum") + col("g_sum") + col("b_sum")).as("min_luma"),
+        max(col("r_sum") + col("g_sum") + col("b_sum")).as("max_luma"))
+      .orderBy("frame_idx")
 
-  /** DuckDB twin: payload byte 8·i is md5 byte (8·i mod 16), so even
-    * frame positions sample md5 byte 1 and odd positions byte 9
-    * (1-based). */
+  /** DuckDB twin: analytic per-row sums from the md5 pixel derivation
+    * (row y, channel c = Σ_{x<10} pb[3·(10·y+x)+c]) — never parses a
+    * header, so agreement proves the codec's frame iteration. */
   val frameStatsSql: String =
-    mbCteSql + "," +
+    ppmPxCteSql + "," +
     """|
       |fr AS (
-      |  SELECT kind, f.i AS frame_idx,
-      |         CASE WHEN f.i % 2 = 0 THEN b[1] ELSE b[9] END AS frame_byte
-      |  FROM mb CROSS JOIN range(0, 8) f(i))
-      |SELECT kind, CAST(frame_idx AS INT) AS frame_idx, count(*) AS n_frames,
-      |       CAST(sum(frame_byte) AS BIGINT) AS byte_sum,
-      |       CAST(min(frame_byte) AS INT) AS min_byte,
-      |       CAST(max(frame_byte) AS INT) AS max_byte
-      |FROM fr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      |  SELECT doc_id, y.y AS frame_idx,
+      |         list_sum(list_transform(generate_series(0, 9), x -> pb[3*(10*y.y + x) + 1])) AS r_sum,
+      |         list_sum(list_transform(generate_series(0, 9), x -> pb[3*(10*y.y + x) + 2])) AS g_sum,
+      |         list_sum(list_transform(generate_series(0, 9), x -> pb[3*(10*y.y + x) + 3])) AS b_sum
+      |  FROM pb CROSS JOIN range(0, 6) y(y)
+      |  WHERE NOT bad)
+      |SELECT CAST(frame_idx AS INT) AS frame_idx, count(*) AS n_frames,
+      |       CAST(sum(r_sum) AS BIGINT) AS sum_r,
+      |       CAST(sum(g_sum) AS BIGINT) AS sum_g,
+      |       CAST(sum(b_sum) AS BIGINT) AS sum_b,
+      |       CAST(min(r_sum + g_sum + b_sum) AS BIGINT) AS min_luma,
+      |       CAST(max(r_sum + g_sum + b_sum) AS BIGINT) AS max_luma
+      |FROM fr GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Resize as a binary→binary partition transform with metadata
-    * passthrough — the third multimodal shape (decode 1→1 features =
-    * q31, frame-sample 1→N = q47, resize 1→1 payload = here). STUB
-    * resize = stride-2 byte subsample + halved width; a real
-    * deployment swaps in the codec's scaler. The output is again an
-    * opaque payload column, so resize stages compose (resize →
-    * re-encode → feature-extract) with zero shuffle. */
-  def resizeStub(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { records =>
-      records.map { r =>
-        val src = r.payload
-        val out = new Array[Byte]((src.length + 1) / 2)
-        var i = 0
-        while (i < out.length) { out(i) = src(2 * i); i += 1 }
-        // output type IS MediaRecord, so resize stages genuinely
-        // compose with decodeStub/frameSample (no conversion layer)
-        MediaRecord(r.media_id, r.kind, out, (r.width + 1) / 2, r.height)
-      }
-    }
-  }
-
-  /** Rollup over the resized payloads — verifies the resize arithmetic
-    * (byte selection + metadata rewrite) end-to-end via the oracle. */
+  /** q51: REAL raster resize (round-11 item 4 — the stride-2 byte
+    * stub retired): decode → [[graft.functions.Ppm.resizeStride2]]
+    * (keep even columns/rows of the actual pixel grid) → re-ENCODE as
+    * P6 → re-DECODE, and census the round-tripped features. The
+    * binary→binary contract is kept (the resized payload is again a
+    * spec-conformant P6 blob, so resize stages compose with decode /
+    * frame-sample / fingerprint with zero shuffle), and the oracle —
+    * which computes the surviving pixels analytically — now proves
+    * decoder AND encoder byte-exactly, since any drift in either side
+    * of the round trip shifts every downstream sum. */
   def mediaResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    resizeStub(mediaTable(s, dir))
-      .map { r =>
-        var psum = 0L
-        r.payload.foreach(b => psum += b & 0xff)
-        (r.kind, r.payload.length.toLong, psum, r.width.toLong)
-      }
-      .toDF("kind", "n_bytes", "psum", "width")
-      .groupBy(col("kind"))
+    val resized = ppmMediaTable(s, dir)
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { records =>
+        records.map { case (id, bytes) =>
+          (id, Ppm.decodeP6(bytes)
+            .map(img => Ppm.encodeP6(Ppm.resizeStride2(img))).orNull)
+        }
+      }.toDF("media_id", "payload")
+    ppmDecode(resized.filter(col("payload").isNotNull))
+      .groupBy(pmod(col("media_id"), lit(7)).as("grp"))
       .agg(
-        count(lit(1)).as("n_media"),
-        sum(col("n_bytes")).as("resized_bytes"),
-        sum(col("psum")).as("resized_sum"),
-        sum(col("width")).as("width_sum"))
-      .orderBy("kind")
+        count(when(col("ok"), 1)).as("n_imgs"),
+        sum(when(col("ok"), col("width")).otherwise(0)).cast("long").as("sum_w"),
+        sum(when(col("ok"), col("height")).otherwise(0)).cast("long").as("sum_h"),
+        sum(col("r_sum")).as("sum_r"),
+        sum(col("g_sum")).as("sum_g"),
+        sum(col("b_sum")).as("sum_b"),
+        expr("bit_xor(CASE WHEN ok THEN ahash END)").as("xor_ahash"))
+      .orderBy("grp")
   }
 
-  /** DuckDB twin: stride-2 over md5×4 keeps payload positions
-    * 0,2,…,62 → md5 bytes at even 0-based indices, i.e. b[1],b[3],…,
-    * b[15] (1-based) each 4×; width was b[1]+1, halved rounding up. */
+  /** DuckDB twin: the resized 5×3 raster's pixels are the source's
+    * (even x, even y) — index k' = (y/2)·5 + x/2 over y ∈ {0,2,4},
+    * x ∈ {0,2,4,6,8} — summed and average-hashed analytically (15
+    * lumas on the 60-bit ring). */
   val mediaResizeSql: String =
-    mbCteSql + "," +
+    ppmPxCteSql + "," +
     """|
-      |r AS (
-      |  SELECT kind,
-      |         32 AS resized_bytes,
-      |         4 * (b[1] + b[3] + b[5] + b[7] + b[9] + b[11] + b[13] + b[15]) AS resized_sum,
-      |         (b[1] + 2) // 2 AS width_new
-      |  FROM mb)
-      |SELECT kind, count(*) AS n_media,
-      |       CAST(sum(resized_bytes) AS BIGINT) AS resized_bytes,
-      |       CAST(sum(resized_sum) AS BIGINT) AS resized_sum,
-      |       CAST(sum(width_new) AS BIGINT) AS width_sum
-      |FROM r GROUP BY kind ORDER BY kind""".stripMargin
+      |rs AS (
+      |  SELECT doc_id, grp, pb,
+      |         list_transform(generate_series(0, 14),
+      |           k -> 3 * (10 * (2 * (k // 5)) + 2 * (k % 5))) AS src
+      |  FROM pb WHERE NOT bad),
+      |f AS (
+      |  SELECT doc_id, grp,
+      |         list_sum(list_transform(src, s -> pb[s + 1])) AS r_sum,
+      |         list_sum(list_transform(src, s -> pb[s + 2])) AS g_sum,
+      |         list_sum(list_transform(src, s -> pb[s + 3])) AS b_sum,
+      |         list_transform(src, s -> pb[s + 1] + pb[s + 2] + pb[s + 3]) AS ls
+      |  FROM rs),
+      |a AS (
+      |  SELECT doc_id, grp, r_sum, g_sum, b_sum,
+      |         CAST(list_sum(list_transform(generate_series(0, 14),
+      |           k -> CASE WHEN ls[k + 1] * 15 > r_sum + g_sum + b_sum
+      |                THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS ahash
+      |  FROM f)
+      |SELECT CAST(grp AS BIGINT) AS grp,
+      |       count(*) AS n_imgs,
+      |       CAST(5 * count(*) AS BIGINT) AS sum_w,
+      |       CAST(3 * count(*) AS BIGINT) AS sum_h,
+      |       CAST(sum(r_sum) AS BIGINT) AS sum_r,
+      |       CAST(sum(g_sum) AS BIGINT) AS sum_g,
+      |       CAST(sum(b_sum) AS BIGINT) AS sum_b,
+      |       bit_xor(ahash) AS xor_ahash
+      |FROM a GROUP BY grp ORDER BY grp""".stripMargin
 
   /** q84: MEDIA near-dup — perceptual-hash-shaped dedup over the
     * binary payload column, the modality q20–q23 (text) and q24/q26
@@ -313,11 +365,25 @@ object Multimodal {
 
   /** The driver-gated form: per-kind dup census (always one row per
     * modality, so the gate exercises the full pair pipeline even on a
-    * dup-free snapshot where the pair set is empty). */
+    * dup-free snapshot where the pair set is empty).
+    *
+    * Round-11 item 4 — the DEFAULT fingerprint is now the REAL
+    * perceptual hash wherever a real decoder exists: the image
+    * modality's payloads are the P6 corpus and its fingerprints are
+    * [[graft.functions.Ppm.aHash60]] read off the written
+    * [[ppmFeatTable]] decode (corrupt blobs skip-and-count out of the
+    * fingerprint relation, still counted in the modality census);
+    * audio/video — no real codec exists in this container — keep the
+    * documented [[md5Fingerprint]] stand-in. One banded plan serves
+    * the mixed-fidelity relation unchanged. */
   def mediaDedup(s: SparkSession, dir: String): DataFrame = {
     val media = mediaTable(s, dir).toDF()
-    val pairs = mediaDedupPairsFrom(
-      media.select(col("media_id"), col("payload")), Dedup.MaxLshBucket)
+    val imgFp = ppmFeatTable(s, dir)
+      .filter(col("ok") && pmod(col("media_id"), lit(3)) === 0)
+      .select(col("media_id"), col("ahash").as("fp"))
+    val otherFp = media.filter(pmod(col("media_id"), lit(3)) =!= 0)
+      .select(col("media_id"), md5Fingerprint(col("payload")).as("fp"))
+    val pairs = bandedFpPairs(imgFp.unionByName(otherFp), Dedup.MaxLshBucket)
     val kinds = media.groupBy(col("kind")).agg(count(lit(1)).as("n_media"))
     val dupCounts = pairs
       .withColumn("kind",
@@ -331,20 +397,44 @@ object Multimodal {
       .orderBy("kind")
   }
 
-  /** hex(payload) == upper(repeat(md5(text), 4)) — the oracle skips
-    * the blob round-trip (DuckDB's md5 is VARCHAR-only) but hashes the
-    * byte-identical hex string. */
+  /** Oracle: image fingerprints from the analytic average-hash (the
+    * q110/q111 derivation), audio/video from the md5 hex stand-in
+    * (hex(payload) == upper(repeat(md5(text), 4)) — DuckDB's md5 is
+    * VARCHAR-only, so the oracle hashes the byte-identical hex
+    * string); the hot-bucket cap is mirrored with a QUALIFY (round-10
+    * advice — an uncapped twin diverges on any bucket past the cap). */
   val mediaDedupSql: String =
-    """WITH fp AS (
-      |  SELECT doc_id AS media_id,
-      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+    ppmPxCteSql + "," +
+    s"""|
+      |fi AS (
+      |  SELECT doc_id, grp,
+      |         list_sum(list_transform(generate_series(0, 179), i -> pb[i + 1])) AS tot,
+      |         list_transform(generate_series(0, 59),
+      |           k -> pb[3*k + 1] + pb[3*k + 2] + pb[3*k + 3]) AS ls
+      |  FROM pb WHERE NOT bad),
+      |ai AS (
+      |  SELECT doc_id,
+      |         CAST(list_sum(list_transform(generate_series(0, 59),
+      |           k -> CASE WHEN ls[k + 1] * 60 > tot
+      |                THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS fp
+      |  FROM fi),
+      |fp AS (
+      |  SELECT doc_id AS media_id, fp FROM ai WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id,
+      |         CAST('0x' || substr(md5(upper(repeat(md5(text), 4))), 1, 15) AS BIGINT)
+      |  FROM documents WHERE doc_id % 3 <> 0),
+      |kinds AS (
+      |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
       |              WHEN doc_id % 3 = 1 THEN 'audio'
       |              ELSE 'video' END AS kind,
-      |         CAST('0x' || substr(md5(upper(repeat(md5(text), 4))), 1, 15) AS BIGINT) AS fp
-      |  FROM documents),
+      |         count(*) AS n_media
+      |  FROM documents GROUP BY 1),
       |bands AS (
       |  SELECT media_id, fp, t.b AS band, ((fp >> (t.b * 15)) & 32767) AS bval
-      |  FROM fp CROSS JOIN range(0, 4) t(b)),
+      |  FROM fp CROSS JOIN range(0, 4) t(b)
+      |  QUALIFY count(*) OVER (PARTITION BY t.b, ((fp >> (t.b * 15)) & 32767))
+      |            <= ${Dedup.MaxLshBucket}),
       |pairs AS (
       |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
       |         a.fp AS fpa, b.fp AS fpb
@@ -357,11 +447,10 @@ object Multimodal {
       |         count(*) AS n
       |  FROM pairs WHERE bit_count(xor(fpa, fpb)) <= 8
       |  GROUP BY 1)
-      |SELECT f.kind, count(*) AS n_media,
-      |       CAST(coalesce(any_value(dup.n), 0) AS BIGINT) AS n_dup_pairs
-      |FROM fp f LEFT JOIN dup ON f.kind = dup.kind
-      |GROUP BY f.kind
-      |ORDER BY f.kind""".stripMargin
+      |SELECT k.kind, CAST(k.n_media AS BIGINT) AS n_media,
+      |       CAST(coalesce(dup.n, 0) AS BIGINT) AS n_dup_pairs
+      |FROM kinds k LEFT JOIN dup ON k.kind = dup.kind
+      |ORDER BY k.kind""".stripMargin
 
   // ------------------------------------------------------------------
   // q110: REAL codec decode — the non-stub instance of the multimodal
@@ -462,18 +551,8 @@ object Multimodal {
     * construction — it never parses a header, so agreement means the
     * Scala parser read the real bytes correctly. */
   val ppmDecodeCensusSql: String =
-    """WITH px AS (
-      |  SELECT doc_id, doc_id % 7 AS grp, doc_id % 97 = 0 AS bad,
-      |         md5(text) || md5(text || '1') || md5(text || '2') ||
-      |         md5(text || '3') || md5(text || '4') || md5(text || '5') ||
-      |         md5(text || '6') || md5(text || '7') || md5(text || '8') ||
-      |         md5(text || '9') || md5(text || '10') || md5(text || '11') AS hx
-      |  FROM documents),
-      |b AS (
-      |  SELECT doc_id, grp, bad,
-      |         list_transform(generate_series(1, 180),
-      |           i -> CAST('0x' || substr(hx, 2*i - 1, 2) AS BIGINT)) AS pb
-      |  FROM px),
+    ppmPxCteSql + "," +
+    """|
       |f AS (
       |  SELECT doc_id, grp, bad,
       |         list_sum(list_transform(generate_series(0, 59), k -> pb[3*k + 1])) AS r_sum,
@@ -481,7 +560,7 @@ object Multimodal {
       |         list_sum(list_transform(generate_series(0, 59), k -> pb[3*k + 3])) AS b_sum,
       |         list_transform(generate_series(0, 59),
       |           k -> pb[3*k + 1] + pb[3*k + 2] + pb[3*k + 3]) AS ls
-      |  FROM b),
+      |  FROM pb),
       |a AS (
       |  SELECT doc_id, grp, bad, r_sum, g_sum, b_sum,
       |         CAST(list_sum(list_transform(generate_series(0, 59),
@@ -538,26 +617,20 @@ object Multimodal {
   }
 
   /** DuckDB twin: the same analytic ahash as q110's oracle, banded
-    * 4×15 bits and Hamming-verified exactly like q84's SQL. */
+    * 4×15 bits and Hamming-verified exactly like q84's SQL, with the
+    * hot-bucket cap mirrored via QUALIFY (round-10 advice — the
+    * locality-preserving hash clusters near-dups into shared bands,
+    * so hot buckets are plausible at scale and an uncapped twin would
+    * diverge the moment one fires). */
   val ppmNearDupSql: String =
-    """WITH px AS (
-      |  SELECT doc_id, doc_id % 7 AS grp, doc_id % 97 = 0 AS bad,
-      |         md5(text) || md5(text || '1') || md5(text || '2') ||
-      |         md5(text || '3') || md5(text || '4') || md5(text || '5') ||
-      |         md5(text || '6') || md5(text || '7') || md5(text || '8') ||
-      |         md5(text || '9') || md5(text || '10') || md5(text || '11') AS hx
-      |  FROM documents),
-      |b AS (
-      |  SELECT doc_id, grp, bad,
-      |         list_transform(generate_series(1, 180),
-      |           i -> CAST('0x' || substr(hx, 2*i - 1, 2) AS BIGINT)) AS pb
-      |  FROM px),
+    ppmPxCteSql + "," +
+    s"""|
       |f AS (
       |  SELECT doc_id, grp, bad,
       |         list_sum(list_transform(generate_series(0, 179), i -> pb[i + 1])) AS tot,
       |         list_transform(generate_series(0, 59),
       |           k -> pb[3*k + 1] + pb[3*k + 2] + pb[3*k + 3]) AS ls
-      |  FROM b),
+      |  FROM pb),
       |a AS (
       |  SELECT doc_id, grp,
       |         CAST(list_sum(list_transform(generate_series(0, 59),
@@ -567,7 +640,9 @@ object Multimodal {
       |bands AS (
       |  SELECT doc_id AS media_id, grp, fp, t.b AS band,
       |         ((fp >> (t.b * 15)) & 32767) AS bval
-      |  FROM a CROSS JOIN range(0, 4) t(b)),
+      |  FROM a CROSS JOIN range(0, 4) t(b)
+      |  QUALIFY count(*) OVER (PARTITION BY t.b, ((fp >> (t.b * 15)) & 32767))
+      |            <= ${Dedup.MaxLshBucket}),
       |pairs AS (
       |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
       |         x.fp AS fpa, y.fp AS fpb

@@ -21,6 +21,14 @@ import graft.functions.Fns._
   */
 object Pipeline {
 
+  /** Force every CTE to `AS MATERIALIZED` — DuckDB inlines CTE
+    * references by default, and the unrolled BPE-training chain
+    * references each generation twice per round (pair counts + the
+    * merge pass), which inlining re-evaluates O(2^rounds) times. Same
+    * helper (and safety argument) as `Similarity.mat`. */
+  private def mat(sql: String): String =
+    sql.replaceAll("(\\w+) AS \\(", "$1 AS MATERIALIZED (")
+
   // DuckDB twin of Fns.quantize (proven by the q24/q25 gate).
   private val qvSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
@@ -756,9 +764,12 @@ object Pipeline {
     * then apply the merge table IN ORDER (BPE merge priority), each
     * rule as one greedy left-to-right pass. Entirely Column
     * expressions — an `aggregate` fold per pass, no UDF, stays in
-    * codegen. The table is toy-sized but the MECHANISM is the real
-    * algorithm; a production ~50k-rule vocab drives the same
-    * expression shape (or a broadcast-table encode), plan-identical.
+    * codegen. This FIXED table is the spec surface
+    * (`TokenizerPluggableSpec`'s independent reference); the product
+    * path (q109) runs the same machinery under the CORPUS-TRAINED
+    * table ([[bpeTrainedMerges]], round-11 item 3 — gated by q118); a
+    * production ~50k-rule vocab drives the same expression shape (or
+    * a broadcast-table encode), plan-identical.
     *
     * Every rule keeps a ≠ b (checked): under that condition two
     * matches of one rule can never overlap, so the greedy
@@ -771,9 +782,12 @@ object Pipeline {
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d", "e" -> "r")
 
   /** Token-boundary separator for the string-form merge passes: a
-    * control char no tokenizable text contains (the char-split regex
-    * `.` would keep it if it appeared, so the encoding is safe, not
-    * just convenient). */
+    * control char no tokenizable text contains. The char-split
+    * ([[bpeChars]]) STRIPS it defensively (round-10 advice: if a
+    * document ever did carry U+0001, keeping it as a token char would
+    * let array_join/split corrupt merges silently — dropping it on
+    * BOTH engines keeps the oracle equality while making the encoding
+    * safe by construction, not by corpus luck). */
   private val BpeSep = "\u0001"
 
   /** One greedy left-to-right merge pass of rule (a, b) → ab over a
@@ -798,15 +812,164 @@ object Pipeline {
         BpeSep + java.util.regex.Pattern.quote(b) + "(?=" + BpeSep + "|$)"),
       lit(java.util.regex.Matcher.quoteReplacement(a + b)))
 
-  private def bpeWord(w: Column): Column =
+  /** The merge-pass char split: every char EXCEPT the separator (see
+    * [[BpeSep]]). */
+  private def bpeChars(w: Column): Column =
+    regexp_extract_all(w, lit("[^" + BpeSep + "]"), lit(0))
+
+  /** [[bpeChars]]' DuckDB twin (RE2 `\x01` = U+0001). */
+  private val bpeCharsSql = """regexp_extract_all(w, '[^\x01]', 0)"""
+
+  private def bpeWordOf(merges: Seq[(String, String)])(w: Column): Column =
     split(
-      BpeMerges.foldLeft(
-        array_join(regexp_extract_all(w, lit("."), lit(0)), BpeSep)) {
+      merges.foldLeft(array_join(bpeChars(w), BpeSep)) {
         case (t, (a, b)) => bpeMergePass(t, a, b)
       }, BpeSep)
 
-  private[graft] val bpeTokenizer: Column => Column =
-    text => flatten(transform(tokens(text), bpeWord(_)))
+  private[graft] def bpeTokenizerOf(merges: Seq[(String, String)]): Column => Column =
+    text => flatten(transform(tokens(text), bpeWordOf(merges)(_)))
+
+  /** The toy-table tokenizer (spec surface; q109 runs the
+    * corpus-TRAINED table via [[bpeTrainedMerges]]). */
+  private[graft] val bpeTokenizer: Column => Column = bpeTokenizerOf(BpeMerges)
+
+  // ------------------------------------------------------------------
+  // CORPUS-TRAINED BPE (round-11 item 3): the merge table stops being
+  // a constant — it is LEARNED from the snapshot by the real BPE
+  // training loop, k rounds of "count adjacent pairs, merge the most
+  // frequent", so the token economy's vocabulary is corpus-derived
+  // exactly as production budgeting is.
+  // ------------------------------------------------------------------
+
+  /** Training-sample bound: the [[BpeTrainDocs]] smallest-hash
+    * documents (hash-ordered TakeOrdered — the quantizer's
+    * `trainSample` discipline applied to text: deterministic,
+    * reshuffle-proof, driver work bounded at any corpus size; real
+    * BPE vocabularies train on a corpus sample too). */
+  private[graft] val BpeTrainDocs = 512
+
+  /** Learned merge-rule count (matches the retired toy table's size,
+    * so the economy's pass structure — and the q109 plan — is
+    * unchanged; a production ~50k vocab is the same loop longer). */
+  private[graft] val BpeRounds = 6
+
+  private val bpeMergeMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]]())
+
+  /** The learned merge table, MEMOIZED per (session, snapshot). Each
+    * round is one MAP-SIDE-COMBINED aggregate over the sample's
+    * adjacent-pair relation (partial counts per partition, one tiny
+    * (a,b)-keyed shuffle) — the identical plan trains on the full
+    * corpus if the sample cap is lifted — followed by a 1-row argmax
+    * collect (count desc, then (a,b) lexicographic — deterministic)
+    * and one [[bpeMergePass]] over the sample. Rules keep a ≠ b (the
+    * condition that makes the greedy pass equal a simultaneous merge,
+    * which is what the SQL twin re-derives — see [[BpeMerges]]);
+    * per-round sample generations are localCheckpointed and freed,
+    * the q89 iterative-shape discipline. */
+  private[graft] def bpeTrainedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergeMemo
+      .computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]())
+      .computeIfAbsent(dir, { _ =>
+        val sc = s.sparkContext
+        def persisted(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
+        def free(ids: Set[Int]): Unit =
+          ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        var pre = persisted()
+        var words = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .orderBy(hash60(col("doc_id").cast(StringType)), col("doc_id"))
+          .limit(BpeTrainDocs)
+          .select(explode(tokens(col("text"))).as("w"))
+          .select(array_join(bpeChars(col("w")), BpeSep).as("t"))
+          .localCheckpoint()
+        var gen = persisted() -- pre
+        val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        (1 to BpeRounds).foreach { _ =>
+          val arr = split(col("t"), java.util.regex.Pattern.quote(BpeSep))
+          val top = words.select(arr.as("a"))
+            .filter(size(col("a")) >= 2)
+            .select(explode(transform(sequence(lit(0), size(col("a")) - 2),
+              i => struct(element_at(col("a"), i + 1).as("a"),
+                element_at(col("a"), i + 2).as("b")))).as("p"))
+            .select(col("p.a").as("a"), col("p.b").as("b"))
+            .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+            .filter(col("a") =!= col("b"))
+            .orderBy(col("c").desc, col("a"), col("b"))
+            .limit(1).collect()
+          // a dry round would silently desynchronize the unrolled SQL
+          // twin (its empty 1-row rule relation empties the corpus
+          // via the cross join) — fail loudly instead
+          require(top.nonEmpty,
+            s"BPE training round ${rules.size + 1} found no a!=b pair")
+          val (a, b) = (top(0).getString(0), top(0).getString(1))
+          rules += ((a, b))
+          pre = persisted()
+          words = words.select(bpeMergePass(col("t"), a, b).as("t")).localCheckpoint()
+          val g = persisted() -- pre
+          free(gen)
+          gen = g
+        }
+        free(gen)
+        rules.toSeq
+      })
+
+  /** q118: the LEARNED MERGE TABLE as a gated relation (round, a, b,
+    * ab) — training itself is driver-gated: the ORACLE re-runs the
+    * same [[BpeRounds]] rounds in SQL (pair counts via a per-round
+    * position unnest, the argmax with the same tie order, the
+    * simultaneous-merge pass), so the learned vocabulary is proven
+    * corpus-derived on both engines. */
+  def bpeTrainTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeTrainedMerges(s, dir).zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b, a + b) }
+      .toDF("rnd", "a", "b", "ab")
+      .orderBy("rnd")
+  }
+
+  /** SQL fragments of the training loop (shared by the q118 and q109
+    * oracles): `tsamp`/`w0` = the hash-ordered sample's words as char
+    * lists; round k = pair counts over `w(k-1)`, 1-row rule `rk`,
+    * merged generation `wk`. */
+  private val bpeTrainBaseSql: String =
+    s"""tsamp AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |           row_number() OVER (ORDER BY
+       |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |             doc_id) AS srn
+       |    FROM documents) z
+       |  WHERE srn <= $BpeTrainDocs),
+       |w0 AS (
+       |  SELECT $bpeCharsSql AS t
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |        FROM tsamp) z)""".stripMargin
+
+  /** One training round in SQL: the simultaneous-merge CASE is valid
+    * because `rk` keeps a ≠ b (the [[BpeMerges]] argument). */
+  private def bpeTrainRoundSql(k: Int): String =
+    s"""pc$k AS (
+       |  SELECT t[gs] AS a, t[gs + 1] AS b, count(*) AS c
+       |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS gs FROM w${k - 1}) z
+       |  GROUP BY 1, 2),
+       |r$k AS (SELECT a, b, a || b AS ab FROM pc$k WHERE a <> b
+       |        ORDER BY c DESC, a, b LIMIT 1),
+       |w$k AS (
+       |  SELECT list_filter(list_transform(generate_series(1, len(t)),
+       |      i -> CASE WHEN t[i] = r.a AND i < len(t) AND t[i + 1] = r.b THEN r.ab
+       |                WHEN t[i] = r.b AND i > 1 AND t[i - 1] = r.a THEN NULL
+       |                ELSE t[i] END), x -> x IS NOT NULL) AS t
+       |  FROM w${k - 1} CROSS JOIN r$k r)""".stripMargin
+
+  val bpeTrainSql: String = mat(
+    s"""WITH $bpeTrainBaseSql,
+       |${(1 to BpeRounds).map(bpeTrainRoundSql).mkString(",\n")}
+       |SELECT rnd, a, b, ab FROM (
+       |  ${(1 to BpeRounds).map(k => s"SELECT $k AS rnd, a, b, ab FROM r$k")
+            .mkString("\n  UNION ALL\n  ")}) u
+       |ORDER BY rnd""".stripMargin)
 
   def tokenChunks(s: SparkSession, dir: String): DataFrame =
     tokenChunksFrom(Tables.documents(s, dir), wsTokenizer)
@@ -997,13 +1160,19 @@ object Pipeline {
     * a GATED query: the ORACLE re-derives the greedy merges in SQL,
     * so token budgeting is proven in real-token units end to end). */
   def bpeTokenEconomy(s: SparkSession, dir: String): DataFrame =
-    bpeTokenEconomyFrom(Tables.documents(s, dir))
+    // round-11 item 3: the economy runs under the CORPUS-TRAINED merge
+    // table (q118's learned rules), not the toy constant — training
+    // happens once per (session, snapshot), then the learned rules are
+    // plan-time literals and the plan is byte-identical in shape
+    bpeTokenEconomyFrom(Tables.documents(s, dir),
+      bpeTokenizerOf(bpeTrainedMerges(s, dir)))
 
-  private[graft] def bpeTokenEconomyFrom(docs: DataFrame): DataFrame = {
+  private[graft] def bpeTokenEconomyFrom(docs: DataFrame,
+      bpeTok: Column => Column): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     docs
       .withColumn("nws", size(wsTokenizer(col("text"))).cast(LongType))
-      .withColumn("n", size(bpeTokenizer(col("text"))).cast(LongType))
+      .withColumn("n", size(bpeTok(col("text"))).cast(LongType))
       .select(col("source"), col("doc_id"), col("nws"), col("n"))
       .withColumn("n_chunks",
         when(col("n") <= ChunkLen, 1L)
@@ -1038,31 +1207,30 @@ object Pipeline {
       .orderBy("source")
   }
 
-  /** One BPE merge pass of rule (a, b) in SQL — the SIMULTANEOUS form
-    * (valid because a ≠ b, see [[BpeMerges]]): emit `ab` at every
-    * match head, drop every consumed `b`, keep everything else. */
-  private def bpePassSql(a: String, b: String): String =
-    s"""list_filter(list_transform(generate_series(1, len(t)),
-       |    i -> CASE WHEN t[i] = '$a' AND i < len(t) AND t[i+1] = '$b' THEN '${a + b}'
-       |              WHEN t[i] = '$b' AND i > 1 AND t[i-1] = '$a' THEN NULL
-       |              ELSE t[i] END), x -> x IS NOT NULL)""".stripMargin
-
   val bpeTokenEconomySql: String = {
-    require(BpeMerges.forall { case (a, b) => a != b },
-      "the SQL simultaneous-merge rewrite needs a != b in every rule")
-    val passes = BpeMerges.zipWithIndex.map { case ((a, b), k) =>
-      s"m${k + 1} AS (SELECT source, doc_id, ${bpePassSql(a, b)} AS t FROM m$k)"
+    // corpus pass k applies the LEARNED round-k rule (the 1-row `rk`
+    // relation from the training chain, cross-joined in) in the
+    // SIMULTANEOUS form — valid because every rk keeps a ≠ b
+    val passes = (1 to BpeRounds).map { k =>
+      s"""m$k AS (
+         |  SELECT source, doc_id, list_filter(list_transform(generate_series(1, len(t)),
+         |      i -> CASE WHEN t[i] = r.a AND i < len(t) AND t[i + 1] = r.b THEN r.ab
+         |                WHEN t[i] = r.b AND i > 1 AND t[i - 1] = r.a THEN NULL
+         |                ELSE t[i] END), x -> x IS NOT NULL) AS t
+         |  FROM m${k - 1} CROSS JOIN r$k r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH d0 AS (
+    mat(s"""WITH $bpeTrainBaseSql,
+       |${(1 to BpeRounds).map(bpeTrainRoundSql).mkString(",\n")},
+       |d0 AS (
        |  SELECT source, doc_id,
        |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
        |  FROM documents),
        |words AS (SELECT source, doc_id, unnest(ws) AS w FROM d0),
-       |m0 AS (SELECT source, doc_id, regexp_extract_all(w, '.', 0) AS t FROM words),
+       |m0 AS (SELECT source, doc_id, $bpeCharsSql AS t FROM words),
        |$passes,
        |bpe AS (
        |  SELECT source, doc_id, CAST(sum(len(t)) AS BIGINT) AS n
-       |  FROM m${BpeMerges.length} GROUP BY source, doc_id),
+       |  FROM m$BpeRounds GROUP BY source, doc_id),
        |d AS (
        |  SELECT d0.source, d0.doc_id, CAST(len(d0.ws) AS BIGINT) AS nws, b.n
        |  FROM d0 JOIN bpe b ON b.source = d0.source AND b.doc_id = d0.doc_id
@@ -1095,7 +1263,7 @@ object Pipeline {
        |       CAST(sum(chunk_toks) AS BIGINT) AS chunk_tokens,
        |       CAST((sum(n) + ${PackBin - 1}) // $PackBin AS BIGINT) AS n_bins,
        |       CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
-       |FROM f GROUP BY source ORDER BY source""".stripMargin
+       |FROM f GROUP BY source ORDER BY source""".stripMargin)
   }
 
   /** q81: the END-TO-END training-data pipeline as ONE DataFrame —
@@ -1286,5 +1454,8 @@ object Pipeline {
     // q109's oracle re-derives the greedy BPE merges in SQL: token
     // budgeting proven in real-token units, not the whitespace proxy
     QueryDef("q109_bpe_token_economy", bpeTokenEconomy, Some(bpeTokenEconomySql)),
+    // q118's oracle re-runs the BPE training rounds in SQL: the
+    // learned vocabulary itself is corpus-derived on both engines
+    QueryDef("q118_bpe_train", bpeTrainTable, Some(bpeTrainSql)),
   )
 }

@@ -2184,6 +2184,23 @@ object Similarity {
        |                              ORDER BY cos DESC, vec_id) AS rnk
        |    FROM escored) t WHERE rnk <= 5)""".stripMargin
 
+  /** [[exactBaseSql]]'s artifact-backed twin: the baseline READ from
+    * the written `exacttopk` ground-truth table instead of re-derived
+    * (probe set = its distinct probes — identical to [[boundedProbes]]
+    * by construction). Round-11 item 5: the sf1 q96 gate's re-derived
+    * probes×corpus CTE needed ~50 GB of DuckDB temp; this is the same
+    * held-artifact pattern the Spark side and q83's oracle already
+    * use, and the per-round oracle scales keep the re-deriving form,
+    * so written == recomputed stays proven every round. */
+  private def exactHeldBaseSql: String =
+    s"""q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |      FROM q
+       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |pset AS (SELECT DISTINCT probe_id AS vec_id FROM exacttopk),
+       |exact5 AS (SELECT probe_id, vec_id FROM exacttopk)""".stripMargin
+
   /** The q96 oracle: ONE shared-CTE derivation — the exact baseline
     * (q25's machinery), the IVF route (q37/q83's cents/assign/proutes),
     * the PQ route (q90/q92's train/cb/enc/pdist) and the composed
@@ -2191,8 +2208,8 @@ object Similarity {
     * exact top-5. Every fragment is the (hash-gate-proven) SQL of its
     * source query, so a recall mismatch localizes to the intersection
     * math, not the methods. */
-  val annRecallSql: String = mat(
-    s"""WITH $exactBaseSql,
+  private def annRecallSqlOver(base: String): String = mat(
+    s"""WITH $base,
        |${sampSql("n")},
        |${trainedCentsSql("n")},
        |assign AS (
@@ -2276,6 +2293,13 @@ object Similarity {
        |       CAST(n_hits AS BIGINT) AS n_hits,
        |       CAST(n_hits AS DOUBLE) / CAST(5 * np AS DOUBLE) AS recall_at_5
        |FROM hits, np ORDER BY method""".stripMargin)
+
+  val annRecallSql: String = annRecallSqlOver(exactBaseSql)
+
+  /** The sf1 gate's q96 oracle — reads the dumped `exacttopk` table
+    * (see [[exactHeldBaseSql]]; `Sf1Bench` writes the artifact next
+    * to the snapshot and swaps this SQL into the verify dump). */
+  val annRecallHeldSql: String = annRecallSqlOver(exactHeldBaseSql)
 
   /** q97: the IVF recall-vs-nprobe TUNING CURVE — recall@5 of the
     * written-index path at nprobe = 1/2/4/8, against the exact q25
@@ -2871,6 +2895,43 @@ object Similarity {
          |  FROM graph WHERE vec_id % 5 = 0) t
          |ORDER BY artifact""".stripMargin)
   }
+
+  /** The q119 oracle (query: [[graft.streaming.StreamDoor]]): the
+    * streaming index door's sink rows — the batch's residual-PQ index
+    * entries under the held base quantizer — re-derived from scratch
+    * in SQL: corp-trained coarse quantizer + residual codebook (the
+    * q108 'ivfpq' chain), assignment over the full corpus, residual
+    * encode, restricted to the batch and exploded per subspace. The
+    * gate thereby proves an ACTUAL Structured Streaming run (file
+    * source → watermarked dedup → file sink) wrote exactly the
+    * batch-maintenance rows — the first driver-visible streaming
+    * artifact; the stream==batch parity matrix stays in
+    * `StreamingSpec`. */
+  val indexDoorSql: String = mat(
+    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |      FROM q
+       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |corp AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+       |${sampSql("corp")},
+       |${trainedCentsSql("corp")},
+       |assign AS (
+       |  SELECT vec_id, cent_id, q, qn FROM (
+       |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v CROSS JOIN cents c) t
+       |  WHERE rn = 1),
+       |$residualEncSql
+       |SELECT r.vec_id, a.cent_id, CAST(r.sub AS INT) AS sub,
+       |       CAST(r.code AS INT) AS code
+       |FROM renc r JOIN assign a ON a.vec_id = r.vec_id
+       |WHERE r.vec_id % 5 = 0
+       |ORDER BY r.vec_id, r.sub""".stripMargin)
 
   /** q112: GRAPH BACK-EDGE FOLD — closes q108's one deliberate
     * asymmetry. q108 appends the BATCH's graph rows but leaves the

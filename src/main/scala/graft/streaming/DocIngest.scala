@@ -37,6 +37,31 @@ case class SpanCoverage(doc_id: Long, nw: Long, known_windows: Long, coverage: D
   * layout machinery). */
 object DocIngest {
 
+  /** Replay-suppression horizon of the index/media doors (round-10
+    * advice: their `dropDuplicates` state otherwise grows without
+    * bound over the stream's lifetime — an unbounded-memory door at
+    * the 100 TB ingest framing). 24 h of INGEST time: re-deliveries
+    * cluster within hours of the original (source retries, crawler
+    * re-queues), so the state holds one key per in-horizon arrival
+    * instead of one per all-time arrival; an older replay re-emits
+    * and is reconciled by the idempotent index write (first-write-
+    * wins under the held quantizer). */
+  private val ReplayHorizon = "24 hours"
+
+  /** Bounded-state replay suppression: on a STREAM, watermarked
+    * `dropDuplicatesWithinWatermark` over ingest time (state evicted
+    * past [[ReplayHorizon]]); on a batch frame, plain dropDuplicates
+    * (no state to bound — and the batch==stream parity specs replay
+    * well inside the horizon). The ingest-time column never leaves
+    * the operator. */
+  private def dedupBounded(df: DataFrame, keys: String*): DataFrame =
+    if (df.isStreaming)
+      df.withColumn("ingest_ts", current_timestamp())
+        .withWatermark("ingest_ts", ReplayHorizon)
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+        .drop("ingest_ts")
+    else df.dropDuplicates(keys.toSeq)
+
   def dedupedIngest(incoming: DataFrame, corpus: DataFrame): DataFrame = {
     val corpusHashes = corpus
       .select(hash60(normText(col("text"))).as("nh")).distinct()
@@ -157,7 +182,7 @@ object DocIngest {
               Array.tabulate(Similarity.Dim)(i => q(i) - cq(i)), rc).toSeq)
         }
       }.toDF("vec_id", "cent_id", "codes")
-      .dropDuplicates("vec_id")
+      .transform(dedupBounded(_, "vec_id"))
   }
 
   /** MEDIA ingest — the multimodal modality's front door: arriving
@@ -172,8 +197,7 @@ object DocIngest {
     * `StreamingSpec` proves stream == batch across trigger splits
     * with a replay, corrupt blobs included. */
   def mediaIngest(incoming: DataFrame): DataFrame =
-    graft.operators.Multimodal.ppmDecode(incoming).toDF()
-      .dropDuplicates("media_id")
+    dedupBounded(graft.operators.Multimodal.ppmDecode(incoming).toDF(), "media_id")
 
   /** NEAR-dup ingest — q77's incremental MinHash-LSH as the stream
     * front door: each arriving document is signed in the stream

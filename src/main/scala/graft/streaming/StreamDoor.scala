@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.IntegerType
+
+import graft.operators.{QueryDef, Similarity}
+import graft.sources.{Layout, Tables}
+
+/** Round-11 item 6: ONE streaming front door run END TO END inside the
+  * driver gate — every door so far was spec-proven (stream==batch +
+  * restart matrix in `StreamingSpec`) but never driver-visible. q119
+  * executes [[DocIngest.indexIngest]] as a REAL Structured Streaming
+  * query — parquet file SOURCE over the batch vectors, the watermarked
+  * replay-dedup stateful operator, Trigger.AvailableNow, parquet file
+  * SINK with a checkpoint — then reads the sink back and exposes the
+  * rows relationally (one row per (vector, subspace) index entry).
+  * The DuckDB oracle ([[Similarity.indexDoorSql]]) re-derives the
+  * expected index entries from scratch, so the hash gate proves the
+  * stream's exactly-once file-sink output equals the batch
+  * maintenance math — the q108 contract, now through the streaming
+  * engine's source/state/commit machinery instead of around it. */
+object StreamDoor {
+
+  /** q119: run the index door once per (session, snapshot) — the
+    * stream drains the staged batch under AvailableNow, the sink's
+    * rows are republished as a warehouse table (the artifact
+    * discipline), and the relational view explodes the code arrays.
+    * The run directory is rebuilt from scratch each build (source,
+    * checkpoint and sink travel together — the restart/recovery
+    * matrix is `StreamingSpec`'s subject, not this gate's). */
+  def streamIndexDoor(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.ivfCentsBase(s, dir)
+    val rcb = Similarity.resTrainBase(s, dir, cents)
+    val out = Layout.materializedTable(s, dir, "sdoorout") {
+      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
+      val base = wh + "/" + Layout.tableName(dir, "sdoorrun")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val srcDir = s"$base/src"; val sinkDir = s"$base/sink"; val ckpt = s"$base/ckpt"
+      val batch = Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(5)) === 0)
+      batch.write.mode("overwrite").parquet(srcDir)
+      val door = DocIngest.indexIngest(
+        s.readStream.schema(batch.schema).parquet(srcDir), cents, rcb)
+      val q = door.writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sinkDir)
+    }
+    out.select(col("vec_id"), col("cent_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("cent_id"),
+        col("pos").cast(IntegerType).as("sub"),
+        col("col").cast(IntegerType).as("code"))
+      .orderBy("vec_id", "sub")
+  }
+
+  val defs: Vector[QueryDef] = Vector(
+    // the oracle re-derives the batch's index entries from scratch:
+    // the gate proves the streaming run's sink == batch maintenance
+    QueryDef("q119_stream_index_door", streamIndexDoor, Some(Similarity.indexDoorSql)),
+  )
+}

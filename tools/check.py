@@ -57,7 +57,15 @@ def df_strs(df):
 
 def main():
     con = duckdb.connect()
-    for t in TABLES:
+    # beyond the driver's base tables, register any extra <name>.parquet
+    # next to the snapshot — Sf1Bench dumps written ARTIFACTS (e.g.
+    # exacttopk, the ground-truth table) there so artifact-backed
+    # oracles (annRecallHeldSql) can read them
+    extra = sorted(
+        f[:-len(".parquet")] for f in os.listdir(SF_DIR)
+        if f.endswith(".parquet") and f[:-len(".parquet")] not in TABLES
+        and f[:-len(".parquet")].isidentifier())
+    for t in TABLES + extra:
         # driver testdata ships single parquet FILES; the Sf1Bench
         # snapshot writes Spark DIRECTORIES of part files
         pat = f"{SF_DIR}/{t}.parquet"
