@@ -188,9 +188,11 @@ object Sf1Bench {
     // in-emitted-order compare — coalesce happens to concatenate
     // sorted partitions in order today, but nothing pins that under
     // AQE/partition-coalescing changes. The dump now COLLECTS the
-    // ordered result (headline outputs are small relations) and
-    // writes the driver-ordered rows as one local partition, so the
-    // emitted order is the query's ORDER BY by construction.
+    // ordered result and writes the driver-ordered rows as one local
+    // partition, so the emitted order is the query's ORDER BY by
+    // construction. Driver footprint is bounded by the largest
+    // headline output — q15's ~4M slim rank rows (~100 MB) at k=10 —
+    // a dump-path cost only, not a query-path collect.
     val vDir = s"$out/verify"
     new java.io.File(vDir).mkdirs()
     selected.foreach { case (name, fn) =>

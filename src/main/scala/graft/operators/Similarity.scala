@@ -3162,6 +3162,53 @@ object Similarity {
     * refreshed pool graph — and the classes are not reconstructible
     * from the edge alone (an extra may share a routed cell with its
     * vertex yet rank below G). */
+  /** The pool graph + one additive NN-descent round over an explicit
+    * routing relation (vec_id, cent_id, q, qn) and payload relation
+    * (vec_id, q, qn) — the SHARED derivation of the written snapshot
+    * graph ([[nnGraphTable]]) and of the spec-side from-scratch
+    * survivor rebuild `AnnDeleteSpec`'s sparse-delete coverage test
+    * compares the maintained delete against. Rows carry the `src`
+    * provenance marker. */
+  private[graft] def nnGraphOf(routed: DataFrame, payload: DataFrame): DataFrame = {
+    val a = routed.select(col("vec_id"), col("cent_id"), col("q"), col("qn"))
+    val b = routed.select(col("vec_id").as("nbr"), col("cent_id"),
+      col("q").as("nq"), col("qn").as("nqn"))
+    val wG = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr"))
+    // referenced three times below (edge output, expansion seed,
+    // already-adjacent anti-join) — checkpointed so the pool join
+    // runs once, freed by the caller's RDD-diff bracket
+    val g0 = a.join(b, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .dropDuplicates("vec_id", "nbr")
+      .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
+      .withColumn("rn", row_number().over(wG))
+      .filter(col("rn") <= GraphG)
+      .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"), col("rn"))
+      .localCheckpoint()
+    // one ADDITIVE NN-descent round (see NdExp/NdAdd): candidates =
+    // adjacency of the best NdExp neighbors, minus self, minus
+    // already-adjacent; candidate payload rides the hop edge, so
+    // only the probe-side payload joins (one n-row equi-join)
+    val mid = g0.filter(col("rn") <= NdExp)
+      .select(col("vec_id"), col("nbr").as("mid"))
+    val extras = mid.join(
+        g0.select(col("vec_id").as("mid"), col("nbr"), col("nq"), col("nqn")),
+        Seq("mid"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+      .dropDuplicates("vec_id", "nbr")
+      .join(g0.select(col("vec_id"), col("nbr")), Seq("vec_id", "nbr"), "left_anti")
+      .join(payload.select(col("vec_id"), col("q"), col("qn")), Seq("vec_id"))
+      .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
+      .withColumn("rn", row_number().over(wG))
+      .filter(col("rn") <= NdAdd)
+      .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+    g0.select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+      .withColumn("src", lit("g"))
+      .union(extras.withColumn("src", lit("x")))
+  }
+
   private[graft] def nnGraphTable(s: SparkSession, dir: String): DataFrame = {
     val cents = ivfCents(s, dir)
     // force the base table BEFORE the nngraph once-gate (the
@@ -3172,44 +3219,9 @@ object Similarity {
     val t = Layout.materializedTable(s, dir, "nngraph",
         Some((Layout.Buckets, Seq("vec_id")))) {
       val routed = routeProbesDf(assign, cents, GraphR)
-      val a = routed.select(col("probe_id").as("vec_id"), col("cent_id"),
-        col("pq").as("q"), col("pqn").as("qn"))
-      val b = routed.select(col("probe_id").as("nbr"), col("cent_id"),
-        col("pq").as("nq"), col("pqn").as("nqn"))
-      val wG = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("nbr"))
-      // referenced three times below (edge output, expansion seed,
-      // already-adjacent anti-join) — checkpointed so the pool join
-      // runs once, freed right after the table write (below)
-      val g0 = a.join(b, Seq("cent_id"))
-        .filter(col("vec_id") =!= col("nbr"))
-        .dropDuplicates("vec_id", "nbr")
-        .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
-        .withColumn("rn", row_number().over(wG))
-        .filter(col("rn") <= GraphG)
-        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"), col("rn"))
-        .localCheckpoint()
-      // one ADDITIVE NN-descent round (see NdExp/NdAdd): candidates =
-      // adjacency of the best NdExp neighbors, minus self, minus
-      // already-adjacent; candidate payload rides the hop edge, so
-      // only the probe-side payload joins (one n-row equi-join)
-      val mid = g0.filter(col("rn") <= NdExp)
-        .select(col("vec_id"), col("nbr").as("mid"))
-      val extras = mid.join(
-          g0.select(col("vec_id").as("mid"), col("nbr"), col("nq"), col("nqn")),
-          Seq("mid"))
-        .filter(col("vec_id") =!= col("nbr"))
-        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
-        .dropDuplicates("vec_id", "nbr")
-        .join(g0.select(col("vec_id"), col("nbr")), Seq("vec_id", "nbr"), "left_anti")
-        .join(assign.select(col("vec_id"), col("q"), col("qn")), Seq("vec_id"))
-        .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
-        .withColumn("rn", row_number().over(wG))
-        .filter(col("rn") <= NdAdd)
-        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
-      g0.select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
-        .withColumn("src", lit("g"))
-        .union(extras.withColumn("src", lit("x")))
+        .select(col("probe_id").as("vec_id"), col("cent_id"),
+          col("pq").as("q"), col("pqn").as("qn"))
+      nnGraphOf(routed, assign)
     }
     // free the builder's g0 checkpoint (only present on the run that
     // actually built the table; subsequent calls diff to the empty set)
@@ -3585,13 +3597,115 @@ object Similarity {
     * quantizer + held probe set, scored once with dual held/survivor
     * rankings), so the gate proves maintained == rebuild row-for-row
     * (`nqn`/`rnk` ride the checksum as payload witnesses). */
+  /** The nngraph delete-maintenance core, parameterized by the delete
+    * relation (one vec_id column) and the survivor assignment: purge
+    * both sides, refill A1 = vertices that lost a top-[[GraphG]]
+    * neighbor from their FULL surviving pool, recompute NN-descent
+    * extras over the dependency cone A2 = A1 ∪ in-neighbors(A1), and
+    * carry every other held row verbatim. Returns (maintained rows
+    * with the src marker, the A2 relation). Factored out of q116 so
+    * `AnnDeleteSpec` can drive it with a SPARSE delete — at the 1/7
+    * oracle density A2 covers every vertex, so the held-extras carry
+    * path (`xKeep`) is never exercised by the driver gates; the spec
+    * proves maintained == [[nnGraphOf]]-rebuild at a density where it
+    * is nonempty. */
+  private[graft] def nnGraphDeleteParts(s: SparkSession, dir: String,
+      del: DataFrame, assignSurv: DataFrame): (DataFrame, DataFrame) = {
+    val cents = ivfCents(s, dir)
+    val graph = nnGraphTable(s, dir)
+    val delN = del.select(col("vec_id").as("nbr"))
+    val g0Held = graph.filter(col("src") === "g")
+    val xHeld = graph.filter(col("src") === "x")
+    val survG0 = g0Held.join(del, Seq("vec_id"), "left_anti")
+    val a1 = survG0.join(delN, Seq("nbr"), "left_semi")
+      .select(col("vec_id")).distinct()
+    // routing of the survivors against the held quantizer: one
+    // map-only pass over the survivor assignment (a production
+    // deployment would read a written snapshot routing table, the
+    // base family's `groutesbase` shape — q117)
+    val routedSurv = routeProbesDf(
+        assignSurv.select(col("vec_id"), col("q"), col("qn")), cents, GraphR)
+      .select(col("probe_id").as("vec_id"), col("cent_id"),
+        col("pq").as("q"), col("pqn").as("qn"))
+    val a2 = a1.unionByName(
+        survG0.join(a1.select(col("vec_id").as("nbr")), Seq("nbr"), "left_semi")
+          .select(col("vec_id")))
+      .distinct()
+    val wG = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr"))
+    val poolNbr = routedSurv.select(col("vec_id").as("nbr"), col("cent_id"),
+      col("q").as("nq"), col("qn").as("nqn"))
+    // A2's pool rows re-ranked over the FULL surviving pool (for
+    // A2∖A1 this reproduces the held rows — no deleted neighbor in
+    // their top-G means the shrunk pool has the same top-G — but
+    // recomputing keeps the refill one uniform derivation)
+    val g0Refill = routedSurv.join(a2, Seq("vec_id"), "left_semi")
+      .join(poolNbr, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .dropDuplicates("vec_id", "nbr")
+      .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
+      .withColumn("rn", row_number().over(wG))
+      .filter(col("rn") <= GraphG)
+      .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+    val g0New = survG0.join(a2, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+      .unionByName(g0Refill)
+    // extras recompute for A2, mirroring the build's NN-descent
+    // round over the refreshed pool graph
+    val midA2 = g0New.join(a2, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("nbr").as("mid"))
+    val xRe = midA2.join(
+        g0New.select(col("vec_id").as("mid"), col("nbr"), col("nq"), col("nqn")),
+        Seq("mid"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+      .dropDuplicates("vec_id", "nbr")
+      .join(g0New.select(col("vec_id"), col("nbr")), Seq("vec_id", "nbr"), "left_anti")
+      .join(assignSurv.select(col("vec_id"), col("q"), col("qn")), Seq("vec_id"))
+      .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
+      .withColumn("rn", row_number().over(wG))
+      .filter(col("rn") <= NdAdd)
+      .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+    // held extras outside A2 cannot reference a deleted neighbor: an
+    // extra arrives through a pool neighbor's adjacency, so a
+    // deleted extra-neighbor implies that pool neighbor is in A1 and
+    // the vertex in A2 (the oracle equality enforces the invariant)
+    val xKeep = xHeld.join(del, Seq("vec_id"), "left_anti")
+      .join(a2, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+    val maintained = g0New.withColumn("src", lit("g"))
+      .unionByName(xKeep.withColumn("src", lit("x")))
+      .unionByName(xRe.withColumn("src", lit("x")))
+    (maintained, a2)
+  }
+
+  /** Spec surface (sparse-delete coverage, unpublished): the
+    * maintained delete and the [[nnGraphOf]] from-scratch survivor
+    * rebuild for an ARBITRARY delete relation. */
+  private[graft] def nnGraphDeleteMaintainedFor(s: SparkSession, dir: String,
+      del: DataFrame): (DataFrame, DataFrame) = {
+    val cents = ivfCents(s, dir)
+    val assign = ivfAssignTable(s, dir, cents)
+    nnGraphDeleteParts(s, dir, del, assign.join(del, Seq("vec_id"), "left_anti"))
+  }
+
+  private[graft] def nnGraphRebuiltFor(s: SparkSession, dir: String,
+      del: DataFrame): DataFrame = {
+    val cents = ivfCents(s, dir)
+    val surv = ivfAssignTable(s, dir, cents).join(del, Seq("vec_id"), "left_anti")
+    val routed = routeProbesDf(
+        surv.select(col("vec_id"), col("q"), col("qn")), cents, GraphR)
+      .select(col("probe_id").as("vec_id"), col("cent_id"),
+        col("pq").as("q"), col("pqn").as("qn"))
+    nnGraphOf(routed, surv)
+  }
+
   def annDeleteGraph(s: SparkSession, dir: String): DataFrame = {
     // the extras dependency-cone argument below needs every pool row
     // eligible for NN-descent expansion
     require(NdExp >= GraphG, "extras recompute assumes NdExp >= GraphG")
     val cents = ivfCents(s, dir)
     val assign = ivfAssignTable(s, dir, cents)
-    val graph = nnGraphTable(s, dir)
     val etk = exactTopKTable(s, dir)
     val del = vecDelSet(s, dir)
     // the survivors' assignment — q106's `ivfassigndel` artifact
@@ -3622,72 +3736,9 @@ object Similarity {
     }
 
     // ---- nngraph: purge + A1 pool refill + A2 extras recompute ----
-    val delN = del.select(col("vec_id").as("nbr"))
-    val g0Held = graph.filter(col("src") === "g")
-    val xHeld = graph.filter(col("src") === "x")
-    val survG0 = g0Held.join(del, Seq("vec_id"), "left_anti")
-    val a1 = survG0.join(delN, Seq("nbr"), "left_semi")
-      .select(col("vec_id")).distinct()
-    // routing of the survivors against the held quantizer: one
-    // map-only pass over the written survivor assignment (a production
-    // deployment would read a written snapshot routing table, the
-    // base family's `groutesbase` shape — q117)
-    val routedSurv = routeProbesDf(
-        assignSurv.select(col("vec_id"), col("q"), col("qn")), cents, GraphR)
-      .select(col("probe_id").as("vec_id"), col("cent_id"),
-        col("pq").as("q"), col("pqn").as("qn"))
-    val a2 = a1.unionByName(
-        survG0.join(a1.select(col("vec_id").as("nbr")), Seq("nbr"), "left_semi")
-          .select(col("vec_id")))
-      .distinct()
-    val wG = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("nbr"))
+    val (maintainedGraph, a2) = nnGraphDeleteParts(s, dir, del, assignSurv)
     val gPub = Layout.replaceRewrite(s, dir, "nngraphdel",
-        Some((Layout.Buckets, Seq("vec_id")))) {
-      val poolNbr = routedSurv.select(col("vec_id").as("nbr"), col("cent_id"),
-        col("q").as("nq"), col("qn").as("nqn"))
-      // A2's pool rows re-ranked over the FULL surviving pool (for
-      // A2∖A1 this reproduces the held rows — no deleted neighbor in
-      // their top-G means the shrunk pool has the same top-G — but
-      // recomputing keeps the refill one uniform derivation)
-      val g0Refill = routedSurv.join(a2, Seq("vec_id"), "left_semi")
-        .join(poolNbr, Seq("cent_id"))
-        .filter(col("vec_id") =!= col("nbr"))
-        .dropDuplicates("vec_id", "nbr")
-        .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
-        .withColumn("rn", row_number().over(wG))
-        .filter(col("rn") <= GraphG)
-        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
-      val g0New = survG0.join(a2, Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
-        .unionByName(g0Refill)
-      // extras recompute for A2, mirroring the build's NN-descent
-      // round over the refreshed pool graph
-      val midA2 = g0New.join(a2, Seq("vec_id"), "left_semi")
-        .select(col("vec_id"), col("nbr").as("mid"))
-      val xRe = midA2.join(
-          g0New.select(col("vec_id").as("mid"), col("nbr"), col("nq"), col("nqn")),
-          Seq("mid"))
-        .filter(col("vec_id") =!= col("nbr"))
-        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
-        .dropDuplicates("vec_id", "nbr")
-        .join(g0New.select(col("vec_id"), col("nbr")), Seq("vec_id", "nbr"), "left_anti")
-        .join(assignSurv.select(col("vec_id"), col("q"), col("qn")), Seq("vec_id"))
-        .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
-        .withColumn("rn", row_number().over(wG))
-        .filter(col("rn") <= NdAdd)
-        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
-      // held extras outside A2 cannot reference a deleted neighbor: an
-      // extra arrives through a pool neighbor's adjacency, so a
-      // deleted extra-neighbor implies that pool neighbor is in A1 and
-      // the vertex in A2 (the oracle equality enforces the invariant)
-      val xKeep = xHeld.join(del, Seq("vec_id"), "left_anti")
-        .join(a2, Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
-      g0New.withColumn("src", lit("g"))
-        .unionByName(xKeep.withColumn("src", lit("x")))
-        .unionByName(xRe.withColumn("src", lit("x")))
-    }
+      Some((Layout.Buckets, Seq("vec_id"))))(maintainedGraph)
 
     Seq(
       Dedup.censusRow("exacttopk_refreshed",

@@ -379,6 +379,37 @@ object Layout {
     s.table(name)
   }
 
+  /** One MORE maintenance batch into an existing MVCC store — the
+    * multi-event lifecycle [[appendRewrite]] STARTS (its once-gate
+    * covers the store creation + first batch; every later event goes
+    * through here): read the store's current max generation, append
+    * the batch as gen+1 files (O(batch) write I/O — same mechanism),
+    * publish the next version view and swap the stable name. Any
+    * number of events; every prior version stays readable
+    * (`WHERE gen <= N`), and the racing-reader guarantee is the same
+    * MVCC argument (in-flight files carry the new gen, excluded by
+    * the pre-swap predicate). `AtomicPublishSpec` proves three
+    * successive events land disjoint single-gen file sets with old
+    * versions intact. Background small-file maintenance is
+    * [[compactBucketed]] over the store, as for the facts. */
+  private[graft] def appendSegment(s: SparkSession, dir: String, what: String,
+      buckets: Option[(Int, Seq[String])], batch: DataFrame): DataFrame = {
+    val name = tableName(dir, what + "upd")
+    val store = s"${name}store"
+    val gen = s.table(store).agg(max(col("gen"))).head().getInt(0) + 1
+    val cols = s.table(name).columns.map(c => s"`$c`").mkString(", ")
+    val w = batch.withColumn("gen", lit(gen)).write.mode("append")
+    buckets match {
+      case Some((k, bc)) => w.bucketBy(k, bc.head, bc.tail: _*).saveAsTable(store)
+      case None          => w.saveAsTable(store)
+    }
+    s.catalog.refreshTable(store)
+    s.sql(s"CREATE OR REPLACE VIEW ${name}__v$gen AS SELECT $cols FROM $store WHERE gen <= $gen")
+    // the commit point
+    s.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM ${name}__v$gen")
+    s.table(name)
+  }
+
   /** Publish a REPLACED (not purely appended) maintained artifact:
     * build once per (session, dir), commit through the atomic
     * versioned swap, hand every caller the catalog read. q112's graph

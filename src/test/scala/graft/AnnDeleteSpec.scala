@@ -88,6 +88,42 @@ class AnnDeleteSpec extends SparkSpec {
     assert(deg <= Similarity.GraphG)
   }
 
+  test("sparse delete: maintained == from-scratch rebuild with the held-extras carry path exercised") {
+    // the driver gates run q106's 1/7 takedown, whose A2 cone covers
+    // every vertex — the xKeep branch (held NN-descent extras carried
+    // verbatim) is provably dead there. This drives the SAME
+    // maintenance core with a sparse delete (~0.5% of vectors) and
+    // proves row-for-row equality against the nnGraphOf from-scratch
+    // survivor rebuild, with the carry path nonempty.
+    import spark.implicits._
+    val del = graft.sources.Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(997)) === lit(7))
+      .select(col("vec_id"))
+    assert(del.count() > 0, "test premise: nonempty sparse delete")
+    val (maintained, a2) = Similarity.nnGraphDeleteMaintainedFor(spark, dir, del)
+    val rebuilt = Similarity.nnGraphRebuiltFor(spark, dir, del)
+    val key = Seq("vec_id", "nbr", "nqn", "src")
+    val onlyM = maintained.select(key.map(col): _*)
+      .except(rebuilt.select(key.map(col): _*)).count()
+    val onlyR = rebuilt.select(key.map(col): _*)
+      .except(maintained.select(key.map(col): _*)).count()
+    assert(onlyM == 0 && onlyR == 0,
+      s"maintained != rebuild: $onlyM maintained-only, $onlyR rebuild-only rows")
+    // the carry path is nonempty: surviving vertices OUTSIDE the A2
+    // cone keep held extras verbatim
+    val carried = maintained.filter(col("src") === "x")
+      .join(a2, Seq("vec_id"), "left_anti").count()
+    assert(carried > 0, "sparse delete still recomputed every extra (xKeep dead)")
+    // and the cone is a strict subset of the graph — the refill did
+    // NOT degenerate into a whole-graph recompute (a single-vector
+    // takedown still cascades to its pool-mates and their in-
+    // neighbors, a large fraction of this small dense test corpus;
+    // at production corpus sizes the cone fraction is ~degree²/n)
+    val nA2 = a2.count()
+    val nVerts = maintained.select("vec_id").distinct().count()
+    assert(nA2 < nVerts, s"A2 cone $nA2 covers all $nVerts vertices")
+  }
+
   test("the delete census composes with q106's on one shared delete relation") {
     // q106 and q116/q117 rewrite different artifacts from the SAME
     // takedown set; the shared `ivfassigndel` survivor assignment is

@@ -239,6 +239,55 @@ class AtomicPublishSpec extends SparkSpec {
       b.numBuckets == Layout.Buckets && b.bucketColumnNames == Seq("cent_id")))
   }
 
+  test("multi-event MVCC appends: each batch lands as its own generation, O(batch), versions readable") {
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("vec_id"), pmod(col("id"), lit(16)).as("cent_id"))
+    val name = Layout.tableName(sfDir, "mvccmultiupd")
+    // event 1: store creation + first batch (the once-gated start)
+    Layout.appendRewrite(spark, sfDir, "mvccmulti",
+      Some((Layout.Buckets, Seq("cent_id"))), mk(1000, 1500))(mk(0, 1000))
+    // events 2 and 3: O(batch) continuations
+    Layout.appendSegment(spark, sfDir, "mvccmulti",
+      Some((Layout.Buckets, Seq("cent_id"))), mk(1500, 1800))
+    Layout.appendSegment(spark, sfDir, "mvccmulti",
+      Some((Layout.Buckets, Seq("cent_id"))), mk(1800, 2000))
+    // stable view = everything
+    assert(spark.table(name).count() == 2000)
+    // every prior version stays readable with its exact row set
+    assert(spark.table(s"${name}__v1").count() == 1000)
+    assert(spark.table(s"${name}__v2").count() == 1500)
+    assert(spark.table(s"${name}__v3").count() == 1800)
+    assert(spark.table(s"${name}__v4").count() == 2000)
+    // O(batch) witness across ALL events: no store file mixes
+    // generations (each event only ADDED files)
+    val store = s"${name}store"
+    val mixed = spark.table(store).withColumn("f", input_file_name())
+      .groupBy("f").agg(countDistinct(col("gen")).as("g"))
+      .filter(col("g") > 1).count()
+    assert(mixed == 0, s"$mixed files mix generations across multi-event appends")
+    assert(spark.table(store).select("gen").distinct().count() == 4)
+  }
+
+  test("compacting the MVCC store: one file per bucket, rows and generations preserved") {
+    // the background small-file maintenance the per-event append
+    // defers: after the multi-event test's four generations, compact
+    // the store and prove row-set + gen equality and the
+    // one-file-per-bucket layout (the facts' compactBucketed
+    // mechanism applied to the ANN store)
+    val name = Layout.tableName(sfDir, "mvccmultiupd")
+    val store = s"${name}store"
+    val before = spark.table(store).select("vec_id", "cent_id", "gen")
+      .collect().map(_.toString).sorted.toSeq
+    val compacted = Layout.compactBucketed(spark, store, "cent_id")
+    val after = compacted.select("vec_id", "cent_id", "gen")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction changed the row set")
+    val filesPerBucket = compacted.withColumn("f", input_file_name())
+      .select("f").distinct().count()
+    assert(filesPerBucket <= Layout.Buckets,
+      s"$filesPerBucket files after compaction, expected <= ${Layout.Buckets}")
+  }
+
   test("deleteRewrite's published artifact keeps its bucket spec through the view") {
     // the real lifecycle path: a bucketed artifact, delete-published,
     // read back through the stable name — bucket metadata must survive

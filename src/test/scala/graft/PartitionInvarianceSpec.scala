@@ -66,7 +66,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     // per-source window), real-codec decode census and real-aHash
     // banding, point lookup off the written index, regex redaction
     "q109_bpe_token_economy", "q110_ppm_decode", "q111_ppm_neardup",
-    "q113_ann_point_lookup", "q114_pii_redaction", "q115_shard_manifest")
+    "q113_ann_point_lookup", "q114_pii_redaction", "q115_shard_manifest",
+    // round-11 shapes: graph-family refill deletes (anti joins +
+    // affected-cone re-rank windows), the learned-BPE trainer's
+    // pair-count argmax feeding the merge passes, real-raster frame
+    // fan-out and resize round trip, and the streaming door's sink
+    // relation (the stream itself runs once per session; the
+    // partitions=1/7 reruns exercise the explode/sort over its rows)
+    "q116_ann_delete_graph", "q117_ann_delete_base", "q118_bpe_train",
+    "q47_frame_stats", "q51_media_resize", "q119_stream_index_door")
 
   names.foreach { name =>
     test(s"$name is invariant under shuffle-partition count") {
