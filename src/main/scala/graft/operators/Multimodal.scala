@@ -658,6 +658,41 @@ object Multimodal {
       |GROUP BY a.grp
       |ORDER BY a.grp""".stripMargin
 
+  /** The q121 oracle (query: [[graft.streaming.StreamDoor]]): the
+    * media door's sink rows — one decode-features row PER BLOB,
+    * corrupt blobs included as zeroed ok=0 rows (the skip-and-count
+    * contract made row-visible) — derived ANALYTICALLY from the md5
+    * pixel construction, never parsing a header. The gate proves an
+    * ACTUAL streaming run of the real codec (file source →
+    * per-partition decode → watermarked dedup → file sink) produced
+    * byte-exact features for every blob. */
+  val mediaDoorSql: String =
+    ppmPxCteSql + "," +
+    """|
+      |f AS (
+      |  SELECT doc_id, bad,
+      |         list_sum(list_transform(generate_series(0, 59), k -> pb[3*k + 1])) AS r_sum,
+      |         list_sum(list_transform(generate_series(0, 59), k -> pb[3*k + 2])) AS g_sum,
+      |         list_sum(list_transform(generate_series(0, 59), k -> pb[3*k + 3])) AS b_sum,
+      |         list_transform(generate_series(0, 59),
+      |           k -> pb[3*k + 1] + pb[3*k + 2] + pb[3*k + 3]) AS ls
+      |  FROM pb),
+      |a AS (
+      |  SELECT doc_id, bad, r_sum, g_sum, b_sum,
+      |         CAST(list_sum(list_transform(generate_series(0, 59),
+      |           k -> CASE WHEN ls[k + 1] * 60 > r_sum + g_sum + b_sum
+      |                THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS ahash
+      |  FROM f)
+      |SELECT doc_id AS media_id,
+      |       CAST(CASE WHEN bad THEN 0 ELSE 1 END AS INT) AS ok,
+      |       CAST(CASE WHEN bad THEN 0 ELSE 10 END AS INT) AS width,
+      |       CAST(CASE WHEN bad THEN 0 ELSE 6 END AS INT) AS height,
+      |       CAST(CASE WHEN bad THEN 0 ELSE r_sum END AS BIGINT) AS r_sum,
+      |       CAST(CASE WHEN bad THEN 0 ELSE g_sum END AS BIGINT) AS g_sum,
+      |       CAST(CASE WHEN bad THEN 0 ELSE b_sum END AS BIGINT) AS b_sum,
+      |       CAST(CASE WHEN bad THEN 0 ELSE ahash END AS BIGINT) AS ahash
+      |FROM a ORDER BY media_id""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q31_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     QueryDef("q47_frame_stats", frameStats, Some(frameStatsSql)),

@@ -871,7 +871,13 @@ object Pipeline {
   private[graft] def bpeTrainedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
     bpeMergeMemo
       .computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]())
-      .computeIfAbsent(dir, { _ =>
+      .computeIfAbsent(dir, _ => bpeTrainedMergesN(s, dir, BpeRounds))
+
+  /** The training loop at an explicit round count (probe surface —
+    * `graft.BpeProbe` measures the compression a larger vocabulary
+    * buys; the gated path always runs [[BpeRounds]]). */
+  private[graft] def bpeTrainedMergesN(s: SparkSession, dir: String,
+      nRounds: Int): Seq[(String, String)] = {
         val sc = s.sparkContext
         def persisted(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
         def free(ids: Set[Int]): Unit =
@@ -886,7 +892,7 @@ object Pipeline {
           .localCheckpoint()
         var gen = persisted() -- pre
         val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-        (1 to BpeRounds).foreach { _ =>
+        (1 to nRounds).foreach { _ =>
           val arr = split(col("t"), java.util.regex.Pattern.quote(BpeSep))
           val top = words.select(arr.as("a"))
             .filter(size(col("a")) >= 2)
@@ -913,7 +919,7 @@ object Pipeline {
         }
         free(gen)
         rules.toSeq
-      })
+      }
 
   /** q118: the LEARNED MERGE TABLE as a gated relation (round, a, b,
     * ab) — training itself is driver-gated: the ORACLE re-runs the

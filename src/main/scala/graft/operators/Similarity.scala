@@ -2718,7 +2718,13 @@ object Similarity {
     * EXPLICIT by reporting `nngraph_base` (held, oracled as the
     * corpus-only derivation) and `nngraph_batch` (rebuild-exact)
     * as separate artifact rows. */
-  def annIndexAppend(s: SparkSession, dir: String): DataFrame = {
+  /** Build (or re-read) the four MAINTAINED `…upd` artifacts — the
+    * append's write side, factored from [[annIndexAppend]] so q120's
+    * delete can force the builds without re-evaluating the q108
+    * census aggregation on every pass. Returns (assign, codes, ivfpq,
+    * graph) updated views. */
+  private def annAppendFamily(s: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val cents = ivfCentsBase(s, dir)
     val cb = pqTrainBase(s, dir)
@@ -2791,7 +2797,11 @@ object Similarity {
       ivfpqBatch, ivfpqBase)
     val graphUpd = upd("nngraphbase", Some((Layout.Buckets, Seq("vec_id"))),
       graphBatch, graphBase)
+    (assignUpd, codesUpd, ivfpqUpd, graphUpd)
+  }
 
+  def annIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val (assignUpd, codesUpd, ivfpqUpd, graphUpd) = annAppendFamily(s, dir)
     val codesKey = concat_ws(",", transform(col("codes"), c => c.cast(StringType)))
     Seq(
       Dedup.censusRow("ivfassign", assignUpd,
@@ -2932,6 +2942,228 @@ object Similarity {
        |FROM renc r JOIN assign a ON a.vec_id = r.vec_id
        |WHERE r.vec_id % 5 = 0
        |ORDER BY r.vec_id, r.sub""".stripMargin)
+
+  /** q120: APPEND-THEN-DELETE — the lifecycle COMPOSES (round-11
+    * third wave). q108 proves append == rebuild and q116/q117 prove
+    * delete == rebuild, each against the held snapshot; this gate
+    * proves the composition: a takedown landing on the MAINTAINED
+    * (appended) artifact family — where the delete set cuts across
+    * both standing-corpus and batch rows (mod-5 and mod-7 splits are
+    * independent) — equals the from-scratch rebuild over
+    * (corpus ∪ batch) ∖ deleted under the held quantizer.
+    *
+    *  - the three per-vector artifacts (`ivfassignbaseupd`,
+    *    `pqcodesbaseupd`, `ivfpqbaseupd`) delete by pure anti join
+    *    ([[graft.sources.Layout.deleteRewrite]] over the MVCC views,
+    *    bucket specs preserved);
+    *  - `nngraphbaseupd` keeps q108's DELIBERATE pool asymmetry
+    *    through the delete (base vertices see corpus-only pools —
+    *    their batch back-edges arrive via q112's fold, a separate
+    *    maintenance event; batch vertices see the full pool): A1
+    *    vertices that lost a top-[[GraphG]] neighbor refill from
+    *    their CLASS's surviving pool — base A1 off the written
+    *    survivor routing (`groutesbasedel`, shared with q117's
+    *    once-gate), batch A1 off survivor-base ∪ survivor-batch
+    *    routing — and every other surviving row carries verbatim.
+    *
+    * The ORACLE re-derives everything from scratch (held corp-trained
+    * quantizer, pool pairs scored ONCE with the asymmetry condition
+    * and ranked held → A1 / survivors → rebuilt), and the census
+    * splits base/batch × refreshed/untouched so both the asymmetric
+    * contract and the O(affected) claim stay visible. */
+  def annAppendDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // materialize the q108 upd family first (its once-gates; no
+    // census evaluation rides along)
+    annAppendFamily(s, dir)
+    val cents = ivfCentsBase(s, dir)
+    val del = vecDelSet(s, dir)
+    def updView(what: String) = s.table(Layout.tableName(dir, what + "upd"))
+    def delT(what: String, buckets: Option[(Int, Seq[String])]) =
+      Layout.deleteRewrite(s, dir, what + "upd", buckets, del, Seq("vec_id"))(
+        updView(what))
+    val assignDel = delT("ivfassignbase", Some((Layout.Buckets, Seq("cent_id"))))
+    val codesDel = delT("pqcodesbase", None)
+    val ivfpqDel = delT("ivfpqbase", Some((Layout.Buckets, Seq("cent_id"))))
+
+    // the graph: class-aware refill under the held asymmetry
+    val routesBaseSurv = Layout.deleteRewrite(s, dir, "groutesbase",
+      Some((Layout.Buckets, Seq("cent_id"))), del, Seq("vec_id"))(gRoutesBase(s, dir))
+    val bcC = s.sparkContext.broadcast(cents)
+    val batchSurvQ = quantizedFrom(
+      Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(5)) === 0))
+      .join(del, Seq("vec_id"), "left_anti")
+    val assignBatchSurv = batchSurvQ
+      .select(col("vec_id"), col("q"), col("qn")).as[(Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        it.map { case (id, q, qn) => (id, routeCents(q, qn, cs, 1).head, q, qn) }
+      }.toDF("vec_id", "cent_id", "q", "qn")
+    val routedBatchSurv = routeProbesDf(assignBatchSurv, cents, GraphR)
+      .select(col("probe_id").as("vec_id"), col("cent_id"),
+        col("pq").as("q"), col("pqn").as("qn"))
+
+    val heldUpd = updView("nngraphbase")
+    val survG = heldUpd.join(del, Seq("vec_id"), "left_anti")
+    val a1 = survG.join(del.select(col("vec_id").as("nbr")), Seq("nbr"), "left_semi")
+      .select(col("vec_id")).distinct()
+    val wG = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr"))
+    def topG(probeSide: DataFrame, nbrSide: DataFrame): DataFrame =
+      probeSide.join(nbrSide, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("nbr"))
+        .dropDuplicates("vec_id", "nbr")
+        .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
+        .withColumn("rn", row_number().over(wG))
+        .filter(col("rn") <= GraphG)
+        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+    val nbrOf = (r: DataFrame) => r.select(col("vec_id").as("nbr"), col("cent_id"),
+      col("q").as("nq"), col("qn").as("nqn"))
+    val gDel = Layout.replaceRewrite(s, dir, "nngraphupddel",
+        Some((Layout.Buckets, Seq("vec_id")))) {
+      val refillBase = topG(
+        routesBaseSurv.join(a1, Seq("vec_id"), "left_semi")
+          .filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        nbrOf(routesBaseSurv))
+      val refillBatch = topG(
+        routedBatchSurv.join(a1, Seq("vec_id"), "left_semi"),
+        nbrOf(routesBaseSurv.unionByName(routedBatchSurv)))
+      survG.join(a1, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+        .unionByName(refillBase)
+        .unionByName(refillBatch)
+    }
+
+    val codesKey = concat_ws(",", transform(col("codes"), c => c.cast(StringType)))
+    def gCensus(nm: String, batch: Boolean, refreshed: Boolean) = {
+      val cls = gDel.filter(
+        if (batch) pmod(col("vec_id"), lit(5)) === 0
+        else pmod(col("vec_id"), lit(5)) =!= 0)
+      Dedup.censusRow(nm,
+        cls.join(a1, Seq("vec_id"), if (refreshed) "left_semi" else "left_anti"),
+        concat_ws("|", col("vec_id"), col("nbr"), col("nqn")))
+    }
+    Seq(
+      Dedup.censusRow("ivfassign", assignDel,
+        concat_ws("|", col("vec_id"), col("cent_id"))),
+      Dedup.censusRow("ivfpq", ivfpqDel,
+        concat_ws("|", col("vec_id"), col("cent_id"), codesKey)),
+      Dedup.censusRow("pqcodes", codesDel,
+        concat_ws("|", col("vec_id"), codesKey)),
+      gCensus("nngraph_base_refreshed", batch = false, refreshed = true),
+      gCensus("nngraph_base_untouched", batch = false, refreshed = false),
+      gCensus("nngraph_batch_refreshed", batch = true, refreshed = true),
+      gCensus("nngraph_batch_untouched", batch = true, refreshed = false))
+      .reduce(_ unionByName _)
+      .orderBy("artifact")
+  }
+
+  /** The q120 oracle: the q108 machinery (held corp-trained quantizer,
+    * assignment/codes over the full updated corpus, asymmetric pool
+    * pairs) with the takedown applied — pairs scored once, ranked
+    * HELD (→ A1, the affected set) and SURVIVOR (→ the rebuilt rows),
+    * per-vector artifacts censused over survivors. */
+  val annAppendDeleteSql: String = {
+    val dM = Dedup.DelMod; val dR = Dedup.DelRem
+    def h32(key: String): String =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    mat(
+      s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+         |n AS (SELECT vec_id, q,
+         |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+         |      FROM q
+         |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+         |corp AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+         |${sampSql("corp")},
+         |${trainedCentsSql("corp")},
+         |assign AS (
+         |  SELECT vec_id, cent_id, q, qn FROM (
+         |    SELECT v.vec_id, c.cent_id, v.q, v.qn,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+         |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+         |             c.cent_id) AS rn
+         |    FROM n v CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |$trainedCbSql,
+         |${pqEncSqlOver("n", "cb", "enc")},
+         |$residualEncSql,
+         |rr AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+         |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+         |             c.cent_id) AS rn
+         |    FROM n v CROSS JOIN cents c) t
+         |  WHERE rn <= $GraphR),
+         |gpool AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr
+         |  FROM rr a JOIN rr b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 5 = 0 OR b.vec_id % 5 <> 0),
+         |gsc AS (
+         |  SELECT p.vec_id, p.nbr,
+         |         CAST(CAST(list_sum(list_transform(generate_series(1, len(va.q)),
+         |                i -> va.q[i] * vb.q[i])) AS BIGINT) AS DOUBLE)
+         |           / sqrt(CAST(va.qn AS DOUBLE) * CAST(vb.qn AS DOUBLE)) AS cos,
+         |         vb.qn AS nqn
+         |  FROM gpool p JOIN n va ON va.vec_id = p.vec_id
+         |  JOIN n vb ON vb.vec_id = p.nbr),
+         |g0h AS (
+         |  SELECT vec_id, nbr FROM (
+         |    SELECT vec_id, nbr,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY cos DESC, nbr) AS rn
+         |    FROM gsc) t WHERE rn <= $GraphG),
+         |g0s AS (
+         |  SELECT vec_id, nbr, nqn FROM (
+         |    SELECT vec_id, nbr, nqn,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY cos DESC, nbr) AS rn
+         |    FROM gsc
+         |    WHERE vec_id % $dM <> $dR AND nbr % $dM <> $dR) t
+         |  WHERE rn <= $GraphG),
+         |a1 AS (SELECT DISTINCT vec_id FROM g0h
+         |       WHERE vec_id % $dM <> $dR AND nbr % $dM = $dR),
+         |ecodes AS (
+         |  SELECT vec_id, array_to_string(list(code ORDER BY sub), ',') AS ck
+         |  FROM enc GROUP BY vec_id),
+         |rcodes AS (
+         |  SELECT vec_id, array_to_string(list(code ORDER BY sub), ',') AS ck
+         |  FROM renc GROUP BY vec_id)
+         |SELECT artifact, n_rows, checksum FROM (
+         |  SELECT 'ivfassign' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(cent_id AS VARCHAR)")} AS checksum
+         |  FROM assign WHERE vec_id % $dM <> $dR
+         |  UNION ALL
+         |  SELECT 'ivfpq', CAST(count(*) AS BIGINT),
+         |         ${h32("CAST(a.vec_id AS VARCHAR) || '|' || CAST(a.cent_id AS VARCHAR) || '|' || r.ck")}
+         |  FROM assign a JOIN rcodes r ON r.vec_id = a.vec_id
+         |  WHERE a.vec_id % $dM <> $dR
+         |  UNION ALL
+         |  SELECT 'pqcodes', CAST(count(*) AS BIGINT),
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || ck")}
+         |  FROM ecodes WHERE vec_id % $dM <> $dR
+         |  UNION ALL
+         |  SELECT 'nngraph_base_refreshed', CAST(count(*) AS BIGINT),
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")}
+         |  FROM g0s WHERE vec_id % 5 <> 0 AND vec_id IN (SELECT vec_id FROM a1)
+         |  UNION ALL
+         |  SELECT 'nngraph_base_untouched', CAST(count(*) AS BIGINT),
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")}
+         |  FROM g0s WHERE vec_id % 5 <> 0 AND vec_id NOT IN (SELECT vec_id FROM a1)
+         |  UNION ALL
+         |  SELECT 'nngraph_batch_refreshed', CAST(count(*) AS BIGINT),
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")}
+         |  FROM g0s WHERE vec_id % 5 = 0 AND vec_id IN (SELECT vec_id FROM a1)
+         |  UNION ALL
+         |  SELECT 'nngraph_batch_untouched', CAST(count(*) AS BIGINT),
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")}
+         |  FROM g0s WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT vec_id FROM a1)) t
+         |ORDER BY artifact""".stripMargin)
+  }
 
   /** q112: GRAPH BACK-EDGE FOLD — closes q108's one deliberate
     * asymmetry. q108 appends the BATCH's graph rows but leaves the
@@ -4036,5 +4268,9 @@ object Similarity {
     // the graph-ANN artifact family, neighbor payloads included
     QueryDef("q116_ann_delete_graph", annDeleteGraph, Some(annDeleteGraphSql)),
     QueryDef("q117_ann_delete_base", annDeleteBase, Some(annDeleteBaseSql)),
+    // q120's oracle rebuilds the APPENDED family over the survivors:
+    // the gate proves append-then-delete == rebuild — the lifecycle
+    // composes, not just its individual steps
+    QueryDef("q120_ann_append_delete", annAppendDelete, Some(annAppendDeleteSql)),
   )
 }

@@ -57,9 +57,45 @@ object StreamDoor {
       .orderBy("vec_id", "sub")
   }
 
+  /** q121: the MEDIA door run end to end — the q119 pattern on the
+    * multimodal modality: real P6 payloads staged to a file source,
+    * [[DocIngest.mediaIngest]] decodes them through the REAL codec
+    * inside the stream (per-partition codec init, corrupt blobs as
+    * ok=false rows, watermarked replay dedup), AvailableNow to a
+    * parquet sink; the sink is exposed as one features row per blob.
+    * The analytic oracle ([[graft.operators.Multimodal.mediaDoorSql]])
+    * never parses a header, so the gate proves the streaming decode
+    * byte-exactly for EVERY blob, corrupt subset included. */
+  def streamMediaDoor(s: SparkSession, dir: String): DataFrame = {
+    val out = Layout.materializedTable(s, dir, "mdoorout") {
+      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
+      val base = wh + "/" + Layout.tableName(dir, "mdoorrun")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val srcDir = s"$base/src"; val sinkDir = s"$base/sink"; val ckpt = s"$base/ckpt"
+      val media = graft.operators.Multimodal.ppmMediaTable(s, dir)
+      media.write.mode("overwrite").parquet(srcDir)
+      val door = DocIngest.mediaIngest(
+        s.readStream.schema(media.schema).parquet(srcDir))
+      val q = door.writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sinkDir)
+    }
+    out.select(col("media_id"), col("ok").cast(IntegerType).as("ok"),
+        col("width"), col("height"),
+        col("r_sum"), col("g_sum"), col("b_sum"), col("ahash"))
+      .orderBy("media_id")
+  }
+
   val defs: Vector[QueryDef] = Vector(
     // the oracle re-derives the batch's index entries from scratch:
     // the gate proves the streaming run's sink == batch maintenance
     QueryDef("q119_stream_index_door", streamIndexDoor, Some(Similarity.indexDoorSql)),
+    // q121's analytic oracle proves the REAL-codec streaming decode
+    // byte-exactly per blob, corrupt subset included
+    QueryDef("q121_stream_media_door", streamMediaDoor,
+      Some(graft.operators.Multimodal.mediaDoorSql)),
   )
 }
