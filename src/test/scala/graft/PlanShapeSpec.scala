@@ -172,6 +172,35 @@ class PlanShapeSpec extends SparkSpec {
       s"q102 scanned beyond batch + index table:\n$p")
   }
 
+  test("round-11 delete/compose censuses: equi-joins only, no cartesian anywhere") {
+    // the refill deletes and the append-then-delete composition are
+    // anti/semi/equi joins + window re-ranks over published tables —
+    // a nested-loop shape appearing here would mean a takedown scans
+    // pairs, the exact blowup the banded/bucketed designs exist to
+    // avoid
+    Seq("q116_ann_delete_graph", "q117_ann_delete_base",
+        "q120_ann_append_delete").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$name grew a non-equi join:\n$p")
+    }
+  }
+
+  test("the streaming doors' gated reads consume their sink tables, not a re-run") {
+    // the stream executes once per (session, snapshot) inside the
+    // artifact build; the GATED relation must be a plain read of the
+    // republished sink table (plus the explode/sort) — zero streaming
+    // machinery, zero source re-scan in the query path
+    val p119 = plan("q119_stream_index_door")
+    assert(p119.contains("graft_sdoorout"),
+      s"q119 not reading the sink table:\n$p119")
+    val p121 = plan("q121_stream_media_door")
+    assert(p121.contains("graft_mdoorout"),
+      s"q121 not reading the sink table:\n$p121")
+    Seq(p119, p121).foreach(p =>
+      assert(countOf(p, "Scan parquet") <= 1, s"door re-scanned beyond its sink:\n$p"))
+  }
+
   test("dedup family consumes ONE written pair-graph table — no shingle recomputation") {
     // q21 produces the pair-graph TABLE (graft.sources.Layout
     // materializedTable — the per-snapshot production artifact);
