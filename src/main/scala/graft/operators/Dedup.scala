@@ -2142,6 +2142,94 @@ object Dedup {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  /** q122: CLUSTER-AWARE TRAIN/VAL/TEST SPLIT — the eval-leakage
+    * guard every training pipeline needs and per-document splitting
+    * cannot give: two near-duplicate documents hashed independently
+    * land in different splits with probability ~1 − Σp², silently
+    * leaking eval content into training. Here the ATOMIC UNIT of
+    * assignment is the near-dup CLUSTER (q38's connected components
+    * over the shared LSH pair graph; documents in no pair are their
+    * own singleton cluster), split 80/10/10 by the md5-derived
+    * 60-bit hash of the cluster id — deterministic, reshuffle-proof,
+    * and leak-free BY CONSTRUCTION. The census reports, per split:
+    * document count, cluster count, how many documents ride a
+    * multi-doc cluster (the rows per-document splitting would have
+    * scattered), and the cross-split pair count — the leakage
+    * invariant made a GATED OUTPUT (must be 0; the oracle re-derives
+    * clusters, assignment and the pair check independently, so a
+    * drifting hash or a cluster/doc mix-up flips the row).
+    *
+    * Scale: labels come from the shared materialized pair graph (one
+    * build per snapshot, q21's artifact); the assignment is a
+    * map-side hash of the cluster id; one exchange on cluster_id for
+    * the size join, then the per-split rollup — no corpus text moves. */
+  def clusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val labels = dupLabels(s, dir)
+      .withColumnRenamed("doc", "doc_id")
+    val assigned = Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lab"), col("doc_id")))
+      .withColumn("h10",
+        pmod(hash60(col("cluster_id").cast(StringType)), lit(10)))
+      .withColumn("split",
+        when(col("h10") <= 7, "train")
+          .when(col("h10") === 8, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("csz"))
+    val pairs = pairGraph(s, dir).select(col("doc_a"), col("doc_b"))
+    val crossPairs = pairs
+      .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb"))
+      .agg(count(lit(1)).as("n_cross_split_pairs"))
+    assigned.join(sizes, Seq("cluster_id"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(when(col("csz") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .crossJoin(crossPairs) // 1-row leakage census rides every split row
+      .orderBy("split")
+  }
+
+  /** The q122 oracle: clusters via the q38 recursive min-label
+    * closure, singleton fallback, the same md5-derived 60-bit hash
+    * assignment, and an independent cross-split pair check. */
+  val clusterSplitSql: String =
+    s"""WITH RECURSIVE pairs AS ($pairGraphSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(doc, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
+       |final AS (SELECT doc, min(lab) AS lab FROM reach GROUP BY doc),
+       |cl AS (
+       |  SELECT d.doc_id, coalesce(f.lab, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN final f ON f.doc = d.doc_id),
+       |asg AS (
+       |  SELECT doc_id, cluster_id,
+       |         CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 <= 7 THEN 'train'
+       |              WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 8 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM cl),
+       |sz AS (SELECT cluster_id, count(*) AS csz FROM asg GROUP BY 1),
+       |xp AS (
+       |  SELECT count(*) AS n FROM pairs p
+       |  JOIN asg a ON a.doc_id = p.doc_a
+       |  JOIN asg b ON b.doc_id = p.doc_b
+       |  WHERE a.split <> b.split)
+       |SELECT a.split, count(*) AS n_docs,
+       |       CAST(count(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+       |       CAST(sum(CASE WHEN sz.csz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |       CAST((SELECT n FROM xp) AS BIGINT) AS n_cross_split_pairs
+       |FROM asg a JOIN sz ON sz.cluster_id = a.cluster_id
+       |GROUP BY a.split ORDER BY a.split""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q20_exact_dedup", exactDedupStats, Some(exactDedupStatsSql)),
     QueryDef("q21_minhash_lsh", minhashLsh, Some(minhashLshSql)),
@@ -2172,5 +2260,9 @@ object Dedup {
     // q106's oracle rebuilds every artifact from scratch on the
     // surviving corpus: the gate proves delete-maintained == rebuild
     QueryDef("q106_delete_census", deleteCensus, Some(deleteCensusSql)),
+    // q122's oracle re-derives clusters, assignment and the
+    // cross-split pair check independently: the leak-free invariant
+    // is a gated output, not an implementation comment
+    QueryDef("q122_cluster_split", clusterSplit, Some(clusterSplitSql)),
   )
 }
