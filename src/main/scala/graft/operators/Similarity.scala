@@ -4109,6 +4109,143 @@ object Similarity {
          |ORDER BY artifact""".stripMargin)
   }
 
+  /** q123's takedown: ONE vector per 997 (vec_id ≡ 7 mod 997 — 1
+    * vector at sf0.01, 2 at sf0.1), the PRODUCTION takedown density
+    * q116's shared 1/7 set cannot represent: under 1/7, every vertex
+    * lands in the A2 refill cone (degree-16 pools keep all neighbors
+    * with probability (6/7)^16 ≈ 8.5%, and the one-hop cascade takes
+    * the rest), so the held-extras CARRY branch is dead in that gate. */
+  private val SparseDelMod = 997L
+  private val SparseDelRem = 7L
+
+  /** q123: SPARSE-DELETE census over the snapshot graph — the same
+    * maintenance core as q116 ([[nnGraphDeleteParts]]) driven at a
+    * density where the O(affected) split is REAL, with the census
+    * separating pool vs NN-descent-extras rows × refreshed vs
+    * untouched. The `extras_untouched` row IS the carry branch
+    * (held extras of vertices outside the A2 cone, kept verbatim) —
+    * hash-compared against the ORACLE's from-scratch nd derivation
+    * restricted to the same vertices, so "carried == rebuilt" is
+    * driver-gated, not just spec-proven (`AnnDeleteSpec`'s
+    * single-vector case remains the row-level equality check). */
+  def annDeleteSparse(s: SparkSession, dir: String): DataFrame = {
+    val del = Tables.embeddings(s, dir)
+      .filter(pmod(col("vec_id"), lit(SparseDelMod)) === lit(SparseDelRem))
+      .select(col("vec_id"))
+    val cents = ivfCents(s, dir)
+    val assign = ivfAssignTable(s, dir, cents)
+    val (maintained, a2) = nnGraphDeleteParts(s, dir, del,
+      assign.join(del, Seq("vec_id"), "left_anti"))
+    val pub = Layout.replaceRewrite(s, dir, "nngraphdelsparse",
+      Some((Layout.Buckets, Seq("vec_id"))))(maintained)
+    def cls(src: String, refreshed: Boolean) =
+      pub.filter(col("src") === src)
+        .join(a2, Seq("vec_id"), if (refreshed) "left_semi" else "left_anti")
+    Seq(
+      Dedup.censusRow("pool_refreshed", cls("g", refreshed = true),
+        concat_ws("|", col("vec_id"), col("nbr"), col("nqn"))),
+      Dedup.censusRow("pool_untouched", cls("g", refreshed = false),
+        concat_ws("|", col("vec_id"), col("nbr"), col("nqn"))),
+      Dedup.censusRow("extras_refreshed", cls("x", refreshed = true),
+        concat_ws("|", col("vec_id"), col("nbr"), col("nqn"))),
+      Dedup.censusRow("extras_untouched", cls("x", refreshed = false),
+        concat_ws("|", col("vec_id"), col("nbr"), col("nqn"))))
+      .reduce(_ unionByName _)
+      .orderBy("artifact")
+  }
+
+  /** The q123 oracle: the q116 graph machinery (held full-corpus
+    * quantizer, pool pairs scored once, held ranking → A1/A2 and
+    * survivor ranking → rebuilt rows, the NN-descent round over the
+    * survivor pool graph) at the sparse density, censused pool/extras
+    * × refreshed/untouched. */
+  val annDeleteSparseSql: String = {
+    val dM = SparseDelMod; val dR = SparseDelRem
+    def h32(key: String): String =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    mat(
+      s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+         |n AS (SELECT vec_id, q,
+         |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+         |      FROM q
+         |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+         |${sampSql("n")},
+         |${trainedCentsSql("n")},
+         |rr AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+         |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+         |             c.cent_id) AS rn
+         |    FROM n v CROSS JOIN cents c) t
+         |  WHERE rn <= $GraphR),
+         |gpool AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr
+         |  FROM rr a JOIN rr b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+         |gsc AS (
+         |  SELECT p.vec_id, p.nbr,
+         |         CAST(CAST(list_sum(list_transform(generate_series(1, len(va.q)),
+         |                i -> va.q[i] * vb.q[i])) AS BIGINT) AS DOUBLE)
+         |           / sqrt(CAST(va.qn AS DOUBLE) * CAST(vb.qn AS DOUBLE)) AS cos,
+         |         vb.qn AS nqn
+         |  FROM gpool p JOIN n va ON va.vec_id = p.vec_id
+         |  JOIN n vb ON vb.vec_id = p.nbr),
+         |g0h AS (
+         |  SELECT vec_id, nbr FROM (
+         |    SELECT vec_id, nbr,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY cos DESC, nbr) AS rn
+         |    FROM gsc) t WHERE rn <= $GraphG),
+         |g0s AS (
+         |  SELECT vec_id, nbr, nqn, rn FROM (
+         |    SELECT vec_id, nbr, nqn,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY cos DESC, nbr) AS rn
+         |    FROM gsc
+         |    WHERE vec_id % $dM <> $dR AND nbr % $dM <> $dR) t
+         |  WHERE rn <= $GraphG),
+         |a1 AS (SELECT DISTINCT vec_id FROM g0h
+         |       WHERE vec_id % $dM <> $dR AND nbr % $dM = $dR),
+         |a2 AS (SELECT vec_id FROM a1
+         |       UNION SELECT g.vec_id FROM g0s g JOIN a1 ON a1.vec_id = g.nbr),
+         |ndc AS (
+         |  SELECT DISTINCT a.vec_id, b.nbr
+         |  FROM g0s a JOIN g0s b ON b.vec_id = a.nbr
+         |  WHERE a.rn <= $NdExp AND b.nbr <> a.vec_id
+         |    AND NOT EXISTS (SELECT 1 FROM g0s e
+         |                    WHERE e.vec_id = a.vec_id AND e.nbr = b.nbr)),
+         |nd AS (
+         |  SELECT vec_id, nbr, nqn FROM (
+         |    SELECT c.vec_id, c.nbr, vb.qn AS nqn,
+         |           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(va.q)),
+         |                    i -> va.q[i] * vb.q[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(va.qn AS DOUBLE) * CAST(vb.qn AS DOUBLE)) DESC,
+         |             c.nbr) AS rn
+         |    FROM ndc c JOIN n va ON va.vec_id = c.vec_id
+         |    JOIN n vb ON vb.vec_id = c.nbr) t
+         |  WHERE rn <= $NdAdd)
+         |SELECT artifact, n_rows, checksum FROM (
+         |  SELECT 'pool_refreshed' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")} AS checksum
+         |  FROM g0s WHERE vec_id IN (SELECT vec_id FROM a2)
+         |  UNION ALL
+         |  SELECT 'pool_untouched', CAST(count(*) AS BIGINT),
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")}
+         |  FROM g0s WHERE vec_id NOT IN (SELECT vec_id FROM a2)
+         |  UNION ALL
+         |  SELECT 'extras_refreshed', CAST(count(*) AS BIGINT),
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")}
+         |  FROM nd WHERE vec_id IN (SELECT vec_id FROM a2)
+         |  UNION ALL
+         |  SELECT 'extras_untouched', CAST(count(*) AS BIGINT),
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")}
+         |  FROM nd WHERE vec_id NOT IN (SELECT vec_id FROM a2)) t
+         |ORDER BY artifact""".stripMargin)
+  }
+
   /** q117: TARGETED DELETE over the BASE-family graph artifacts — the
     * written routing table (`groutesbase`) and the held-snapshot kNN
     * graph (`nngraphbase`). Routing rows are per-vector, so the
@@ -4272,5 +4409,8 @@ object Similarity {
     // the gate proves append-then-delete == rebuild — the lifecycle
     // composes, not just its individual steps
     QueryDef("q120_ann_append_delete", annAppendDelete, Some(annAppendDeleteSql)),
+    // q123 gates the held-extras CARRY branch at production takedown
+    // density: carried rows hash-match the rebuild's nd derivation
+    QueryDef("q123_ann_delete_sparse", annDeleteSparse, Some(annDeleteSparseSql)),
   )
 }

@@ -75,7 +75,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     // partitions=1/7 reruns exercise the explode/sort over its rows)
     "q116_ann_delete_graph", "q117_ann_delete_base", "q118_bpe_train",
     "q47_frame_stats", "q51_media_resize", "q119_stream_index_door",
-    "q120_ann_append_delete", "q121_stream_media_door", "q122_cluster_split")
+    "q120_ann_append_delete", "q121_stream_media_door", "q122_cluster_split",
+    "q123_ann_delete_sparse")
 
   names.foreach { name =>
     test(s"$name is invariant under shuffle-partition count") {
