@@ -41,6 +41,35 @@ object AnnDeleteProbe {
         s""""a2":$nA2,"a2_frac":${math.rint(1000.0 * nA2 / nVerts) / 1000},""" +
         s""""maintained_sec":${math.rint(maintainedSec * 100) / 100},""" +
         s""""rebuild_sec":${math.rint(rebuildSec * 100) / 100}}""")
+
+      // ---- WRITE-side probe (round-12 lead item): the PUBLISHED
+      // tombstone-delete's I/O contract. q123's production-density
+      // takedown (1 vector per 997) publishes through
+      // Layout.refillRewrite: the event writes ONLY the tombstone
+      // rows + the A2 cone's refreshed segment — the held graph's
+      // files are untouched (MvccDeleteSpec asserts identity; this
+      // row measures the bytes). Across the 10× corpus step the base
+      // artifact's bytes grow ~10× while the delete event's bytes
+      // track the degree-bounded cone — the takedown write cost a
+      // 100 TB deployment actually pays.
+      import graft.sources.Layout
+      def tableBytes(table: String): Long = {
+        if (!spark.catalog.tableExists(table)) return 0L
+        val loc = new java.io.File(spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+        Option(loc.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.startsWith("part-")).map(_.length).sum
+      }
+      Similarity.annDeleteSparse(spark, dir).collect()
+      val delName = Layout.tableName(dir, "nngraphdelsparse")
+      val baseBytes = tableBytes(Layout.tableName(dir, "nngraph"))
+      val tombBytes = tableBytes(delName + "tombs")
+      val segBytes = tableBytes(delName + "seg")
+      println(s"""{"probe":"ann_delete_write","sf":"$sf",""" +
+        s""""base_graph_bytes":$baseBytes,"tombstone_bytes":$tombBytes,""" +
+        s""""refill_segment_bytes":$segBytes,""" +
+        s""""event_bytes_frac_of_base":${
+          math.rint(1000.0 * (tombBytes + segBytes) / math.max(1L, baseBytes)) / 1000}}""")
     }
     spark.stop()
   }

@@ -39,7 +39,11 @@ object Sf1Bench {
 
   private val Headline = Vector(
     "q01_delay_avg", "q15_window_rank", "q21_minhash_lsh", "q78_span_overlap",
-    "q83_ann_ivf_indexed", "q87_bigram_lm", "q96_ann_recall", "q107_graph_ann")
+    "q83_ann_ivf_indexed", "q87_bigram_lm", "q96_ann_recall", "q107_graph_ann",
+    // round-12 item 5: one delete-family census at the sf1 point — the
+    // lifecycle claim (maintained == rebuild, O(affected) cone) gated
+    // at production takedown density beyond the per-round scales
+    "q123_ann_delete_sparse")
 
   private val Offset = 100000000L
 
@@ -183,23 +187,19 @@ object Sf1Bench {
     // the same queries the wall-clock point measures — correctness
     // above the quantizer floor, not just plan shape.
     //
-    // Round-10 advice fix: the dump used coalesce(1) after each
-    // query's orderBy to keep global row order for check.py's
-    // in-emitted-order compare — coalesce happens to concatenate
-    // sorted partitions in order today, but nothing pins that under
-    // AQE/partition-coalescing changes. The dump now COLLECTS the
-    // ordered result and writes the driver-ordered rows as one local
-    // partition, so the emitted order is the query's ORDER BY by
-    // construction. Driver footprint is bounded by the largest
-    // headline output — q15's ~4M slim rank rows (~100 MB) at k=10 —
-    // a dump-path cost only, not a query-path collect.
+    // Round-12 item 7 (round-11 advice): the dump is a SORTED
+    // DISTRIBUTED write — each query ends in a global ORDER BY, so
+    // the write's range-partitioned part files carry disjoint,
+    // ordered key ranges and part-file NAME order (zero-padded
+    // partition ids) IS the global row order; check.py's
+    // sorted-glob + concat read re-assembles exactly the query's
+    // ORDER BY. Nothing materializes on the driver — the round-11
+    // form collect()ed up to 3.98M Row objects (q15), a driver-heap
+    // ceiling the harness has no business having.
     val vDir = s"$out/verify"
     new java.io.File(vDir).mkdirs()
     selected.foreach { case (name, fn) =>
-      val res = fn(spark, out)
-      val rows = res.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
-        .coalesce(1).write.mode("overwrite").parquet(s"$vDir/$name")
+      fn(spark, out).write.mode("overwrite").parquet(s"$vDir/$name")
     }
     // the written ground-truth artifact, dumped NEXT TO the snapshot
     // tables so the q96 oracle can READ it instead of re-deriving the
@@ -208,8 +208,52 @@ object Sf1Bench {
     // registers every extra <name>.parquet it finds in the sf dir
     graft.operators.Similarity.exactTopKTable(spark, out)
       .write.mode("overwrite").parquet(s"$out/exacttopk.parquet")
+    // round-12 item 5: the held graph + routing artifacts back the
+    // sf1 q123 oracle (annDeleteSparseHeldSql) the same way
+    spark.table(graft.sources.Layout.tableName(out, "nngraph"))
+      .write.mode("overwrite").parquet(s"$out/nngraph.parquet")
+    graft.operators.Similarity.nnRoutesDump(spark, out)
+      .write.mode("overwrite").parquet(s"$out/nnroutes.parquet")
+    // round-11 advice: the artifact-backed q96 gate is self-referential
+    // at sf1 (the oracle reads the exacttopk table the same Spark job
+    // wrote). Spot-check: re-derive the exact top-5 for a SMALL probe
+    // subsample from raw embeddings in DuckDB and hash-compare the
+    // artifact's rows for those probes — an exactTopKTable bug now
+    // fails the sf1 gate independently of the artifact.
+    val spotProbes = 16
+    val etkSpot = graft.operators.Similarity.exactTopKTable(spark, out)
+    val firstProbes = etkSpot.select(col("probe_id")).distinct()
+      .orderBy(col("probe_id")).limit(spotProbes)
+    etkSpot.join(firstProbes, Seq("probe_id"), "left_semi")
+      .select(col("probe_id"), col("vec_id"), col("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+      .write.mode("overwrite").parquet(s"$vDir/q96_exact_spotcheck")
+    val spotSql =
+      s"""WITH q AS (SELECT vec_id, ${graft.operators.Similarity.qListSql} AS q FROM embeddings),
+         |n AS (SELECT vec_id, q,
+         |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+         |      FROM q
+         |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+         |pset AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
+         |         ORDER BY vec_id LIMIT $spotProbes),
+         |sc AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
+         |                i -> p.q[i] * c.q[i])) AS BIGINT) AS DOUBLE)
+         |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(c.qn AS DOUBLE)) AS cos
+         |  FROM n p JOIN pset ON p.vec_id = pset.vec_id
+         |  JOIN n c ON p.vec_id <> c.vec_id)
+         |SELECT probe_id, vec_id, CAST(rnk AS INT) AS rnk FROM (
+         |  SELECT probe_id, vec_id,
+         |         row_number() OVER (PARTITION BY probe_id
+         |                            ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM sc) t WHERE rnk <= 5
+         |ORDER BY probe_id, rnk""".stripMargin
     val oracleFor = SparkEntry.oracleSql +
-      ("q96_ann_recall" -> graft.operators.Similarity.annRecallHeldSql)
+      ("q96_ann_recall" -> graft.operators.Similarity.annRecallHeldSql) +
+      ("q123_ann_delete_sparse" ->
+        graft.operators.Similarity.annDeleteSparseHeldSql) +
+      ("q96_exact_spotcheck" -> spotSql)
     def jq(x: String): String = "\"" + x.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -221,8 +265,14 @@ object Sf1Bench {
     } + "\""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$vDir/oracle_sql.json"),
-      Headline.flatMap(n => oracleFor.get(n).map(sql =>
+      (Headline :+ "q96_exact_spotcheck").flatMap(n => oracleFor.get(n).map(sql =>
         s"${jq(n)}: ${jq(sql)}")).mkString("{", ",", "}"))
+
+    // round-12 item 5: the sf1 point of the delete-cone trend (the
+    // probe's 30.5% → 10.4% at sf0.01 → sf0.1) — |A2| stays
+    // degree-bounded while the corpus grows
+    val (coneA2, coneVerts) =
+      graft.operators.Similarity.sparseDeleteConeStats(spark, out)
 
     val q = times.map { case (n, t) => s""""$n":${BenchReport.f3(t)}""" }.mkString(",")
     val j = plans.map { case (n, p) =>
@@ -233,6 +283,9 @@ object Sf1Bench {
         s""","passes":$passes,"ivf_k":${graft.operators.Similarity.ivfK(spark, out)}""" +
         s""","queries":{$q},"joins":{$j},"q83_buckets":"$bucketLine"""" +
         s""","q83_point_nprobe2_buckets":"$pointLine"""" +
+        s""","delete_cone_a2":$coneA2,"delete_cone_vertices":$coneVerts""" +
+        s""","delete_cone_frac":${
+          BenchReport.f3(coneA2.toDouble / math.max(1L, coneVerts))}""" +
         s""","verify_dump":"$vDir"""" +
         s""","plan_flips":[${flips.map("\"" + _ + "\"").mkString(",")}]}""")
     require(flips.isEmpty,

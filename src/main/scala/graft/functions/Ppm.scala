@@ -20,7 +20,7 @@ package graft.functions
   *
   * Pure JVM byte-level code, zero Spark imports: the Spark wiring
   * (schema, mapPartitions batching, per-partition codec init) lives in
-  * [[graft.operators.Multimodal]], exactly like [[decodeStub]]'s. */
+  * [[graft.operators.Multimodal]]'s per-partition decode stages. */
 object Ppm {
 
   /** Decoded image: dimensions + raw RGB plane (3·w·h bytes). */

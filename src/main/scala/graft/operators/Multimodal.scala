@@ -9,13 +9,8 @@ import graft.sources.Tables
   * payloads with typed metadata, decoded/feature-extracted in batched
   * per-partition Scala (the JVM analog of `mapInPandas`: one iterator
   * per partition, record-at-a-time decode against a per-partition
-  * initialized "codec").
-  *
-  * The container has no image/audio codecs, so [[decodeStub]] is a
-  * clearly-marked deterministic stand-in (byte-level "features" of the
-  * payload). Everything AROUND it is the real production shape:
-  *  - typed schema ([[MediaRecord]] → [[MediaFeatures]]) via case-class
-  *    Encoders — columnar parquet in, columnar out;
+  * initialized codec — [[graft.functions.Ppm]], a real Netpbm P6
+  * parser, wherever a decoder exists in this container):
   *  - `mapPartitions`, not `map`: codec/model initialization happens
   *    once per partition (the expensive part with real decoders), and
   *    the iterator keeps the pipeline streaming — no partition-sized
@@ -24,10 +19,11 @@ import graft.sources.Tables
   *    at 100 TB this runs as a pure map stage with zero shuffle; only
   *    the small per-kind aggregate at the end exchanges data.
   *
-  * The synthetic media table derives payloads from `documents.text`
-  * (4× repeated md5 bytes) so the DuckDB oracle can recompute the same
-  * "features" from the md5 hex string — the decode stub is thereby
-  * end-to-end verified, not just smoke-tested.
+  * Round-12 item 4: every gated decode path (q31/q47/q51/q110/q111 and
+  * the q121 stream door) now runs the REAL codec over real raster
+  * bytes; the md5 stand-in fingerprint survives only for q84's
+  * audio/video modalities, whose payloads are themselves md5-synthetic
+  * (no codec exists for them here — documented stub boundary).
   */
 object Multimodal {
 
@@ -36,14 +32,9 @@ object Multimodal {
   final case class MediaRecord(
     media_id: Long, kind: String, payload: Array[Byte], width: Int, height: Int)
 
-  /** Per-record extracted features (the decode output schema). */
-  final case class MediaFeatures(
-    media_id: Long, kind: String, n_bytes: Int, byte_sum: Long,
-    first_byte: Int, frame_sum: Long)
-
-  /** Synthetic media table: payload = unhex(md5(text) × 4) (64 bytes),
-    * kind from doc_id mod 3, fake declared dims from the first two
-    * payload bytes. */
+  /** Synthetic media table (q84's audio/video modality surface):
+    * payload = unhex(md5(text) × 4) (64 bytes), kind from doc_id
+    * mod 3, fake declared dims from the first two payload bytes. */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -58,86 +49,115 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Batched decode / feature extraction.
-    *
-    * STUB: a real deployment replaces the body of `features` with the
-    * actual codec call (JavaCV/TwelveMonkeys/ffmpeg-bridge decode →
-    * resize → frame-sample → embed). This container ships no codecs, so
-    * the "decoded features" are deterministic byte-level stats — same
-    * signature, same batching, same schema as the real thing. */
-  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { records =>
-      // per-partition init happens HERE with a real codec (expensive).
-      records.map { r =>
-        val bytes = r.payload
-        var byteSum = 0L
-        var i = 0
-        while (i < bytes.length) { byteSum += bytes(i) & 0xff; i += 1 }
-        // "frame sampling": every 8th byte, the stand-in for decoding
-        // one frame per stride and pooling it.
-        var frameSum = 0L
-        var k = 0
-        while (k < bytes.length) { frameSum += bytes(k) & 0xff; k += 8 }
-        MediaFeatures(r.media_id, r.kind, bytes.length, byteSum,
-          if (bytes.nonEmpty) bytes(0) & 0xff else -1, frameSum)
-      }
-    }
-  }
-
-  /** Per-kind feature rollup over the decoded stream. */
-  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
-    decodeStub(mediaTable(s, dir))
+  /** q31: per-kind byte/frame census over the REAL decode (round-12
+    * item 4 — the last gated md5 stand-in retired; the round-11 form
+    * summed "every 8th byte" of synthetic payloads): each blob of the
+    * P6 corpus reports its raw byte stats (length + byte sum, header
+    * included — no decode needed, the crawl-side accounting) and a
+    * REAL sampled-frame feature — the luma of every SECOND decoded
+    * raster row (stride-2 frame sampling through the codec's pixel
+    * grid, the q47 fan-out collapsed to one feature). Corrupt blobs
+    * keep their byte stats with zeroed frame features and are counted
+    * (`n_bad`) — skip-and-count, never a thrown task. Kind stays the
+    * doc_id-mod-3 metadata column, so the rollup shape matches the
+    * original contract while every number now passes through real
+    * codec bytes. */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ppmMediaTable(s, dir)
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { records =>
+        records.map { case (id, bytes) =>
+          var bs = 0L
+          var i = 0
+          while (i < bytes.length) { bs += bytes(i) & 0xff; i += 1 }
+          val (ok, fs) = Ppm.decodeP6(bytes) match {
+            case Some(img) =>
+              // stride-2 frame sample: every second raster row's luma
+              var f = 0L
+              var y = 0
+              while (y < img.height) {
+                if (y % 2 == 0) {
+                  var x = 0
+                  while (x < img.width) {
+                    val k = 3 * (y * img.width + x)
+                    f += (img.rgb(k) & 0xff) + (img.rgb(k + 1) & 0xff) +
+                      (img.rgb(k + 2) & 0xff)
+                    x += 1
+                  }
+                }
+                y += 1
+              }
+              (true, f)
+            case None => (false, 0L)
+          }
+          (id, ok, bytes.length, bs, fs)
+        }
+      }.toDF("media_id", "ok", "n_bytes", "byte_sum", "frame_sum")
+      .withColumn("kind",
+        when(pmod(col("media_id"), lit(3)) === 0, "image")
+          .when(pmod(col("media_id"), lit(3)) === 1, "audio")
+          .otherwise("video"))
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_media"),
+        count(when(!col("ok"), 1)).as("n_bad"),
         sum(col("n_bytes").cast("long")).as("total_bytes"),
         sum(col("byte_sum")).as("byte_sum"),
-        min(col("first_byte")).as("min_first"),
-        max(col("first_byte")).as("max_first"),
         sum(col("frame_sum")).as("frame_sum"))
       .orderBy("kind")
+  }
 
-  /** The media-table twin every oracle shares: payload bytes derive
-    * from md5(text) and kind from doc_id mod 3 — ONE definition (it
-    * also exists in Scala as [[mediaTable]]), so a change to payload
-    * derivation cannot silently diverge between the three oracles. */
-  private val mbCteSql: String =
-    """WITH mb AS (
-      |  SELECT doc_id,
+  /** Header-dialect byte accounting for the q31 oracle: the P6 corpus'
+    * four header strings ([[ppmMediaTable]]) have known lengths and
+    * byte sums — computed HERE from the same literals, so the oracle
+    * derives every payload byte analytically without parsing. */
+  private def hdrStats(h: String): (Int, Int) =
+    (h.length, h.getBytes("US-ASCII").map(_ & 0xff).sum)
+
+  /** DuckDB twin: byte stats = header constants + the analytic md5
+    * pixel bytes; the frame sample sums rows 0/2/4 of the planted
+    * raster — never parses a header, so agreement proves the codec
+    * read the real bytes. */
+  // lazy: splices ppmPxCteSql, which is declared later in this object
+  lazy val mediaFeaturesSql: String = {
+    val (lenBad, sumBad) = hdrStats("P5\n10 6\n255\n")
+    val (len0, sum0) = hdrStats("P6\n# graft r10\n10 6\n255\n")
+    val (len1, sum1) = hdrStats("P6 10 6 255\n")
+    val (len2, sum2) = hdrStats("P6\n10  6\t255 ")
+    ppmPxCteSql + "," +
+    s"""|
+      |f AS (
+      |  SELECT doc_id, bad,
       |         CASE WHEN doc_id % 3 = 0 THEN 'image'
       |              WHEN doc_id % 3 = 1 THEN 'audio'
       |              ELSE 'video' END AS kind,
-      |         list_transform(generate_series(1, 16),
-      |           i -> CAST('0x' || substr(md5(text), 2*i - 1, 2) AS BIGINT)) AS b
-      |  FROM documents)""".stripMargin
-
-  /** DuckDB twin: payload bytes are md5(text) bytes repeated 4× —
-    * byte k = md5byte[k mod 16], so byte_sum = 4·Σ md5bytes and the
-    * stride-8 frame sample hits md5 bytes 1 and 9 four times each. */
-  val mediaFeaturesSql: String =
-    mbCteSql + "," +
-    """|
-      |f AS (
-      |  SELECT doc_id, kind,
-      |         64 AS n_bytes,
-      |         4 * list_sum(b) AS byte_sum,
-      |         b[1] AS first_byte,
-      |         4 * (b[1] + b[9]) AS frame_sum
-      |  FROM mb)
+      |         CASE WHEN bad THEN $lenBad
+      |              WHEN doc_id % 3 = 0 THEN $len0
+      |              WHEN doc_id % 3 = 1 THEN $len1
+      |              ELSE $len2 END + 180 AS n_bytes,
+      |         CASE WHEN bad THEN $sumBad
+      |              WHEN doc_id % 3 = 0 THEN $sum0
+      |              WHEN doc_id % 3 = 1 THEN $sum1
+      |              ELSE $sum2 END + list_sum(pb) AS byte_sum,
+      |         CASE WHEN bad THEN 0
+      |              ELSE list_sum(list_transform(generate_series(0, 59),
+      |                k -> CASE WHEN ((k // 10) % 2) = 0
+      |                     THEN pb[3*k + 1] + pb[3*k + 2] + pb[3*k + 3]
+      |                     ELSE 0 END)) END AS frame_sum
+      |  FROM pb)
       |SELECT kind, count(*) AS n_media,
+      |       count(*) FILTER (WHERE bad) AS n_bad,
       |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
       |       CAST(sum(byte_sum) AS BIGINT) AS byte_sum,
-      |       CAST(min(first_byte) AS INT) AS min_first,
-      |       CAST(max(first_byte) AS INT) AS max_first,
       |       CAST(sum(frame_sum) AS BIGINT) AS frame_sum
       |FROM f GROUP BY kind ORDER BY kind""".stripMargin
+  }
 
   /** Shared P6-oracle base CTEs — the analytic pixel-byte derivation
     * every real-codec twin starts from (doc_id, grp, bad, pb[180]):
     * ONE definition, so the payload construction cannot drift between
-    * the q47/q51/q84/q110/q111 oracles (the [[mbCteSql]] discipline
-    * applied to the real-raster corpus). */
+    * the q31/q47/q51/q84/q110/q111 oracles. */
   private val ppmPxCteSql: String =
     """WITH px AS (
       |  SELECT doc_id, doc_id % 7 AS grp, doc_id % 97 = 0 AS bad,
@@ -301,7 +321,7 @@ object Multimodal {
     * exactly the SimHash plan shape (q22) applied to binary content,
     * with the same observable hot-bucket cap.
     *
-    * STUB boundary, same contract as [[decodeStub]]: a real deployment
+    * STUB boundary (the q84 audio/video modalities): a real deployment
     * computes the fingerprint with an actual perceptual hash (pHash /
     * aHash on the DECODED image) inside the mapPartitions decode stage;
     * this container has no codecs, so the stand-in fingerprint is
@@ -469,7 +489,7 @@ object Multimodal {
   import graft.functions.Ppm
 
   /** Per-image decode output ([[Ppm.decodeP6]] through the same
-    * batched mapPartitions shape as [[decodeStub]]). `ok` = parsed;
+    * batched mapPartitions shape as [[mediaFeatures]]). `ok` = parsed;
     * corrupt blobs keep their id with zeroed features — the
     * skip-and-count discipline a 100 TB crawl needs (a bad blob must
     * never throw a task). */
@@ -499,7 +519,7 @@ object Multimodal {
   }
 
   /** Batched real decode: same per-partition iterator shape as
-    * [[decodeStub]], with [[Ppm]] as the codec. */
+    * [[mediaFeatures]], with [[Ppm]] as the codec. */
   def ppmDecode(media: DataFrame): Dataset[PpmFeatures] = {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]

@@ -172,8 +172,8 @@ object Similarity {
     * and safe on these strings: `\\w+ AS (` only ever introduces a
     * CTE — column aliases have no paren, CASTs have no AS-paren, and
     * window clauses read `OVER (`. */
-  private def mat(sql: String): String =
-    sql.replaceAll("(\\w+) AS \\(", "$1 AS MATERIALIZED (")
+  // DuckDB-oracle CTE materialization: the shared graft.operators.mat
+  // (one definition per round-11 advice; safety caveat documented there)
 
   /** The corpus training sample, MEMOIZED per (session, dir) — the
     * sample is a pure function of the snapshot (hash-ordered
@@ -476,7 +476,7 @@ object Similarity {
     (0 until tiles).map(pass).reduce(_ union _).orderBy("vec_a", "vec_b")
   }
 
-  private val qListSql =
+  private[graft] val qListSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
 
   val embeddingNearDupSql: String = mat(
@@ -3019,20 +3019,21 @@ object Similarity {
         .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
     val nbrOf = (r: DataFrame) => r.select(col("vec_id").as("nbr"), col("cent_id"),
       col("q").as("nq"), col("qn").as("nqn"))
-    val gDel = Layout.replaceRewrite(s, dir, "nngraphupddel",
-        Some((Layout.Buckets, Seq("vec_id")))) {
-      val refillBase = topG(
-        routesBaseSurv.join(a1, Seq("vec_id"), "left_semi")
-          .filter(pmod(col("vec_id"), lit(5)) =!= 0),
-        nbrOf(routesBaseSurv))
-      val refillBatch = topG(
-        routedBatchSurv.join(a1, Seq("vec_id"), "left_semi"),
-        nbrOf(routesBaseSurv.unionByName(routedBatchSurv)))
-      survG.join(a1, Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
-        .unionByName(refillBase)
-        .unionByName(refillBatch)
-    }
+    val refillBase = topG(
+      routesBaseSurv.join(a1, Seq("vec_id"), "left_semi")
+        .filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      nbrOf(routesBaseSurv))
+    val refillBatch = topG(
+      routedBatchSurv.join(a1, Seq("vec_id"), "left_semi"),
+      nbrOf(routesBaseSurv.unionByName(routedBatchSurv)))
+    // tombstone-event publish (round-12): the delete lands AGAINST the
+    // MVCC-maintained upd view — the updstore's generation files (base
+    // segment AND batch segment) stay physically untouched; the event
+    // writes only the takedown tombstones and A1's class-aware refill
+    val gDel = Layout.refillRewrite(s, dir, "nngraphupddel",
+      Some((Layout.Buckets, Seq("vec_id"))),
+      Seq("vec_id" -> del, "nbr" -> del, "vec_id" -> a1),
+      refillBase.unionByName(refillBatch))(heldUpd)
 
     val codesKey = concat_ws(",", transform(col("codes"), c => c.cast(StringType)))
     def gCensus(nm: String, batch: Boolean, refreshed: Boolean) = {
@@ -3842,7 +3843,13 @@ object Similarity {
     * proves maintained == [[nnGraphOf]]-rebuild at a density where it
     * is nonempty. */
   private[graft] def nnGraphDeleteParts(s: SparkSession, dir: String,
-      del: DataFrame, assignSurv: DataFrame): (DataFrame, DataFrame) = {
+      del: DataFrame, assignSurv: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    // the extras dependency-cone argument below needs every pool row
+    // eligible for NN-descent expansion; the require lives HERE (not
+    // in one caller) so every entry point — q116, q123, the spec's
+    // sparse drives — fails loudly instead of via an opaque hash
+    // mismatch if the dials ever diverge (round-11 advice)
+    require(NdExp >= GraphG, "extras recompute assumes NdExp >= GraphG")
     val cents = ivfCents(s, dir)
     val graph = nnGraphTable(s, dir)
     val delN = del.select(col("vec_id").as("nbr"))
@@ -3905,10 +3912,14 @@ object Similarity {
     val xKeep = xHeld.join(del, Seq("vec_id"), "left_anti")
       .join(a2, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+    // the REFRESHED rows alone (A2's recomputed pool + extras) — what
+    // a tombstone-delete event lands as its refill segment, O(affected)
+    val refreshed = g0Refill.withColumn("src", lit("g"))
+      .unionByName(xRe.withColumn("src", lit("x")))
     val maintained = g0New.withColumn("src", lit("g"))
       .unionByName(xKeep.withColumn("src", lit("x")))
       .unionByName(xRe.withColumn("src", lit("x")))
-    (maintained, a2)
+    (maintained, refreshed, a2)
   }
 
   /** Spec surface (sparse-delete coverage, unpublished): the
@@ -3918,7 +3929,9 @@ object Similarity {
       del: DataFrame): (DataFrame, DataFrame) = {
     val cents = ivfCents(s, dir)
     val assign = ivfAssignTable(s, dir, cents)
-    nnGraphDeleteParts(s, dir, del, assign.join(del, Seq("vec_id"), "left_anti"))
+    val (maintained, _, a2) =
+      nnGraphDeleteParts(s, dir, del, assign.join(del, Seq("vec_id"), "left_anti"))
+    (maintained, a2)
   }
 
   private[graft] def nnGraphRebuiltFor(s: SparkSession, dir: String,
@@ -3933,9 +3946,6 @@ object Similarity {
   }
 
   def annDeleteGraph(s: SparkSession, dir: String): DataFrame = {
-    // the extras dependency-cone argument below needs every pool row
-    // eligible for NN-descent expansion
-    require(NdExp >= GraphG, "extras recompute assumes NdExp >= GraphG")
     val cents = ivfCents(s, dir)
     val assign = ivfAssignTable(s, dir, cents)
     val etk = exactTopKTable(s, dir)
@@ -3945,32 +3955,38 @@ object Similarity {
     val assignSurv = Layout.deleteRewrite(s, dir, "ivfassign",
       Some((Layout.Buckets, Seq("cent_id"))), del, Seq("vec_id"))(assign)
 
-    // ---- exacttopk: purge + affected-probe re-rank ----
+    // ---- exacttopk: purge + affected-probe re-rank, published as a
+    // TOMBSTONE EVENT (round-12 lead item): deleted probes tombstone
+    // on probe_id, deleted candidates on vec_id, and the AFFECTED
+    // probes' held rows are shadowed by the same-generation refill
+    // (their re-ranked top-5) — carried probes' rows stay in the held
+    // table's files, physically untouched ----
     val delP = del.select(col("vec_id").as("probe_id"))
     val heldSurvP = etk.join(delP, Seq("probe_id"), "left_anti")
     val affP = heldSurvP.join(del, Seq("vec_id"), "left_semi")
       .select(col("probe_id")).distinct()
     val wT = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    val etkPub = Layout.replaceRewrite(s, dir, "exacttopkdel", None) {
-      val probesA = assignSurv
-        .join(affP, assignSurv("vec_id") === affP("probe_id"), "left_semi")
-        .select(col("vec_id").as("probe_id"), col("q").as("qa"), col("qn").as("qna"))
-      val refreshed = assignSurv.select(col("vec_id"), col("q"), col("qn"))
-        .join(broadcast(probesA), col("probe_id") =!= col("vec_id"))
-        .withColumn("cos", qcosineNative(col("qa"), col("q"), col("qna"), col("qn")))
-        .select(col("probe_id"), col("vec_id"), col("cos"))
-        .withColumn("rnk", row_number().over(wT))
-        .filter(col("rnk") <= 5)
-      heldSurvP.join(affP, Seq("probe_id"), "left_anti")
-        .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
-        .unionByName(refreshed)
-    }
+    val probesA = assignSurv
+      .join(affP, assignSurv("vec_id") === affP("probe_id"), "left_semi")
+      .select(col("vec_id").as("probe_id"), col("q").as("qa"), col("qn").as("qna"))
+    val refreshedT = assignSurv.select(col("vec_id"), col("q"), col("qn"))
+      .join(broadcast(probesA), col("probe_id") =!= col("vec_id"))
+      .withColumn("cos", qcosineNative(col("qa"), col("q"), col("qna"), col("qn")))
+      .select(col("probe_id"), col("vec_id"), col("cos"))
+      .withColumn("rnk", row_number().over(wT))
+      .filter(col("rnk") <= 5)
+    val etkPub = Layout.refillRewrite(s, dir, "exacttopkdel", None,
+      Seq("probe_id" -> del, "vec_id" -> del, "probe_id" -> affP), refreshedT)(etk)
 
-    // ---- nngraph: purge + A1 pool refill + A2 extras recompute ----
-    val (maintainedGraph, a2) = nnGraphDeleteParts(s, dir, del, assignSurv)
-    val gPub = Layout.replaceRewrite(s, dir, "nngraphdel",
-      Some((Layout.Buckets, Seq("vec_id"))))(maintainedGraph)
+    // ---- nngraph: purge + A1 pool refill + A2 extras recompute; the
+    // tombstones purge deleted vertices (vec_id) and payloads (nbr)
+    // and shadow A2's held rows under the refill generation ----
+    val (_, refreshedG, a2) = nnGraphDeleteParts(s, dir, del, assignSurv)
+    val gPub = Layout.refillRewrite(s, dir, "nngraphdel",
+      Some((Layout.Buckets, Seq("vec_id"))),
+      Seq("vec_id" -> del, "nbr" -> del, "vec_id" -> a2),
+      refreshedG)(nnGraphTable(s, dir))
 
     Seq(
       Dedup.censusRow("exacttopk_refreshed",
@@ -4134,10 +4150,16 @@ object Similarity {
       .select(col("vec_id"))
     val cents = ivfCents(s, dir)
     val assign = ivfAssignTable(s, dir, cents)
-    val (maintained, a2) = nnGraphDeleteParts(s, dir, del,
+    val (_, refreshed, a2) = nnGraphDeleteParts(s, dir, del,
       assign.join(del, Seq("vec_id"), "left_anti"))
-    val pub = Layout.replaceRewrite(s, dir, "nngraphdelsparse",
-      Some((Layout.Buckets, Seq("vec_id"))))(maintained)
+    // tombstone-event publish (round-12): at this density the carried
+    // set is ~90% of the graph, so the O(affected) WRITE claim is at
+    // its most consequential — the event lands |del| tombstones plus
+    // A2's refreshed rows and touches no carried file
+    val pub = Layout.refillRewrite(s, dir, "nngraphdelsparse",
+      Some((Layout.Buckets, Seq("vec_id"))),
+      Seq("vec_id" -> del, "nbr" -> del, "vec_id" -> a2),
+      refreshed)(nnGraphTable(s, dir))
     def cls(src: String, refreshed: Boolean) =
       pub.filter(col("src") === src)
         .join(a2, Seq("vec_id"), if (refreshed) "left_semi" else "left_anti")
@@ -4246,6 +4268,121 @@ object Similarity {
          |ORDER BY artifact""".stripMargin)
   }
 
+  /** The sf1 gate's q123 oracle — ARTIFACT-BACKED (round-12 item 5,
+    * the [[annRecallHeldSql]] pattern): reads the dumped held graph
+    * (`nngraph`) and routing (`nnroutes`) tables instead of re-deriving
+    * quantizer + full pool from scratch (the re-deriving form scores
+    * every pool pair — prohibitive at the 200k-vector sf1 point), and
+    * recomputes ONLY the delete maintenance: A1/A2 off the held rows,
+    * the A2 pool refill off the survivor routing, the NN-descent
+    * extras over the A2 cone, carried rows read verbatim. The
+    * per-round sf0.01/sf0.1 gates keep the from-scratch
+    * [[annDeleteSparseSql]], so held == recomputed stays proven every
+    * round; `Sf1Bench` dumps both artifacts next to the snapshot and
+    * swaps this SQL in. */
+  val annDeleteSparseHeldSql: String = {
+    val dM = SparseDelMod; val dR = SparseDelRem
+    def h32(key: String): String =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    val ck = h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")
+    mat(
+      s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+         |n AS (SELECT vec_id, q,
+         |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+         |      FROM q
+         |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+         |del AS (SELECT vec_id FROM n WHERE vec_id % $dM = $dR),
+         |g0h AS (SELECT vec_id, nbr, nqn FROM nngraph WHERE src = 'g'),
+         |xh AS (SELECT vec_id, nbr, nqn FROM nngraph WHERE src = 'x'),
+         |sg0 AS (SELECT * FROM g0h
+         |        WHERE vec_id NOT IN (SELECT vec_id FROM del)),
+         |a1 AS (SELECT DISTINCT vec_id FROM sg0
+         |       WHERE nbr IN (SELECT vec_id FROM del)),
+         |a2 AS (SELECT vec_id FROM a1
+         |       UNION SELECT g.vec_id FROM sg0 g JOIN a1 ON a1.vec_id = g.nbr),
+         |rs AS (SELECT vec_id, cent_id FROM nnroutes
+         |       WHERE vec_id NOT IN (SELECT vec_id FROM del)),
+         |pool AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr
+         |  FROM rs a JOIN a2 USING (vec_id)
+         |  JOIN rs b ON b.cent_id = a.cent_id AND b.vec_id <> a.vec_id),
+         |ref AS (
+         |  SELECT vec_id, nbr, nqn FROM (
+         |    SELECT p.vec_id, p.nbr, vb.qn AS nqn,
+         |           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(va.q)),
+         |                    i -> va.q[i] * vb.q[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(va.qn AS DOUBLE) * CAST(vb.qn AS DOUBLE)) DESC,
+         |             p.nbr) AS rn
+         |    FROM pool p JOIN n va ON va.vec_id = p.vec_id
+         |    JOIN n vb ON vb.vec_id = p.nbr) t
+         |  WHERE rn <= $GraphG),
+         |g0new AS (
+         |  SELECT vec_id, nbr FROM sg0
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM a2)
+         |  UNION ALL SELECT vec_id, nbr FROM ref),
+         |ndc AS (
+         |  SELECT DISTINCT a.vec_id, b.nbr
+         |  FROM g0new a JOIN a2 USING (vec_id)
+         |  JOIN g0new b ON b.vec_id = a.nbr
+         |  WHERE b.nbr <> a.vec_id
+         |    AND NOT EXISTS (SELECT 1 FROM g0new e
+         |                    WHERE e.vec_id = a.vec_id AND e.nbr = b.nbr)),
+         |nd AS (
+         |  SELECT vec_id, nbr, nqn FROM (
+         |    SELECT c.vec_id, c.nbr, vb.qn AS nqn,
+         |           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(va.q)),
+         |                    i -> va.q[i] * vb.q[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(va.qn AS DOUBLE) * CAST(vb.qn AS DOUBLE)) DESC,
+         |             c.nbr) AS rn
+         |    FROM ndc c JOIN n va ON va.vec_id = c.vec_id
+         |    JOIN n vb ON vb.vec_id = c.nbr) t
+         |  WHERE rn <= $NdAdd)
+         |SELECT artifact, n_rows, checksum FROM (
+         |  SELECT 'pool_refreshed' AS artifact,
+         |         CAST(count(*) AS BIGINT) AS n_rows, $ck AS checksum
+         |  FROM ref
+         |  UNION ALL
+         |  SELECT 'pool_untouched', CAST(count(*) AS BIGINT), $ck
+         |  FROM sg0 WHERE vec_id NOT IN (SELECT vec_id FROM a2)
+         |  UNION ALL
+         |  SELECT 'extras_refreshed', CAST(count(*) AS BIGINT), $ck
+         |  FROM nd
+         |  UNION ALL
+         |  SELECT 'extras_untouched', CAST(count(*) AS BIGINT), $ck
+         |  FROM xh WHERE vec_id NOT IN (SELECT vec_id FROM del)
+         |    AND vec_id NOT IN (SELECT vec_id FROM a2)) t
+         |ORDER BY artifact""".stripMargin)
+  }
+
+  /** The sf1 dump's routing artifact (round-12 item 5): the held
+    * snapshot's top-[[GraphR]] cell routing with quantized payloads —
+    * what [[nnGraphTable]] derives inline at build time, exposed so
+    * the sf1 q123 oracle can read it instead of re-deriving the
+    * quantizer. */
+  private[graft] def nnRoutesDump(s: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCents(s, dir)
+    val assign = ivfAssignTable(s, dir, cents)
+    routeProbesDf(assign, cents, GraphR)
+      .select(col("probe_id").as("vec_id"), col("cent_id"),
+        col("pq").as("q"), col("pqn").as("qn"))
+  }
+
+  /** The sparse takedown's cone size at a snapshot — (|A2|, vertices);
+    * `Sf1Bench` records the sf1 point next to the probe's
+    * 30.5% → 10.4% trend. */
+  private[graft] def sparseDeleteConeStats(s: SparkSession, dir: String): (Long, Long) = {
+    val del = Tables.embeddings(s, dir)
+      .filter(pmod(col("vec_id"), lit(SparseDelMod)) === lit(SparseDelRem))
+      .select(col("vec_id"))
+    val cents = ivfCents(s, dir)
+    val assign = ivfAssignTable(s, dir, cents)
+    val (_, _, a2) = nnGraphDeleteParts(s, dir, del,
+      assign.join(del, Seq("vec_id"), "left_anti"))
+    (a2.count(), nnGraphTable(s, dir).select(col("vec_id")).distinct().count())
+  }
+
   /** q117: TARGETED DELETE over the BASE-family graph artifacts — the
     * written routing table (`groutesbase`) and the held-snapshot kNN
     * graph (`nngraphbase`). Routing rows are per-vector, so the
@@ -4274,22 +4411,22 @@ object Similarity {
       .select(col("vec_id")).distinct()
     val wG = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("nbr"))
-    val gPub = Layout.replaceRewrite(s, dir, "nngraphbasedel",
-        Some((Layout.Buckets, Seq("vec_id")))) {
-      val poolNbr = routesSurv.select(col("vec_id").as("nbr"), col("cent_id"),
-        col("q").as("nq"), col("qn").as("nqn"))
-      val refill = routesSurv.join(a1, Seq("vec_id"), "left_semi")
-        .join(poolNbr, Seq("cent_id"))
-        .filter(col("vec_id") =!= col("nbr"))
-        .dropDuplicates("vec_id", "nbr")
-        .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
-        .withColumn("rn", row_number().over(wG))
-        .filter(col("rn") <= GraphG)
-        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
-      survG.join(a1, Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
-        .unionByName(refill)
-    }
+    val poolNbr = routesSurv.select(col("vec_id").as("nbr"), col("cent_id"),
+      col("q").as("nq"), col("qn").as("nqn"))
+    val refill = routesSurv.join(a1, Seq("vec_id"), "left_semi")
+      .join(poolNbr, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .dropDuplicates("vec_id", "nbr")
+      .withColumn("cos", qcosineNative(col("q"), col("nq"), col("qn"), col("nqn")))
+      .withColumn("rn", row_number().over(wG))
+      .filter(col("rn") <= GraphG)
+      .select(col("vec_id"), col("nbr"), col("nq"), col("nqn"))
+    // tombstone-event publish (round-12): deleted vertices/payloads
+    // tombstone, A1's held rows are shadowed by the same-generation
+    // refill — the held graph's files are never rewritten
+    val gPub = Layout.refillRewrite(s, dir, "nngraphbasedel",
+      Some((Layout.Buckets, Seq("vec_id"))),
+      Seq("vec_id" -> del, "nbr" -> del, "vec_id" -> a1), refill)(graphB)
 
     Seq(
       Dedup.censusRow("groutes", routesSurv,

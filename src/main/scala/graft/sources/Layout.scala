@@ -268,25 +268,146 @@ object Layout {
     * [[priorMaxVersion]]'s warehouse listing exists for). */
   private[graft] def resetPublishCounters(): Unit = publishCounter.clear()
 
+  /** The catalog relation a DataFrame reads, when it is EXACTLY a
+    * table/view read (`s.table(name)` — the shape every written
+    * artifact handle in this codebase has). The tombstone-delete path
+    * needs the base addressable by NAME inside a view definition; an
+    * ad-hoc DataFrame (spec-built relations) returns None and the
+    * caller falls back to a materializing publish. */
+  private[graft] def catalogNameOf(s: SparkSession, df: DataFrame): Option[String] =
+    df.queryExecution.analyzed match {
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        val n = a.identifier.name
+        if (s.catalog.tableExists(n)) Some(n) else None
+      case _ => None
+    }
+
+  /** In-memory first-event tracker for the tombstone sidecar tables:
+    * the first delete event of a (session, artifact) clears any stale
+    * sidecars a previous session left in the shared warehouse (the
+    * materializedTable snapshot-refresh discipline — gens restart per
+    * snapshot; a deployment keeps the sidecars permanent instead).
+    * A DEDICATED map, never [[ensured]]: tombstoneEvent runs inside a
+    * caller's once-gate, and touching the gate map from within its own
+    * computeIfAbsent is the bin-collision-dependent "Recursive update"
+    * hazard (it fired on q106 the first time this shared the map). */
+  private val tombInit = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, String]]())
+
+  private def firstEvent(s: SparkSession, name: String): Boolean =
+    tombInit.computeIfAbsent(s, _ => new ConcurrentHashMap[String, String]())
+      .putIfAbsent(name, "done") == null
+
+  /** ONE TOMBSTONE-DELETE EVENT against a catalog-backed artifact
+    * (round-12 lead item — takedown write I/O made O(affected); the
+    * round-11 form anti-joined and physically REWROTE every carried
+    * row, O(corpus) write I/O per takedown). The carried rows' files
+    * are NEVER touched: the event writes only
+    *
+    *  - `<name>tombs` (k BIGINT, kcol VARCHAR, gen INT): one row per
+    *    (delete key, purged column) — O(delete set) bytes. A tombstone
+    *    at generation E kills matching rows of every STRICTLY EARLIER
+    *    generation (base rows are generation 0), the LSM/MVCC
+    *    shadowing rule — which is also what lets a refill REPLACE a
+    *    vertex's rows: tombstone the vertex at gen E, land its new
+    *    rows at gen E.
+    *  - `<name>seg` (artifact columns + gen, the artifact's bucket
+    *    spec): the refilled rows — O(affected) bytes. Absent for pure
+    *    anti-join deletes.
+    *
+    * The published artifact is a VIEW:
+    * `<name>__vE = (base as gen 0 ∪ seg rows with gen <= E) WHERE no
+    * tombstone of gen in (row.gen, E] matches any purged column`,
+    * committed by the single CREATE-OR-REPLACE swap of the stable
+    * `<name>` — the [[publishVersioned]] atomicity argument (a racing
+    * reader resolves either the old or the new view; sidecar FILES
+    * written mid-event are invisible until the swap because the
+    * pre-swap view's gen predicate excludes them). Version allocation
+    * shares [[publishCounter]], so concurrent events serialize and
+    * versions stay monotone over anything a prior session left on
+    * disk. Prior versions (`__vN`) stay readable — time travel.
+    *
+    * Plan properties: the PURE-ANTI view is Filter∘(anti ⋉ broadcast
+    * tombs) over the base scan, so the base table's bucketing/pruning
+    * pass through untouched; the REFILL view is a UNION ALL, which
+    * drops the bucketed output partitioning for its (census-sized)
+    * consumers — the production remedy is compaction folding the seg
+    * into the base at the next snapshot build ([[compactBucketed]]'s
+    * job). At 100 TB this mechanism makes a takedown's write cost
+    * `O(|delete set| + |affected cone|)` — `AnnDeleteProbe`'s
+    * write-side row measures it directly — while reads pay one
+    * broadcast anti join, the merge-on-read trade every production
+    * MVCC table format makes. */
+  private[graft] def tombstoneEvent(s: SparkSession, dir: String, what: String,
+      baseName: String, cols: Seq[String],
+      tombs: Seq[(String, DataFrame)],
+      refill: Option[DataFrame],
+      buckets: Option[(Int, Seq[String])]): DataFrame = {
+    require(!cols.exists(c => c == "gen" || c == "kcol" || c == "k"),
+      s"tombstoneEvent: artifact columns $cols collide with MVCC bookkeeping names")
+    val name = tableName(dir, what)
+    val tombsT = s"${name}tombs"
+    val segT = s"${name}seg"
+    if (firstEvent(s, name)) { refresh(s, tombsT); refresh(s, segT) }
+    val ctr = publishCounter.computeIfAbsent(name,
+      _ => new java.util.concurrent.atomic.AtomicLong(priorMaxVersion(s, name)))
+    ctr.synchronized {
+      val e = ctr.incrementAndGet()
+      // O(delete set) write: the tombstone rows
+      tombs.map { case (c, keys) =>
+        keys.toDF("k").select(col("k").cast("long").as("k"),
+          lit(c).as("kcol"), lit(e.toInt).as("gen"))
+      }.reduce(_ unionByName _)
+        .write.mode("append").saveAsTable(tombsT)
+      s.catalog.refreshTable(tombsT)
+      // O(affected) write: the refill segment, artifact bucket spec
+      refill.foreach { r =>
+        val w = r.select(cols.map(col): _*)
+          .withColumn("gen", lit(e.toInt)).write.mode("append")
+        buckets match {
+          case Some((k, bc)) => w.bucketBy(k, bc.head, bc.tail: _*).saveAsTable(segT)
+          case None          => w.saveAsTable(segT)
+        }
+        s.catalog.refreshTable(segT)
+      }
+      val colsSql = cols.map(c => s"`$c`").mkString(", ")
+      val src =
+        if (refill.isDefined)
+          s"""(SELECT $colsSql, CAST(0 AS INT) AS gen FROM $baseName
+             |   UNION ALL SELECT $colsSql, gen FROM $segT WHERE gen <= $e) t""".stripMargin
+        else s"(SELECT $colsSql, CAST(0 AS INT) AS gen FROM $baseName) t"
+      val anti = tombs.map(_._1).distinct.map(c =>
+        s"""NOT EXISTS (SELECT 1 FROM $tombsT d
+           |     WHERE d.gen <= $e AND d.gen > t.gen AND d.kcol = '$c' AND d.k = t.`$c`)""".stripMargin)
+        .mkString("\n  AND ")
+      // a stale TABLE dir from the retired rewrite mechanism could
+      // shadow the versioned view name — clear it before creating
+      s.sql(s"DROP TABLE IF EXISTS ${name}__v$e")
+      s.sql(s"CREATE OR REPLACE VIEW ${name}__v$e AS SELECT $colsSql FROM $src WHERE $anti")
+      // the commit point
+      s.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM ${name}__v$e")
+    }
+    s.table(name)
+  }
+
   /** TARGETED-DELETE rewrite of a written artifact (round-8 item 5 —
-    * the takedown/opt-out path): the surviving table is the artifact
-    * LEFT ANTI the delete-key relation on every key column it carries,
-    * PUBLISHED under `<what>del` with the SAME bucket spec through the
-    * [[publishVersioned]] commit protocol — so every downstream plan
-    * property (bucket pruning, zero-exchange joins) survives the
-    * delete verbatim AND a reader concurrent with the rewrite sees
-    * exactly the pre- or post-delete snapshot (round-9 item 5; the
-    * round-8 form rebuilt in place with no concurrent-reader story).
-    * The anti join is the 100 TB shape: the delete set is
-    * takedown-sized (AQE broadcasts it), the artifact streams through
-    * map-side, and nothing re-shuffles — with a partitioned/
-    * bucketed-on-key layout a production job rewrites only the
-    * affected partitions' files (the q80 dynamic-overwrite mechanism),
-    * which changes the write granularity, not the plan. Derived-table
-    * consistency is the caller's contract: `Dedup.deleteCensus` (q106)
-    * rewrites every derived artifact from one delete relation and the
-    * gate proves the result equals a from-scratch build over the
-    * surviving corpus. */
+    * the takedown/opt-out path): the published `<what>del` relation is
+    * the artifact LEFT ANTI the delete-key relation on every key
+    * column it carries. Since round 12 the publish is a TOMBSTONE
+    * EVENT ([[tombstoneEvent]]): the delete writes O(delete set)
+    * tombstone rows and swaps a view — the carried rows' files are
+    * physically untouched (`MvccDeleteSpec` asserts file-set
+    * identity), where the prior form rewrote the full surviving table
+    * per takedown. The anti join runs at READ time: the delete set is
+    * takedown-sized, AQE broadcasts it, the artifact streams through
+    * map-side with its bucketing intact (Filter/anti over the
+    * bucketed scan preserves output partitioning), and nothing
+    * re-shuffles. Ad-hoc (non-catalog) bases — spec surface — fall
+    * back to the materializing [[publishVersioned]] anti-join
+    * publish. Derived-table consistency is the caller's contract:
+    * `Dedup.deleteCensus` (q106) rewrites every derived artifact from
+    * one delete relation and the gate proves the result equals a
+    * from-scratch build over the surviving corpus. */
   private[graft] def deleteRewrite(s: SparkSession, dir: String, what: String,
       buckets: Option[(Int, Seq[String])], keys: DataFrame,
       keyCols: Seq[String])(base: => DataFrame): DataFrame = {
@@ -296,13 +417,54 @@ object Layout {
     // "Recursive update" hazard documented at Similarity.ivfPqIndex
     val b = base
     once(s, dir, what + "del") {
-      publishVersioned(s, dir, what + "del", buckets) {
-        keyCols.foldLeft(b) { (df, kc) =>
-          df.join(keys.toDF(kc), Seq(kc), "left_anti")
-        }
+      catalogNameOf(s, b) match {
+        case Some(baseName) =>
+          tombstoneEvent(s, dir, what + "del", baseName, b.columns.toSeq,
+            keyCols.map(kc => kc -> keys), None, buckets)
+        case None =>
+          publishVersioned(s, dir, what + "del", buckets) {
+            keyCols.foldLeft(b) { (df, kc) =>
+              df.join(keys.toDF(kc), Seq(kc), "left_anti")
+            }
+          }
       }
+      ()
     }
     s.table(tableName(dir, what + "del"))
+  }
+
+  /** REFILL delete of a maintained artifact whose rows carry payloads
+    * a pure anti join cannot maintain (the graph/top-k family):
+    * tombstones purge the deleted keys on `tombs`' columns AND shadow
+    * the affected vertices' held rows, while `refill` lands their
+    * recomputed rows in the same event's generation — last-writer-wins
+    * per key, expressed through the generation-scoped tombstone rule
+    * (see [[tombstoneEvent]]). Write I/O per event =
+    * O(delete set + affected cone); carried rows' files untouched.
+    * Ad-hoc bases fall back to a full materializing publish (spec
+    * surface only — every production call site passes a written
+    * artifact). */
+  private[graft] def refillRewrite(s: SparkSession, dir: String, what: String,
+      buckets: Option[(Int, Seq[String])],
+      tombs: Seq[(String, DataFrame)], refill: => DataFrame)
+      (base: => DataFrame): DataFrame = {
+    val b = base
+    once(s, dir, what) {
+      catalogNameOf(s, b) match {
+        case Some(baseName) =>
+          tombstoneEvent(s, dir, what, baseName, b.columns.toSeq,
+            tombs, Some(refill), buckets)
+        case None =>
+          publishVersioned(s, dir, what, buckets) {
+            val kept = tombs.foldLeft(b) { case (df, (c, keys)) =>
+              df.join(keys.toDF(c), Seq(c), "left_anti")
+            }
+            kept.unionByName(refill.select(b.columns.map(col): _*))
+          }
+      }
+      ()
+    }
+    s.table(tableName(dir, what))
   }
 
   /** INCREMENTAL-APPEND rewrite of a written artifact (round-10 item
@@ -366,47 +528,114 @@ object Layout {
       // once; in a deployment the snapshot builder writes the store
       // directly and maintenance never rewrites it)
       write(b, 1, "error")
+      commitGenMarker(s, store, 1)
       s.sql(s"CREATE OR REPLACE VIEW ${name}__v1 AS SELECT $cols FROM $store WHERE gen <= 1")
       s.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM ${name}__v1")
       // gen 2 — the O(batch) append: only the batch's rows land, as
       // new files in their buckets
       write(batch, 2, "append")
+      commitGenMarker(s, store, 2)
       s.catalog.refreshTable(store)
       s.sql(s"CREATE OR REPLACE VIEW ${name}__v2 AS SELECT $cols FROM $store WHERE gen <= 2")
       // the commit point
       s.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM ${name}__v2")
+      // seed the in-memory generation counter so the first
+      // appendSegment of this session allocates 3 without a listing
+      publishCounter.computeIfAbsent(s"$store#gen",
+        _ => new java.util.concurrent.atomic.AtomicLong(0L)).set(2L)
     }
     s.table(name)
+  }
+
+  /** COMMIT-LOG marker for one committed store generation: an empty
+    * `_gen_<N>` file in the store's directory (underscore-prefixed —
+    * invisible to Spark's file listings, the `_spark_metadata` /
+    * `_SUCCESS` convention). The markers are what make generation
+    * discovery a METADATA read: [[appendSegment]] derives the next
+    * gen from them (plus the catalog's `__vN` views) instead of
+    * scanning the store's data for max(gen) — at 100 TB that scan is
+    * a full-column read per maintenance event just to learn a
+    * counter (round-11 finding #2). Markers persist with the data, so
+    * a fresh SparkContext over the warehouse resumes at the right
+    * generation (`AtomicPublishSpec`'s restart test). */
+  private def commitGenMarker(s: SparkSession, store: String, gen: Long): Unit = {
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(store)).location)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(loc, s"_gen_$gen"), true).close()
+  }
+
+  /** Highest committed generation of a store, from the union of the
+    * commit-log markers and the catalog's version views — no data
+    * scan. */
+  private def priorMaxGen(s: SparkSession, name: String, store: String): Long = {
+    val fromViews = s.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(s"${name}__v"))
+      .flatMap(t => scala.util.Try(t.stripPrefix(s"${name}__v").toLong).toOption)
+    val fromMarkers =
+      if (!s.catalog.tableExists(store)) Seq.empty[Long]
+      else {
+        val loc = new org.apache.hadoop.fs.Path(
+          s.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(store)).location)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(loc)) Seq.empty[Long]
+        else fs.listStatus(loc).map(_.getPath.getName)
+          .filter(_.startsWith("_gen_")).toSeq
+          .flatMap(n => scala.util.Try(n.stripPrefix("_gen_").toLong).toOption)
+      }
+    (fromViews ++ fromMarkers).foldLeft(0L)(math.max)
   }
 
   /** One MORE maintenance batch into an existing MVCC store — the
     * multi-event lifecycle [[appendRewrite]] STARTS (its once-gate
     * covers the store creation + first batch; every later event goes
-    * through here): read the store's current max generation, append
-    * the batch as gen+1 files (O(batch) write I/O — same mechanism),
-    * publish the next version view and swap the stable name. Any
-    * number of events; every prior version stays readable
+    * through here): allocate the next generation, append the batch as
+    * its files (O(batch) write I/O — same mechanism), commit the
+    * marker, publish the next version view and swap the stable name.
+    * Any number of events; every prior version stays readable
     * (`WHERE gen <= N`), and the racing-reader guarantee is the same
     * MVCC argument (in-flight files carry the new gen, excluded by
     * the pre-swap predicate). `AtomicPublishSpec` proves three
     * successive events land disjoint single-gen file sets with old
     * versions intact. Background small-file maintenance is
-    * [[compactBucketed]] over the store, as for the facts. */
+    * [[compactBucketed]] over the store, as for the facts.
+    *
+    * Generation allocation is METADATA-only (round-11 finding #2 —
+    * the prior form scanned the store for max(gen), a full-column
+    * read per event at 100 TB): the counter seeds from the commit-log
+    * markers + catalog views ([[priorMaxGen]]) and is then in-memory;
+    * allocation + write + marker + view swap form one critical
+    * section per store (round-11 advice — the unguarded
+    * read-modify-write let two concurrent events land the same gen),
+    * so generations are strictly monotone across concurrent and
+    * restarted writers alike. */
   private[graft] def appendSegment(s: SparkSession, dir: String, what: String,
       buckets: Option[(Int, Seq[String])], batch: DataFrame): DataFrame = {
     val name = tableName(dir, what + "upd")
     val store = s"${name}store"
-    val gen = s.table(store).agg(max(col("gen"))).head().getInt(0) + 1
-    val cols = s.table(name).columns.map(c => s"`$c`").mkString(", ")
-    val w = batch.withColumn("gen", lit(gen)).write.mode("append")
-    buckets match {
-      case Some((k, bc)) => w.bucketBy(k, bc.head, bc.tail: _*).saveAsTable(store)
-      case None          => w.saveAsTable(store)
+    val ctr = publishCounter.computeIfAbsent(s"$store#gen",
+      _ => new java.util.concurrent.atomic.AtomicLong(priorMaxGen(s, name, store)))
+    ctr.synchronized {
+      val gen = ctr.incrementAndGet()
+      // artifact columns from the STORE's schema (minus the gen
+      // bookkeeping column), not from the stable view — after a
+      // restart the views may not be re-registered yet, and recovery
+      // must not depend on reading what it is about to republish
+      val cols = s.table(store).columns.filterNot(_ == "gen")
+        .map(c => s"`$c`").mkString(", ")
+      val w = batch.withColumn("gen", lit(gen.toInt)).write.mode("append")
+      buckets match {
+        case Some((k, bc)) => w.bucketBy(k, bc.head, bc.tail: _*).saveAsTable(store)
+        case None          => w.saveAsTable(store)
+      }
+      commitGenMarker(s, store, gen)
+      s.catalog.refreshTable(store)
+      s.sql(s"CREATE OR REPLACE VIEW ${name}__v$gen AS SELECT $cols FROM $store WHERE gen <= $gen")
+      // the commit point
+      s.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM ${name}__v$gen")
     }
-    s.catalog.refreshTable(store)
-    s.sql(s"CREATE OR REPLACE VIEW ${name}__v$gen AS SELECT $cols FROM $store WHERE gen <= $gen")
-    // the commit point
-    s.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM ${name}__v$gen")
     s.table(name)
   }
 

@@ -89,6 +89,54 @@ object StreamDoor {
       .orderBy("media_id")
   }
 
+  /** q125: the EXACT-dedup TEXT door run end to end (round-12 item 6 —
+    * the third driver-gated door, the q119 pattern on the text
+    * modality): "today's crawl" (doc_id ≡ 0 mod 5, the standing
+    * batch split) staged to a parquet file SOURCE, admitted through
+    * [[DocIngest.dedupedIngest]] inside a REAL Structured Streaming
+    * query — corpus-hash anti join (stream-static, 8-byte keys) then
+    * first-per-hash replay dedup in the state store —
+    * Trigger.AvailableNow to a checkpointed parquet SINK. The gate
+    * exposes the admitted HASH SET (one row per admitted nh, sorted):
+    * which document body carries a duplicated hash is scheduler-order
+    * dependent by design (first-arrival-wins), so the deterministic,
+    * oracle-checkable contract is the admission set itself — exactly
+    * what the downstream index keys on. The DuckDB oracle re-derives
+    * it from scratch: incoming distinct hashes minus standing-corpus
+    * hashes. */
+  def streamExactDoor(s: SparkSession, dir: String): DataFrame = {
+    val out = Layout.materializedTable(s, dir, "xdoorout") {
+      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
+      val base = wh + "/" + Layout.tableName(dir, "xdoorrun")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val srcDir = s"$base/src"; val sinkDir = s"$base/sink"; val ckpt = s"$base/ckpt"
+      val incoming = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+      incoming.write.mode("overwrite").parquet(srcDir)
+      val corpus = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val door = DocIngest.dedupedIngest(
+        s.readStream.schema(incoming.schema).parquet(srcDir), corpus)
+      val q = door.select(col("nh")).writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sinkDir)
+    }
+    out.select(col("nh")).orderBy("nh")
+  }
+
+  /** The q125 oracle: admitted = incoming-batch distinct hashes not in
+    * the standing corpus' hash set (the [[DocIngest.dedupedIngest]]
+    * contract, re-derived from the raw table). */
+  val exactDoorSql: String = {
+    val nh = "CAST('0x' || substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 15) AS BIGINT)"
+    s"""WITH c AS (SELECT DISTINCT $nh AS nh FROM documents WHERE doc_id % 5 <> 0),
+       |i AS (SELECT DISTINCT $nh AS nh FROM documents WHERE doc_id % 5 = 0)
+       |SELECT nh FROM i WHERE nh NOT IN (SELECT nh FROM c) ORDER BY nh""".stripMargin
+  }
+
   val defs: Vector[QueryDef] = Vector(
     // the oracle re-derives the batch's index entries from scratch:
     // the gate proves the streaming run's sink == batch maintenance
@@ -97,5 +145,8 @@ object StreamDoor {
     // byte-exactly per blob, corrupt subset included
     QueryDef("q121_stream_media_door", streamMediaDoor,
       Some(graft.operators.Multimodal.mediaDoorSql)),
+    // q125: the exact-dedup text door — the admission set of a real
+    // streaming run equals the analytic derivation (round-12 item 6)
+    QueryDef("q125_stream_exact_door", streamExactDoor, Some(exactDoorSql)),
   )
 }

@@ -268,6 +268,39 @@ class AtomicPublishSpec extends SparkSpec {
     assert(spark.table(store).select("gen").distinct().count() == 4)
   }
 
+  test("appendSegment resumes at the right generation after a restart (commit-log markers, no data scan)") {
+    // round-12 item 2: generation allocation is metadata-only — the
+    // _gen_<N> commit markers in the store directory + catalog views,
+    // never a max(gen) scan of the data — and survives a restart.
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("vec_id"), pmod(col("id"), lit(16)).as("cent_id"))
+    val name = Layout.tableName(sfDir, "genrestartupd")
+    val bkt = Some((Layout.Buckets, Seq("cent_id")))
+    Layout.appendRewrite(spark, sfDir, "genrestart", bkt, mk(100, 200))(mk(0, 100))
+    Layout.appendSegment(spark, sfDir, "genrestart", bkt, mk(200, 300)) // gen 3
+    // simulate a fresh SparkContext over the persisted warehouse: the
+    // in-memory counters are gone and the version views were never
+    // re-registered — only the store table and its commit markers
+    // remain discoverable
+    Layout.resetPublishCounters()
+    (1 to 3).foreach(v => spark.sql(s"DROP VIEW IF EXISTS ${name}__v$v"))
+    spark.sql(s"DROP VIEW IF EXISTS $name")
+    Layout.appendSegment(spark, sfDir, "genrestart", bkt, mk(300, 400))
+    // resumed AFTER the highest committed generation — never clobbered
+    assert(spark.catalog.tableExists(s"${name}__v4"),
+      "restarted appendSegment did not resume at generation 4")
+    assert(spark.table(name).count() == 400)
+    val store = s"${name}store"
+    assert(spark.table(store).select("gen").distinct().count() == 4)
+    // every generation's marker is on disk (the restart-discovery source)
+    val loc = new java.io.File(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(store)).location)
+    val markers = Option(loc.listFiles()).getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filter(_.startsWith("_gen_")).toSet
+    assert(markers == Set("_gen_1", "_gen_2", "_gen_3", "_gen_4"), s"markers: $markers")
+  }
+
   test("compacting the MVCC store: one file per bucket, rows and generations preserved") {
     // the background small-file maintenance the per-event append
     // defers: after the multi-event test's four generations, compact

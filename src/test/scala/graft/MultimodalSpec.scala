@@ -18,23 +18,29 @@ class MultimodalSpec extends SparkSpec {
       r.height >= 1 && r.height <= 256))
   }
 
-  test("decodeStub features equal the md5-arithmetic recomputation") {
-    val feats = Multimodal.decodeStub(Multimodal.mediaTable(spark, sfDir))
-      .toDF().as[(Long, String, Int, Long, Int, Long)].collect()
-      .map(r => r._1 -> r).toMap
-
-    val expected = graft.sources.Tables.documents(spark, sfDir)
-      .select(col("doc_id"), md5(col("text")).as("h"))
-      .as[(Long, String)].collect()
-    assert(expected.length == feats.size)
-    expected.foreach { case (id, hex) =>
-      val bytes = hex.grouped(2).map(Integer.parseInt(_, 16)).toSeq
-      val (_, _, nBytes, byteSum, first, frameSum) = feats(id)
-      assert(nBytes == 64)
-      assert(byteSum == 4L * bytes.sum)
-      assert(first == bytes.head)
-      assert(frameSum == 4L * (bytes(0) + bytes(8)))
-    }
+  test("q31: real-decode frame sample agrees with the q47 frame fan-out (two codec paths)") {
+    // round-12 item 4: q31's stride-2 frame feature and q47's per-row
+    // frame sample are INDEPENDENT walks of the same decoded rasters —
+    // per-kind sums must agree exactly (and with the corrupt subset
+    // excluded from both)
+    val q31 = Multimodal.mediaFeatures(spark, sfDir)
+      .select("kind", "frame_sum").as[(String, Long)].collect().toMap
+    val fromFrames = Multimodal.ppmFrameSample(Multimodal.ppmMediaTable(spark, sfDir))
+      .toDF()
+      .filter(pmod(col("frame_idx"), lit(2)) === 0)
+      .withColumn("kind",
+        when(pmod(col("media_id"), lit(3)) === 0, "image")
+          .when(pmod(col("media_id"), lit(3)) === 1, "audio")
+          .otherwise("video"))
+      .groupBy("kind")
+      .agg(sum(col("r_sum") + col("g_sum") + col("b_sum")).as("f"))
+      .as[(String, Long)].collect().toMap
+    assert(q31.keySet == Set("image", "audio", "video"))
+    assert(q31 == fromFrames, s"q31=$q31 frames=$fromFrames")
+    // byte stats are real payload bytes: every blob is header + 180
+    val nb = Multimodal.mediaFeatures(spark, sfDir)
+      .agg(sum(col("total_bytes")), sum(col("n_media"))).as[(Long, Long)].head()
+    assert(nb._1 > nb._2 * 180, "total_bytes must include real header bytes")
   }
 
   test("q84: planted duplicate payloads pair up; distinct payloads don't") {

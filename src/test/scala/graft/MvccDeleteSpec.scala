@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Layout
+
+/** Round-12 lead item: takedown WRITE I/O is O(affected). A delete
+  * event against a catalog-backed artifact publishes as a TOMBSTONE
+  * EVENT ([[Layout.tombstoneEvent]]): the carried rows' FILES are
+  * physically untouched — the event writes only the tombstone rows
+  * (O(delete set)) and, for refill deletes, the affected keys' new
+  * rows (O(affected cone)). This spec asserts the file-set identity
+  * the census gates can't see, the LWW-via-generation-scoped-
+  * tombstone semantics, multi-event composition with version time
+  * travel, and the ad-hoc-base fallback boundary. */
+class MvccDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (path, length, lastModified) of every data file behind a catalog
+    * relation — the identity that must survive a delete event. */
+  private def fileState(name: String): Set[(String, Long, Long)] =
+    spark.table(name).inputFiles.map { f =>
+      val p = new java.io.File(new java.net.URI(f).getPath)
+      (p.getPath, p.length(), p.lastModified())
+    }.toSet
+
+  test("pure-anti tombstone delete: carried files untouched, only tombstone bytes written") {
+    val dir = sfDir
+    val base = Layout.materializedTable(spark, dir, "mvccdelbase",
+      Some((Layout.Buckets, Seq("grp")))) {
+      spark.range(500L).select(col("id").as("doc_id"),
+        pmod(col("id"), lit(16)).as("grp"))
+    }
+    val baseName = Layout.tableName(dir, "mvccdelbase")
+    val pre = fileState(baseName)
+    assert(pre.nonEmpty)
+
+    val out = Layout.deleteRewrite(spark, dir, "mvccdelbase",
+      Some((Layout.Buckets, Seq("grp"))),
+      spark.range(0, 500, 7).toDF("doc_id"), Seq("doc_id"))(
+      spark.table(baseName))
+
+    // result = the anti join, exactly
+    val got = out.select("doc_id").as[Long].collect().toSet
+    assert(got == (0L until 500L).filterNot(_ % 7 == 0).toSet)
+    // the base artifact's files: byte-identical, no file added/removed
+    assert(fileState(baseName) == pre,
+      "delete event touched the carried rows' files")
+    // the delete's own write surface is the tombstone sidecar only —
+    // no seg table (pure anti), and tombs is O(delete set)
+    val delName = Layout.tableName(dir, "mvccdelbasedel")
+    assert(spark.catalog.tableExists(s"${delName}tombs"))
+    assert(!spark.catalog.tableExists(s"${delName}seg"))
+    assert(spark.table(s"${delName}tombs").count() == (0L until 500L).count(_ % 7 == 0))
+    // the published artifact reads THROUGH the base's files (zero copy)
+    def paths(fs: Array[String]): Set[String] =
+      fs.map(f => new java.io.File(new java.net.URI(f).getPath).getPath).toSet
+    assert(paths(out.inputFiles).subsetOf(
+      pre.map(_._1) ++ paths(spark.table(s"${delName}tombs").inputFiles)))
+  }
+
+  test("refill delete: LWW via generation-scoped tombstones, base files untouched, seg = O(affected)") {
+    val dir = sfDir
+    // a graph-shaped artifact: several rows per vertex
+    val base = Layout.materializedTable(spark, dir, "mvccrefbase",
+      Some((Layout.Buckets, Seq("vec_id")))) {
+      spark.range(100L).select(col("id").as("vec_id"))
+        .crossJoin(spark.range(4L).toDF("j"))
+        .select(col("vec_id"), (col("vec_id") * 10 + col("j")).as("nbr"))
+    }
+    val baseName = Layout.tableName(dir, "mvccrefbase")
+    val pre = fileState(baseName)
+
+    val del = Seq(7L).toDF("vec_id")         // deleted vertex
+    val affected = Seq(3L, 9L).toDF("vec_id") // vertices to refill
+    val refill = Seq((3L, 777L), (9L, 888L), (9L, 999L)).toDF("vec_id", "nbr")
+    val out = Layout.refillRewrite(spark, dir, "mvccrefdel",
+      Some((Layout.Buckets, Seq("vec_id"))),
+      Seq("vec_id" -> del, "nbr" -> del.select(col("vec_id")),
+        "vec_id" -> affected), refill)(spark.table(baseName))
+
+    val got = out.select("vec_id", "nbr").as[(Long, Long)].collect().toSet
+    val expected =
+      (0L until 100L).filter(v => v != 7L && v != 3L && v != 9L)
+        .flatMap(v => (0L until 4L).map(j => (v, v * 10 + j))).toSet ++
+        Set((3L, 777L), (9L, 888L), (9L, 999L))
+    assert(got == expected,
+      s"LWW view wrong: missing=${expected -- got} extra=${got -- expected}")
+    assert(fileState(baseName) == pre,
+      "refill delete touched the carried rows' files")
+    val delName = Layout.tableName(dir, "mvccrefdel")
+    // seg holds exactly the refilled rows (O(affected) write)
+    assert(spark.table(s"${delName}seg").count() == 3)
+    // prior-version time travel: __v1 is this event's snapshot
+    assert(spark.catalog.tableExists(s"${delName}__v1") ||
+      spark.catalog.listTables().collect().exists(_.name.startsWith(s"${delName}__v")))
+  }
+
+  test("multi-event tombstone deletes compose; earlier versions stay readable; base still untouched") {
+    val dir = sfDir
+    val baseName = Layout.tableName(dir, "mvccrefbase") // from the previous test
+    val pre = fileState(baseName)
+    val delName = Layout.tableName(dir, "mvccrefdel")
+    val v1 = spark.table(delName).select("vec_id", "nbr")
+      .as[(Long, Long)].collect().toSet
+
+    // event 2: delete vertex 20, refill vertex 3 AGAIN (its event-1
+    // refill rows must be shadowed by the newer generation)
+    Layout.tombstoneEvent(spark, dir, "mvccrefdel", baseName,
+      Seq("vec_id", "nbr"),
+      Seq("vec_id" -> Seq(20L).toDF("vec_id"),
+        "nbr" -> Seq(20L).toDF("vec_id"),
+        "vec_id" -> Seq(3L).toDF("vec_id")),
+      Some(Seq((3L, 333L)).toDF("vec_id", "nbr")),
+      Some((Layout.Buckets, Seq("vec_id"))))
+
+    val v2 = spark.table(delName).select("vec_id", "nbr")
+      .as[(Long, Long)].collect().toSet
+    // vertex 20 vanishes as a VERTEX and as a PAYLOAD (nbr), vertex
+    // 3's event-1 refill is shadowed by its event-2 generation
+    val expected2 =
+      v1.filterNot { case (v, n) => v == 20L || v == 3L || n == 20L } + ((3L, 333L))
+    assert(v2 == expected2,
+      s"event-2 view wrong: missing=${expected2 -- v2} extra=${v2 -- expected2}")
+    // version 1 unchanged (time travel)
+    val stillV1 = spark.table(s"${delName}__v1").select("vec_id", "nbr")
+      .as[(Long, Long)].collect().toSet
+    assert(stillV1 == v1, "event 2 mutated version 1")
+    assert(fileState(baseName) == pre,
+      "second delete event touched the carried rows' files")
+  }
+
+  test("ad-hoc (non-catalog) bases fall back to the materializing publish") {
+    val dir = sfDir
+    val adhoc = spark.range(50L).select(col("id").as("doc_id"),
+      (col("id") * 3).as("v"))
+    val out = Layout.deleteRewrite(spark, dir, "mvccadhoc", None,
+      spark.range(0, 50, 5).toDF("doc_id"), Seq("doc_id"))(adhoc)
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      (0L until 50L).filterNot(_ % 5 == 0).toSet)
+    // the fallback materializes — no tombstone sidecar exists
+    val delName = Layout.tableName(dir, "mvccadhocdel")
+    assert(!spark.catalog.tableExists(s"${delName}tombs"))
+  }
+}
