@@ -1386,7 +1386,7 @@ object Dedup {
     * is applied to the PER-KEY written artifacts via
     * [[Layout.deleteRewrite]] — pair graph (both endpoints), shingle
     * index, band index, window index, IVF assignment, PQ code table,
-    * composed IVFPQ index — each rewritten as `<what>del` with its
+    * composed IVFPQ index — each published as `<what>del` with its
     * bucket spec preserved, and the census reports each artifact's
     * surviving row count plus an order-independent content checksum.
     * The graph-ANN family's artifacts — whose rows carry NEIGHBOR
@@ -1405,11 +1405,14 @@ object Dedup {
     * hot-bucket cap that fires differently on the two decompositions
     * is the documented exception, property-tested separately.)
     *
-    * Scale: each rewrite is one anti join against the takedown-sized
-    * delete relation (AQE-broadcast) streaming map-side through the
-    * artifact — nothing re-shuffles, bucket specs survive, and with
-    * key-partitioned layouts only affected files rewrite (the q80
-    * dynamic-overwrite granularity). */
+    * Scale (round 12): each delete publishes as a TOMBSTONE EVENT —
+    * the event writes O(delete set) tombstone rows and swaps a view;
+    * the artifact's files are never touched. Reads pay one
+    * AQE-broadcast anti join per purged key column, streaming
+    * map-side through the bucketed base scan — nothing re-shuffles,
+    * bucket specs survive (see [[Layout.tombstoneEvent]];
+    * [[Layout.compactDeleted]] recovers the anti join at the next
+    * snapshot build). */
   def deleteCensus(s: SparkSession, dir: String): DataFrame = {
     val docDel = Tables.documents(s, dir)
       .filter(pmod(col("doc_id"), lit(DelMod)) === lit(DelRem))
@@ -1741,7 +1744,7 @@ object Dedup {
     * which is exactly the O(corpus)-per-ingest cost the incremental
     * path exists to avoid. Written UNCAPPED; the hot-bucket cap is
     * applied per read so its observability fires on every execution. */
-  private def corpusBandIndex(s: SparkSession, dir: String): DataFrame =
+  private[graft] def corpusBandIndex(s: SparkSession, dir: String): DataFrame =
     Layout.materializedTable(s, dir, "bandindex",
         Some((Layout.Buckets, Seq("band", "bval")))) {
       bandTable(Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0))

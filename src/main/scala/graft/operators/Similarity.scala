@@ -3821,9 +3821,10 @@ object Similarity {
     * SNAPSHOT-QUANTIZER semantics throughout (the q106 contract): the
     * coarse quantizer and the probe SET are held through deletes —
     * production retrains/re-probes at the next snapshot build, never
-    * per takedown. Both maintained artifacts publish atomically
-    * ([[graft.sources.Layout.replaceRewrite]] — affected rows are
-    * REPLACED, which deleteRewrite's pure anti-join cannot express),
+    * per takedown. Both maintained artifacts publish atomically as
+    * TOMBSTONE EVENTS ([[graft.sources.Layout.refillRewrite]] —
+    * affected rows are shadowed by a same-generation refill, which a
+    * pure anti join cannot express; carried files untouched),
     * and the census reports refreshed/untouched row classes
     * separately so the O(affected) claim is itself gated. The ORACLE
     * re-derives both artifacts FROM SCRATCH over the survivors (held

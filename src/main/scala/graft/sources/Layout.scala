@@ -433,6 +433,45 @@ object Layout {
     s.table(tableName(dir, what + "del"))
   }
 
+  /** COMPACTION of a tombstone-delete artifact (the merge-on-read
+    * cost's recovery path, made code): fold the published view's rows
+    * — base minus tombstones plus refill segments — into a fresh
+    * BUCKETED table under the next version number and swap the stable
+    * name to it. After compaction reads pay no anti join and the
+    * refill view's lost bucketed output partitioning is RESTORED (the
+    * rows are repartitioned on the bucket columns before the write —
+    * Spark's bucket formula — so each bucket lands as one file, the
+    * [[compactBucketed]] invariant). Runs at the next snapshot build
+    * in production (single-writer, like all maintenance here); prior
+    * version views stay readable, and a fresh delete lifecycle over
+    * the compacted artifact starts from clean sidecars. */
+  private[graft] def compactDeleted(s: SparkSession, dir: String, what: String,
+      buckets: Option[(Int, Seq[String])]): DataFrame = {
+    val name = tableName(dir, what)
+    val ctr = publishCounter.computeIfAbsent(name,
+      _ => new java.util.concurrent.atomic.AtomicLong(priorMaxVersion(s, name)))
+    ctr.synchronized {
+      val e = ctr.incrementAndGet()
+      val versioned = s"${name}__v$e"
+      s.sql(s"DROP VIEW IF EXISTS $versioned")
+      refresh(s, versioned)
+      val rows = s.table(name)
+      val w = buckets match {
+        case Some((k, bc)) =>
+          // partition on the BUCKET ID itself (pmod(murmur3, k) is
+          // Spark's bucket formula — the compactBucketed discipline),
+          // so each bucket's rows land in one write task → one file
+          rows.repartition(k, pmod(hash(bc.map(col): _*), lit(k)))
+            .write.bucketBy(k, bc.head, bc.tail: _*)
+        case None => rows.write
+      }
+      w.saveAsTable(versioned)
+      // the commit point — readers swap to the anti-join-free table
+      s.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $versioned")
+    }
+    s.table(name)
+  }
+
   /** REFILL delete of a maintained artifact whose rows carry payloads
     * a pure anti join cannot maintain (the graph/top-k family):
     * tombstones purge the deleted keys on `tombs`' columns AND shadow

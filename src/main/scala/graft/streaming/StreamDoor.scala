@@ -137,6 +137,41 @@ object StreamDoor {
        |SELECT nh FROM i WHERE nh NOT IN (SELECT nh FROM c) ORDER BY nh""".stripMargin
   }
 
+  /** q126: the NEAR-DUP door run end to end — the FOURTH driver-gated
+    * door (index/media/exact/near-dup): the batch's documents staged
+    * to a parquet file source, signed IN the stream (map-side MinHash
+    * band table per micro-batch) and band-joined against the STATIC
+    * written corpus band index through
+    * [[DocIngest.nearDupIngest]] — stream-static equi join, pair
+    * identity deduplicated in the state store — AvailableNow to a
+    * checkpointed parquet sink. The sink's (doc_new, doc_corpus,
+    * n_eq, est_j) hit rows, re-ordered, must hash-match q77's
+    * from-scratch oracle: the stream's near-dup admissions equal the
+    * batch incremental-LSH math through the engine's
+    * source/state/commit machinery. */
+  def streamNearDupDoor(s: SparkSession, dir: String): DataFrame = {
+    val out = Layout.materializedTable(s, dir, "ndoorout") {
+      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
+      val base = wh + "/" + Layout.tableName(dir, "ndoorrun")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val srcDir = s"$base/src"; val sinkDir = s"$base/sink"; val ckpt = s"$base/ckpt"
+      val incoming = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+      incoming.write.mode("overwrite").parquet(srcDir)
+      val door = DocIngest.nearDupIngest(
+        s.readStream.schema(incoming.schema).parquet(srcDir),
+        graft.operators.Dedup.corpusBandIndex(s, dir))
+      val q = door.writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sinkDir)
+    }
+    out.select(col("doc_new"), col("doc_corpus"), col("n_eq"), col("est_j"))
+      .orderBy("doc_new", "doc_corpus")
+  }
+
   val defs: Vector[QueryDef] = Vector(
     // the oracle re-derives the batch's index entries from scratch:
     // the gate proves the streaming run's sink == batch maintenance
@@ -148,5 +183,9 @@ object StreamDoor {
     // q125: the exact-dedup text door — the admission set of a real
     // streaming run equals the analytic derivation (round-12 item 6)
     QueryDef("q125_stream_exact_door", streamExactDoor, Some(exactDoorSql)),
+    // q126: the near-dup door — a real streaming run's LSH hits equal
+    // q77's from-scratch incremental-LSH oracle
+    QueryDef("q126_stream_neardup_door", streamNearDupDoor,
+      Some(graft.operators.Dedup.incrementalLshSql)),
   )
 }

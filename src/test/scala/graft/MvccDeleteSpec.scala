@@ -100,6 +100,14 @@ class MvccDeleteSpec extends SparkSpec {
     val baseName = Layout.tableName(dir, "mvccrefbase") // from the previous test
     val pre = fileState(baseName)
     val delName = Layout.tableName(dir, "mvccrefdel")
+    // version numbers CONTINUE over whatever a persisted warehouse
+    // holds (the priorMaxVersion contract), so discover the current
+    // one instead of assuming __v1
+    def maxVersion(): Long = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(s"${delName}__v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix(s"${delName}__v").toLong).toOption)
+      .max
+    val vBefore = maxVersion()
     val v1 = spark.table(delName).select("vec_id", "nbr")
       .as[(Long, Long)].collect().toSet
 
@@ -121,12 +129,57 @@ class MvccDeleteSpec extends SparkSpec {
       v1.filterNot { case (v, n) => v == 20L || v == 3L || n == 20L } + ((3L, 333L))
     assert(v2 == expected2,
       s"event-2 view wrong: missing=${expected2 -- v2} extra=${v2 -- expected2}")
-    // version 1 unchanged (time travel)
-    val stillV1 = spark.table(s"${delName}__v1").select("vec_id", "nbr")
+    // the pre-event-2 version is unchanged (time travel)
+    assert(maxVersion() == vBefore + 1, "event 2 did not allocate the next version")
+    val stillV1 = spark.table(s"${delName}__v$vBefore").select("vec_id", "nbr")
       .as[(Long, Long)].collect().toSet
-    assert(stillV1 == v1, "event 2 mutated version 1")
+    assert(stillV1 == v1, "event 2 mutated the prior version")
     assert(fileState(baseName) == pre,
       "second delete event touched the carried rows' files")
+  }
+
+  test("compacting a tombstone-delete artifact: anti-join-free table, bucketing restored, rows identical") {
+    val dir = sfDir
+    // self-contained artifact + one refill event, then compaction
+    Layout.materializedTable(spark, dir, "mvcccompbase",
+      Some((Layout.Buckets, Seq("vec_id")))) {
+      spark.range(80L).select(col("id").as("vec_id"))
+        .crossJoin(spark.range(3L).toDF("j"))
+        .select(col("vec_id"), (col("vec_id") * 10 + col("j")).as("nbr"))
+    }
+    Layout.refillRewrite(spark, dir, "mvcccompdel",
+      Some((Layout.Buckets, Seq("vec_id"))),
+      Seq("vec_id" -> Seq(5L).toDF("vec_id"),
+        "nbr" -> Seq(5L).toDF("vec_id"),
+        "vec_id" -> Seq(11L).toDF("vec_id")),
+      Seq((11L, 1111L)).toDF("vec_id", "nbr"))(
+      spark.table(Layout.tableName(dir, "mvcccompbase")))
+    val delName = Layout.tableName(dir, "mvcccompdel")
+    val before = spark.table(delName).select("vec_id", "nbr")
+      .as[(Long, Long)].collect().toSet
+    assert(before.contains((11L, 1111L)) && !before.exists(_._1 == 5L))
+    val compacted = Layout.compactDeleted(spark, dir, "mvcccompdel",
+      Some((Layout.Buckets, Seq("vec_id"))))
+    val after = compacted.select("vec_id", "nbr").as[(Long, Long)].collect().toSet
+    assert(after == before, "compaction changed the row set")
+    // the stable name now resolves to a BUCKETED table — no anti join,
+    // no union; the refill view's lost partitioning is restored
+    val prefix = s"${delName}__v"
+    val maxV = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption).max
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"$prefix$maxV"))
+    assert(meta.tableType.name != "VIEW")
+    assert(meta.bucketSpec.exists(b =>
+      b.numBuckets == Layout.Buckets && b.bucketColumnNames == Seq("vec_id")))
+    // one file per bucket (the compactBucketed invariant)
+    val nFiles = compacted.inputFiles.length
+    assert(nFiles <= Layout.Buckets, s"$nFiles files after compaction")
+    // and the executed plan carries no join at all
+    compacted.collect()
+    val plan = spark.table(delName).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"compacted read still joins:\n$plan")
   }
 
   test("ad-hoc (non-catalog) bases fall back to the materializing publish") {
