@@ -33,6 +33,25 @@ object BpeProbe {
           .agg(sum(col("nb"))).head().getLong(0)
         println(f"""{"probe":"bpe_rounds","sf":"$sf","rounds":$rounds,"words":$words,"chars":$chars,"bpe_tokens":$bpe,"bpe_per_ws":${bpe.toDouble / words}%.3f,"chars_per_bpe":${chars.toDouble / bpe}%.3f,"train_sec":${math.rint(trainSec * 100) / 100}}""")
       }
+      // ---- VOCABULARY-ECONOMY row (round-12, q124's scale claim):
+      // the encode cost driver is the DISTINCT-WORD vocabulary, not
+      // the corpus — measure both counts plus the q124-shaped
+      // distinct-word encode wall at the production 64-rule table.
+      // Across the 10× corpus step the word count grows ~10× while
+      // distinct words grow sublinearly (natural-text vocabulary
+      // growth), which is exactly the q124 plan's leverage.
+      val distinctWords = docs
+        .select(explode(graft.functions.Fns.tokens(col("text"))).as("w"))
+        .select(col("w")).distinct().count()
+      val merges64 = Pipeline.bpeTrainedMergesN(spark, dir, 64)
+      val t1 = System.nanoTime()
+      val dw = docs.select(explode(graft.functions.Fns.tokens(col("text"))).as("w"))
+        .select(col("w")).distinct()
+      val encoded = dw.select(
+          size(Pipeline.bpeWordTokens(merges64)(col("w"))).cast("long").as("n"))
+        .agg(sum(col("n"))).head().getLong(0)
+      val encodeSec = (System.nanoTime() - t1) / 1e9
+      println(f"""{"probe":"bpe_vocab_economy","sf":"$sf","corpus_words":$words,"distinct_words":$distinctWords,"vocab_frac":${distinctWords.toDouble / words}%.4f,"distinct_encode_tokens":$encoded,"encode_sec":${math.rint(encodeSec * 100) / 100}}""")
     }
     spark.stop()
   }

@@ -984,7 +984,7 @@ object Dedup {
     * by the window hash — the span family's per-snapshot artifact,
     * exactly the band-index pattern (q77): written UNCAPPED so the
     * per-read df cap stays observable on every execution. */
-  private def corpusWindowIndex(s: SparkSession, dir: String): DataFrame =
+  private[graft] def corpusWindowIndex(s: SparkSession, dir: String): DataFrame =
     Layout.materializedTable(s, dir, "winindex",
         Some((Layout.Buckets, Seq("h")))) {
       windowTable(Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0))

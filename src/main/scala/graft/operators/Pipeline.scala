@@ -829,6 +829,11 @@ object Pipeline {
   private[graft] def bpeTokenizerOf(merges: Seq[(String, String)]): Column => Column =
     text => flatten(transform(tokens(text), bpeWordOf(merges)(_)))
 
+  /** WORD-level encode under a merge table (the q124 distinct-word
+    * stage; `BpeProbe`'s vocabulary-economy row drives it directly). */
+  private[graft] def bpeWordTokens(merges: Seq[(String, String)]): Column => Column =
+    w => bpeWordOf(merges)(w)
+
   /** The toy-table tokenizer (spec surface; q109 runs the
     * corpus-TRAINED table via [[bpeTrainedMerges]]). */
   private[graft] val bpeTokenizer: Column => Column = bpeTokenizerOf(BpeMerges)

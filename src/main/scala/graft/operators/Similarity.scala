@@ -2012,6 +2012,19 @@ object Similarity {
        |SELECT vec_id, cvec AS best_match, cos AS best_cos, n_matches
        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
 
+  /** The q128 door oracle: [[semDedupIncrementalSql]]'s CTE chain cut
+    * at the raw match events (the `semanticMatchEvents` relation the
+    * streaming door sinks) — same loud-failure surgery contract as
+    * q77's. */
+  val semanticDoorSql: String = {
+    val marker = "r AS MATERIALIZED ("
+    require(semDedupIncrementalSql.contains(marker),
+      "semDedupIncrementalSql reworded; update semanticDoorSql surgery")
+    semDedupIncrementalSql.substring(0, semDedupIncrementalSql.indexOf(marker))
+      .trim.stripSuffix(",") +
+      "\nSELECT vec_id, cvec, cos FROM m WHERE cos >= 0.4 ORDER BY vec_id, cvec"
+  }
+
   /** q95: the embedding-modality END-TO-END pipeline — q81's
     * composition proof for vectors: semantic dedup (q86's
     * within-cluster keep-min) → cluster-balanced capping (q94) as ONE

@@ -348,6 +348,18 @@ object Layout {
     val name = tableName(dir, what)
     val tombsT = s"${name}tombs"
     val segT = s"${name}seg"
+    // SNAPSHOT-PIN the base: if the base is itself a versioned
+    // artifact (an MVCC upd view — q120's shape), reference its
+    // highest committed version view, not the stable name. A later
+    // appendSegment repoints the stable name; the already-published
+    // delete view must keep reading the snapshot its tombstones and
+    // refill were computed against.
+    val pinnedBase = {
+      val vs = s.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith(s"${baseName}__v"))
+        .flatMap(t => scala.util.Try(t.stripPrefix(s"${baseName}__v").toLong).toOption)
+      if (vs.isEmpty) baseName else s"${baseName}__v${vs.max}"
+    }
     if (firstEvent(s, name)) { refresh(s, tombsT); refresh(s, segT) }
     val ctr = publishCounter.computeIfAbsent(name,
       _ => new java.util.concurrent.atomic.AtomicLong(priorMaxVersion(s, name)))
@@ -373,9 +385,9 @@ object Layout {
       val colsSql = cols.map(c => s"`$c`").mkString(", ")
       val src =
         if (refill.isDefined)
-          s"""(SELECT $colsSql, CAST(0 AS INT) AS gen FROM $baseName
+          s"""(SELECT $colsSql, CAST(0 AS INT) AS gen FROM $pinnedBase
              |   UNION ALL SELECT $colsSql, gen FROM $segT WHERE gen <= $e) t""".stripMargin
-        else s"(SELECT $colsSql, CAST(0 AS INT) AS gen FROM $baseName) t"
+        else s"(SELECT $colsSql, CAST(0 AS INT) AS gen FROM $pinnedBase) t"
       val anti = tombs.map(_._1).distinct.map(c =>
         s"""NOT EXISTS (SELECT 1 FROM $tombsT d
            |     WHERE d.gen <= $e AND d.gen > t.gen AND d.kcol = '$c' AND d.k = t.`$c`)""".stripMargin)

@@ -172,6 +172,74 @@ object StreamDoor {
       .orderBy("doc_new", "doc_corpus")
   }
 
+  /** q127: the SPAN-coverage door run end to end — the FIFTH
+    * driver-gated door, and the first STATEFUL-custom one:
+    * [[DocIngest.spanIngest]] windows each arriving document
+    * map-side, left-joins the STATIC known-window set (the written
+    * h-bucketed index, distinct-projected) and rolls the flags into
+    * one admission-score row per document through
+    * `flatMapGroupsWithState` — the gate therefore drives the custom
+    * GroupState operator (not just dropDuplicates state) through a
+    * real source→state→sink run. The sink's rows, re-ordered, must
+    * hash-match q103's batch oracle: one (doc_id, nw, known_windows,
+    * coverage) row per incoming document with ≥ 1 window. */
+  def streamSpanDoor(s: SparkSession, dir: String): DataFrame = {
+    val out = Layout.materializedTable(s, dir, "sdoorspanout") {
+      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
+      val base = wh + "/" + Layout.tableName(dir, "sdoorspanrun")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val srcDir = s"$base/src"; val sinkDir = s"$base/sink"; val ckpt = s"$base/ckpt"
+      val incoming = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+      incoming.write.mode("overwrite").parquet(srcDir)
+      val door = DocIngest.spanIngest(
+        s.readStream.schema(incoming.schema).parquet(srcDir),
+        graft.operators.Dedup.corpusWindowIndex(s, dir))
+      val q = door.toDF().writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sinkDir)
+    }
+    out.select(col("doc_id"), col("nw"), col("known_windows"), col("coverage"))
+      .orderBy("doc_id")
+  }
+
+  /** q128: the SEMANTIC door run end to end — the SIXTH door, closing
+    * the set: arriving embeddings quantize and route themselves
+    * against the broadcast held base quantizer inside the stream
+    * (stateless, O(micro-batch)), join the STATIC corpus assignment,
+    * and emit (vec_id, cvec, cos) match events at cosine ≥ 0.4 with
+    * match-identity replay state ([[DocIngest.semanticIngest]]). The
+    * sink's rows, re-ordered, must hash-match the q91 chain cut at
+    * the raw match events ([[Similarity.semanticDoorSql]]) — the
+    * stream's admissions equal the batch semantic-dedup math through
+    * the engine's machinery. */
+  def streamSemanticDoor(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.ivfCentsBase(s, dir)
+    val corpusAssign = Similarity.ivfAssignBase(s, dir, cents)
+    val out = Layout.materializedTable(s, dir, "semdoorout") {
+      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
+      val base = wh + "/" + Layout.tableName(dir, "semdoorrun")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val srcDir = s"$base/src"; val sinkDir = s"$base/sink"; val ckpt = s"$base/ckpt"
+      val incoming = Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(5)) === 0)
+      incoming.write.mode("overwrite").parquet(srcDir)
+      val door = DocIngest.semanticIngest(
+        s.readStream.schema(incoming.schema).parquet(srcDir), cents, corpusAssign)
+      val q = door.writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sinkDir)
+    }
+    out.select(col("vec_id"), col("cvec"), col("cos"))
+      .orderBy("vec_id", "cvec")
+  }
+
   val defs: Vector[QueryDef] = Vector(
     // the oracle re-derives the batch's index entries from scratch:
     // the gate proves the streaming run's sink == batch maintenance
@@ -187,5 +255,13 @@ object StreamDoor {
     // q77's from-scratch incremental-LSH oracle
     QueryDef("q126_stream_neardup_door", streamNearDupDoor,
       Some(graft.operators.Dedup.incrementalLshSql)),
+    // q127: the span door — a real flatMapGroupsWithState run's
+    // admission scores equal q103's batch oracle
+    QueryDef("q127_stream_span_door", streamSpanDoor,
+      Some(graft.operators.Dedup.spanCoverageSql)),
+    // q128: the semantic door — streamed match events equal the q91
+    // chain cut at the raw matches; all six doors now driver-gated
+    QueryDef("q128_stream_semantic_door", streamSemanticDoor,
+      Some(Similarity.semanticDoorSql)),
   )
 }

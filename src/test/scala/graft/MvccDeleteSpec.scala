@@ -182,6 +182,29 @@ class MvccDeleteSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"compacted read still joins:\n$plan")
   }
 
+  test("the pure-anti view keeps bucketed co-location: a bucket-key self-join plans zero shuffle") {
+    // the 100 TB property the merge-on-read trade must NOT give up:
+    // Filter + broadcast-anti over the bucketed base scan preserves
+    // its output partitioning, so consumers joining on the bucket key
+    // (q117's routing-refill shape) still plan with no
+    // ShuffleExchange — the delete costs an anti join, never a
+    // re-shuffle of the artifact
+    // default confs on purpose: the tombstone side MUST broadcast (it
+    // is takedown-sized by contract — with broadcasts globally
+    // disabled the anti join itself would shuffle, an artifact no
+    // deployment has)
+    val dir = sfDir
+    val v = spark.table(Layout.tableName(dir, "mvccdelbasedel")) // from test 1
+    val j = v.as("a").join(v.as("b"), Seq("grp"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"delete view consumer re-shuffled on the bucket key:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"bucketed scan lost:\n$plan")
+  }
+
   test("ad-hoc (non-catalog) bases fall back to the materializing publish") {
     val dir = sfDir
     val adhoc = spark.range(50L).select(col("id").as("doc_id"),
