@@ -343,8 +343,11 @@ object Layout {
       tombs: Seq[(String, DataFrame)],
       refill: Option[DataFrame],
       buckets: Option[(Int, Seq[String])]): DataFrame = {
-    require(!cols.exists(c => c == "gen" || c == "kcol" || c == "k"),
-      s"tombstoneEvent: artifact columns $cols collide with MVCC bookkeeping names")
+    // `gen` is the one reserved name: the view's union adds it to the
+    // artifact rows (the sidecar tables' k/kcol live behind their own
+    // alias and never collide)
+    require(!cols.contains("gen"),
+      s"tombstoneEvent: artifact columns $cols collide with the gen bookkeeping column")
     val name = tableName(dir, what)
     val tombsT = s"${name}tombs"
     val segT = s"${name}seg"

@@ -205,6 +205,56 @@ class MvccDeleteSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), s"bucketed scan lost:\n$plan")
   }
 
+  test("property: random multi-event delete/refill sequences match the reference fold, all versions") {
+    // seeded-random event sequences against an in-memory reference
+    // model (the DedupCapPropertySpec discipline): each event picks a
+    // random delete set and a random refill set with fresh rows; after
+    // every event the stable view must equal the reference fold, and
+    // at the end every version view must equal its recorded snapshot
+    // — the generation-scoped tombstone rule proven over arbitrary
+    // event interleavings, not just the gates' fixed shapes
+    val dir = sfDir
+    val rnd = new scala.util.Random(20121)
+    val keys: Seq[Long] = (0L until 60L).toSeq
+    val base0 = keys.flatMap(k => (0L until 3L).map(j => (k, k * 100 + j)))
+    Layout.materializedTable(spark, dir, "mvccpropbase",
+      Some((Layout.Buckets, Seq("k")))) {
+      base0.toDF("k", "v")
+    }
+    val baseName = Layout.tableName(dir, "mvccpropbase")
+    val what = "mvccpropdel"
+    val delName = Layout.tableName(dir, what)
+    var model: Set[(Long, Long)] = base0.toSet
+    var nextV = 900L // fresh refill payloads per event
+    val snapshots = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[(Long, Long)])]
+    def maxVersion(): Long = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(s"${delName}__v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix(s"${delName}__v").toLong).toOption)
+      .foldLeft(0L)(math.max)
+    (1 to 4).foreach { _ =>
+      val dels = rnd.shuffle(keys).take(1 + rnd.nextInt(5)).toSet
+      val refills = rnd.shuffle(keys).take(1 + rnd.nextInt(5)).toSet -- dels
+      val refillRows = refills.toSeq.flatMap(k =>
+        (0 until 1 + rnd.nextInt(3)).map(_ => { nextV += 1; (k, nextV) }))
+      Layout.tombstoneEvent(spark, dir, what, baseName, Seq("k", "v"),
+        Seq("k" -> dels.toSeq.toDF("k"),
+          "k" -> refills.toSeq.toDF("k")),
+        Some(refillRows.toDF("k", "v")),
+        Some((Layout.Buckets, Seq("k"))))
+      model = model.filterNot { case (k, _) => dels(k) || refills(k) } ++ refillRows
+      val got = spark.table(delName).select("k", "v").as[(Long, Long)].collect().toSet
+      assert(got == model,
+        s"event diverged: missing=${model -- got} extra=${got -- model}")
+      snapshots += ((maxVersion(), model))
+    }
+    // time travel: every event's version view still serves its snapshot
+    snapshots.foreach { case (v, snap) =>
+      val got = spark.table(s"${delName}__v$v").select("k", "v")
+        .as[(Long, Long)].collect().toSet
+      assert(got == snap, s"version $v drifted")
+    }
+  }
+
   test("ad-hoc (non-catalog) bases fall back to the materializing publish") {
     val dir = sfDir
     val adhoc = spark.range(50L).select(col("id").as("doc_id"),
