@@ -1450,6 +1450,68 @@ object Dedup {
     * survivor set (`main.documents` reaches the base relation), so
     * the q21/q23/q78 chains run unchanged over it; the ANN rows come
     * from [[Similarity.annDeleteCensusSql]] (held quantizer). */
+  /** q129: DELETE → COMPACTION, the full lifecycle driver-gated
+    * (round-12; `MvccDeleteSpec` proves the mechanism, this gates it
+    * on a production artifact): q106's tombstone-delete of the
+    * written window index (`winindexdel` — a merge-on-read view over
+    * the untouched base files) is COMPACTED via
+    * [[Layout.compactDeleted]] — folded into a fresh h-bucketed table
+    * under the next version, the stable name swapped — and the gated
+    * census reads the compacted artifact. The oracle re-derives the
+    * surviving window relation from scratch, so the gate proves
+    * view == compacted-table == rebuild: the read-cost recovery path
+    * loses no row. Compaction runs once per (session, snapshot) (the
+    * census row is a materialized table), the single-writer
+    * maintenance contract. */
+  def deleteCompaction(s: SparkSession, dir: String): DataFrame = {
+    val docDel = Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(DelMod)) === lit(DelRem))
+      .select(col("doc_id"))
+    // the q106-shared once-gate: same artifact, same delete relation
+    Layout.deleteRewrite(s, dir, "winindex", Some((Layout.Buckets, Seq("h"))),
+      docDel, Seq("doc_id"))(corpusWindowIndex(s, dir))
+    Layout.materializedTable(s, dir, "wincompcensus") {
+      val compacted = Layout.compactDeleted(s, dir, "winindexdel",
+        Some((Layout.Buckets, Seq("h"))))
+      censusRow("winindex_compacted", compacted,
+        concat_ws("|", col("doc_id"), col("h")))
+    }.orderBy("artifact")
+  }
+
+  /** The q129 oracle: the q106 winindex row's derivation verbatim
+    * (shared [[winSurvivorsSql]] fragment), relabelled — compaction
+    * must preserve exactly the surviving window relation. */
+  val deleteCompactionSql: String = {
+    def h32(key: String): String =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    val corpusSurvivors =
+      s"""documents AS (SELECT * FROM main.documents
+         |              WHERE doc_id % $DelMod <> $DelRem AND doc_id % 5 <> 0)""".stripMargin
+    s"""SELECT 'winindex_compacted' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+       |       ${h32("CAST(doc_id AS VARCHAR) || '|' || CAST(h AS VARCHAR)")} AS checksum
+       |FROM (
+       |  ${winSurvivorsSql(corpusSurvivors)}) w
+       |ORDER BY artifact""".stripMargin
+  }
+
+  /** The surviving-corpus window relation (doc_id, h) as SQL, over an
+    * injected `documents AS (...)` survivor CTE — ONE definition shared
+    * by the q106 winindex census row and the q129 compaction census,
+    * so the two oracles cannot drift. */
+  private def winSurvivorsSql(corpusSurvivors: String): String =
+    s"""WITH $corpusSurvivors,
+       |  toks AS (
+       |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |    FROM documents),
+       |  win AS (
+       |    SELECT doc_id, CAST('0x' || substr(md5(sgl), 1, 15) AS BIGINT) AS h
+       |    FROM (
+       |      SELECT DISTINCT doc_id, sgl FROM (
+       |        SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - ${WindowLen - 1}),
+       |                 i -> array_to_string(list_slice(w, i, i + ${WindowLen - 1}), ' '))) AS sgl
+       |        FROM toks WHERE len(w) >= $WindowLen) t0) t)
+       |  SELECT doc_id, h FROM win""".stripMargin
+
   val deleteCensusSql: String = {
     val survivors =
       s"documents AS (SELECT * FROM main.documents WHERE doc_id % $DelMod <> $DelRem)"
@@ -1492,18 +1554,7 @@ object Dedup {
        |SELECT 'winindex', CAST(count(*) AS BIGINT),
        |       ${h32("CAST(doc_id AS VARCHAR) || '|' || CAST(h AS VARCHAR)")}
        |FROM (
-       |  WITH $corpusSurvivors,
-       |  toks AS (
-       |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
-       |    FROM documents),
-       |  win AS (
-       |    SELECT doc_id, CAST('0x' || substr(md5(sgl), 1, 15) AS BIGINT) AS h
-       |    FROM (
-       |      SELECT DISTINCT doc_id, sgl FROM (
-       |        SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - ${WindowLen - 1}),
-       |                 i -> array_to_string(list_slice(w, i, i + ${WindowLen - 1}), ' '))) AS sgl
-       |        FROM toks WHERE len(w) >= $WindowLen) t0) t)
-       |  SELECT doc_id, h FROM win) w
+       |  ${winSurvivorsSql(corpusSurvivors)}) w
        |UNION ALL
        |SELECT artifact, n_rows, checksum FROM (
        |${Similarity.annDeleteCensusSql(DelMod, DelRem)}) a
@@ -2263,6 +2314,9 @@ object Dedup {
     // q106's oracle rebuilds every artifact from scratch on the
     // surviving corpus: the gate proves delete-maintained == rebuild
     QueryDef("q106_delete_census", deleteCensus, Some(deleteCensusSql)),
+    // q129: the delete -> compaction lifecycle end to end — the
+    // merge-on-read view folded back into a bucketed table, censused
+    QueryDef("q129_delete_compaction", deleteCompaction, Some(deleteCompactionSql)),
     // q122's oracle re-derives clusters, assignment and the
     // cross-split pair check independently: the leak-free invariant
     // is a gated output, not an implementation comment
