@@ -241,12 +241,16 @@ object Layout {
     s.table(name)
   }
 
-  /** Highest already-committed version of `name`, from the union of the
+  /** Every committed version number of `name`, from the union of the
     * current catalog and the warehouse directory listing. The latter is
-    * what makes the counter survive a SparkContext restart: saveAsTable
-    * leaves one `<name>__v<N>` directory per version under the
-    * warehouse even after the in-memory catalog is gone. */
-  private def priorMaxVersion(s: SparkSession, name: String): Long = {
+    * what makes version discovery survive a SparkContext restart:
+    * saveAsTable leaves one `<name>__v<N>` directory per MATERIALIZED
+    * version under the warehouse even after the in-memory catalog is
+    * gone (views live only in the catalog). The ONE version-parsing
+    * site — [[priorMaxVersion]], [[priorMaxGen]], the tombstone base
+    * pin, and [[latestMaterializedVersion]] all derive from it
+    * (round-12 hygiene item: three hand-rolled copies folded here). */
+  private def versionsOf(s: SparkSession, name: String): Seq[Long] = {
     val fromCatalog = s.catalog.listTables().collect()
       .map(_.name).filter(_.startsWith(s"${name}__v"))
     val fromWarehouse = {
@@ -255,10 +259,49 @@ object Layout {
       Option(whDir.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.isDirectory).map(_.getName).filter(_.startsWith(s"${name}__v"))
     }
-    (fromCatalog ++ fromWarehouse)
+    (fromCatalog ++ fromWarehouse).toSeq
       .flatMap(t => scala.util.Try(t.stripPrefix(s"${name}__v").toLong).toOption)
-      .foldLeft(0L)(math.max)
+      .distinct.sorted
   }
+
+  /** Highest already-committed version of `name` (0 when none). */
+  private def priorMaxVersion(s: SparkSession, name: String): Long =
+    versionsOf(s, name).foldLeft(0L)(math.max)
+
+  /** Drop a version regardless of whether it is a VIEW (delete-event
+    * publishes), a TABLE (compactions), or only a leftover warehouse
+    * directory from a prior session — Spark's DROP VIEW/DROP TABLE
+    * each throw on the other object type, so the GC must dispatch. */
+  private def dropAnyVersion(s: SparkSession, t: String): Unit =
+    if (s.catalog.tableExists(t) &&
+        s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).tableType.name == "VIEW")
+      s.sql(s"DROP VIEW IF EXISTS $t")
+    else refresh(s, t)
+
+  /** Highest MATERIALIZED (table, not view) version of `name`, if any.
+    * Delete events publish version VIEWS; only a compaction (or the
+    * retired rewrite mechanism) materializes a version as a TABLE — so
+    * this is "the latest compaction horizon": a post-compaction delete
+    * event re-bases on it instead of the original base, which is what
+    * keeps the compaction's anti-join-free read win and the already-
+    * applied kills after the sidecars are cleared (round-12 advice).
+    * Restart-safe: a table version leaves a warehouse directory, and a
+    * catalog-registered name is checked for its actual table type. */
+  private def latestMaterializedVersion(s: SparkSession, name: String): Option[Long] =
+    versionsOf(s, name).filter { v =>
+      val t = s"${name}__v$v"
+      if (s.catalog.tableExists(t))
+        s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).tableType.name != "VIEW"
+      else {
+        // not in the catalog but listed ⇒ a warehouse directory from a
+        // prior session — only materialized versions leave one
+        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+        val whDir = if (wh.getScheme == null) wh.toString else wh.getPath
+        new java.io.File(whDir, t).isDirectory
+      }
+    }.lastOption
 
   private val publishCounter =
     new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
@@ -348,25 +391,55 @@ object Layout {
     // alias and never collide)
     require(!cols.contains("gen"),
       s"tombstoneEvent: artifact columns $cols collide with the gen bookkeeping column")
+    // tombstone keys are stored as BIGINT; a non-integral key column
+    // would cast to NULL and the NOT EXISTS predicate would silently
+    // never match — fail loudly at publish time instead (round-12
+    // advice). All production keys here are id columns (longs).
+    tombs.foreach { case (c, keys) =>
+      val dt = keys.schema.fields.head.dataType
+      require(Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.ByteType).contains(dt),
+        s"tombstoneEvent: delete key for column `$c` has non-integral type $dt " +
+          "— BIGINT tombstone storage would null it out and the delete would no-op")
+    }
     val name = tableName(dir, what)
     val tombsT = s"${name}tombs"
     val segT = s"${name}seg"
-    // SNAPSHOT-PIN the base: if the base is itself a versioned
-    // artifact (an MVCC upd view — q120's shape), reference its
-    // highest committed version view, not the stable name. A later
-    // appendSegment repoints the stable name; the already-published
-    // delete view must keep reading the snapshot its tombstones and
-    // refill were computed against.
-    val pinnedBase = {
-      val vs = s.catalog.listTables().collect().map(_.name)
-        .filter(_.startsWith(s"${baseName}__v"))
-        .flatMap(t => scala.util.Try(t.stripPrefix(s"${baseName}__v").toLong).toOption)
-      if (vs.isEmpty) baseName else s"${baseName}__v${vs.max}"
-    }
-    if (firstEvent(s, name)) { refresh(s, tombsT); refresh(s, segT) }
     val ctr = publishCounter.computeIfAbsent(name,
       _ => new java.util.concurrent.atomic.AtomicLong(priorMaxVersion(s, name)))
+    // ONE critical section per artifact: sidecar clear, tombstone +
+    // segment writes, and the view swap. The first-event clear used to
+    // run outside it, letting two racing first events interleave a
+    // clear between the loser's append and swap (round-12 advice).
     ctr.synchronized {
+      if (firstEvent(s, name)) {
+        refresh(s, tombsT); refresh(s, segT)
+        // a fresh lifecycle also discards prior sessions' compacted
+        // version TABLES of this artifact — they snapshot a PREVIOUS
+        // corpus build (the materializedTable snapshot-refresh
+        // discipline: tombstone lifecycles restart per snapshot)
+        versionsOf(s, name).foreach(v => dropAnyVersion(s, s"${name}__v$v"))
+      }
+      // SNAPSHOT-PIN the base. Preference order:
+      //  1. this artifact's own latest COMPACTED table — after a
+      //     compaction the sidecars are clean and the compacted table
+      //     IS the surviving state, so later events must re-base on it
+      //     (reading the original base would resurrect pre-compaction
+      //     kills — round-12 advice);
+      //  2. the base's highest committed version view (an MVCC upd
+      //     view — q120's shape): a later appendSegment repoints the
+      //     stable name, and the already-published delete view must
+      //     keep reading the snapshot its tombstones and refill were
+      //     computed against;
+      //  3. the base's stable name.
+      val pinnedBase = latestMaterializedVersion(s, name)
+        .map(v => s"${name}__v$v")
+        .getOrElse {
+          val vs = versionsOf(s, baseName)
+          if (vs.isEmpty) baseName else s"${baseName}__v${vs.max}"
+        }
       val e = ctr.incrementAndGet()
       // O(delete set) write: the tombstone rows
       tombs.map { case (c, keys) =>
@@ -387,11 +460,20 @@ object Layout {
       }
       val colsSql = cols.map(c => s"`$c`").mkString(", ")
       val src =
-        if (refill.isDefined)
+        if (s.catalog.tableExists(segT))
           s"""(SELECT $colsSql, CAST(0 AS INT) AS gen FROM $pinnedBase
              |   UNION ALL SELECT $colsSql, gen FROM $segT WHERE gen <= $e) t""".stripMargin
         else s"(SELECT $colsSql, CAST(0 AS INT) AS gen FROM $pinnedBase) t"
-      val anti = tombs.map(_._1).distinct.map(c =>
+      // the anti predicate's column set comes from the SIDECAR, not
+      // this call's arguments: the sidecar accumulates every event's
+      // tombstones, and an event with a different purged-column set
+      // must not drop earlier events' kills on the omitted columns
+      // (round-12 advice — the resurrection hazard)
+      val kcols = s.table(tombsT).filter(col("gen") <= e)
+        .select(col("kcol")).distinct().collect().map(_.getString(0)).sorted
+      kcols.foreach(c => require(cols.contains(c),
+        s"tombstoneEvent: sidecar column `$c` missing from artifact columns $cols"))
+      val anti = kcols.map(c =>
         s"""NOT EXISTS (SELECT 1 FROM $tombsT d
            |     WHERE d.gen <= $e AND d.gen > t.gen AND d.kcol = '$c' AND d.k = t.`$c`)""".stripMargin)
         .mkString("\n  AND ")
@@ -401,6 +483,10 @@ object Layout {
       s.sql(s"CREATE OR REPLACE VIEW ${name}__v$e AS SELECT $colsSql FROM $src WHERE $anti")
       // the commit point
       s.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM ${name}__v$e")
+      // compaction-policy bookkeeping (round-13 lead item): per-event
+      // sidecar-mass metadata next to the markers — what shouldCompact
+      // reads, so the compact/no-compact DECISION is a metadata read
+      recordMass(s, name, tombsT, segT, e, baseRowsOf = () => s.table(pinnedBase).count())
     }
     s.table(name)
   }
@@ -433,10 +519,18 @@ object Layout {
     val b = base
     once(s, dir, what + "del") {
       catalogNameOf(s, b) match {
-        case Some(baseName) =>
+        // MASS-TAKEDOWN BOUNDARY (round-13 item 2): the tombstone
+        // mechanism's read side assumes the delete relation BROADCASTS
+        // — past the broadcast envelope every read's anti join flips
+        // to a shuffled SMJ and the merge-on-read tax becomes a
+        // corpus-shuffle tax on every scan. A mass takedown therefore
+        // materializes the survivors ONCE (O(survivors) write, no
+        // read debt) instead of tombstoning; the takedown-sized count
+        // is the decision's only extra cost.
+        case Some(baseName) if keys.count() <= massDeleteKeys(s) =>
           tombstoneEvent(s, dir, what + "del", baseName, b.columns.toSeq,
             keyCols.map(kc => kc -> keys), None, buckets)
-        case None =>
+        case _ =>
           publishVersioned(s, dir, what + "del", buckets) {
             keyCols.foldLeft(b) { (df, kc) =>
               df.join(keys.toDF(kc), Seq(kc), "left_anti")
@@ -448,23 +542,57 @@ object Layout {
     s.table(tableName(dir, what + "del"))
   }
 
-  /** COMPACTION of a tombstone-delete artifact (the merge-on-read
-    * cost's recovery path, made code): fold the published view's rows
-    * — base minus tombstones plus refill segments — into a fresh
-    * BUCKETED table under the next version number and swap the stable
-    * name to it. After compaction reads pay no anti join and the
-    * refill view's lost bucketed output partitioning is RESTORED (the
-    * rows are repartitioned on the bucket columns before the write —
-    * Spark's bucket formula — so each bucket lands as one file, the
+  /** The tombstone-vs-materialize decision threshold, in delete keys.
+    * Sized so the tombstone sidecar stays comfortably inside the
+    * default 10 MB `spark.sql.autoBroadcastJoinThreshold` (~25 B per
+    * (k, kcol, gen) row → ~400k rows ≈ 10 MB): below it the delete
+    * view's anti join is a broadcast over untouched base files; above
+    * it the join would silently degrade to a shuffled SMJ per read.
+    * Override: `spark.graft.massDeleteKeys`. */
+  private[graft] val MassDeleteKeys = 400000L
+
+  private[graft] def massDeleteKeys(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.massDeleteKeys").map(_.toLong)
+      .getOrElse(MassDeleteKeys)
+
+  /** COMPACTION of a tombstone-delete or MVCC-store artifact (the
+    * merge-on-read cost's recovery path, made code): fold the
+    * published view's rows — base/store generations minus tombstones
+    * plus refill segments — into a fresh BUCKETED table under the next
+    * version/generation number and swap the stable name to it. After
+    * compaction reads pay no anti join and the refill view's lost
+    * bucketed output partitioning is RESTORED (the rows are
+    * repartitioned on the bucket columns before the write — Spark's
+    * bucket formula — so each bucket lands as one file, the
     * [[compactBucketed]] invariant). Runs at the next snapshot build
-    * in production (single-writer, like all maintenance here); prior
-    * version views stay readable, and a fresh delete lifecycle over
-    * the compacted artifact starts from clean sidecars. */
+    * in production (single-writer, like all maintenance here).
+    *
+    * Compaction is the lifecycle's GC HORIZON (round-12 advice — the
+    * prior form left the sidecars in place, so a post-compaction event
+    * silently rebuilt its view from the PRE-compaction base and lost
+    * the anti-join-free win): the tombstone/segment sidecars are
+    * cleared (their mass markers with them — the compaction policy
+    * restarts at zero), prior version views are dropped (time travel
+    * reaches back to the latest compaction, the production snapshot-
+    * retention contract), and later events re-base on the compacted
+    * table — [[tombstoneEvent]] pins it via
+    * [[latestMaterializedVersion]]; store events union it with later
+    * generations via the `_compact_` marker ([[publishStoreView]]).
+    * For a STORE-backed artifact (`<name>store` exists — the
+    * [[appendRewrite]]/[[appendSegment]]/[[deleteSegment]] lifecycle)
+    * the compacted table's number is allocated from the store's OWN
+    * generation sequence, so appends, deletes and compactions stay on
+    * one monotone clock. */
   private[graft] def compactDeleted(s: SparkSession, dir: String, what: String,
       buckets: Option[(Int, Seq[String])]): DataFrame = {
     val name = tableName(dir, what)
-    val ctr = publishCounter.computeIfAbsent(name,
-      _ => new java.util.concurrent.atomic.AtomicLong(priorMaxVersion(s, name)))
+    val store = s"${name}store"
+    val isStore = s.catalog.tableExists(store)
+    val ctr =
+      if (isStore) publishCounter.computeIfAbsent(s"$store#gen",
+        _ => new java.util.concurrent.atomic.AtomicLong(priorMaxGen(s, name, store)))
+      else publishCounter.computeIfAbsent(name,
+        _ => new java.util.concurrent.atomic.AtomicLong(priorMaxVersion(s, name)))
     ctr.synchronized {
       val e = ctr.incrementAndGet()
       val versioned = s"${name}__v$e"
@@ -483,6 +611,25 @@ object Layout {
       w.saveAsTable(versioned)
       // the commit point — readers swap to the anti-join-free table
       s.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $versioned")
+      // GC horizon: prior version views referenced the sidecars about
+      // to be cleared — drop them loudly rather than leave views that
+      // would resolve to wrong (tombstone-free) history
+      versionsOf(s, name).filter(_ < e).foreach(v =>
+        dropAnyVersion(s, s"${name}__v$v"))
+      // clean sidecars: the next event starts a fresh tombstone
+      // lifecycle over the compacted base (and must NOT re-clear — the
+      // firstEvent gate is marked done for this session)
+      refresh(s, s"${name}tombs")
+      refresh(s, s"${name}seg")
+      tombInit.computeIfAbsent(s, _ => new ConcurrentHashMap[String, String]())
+        .put(name, "done")
+      if (isStore) {
+        // the store's later generations (> e) don't exist yet — record
+        // e as the compaction horizon so the next publishStoreView
+        // reads (compacted table ∪ store gens > e)
+        commitGenMarker(s, store, e)
+        commitCompactMarker(s, store, e)
+      }
     }
     s.table(name)
   }
@@ -570,7 +717,11 @@ object Layout {
     once(s, dir, what + "upd") {
       val store = s"${name}store"
       refresh(s, store)
-      val cols = b.columns.map(c => s"`$c`").mkString(", ")
+      // stale sidecars/views from a previous session's lifecycle over
+      // a previous snapshot go with the store (same discipline as
+      // tombstoneEvent's first-event clear)
+      refresh(s, s"${name}tombs")
+      versionsOf(s, name).foreach(v => refresh(s, s"${name}__v$v"))
       def write(df: DataFrame, gen: Int, mode: String): Unit = {
         val w = df.withColumn("gen", lit(gen)).write.mode(mode)
         buckets match {
@@ -583,16 +734,13 @@ object Layout {
       // directly and maintenance never rewrites it)
       write(b, 1, "error")
       commitGenMarker(s, store, 1)
-      s.sql(s"CREATE OR REPLACE VIEW ${name}__v1 AS SELECT $cols FROM $store WHERE gen <= 1")
-      s.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM ${name}__v1")
+      publishStoreView(s, name, store, 1)
       // gen 2 — the O(batch) append: only the batch's rows land, as
       // new files in their buckets
       write(batch, 2, "append")
       commitGenMarker(s, store, 2)
       s.catalog.refreshTable(store)
-      s.sql(s"CREATE OR REPLACE VIEW ${name}__v2 AS SELECT $cols FROM $store WHERE gen <= 2")
-      // the commit point
-      s.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM ${name}__v2")
+      publishStoreView(s, name, store, 2)
       // seed the in-memory generation counter so the first
       // appendSegment of this session allocates 3 without a listing
       publishCounter.computeIfAbsent(s"$store#gen",
@@ -612,34 +760,171 @@ object Layout {
     * counter (round-11 finding #2). Markers persist with the data, so
     * a fresh SparkContext over the warehouse resumes at the right
     * generation (`AtomicPublishSpec`'s restart test). */
-  private def commitGenMarker(s: SparkSession, store: String, gen: Long): Unit = {
-    val loc = new org.apache.hadoop.fs.Path(
+  private def tableLocation(s: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
       s.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(store)).location)
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+
+  private def commitGenMarker(s: SparkSession, store: String, gen: Long): Unit = {
+    val loc = tableLocation(s, store)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.create(new org.apache.hadoop.fs.Path(loc, s"_gen_$gen"), true).close()
   }
+
+  /** `_compact_<N>` marker: generation N is a COMPACTION — the store's
+    * generations ≤ N are folded into the `<name>__v<N>` table and
+    * [[publishStoreView]] must read (that table ∪ gens > N). Persists
+    * with the store, so the horizon survives a restart like the gen
+    * markers do. */
+  private def commitCompactMarker(s: SparkSession, store: String, gen: Long): Unit = {
+    val loc = tableLocation(s, store)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(loc, s"_compact_$gen"), true).close()
+  }
+
+  /** The store's latest compaction horizon, from its `_compact_`
+    * markers — a metadata read, like all generation discovery. */
+  private def latestCompactGen(s: SparkSession, store: String): Option[Long] = {
+    if (!s.catalog.tableExists(store)) return None
+    val loc = tableLocation(s, store)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) None
+    else fs.listStatus(loc).map(_.getPath.getName)
+      .filter(_.startsWith("_compact_")).toSeq
+      .flatMap(n => scala.util.Try(n.stripPrefix("_compact_").toLong).toOption)
+      .sorted.lastOption
+  }
+
+  // ---------------------------------------------------------------
+  // COMPACTION-TRIGGER POLICY (round-13 lead item). The MECHANISM —
+  // compactDeleted folding a merge-on-read artifact into a fresh
+  // bucketed table — is gated (q129/q130); this is the DECISION: when
+  // has an artifact accrued enough tombstone/segment debt that the
+  // per-read anti-join tax outweighs one O(survivors) rewrite?
+  //
+  // Each delete event records its artifact's SIDECAR MASS as a
+  // `_mass_<gen>` marker next to the sidecar's data (tombstone rows,
+  // segment rows/files, base rows, events since the last compaction)
+  // — counted at write time from the event-sized sidecars, never from
+  // the corpus — so shouldCompact is a pure METADATA read: at 100 TB
+  // the compact/no-compact decision costs one file listing, not a
+  // scan. Compaction clears the sidecars and their markers with them,
+  // so the policy restarts at zero debt.
+  //
+  // Thresholds (override via spark.graft.compact.*):
+  //  - tombRowsMax (= MassDeleteKeys): the tombstone relation must
+  //    stay inside the broadcast envelope — past it every read's anti
+  //    join degrades to a shuffled SMJ, the hard boundary;
+  //  - tombFrac: read tax ∝ tombstone count; past ~1% of base rows
+  //    the anti join's probe-side work is no longer noise (the
+  //    BASELINE.md knee measurement backs the default);
+  //  - segFilesMax: every refill event lands per-bucket files; past
+  //    ~64 small files the scan's open/seek overhead dominates (the
+  //    compactBucketed small-file rationale);
+  //  - maxEvents: a bound on catalog/version litter and a time-based
+  //    backstop for artifacts whose per-event debt is tiny.
+  // ---------------------------------------------------------------
+
+  private[graft] def recordMass(s: SparkSession, name: String, tombsT: String,
+      segT: String, gen: Long, baseRowsOf: () => Long,
+      countSegRows: Boolean = true): Unit = {
+    val prior = latestMassMarker(s, tombsT)
+    // base rows are counted ONCE per lifecycle (a parquet-footer
+    // metadata job) and carried forward through the marker chain
+    val baseRows = prior.flatMap(_.get("baseRows")).getOrElse(baseRowsOf())
+    val events = prior.flatMap(_.get("events")).getOrElse(0L) + 1
+    val tombRows = s.table(tombsT).count()
+    val (segRows, segFiles) =
+      if (!s.catalog.tableExists(segT)) (0L, 0L)
+      else {
+        val loc = tableLocation(s, segT)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val n = if (!fs.exists(loc)) 0L
+          else fs.listStatus(loc).count(f =>
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")).toLong
+        // for store-backed artifacts segT is the (corpus-sized) store:
+        // its FILE count is the small-file metric; its row count is
+        // not worth a per-event job and plays no role in the policy
+        (if (countSegRows) s.table(segT).count() else 0L, n)
+      }
+    val loc = tableLocation(s, tombsT)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(loc, s"_mass_$gen"), true)
+    out.write(Seq(
+      s"tombRows=$tombRows", s"segRows=$segRows", s"segFiles=$segFiles",
+      s"baseRows=$baseRows", s"events=$events", s"gen=$gen")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** The latest `_mass_` marker of an artifact's tombstone sidecar, as
+    * a key→value map — [[shouldCompact]]'s entire input. */
+  private[graft] def latestMassMarker(s: SparkSession, tombsT: String):
+      Option[Map[String, Long]] = {
+    if (!s.catalog.tableExists(tombsT)) return None
+    val loc = tableLocation(s, tombsT)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) return None
+    val latest = fs.listStatus(loc).map(_.getPath)
+      .filter(_.getName.startsWith("_mass_"))
+      .flatMap(p => scala.util.Try(p.getName.stripPrefix("_mass_").toLong)
+        .toOption.map(_ -> p))
+      .sortBy(_._1).lastOption
+    latest.map { case (_, p) =>
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.linesIterator.flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => scala.util.Try(k -> v.toLong).toOption
+          case _           => None
+        }
+      }.toMap
+    }
+  }
+
+  /** Should `<what>` be compacted now? A METADATA-only read of the
+    * latest mass marker against the policy thresholds — see the
+    * policy block above. False for a fresh artifact (no delete debt). */
+  private[graft] def shouldCompact(s: SparkSession, dir: String, what: String): Boolean = {
+    def conf(k: String, d: Long): Long =
+      s.conf.getOption(s"spark.graft.compact.$k").map(_.toLong).getOrElse(d)
+    def confD(k: String, d: Double): Double =
+      s.conf.getOption(s"spark.graft.compact.$k").map(_.toDouble).getOrElse(d)
+    latestMassMarker(s, s"${tableName(dir, what)}tombs") match {
+      case None => false
+      case Some(m) =>
+        val tombRows = m.getOrElse("tombRows", 0L)
+        tombRows > conf("tombRowsMax", MassDeleteKeys) ||
+          tombRows > confD("tombFrac", 0.01) * m.getOrElse("baseRows", Long.MaxValue) ||
+          m.getOrElse("segFiles", 0L) > conf("segFilesMax", 64L) ||
+          m.getOrElse("events", 0L) >= conf("maxEvents", 16L)
+    }
+  }
+
+  /** The maintenance entry point a deployment schedules: compact
+    * `<what>` iff the policy says its merge-on-read debt warrants it.
+    * Returns the compacted handle when it fired, None on a no-op. */
+  private[graft] def maintainDeleted(s: SparkSession, dir: String, what: String,
+      buckets: Option[(Int, Seq[String])]): Option[DataFrame] =
+    if (shouldCompact(s, dir, what)) Some(compactDeleted(s, dir, what, buckets))
+    else None
 
   /** Highest committed generation of a store, from the union of the
     * commit-log markers and the catalog's version views — no data
     * scan. */
   private def priorMaxGen(s: SparkSession, name: String, store: String): Long = {
-    val fromViews = s.catalog.listTables().collect().map(_.name)
-      .filter(_.startsWith(s"${name}__v"))
-      .flatMap(t => scala.util.Try(t.stripPrefix(s"${name}__v").toLong).toOption)
     val fromMarkers =
       if (!s.catalog.tableExists(store)) Seq.empty[Long]
       else {
-        val loc = new org.apache.hadoop.fs.Path(
-          s.sessionState.catalog.getTableMetadata(
-            org.apache.spark.sql.catalyst.TableIdentifier(store)).location)
+        val loc = tableLocation(s, store)
         val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (!fs.exists(loc)) Seq.empty[Long]
         else fs.listStatus(loc).map(_.getPath.getName)
           .filter(_.startsWith("_gen_")).toSeq
           .flatMap(n => scala.util.Try(n.stripPrefix("_gen_").toLong).toOption)
       }
-    (fromViews ++ fromMarkers).foldLeft(0L)(math.max)
+    (versionsOf(s, name) ++ fromMarkers).foldLeft(0L)(math.max)
   }
 
   /** One MORE maintenance batch into an existing MVCC store — the
@@ -673,12 +958,6 @@ object Layout {
       _ => new java.util.concurrent.atomic.AtomicLong(priorMaxGen(s, name, store)))
     ctr.synchronized {
       val gen = ctr.incrementAndGet()
-      // artifact columns from the STORE's schema (minus the gen
-      // bookkeeping column), not from the stable view — after a
-      // restart the views may not be re-registered yet, and recovery
-      // must not depend on reading what it is about to republish
-      val cols = s.table(store).columns.filterNot(_ == "gen")
-        .map(c => s"`$c`").mkString(", ")
       val w = batch.withColumn("gen", lit(gen.toInt)).write.mode("append")
       buckets match {
         case Some((k, bc)) => w.bucketBy(k, bc.head, bc.tail: _*).saveAsTable(store)
@@ -686,11 +965,106 @@ object Layout {
       }
       commitGenMarker(s, store, gen)
       s.catalog.refreshTable(store)
-      s.sql(s"CREATE OR REPLACE VIEW ${name}__v$gen AS SELECT $cols FROM $store WHERE gen <= $gen")
-      // the commit point
-      s.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM ${name}__v$gen")
+      publishStoreView(s, name, store, gen)
     }
     s.table(name)
+  }
+
+  /** One tombstone-DELETE event against an MVCC GENERATION STORE (the
+    * `<what>upd` artifact [[appendRewrite]] creates and
+    * [[appendSegment]] extends) — the UNIFIED lifecycle (round-13):
+    * appends, takedowns and compactions share the store's single
+    * monotone generation sequence on ONE stable name, so they compose
+    * in any order (q131 drives append → delete → append → compact
+    * through the driver gate; `MvccLifecycleSpec` drives random
+    * interleavings against a reference fold).
+    *
+    * The event writes O(delete set) tombstone rows into
+    * `<name>tombs` (k BIGINT, kcol, gen) and swaps the view — the
+    * store's generation FILES are never touched. A tombstone at
+    * generation E kills matching rows of every strictly earlier
+    * generation; a row appended LATER (gen > E) survives —
+    * last-writer-wins, which is what lets a key be re-ingested after
+    * its takedown ([[publishStoreView]] carries the rule). */
+  private[graft] def deleteSegment(s: SparkSession, dir: String, what: String,
+      keys: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val name = tableName(dir, what + "upd")
+    val store = s"${name}store"
+    val tombsT = s"${name}tombs"
+    val dt = keys.schema.fields.head.dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(dt),
+      s"deleteSegment: delete key has non-integral type $dt")
+    require(keys.count() <= massDeleteKeys(s),
+      s"deleteSegment: mass takedown exceeds the broadcast envelope " +
+        s"(${massDeleteKeys(s)} keys) — compact instead (compactDeleted folds " +
+        "the survivors once and the store restarts clean)")
+    val ctr = publishCounter.computeIfAbsent(s"$store#gen",
+      _ => new java.util.concurrent.atomic.AtomicLong(priorMaxGen(s, name, store)))
+    ctr.synchronized {
+      val gen = ctr.incrementAndGet()
+      keyCols.map { c =>
+        keys.toDF("k").select(col("k").cast("long").as("k"),
+          lit(c).as("kcol"), lit(gen.toInt).as("gen"))
+      }.reduce(_ unionByName _)
+        .write.mode("append").saveAsTable(tombsT)
+      s.catalog.refreshTable(tombsT)
+      commitGenMarker(s, store, gen)
+      publishStoreView(s, name, store, gen)
+      recordMass(s, name, tombsT, store, gen,
+        baseRowsOf = () => s.table(store).count(), countSegRows = false)
+    }
+    s.table(name)
+  }
+
+  /** Publish version view `e` of a STORE-backed artifact — the ONE
+    * view builder behind [[appendRewrite]], [[appendSegment]] and
+    * [[deleteSegment]]:
+    *
+    *   rows = (latest compacted table, as its generation) ∪
+    *          store rows with gen in (compaction horizon, e],
+    *   minus rows matching a tombstone of gen in (row.gen, e]
+    *
+    * With no compaction and no tombstones this degenerates to the
+    * plain `WHERE gen <= e` scan (the q108/q120 plans are unchanged).
+    * The tombstone predicate's column set comes from the SIDECAR
+    * (every event's kcols, not the current call's) — the round-12
+    * resurrection-hazard rule — and the compaction horizon comes from
+    * the store's `_compact_` marker, so a post-compaction event reads
+    * the compacted table plus only the generations after it (the
+    * pre-compaction store rows are dead history, their kills already
+    * folded in). */
+  private def publishStoreView(s: SparkSession, name: String, store: String,
+      e: Long): Unit = {
+    // artifact columns from the STORE's schema (minus the gen
+    // bookkeeping column), not from the stable view — after a restart
+    // the views may not be re-registered yet, and recovery must not
+    // depend on reading what it is about to republish
+    val cols = s.table(store).columns.filterNot(_ == "gen")
+      .map(c => s"`$c`").mkString(", ")
+    val src = latestCompactGen(s, store) match {
+      case Some(cg) =>
+        s"""(SELECT $cols, CAST($cg AS INT) AS gen FROM ${name}__v$cg
+           |   UNION ALL SELECT $cols, gen FROM $store
+           |   WHERE gen > $cg AND gen <= $e) t""".stripMargin
+      case None => s"(SELECT $cols, gen FROM $store WHERE gen <= $e) t"
+    }
+    val tombsT = s"${name}tombs"
+    val kcols =
+      if (!s.catalog.tableExists(tombsT)) Array.empty[String]
+      else s.table(tombsT).filter(col("gen") <= e)
+        .select(col("kcol")).distinct().collect().map(_.getString(0)).sorted
+    val anti =
+      if (kcols.isEmpty) ""
+      else " WHERE " + kcols.map(c =>
+        s"""NOT EXISTS (SELECT 1 FROM $tombsT d
+           |     WHERE d.gen <= $e AND d.gen > t.gen AND d.kcol = '$c' AND d.k = t.`$c`)""".stripMargin)
+        .mkString("\n  AND ")
+    s.sql(s"CREATE OR REPLACE VIEW ${name}__v$e AS SELECT $cols FROM $src$anti")
+    // the commit point
+    s.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM ${name}__v$e")
   }
 
   /** Publish a REPLACED (not purely appended) maintained artifact:

@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Layout
+
+/** Round-13: the UNIFIED MVCC lifecycle and the compaction-trigger
+  * policy. Appends ([[Layout.appendSegment]]), tombstone deletes
+  * ([[Layout.deleteSegment]]) and compactions ([[Layout.compactDeleted]])
+  * share one monotone generation sequence on one stable name, so they
+  * compose in any order; the policy ([[Layout.shouldCompact]]) decides
+  * WHEN the accrued merge-on-read debt warrants the gated compaction —
+  * from mass-marker metadata alone, never a data scan. Also pins the
+  * round-12 advice closures: sidecar-derived anti columns across
+  * events with DIFFERENT purged-column sets, the integral-key
+  * requirement, the post-compaction re-base, and the mass-takedown
+  * broadcast boundary. */
+class MvccLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fileState(name: String): Set[(String, Long, Long)] =
+    spark.table(name).inputFiles.map { f =>
+      val p = new java.io.File(new java.net.URI(f).getPath)
+      (p.getPath, p.length(), p.lastModified())
+    }.toSet
+
+  test("unified store lifecycle: append → delete → append (re-add LWW) → compact → more events") {
+    val dir = sfDir
+    val bkt = Some((Layout.Buckets, Seq("cent_id")))
+    val base = (0L until 40L).map(k => (k, k % 8)).toDF("vec_id", "cent_id")
+    val batch1 = (100L until 120L).map(k => (k, k % 8)).toDF("vec_id", "cent_id")
+    val del = Seq(3L, 7L, 105L).toDF("vec_id")
+    // batch2 RE-INGESTS key 105 after its takedown (LWW through the
+    // generation-scoped tombstone rule) plus fresh keys
+    val batch2 = (Seq(105L) ++ (200L until 210L)).map(k => (k, k % 8))
+      .toDF("vec_id", "cent_id")
+
+    Layout.appendRewrite(spark, dir, "lifeuni", bkt, batch1)(base) // gens 1, 2
+    val name = Layout.tableName(dir, "lifeuniupd")
+    def ids(): Set[Long] =
+      spark.table(name).select("vec_id").as[Long].collect().toSet
+    val afterAppend = ids()
+    assert(afterAppend == ((0L until 40L) ++ (100L until 120L)).toSet)
+
+    // delete event: store generation FILES stay byte-identical
+    val storePre = fileState(s"${name}store")
+    Layout.deleteSegment(spark, dir, "lifeuni", del, Seq("vec_id")) // gen 3
+    assert(ids() == afterAppend -- Set(3L, 7L, 105L))
+    assert(fileState(s"${name}store") == storePre,
+      "delete event touched the store's generation files")
+
+    // append after delete: fresh keys land AND the re-ingested key
+    // 105 survives its older tombstone (gen 4 > gen 3)
+    Layout.appendSegment(spark, dir, "lifeuni", bkt, batch2) // gen 4
+    val expect2 = afterAppend -- Set(3L, 7L) ++ (200L until 210L).toSet
+    assert(ids() == expect2, "re-added key did not survive its older tombstone")
+
+    // compaction: same rows, join-free plan, one file per bucket
+    val compacted = Layout.compactDeleted(spark, dir, "lifeuniupd", bkt)
+    assert(compacted.select("vec_id").as[Long].collect().toSet == expect2)
+    val plan = spark.table(name).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"compacted read still joins:\n$plan")
+    assert(compacted.inputFiles.length <= Layout.Buckets)
+
+    // the lifecycle CONTINUES over the compacted base: a later delete
+    // must not resurrect pre-compaction kills, a later append lands
+    Layout.deleteSegment(spark, dir, "lifeuni", Seq(200L).toDF("vec_id"),
+      Seq("vec_id"))
+    assert(ids() == expect2 - 200L,
+      "post-compaction delete wrong (re-base on the compacted table)")
+    Layout.appendSegment(spark, dir, "lifeuni", bkt,
+      Seq((300L, 4L)).toDF("vec_id", "cent_id"))
+    assert(ids() == expect2 - 200L + 300L)
+    assert(!ids().contains(3L) && !ids().contains(7L),
+      "pre-compaction kills resurrected after compaction")
+  }
+
+  test("events with different purged-column sets keep earlier kills (sidecar-derived predicate)") {
+    val dir = sfDir
+    Layout.materializedTable(spark, dir, "varycolbase",
+      Some((Layout.Buckets, Seq("a")))) {
+      (0L until 50L).map(i => (i, 1000L + i)).toDF("a", "b")
+    }
+    val baseName = Layout.tableName(dir, "varycolbase")
+    // event 1 purges on column a; event 2 purges on column b ONLY —
+    // before the round-12 advice fix, event 2's view was built from
+    // its own column set and silently resurrected event 1's kills
+    Layout.tombstoneEvent(spark, dir, "varycoldel", baseName, Seq("a", "b"),
+      Seq("a" -> Seq(1L, 2L, 3L).toDF("a")), None,
+      Some((Layout.Buckets, Seq("a"))))
+    Layout.tombstoneEvent(spark, dir, "varycoldel", baseName, Seq("a", "b"),
+      Seq("b" -> Seq(1044L, 1045L).toDF("b")), None,
+      Some((Layout.Buckets, Seq("a"))))
+    val got = spark.table(Layout.tableName(dir, "varycoldel"))
+      .select("a").as[Long].collect().toSet
+    assert(got == (0L until 50L).toSet -- Set(1L, 2L, 3L, 44L, 45L),
+      s"kills lost across column-set change: got $got")
+  }
+
+  test("a non-integral delete key fails loudly at publish time") {
+    val dir = sfDir
+    Layout.materializedTable(spark, dir, "strkeybase", None) {
+      (0L until 10L).map(i => (i, s"d$i")).toDF("doc_id", "tag")
+    }
+    val ex = intercept[IllegalArgumentException] {
+      Layout.tombstoneEvent(spark, dir, "strkeydel",
+        Layout.tableName(dir, "strkeybase"), Seq("doc_id", "tag"),
+        Seq("tag" -> Seq("d3").toDF("tag")), None, None)
+    }
+    assert(ex.getMessage.contains("non-integral"))
+  }
+
+  test("takedown-density delete view anti-joins BROADCAST-sided over the untouched base") {
+    // the merge-on-read trade's standing assumption, pinned: under
+    // normal takedown density the tombstone relation broadcasts, so
+    // reads stream map-side through the base scan — no shuffle, no SMJ
+    val dir = sfDir
+    Layout.materializedTable(spark, dir, "bpinbase",
+      Some((Layout.Buckets, Seq("grp")))) {
+      spark.range(2000L).select(col("id").as("doc_id"),
+        pmod(col("id"), lit(16)).as("grp"))
+    }
+    val out = Layout.deleteRewrite(spark, dir, "bpinbase",
+      Some((Layout.Buckets, Seq("grp"))),
+      spark.range(0, 2000, 37).toDF("doc_id"), Seq("doc_id"))(
+      spark.table(Layout.tableName(dir, "bpinbase")))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"delete view's anti join is not broadcast-sided:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"delete view shuffled its anti join:\n$plan")
+  }
+
+  test("mass takedown crosses the boundary: materialize instead of tombstone; store guard refuses") {
+    val dir = sfDir
+    spark.conf.set("spark.graft.massDeleteKeys", "10")
+    try {
+      Layout.materializedTable(spark, dir, "massbase", None) {
+        spark.range(300L).select(col("id").as("doc_id"), (col("id") * 2).as("v"))
+      }
+      // 150 delete keys > 10: the publish must be the one-shot
+      // materializing anti join — no tombstone sidecar, no read-side
+      // join, no per-read debt
+      val out = Layout.deleteRewrite(spark, dir, "massbase", None,
+        spark.range(0, 300, 2).toDF("doc_id"), Seq("doc_id"))(
+        spark.table(Layout.tableName(dir, "massbase")))
+      assert(out.select("doc_id").as[Long].collect().toSet ==
+        (0L until 300L).filter(_ % 2 == 1).toSet)
+      assert(!spark.catalog.tableExists(
+        s"${Layout.tableName(dir, "massbasedel")}tombs"),
+        "mass takedown still tombstoned")
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"mass-delete read still joins:\n$plan")
+
+      // the store lifecycle has the same boundary, as a loud refusal
+      // (its recovery is compactDeleted, a caller decision)
+      Layout.appendRewrite(spark, dir, "massstore", None,
+        (100L until 110L).map(k => (k, k % 4)).toDF("vec_id", "cent_id"))(
+        (0L until 50L).map(k => (k, k % 4)).toDF("vec_id", "cent_id"))
+      val ex = intercept[IllegalArgumentException] {
+        Layout.deleteSegment(spark, dir, "massstore",
+          spark.range(0, 50L).toDF("vec_id"), Seq("vec_id"))
+      }
+      assert(ex.getMessage.contains("mass takedown"))
+    } finally spark.conf.unset("spark.graft.massDeleteKeys")
+  }
+
+  test("post-compaction tombstone lifecycle re-bases on the compacted table with clean sidecars") {
+    val dir = sfDir
+    Layout.materializedTable(spark, dir, "pcbase",
+      Some((Layout.Buckets, Seq("grp")))) {
+      spark.range(200L).select(col("id").as("doc_id"),
+        pmod(col("id"), lit(16)).as("grp"))
+    }
+    val baseName = Layout.tableName(dir, "pcbase")
+    val delName = Layout.tableName(dir, "pcdel")
+    Layout.tombstoneEvent(spark, dir, "pcdel", baseName, Seq("doc_id", "grp"),
+      Seq("doc_id" -> Seq(1L, 2L).toDF("doc_id")), None,
+      Some((Layout.Buckets, Seq("grp"))))
+    Layout.compactDeleted(spark, dir, "pcdel", Some((Layout.Buckets, Seq("grp"))))
+    // sidecars cleared at the compaction horizon
+    assert(!spark.catalog.tableExists(s"${delName}tombs"))
+    val compactedFiles = spark.table(delName).inputFiles.toSet
+    // the next event starts a FRESH tombstone lifecycle whose base is
+    // the compacted table — earlier kills hold without their tombstones
+    Layout.tombstoneEvent(spark, dir, "pcdel", baseName, Seq("doc_id", "grp"),
+      Seq("doc_id" -> Seq(5L).toDF("doc_id")), None,
+      Some((Layout.Buckets, Seq("grp"))))
+    val got = spark.table(delName).select("doc_id").as[Long].collect().toSet
+    assert(got == (0L until 200L).toSet -- Set(1L, 2L, 5L),
+      "post-compaction event resurrected pre-compaction kills or missed its own")
+    assert(spark.table(s"${delName}tombs").count() == 1,
+      "sidecar did not restart clean after compaction")
+    // and the new view reads THROUGH the compacted table's files, not
+    // the original base (the anti-join-free win survives the event,
+    // modulo the one fresh tombstone)
+    val readFiles = spark.table(delName).inputFiles.toSet
+    assert((readFiles -- compactedFiles).forall(_.contains("tombs")),
+      "post-compaction view fell back to the pre-compaction base")
+  }
+
+  test("compaction policy: no-op fresh, fires on tombstone mass, resets after compaction") {
+    val dir = sfDir
+    Layout.materializedTable(spark, dir, "polbase",
+      Some((Layout.Buckets, Seq("grp")))) {
+      spark.range(1000L).select(col("id").as("doc_id"),
+        pmod(col("id"), lit(16)).as("grp"))
+    }
+    val baseName = Layout.tableName(dir, "polbase")
+    def event(keys: Seq[Long]): Unit =
+      Layout.tombstoneEvent(spark, dir, "poldel", baseName, Seq("doc_id", "grp"),
+        Seq("doc_id" -> keys.toDF("doc_id")), None,
+        Some((Layout.Buckets, Seq("grp"))))
+    // fresh artifact: no sidecar mass, no compaction
+    assert(!Layout.shouldCompact(spark, dir, "poldel"))
+    assert(Layout.maintainDeleted(spark, dir, "poldel",
+      Some((Layout.Buckets, Seq("grp")))).isEmpty)
+    // 2 tombstones over a 1000-row base: under the 1% knee → no-op
+    event(Seq(3L, 4L))
+    assert(!Layout.shouldCompact(spark, dir, "poldel"),
+      "policy fired below the tombFrac knee")
+    // +20 tombstones → 22 > 1% of 1000 → the policy fires
+    event((100L until 120L).toSeq)
+    assert(Layout.shouldCompact(spark, dir, "poldel"),
+      "policy did not fire past the tombFrac knee")
+    val compacted = Layout.maintainDeleted(spark, dir, "poldel",
+      Some((Layout.Buckets, Seq("grp"))))
+    assert(compacted.isDefined)
+    assert(compacted.get.select("doc_id").as[Long].collect().toSet ==
+      (0L until 1000L).toSet -- Set(3L, 4L) -- (100L until 120L).toSet)
+    // debt cleared with the sidecars: the policy restarts at zero
+    assert(!Layout.shouldCompact(spark, dir, "poldel"))
+    assert(Layout.maintainDeleted(spark, dir, "poldel",
+      Some((Layout.Buckets, Seq("grp")))).isEmpty)
+  }
+
+  test("compaction policy: the maxEvents backstop fires on many tiny events") {
+    val dir = sfDir
+    Layout.materializedTable(spark, dir, "polbase2", None) {
+      spark.range(100000L).select(col("id").as("doc_id"))
+    }
+    val baseName = Layout.tableName(dir, "polbase2")
+    spark.conf.set("spark.graft.compact.maxEvents", "2")
+    try {
+      Layout.tombstoneEvent(spark, dir, "poldel2", baseName, Seq("doc_id"),
+        Seq("doc_id" -> Seq(1L).toDF("doc_id")), None, None)
+      assert(!Layout.shouldCompact(spark, dir, "poldel2"))
+      Layout.tombstoneEvent(spark, dir, "poldel2", baseName, Seq("doc_id"),
+        Seq("doc_id" -> Seq(2L).toDF("doc_id")), None, None)
+      assert(Layout.shouldCompact(spark, dir, "poldel2"),
+        "maxEvents backstop did not fire")
+    } finally spark.conf.unset("spark.graft.compact.maxEvents")
+  }
+}

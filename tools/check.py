@@ -27,6 +27,7 @@ import json
 import math
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -81,7 +82,13 @@ def main():
         if os.path.isdir(os.path.join(OUT_DIR, d)))
 
     n_pass = n_fail = n_noora = 0
+    walls = {}  # per-query oracle wall seconds (round-13 item 7:
+    #             oracle tractability should be a visible number —
+    #             managed by trend, not discovered by a judge timeout)
+    verdicts = {}  # per-query pass/fail/rows_only (SF1BENCH hash_match)
+    rowcounts = {}
     for name in result_dirs:
+        t_start = time.monotonic()
         files = sorted(glob.glob(os.path.join(OUT_DIR, name, "*.parquet")))
         if not files:
             print(f"FAIL  {name}: no spark parquet output")
@@ -94,6 +101,8 @@ def main():
             n = len(srel.fetchall())
             print(f"NOORA {name}: rows={n} (rows-only check)")
             n_noora += 1
+            verdicts[name] = "rows_only"
+            rowcounts[name] = n
             if n == 0:
                 print(f"      ^ WARNING: zero rows")
             continue
@@ -133,14 +142,17 @@ def main():
                         problems.append(f"  row {i} spark : {a}")
                         problems.append(f"  row {i} oracle: {b}")
 
+        walls[name] = round(time.monotonic() - t_start, 3)
+        verdicts[name] = "fail" if problems else "pass"
         if problems:
-            print(f"FAIL  {name}:")
+            print(f"FAIL  {name}: ({walls[name]}s oracle wall)")
             for p in problems:
                 print(f"      {p}")
             n_fail += 1
         else:
             n = len(sdf)
-            print(f"PASS  {name}: {n} rows")
+            rowcounts[name] = n
+            print(f"PASS  {name}: {n} rows ({walls[name]}s oracle wall)")
             if n == 0:
                 print(f"      ^ WARNING: zero rows on both sides")
             n_pass += 1
@@ -149,7 +161,18 @@ def main():
     for name in sorted(missing):
         print(f"FAIL  {name}: oracle present but no spark output dir")
         n_fail += 1
-    print(f"\n== {n_pass} pass, {n_fail} fail, {n_noora} rows-only ==")
+    slow = sorted(walls.items(), key=lambda kv: -kv[1])[:5]
+    print("\nslowest oracles: " +
+          ", ".join(f"{n}={w}s" for n, w in slow) +
+          f"; total oracle wall {round(sum(walls.values()), 1)}s")
+    # machine-readable sidecar for artifact embedding (Sf1 runner &
+    # round notes read this instead of scraping stdout)
+    with open(os.path.join(OUT_DIR, "check_result.json"), "w") as f:
+        json.dump({"pass": n_pass, "fail": n_fail, "rows_only": n_noora,
+                   "verdicts": verdicts, "rows": rowcounts,
+                   "oracle_wall_sec": walls},
+                  f, indent=1, sort_keys=True)
+    print(f"== {n_pass} pass, {n_fail} fail, {n_noora} rows-only ==")
     sys.exit(1 if n_fail else 0)
 
 
