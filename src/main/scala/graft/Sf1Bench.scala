@@ -181,6 +181,24 @@ object Sf1Bench {
     require(prunes,
       s"production-regime point query does not prune buckets at sf1: $pointLine")
 
+    // round-13 item 5: the merge-on-read KNEE at the sf1 point —
+    // q123's delete view read (broadcast anti join + union over the
+    // untouched base), then q130's compaction, then the recovered
+    // (join-free bucketed table) read. Runs AFTER all timed passes and
+    // plan captures so the stable-name swap cannot contaminate q123's
+    // merge-on-read medians; the verify dump below reads the compacted
+    // artifact, which is row-identical by the q130 gate.
+    val delName = graft.sources.Layout.tableName(out, "nngraphdelsparse")
+    val tView0 = System.nanoTime()
+    spark.table(delName).count()
+    val delViewReadSec = (System.nanoTime() - tView0) / 1e9
+    val tComp0 = System.nanoTime()
+    graft.operators.Similarity.sparseDeleteCompaction(spark, out).count()
+    val compactSec = (System.nanoTime() - tComp0) / 1e9
+    val tRead0 = System.nanoTime()
+    spark.table(delName).count()
+    val compactedReadSec = (System.nanoTime() - tRead0) / 1e9
+
     // sf1 CORRECTNESS dump (round-10 item 5): the headline queries'
     // results + their oracle SQL in the Verify layout, so
     // `python3 tools/check.py <sf1_dir> <sf1_dir>/verify` hash-gates
@@ -286,6 +304,9 @@ object Sf1Bench {
         s""","delete_cone_a2":$coneA2,"delete_cone_vertices":$coneVerts""" +
         s""","delete_cone_frac":${
           BenchReport.f3(coneA2.toDouble / math.max(1L, coneVerts))}""" +
+        s""","delview_read_sec":${BenchReport.f3(delViewReadSec)}""" +
+        s""","compact_sec":${BenchReport.f3(compactSec)}""" +
+        s""","compacted_read_sec":${BenchReport.f3(compactedReadSec)}""" +
         s""","verify_dump":"$vDir"""" +
         s""","plan_flips":[${flips.map("\"" + _ + "\"").mkString(",")}]}""")
     require(flips.isEmpty,

@@ -4158,7 +4158,10 @@ object Similarity {
     * restricted to the same vertices, so "carried == rebuilt" is
     * driver-gated, not just spec-proven (`AnnDeleteSpec`'s
     * single-vector case remains the row-level equality check). */
-  def annDeleteSparse(s: SparkSession, dir: String): DataFrame = {
+  /** The q123 sparse-takedown publish (shared once-gate — q123's
+    * census and q130's compaction drive the SAME artifact), plus the
+    * A2 cone relation its census classes split on. */
+  private def sparseDelPub(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val del = Tables.embeddings(s, dir)
       .filter(pmod(col("vec_id"), lit(SparseDelMod)) === lit(SparseDelRem))
       .select(col("vec_id"))
@@ -4174,6 +4177,11 @@ object Similarity {
       Some((Layout.Buckets, Seq("vec_id"))),
       Seq("vec_id" -> del, "nbr" -> del, "vec_id" -> a2),
       refreshed)(nnGraphTable(s, dir))
+    (pub, a2)
+  }
+
+  def annDeleteSparse(s: SparkSession, dir: String): DataFrame = {
+    val (pub, a2) = sparseDelPub(s, dir)
     def cls(src: String, refreshed: Boolean) =
       pub.filter(col("src") === src)
         .join(a2, Seq("vec_id"), if (refreshed) "left_semi" else "left_anti")
@@ -4190,17 +4198,17 @@ object Similarity {
       .orderBy("artifact")
   }
 
-  /** The q123 oracle: the q116 graph machinery (held full-corpus
-    * quantizer, pool pairs scored once, held ranking → A1/A2 and
-    * survivor ranking → rebuilt rows, the NN-descent round over the
-    * survivor pool graph) at the sparse density, censused pool/extras
-    * × refreshed/untouched. */
-  val annDeleteSparseSql: String = {
+  /** The sparse-delete SURVIVOR DERIVATION as a SQL CTE chain (`q` →
+    * `g0s` pool rows + `nd` extras): the q116 graph machinery (held
+    * full-corpus quantizer, pool pairs scored once, held ranking →
+    * A1/A2 and survivor ranking → rebuilt rows, the NN-descent round
+    * over the survivor pool graph) at the sparse density — ONE
+    * definition shared verbatim by the q123 census and the q130
+    * compaction census, so the two oracles cannot drift (the
+    * q106/q129 `winSurvivorsSql` discipline). */
+  private val sparseSurvivorChainSql: String = {
     val dM = SparseDelMod; val dR = SparseDelRem
-    def h32(key: String): String =
-      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
-    mat(
-      s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+    s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
          |n AS (SELECT vec_id, q,
          |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
          |      FROM q
@@ -4262,7 +4270,16 @@ object Similarity {
          |             c.nbr) AS rn
          |    FROM ndc c JOIN n va ON va.vec_id = c.vec_id
          |    JOIN n vb ON vb.vec_id = c.nbr) t
-         |  WHERE rn <= $NdAdd)
+         |  WHERE rn <= $NdAdd)""".stripMargin
+  }
+
+  /** The q123 oracle: [[sparseSurvivorChainSql]] censused pool/extras
+    * × refreshed/untouched. */
+  val annDeleteSparseSql: String = {
+    def h32(key: String): String =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    mat(
+      s"""$sparseSurvivorChainSql
          |SELECT artifact, n_rows, checksum FROM (
          |  SELECT 'pool_refreshed' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
          |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")} AS checksum
@@ -4279,6 +4296,182 @@ object Similarity {
          |  SELECT 'extras_untouched', CAST(count(*) AS BIGINT),
          |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")}
          |  FROM nd WHERE vec_id NOT IN (SELECT vec_id FROM a2)) t
+         |ORDER BY artifact""".stripMargin)
+  }
+
+  /** q130: REFILL-FAMILY COMPACTION driver-gated (round-13 item 3 —
+    * q129 gates the pure-anti family's recovery; this gates the
+    * refill family's, whose published view additionally loses the
+    * bucketed output partitioning to its UNION ALL until compaction,
+    * the Layout-documented trade): q123's sparse-takedown artifact
+    * (`nngraphdelsparse` — tombstones + A2 refill segment over the
+    * untouched snapshot graph) is folded by [[Layout.compactDeleted]]
+    * into a fresh vec_id-bucketed table under the next version and the
+    * stable name swapped; the gated census reads the COMPACTED
+    * artifact, split pool/extras. The oracle re-derives the surviving
+    * graph from scratch over the shared [[sparseSurvivorChainSql]], so
+    * the gate proves view == compacted table == rebuild — the recovery
+    * loses no row and no class. Plan properties (join-free read,
+    * bucketing restored, one file per bucket) are spec-pinned on the
+    * same code path (`MvccDeleteSpec`/`MvccLifecycleSpec`); compaction
+    * runs once per (session, snapshot), the single-writer maintenance
+    * contract. */
+  def sparseDeleteCompaction(s: SparkSession, dir: String): DataFrame = {
+    // force the q123 publish BEFORE the census once-gate (shared
+    // artifact; nested gates are the "Recursive update" hazard)
+    sparseDelPub(s, dir)
+    Layout.materializedTable(s, dir, "sparsecompcensus") {
+      val compacted = Layout.compactDeleted(s, dir, "nngraphdelsparse",
+        Some((Layout.Buckets, Seq("vec_id"))))
+      val key = concat_ws("|", col("vec_id"), col("nbr"), col("nqn"))
+      Seq(
+        Dedup.censusRow("extras_compacted", compacted.filter(col("src") === "x"), key),
+        Dedup.censusRow("pool_compacted", compacted.filter(col("src") === "g"), key))
+        .reduce(_ unionByName _)
+    }.orderBy("artifact")
+  }
+
+  /** The q130 oracle: the surviving pool (`g0s`) and extras (`nd`)
+    * relations verbatim — compaction must preserve exactly the
+    * maintained delete's row set, class column included. */
+  val sparseDeleteCompactionSql: String = {
+    def h32(key: String): String =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    mat(
+      s"""$sparseSurvivorChainSql
+         |SELECT artifact, n_rows, checksum FROM (
+         |  SELECT 'extras_compacted' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")} AS checksum
+         |  FROM nd
+         |  UNION ALL
+         |  SELECT 'pool_compacted', CAST(count(*) AS BIGINT),
+         |         ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")}
+         |  FROM g0s) t
+         |ORDER BY artifact""".stripMargin)
+  }
+
+  /** Map-only held-quantizer assignment of an embeddings subset —
+    * q131's per-event ingest step (the [[annAppendFamily]]
+    * assignBatch shape, payload-free). */
+  private def lifeAssign(s: SparkSession, emb: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long], Long)]]): DataFrame = {
+    import s.implicits._
+    quantizedFrom(emb)
+      .select(col("vec_id"), col("q"), col("qn")).as[(Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, q, qn) => (id, routeCents(q, qn, cs, 1).head) }
+      }.toDF("vec_id", "cent_id")
+  }
+
+  /** q131: the INTERLEAVED LIFECYCLE gate (round-13 item 5) — append →
+    * sparse delete → append → compact over ONE ANN artifact, on the
+    * unified MVCC store ([[graft.sources.Layout.deleteSegment]]): all
+    * four event kinds share the store's single monotone generation
+    * sequence on one stable name. The artifact is the held-quantizer
+    * IVF assignment (vec_id, cent_id), cent_id-bucketed:
+    *
+    *  - base (gen 1): the standing corpus (vec_id ≢ 0 mod 5), assigned
+    *    map-only against the broadcast held quantizer;
+    *  - batch 1 (gen 2): vec_id ≡ 0 mod 10 — O(batch) append;
+    *  - takedown (gen 3): the q106 delete relation restricted to rows
+    *    PRESENT at delete time (vec_id ≢ 5 mod 10) — O(delete set)
+    *    tombstones, store generation files untouched;
+    *  - batch 2 (gen 4): vec_id ≡ 5 mod 10 PLUS the deleted batch-1
+    *    rows RE-INGESTED — the re-adds outlive their older tombstones
+    *    (generation-scoped last-writer-wins), so the driver's hash
+    *    compare drives the LWW rule `MvccLifecycleSpec` proves;
+    *  - compaction (gen 5): [[graft.sources.Layout.compactDeleted]]
+    *    folds the final view into a fresh bucketed table and swaps.
+    *
+    * The census reads the COMPACTED artifact split by segment class
+    * (base survivors / batch-1 survivors / re-adds / batch 2 / total);
+    * the oracle re-derives the assignment from scratch over
+    * (corpus ∪ batches) ∖ deleted under the corp-trained quantizer, so
+    * the gate proves the four-event composition equals the one-shot
+    * rebuild — previously proven only piecewise (q108 append, q120
+    * append∘delete, q129/q130 compaction) and spec-level. */
+  def annLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val dM = Dedup.DelMod; val dR = Dedup.DelRem
+    val bc = s.sparkContext.broadcast(ivfCentsBase(s, dir))
+    val emb = Tables.embeddings(s, dir)
+    val bkt = Some((Layout.Buckets, Seq("cent_id")))
+    val base = lifeAssign(s, emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), bc)
+    val batch1 = lifeAssign(s, emb.filter(pmod(col("vec_id"), lit(10)) === 0), bc)
+    val del = emb.filter(pmod(col("vec_id"), lit(dM)) === lit(dR) &&
+        pmod(col("vec_id"), lit(10)) =!= 5)
+      .select(col("vec_id"))
+    val batch2 = lifeAssign(s, emb.filter(pmod(col("vec_id"), lit(10)) === 5 ||
+      (pmod(col("vec_id"), lit(dM)) === lit(dR) &&
+        pmod(col("vec_id"), lit(10)) === 0)), bc)
+    // events 1-2 are once-gated inside appendRewrite (run it BEFORE
+    // the census gate — nested once-gates are the "Recursive update"
+    // hazard); events 3-5 ride the census once-gate so the sequence
+    // runs exactly once per (session, snapshot)
+    Layout.appendRewrite(s, dir, "ivflife", bkt, batch1)(base)
+    Layout.materializedTable(s, dir, "ivflifecensus") {
+      Layout.deleteSegment(s, dir, "ivflife", del, Seq("vec_id"))
+      Layout.appendSegment(s, dir, "ivflife", bkt, batch2)
+      val compacted = Layout.compactDeleted(s, dir, "ivflifeupd", bkt)
+      val key = concat_ws("|", col("vec_id"), col("cent_id"))
+      def cls(nm: String, p: Column) = Dedup.censusRow(nm, compacted.filter(p), key)
+      Seq(
+        cls("base_survivors", pmod(col("vec_id"), lit(5)) =!= 0),
+        cls("batch1_survivors", pmod(col("vec_id"), lit(10)) === 0 &&
+          pmod(col("vec_id"), lit(dM)) =!= lit(dR)),
+        cls("batch2", pmod(col("vec_id"), lit(10)) === 5),
+        cls("readded", pmod(col("vec_id"), lit(10)) === 0 &&
+          pmod(col("vec_id"), lit(dM)) === lit(dR)),
+        Dedup.censusRow("total", compacted, key))
+        .reduce(_ unionByName _)
+    }.orderBy("artifact")
+  }
+
+  /** The q131 oracle: corp-trained quantizer (the q108 chain), one
+    * from-scratch assignment over the final membership —
+    * (base ∖ deleted) ∪ batch 1 survivors ∪ re-adds ∪ batch 2 —
+    * censused by the same segment classes. */
+  val annLifecycleSql: String = {
+    val dM = Dedup.DelMod; val dR = Dedup.DelRem
+    def h32(key: String): String =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    def row(nm: String, where: String): String =
+      s"""SELECT '$nm' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+         |       ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(cent_id AS VARCHAR)")} AS checksum
+         |FROM m $where""".stripMargin
+    mat(
+      s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+         |n AS (SELECT vec_id, q,
+         |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+         |      FROM q
+         |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+         |corp AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+         |${sampSql("corp")},
+         |${trainedCentsSql("corp")},
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+         |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+         |             c.cent_id) AS rn
+         |    FROM n v CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |m AS (
+         |  SELECT vec_id, cent_id FROM assign
+         |  WHERE (vec_id % 5 <> 0 AND vec_id % $dM <> $dR)
+         |     OR vec_id % 10 = 0 OR vec_id % 10 = 5)
+         |SELECT artifact, n_rows, checksum FROM (
+         |  ${row("base_survivors", "WHERE vec_id % 5 <> 0")}
+         |  UNION ALL
+         |  ${row("batch1_survivors", s"WHERE vec_id % 10 = 0 AND vec_id % $dM <> $dR")}
+         |  UNION ALL
+         |  ${row("batch2", "WHERE vec_id % 10 = 5")}
+         |  UNION ALL
+         |  ${row("readded", s"WHERE vec_id % 10 = 0 AND vec_id % $dM = $dR")}
+         |  UNION ALL
+         |  ${row("total", "")}) t
          |ORDER BY artifact""".stripMargin)
   }
 
@@ -4563,5 +4756,14 @@ object Similarity {
     // q123 gates the held-extras CARRY branch at production takedown
     // density: carried rows hash-match the rebuild's nd derivation
     QueryDef("q123_ann_delete_sparse", annDeleteSparse, Some(annDeleteSparseSql)),
+    // q130 gates the refill-family compaction: view == compacted ==
+    // rebuild over the shared sparse survivor chain (q129's pattern
+    // extended to the family that loses bucketing until compaction)
+    QueryDef("q130_refill_compaction", sparseDeleteCompaction,
+      Some(sparseDeleteCompactionSql)),
+    // q131 gates the INTERLEAVED lifecycle on the unified MVCC store:
+    // append → delete → append (re-add LWW) → compact == one-shot
+    // rebuild over (corpus ∪ batches) ∖ deleted
+    QueryDef("q131_ann_lifecycle", annLifecycle, Some(annLifecycleSql)),
   )
 }

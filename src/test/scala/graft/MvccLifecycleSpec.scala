@@ -236,6 +236,28 @@ class MvccLifecycleSpec extends SparkSpec {
       Some((Layout.Buckets, Seq("grp")))).isEmpty)
   }
 
+  test("mass markers record the event's sidecar mass at the event itself") {
+    val dir = sfDir
+    Layout.materializedTable(spark, dir, "massmarkbase",
+      Some((Layout.Buckets, Seq("grp")))) {
+      spark.range(400L).select(col("id").as("doc_id"),
+        pmod(col("id"), lit(8)).as("grp"))
+    }
+    Layout.tombstoneEvent(spark, dir, "massmarkdel",
+      Layout.tableName(dir, "massmarkbase"), Seq("doc_id", "grp"),
+      Seq("doc_id" -> Seq(1L, 2L).toDF("doc_id"),
+        "doc_id" -> Seq(5L).toDF("doc_id")),
+      Some(Seq((5L, 5L)).toDF("doc_id", "grp")),
+      Some((Layout.Buckets, Seq("grp"))))
+    val m = Layout.latestMassMarker(spark,
+      s"${Layout.tableName(dir, "massmarkdel")}tombs").get
+    assert(m("tombRows") == 3, s"marker: $m")
+    assert(m("baseRows") == 400, s"marker: $m")
+    assert(m("segRows") == 1, s"marker: $m")
+    assert(m("segFiles") > 0, s"refill files not counted at the event: $m")
+    assert(m("events") == 1, s"marker: $m")
+  }
+
   test("compaction policy: the maxEvents backstop fires on many tiny events") {
     val dir = sfDir
     Layout.materializedTable(spark, dir, "polbase2", None) {
