@@ -236,12 +236,25 @@ class MvccDeleteSpec extends SparkSpec {
       val refills = rnd.shuffle(keys).take(1 + rnd.nextInt(5)).toSet -- dels
       val refillRows = refills.toSeq.flatMap(k =>
         (0 until 1 + rnd.nextInt(3)).map(_ => { nextV += 1; (k, nextV) }))
+      // round-13 (round-12 advice): VARY the purged-column set between
+      // events — some events additionally tombstone payload VALUES on
+      // column v. The sidecar-derived anti predicate must keep those
+      // kills through later k-only events (the resurrection hazard the
+      // fixed-column property test couldn't see). Same-event refill
+      // rows share the tombstones' generation, so they survive them.
+      val vDels: Set[Long] =
+        if (model.nonEmpty && rnd.nextInt(3) == 0)
+          rnd.shuffle(model.toSeq.map(_._2)).take(1 + rnd.nextInt(2)).toSet
+        else Set.empty
+      val tombs =
+        Seq("k" -> dels.toSeq.toDF("k"), "k" -> refills.toSeq.toDF("k")) ++
+          (if (vDels.nonEmpty) Seq("v" -> vDels.toSeq.toDF("v")) else Nil)
       Layout.tombstoneEvent(spark, dir, what, baseName, Seq("k", "v"),
-        Seq("k" -> dels.toSeq.toDF("k"),
-          "k" -> refills.toSeq.toDF("k")),
+        tombs,
         Some(refillRows.toDF("k", "v")),
         Some((Layout.Buckets, Seq("k"))))
-      model = model.filterNot { case (k, _) => dels(k) || refills(k) } ++ refillRows
+      model = model.filterNot { case (k, v) =>
+        dels(k) || refills(k) || vDels(v) } ++ refillRows
       val got = spark.table(delName).select("k", "v").as[(Long, Long)].collect().toSet
       assert(got == model,
         s"event diverged: missing=${model -- got} extra=${got -- model}")

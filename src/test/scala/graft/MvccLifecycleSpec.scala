@@ -201,6 +201,57 @@ class MvccLifecycleSpec extends SparkSpec {
       "post-compaction view fell back to the pre-compaction base")
   }
 
+  test("property: random append/delete/compact interleavings on the store match the reference fold") {
+    // seeded-random event sequences against an in-memory reference
+    // model (the MvccDeleteSpec discipline, lifted to the UNIFIED
+    // store): each step appends fresh rows (sometimes RE-ADDING a
+    // previously deleted key — the LWW rule), deletes a random live
+    // subset, or compacts; after every step the stable view must
+    // equal the fold. This is the composition argument q131 gates at
+    // one fixed shape, proven over arbitrary interleavings.
+    val dir = sfDir
+    val rnd = new scala.util.Random(31337)
+    val bkt = Some((Layout.Buckets, Seq("cent_id")))
+    var nextId = 1000L
+    def fresh(n: Int): Seq[(Long, Long)] =
+      (0 until n).map { _ => nextId += 1; (nextId, nextId % 8) }
+    val base = fresh(30)
+    val batch0 = fresh(10)
+    Layout.appendRewrite(spark, dir, "lifeprop", bkt,
+      batch0.toDF("vec_id", "cent_id"))(base.toDF("vec_id", "cent_id"))
+    val name = Layout.tableName(dir, "lifepropupd")
+    var model: Set[(Long, Long)] = (base ++ batch0).toSet
+    val deleted = scala.collection.mutable.Set.empty[Long]
+    (1 to 8).foreach { i =>
+      rnd.nextInt(3) match {
+        case 0 =>
+          val readd =
+            if (deleted.nonEmpty && rnd.nextBoolean()) {
+              val d = deleted.head; deleted -= d; Seq((d, d % 8))
+            } else Nil
+          val rows = fresh(1 + rnd.nextInt(4)) ++ readd
+          Layout.appendSegment(spark, dir, "lifeprop", bkt,
+            rows.toDF("vec_id", "cent_id"))
+          model ++= rows
+        case 1 =>
+          val live = model.toSeq.map(_._1)
+          val dels = rnd.shuffle(live).take(1 + rnd.nextInt(4))
+          if (dels.nonEmpty) {
+            Layout.deleteSegment(spark, dir, "lifeprop",
+              dels.toDF("vec_id"), Seq("vec_id"))
+            model = model.filterNot { case (id, _) => dels.contains(id) }
+            deleted ++= dels
+          }
+        case 2 =>
+          Layout.compactDeleted(spark, dir, "lifepropupd", bkt)
+      }
+      val got = spark.table(name).select("vec_id", "cent_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == model,
+        s"step $i diverged: missing=${model -- got} extra=${got -- model}")
+    }
+  }
+
   test("compaction policy: no-op fresh, fires on tombstone mass, resets after compaction") {
     val dir = sfDir
     Layout.materializedTable(spark, dir, "polbase",
