@@ -4475,6 +4475,120 @@ object Similarity {
          |ORDER BY artifact""".stripMargin)
   }
 
+  /** q132's correction set: one live vector per 13 (vec_id ≡ 1
+    * mod 13) gets RE-EMBEDDED — modeled as the reversed embedding
+    * vector, deterministic on both engines and norm-preserving — and
+    * its index rows replaced. */
+  private val UpsMod = 13L
+  private val UpsRem = 1L
+
+  /** q132: the UPSERT (insert-or-replace) gate — the fourth lifecycle
+    * verb on the unified MVCC store ([[graft.sources.Layout
+    * .upsertSegment]]), driven as the production "correction event":
+    * a slice of live vectors is re-embedded (reversed embeddings —
+    * deterministic, norm-preserving, assignment-changing) and ONE
+    * event replaces their index rows — tombstones for the keys and
+    * the re-routed rows land at the SAME generation, so the pair is
+    * atomic last-writer-wins; carried keys' rows and the store's
+    * generation files are untouched, write I/O = O(correction set).
+    * The event lands on q131's COMPACTED artifact (generation 6 after
+    * the compaction horizon at 5), so the gate also drives the
+    * post-compaction re-base path end to end. The census splits
+    * upserted/carried/total; the oracle re-derives the carried rows
+    * from the q131 membership chain and the upserted rows by routing
+    * the REVERSED vectors against the same corp-trained quantizer
+    * (reversal expressed as index arithmetic in the dot product). */
+  def annUpsert(s: SparkSession, dir: String): DataFrame = {
+    val dM = Dedup.DelMod; val dR = Dedup.DelRem
+    // force q131's lifecycle (its own once-gates): base, batches,
+    // takedown, compaction — the upsert continues that artifact
+    annLifecycle(s, dir)
+    val bc = s.sparkContext.broadcast(ivfCentsBase(s, dir))
+    val emb = Tables.embeddings(s, dir)
+    // live membership after q131 = everything except the deleted
+    // (never re-added) base rows
+    val live = !(pmod(col("vec_id"), lit(5)) =!= 0 &&
+      pmod(col("vec_id"), lit(dM)) === lit(dR) &&
+      pmod(col("vec_id"), lit(10)) =!= 0)
+    val corrected = emb.filter(live &&
+        pmod(col("vec_id"), lit(UpsMod)) === lit(UpsRem))
+      .withColumn("embedding", reverse(col("embedding")))
+    val rows = lifeAssign(s, corrected, bc)
+    Layout.materializedTable(s, dir, "ivfupscensus") {
+      val pub = Layout.upsertSegment(s, dir, "ivflife",
+        Some((Layout.Buckets, Seq("cent_id"))), rows, Seq("vec_id"))
+      val key = concat_ws("|", col("vec_id"), col("cent_id"))
+      Seq(
+        Dedup.censusRow("carried",
+          pub.filter(pmod(col("vec_id"), lit(UpsMod)) =!= lit(UpsRem)), key),
+        Dedup.censusRow("total", pub, key),
+        Dedup.censusRow("upserted",
+          pub.filter(pmod(col("vec_id"), lit(UpsMod)) === lit(UpsRem)), key))
+        .reduce(_ unionByName _)
+    }.orderBy("artifact")
+  }
+
+  /** The q132 oracle: the q131 membership (`m`) carried for keys
+    * outside the correction set; the correction set re-routed with
+    * the dot product over the REVERSED vector (q[len+1-i] — no
+    * list_reverse dependence); censused upserted/carried/total. */
+  val annUpsertSql: String = {
+    val dM = Dedup.DelMod; val dR = Dedup.DelRem
+    def h32(key: String): String =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    def row(nm: String, src: String): String =
+      s"""SELECT '$nm' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+         |       ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(cent_id AS VARCHAR)")} AS checksum
+         |FROM $src""".stripMargin
+    mat(
+      s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+         |n AS (SELECT vec_id, q,
+         |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+         |      FROM q
+         |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+         |corp AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+         |${sampSql("corp")},
+         |${trainedCentsSql("corp")},
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+         |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+         |             c.cent_id) AS rn
+         |    FROM n v CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |m AS (
+         |  SELECT vec_id, cent_id FROM assign
+         |  WHERE (vec_id % 5 <> 0 AND vec_id % $dM <> $dR)
+         |     OR vec_id % 10 = 0 OR vec_id % 10 = 5),
+         |ups AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+         |                    i -> v.q[len(v.q) + 1 - i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+         |             c.cent_id) AS rn
+         |    FROM n v CROSS JOIN cents c
+         |    WHERE v.vec_id % $UpsMod = $UpsRem
+         |      AND v.vec_id IN (SELECT vec_id FROM m)) t
+         |  WHERE rn = 1),
+         |carried AS (
+         |  SELECT vec_id, cent_id FROM m WHERE vec_id % $UpsMod <> $UpsRem),
+         |final AS (
+         |  SELECT vec_id, cent_id FROM carried
+         |  UNION ALL SELECT vec_id, cent_id FROM ups)
+         |SELECT artifact, n_rows, checksum FROM (
+         |  ${row("carried", "carried")}
+         |  UNION ALL
+         |  ${row("total", "final")}
+         |  UNION ALL
+         |  ${row("upserted", "ups")}) t
+         |ORDER BY artifact""".stripMargin)
+  }
+
   /** The sf1 gate's q123 oracle — ARTIFACT-BACKED (round-12 item 5,
     * the [[annRecallHeldSql]] pattern): reads the dumped held graph
     * (`nngraph`) and routing (`nnroutes`) tables instead of re-deriving
@@ -4765,5 +4879,9 @@ object Similarity {
     // append → delete → append (re-add LWW) → compact == one-shot
     // rebuild over (corpus ∪ batches) ∖ deleted
     QueryDef("q131_ann_lifecycle", annLifecycle, Some(annLifecycleSql)),
+    // q132 gates the UPSERT verb (one atomic tombstone+replace event,
+    // landing on q131's compacted artifact): carried == q131 rebuild,
+    // upserted == reversed-vector re-route under the same quantizer
+    QueryDef("q132_ann_upsert", annUpsert, Some(annUpsertSql)),
   )
 }

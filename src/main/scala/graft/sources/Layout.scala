@@ -1019,9 +1019,62 @@ object Layout {
     s.table(name)
   }
 
+  /** INSERT-OR-REPLACE (upsert/MERGE) event against an MVCC generation
+    * store — the FOURTH lifecycle verb beside append, delete and
+    * compact (round-13): ONE event writes tombstones for the rows'
+    * key values AND the replacement rows at the SAME generation. The
+    * generation-scoped rule (a tombstone kills strictly OLDER
+    * generations; same-generation rows survive it) makes the pair an
+    * atomic last-writer-wins: every prior row of an upserted key is
+    * shadowed, the event's rows stand, and a key with no prior rows
+    * is simply inserted. Write I/O = O(upsert set); store generation
+    * files untouched; committed by the one view swap. Keys are the
+    * rows' own distinct key values — the MERGE shape, no separate
+    * key relation to drift from the payload. */
+  private[graft] def upsertSegment(s: SparkSession, dir: String, what: String,
+      buckets: Option[(Int, Seq[String])], rows: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val name = tableName(dir, what + "upd")
+    val store = s"${name}store"
+    val tombsT = s"${name}tombs"
+    keyCols.foreach { c =>
+      val dt = rows.schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.ByteType).contains(dt),
+        s"upsertSegment: key column `$c` has non-integral type $dt")
+    }
+    require(rows.count() <= massDeleteKeys(s),
+      s"upsertSegment: mass upsert exceeds the broadcast envelope " +
+        s"(${massDeleteKeys(s)} rows) — rebuild the snapshot instead")
+    val ctr = publishCounter.computeIfAbsent(s"$store#gen",
+      _ => new java.util.concurrent.atomic.AtomicLong(priorMaxGen(s, name, store)))
+    ctr.synchronized {
+      val gen = ctr.incrementAndGet()
+      keyCols.map { c =>
+        rows.select(col(c).cast("long").as("k")).distinct()
+          .select(col("k"), lit(c).as("kcol"), lit(gen.toInt).as("gen"))
+      }.reduce(_ unionByName _)
+        .write.mode("append").saveAsTable(tombsT)
+      s.catalog.refreshTable(tombsT)
+      val w = rows.withColumn("gen", lit(gen.toInt)).write.mode("append")
+      buckets match {
+        case Some((k, bc)) => w.bucketBy(k, bc.head, bc.tail: _*).saveAsTable(store)
+        case None          => w.saveAsTable(store)
+      }
+      commitGenMarker(s, store, gen)
+      s.catalog.refreshTable(store)
+      publishStoreView(s, name, store, gen)
+      recordMass(s, name, tombsT, store, gen,
+        baseRowsOf = () => s.table(store).count(), countSegRows = false)
+    }
+    s.table(name)
+  }
+
   /** Publish version view `e` of a STORE-backed artifact — the ONE
-    * view builder behind [[appendRewrite]], [[appendSegment]] and
-    * [[deleteSegment]]:
+    * view builder behind [[appendRewrite]], [[appendSegment]],
+    * [[deleteSegment]] and [[upsertSegment]]:
     *
     *   rows = (latest compacted table, as its generation) ∪
     *          store rows with gen in (compaction horizon, e],

@@ -222,8 +222,8 @@ class MvccLifecycleSpec extends SparkSpec {
     val name = Layout.tableName(dir, "lifepropupd")
     var model: Set[(Long, Long)] = (base ++ batch0).toSet
     val deleted = scala.collection.mutable.Set.empty[Long]
-    (1 to 8).foreach { i =>
-      rnd.nextInt(3) match {
+    (1 to 10).foreach { i =>
+      rnd.nextInt(4) match {
         case 0 =>
           val readd =
             if (deleted.nonEmpty && rnd.nextBoolean()) {
@@ -244,6 +244,15 @@ class MvccLifecycleSpec extends SparkSpec {
           }
         case 2 =>
           Layout.compactDeleted(spark, dir, "lifepropupd", bkt)
+        case 3 =>
+          // upsert: replace some live keys' rows with new payloads,
+          // plus one brand-new key (insert-or-replace in one event)
+          val live = rnd.shuffle(model.toSeq.map(_._1)).take(1 + rnd.nextInt(3))
+          val ins = fresh(1)
+          val rows = live.map(id => (id, 100L + rnd.nextInt(8))) ++ ins
+          Layout.upsertSegment(spark, dir, "lifeprop", bkt,
+            rows.toDF("vec_id", "cent_id"), Seq("vec_id"))
+          model = model.filterNot { case (id, _) => live.contains(id) } ++ rows
       }
       val got = spark.table(name).select("vec_id", "cent_id")
         .as[(Long, Long)].collect().toSet
