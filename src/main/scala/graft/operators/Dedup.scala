@@ -1494,6 +1494,108 @@ object Dedup {
        |ORDER BY artifact""".stripMargin
   }
 
+  /** q133's event slices: per event i, one killed doc residue and one
+    * re-ingested (touched) residue mod 50, both avoiding multiples of
+    * 5 (the window index covers the STANDING corpus, doc_id ≢ 0
+    * mod 5). ONE Scala definition feeds both the Spark driver and the
+    * oracle's VALUES list, so the two cannot drift. */
+  private val PolicyKillRes = (0 to 24).filterNot(_ % 5 == 0).take(16)
+  private val PolicyTouchRes = (26 to 49).filterNot(_ % 5 == 0).take(16)
+
+  /** q133: the COMPACTION DECISION driver-gated (round-13 lead item,
+    * beyond the spec level): delete+refill events are driven against
+    * the written window index until [[Layout.shouldCompact]] fires —
+    * reading only the `_mass_` metadata markers each event records —
+    * then [[Layout.maintainDeleted]] runs the gated compaction. The
+    * census exposes the DECISION itself (`policy_fired_at`: the event
+    * number, with the cumulative tombstone-key count as its checksum)
+    * next to the compacted survivors, and the ORACLE predicts both
+    * from the raw tables: the fire point is the first event whose
+    * cumulative (kill + touch) key count exceeds tombFrac (1%) of the
+    * window-index row count, and the survivors are the index minus
+    * the killed residues' rows (touched rows are identity re-ingests).
+    * The policy is pinned to the tombFrac dimension for the gate
+    * (segFilesMax/maxEvents lifted via conf and restored), because
+    * per-event FILE counts are parallelism-dependent — the file
+    * dimension stays covered by `MvccLifecycleSpec` and the knee
+    * probe. */
+  def compactionPolicy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bkt = Some((Layout.Buckets, Seq("h")))
+    // the probe-shared base artifact (built BEFORE the census gate —
+    // nested once-gates are the "Recursive update" hazard)
+    val base = Layout.materializedTable(s, dir, "kneebase", bkt) {
+      corpusWindowIndex(s, dir).select(col("doc_id"), col("h"))
+    }
+    val baseName = Layout.tableName(dir, "kneebase")
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    Layout.materializedTable(s, dir, "policycensus") {
+      def slice(r: Int) = docs.filter(pmod(col("doc_id"), lit(50)) === r)
+      val prev = Seq("segFilesMax", "maxEvents")
+        .map(k => k -> s.conf.getOption(s"spark.graft.compact.$k")).toMap
+      s.conf.set("spark.graft.compact.segFilesMax", Long.MaxValue.toString)
+      s.conf.set("spark.graft.compact.maxEvents", "100")
+      try {
+        var fired = 0; var i = 0
+        while (fired == 0 && i < PolicyKillRes.size) {
+          i += 1
+          val kill = slice(PolicyKillRes(i - 1))
+          val touch = slice(PolicyTouchRes(i - 1))
+          val refill = base.join(touch, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("h"))
+          Layout.tombstoneEvent(s, dir, "policydel", baseName,
+            Seq("doc_id", "h"), Seq("doc_id" -> kill, "doc_id" -> touch),
+            Some(refill), bkt)
+          if (Layout.shouldCompact(s, dir, "policydel")) fired = i
+        }
+        require(fired > 0, s"policy never fired within ${PolicyKillRes.size} events")
+        // the mass marker at the fire point — compaction clears it
+        val mass = Layout.latestMassMarker(s,
+          s"${Layout.tableName(dir, "policydel")}tombs").get
+        val compacted = Layout.maintainDeleted(s, dir, "policydel", bkt).get
+        censusRow("survivors", compacted, concat_ws("|", col("doc_id"), col("h")))
+          .unionByName(Seq(("policy_fired_at", fired.toLong, mass("tombRows")))
+            .toDF("artifact", "n_rows", "checksum"))
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(s"spark.graft.compact.$k", v)
+        case (k, None)    => s.conf.unset(s"spark.graft.compact.$k")
+      }
+    }.orderBy("artifact")
+  }
+
+  /** The q133 oracle: the fire point and the survivors predicted from
+    * the raw tables — cumulative per-event key counts vs 1% of the
+    * window-index cardinality, and the index minus the first
+    * `fired`-many killed residues. */
+  val compactionPolicySql: String = {
+    def h32(key: String): String =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    val evmap = PolicyKillRes.zip(PolicyTouchRes).zipWithIndex
+      .map { case ((k, t), i) => s"(${i + 1}, $k, $t)" }.mkString(", ")
+    val corpusAll = "documents AS (SELECT * FROM main.documents WHERE doc_id % 5 <> 0)"
+    s"""WITH wbase AS (
+       |  ${winSurvivorsSql(corpusAll).replace("\n", "\n  ")}),
+       |wc AS (SELECT count(*) AS n FROM wbase),
+       |ev(i, killr, touchr) AS (VALUES $evmap),
+       |keys AS (
+       |  SELECT e.i, e.killr,
+       |         (SELECT count(*) FROM main.documents d WHERE d.doc_id % 50 = e.killr)
+       |       + (SELECT count(*) FROM main.documents d WHERE d.doc_id % 50 = e.touchr) AS nk
+       |  FROM ev e),
+       |cum AS (SELECT i, killr, sum(nk) OVER (ORDER BY i) AS c FROM keys),
+       |fired AS (SELECT min(i) AS e FROM cum, wc WHERE c > 0.01 * wc.n),
+       |killed AS (SELECT killr FROM cum WHERE i <= (SELECT e FROM fired))
+       |SELECT artifact, n_rows, checksum FROM (
+       |  SELECT 'policy_fired_at' AS artifact,
+       |         CAST((SELECT e FROM fired) AS BIGINT) AS n_rows,
+       |         CAST((SELECT c FROM cum WHERE i = (SELECT e FROM fired)) AS BIGINT) AS checksum
+       |  UNION ALL
+       |  SELECT 'survivors', CAST(count(*) AS BIGINT),
+       |         ${h32("CAST(doc_id AS VARCHAR) || '|' || CAST(h AS VARCHAR)")}
+       |  FROM wbase WHERE doc_id % 50 NOT IN (SELECT killr FROM killed)) t
+       |ORDER BY artifact""".stripMargin
+  }
+
   /** The surviving-corpus window relation (doc_id, h) as SQL, over an
     * injected `documents AS (...)` survivor CTE — ONE definition shared
     * by the q106 winindex census row and the q129 compaction census,
@@ -2317,6 +2419,11 @@ object Dedup {
     // q129: the delete -> compaction lifecycle end to end — the
     // merge-on-read view folded back into a bucketed table, censused
     QueryDef("q129_delete_compaction", deleteCompaction, Some(deleteCompactionSql)),
+    // q133 gates the compaction DECISION: events drive the mass
+    // markers until shouldCompact fires (a metadata read), then
+    // maintainDeleted compacts; the oracle predicts the fire point
+    // AND the compacted survivors from the raw tables
+    QueryDef("q133_compaction_policy", compactionPolicy, Some(compactionPolicySql)),
     // q122's oracle re-derives clusters, assignment and the
     // cross-split pair check independently: the leak-free invariant
     // is a gated output, not an implementation comment

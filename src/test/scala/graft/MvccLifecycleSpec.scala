@@ -261,6 +261,47 @@ class MvccLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("restart: the store resumes generations AND the compaction horizon from markers alone") {
+    // the round-12 appendSegment restart case extended to the whole
+    // unified lifecycle: after delete + compaction, a counter reset
+    // (the in-memory state a real SparkContext restart loses) must
+    // re-derive BOTH the next generation (from the _gen_ commit log —
+    // including generations allocated by delete and compaction
+    // events) and the compaction horizon (from the _compact_ marker),
+    // so post-restart events extend the compacted state instead of
+    // resurrecting pre-compaction history
+    val dir = sfDir
+    val bkt = Some((Layout.Buckets, Seq("cent_id")))
+    val base = (0L until 20L).map(k => (k, k % 8)).toDF("vec_id", "cent_id")
+    val batch = (100L until 110L).map(k => (k, k % 8)).toDF("vec_id", "cent_id")
+    Layout.appendRewrite(spark, dir, "liferestart", bkt, batch)(base) // gens 1, 2
+    Layout.deleteSegment(spark, dir, "liferestart",
+      Seq(1L, 2L).toDF("vec_id"), Seq("vec_id"))                      // gen 3
+    Layout.compactDeleted(spark, dir, "liferestartupd", bkt)          // gen 4
+    val name = Layout.tableName(dir, "liferestartupd")
+    def ids(): Set[Long] =
+      spark.table(name).select("vec_id").as[Long].collect().toSet
+    val before = ids()
+    assert(!before.contains(1L) && !before.contains(2L))
+
+    Layout.resetPublishCounters() // simulate the restart
+
+    Layout.appendSegment(spark, dir, "liferestart", bkt,
+      Seq((900L, 4L)).toDF("vec_id", "cent_id"))                      // gen 5
+    assert(ids() == before + 900L,
+      "post-restart append lost the compacted state or pre-compaction kills")
+    Layout.deleteSegment(spark, dir, "liferestart",
+      Seq(900L).toDF("vec_id"), Seq("vec_id"))                        // gen 6
+    assert(ids() == before,
+      "post-restart delete resurrected history or missed its key")
+    // generations stayed monotone across the reset: the stable view
+    // points at __v6, not a recycled number
+    val maxV = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(s"${name}__v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix(s"${name}__v").toLong).toOption).max
+    assert(maxV == 6L, s"generation sequence restarted: max version $maxV")
+  }
+
   test("compaction policy: no-op fresh, fires on tombstone mass, resets after compaction") {
     val dir = sfDir
     Layout.materializedTable(spark, dir, "polbase",
