@@ -1375,7 +1375,7 @@ object Dedup {
   /** One census row: artifact name, surviving row count, and an
     * order-independent content checksum (sum of 32-bit md5 hashes of
     * the per-row key string — BIGINT-exact, 2^32·rows ≪ 2^63). */
-  private[operators] def censusRow(name: String, df: DataFrame, key: Column): DataFrame =
+  private[graft] def censusRow(name: String, df: DataFrame, key: Column): DataFrame =
     df.agg(count(lit(1)).as("n_rows"),
       coalesce(sum(hash32(key)), lit(0L)).as("checksum"))
       .select(lit(name).as("artifact"), col("n_rows"), col("checksum"))

@@ -4352,8 +4352,9 @@ object Similarity {
 
   /** Map-only held-quantizer assignment of an embeddings subset —
     * q131's per-event ingest step (the [[annAppendFamily]]
-    * assignBatch shape, payload-free). */
-  private def lifeAssign(s: SparkSession, emb: DataFrame,
+    * assignBatch shape, payload-free); also the correction door's
+    * per-micro-batch transform (q134). */
+  private[graft] def lifeAssign(s: SparkSession, emb: DataFrame,
       bc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long], Long)]]): DataFrame = {
     import s.implicits._
     quantizedFrom(emb)
@@ -4479,8 +4480,66 @@ object Similarity {
     * mod 13) gets RE-EMBEDDED — modeled as the reversed embedding
     * vector, deterministic on both engines and norm-preserving — and
     * its index rows replaced. */
-  private val UpsMod = 13L
-  private val UpsRem = 1L
+  private[graft] val UpsMod = 13L
+  private[graft] val UpsRem = 1L
+
+  /** The q134 oracle (query: [[graft.streaming.StreamDoor
+    * .streamUpsertDoor]]): the correction door's final store state
+    * re-derived from raw embeddings — carried keys keep the standing
+    * assignment, corrected keys (vec_id ≡ [[UpsRem]] mod [[UpsMod]])
+    * route their REVERSED vectors (index arithmetic in the dot
+    * product, the q132 trick) — so the gate proves the streamed
+    * per-micro-batch upsert events land exactly the batch math. */
+  val upsertDoorSql: String = {
+    def h32(key: String): String =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    def row(nm: String, src: String): String =
+      s"""SELECT '$nm' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+         |       ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(cent_id AS VARCHAR)")} AS checksum
+         |FROM $src""".stripMargin
+    mat(
+      s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+         |n AS (SELECT vec_id, q,
+         |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+         |      FROM q
+         |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+         |corp AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+         |${sampSql("corp")},
+         |${trainedCentsSql("corp")},
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+         |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+         |             c.cent_id) AS rn
+         |    FROM n v CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |ups AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+         |                    i -> v.q[len(v.q) + 1 - i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+         |             c.cent_id) AS rn
+         |    FROM n v CROSS JOIN cents c
+         |    WHERE v.vec_id % $UpsMod = $UpsRem) t
+         |  WHERE rn = 1),
+         |carried AS (
+         |  SELECT vec_id, cent_id FROM assign WHERE vec_id % $UpsMod <> $UpsRem),
+         |final AS (
+         |  SELECT vec_id, cent_id FROM carried
+         |  UNION ALL SELECT vec_id, cent_id FROM ups)
+         |SELECT artifact, n_rows, checksum FROM (
+         |  ${row("carried", "carried")}
+         |  UNION ALL
+         |  ${row("total", "final")}
+         |  UNION ALL
+         |  ${row("upserted", "ups")}) t
+         |ORDER BY artifact""".stripMargin)
+  }
 
   /** q132: the UPSERT (insert-or-replace) gate — the fourth lifecycle
     * verb on the unified MVCC store ([[graft.sources.Layout

@@ -240,6 +240,80 @@ object StreamDoor {
       .orderBy("vec_id", "cvec")
   }
 
+  /** q134: the CORRECTION door — the SEVENTH front door, and the first
+    * whose sink is the TABLE LIFECYCLE itself rather than a parquet
+    * file sink: corrected (re-embedded) vectors arrive on a stream
+    * and each micro-batch is applied to the MVCC store as ONE
+    * [[graft.sources.Layout.upsertSegment]] event — tombstones for
+    * the batch's keys and its re-routed rows at the batch's own
+    * generation, O(batch) write I/O, an atomic view swap per commit.
+    * The staged corrections are written as FOUR source files and the
+    * stream reads `maxFilesPerTrigger=1`, so the run provably spans
+    * multiple micro-batches (the builder asserts ≥3 streamed
+    * generations landed); the final view is batch-order independent
+    * because the per-file key sets are disjoint, and a REPLAYED batch
+    * is content-idempotent (same rows at a higher generation — the
+    * upsert semantics), which is what makes a foreachBatch lifecycle
+    * sink exactly-once in content under retries. The seed store is
+    * the full-corpus held-quantizer assignment (two generations, the
+    * appendRewrite shape); corrections are the q132 correction model
+    * (vec_id ≡ 1 mod 13, REVERSED embeddings). The census over the
+    * final stable view (upserted/carried/total) hash-matches
+    * [[Similarity.upsertDoorSql]]'s from-raw-embeddings derivation. */
+  def streamUpsertDoor(s: SparkSession, dir: String): DataFrame = {
+    val bc = s.sparkContext.broadcast(Similarity.ivfCentsBase(s, dir))
+    val emb = Tables.embeddings(s, dir)
+    val bkt = Some((Layout.Buckets, Seq("cent_id")))
+    // seed the store OUTSIDE the census gate (nested once-gates are
+    // the "Recursive update" hazard): gens 1+2 = the full corpus
+    // assignment, split arbitrarily
+    Layout.appendRewrite(s, dir, "ivfsdoor", bkt,
+      Similarity.lifeAssign(s, emb.filter(pmod(col("vec_id"), lit(2)) === 1), bc))(
+      Similarity.lifeAssign(s, emb.filter(pmod(col("vec_id"), lit(2)) === 0), bc))
+    val name = Layout.tableName(dir, "ivfsdoorupd")
+    val out = Layout.materializedTable(s, dir, "udoorout") {
+      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
+      val base = wh + "/" + Layout.tableName(dir, "udoorrun")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"
+      val corrections = emb
+        .filter(pmod(col("vec_id"), lit(Similarity.UpsMod)) === lit(Similarity.UpsRem))
+        .withColumn("embedding", reverse(col("embedding")))
+      corrections.repartition(4).write.mode("overwrite").parquet(srcDir)
+      def maxV(): Long = s.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith(s"${name}__v"))
+        .flatMap(n => scala.util.Try(n.stripPrefix(s"${name}__v").toLong).toOption)
+        .foldLeft(0L)(math.max)
+      val vBefore = maxV()
+      // one upsert EVENT per micro-batch: the lifecycle IS the sink.
+      // (explicitly-typed function value — the foreachBatch overloads
+      // are ambiguous for an inline Scala lambda)
+      val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
+        Layout.upsertSegment(s, dir, "ivfsdoor", bkt,
+          Similarity.lifeAssign(s, batch, bc), Seq("vec_id"))
+        ()
+      }
+      val q = s.readStream.schema(corrections.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(applyBatch).start()
+      q.awaitTermination()
+      require(maxV() - vBefore >= 3,
+        s"correction stream did not span multiple micro-batches " +
+          s"(generations ${vBefore} -> ${maxV()})")
+      val key = concat_ws("|", col("vec_id"), col("cent_id"))
+      val view = s.table(name)
+      graft.operators.Dedup.censusRow("carried",
+          view.filter(pmod(col("vec_id"), lit(Similarity.UpsMod)) =!= lit(Similarity.UpsRem)), key)
+        .unionByName(graft.operators.Dedup.censusRow("total", view, key))
+        .unionByName(graft.operators.Dedup.censusRow("upserted",
+          view.filter(pmod(col("vec_id"), lit(Similarity.UpsMod)) === lit(Similarity.UpsRem)), key))
+    }
+    out.orderBy("artifact")
+  }
+
   val defs: Vector[QueryDef] = Vector(
     // the oracle re-derives the batch's index entries from scratch:
     // the gate proves the streaming run's sink == batch maintenance
@@ -263,5 +337,11 @@ object StreamDoor {
     // chain cut at the raw matches; all six doors now driver-gated
     QueryDef("q128_stream_semantic_door", streamSemanticDoor,
       Some(Similarity.semanticDoorSql)),
+    // q134: the correction door — streamed upserts applied to the
+    // MVCC store one event per micro-batch; the final view equals the
+    // from-raw-embeddings derivation (the seventh door, the first
+    // whose sink is the table lifecycle itself)
+    QueryDef("q134_stream_upsert_door", streamUpsertDoor,
+      Some(Similarity.upsertDoorSql)),
   )
 }
