@@ -337,6 +337,29 @@ class MvccLifecycleSpec extends SparkSpec {
       Some((Layout.Buckets, Seq("grp")))).isEmpty)
   }
 
+  test("re-applying an upsert event is content-idempotent (the correction door's replay contract)") {
+    // a foreachBatch lifecycle sink can re-run a committed batch after
+    // a crash; the upsert semantics make the replay harmless — the
+    // same rows land at a higher generation and shadow themselves, so
+    // the view's CONTENT is unchanged (exactly-once in content, the
+    // q134 door's argument)
+    val dir = sfDir
+    val bkt = Some((Layout.Buckets, Seq("cent_id")))
+    Layout.appendRewrite(spark, dir, "idemp", bkt,
+      (100L until 110L).map(k => (k, k % 8)).toDF("vec_id", "cent_id"))(
+      (0L until 20L).map(k => (k, k % 8)).toDF("vec_id", "cent_id"))
+    val name = Layout.tableName(dir, "idempupd")
+    val batch = Seq((3L, 77L), (104L, 78L), (500L, 79L)).toDF("vec_id", "cent_id")
+    Layout.upsertSegment(spark, dir, "idemp", bkt, batch, Seq("vec_id"))
+    val once = spark.table(name).select("vec_id", "cent_id")
+      .as[(Long, Long)].collect().toSet
+    Layout.upsertSegment(spark, dir, "idemp", bkt, batch, Seq("vec_id")) // the replay
+    val twice = spark.table(name).select("vec_id", "cent_id")
+      .as[(Long, Long)].collect().toSet
+    assert(twice == once, "replayed upsert changed the view's content")
+    assert(once.contains((3L, 77L)) && once.contains((500L, 79L)))
+  }
+
   test("mass markers record the event's sidecar mass at the event itself") {
     val dir = sfDir
     Layout.materializedTable(spark, dir, "massmarkbase",
