@@ -416,11 +416,18 @@ object Layout {
     ctr.synchronized {
       if (firstEvent(s, name)) {
         refresh(s, tombsT); refresh(s, segT)
-        // a fresh lifecycle also discards prior sessions' compacted
-        // version TABLES of this artifact — they snapshot a PREVIOUS
-        // corpus build (the materializedTable snapshot-refresh
-        // discipline: tombstone lifecycles restart per snapshot)
-        versionsOf(s, name).foreach(v => dropAnyVersion(s, s"${name}__v$v"))
+        // a fresh lifecycle also discards prior sessions' version
+        // TABLES of this artifact — they snapshot a PREVIOUS corpus
+        // build (the materializedTable snapshot-refresh discipline:
+        // tombstone lifecycles restart per snapshot). ONLY when no
+        // live artifact exists under this name in the current session:
+        // a publishVersioned table published THIS session (the
+        // mass-delete path) is current state, not stale history — it
+        // becomes the event's re-base pin below, so a tombstone event
+        // composes after a mass takedown instead of dropping its
+        // survivors out from under the stable view.
+        if (!s.catalog.tableExists(name))
+          versionsOf(s, name).foreach(v => dropAnyVersion(s, s"${name}__v$v"))
       }
       // SNAPSHOT-PIN the base. Preference order:
       //  1. this artifact's own latest COMPACTED table — after a

@@ -167,6 +167,33 @@ class MvccLifecycleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.massDeleteKeys")
   }
 
+  test("a tombstone event composes after a mass takedown: re-base on the materialized survivors") {
+    // the mass path publishes a survivors TABLE under the artifact
+    // name; a later (normal-density) tombstone event must treat it as
+    // current state — re-base on it, not drop it as stale history —
+    // so the two delete shapes compose on one artifact
+    val dir = sfDir
+    spark.conf.set("spark.graft.massDeleteKeys", "10")
+    try {
+      Layout.materializedTable(spark, dir, "mixbase", None) {
+        spark.range(100L).select(col("id").as("doc_id"), (col("id") * 2).as("v"))
+      }
+      val baseName = Layout.tableName(dir, "mixbase")
+      // mass event: 50 keys > 10 → materializing publish
+      Layout.deleteRewrite(spark, dir, "mixbase", None,
+        spark.range(0, 100, 2).toDF("doc_id"), Seq("doc_id"))(
+        spark.table(baseName))
+      val delName = Layout.tableName(dir, "mixbasedel")
+      // normal-density event ON the published artifact
+      Layout.tombstoneEvent(spark, dir, "mixbasedel", baseName,
+        Seq("doc_id", "v"), Seq("doc_id" -> Seq(1L, 3L).toDF("doc_id")),
+        None, None)
+      val got = spark.table(delName).select("doc_id").as[Long].collect().toSet
+      assert(got == (0L until 100L).filter(_ % 2 == 1).toSet -- Set(1L, 3L),
+        "tombstone event after a mass takedown lost the survivors or its own kills")
+    } finally spark.conf.unset("spark.graft.massDeleteKeys")
+  }
+
   test("post-compaction tombstone lifecycle re-bases on the compacted table with clean sidecars") {
     val dir = sfDir
     Layout.materializedTable(spark, dir, "pcbase",
