@@ -2298,6 +2298,78 @@ object Dedup {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  /** q135: QUALITY-AWARE CANONICAL SELECTION — the production upgrade
+    * of q76's keep-min retention: real pipelines keep the BEST copy
+    * of each near-dup cluster, not an id accident. The atomic unit is
+    * q38's connected component over the shared LSH pair graph
+    * (singletons are their own cluster); within a cluster the
+    * canonical document maximizes an EXACT-INTEGER quality key
+    * (token count, then character mass, then low doc_id — no
+    * floating-point compare anywhere near the hash gate), and the
+    * per-source census reports document/kept counts, the kept set's
+    * token mass, and an order-independent checksum of the kept
+    * doc_ids — so the gate pins the SELECTION itself, not just its
+    * size. Scale: labels come from the materialized pair graph (one
+    * build per snapshot); one exchange partitions by cluster for the
+    * window (cluster-sized groups, degree-capped upstream), then the
+    * per-source rollup — corpus text never joins anything. */
+  def qualityRetention(s: SparkSession, dir: String): DataFrame = {
+    val labels = dupLabels(s, dir).withColumnRenamed("doc", "doc_id")
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tok",
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
+      .withColumn("n_char", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("n_char"))
+    val wC = Window.partitionBy(col("cid"))
+      .orderBy(col("n_tok").desc, col("n_char").desc, col("doc_id").asc)
+    docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("cid", coalesce(col("lab"), col("doc_id")))
+      .withColumn("rk", row_number().over(wC))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") === 1, col("n_tok")).otherwise(0L)).as("kept_tokens"),
+        coalesce(sum(when(col("rk") === 1,
+          hash32(col("doc_id").cast("string")))), lit(0L)).as("kept_checksum"))
+      .orderBy("source")
+  }
+
+  /** The q135 oracle: q76's recursive-CTE transitive closure, the
+    * same integer quality key, the same per-source rollup. */
+  val qualityRetentionSql: String = {
+    val pairGraph = pairGraphSql
+    s"""WITH RECURSIVE pairs AS ($pairGraph),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(doc, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
+       |final AS (SELECT doc, min(lab) AS cid FROM reach GROUP BY doc),
+       |docs AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok,
+       |         CAST(length(text) AS BIGINT) AS n_char
+       |  FROM documents),
+       |lab AS (
+       |  SELECT d.*, COALESCE(f.cid, d.doc_id) AS cid
+       |  FROM docs d LEFT JOIN final f ON f.doc = d.doc_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cid
+       |            ORDER BY n_tok DESC, n_char DESC, doc_id ASC) AS rk
+       |  FROM lab)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN rk = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |       CAST(coalesce(sum(CASE WHEN rk = 1
+       |              THEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |            END), 0) AS BIGINT) AS kept_checksum
+       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** q122: CLUSTER-AWARE TRAIN/VAL/TEST SPLIT — the eval-leakage
     * guard every training pipeline needs and per-document splitting
     * cannot give: two near-duplicate documents hashed independently
@@ -2397,6 +2469,9 @@ object Dedup {
     QueryDef("q70_dup_degree", dupDegree, Some(dupDegreeSql)),
     QueryDef("q72_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     QueryDef("q76_dedup_retention", dedupRetention, Some(dedupRetentionSql)),
+    // q135 upgrades q76's keep-min to quality-aware canonical
+    // selection: the kept set itself is checksum-gated
+    QueryDef("q135_quality_retention", qualityRetention, Some(qualityRetentionSql)),
     QueryDef("q77_incremental_lsh", incrementalLsh, Some(incrementalLshSql)),
     QueryDef("q78_span_overlap", spanOverlap, Some(spanOverlapSql)),
     // q82's oracle IS q21's full-recompute SQL: the gate proves
