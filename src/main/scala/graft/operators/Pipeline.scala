@@ -1545,6 +1545,83 @@ object Pipeline {
        |FROM c WHERE cum <= $MixBudget
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** q137: SCHEMA EVOLUTION on the MVCC generation store
+    * ([[graft.sources.Layout.evolveSegment]]) — the widening every
+    * long-lived corpus artifact accrues, driven as the production
+    * metadata-enrichment story: a doc-stats store is built with
+    * (doc_id, n_chars); a later ingest era starts carrying `lang`; a
+    * still-later era adds `source` (its batch carries BOTH enriched
+    * columns — evolution events compose). The store's schema widens
+    * metadata-only (ALTER TABLE ADD COLUMNS — zero data files read or
+    * rewritten, `SchemaEvolutionSpec` pins file-set identity), old
+    * generations read back NULL in columns they predate, and the
+    * census classes rows by ERA — each era checksummed over exactly
+    * its own columns, the total over the NULL-coalesced widened
+    * schema. The oracle re-derives all four classes from the
+    * documents table. Membership is doc_id mod 4 so every era draws
+    * from the same corpus distribution. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Layout
+    val d = Tables.documents(s, dir)
+    val bkt = Some((Layout.Buckets, Seq("doc_id")))
+    val era0 = d.filter(pmod(col("doc_id"), lit(4)) <= 1)
+      .select(col("doc_id"), col("n_chars"))
+    // appendRewrite's gen-1/gen-2 split: the held snapshot vs its
+    // first (schema-identical) maintenance batch
+    val g1 = era0.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val g2 = era0.filter(pmod(col("doc_id"), lit(4)) === 1)
+    val g3 = d.filter(pmod(col("doc_id"), lit(4)) === 2)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+    val g4 = d.filter(pmod(col("doc_id"), lit(4)) === 3)
+      .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
+    Layout.appendRewrite(s, dir, "docstat", bkt, g2)(g1)    // gens 1, 2
+    Layout.materializedTable(s, dir, "docstatcensus") {
+      Layout.evolveSegment(s, dir, "docstat", bkt, g3)      // gen 3: +lang
+      val pub = Layout.evolveSegment(s, dir, "docstat", bkt, g4) // gen 4: +source
+      def row(nm: String, p: Column, key: Column) =
+        graft.operators.Dedup.censusRow(nm, pub.filter(p), key)
+      Seq(
+        row("era0", col("lang").isNull && col("source").isNull,
+          concat_ws("|", col("doc_id"), col("n_chars"))),
+        row("era1", col("lang").isNotNull && col("source").isNull,
+          concat_ws("|", col("doc_id"), col("n_chars"), col("lang"))),
+        row("era2", col("source").isNotNull,
+          concat_ws("|", col("doc_id"), col("n_chars"), col("lang"), col("source"))),
+        graft.operators.Dedup.censusRow("total", pub,
+          concat_ws("|", col("doc_id"), col("n_chars"),
+            coalesce(col("lang"), lit("~")), coalesce(col("source"), lit("~")))))
+        .reduce(_ unionByName _)
+    }.orderBy("artifact")
+  }
+
+  /** The q137 oracle: the four era classes re-derived straight from
+    * the documents table (era membership is doc_id mod 4; each era's
+    * checksum covers exactly the columns its generation carried). */
+  val schemaEvolutionSql: String = {
+    def h32(key: String): String =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    val k0 = "CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR)"
+    val k1 = s"$k0 || '|' || lang"
+    val k2 = s"$k1 || '|' || source"
+    val kt = s"$k0 || '|' || coalesce(CASE WHEN doc_id % 4 >= 2 THEN lang END, '~')" +
+      " || '|' || coalesce(CASE WHEN doc_id % 4 = 3 THEN source END, '~')"
+    mat(
+      s"""SELECT artifact, n_rows, checksum FROM (
+         |  SELECT 'era0' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+         |         ${h32(k0)} AS checksum
+         |  FROM documents WHERE doc_id % 4 <= 1
+         |  UNION ALL
+         |  SELECT 'era1', CAST(count(*) AS BIGINT), ${h32(k1)}
+         |  FROM documents WHERE doc_id % 4 = 2
+         |  UNION ALL
+         |  SELECT 'era2', CAST(count(*) AS BIGINT), ${h32(k2)}
+         |  FROM documents WHERE doc_id % 4 = 3
+         |  UNION ALL
+         |  SELECT 'total', CAST(count(*) AS BIGINT), ${h32(kt)}
+         |  FROM documents) t
+         |ORDER BY artifact""".stripMargin)
+  }
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -1576,5 +1653,9 @@ object Pipeline {
     // the written merge table; the oracle re-derives all 64 training
     // rounds AND the distinct-word encode (round-12 item 3)
     QueryDef("q124_bpe_vocab_economy", bpeVocabEconomy, Some(bpeVocabEconomySql)),
+    // q137: schema evolution on the generation store — eras widen the
+    // schema metadata-only; old generations read back NULL; the
+    // census classes by era against the raw documents derivation
+    QueryDef("q137_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
   )
 }

@@ -4648,6 +4648,110 @@ object Similarity {
          |ORDER BY artifact""".stripMargin)
   }
 
+  /** q136: the TIME-TRAVEL gate — the read half of the MVCC story,
+    * driven as the production audit query: "what did the correction
+    * event actually change?". Every lifecycle commit publishes its
+    * snapshot as a version view/table before swapping the stable name
+    * ([[graft.sources.Layout.storeAsOf]] is the read verb; history is
+    * a free by-product of the commit protocol, never a second data
+    * copy), and compaction is the retention horizon (older versions'
+    * sidecars are cleared, so their views are GC'd loudly). On the
+    * q131/q132 artifact the readable range is exactly
+    * {compaction horizon, post-upsert latest}; the gate reads BOTH
+    * snapshots and censuses their set difference — the before/after
+    * of the q132 correction — against an oracle that re-derives the
+    * pre-upsert membership (`m`) and the post-upsert state (`final`)
+    * from raw embeddings and EXCEPTs them in SQL. Generations are
+    * derived from the store (min/max of [[graft.sources.Layout
+    * .readableVersions]]), not hardcoded, so the gate also pins the
+    * retention contract: exactly the horizon and later survive. */
+  def annTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    // force the full 6-generation lifecycle (q131 events 1-5 + the
+    // q132 correction at gen 6) — all once-gated on their own artifacts
+    annUpsert(s, dir)
+    Layout.materializedTable(s, dir, "ivfttcensus") {
+      val vs = Layout.readableVersions(s, dir, "ivflifeupd")
+      require(vs.size == 2,
+        s"time travel over ivflife expects {horizon, latest}, got $vs")
+      val before = Layout.storeAsOf(s, dir, "ivflifeupd", vs.min)
+        .select(col("vec_id"), col("cent_id"))
+      val after = Layout.storeAsOf(s, dir, "ivflifeupd", vs.max)
+        .select(col("vec_id"), col("cent_id"))
+      val key = concat_ws("|", col("vec_id"), col("cent_id"))
+      Seq(
+        Dedup.censusRow("corrected_new", after.except(before), key),
+        Dedup.censusRow("corrected_old", before.except(after), key),
+        Dedup.censusRow("horizon_total", before, key),
+        Dedup.censusRow("latest_total", after, key))
+        .reduce(_ unionByName _)
+    }.orderBy("artifact")
+  }
+
+  /** The q136 oracle: the q132 chain (pre-upsert membership `m`,
+    * corrected routing `ups`, post-upsert `final`), censused as
+    * before/after totals plus the two set differences (SQL EXCEPT —
+    * the audit diff). */
+  val annTimeTravelSql: String = {
+    val dM = Dedup.DelMod; val dR = Dedup.DelRem
+    def h32(key: String): String =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    def row(nm: String, src: String): String =
+      s"""SELECT '$nm' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+         |       ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(cent_id AS VARCHAR)")} AS checksum
+         |FROM $src""".stripMargin
+    mat(
+      s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+         |n AS (SELECT vec_id, q,
+         |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+         |      FROM q
+         |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+         |corp AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+         |${sampSql("corp")},
+         |${trainedCentsSql("corp")},
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+         |                    i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+         |             c.cent_id) AS rn
+         |    FROM n v CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |m AS (
+         |  SELECT vec_id, cent_id FROM assign
+         |  WHERE (vec_id % 5 <> 0 AND vec_id % $dM <> $dR)
+         |     OR vec_id % 10 = 0 OR vec_id % 10 = 5),
+         |ups AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+         |                    i -> v.q[len(v.q) + 1 - i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+         |             c.cent_id) AS rn
+         |    FROM n v CROSS JOIN cents c
+         |    WHERE v.vec_id % $UpsMod = $UpsRem
+         |      AND v.vec_id IN (SELECT vec_id FROM m)) t
+         |  WHERE rn = 1),
+         |carried AS (
+         |  SELECT vec_id, cent_id FROM m WHERE vec_id % $UpsMod <> $UpsRem),
+         |fin AS (
+         |  SELECT vec_id, cent_id FROM carried
+         |  UNION ALL SELECT vec_id, cent_id FROM ups)
+         |SELECT artifact, n_rows, checksum FROM (
+         |  ${row("corrected_new",
+              "(SELECT vec_id, cent_id FROM fin EXCEPT SELECT vec_id, cent_id FROM m) te")}
+         |  UNION ALL
+         |  ${row("corrected_old",
+              "(SELECT vec_id, cent_id FROM m EXCEPT SELECT vec_id, cent_id FROM fin) te")}
+         |  UNION ALL
+         |  ${row("horizon_total", "m")}
+         |  UNION ALL
+         |  ${row("latest_total", "fin")}) t
+         |ORDER BY artifact""".stripMargin)
+  }
+
   /** The sf1 gate's q123 oracle — ARTIFACT-BACKED (round-12 item 5,
     * the [[annRecallHeldSql]] pattern): reads the dumped held graph
     * (`nngraph`) and routing (`nnroutes`) tables instead of re-deriving
@@ -4942,5 +5046,9 @@ object Similarity {
     // landing on q131's compacted artifact): carried == q131 rebuild,
     // upserted == reversed-vector re-route under the same quantizer
     QueryDef("q132_ann_upsert", annUpsert, Some(annUpsertSql)),
+    // q136 gates TIME TRAVEL (storeAsOf): the horizon and latest
+    // snapshots of the q131/q132 store read back, and their EXCEPT
+    // diff == the correction event's before/after, re-derived in SQL
+    QueryDef("q136_time_travel", annTimeTravel, Some(annTimeTravelSql)),
   )
 }

@@ -303,6 +303,45 @@ object Layout {
       }
     }.lastOption
 
+  /** TIME TRAVEL read of a maintained artifact: the snapshot that was
+    * current when generation/version `gen` committed — every lifecycle
+    * verb ([[appendSegment]], [[deleteSegment]], [[upsertSegment]],
+    * [[compactDeleted]], [[tombstoneEvent]]) publishes its commit as
+    * `<name>__v<gen>` BEFORE swapping the stable name, so history is
+    * a free by-product of the MVCC commit protocol, never a second
+    * copy of the data (a version view is a predicate over the same
+    * generation files; a compacted version is the one table readers
+    * already use). The RETENTION HORIZON is the latest compaction:
+    * [[compactDeleted]] GCs older versions (their tombstone/segment
+    * sidecars are cleared, so the views would resurrect deleted rows
+    * if left resolvable) — asking for a GC'd or never-committed
+    * generation fails loudly with the readable range rather than
+    * returning silently-wrong history. q136 drives this end to end
+    * (pre- vs post-correction reads of the q131/q132 store);
+    * `TimeTravelSpec` pins per-generation reads against a reference
+    * fold and the loud post-GC failure. */
+  private[graft] def storeAsOf(s: SparkSession, dir: String, what: String,
+      gen: Long): DataFrame = {
+    val name = tableName(dir, what)
+    val readable = readableVersions(s, dir, what)
+    require(readable.contains(gen),
+      s"storeAsOf: generation $gen of $name is not readable " +
+        s"(readable: ${readable.mkString(", ")}) — generations before " +
+        "the latest compaction are GC'd (the retention horizon)")
+    s.table(s"${name}__v$gen")
+  }
+
+  /** The generations [[storeAsOf]] can read, ascending — committed
+    * versions still inside the retention horizon (catalog-resolvable:
+    * GC'd versions and prior sessions' leftover warehouse directories
+    * are history the sidecar-dependent views can no longer honestly
+    * reconstruct, so they are excluded rather than half-served). */
+  private[graft] def readableVersions(s: SparkSession, dir: String,
+      what: String): Seq[Long] = {
+    val name = tableName(dir, what)
+    versionsOf(s, name).filter(v => s.catalog.tableExists(s"${name}__v$v"))
+  }
+
   private val publishCounter =
     new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
@@ -977,6 +1016,69 @@ object Layout {
     s.table(name)
   }
 
+  /** SCHEMA-EVOLVING append event against an MVCC generation store —
+    * [[appendSegment]] for a batch that carries columns the store has
+    * never seen (a corpus gaining a `lang` tag, a quality score, a
+    * provenance column mid-life — the routine widening a long-lived
+    * 100 TB artifact accrues). The store's schema is widened
+    * METADATA-only (`ALTER TABLE ... ADD COLUMNS`, nullable — no data
+    * file is read or rewritten; Parquet's reader serves NULL for a
+    * column a file predates), the batch is padded by name with NULLs
+    * for any store column it lacks, and the append + marker + view
+    * swap are the standard O(batch) commit. Three consequences the
+    * gates pin:
+    *
+    *  - old generations read back as NULL in the new columns, new
+    *    rows carry their values (q137's census classes);
+    *  - [[publishStoreView]] derives its column list from the store
+    *    schema at publish time, so the NEW stable view serves the
+    *    widened schema while version views published BEFORE the
+    *    evolution keep their era's columns — time travel returns each
+    *    generation's own schema ([[storeAsOf]], `SchemaEvolutionSpec`);
+    *  - tombstones/compactions compose unchanged (the LSM rule never
+    *    looks at payload columns).
+    *
+    * Bucket columns cannot be widened away: `buckets` must match the
+    * store's existing spec (enforced by Spark's append validation).
+    * Narrowing/dropping is NOT offered — a column's retirement is a
+    * compaction-time projection, not an event. */
+  private[graft] def evolveSegment(s: SparkSession, dir: String, what: String,
+      buckets: Option[(Int, Seq[String])], batch: DataFrame): DataFrame = {
+    val name = tableName(dir, what + "upd")
+    val store = s"${name}store"
+    require(s.catalog.tableExists(store),
+      s"evolveSegment: no generation store $store — the lifecycle starts " +
+        "with appendRewrite (snapshot build), evolution is a later event")
+    val ctr = publishCounter.computeIfAbsent(s"$store#gen",
+      _ => new java.util.concurrent.atomic.AtomicLong(priorMaxGen(s, name, store)))
+    ctr.synchronized {
+      val gen = ctr.incrementAndGet()
+      val have = s.table(store).schema.fieldNames.toSet
+      val added = batch.schema.fields.filterNot(f => have.contains(f.name))
+      if (added.nonEmpty) {
+        val ddl = added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        s.sql(s"ALTER TABLE $store ADD COLUMNS ($ddl)")
+        s.catalog.refreshTable(store)
+      }
+      // pad by name: store columns the batch lacks become NULL of the
+      // store's type (saveAsTable append resolves columns by name)
+      val storeFields = s.table(store).schema.fields.filterNot(_.name == "gen")
+      val padded = storeFields.foldLeft(batch) { (df, f) =>
+        if (df.columns.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }.withColumn("gen", lit(gen.toInt))
+      val w = padded.write.mode("append")
+      buckets match {
+        case Some((k, bc)) => w.bucketBy(k, bc.head, bc.tail: _*).saveAsTable(store)
+        case None          => w.saveAsTable(store)
+      }
+      commitGenMarker(s, store, gen)
+      s.catalog.refreshTable(store)
+      publishStoreView(s, name, store, gen)
+    }
+    s.table(name)
+  }
+
   /** One tombstone-DELETE event against an MVCC GENERATION STORE (the
     * `<what>upd` artifact [[appendRewrite]] creates and
     * [[appendSegment]] extends) — the UNIFIED lifecycle (round-13):
@@ -1102,11 +1204,18 @@ object Layout {
     // bookkeeping column), not from the stable view — after a restart
     // the views may not be re-registered yet, and recovery must not
     // depend on reading what it is about to republish
-    val cols = s.table(store).columns.filterNot(_ == "gen")
-      .map(c => s"`$c`").mkString(", ")
+    val storeFields = s.table(store).schema.fields.filterNot(_.name == "gen")
+    val cols = storeFields.map(f => s"`${f.name}`").mkString(", ")
     val src = latestCompactGen(s, store) match {
       case Some(cg) =>
-        s"""(SELECT $cols, CAST($cg AS INT) AS gen FROM ${name}__v$cg
+        // the compacted table may PREDATE a schema evolution — pad the
+        // columns it lacks with typed NULLs (the same rule Parquet
+        // applies to pre-evolution generation files)
+        val cgCols = s.table(s"${name}__v$cg").columns.toSet
+        val cgSel = storeFields.map(f =>
+          if (cgCols.contains(f.name)) s"`${f.name}`"
+          else s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`").mkString(", ")
+        s"""(SELECT $cgSel, CAST($cg AS INT) AS gen FROM ${name}__v$cg
            |   UNION ALL SELECT $cols, gen FROM $store
            |   WHERE gen > $cg AND gen <= $e) t""".stripMargin
       case None => s"(SELECT $cols, gen FROM $store WHERE gen <= $e) t"
