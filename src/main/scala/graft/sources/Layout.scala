@@ -996,6 +996,28 @@ object Layout {
     * read-modify-write let two concurrent events land the same gen),
     * so generations are strictly monotone across concurrent and
     * restarted writers alike. */
+  /** Schema ENFORCEMENT for store events (the Delta-style rule:
+    * widening is [[evolveSegment]]'s explicit contract, never an
+    * accident of a malformed batch): a batch column the store lacks
+    * fails loudly; a STORE column the batch lacks — normal once an
+    * evolution has widened the store and an older-era source keeps
+    * shipping the narrow shape — is NULL-padded by name, exactly the
+    * value those rows would read back anyway. */
+  private def padToStore(s: SparkSession, store: String, batch: DataFrame,
+      gen: Long, allowNew: Boolean): DataFrame = {
+    val storeFields = s.table(store).schema.fields.filterNot(_.name == "gen")
+    if (!allowNew) {
+      val extra = batch.columns.filterNot(c => storeFields.exists(_.name == c))
+      require(extra.isEmpty,
+        s"batch carries columns the store $store lacks: ${extra.mkString(", ")}" +
+          " — schema widening is evolveSegment's contract")
+    }
+    storeFields.foldLeft(batch) { (df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.withColumn("gen", lit(gen.toInt))
+  }
+
   private[graft] def appendSegment(s: SparkSession, dir: String, what: String,
       buckets: Option[(Int, Seq[String])], batch: DataFrame): DataFrame = {
     val name = tableName(dir, what + "upd")
@@ -1004,7 +1026,8 @@ object Layout {
       _ => new java.util.concurrent.atomic.AtomicLong(priorMaxGen(s, name, store)))
     ctr.synchronized {
       val gen = ctr.incrementAndGet()
-      val w = batch.withColumn("gen", lit(gen.toInt)).write.mode("append")
+      val w = padToStore(s, store, batch, gen, allowNew = false)
+        .write.mode("append")
       buckets match {
         case Some((k, bc)) => w.bucketBy(k, bc.head, bc.tail: _*).saveAsTable(store)
         case None          => w.saveAsTable(store)
@@ -1060,14 +1083,8 @@ object Layout {
         s.sql(s"ALTER TABLE $store ADD COLUMNS ($ddl)")
         s.catalog.refreshTable(store)
       }
-      // pad by name: store columns the batch lacks become NULL of the
-      // store's type (saveAsTable append resolves columns by name)
-      val storeFields = s.table(store).schema.fields.filterNot(_.name == "gen")
-      val padded = storeFields.foldLeft(batch) { (df, f) =>
-        if (df.columns.contains(f.name)) df
-        else df.withColumn(f.name, lit(null).cast(f.dataType))
-      }.withColumn("gen", lit(gen.toInt))
-      val w = padded.write.mode("append")
+      val w = padToStore(s, store, batch, gen, allowNew = true)
+        .write.mode("append")
       buckets match {
         case Some((k, bc)) => w.bucketBy(k, bc.head, bc.tail: _*).saveAsTable(store)
         case None          => w.saveAsTable(store)
@@ -1167,7 +1184,8 @@ object Layout {
       }.reduce(_ unionByName _)
         .write.mode("append").saveAsTable(tombsT)
       s.catalog.refreshTable(tombsT)
-      val w = rows.withColumn("gen", lit(gen.toInt)).write.mode("append")
+      val w = padToStore(s, store, rows, gen, allowNew = false)
+        .write.mode("append")
       buckets match {
         case Some((k, bc)) => w.bucketBy(k, bc.head, bc.tail: _*).saveAsTable(store)
         case None          => w.saveAsTable(store)

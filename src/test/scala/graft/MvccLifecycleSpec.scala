@@ -228,14 +228,17 @@ class MvccLifecycleSpec extends SparkSpec {
       "post-compaction view fell back to the pre-compaction base")
   }
 
-  test("property: random append/delete/compact interleavings on the store match the reference fold") {
+  test("property: random append/delete/upsert/evolve/compact interleavings on the store match the reference fold") {
     // seeded-random event sequences against an in-memory reference
     // model (the MvccDeleteSpec discipline, lifted to the UNIFIED
     // store): each step appends fresh rows (sometimes RE-ADDING a
     // previously deleted key — the LWW rule), deletes a random live
-    // subset, or compacts; after every step the stable view must
-    // equal the fold. This is the composition argument q131 gates at
-    // one fixed shape, proven over arbitrary interleavings.
+    // subset, upserts, EVOLVES the schema (rows carrying a `tag`
+    // column the store starts without — later narrow-schema events
+    // must keep composing, NULL-padded), or compacts; after every
+    // step the stable view must equal the fold. This is the
+    // composition argument q131/q137 gate at fixed shapes, proven
+    // over arbitrary interleavings.
     val dir = sfDir
     val rnd = new scala.util.Random(31337)
     val bkt = Some((Layout.Buckets, Seq("cent_id")))
@@ -247,10 +250,11 @@ class MvccLifecycleSpec extends SparkSpec {
     Layout.appendRewrite(spark, dir, "lifeprop", bkt,
       batch0.toDF("vec_id", "cent_id"))(base.toDF("vec_id", "cent_id"))
     val name = Layout.tableName(dir, "lifepropupd")
-    var model: Set[(Long, Long)] = (base ++ batch0).toSet
+    var model: Set[(Long, Long, Option[Long])] =
+      (base ++ batch0).map { case (id, c) => (id, c, None: Option[Long]) }.toSet
     val deleted = scala.collection.mutable.Set.empty[Long]
-    (1 to 10).foreach { i =>
-      rnd.nextInt(4) match {
+    (1 to 12).foreach { i =>
+      rnd.nextInt(5) match {
         case 0 =>
           val readd =
             if (deleted.nonEmpty && rnd.nextBoolean()) {
@@ -259,30 +263,45 @@ class MvccLifecycleSpec extends SparkSpec {
           val rows = fresh(1 + rnd.nextInt(4)) ++ readd
           Layout.appendSegment(spark, dir, "lifeprop", bkt,
             rows.toDF("vec_id", "cent_id"))
-          model ++= rows
+          model ++= rows.map { case (id, c) => (id, c, None) }
         case 1 =>
           val live = model.toSeq.map(_._1)
           val dels = rnd.shuffle(live).take(1 + rnd.nextInt(4))
           if (dels.nonEmpty) {
             Layout.deleteSegment(spark, dir, "lifeprop",
               dels.toDF("vec_id"), Seq("vec_id"))
-            model = model.filterNot { case (id, _) => dels.contains(id) }
+            model = model.filterNot { case (id, _, _) => dels.contains(id) }
             deleted ++= dels
           }
         case 2 =>
           Layout.compactDeleted(spark, dir, "lifepropupd", bkt)
         case 3 =>
           // upsert: replace some live keys' rows with new payloads,
-          // plus one brand-new key (insert-or-replace in one event)
+          // plus one brand-new key (insert-or-replace in one event);
+          // the narrow payload reads back NULL in any evolved column
           val live = rnd.shuffle(model.toSeq.map(_._1)).take(1 + rnd.nextInt(3))
           val ins = fresh(1)
           val rows = live.map(id => (id, 100L + rnd.nextInt(8))) ++ ins
           Layout.upsertSegment(spark, dir, "lifeprop", bkt,
             rows.toDF("vec_id", "cent_id"), Seq("vec_id"))
-          model = model.filterNot { case (id, _) => live.contains(id) } ++ rows
+          model = model.filterNot { case (id, _, _) => live.contains(id) } ++
+            rows.map { case (id, c) => (id, c, None) }
+        case 4 =>
+          // schema evolution: fresh rows carrying `tag` (the first
+          // such event widens the store; later ones just append)
+          val rows = fresh(1 + rnd.nextInt(3))
+            .map { case (id, c) => (id, c, id * 7) }
+          Layout.evolveSegment(spark, dir, "lifeprop", bkt,
+            rows.toDF("vec_id", "cent_id", "tag"))
+          model ++= rows.map { case (id, c, t) => (id, c, Some(t)) }
       }
-      val got = spark.table(name).select("vec_id", "cent_id")
-        .as[(Long, Long)].collect().toSet
+      val tbl = spark.table(name)
+      val got: Set[(Long, Long, Option[Long])] =
+        if (tbl.columns.contains("tag"))
+          tbl.select("vec_id", "cent_id", "tag")
+            .as[(Long, Long, Option[Long])].collect().toSet
+        else tbl.select("vec_id", "cent_id").as[(Long, Long)].collect()
+          .map { case (id, c) => (id, c, None: Option[Long]) }.toSet
       assert(got == model,
         s"step $i diverged: missing=${model -- got} extra=${got -- model}")
     }
