@@ -1003,6 +1003,19 @@ object Layout {
     * evolution has widened the store and an older-era source keeps
     * shipping the narrow shape — is NULL-padded by name, exactly the
     * value those rows would read back anyway. */
+  /** The metadata-only widening step shared by [[evolveSegment]] and
+    * the evolving upsert: ALTER TABLE ADD COLUMNS for every batch
+    * column the store has never seen (no-op when there are none). */
+  private def widenStore(s: SparkSession, store: String, batch: DataFrame): Unit = {
+    val have = s.table(store).schema.fieldNames.toSet
+    val added = batch.schema.fields.filterNot(f => have.contains(f.name))
+    if (added.nonEmpty) {
+      val ddl = added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      s.sql(s"ALTER TABLE $store ADD COLUMNS ($ddl)")
+      s.catalog.refreshTable(store)
+    }
+  }
+
   private def padToStore(s: SparkSession, store: String, batch: DataFrame,
       gen: Long, allowNew: Boolean): DataFrame = {
     val storeFields = s.table(store).schema.fields.filterNot(_.name == "gen")
@@ -1076,13 +1089,7 @@ object Layout {
       _ => new java.util.concurrent.atomic.AtomicLong(priorMaxGen(s, name, store)))
     ctr.synchronized {
       val gen = ctr.incrementAndGet()
-      val have = s.table(store).schema.fieldNames.toSet
-      val added = batch.schema.fields.filterNot(f => have.contains(f.name))
-      if (added.nonEmpty) {
-        val ddl = added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-        s.sql(s"ALTER TABLE $store ADD COLUMNS ($ddl)")
-        s.catalog.refreshTable(store)
-      }
+      widenStore(s, store, batch)
       val w = padToStore(s, store, batch, gen, allowNew = true)
         .write.mode("append")
       buckets match {
@@ -1156,10 +1163,20 @@ object Layout {
     * is simply inserted. Write I/O = O(upsert set); store generation
     * files untouched; committed by the one view swap. Keys are the
     * rows' own distinct key values — the MERGE shape, no separate
-    * key relation to drift from the payload. */
+    * key relation to drift from the payload.
+    *
+    * `evolve = true` makes it the EVOLVING upsert (the schema-drift
+    * door's event, q138): rows may carry columns the store has never
+    * seen — the store widens first ([[widenStore]], metadata-only),
+    * then the tombstone+rows pair commits as usual. Unlike a plain
+    * [[evolveSegment]] append, the pair keeps the upsert's
+    * replay-content-idempotence (a retried micro-batch re-lands the
+    * same rows at a higher generation instead of duplicating them) —
+    * which is why a foreachBatch lifecycle sink facing upstream schema
+    * drift should speak THIS verb. */
   private[graft] def upsertSegment(s: SparkSession, dir: String, what: String,
       buckets: Option[(Int, Seq[String])], rows: DataFrame,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], evolve: Boolean = false): DataFrame = {
     val name = tableName(dir, what + "upd")
     val store = s"${name}store"
     val tombsT = s"${name}tombs"
@@ -1178,13 +1195,14 @@ object Layout {
       _ => new java.util.concurrent.atomic.AtomicLong(priorMaxGen(s, name, store)))
     ctr.synchronized {
       val gen = ctr.incrementAndGet()
+      if (evolve) widenStore(s, store, rows)
       keyCols.map { c =>
         rows.select(col(c).cast("long").as("k")).distinct()
           .select(col("k"), lit(c).as("kcol"), lit(gen.toInt).as("gen"))
       }.reduce(_ unionByName _)
         .write.mode("append").saveAsTable(tombsT)
       s.catalog.refreshTable(tombsT)
-      val w = padToStore(s, store, rows, gen, allowNew = false)
+      val w = padToStore(s, store, rows, gen, allowNew = evolve)
         .write.mode("append")
       buckets match {
         case Some((k, bc)) => w.bucketBy(k, bc.head, bc.tail: _*).saveAsTable(store)

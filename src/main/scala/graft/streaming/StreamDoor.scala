@@ -314,6 +314,93 @@ object StreamDoor {
     out.orderBy("artifact")
   }
 
+  /** q138: the SCHEMA-DRIFT door — the EIGHTH front door, and the
+    * production answer to "the upstream started shipping new columns
+    * mid-life". A Structured Streaming file source reads ONE fixed
+    * schema per run, so upstream drift arrives as a JOB REDEPLOYMENT
+    * (the standard Structured Streaming operating rule); what must
+    * absorb it without rewriting anything is the SINK. Here the sink
+    * is the MVCC lifecycle speaking the EVOLVING-upsert verb
+    * ([[graft.sources.Layout.upsertSegment]] with `evolve = true`):
+    * each micro-batch widens the store if its schema is new
+    * (metadata-only ALTER), then commits tombstones + rows at one
+    * generation — so a retried batch stays content-idempotent (the
+    * q134 property) AND the drift lands as ordinary events.
+    *
+    * The run stages three ingest eras of the q137 doc-stats model —
+    * era 0 seeds the store narrow (doc_id, n_chars); era 1 redeploys
+    * with `lang`; era 2 redeploys again with `source` — each era a
+    * separate AvailableNow stream over its own staged files with
+    * `maxFilesPerTrigger=1` (the builder asserts ≥4 streamed
+    * generations landed across the two drifted eras). The final
+    * stable view's era census hash-matches
+    * [[graft.operators.Pipeline.schemaEvolutionSql]] — the SAME
+    * oracle as batch q137, so stream == batch == the raw-documents
+    * derivation (the shared-fragment discipline: the two gates
+    * cannot drift apart). */
+  def streamEvolveDoor(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val bkt = Some((Layout.Buckets, Seq("doc_id")))
+    // era 0 seeds the store OUTSIDE the census gate (nested once-gates
+    // are the "Recursive update" hazard): gens 1+2, narrow schema
+    val era0 = d.filter(pmod(col("doc_id"), lit(4)) <= 1)
+      .select(col("doc_id"), col("n_chars"))
+    Layout.appendRewrite(s, dir, "docsdoor", bkt,
+      era0.filter(pmod(col("doc_id"), lit(4)) === 1))(
+      era0.filter(pmod(col("doc_id"), lit(4)) === 0))
+    val name = Layout.tableName(dir, "docsdoorupd")
+    val out = Layout.materializedTable(s, dir, "edoorout") {
+      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
+      val base = wh + "/" + Layout.tableName(dir, "edoorrun")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      def maxV(): Long = s.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith(s"${name}__v"))
+        .flatMap(n => scala.util.Try(n.stripPrefix(s"${name}__v").toLong).toOption)
+        .foldLeft(0L)(math.max)
+      val vBefore = maxV()
+      // one redeployment per drifted era: stage the era's rows as two
+      // source files, drain them one micro-batch each, every batch an
+      // evolving-upsert event on the store
+      def runEra(tagDir: String, rows: DataFrame): Unit = {
+        val srcDir = s"$base/$tagDir/src"; val ckpt = s"$base/$tagDir/ckpt"
+        rows.repartition(2).write.mode("overwrite").parquet(srcDir)
+        val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
+          Layout.upsertSegment(s, dir, "docsdoor", bkt, batch,
+            Seq("doc_id"), evolve = true)
+          ()
+        }
+        val q = s.readStream.schema(rows.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch(applyBatch).start()
+        q.awaitTermination()
+      }
+      runEra("era1", d.filter(pmod(col("doc_id"), lit(4)) === 2)
+        .select(col("doc_id"), col("n_chars"), col("lang")))
+      runEra("era2", d.filter(pmod(col("doc_id"), lit(4)) === 3)
+        .select(col("doc_id"), col("n_chars"), col("lang"), col("source")))
+      require(maxV() - vBefore >= 4,
+        s"drift streams did not span multiple micro-batches " +
+          s"(generations ${vBefore} -> ${maxV()})")
+      val view = s.table(name)
+      def row(nm: String, p: org.apache.spark.sql.Column,
+          key: org.apache.spark.sql.Column) =
+        graft.operators.Dedup.censusRow(nm, view.filter(p), key)
+      row("era0", col("lang").isNull && col("source").isNull,
+          concat_ws("|", col("doc_id"), col("n_chars")))
+        .unionByName(row("era1", col("lang").isNotNull && col("source").isNull,
+          concat_ws("|", col("doc_id"), col("n_chars"), col("lang"))))
+        .unionByName(row("era2", col("source").isNotNull,
+          concat_ws("|", col("doc_id"), col("n_chars"), col("lang"), col("source"))))
+        .unionByName(graft.operators.Dedup.censusRow("total", view,
+          concat_ws("|", col("doc_id"), col("n_chars"),
+            coalesce(col("lang"), lit("~")), coalesce(col("source"), lit("~")))))
+    }
+    out.orderBy("artifact")
+  }
+
   val defs: Vector[QueryDef] = Vector(
     // the oracle re-derives the batch's index entries from scratch:
     // the gate proves the streaming run's sink == batch maintenance
@@ -343,5 +430,10 @@ object StreamDoor {
     // whose sink is the table lifecycle itself)
     QueryDef("q134_stream_upsert_door", streamUpsertDoor,
       Some(Similarity.upsertDoorSql)),
+    // q138: the schema-drift door — redeployed ingest streams whose
+    // later eras carry widened schemas, each micro-batch an EVOLVING
+    // upsert event; the final view shares q137's raw-documents oracle
+    QueryDef("q138_stream_evolve_door", streamEvolveDoor,
+      Some(graft.operators.Pipeline.schemaEvolutionSql)),
   )
 }

@@ -87,4 +87,36 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(widened.filter(col("w").isNotNull).select("id").as[Long]
       .collect().toSeq == Seq(400L))
   }
+
+  test("evolving upsert: widens, replaces by key, and a replayed batch is content-idempotent") {
+    val dir = sfDir
+    val bkt = Some((Layout.Buckets, Seq("id")))
+    val base = (0L until 12L).map(k => (k, k * 10)).toDF("id", "v")
+    val b1 = (50L until 55L).map(k => (k, k * 10)).toDF("id", "v")
+    Layout.appendRewrite(spark, dir, "evoup", bkt, b1)(base)     // gens 1, 2
+    val name = Layout.tableName(dir, "evoupupd")
+    // the drifted batch REPLACES live keys 3 and 50 and inserts 900,
+    // all carrying the new column — one evolving-upsert event
+    val drift = Seq((3L, 333L, "x3"), (50L, 555L, "x50"), (900L, 9L, "x900"))
+      .toDF("id", "v", "tag")
+    Layout.upsertSegment(spark, dir, "evoup", bkt, drift, Seq("id"),
+      evolve = true)                                             // gen 3
+    def state(): Set[(Long, Long, Option[String])] =
+      spark.table(name).select("id", "v", "tag")
+        .as[(Long, Long, Option[String])].collect().toSet
+    val after = state()
+    assert(after.contains((3L, 333L, Some("x3"))) &&
+      after.contains((50L, 555L, Some("x50"))) &&
+      after.contains((900L, 9L, Some("x900"))),
+      "drifted rows missing or not replaced")
+    assert(!after.exists { case (id, v, _) => id == 3L && v == 30L },
+      "upsert did not shadow the old row")
+    assert(after.contains((0L, 0L, None)), "carried rows lost the NULL era")
+
+    // a REPLAYED batch (the foreachBatch retry) lands at a higher
+    // generation but leaves the view's content unchanged
+    Layout.upsertSegment(spark, dir, "evoup", bkt, drift, Seq("id"),
+      evolve = true)                                             // gen 4
+    assert(state() == after, "replayed evolving upsert changed content")
+  }
 }
