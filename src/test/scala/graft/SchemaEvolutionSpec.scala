@@ -118,5 +118,17 @@ class SchemaEvolutionSpec extends SparkSpec {
     Layout.upsertSegment(spark, dir, "evoup", bkt, drift, Seq("id"),
       evolve = true)                                             // gen 4
     assert(state() == after, "replayed evolving upsert changed content")
+
+    // RESTART over the widened store: the generation counter resumes
+    // from the on-disk markers and a post-restart narrow-schema event
+    // keeps composing (the widened schema lives in the catalog, not
+    // in any in-memory state)
+    Layout.resetPublishCounters()
+    Layout.appendSegment(spark, dir, "evoup", bkt,
+      Seq((901L, 91L)).toDF("id", "v"))                          // gen 5
+    assert(state() == after + ((901L, 91L, None: Option[String])),
+      "post-restart narrow append broke on the widened store")
+    assert(Layout.readableVersions(spark, dir, "evoupupd").max == 5L,
+      "generation sequence did not resume from markers after restart")
   }
 }
