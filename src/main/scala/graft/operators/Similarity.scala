@@ -4677,10 +4677,16 @@ object Similarity {
         .select(col("vec_id"), col("cent_id"))
       val after = Layout.storeAsOf(s, dir, "ivflifeupd", vs.max)
         .select(col("vec_id"), col("cent_id"))
+      // the diff rows come from the CDC verb itself, so the gate
+      // drives storeChanges end to end (replaying horizon + changes
+      // reconstructs latest — the EXCEPT pair the oracle re-derives)
+      val changes = Layout.storeChanges(s, dir, "ivflifeupd", vs.min, vs.max)
       val key = concat_ws("|", col("vec_id"), col("cent_id"))
       Seq(
-        Dedup.censusRow("corrected_new", after.except(before), key),
-        Dedup.censusRow("corrected_old", before.except(after), key),
+        Dedup.censusRow("corrected_new",
+          changes.filter(col("change") === "insert"), key),
+        Dedup.censusRow("corrected_old",
+          changes.filter(col("change") === "delete"), key),
         Dedup.censusRow("horizon_total", before, key),
         Dedup.censusRow("latest_total", after, key))
         .reduce(_ unionByName _)

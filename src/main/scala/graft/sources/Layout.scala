@@ -342,6 +342,31 @@ object Layout {
     versionsOf(s, name).filter(v => s.catalog.tableExists(s"${name}__v$v"))
   }
 
+  /** CHANGES between two committed generations — the CDC read built on
+    * [[storeAsOf]]: each output row is a snapshot-level difference,
+    * `change = 'insert'` for rows present at `to` but not `from`,
+    * `'delete'` for the reverse (an upsert appears as its delete+insert
+    * pair; an untouched row appears not at all). Set semantics over
+    * full rows (the EXCEPT the q136 audit gate oracles in SQL), so a
+    * consumer replaying `from` + changes reconstructs `to` exactly.
+    * Both generations must be inside the retention horizon — the same
+    * loud [[storeAsOf]] contract. Schema is `to`'s: when an evolution
+    * widened the store between the two, `from`'s rows are compared
+    * NULL-padded in the new columns (by-name union), which is exactly
+    * how those rows read back at `to`. */
+  private[graft] def storeChanges(s: SparkSession, dir: String, what: String,
+      from: Long, to: Long): DataFrame = {
+    require(from < to, s"storeChanges: from=$from must precede to=$to")
+    val a = storeAsOf(s, dir, what, from)
+    val b = storeAsOf(s, dir, what, to)
+    val widened = b.columns.filterNot(a.columns.contains)
+    val aPadded = widened.foldLeft(a)((df, c) =>
+      df.withColumn(c, lit(null).cast(b.schema(c).dataType)))
+      .select(b.columns.map(col).toIndexedSeq: _*)
+    b.except(aPadded).withColumn("change", lit("insert"))
+      .unionByName(aPadded.except(b).withColumn("change", lit("delete")))
+  }
+
   private val publishCounter =
     new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 

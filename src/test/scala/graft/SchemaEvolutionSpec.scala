@@ -53,6 +53,17 @@ class SchemaEvolutionSpec extends SparkSpec {
     Layout.evolveSegment(spark, dir, "evo", bkt, g4)           // gen 4
     assert(spark.table(name).columns.toSeq == Seq("id", "v", "tag", "src"))
 
+    // CDC across a widening: changes(2 -> 4) compares the narrow-era
+    // snapshot NULL-padded in the evolved columns (exactly how those
+    // rows read back at gen 4) — all drifted rows are inserts, nothing
+    // is spuriously deleted by the schema difference
+    val ch = Layout.storeChanges(spark, dir, "evoupd", 2, 4)
+    assert(ch.columns.toSeq == Seq("id", "v", "tag", "src", "change"))
+    assert(ch.filter(col("change") === "delete").count() == 0,
+      "schema widening must not fabricate CDC deletes")
+    assert(ch.filter(col("change") === "insert").select("id").as[Long]
+      .collect().toSet == ((200L until 205L) ++ (300L until 303L)).toSet)
+
     // time travel returns each era's OWN schema
     assert(Layout.storeAsOf(spark, dir, "evoupd", 2).columns.toSeq == Seq("id", "v"))
     assert(Layout.storeAsOf(spark, dir, "evoupd", 3).columns.toSeq ==

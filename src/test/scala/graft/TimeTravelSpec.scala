@@ -49,6 +49,16 @@ class TimeTravelSpec extends SparkSpec {
     // the stable name and the latest as-of view agree
     assert(idsOf(spark.table(Layout.tableName(dir, "ttuniupd"))) == g4)
 
+    // the CDC read: changes(2 -> 4) = the net effect of the delete +
+    // re-ingest events. Key 103's row is identical at both ends
+    // (deleted at 3, re-added verbatim at 4) so it appears in NEITHER
+    // side — snapshot-level CDC, not an event log
+    val ch = Layout.storeChanges(spark, dir, "ttuniupd", 2, 4)
+    assert(idsOf(ch.filter(col("change") === "insert")) ==
+      (200L until 205L).toSet, "CDC inserts wrong")
+    assert(idsOf(ch.filter(col("change") === "delete")) == Set(5L),
+      "CDC deletes wrong")
+
     // compaction = retention horizon: gens 1-4 GC'd, 5 readable
     Layout.compactDeleted(spark, dir, "ttuniupd", bkt)                // gen 5
     assert(Layout.readableVersions(spark, dir, "ttuniupd") == Seq(5L))
@@ -67,6 +77,10 @@ class TimeTravelSpec extends SparkSpec {
     assert(idsOf(Layout.storeAsOf(spark, dir, "ttuniupd", 5)) == g4,
       "a later event must not rewrite the horizon snapshot")
     assert(idsOf(Layout.storeAsOf(spark, dir, "ttuniupd", 6)) == g4 - 200L)
+    val ch56 = Layout.storeChanges(spark, dir, "ttuniupd", 5, 6)
+    assert(idsOf(ch56.filter(col("change") === "delete")) == Set(200L) &&
+      ch56.filter(col("change") === "insert").count() == 0,
+      "post-compaction CDC wrong")
 
     // a never-committed generation fails the same loud way
     val futErr = intercept[IllegalArgumentException] {
