@@ -1622,6 +1622,58 @@ object Pipeline {
          |ORDER BY artifact""".stripMargin)
   }
 
+  /** q139: JSONL SOURCE/SINK fidelity — JSON-lines is the de-facto
+    * interchange format raw training corpora actually arrive in, and
+    * the one source format the library had not gated. The corpus text
+    * is ASCII words (escaping would be vacuously exercised), so the
+    * gate PLANTS the adversarial content deterministically (the q114
+    * pattern — both engines derive the same augmented text): every
+    * document gains a suffix carrying a double quote, a backslash, a
+    * tab, a newline and multi-byte UTF-8 (é, €), plus an md5-derived
+    * per-doc hex slice. Spark then writes the corpus as JSONL and
+    * reads it back with the explicit schema — the real sink+source
+    * machinery, where one mis-escaped quote, half-decoded codepoint
+    * or mangled control char flips the checksum — and the census
+    * rolls up per source over md5 of the ROUND-TRIPPED text. The
+    * oracle computes the same census straight from the derived text,
+    * never seeing JSON: roundtrip == identity is the gate. */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Layout
+    val d = Tables.documents(s, dir)
+    val aug = d.withColumn("text", concat(col("text"),
+      lit(" \""), substring(md5(col("text")), 1, 6),
+      lit("\\"), lit("\t"), lit("\n"), lit("é€")))
+    Layout.materializedTable(s, dir, "jsonlcensus") {
+      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
+      val path = s"$wh/${Layout.tableName(dir, "docsjsonl")}"
+      aug.select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars")).write.mode("overwrite").json(path)
+      val back = s.read.schema(d.schema).json(path)
+      back.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(hash32(concat_ws("|", col("doc_id"), col("n_chars"),
+            col("lang"), md5(col("text"))))).as("checksum"))
+    }.orderBy("source")
+  }
+
+  /** The q139 oracle: the identical augmented text derived in SQL
+    * (chr() for the control/escape characters; UTF-8 literals pass
+    * through the dump's JSON escaping untouched), censused directly —
+    * no JSON anywhere, so a lossy roundtrip cannot hash-match. */
+  val jsonlRoundtripSql: String = mat(
+    s"""WITH aug AS (
+       |  SELECT doc_id, n_chars, lang, source,
+       |         text || ' ' || chr(34) || substr(md5(text), 1, 6) ||
+       |           chr(92) || chr(9) || chr(10) || 'é€' AS text
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CAST('0x' || substr(md5(
+       |         CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |         '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |         AS checksum
+       |FROM aug GROUP BY source ORDER BY source""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -1657,5 +1709,9 @@ object Pipeline {
     // schema metadata-only; old generations read back NULL; the
     // census classes by era against the raw documents derivation
     QueryDef("q137_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
+    // q139: JSONL source/sink fidelity — planted quotes/escapes/
+    // control chars/multibyte UTF-8 survive the write+read roundtrip
+    // byte-exactly; the oracle derives the expected bytes sans JSON
+    QueryDef("q139_jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripSql)),
   )
 }
