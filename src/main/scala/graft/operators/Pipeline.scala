@@ -1674,6 +1674,220 @@ object Pipeline {
        |         AS checksum
        |FROM aug GROUP BY source ORDER BY source""".stripMargin)
 
+  // ------------------------------------------------------------------
+  // q140: CORPUS PROFILING (ANALYZE) — the per-column statistics pass
+  // every ingest runs before curation decisions.
+  // ------------------------------------------------------------------
+
+  /** Heavy-hitter emission threshold: top values are reported only for
+    * columns whose MEASURED distinct cardinality is at most this — the
+    * rule that keeps the heavy-hitter window off corpus-cardinality
+    * columns (text, ids) at any scale. Data-driven, so both engines
+    * decide identically from the same counts. */
+  private val ProfileTopKMaxDistinct = 64L
+
+  /** q140: per-column corpus profile over `documents` — the
+    * ANALYZE-style data-profiling operator (null counts, exact
+    * distinct cardinalities, min/max, column mass, top-3 heavy
+    * hitters for low-cardinality columns). The profiled corpus plants
+    * deterministic NULLs (lang at doc_id ≡ 3 mod 7, n_chars at
+    * doc_id ≡ 5 mod 11) so the null accounting is exercised, not
+    * vacuously zero. `mass` is the column's exact integer bulk —
+    * value sum for numerics, total character length for strings —
+    * the number a curation planner sizes scans and shuffles with.
+    *
+    * Scale (two passes — the honest exact-profiling cost):
+    *  1. the SCALAR pass: one aggregate producing a SINGLE row
+    *     (n_null / min / max / mass per column), unpivoted by
+    *     `stack` — map-side partial aggregation, no data-row
+    *     exchange.
+    *  2. the CARDINALITY pass: all five columns melt to (cname, v)
+    *     in one generated explode and group through ONE exchange on
+    *     (cname, v) — exact distincts for every column in a single
+    *     shuffle instead of five countDistinct expands. The per-column
+    *     distinct rollup ((cname) ⊂ (cname, v)) reduces
+    *     vocabulary-sized partials, and the heavy-hitter window runs
+    *     only over columns whose measured cardinality ≤
+    *     [[ProfileTopKMaxDistinct]] (≤ 64·|cols| rows). The eligible
+    *     list is a collect bounded by the COLUMN COUNT, never the
+    *     corpus. At extreme cardinality the sketch profile (q14's
+    *     HLL) is the documented swap-in for pass 2.
+    */
+  def corpusProfile(s: SparkSession, dir: String): DataFrame = {
+    val aug = Tables.documents(s, dir)
+      .withColumn("lang",
+        when(col("doc_id") % 7 === 3, lit(null)).otherwise(col("lang")))
+      .withColumn("n_chars",
+        when(col("doc_id") % 11 === 5, lit(null)).otherwise(col("n_chars")))
+    val profiled = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val masses = Map(
+      "doc_id" -> sum(col("doc_id")), "text" -> sum(length(col("text"))),
+      "lang" -> sum(length(col("lang"))), "source" -> sum(length(col("source"))),
+      "n_chars" -> sum(col("n_chars")))
+    // pass 1: one single-row aggregate (map-side partials, no exchange
+    // of data rows), then stack-unpivoted to a row per column
+    val aggCols = profiled.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      min(col(c)).cast(StringType).as(s"min_$c"),
+      max(col(c)).cast(StringType).as(s"max_$c"),
+      masses(c).cast(LongType).as(s"mass_$c")))
+    val oneRow = aug.agg(count(lit(1)).as("n"), aggCols: _*)
+    val scalar = oneRow.selectExpr(
+      s"stack(${profiled.size}, " + profiled.map(c =>
+        s"'$c', n - nn_$c, min_$c, max_$c, mass_$c").mkString(", ") +
+        ") AS (cname, n_null, min_v, max_v, mass)")
+    // pass 2: melt → ONE exchange on (cname, v) → distincts + top-k
+    val melted = aug.select(explode(array(profiled.map(c =>
+        struct(lit(c).as("cname"), col(c).cast(StringType).as("v"))): _*)).as("cv"))
+      .select(col("cv.cname").as("cname"), col("cv.v").as("v"))
+      .filter(col("v").isNotNull)
+    val counts = melted.groupBy(col("cname"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val nd = counts.groupBy(col("cname")).agg(count(lit(1)).as("n_distinct"))
+    // bounded by the column count (5 rows), never the corpus
+    val eligible = nd.filter(col("n_distinct") <= ProfileTopKMaxDistinct)
+      .select("cname").collect().map(_.getString(0)).toSeq
+    val w = Window.partitionBy(col("cname"))
+      .orderBy(col("cnt").desc, col("v"))
+    val top = counts.filter(col("cname").isin(eligible: _*))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .groupBy(col("cname"))
+      .agg(array_sort(collect_list(struct(col("rn"), col("v"), col("cnt")))).as("a"))
+      .select(col("cname"), concat_ws(",",
+        expr("transform(a, x -> concat(x.v, ':', CAST(x.cnt AS STRING)))")).as("top3raw"))
+    scalar.join(nd, Seq("cname"))
+      .join(top, Seq("cname"), "left")
+      .select(col("cname"), col("n_null").cast(LongType).as("n_null"),
+        col("n_distinct"), col("min_v"), col("max_v"), col("mass"),
+        coalesce(col("top3raw"), lit("")).as("top3"))
+      .orderBy("cname")
+  }
+
+  /** The q140 oracle: the same planted-NULL corpus, profiled by a
+    * per-column UNION ALL (scalar stats) + a melted counts relation
+    * (distincts, heavy hitters via row_number + ordered string_agg).
+    * The ≤ 64 heavy-hitter rule is re-applied in SQL, so the
+    * eligibility DECISION is gated too, not just the values. */
+  val corpusProfileSql: String = mat(
+    s"""WITH aug AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN doc_id % 7 = 3 THEN NULL ELSE lang END AS lang,
+       |         source,
+       |         CASE WHEN doc_id % 11 = 5 THEN NULL ELSE n_chars END AS n_chars
+       |  FROM documents),
+       |scalar AS (
+       |  SELECT 'doc_id' AS cname, count(*) - count(doc_id) AS n_null,
+       |         CAST(min(doc_id) AS VARCHAR) AS min_v,
+       |         CAST(max(doc_id) AS VARCHAR) AS max_v,
+       |         CAST(sum(doc_id) AS BIGINT) AS mass FROM aug
+       |  UNION ALL
+       |  SELECT 'text', count(*) - count(text), min(text), max(text),
+       |         CAST(sum(length(text)) AS BIGINT) FROM aug
+       |  UNION ALL
+       |  SELECT 'lang', count(*) - count(lang), min(lang), max(lang),
+       |         CAST(sum(length(lang)) AS BIGINT) FROM aug
+       |  UNION ALL
+       |  SELECT 'source', count(*) - count(source), min(source), max(source),
+       |         CAST(sum(length(source)) AS BIGINT) FROM aug
+       |  UNION ALL
+       |  SELECT 'n_chars', count(*) - count(n_chars),
+       |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+       |         CAST(sum(n_chars) AS BIGINT) FROM aug),
+       |melted AS (
+       |  SELECT 'doc_id' AS cname, CAST(doc_id AS VARCHAR) AS v FROM aug WHERE doc_id IS NOT NULL
+       |  UNION ALL SELECT 'text', text FROM aug WHERE text IS NOT NULL
+       |  UNION ALL SELECT 'lang', lang FROM aug WHERE lang IS NOT NULL
+       |  UNION ALL SELECT 'source', source FROM aug WHERE source IS NOT NULL
+       |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM aug WHERE n_chars IS NOT NULL),
+       |counts AS (SELECT cname, v, count(*) AS cnt FROM melted GROUP BY 1, 2),
+       |nd AS (SELECT cname, count(*) AS n_distinct FROM counts GROUP BY 1),
+       |topk AS (
+       |  SELECT cname, string_agg(v || ':' || CAST(cnt AS VARCHAR), ','
+       |                           ORDER BY cnt DESC, v) AS top3raw
+       |  FROM (SELECT cname, v, cnt,
+       |               row_number() OVER (PARTITION BY cname
+       |                                  ORDER BY cnt DESC, v) AS rn
+       |        FROM counts) w
+       |  WHERE rn <= 3 GROUP BY cname)
+       |SELECT s.cname, CAST(s.n_null AS BIGINT) AS n_null,
+       |       CAST(nd.n_distinct AS BIGINT) AS n_distinct,
+       |       s.min_v, s.max_v, s.mass,
+       |       CASE WHEN nd.n_distinct <= $ProfileTopKMaxDistinct
+       |            THEN coalesce(t.top3raw, '') ELSE '' END AS top3
+       |FROM scalar s JOIN nd USING (cname) LEFT JOIN topk t USING (cname)
+       |ORDER BY cname""".stripMargin)
+
+  /** q141: ORC source/sink fidelity — the second columnar format a
+    * heterogeneous lake serves (q139 proved the JSONL text path; this
+    * proves the binary-columnar one, including the NESTED array<float>
+    * embedding column ORC encodes very differently from parquet).
+    * Documents carry q139's adversarial byte suffix (quote, backslash,
+    * tab, newline, multi-byte UTF-8); embeddings roundtrip whole
+    * vectors. Spark writes both tables as ORC, reads them back with
+    * explicit schemas, and censuses md5/quantized checksums; the
+    * oracle computes the same censuses straight from the raw parquet,
+    * never seeing ORC — roundtrip == identity is the gate.
+    *
+    * Scale: both writes are embarrassingly parallel (no exchange);
+    * the censuses are single-row partial-agg rollups. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Layout
+    val d = Tables.documents(s, dir)
+    val aug = d.withColumn("text", concat(col("text"),
+      lit(" \""), substring(md5(col("text")), 1, 6),
+      lit("\\"), lit("\t"), lit("\n"), lit("é€")))
+    val e = Tables.embeddings(s, dir)
+    Layout.materializedTable(s, dir, "orccensus") {
+      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
+      val dPath = s"$wh/${Layout.tableName(dir, "docsorc")}"
+      val ePath = s"$wh/${Layout.tableName(dir, "vecsorc")}"
+      aug.select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars")).write.mode("overwrite").orc(dPath)
+      e.select(col("vec_id"), col("embedding"), col("label"))
+        .write.mode("overwrite").orc(ePath)
+      val dBack = s.read.schema(d.schema).orc(dPath)
+      val eBack = s.read.schema(e.schema).orc(ePath)
+      val docRow = dBack.agg(count(lit(1)).as("n_rows"),
+        sum(hash32(concat_ws("|", col("doc_id"), col("n_chars"),
+          col("lang"), col("source"), md5(col("text"))))).as("checksum"))
+        .select(lit("docs_orc").as("artifact"), col("n_rows"), col("checksum"))
+      val vecRow = eBack.agg(count(lit(1)).as("n_rows"),
+        sum(hash32(concat_ws("|", col("vec_id"), col("label"), concat_ws(",",
+          transform(quantize(col("embedding")), c => c.cast(StringType))))))
+          .as("checksum"))
+        .select(lit("vecs_orc").as("artifact"), col("n_rows"), col("checksum"))
+      docRow.unionByName(vecRow)
+    }.orderBy("artifact")
+  }
+
+  /** The q141 oracle: both censuses derived from the raw parquet with
+    * the proven float-quantization twin ([[qvSql]]) — ORC appears
+    * nowhere, so any loss in the roundtrip flips a checksum. */
+  val orcRoundtripSql: String = mat(
+    s"""WITH aug AS (
+       |  SELECT doc_id, n_chars, lang, source,
+       |         text || ' ' || chr(34) || substr(md5(text), 1, 6) ||
+       |           chr(92) || chr(9) || chr(10) || 'é€' AS text
+       |  FROM documents),
+       |docs AS (
+       |  SELECT 'docs_orc' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || source || '|' || md5(text)), 1, 8)
+       |           AS BIGINT)) AS BIGINT) AS checksum
+       |  FROM aug),
+       |vecs AS (
+       |  SELECT 'vecs_orc' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(vec_id AS VARCHAR) || '|' || CAST(label AS VARCHAR) ||
+       |           '|' || array_to_string($qvSql, ',')), 1, 8)
+       |           AS BIGINT)) AS BIGINT) AS checksum
+       |  FROM embeddings)
+       |SELECT artifact, n_rows, checksum FROM docs
+       |UNION ALL SELECT artifact, n_rows, checksum FROM vecs
+       |ORDER BY artifact""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -1713,5 +1927,11 @@ object Pipeline {
     // control chars/multibyte UTF-8 survive the write+read roundtrip
     // byte-exactly; the oracle derives the expected bytes sans JSON
     QueryDef("q139_jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripSql)),
+    // q140: the ANALYZE pass — per-column nulls/distincts/min/max/
+    // mass/heavy-hitters with planted NULLs; eligibility rule gated
+    QueryDef("q140_corpus_profile", corpusProfile, Some(corpusProfileSql)),
+    // q141: ORC source/sink fidelity incl. the nested array<float>
+    // column; oracle never sees ORC (roundtrip == identity)
+    QueryDef("q141_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
   )
 }

@@ -223,4 +223,60 @@ class PipelineSpec extends SparkSpec {
       assert(nSplit <= nDocs && rate == nSplit.toDouble / nDocs.toDouble, src)
     }
   }
+
+  test("corpusProfile: planted nulls counted, distincts exact, top-k rule honored") {
+    val rows = Pipeline.corpusProfile(spark, sfDir)
+      .as[(String, Long, Long, String, String, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val n = d.count()
+    // planted-null accounting recomputed independently
+    val langNulls = d.filter(col("doc_id") % 7 === 3).count()
+    val charNulls = d.filter(col("doc_id") % 11 === 5).count()
+    assert(rows("lang")._2 == langNulls && rows("n_chars")._2 == charNulls)
+    assert(rows("doc_id")._2 == 0 && rows("text")._2 == 0 && rows("source")._2 == 0)
+    // exact cardinalities: ids unique, source matches an independent count
+    assert(rows("doc_id")._3 == n)
+    val nSources = d.select(countDistinct(col("source"))).as[Long].head()
+    assert(rows("source")._3 == nSources)
+    // mass: text mass equals the independent total character length
+    val textMass = d.select(sum(length(col("text")))).as[Long].head()
+    assert(rows("text")._6 == textMass)
+    // heavy hitters appear exactly for measured-cardinality <= 64, are
+    // count-descending, and their counts sum to <= non-null rows
+    rows.values.foreach { case (c, nNull, nd, _, _, _, top3) =>
+      if (nd <= 64) {
+        val parts = top3.split(",").toSeq
+        assert(parts.nonEmpty && parts.size <= 3, c)
+        val cnts = parts.map(_.split(":").last.toLong)
+        assert(cnts == cnts.sorted.reverse, s"$c top-k not count-descending")
+        assert(cnts.sum <= n - nNull, c)
+      } else assert(top3.isEmpty, s"$c: top-k emitted above the cardinality cap")
+    }
+  }
+
+  test("orcRoundtrip: census checksums equal the no-ORC derivation") {
+    val got = Pipeline.orcRoundtrip(spark, sfDir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == Set("docs_orc", "vecs_orc"))
+    // the same censuses computed straight off the raw parquet — the
+    // roundtrip-identity contract, in-process (the oracle proves it
+    // cross-engine; this pins it without DuckDB)
+    import graft.functions.Fns._
+    val d = graft.sources.Tables.documents(spark, sfDir)
+      .withColumn("text", concat(col("text"),
+        lit(" \""), substring(md5(col("text")), 1, 6),
+        lit("\\"), lit("\t"), lit("\n"), lit("é€")))
+    val Array((dn, dc)) = d.agg(count(lit(1)),
+      sum(hash32(concat_ws("|", col("doc_id"), col("n_chars"), col("lang"),
+        col("source"), md5(col("text")))))).as[(Long, Long)].collect()
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val Array((en, ec)) = e.agg(count(lit(1)),
+      sum(hash32(concat_ws("|", col("vec_id"), col("label"), concat_ws(",",
+        transform(quantize(col("embedding")), c => c.cast("string")))))))
+      .as[(Long, Long)].collect()
+    assert(got("docs_orc") == ((dn, dc)), "documents lost bytes through ORC")
+    assert(got("vecs_orc") == ((en, ec)), "embeddings lost floats through ORC")
+  }
 }
