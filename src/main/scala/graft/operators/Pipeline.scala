@@ -1696,7 +1696,8 @@ object Pipeline {
     * value sum for numerics, total character length for strings —
     * the number a curation planner sizes scans and shuffles with.
     *
-    * Scale (two passes — the honest exact-profiling cost):
+    * Scale (three column-pruned scans — the honest exact-profiling
+    * cost, pinned by `PlanShapeSpec`):
     *  1. the SCALAR pass: one aggregate producing a SINGLE row
     *     (n_null / min / max / mass per column), unpivoted by
     *     `stack` — map-side partial aggregation, no data-row
@@ -1704,14 +1705,20 @@ object Pipeline {
     *  2. the CARDINALITY pass: all five columns melt to (cname, v)
     *     in one generated explode and group through ONE exchange on
     *     (cname, v) — exact distincts for every column in a single
-    *     shuffle instead of five countDistinct expands. The per-column
-    *     distinct rollup ((cname) ⊂ (cname, v)) reduces
-    *     vocabulary-sized partials, and the heavy-hitter window runs
-    *     only over columns whose measured cardinality ≤
-    *     [[ProfileTopKMaxDistinct]] (≤ 64·|cols| rows). The eligible
-    *     list is a collect bounded by the COLUMN COUNT, never the
-    *     corpus. At extreme cardinality the sketch profile (q14's
-    *     HLL) is the documented swap-in for pass 2.
+    *     shuffle instead of five countDistinct expands; the
+    *     per-column rollup ((cname) ⊂ (cname, v)) reduces
+    *     vocabulary-sized partials.
+    *  3. the HEAVY-HITTER pass: eligibility (measured cardinality ≤
+    *     [[ProfileTopKMaxDistinct]]) is a broadcast LeftSemi against
+    *     the distinct rollup — whose subtree RIDES pass 2's exchange
+    *     via AQE stage reuse (1 ReusedExchange in the executed plan)
+    *     — and the optimizer pushes the semi below the count
+    *     aggregate, so corpus-cardinality columns (text, ids) are
+    *     dropped BEFORE the shuffle: the top-k exchange and window
+    *     carry only low-cardinality values (≤ 64·|cols| groups), no
+    *     skewed text partition, no driver collect anywhere. At
+    *     extreme cardinality the sketch profile (q14's HLL) is the
+    *     documented swap-in for pass 2.
     */
   def corpusProfile(s: SparkSession, dir: String): DataFrame = {
     val aug = Tables.documents(s, dir)
@@ -1736,20 +1743,28 @@ object Pipeline {
       s"stack(${profiled.size}, " + profiled.map(c =>
         s"'$c', n - nn_$c, min_$c, max_$c, mass_$c").mkString(", ") +
         ") AS (cname, n_null, min_v, max_v, mass)")
-    // pass 2: melt → ONE exchange on (cname, v) → distincts + top-k
+    // pass 2: melt → ONE exchange on (cname, v) → distincts + top-k.
+    // The explicit (vacuously true) cname null gate is the q87 lesson:
+    // the top-k consumer joins on cname and would otherwise push an
+    // inferred IsNotNull below the exchange that the distinct rollup
+    // doesn't, canonicalizing the subtrees apart and losing exchange
+    // reuse (a third corpus scan).
     val melted = aug.select(explode(array(profiled.map(c =>
         struct(lit(c).as("cname"), col(c).cast(StringType).as("v"))): _*)).as("cv"))
       .select(col("cv.cname").as("cname"), col("cv.v").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("cname").isNotNull && col("v").isNotNull)
     val counts = melted.groupBy(col("cname"), col("v"))
       .agg(count(lit(1)).as("cnt"))
     val nd = counts.groupBy(col("cname")).agg(count(lit(1)).as("n_distinct"))
-    // bounded by the column count (5 rows), never the corpus
+    // heavy hitters only where the MEASURED cardinality allows: a
+    // broadcast semi-join against the (column-count-sized) distinct
+    // rollup — never a driver collect, and the counts exchange is
+    // shared with the rollup instead of recomputed
     val eligible = nd.filter(col("n_distinct") <= ProfileTopKMaxDistinct)
-      .select("cname").collect().map(_.getString(0)).toSeq
+      .select("cname")
     val w = Window.partitionBy(col("cname"))
       .orderBy(col("cnt").desc, col("v"))
-    val top = counts.filter(col("cname").isin(eligible: _*))
+    val top = counts.join(broadcast(eligible), Seq("cname"), "left_semi")
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
       .groupBy(col("cname"))
       .agg(array_sort(collect_list(struct(col("rn"), col("v"), col("cnt")))).as("a"))

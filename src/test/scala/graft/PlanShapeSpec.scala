@@ -342,6 +342,23 @@ class PlanShapeSpec extends SparkSpec {
       s"q98 does not read the written ground-truth table:\n$p98")
   }
 
+  test("q140: three pruned scans, eligibility rides the rollup exchange, no text skew") {
+    val p = plan("q140_corpus_profile")
+    // scalar pass + distinct-melt pass + heavy-hitter pass — the
+    // eligibility subtree must NOT re-scan (it reuses the distinct
+    // rollup's exchange via AQE stage reuse)
+    assert(countOf(p, "Scan parquet") == 3, s"q140 scan count changed:\n$p")
+    assert(p.contains("ReusedExchange"), s"q140 lost eligibility-subtree reuse:\n$p")
+    // the heavy-hitter branch semi-filters BELOW its count aggregate,
+    // so the window never partitions over a corpus-cardinality column
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"),
+      s"q140 heavy-hitter eligibility is no longer a broadcast semi:\n$p")
+    val semiIdx = p.indexOf("LeftSemi")
+    val winIdx = p.indexOf("WindowGroupLimit")
+    assert(winIdx >= 0 && winIdx < semiIdx,
+      s"q140 window no longer sits above the semi-filtered counts:\n$p")
+  }
+
   test("hot aggregation paths stay inside whole-stage codegen") {
     // q01/q02 are pure scan->filter->agg: everything except the final
     // exchange should be codegen'd — the final plan marks codegen
