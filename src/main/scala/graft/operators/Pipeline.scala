@@ -1686,6 +1686,50 @@ object Pipeline {
     * decide identically from the same counts. */
   private val ProfileTopKMaxDistinct = 64L
 
+  /** The five profiled columns of `documents`, in output order. */
+  private val ProfiledCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** The profiled corpus: documents with deterministic PLANTED NULLs
+    * (lang at doc_id ≡ 3 mod 7, n_chars at doc_id ≡ 5 mod 11) so the
+    * null accounting is exercised; derived from doc_id alone, so any
+    * corpus slice plants the same nulls on the same rows. */
+  private[graft] def profiledCorpus(docs: DataFrame): DataFrame = docs
+    .withColumn("lang",
+      when(col("doc_id") % 7 === 3, lit(null)).otherwise(col("lang")))
+    .withColumn("n_chars",
+      when(col("doc_id") % 11 === 5, lit(null)).otherwise(col("n_chars")))
+
+  /** Melt to (cname, v): one generated explode over all profiled
+    * columns. The explicit (vacuously true) cname gate is the q87
+    * lesson — downstream joins on cname would otherwise push an
+    * inferred IsNotNull below the exchange that plain rollup consumers
+    * don't, canonicalizing the shared subtree apart. */
+  private def meltProfiled(aug: DataFrame): DataFrame = aug
+    .select(explode(array(ProfiledCols.map(c =>
+      struct(lit(c).as("cname"), col(c).cast(StringType).as("v"))): _*)).as("cv"))
+    .select(col("cv.cname").as("cname"), col("cv.v").as("v"))
+    .filter(col("cname").isNotNull && col("v").isNotNull)
+
+  /** Column mass: exact integer bulk — value sum for numerics, total
+    * character length for strings. */
+  private def profMass(c: String): Column = c match {
+    case "doc_id" | "n_chars" => sum(col(c))
+    case _                    => sum(length(col(c)))
+  }
+
+  /** The ADDITIVE scalar profile (cname, n_null, mass) of a corpus
+    * slice — one single-row aggregate stack-unpivoted; merging slices
+    * is plain addition (what makes the profile incrementally
+    * maintainable, q142). */
+  private def profScalarAdditive(aug: DataFrame): DataFrame = {
+    val aggs = ProfiledCols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"), profMass(c).cast(LongType).as(s"mass_$c")))
+    aug.agg(count(lit(1)).as("n"), aggs: _*)
+      .selectExpr(s"stack(${ProfiledCols.size}, " + ProfiledCols.map(c =>
+        s"'$c', n - nn_$c, mass_$c").mkString(", ") +
+        ") AS (cname, n_null, mass)")
+  }
+
   /** q140: per-column corpus profile over `documents` — the
     * ANALYZE-style data-profiling operator (null counts, exact
     * distinct cardinalities, min/max, column mass, top-3 heavy
@@ -1720,63 +1764,93 @@ object Pipeline {
     *     extreme cardinality the sketch profile (q14's HLL) is the
     *     documented swap-in for pass 2.
     */
-  def corpusProfile(s: SparkSession, dir: String): DataFrame = {
-    val aug = Tables.documents(s, dir)
-      .withColumn("lang",
-        when(col("doc_id") % 7 === 3, lit(null)).otherwise(col("lang")))
-      .withColumn("n_chars",
-        when(col("doc_id") % 11 === 5, lit(null)).otherwise(col("n_chars")))
-    val profiled = Seq("doc_id", "text", "lang", "source", "n_chars")
-    val masses = Map(
-      "doc_id" -> sum(col("doc_id")), "text" -> sum(length(col("text"))),
-      "lang" -> sum(length(col("lang"))), "source" -> sum(length(col("source"))),
-      "n_chars" -> sum(col("n_chars")))
-    // pass 1: one single-row aggregate (map-side partials, no exchange
-    // of data rows), then stack-unpivoted to a row per column
-    val aggCols = profiled.flatMap(c => Seq(
-      count(col(c)).as(s"nn_$c"),
-      min(col(c)).cast(StringType).as(s"min_$c"),
-      max(col(c)).cast(StringType).as(s"max_$c"),
-      masses(c).cast(LongType).as(s"mass_$c")))
-    val oneRow = aug.agg(count(lit(1)).as("n"), aggCols: _*)
-    val scalar = oneRow.selectExpr(
-      s"stack(${profiled.size}, " + profiled.map(c =>
-        s"'$c', n - nn_$c, min_$c, max_$c, mass_$c").mkString(", ") +
-        ") AS (cname, n_null, min_v, max_v, mass)")
-    // pass 2: melt → ONE exchange on (cname, v) → distincts + top-k.
-    // The explicit (vacuously true) cname null gate is the q87 lesson:
-    // the top-k consumer joins on cname and would otherwise push an
-    // inferred IsNotNull below the exchange that the distinct rollup
-    // doesn't, canonicalizing the subtrees apart and losing exchange
-    // reuse (a third corpus scan).
-    val melted = aug.select(explode(array(profiled.map(c =>
-        struct(lit(c).as("cname"), col(c).cast(StringType).as("v"))): _*)).as("cv"))
-      .select(col("cv.cname").as("cname"), col("cv.v").as("v"))
-      .filter(col("cname").isNotNull && col("v").isNotNull)
-    val counts = melted.groupBy(col("cname"), col("v"))
-      .agg(count(lit(1)).as("cnt"))
+  /** Distinct rollup + heavy hitters from ONE (cname, v, cnt)
+    * relation, both consuming the IDENTICAL subtree so the counts
+    * exchange is computed once and reused (AQE stage reuse — an
+    * eligibility semi-join here would canonicalize the top-k probe
+    * apart and recompute the whole merge). The top-k side is safe
+    * over corpus-cardinality columns without any prefilter because
+    * rank pushdown (`WindowGroupLimit`, plan-pinned) caps every map
+    * partition's contribution at 3 rows per column BEFORE the window
+    * exchange — the window never sees, sorts or skews on a text-sized
+    * group; the only full-relation work is the in-place partition
+    * sort the pushdown rides. The ≤ [[ProfileTopKMaxDistinct]]
+    * eligibility RULE is applied in the caller's final projection
+    * from the measured n_distinct. Returns (nd, top3raw). */
+  private def profTopK(counts: DataFrame): (DataFrame, DataFrame) = {
     val nd = counts.groupBy(col("cname")).agg(count(lit(1)).as("n_distinct"))
-    // heavy hitters only where the MEASURED cardinality allows: a
-    // broadcast semi-join against the (column-count-sized) distinct
-    // rollup — never a driver collect, and the counts exchange is
-    // shared with the rollup instead of recomputed
-    val eligible = nd.filter(col("n_distinct") <= ProfileTopKMaxDistinct)
-      .select("cname")
     val w = Window.partitionBy(col("cname"))
       .orderBy(col("cnt").desc, col("v"))
-    val top = counts.join(broadcast(eligible), Seq("cname"), "left_semi")
+    val top = counts
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
       .groupBy(col("cname"))
       .agg(array_sort(collect_list(struct(col("rn"), col("v"), col("cnt")))).as("a"))
       .select(col("cname"), concat_ws(",",
         expr("transform(a, x -> concat(x.v, ':', CAST(x.cnt AS STRING)))")).as("top3raw"))
+    (nd, top)
+  }
+
+  /** The heavy-hitter eligibility rule in the output projection:
+    * top values are reported only below the measured-cardinality cap
+    * (the oracle re-applies the same CASE). */
+  private def profTop3Out: Column =
+    when(col("n_distinct") <= ProfileTopKMaxDistinct,
+      coalesce(col("top3raw"), lit(""))).otherwise(lit("")).as("top3")
+
+  def corpusProfile(s: SparkSession, dir: String): DataFrame = {
+    val aug = profiledCorpus(Tables.documents(s, dir))
+    // pass 1: one single-row aggregate (map-side partials, no exchange
+    // of data rows), then stack-unpivoted to a row per column — the
+    // additive metrics plus the mergeable-but-typed min/max
+    val aggCols = ProfiledCols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      min(col(c)).cast(StringType).as(s"min_$c"),
+      max(col(c)).cast(StringType).as(s"max_$c"),
+      profMass(c).cast(LongType).as(s"mass_$c")))
+    val oneRow = aug.agg(count(lit(1)).as("n"), aggCols: _*)
+    val scalar = oneRow.selectExpr(
+      s"stack(${ProfiledCols.size}, " + ProfiledCols.map(c =>
+        s"'$c', n - nn_$c, min_$c, max_$c, mass_$c").mkString(", ") +
+        ") AS (cname, n_null, min_v, max_v, mass)")
+    // pass 2: melt → ONE exchange on (cname, v) → distincts + top-k
+    val counts = meltProfiled(aug).groupBy(col("cname"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val (nd, top) = profTopK(counts)
     scalar.join(nd, Seq("cname"))
       .join(top, Seq("cname"), "left")
       .select(col("cname"), col("n_null").cast(LongType).as("n_null"),
         col("n_distinct"), col("min_v"), col("max_v"), col("mass"),
-        coalesce(col("top3raw"), lit("")).as("top3"))
+        profTop3Out)
       .orderBy("cname")
   }
+
+  // Shared q140/q142 oracle fragments — one derivation chain, two
+  // gates (the q106/q129 shared-fragment discipline: the full-profile
+  // and incremental-profile oracles cannot drift apart).
+  private val profAugSql =
+    """SELECT doc_id, text,
+      |         CASE WHEN doc_id % 7 = 3 THEN NULL ELSE lang END AS lang,
+      |         source,
+      |         CASE WHEN doc_id % 11 = 5 THEN NULL ELSE n_chars END AS n_chars
+      |  FROM documents""".stripMargin
+
+  private val profCountsSql =
+    """melted AS (
+      |  SELECT 'doc_id' AS cname, CAST(doc_id AS VARCHAR) AS v FROM aug WHERE doc_id IS NOT NULL
+      |  UNION ALL SELECT 'text', text FROM aug WHERE text IS NOT NULL
+      |  UNION ALL SELECT 'lang', lang FROM aug WHERE lang IS NOT NULL
+      |  UNION ALL SELECT 'source', source FROM aug WHERE source IS NOT NULL
+      |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM aug WHERE n_chars IS NOT NULL),
+      |counts AS (SELECT cname, v, count(*) AS cnt FROM melted GROUP BY 1, 2),
+      |nd AS (SELECT cname, count(*) AS n_distinct FROM counts GROUP BY 1),
+      |topk AS (
+      |  SELECT cname, string_agg(v || ':' || CAST(cnt AS VARCHAR), ','
+      |                           ORDER BY cnt DESC, v) AS top3raw
+      |  FROM (SELECT cname, v, cnt,
+      |               row_number() OVER (PARTITION BY cname
+      |                                  ORDER BY cnt DESC, v) AS rn
+      |        FROM counts) w
+      |  WHERE rn <= 3 GROUP BY cname)""".stripMargin
 
   /** The q140 oracle: the same planted-NULL corpus, profiled by a
     * per-column UNION ALL (scalar stats) + a melted counts relation
@@ -1785,11 +1859,7 @@ object Pipeline {
     * eligibility DECISION is gated too, not just the values. */
   val corpusProfileSql: String = mat(
     s"""WITH aug AS (
-       |  SELECT doc_id, text,
-       |         CASE WHEN doc_id % 7 = 3 THEN NULL ELSE lang END AS lang,
-       |         source,
-       |         CASE WHEN doc_id % 11 = 5 THEN NULL ELSE n_chars END AS n_chars
-       |  FROM documents),
+       |  $profAugSql),
        |scalar AS (
        |  SELECT 'doc_id' AS cname, count(*) - count(doc_id) AS n_null,
        |         CAST(min(doc_id) AS VARCHAR) AS min_v,
@@ -1808,25 +1878,107 @@ object Pipeline {
        |  SELECT 'n_chars', count(*) - count(n_chars),
        |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
        |         CAST(sum(n_chars) AS BIGINT) FROM aug),
-       |melted AS (
-       |  SELECT 'doc_id' AS cname, CAST(doc_id AS VARCHAR) AS v FROM aug WHERE doc_id IS NOT NULL
-       |  UNION ALL SELECT 'text', text FROM aug WHERE text IS NOT NULL
-       |  UNION ALL SELECT 'lang', lang FROM aug WHERE lang IS NOT NULL
-       |  UNION ALL SELECT 'source', source FROM aug WHERE source IS NOT NULL
-       |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM aug WHERE n_chars IS NOT NULL),
-       |counts AS (SELECT cname, v, count(*) AS cnt FROM melted GROUP BY 1, 2),
-       |nd AS (SELECT cname, count(*) AS n_distinct FROM counts GROUP BY 1),
-       |topk AS (
-       |  SELECT cname, string_agg(v || ':' || CAST(cnt AS VARCHAR), ','
-       |                           ORDER BY cnt DESC, v) AS top3raw
-       |  FROM (SELECT cname, v, cnt,
-       |               row_number() OVER (PARTITION BY cname
-       |                                  ORDER BY cnt DESC, v) AS rn
-       |        FROM counts) w
-       |  WHERE rn <= 3 GROUP BY cname)
+       |$profCountsSql
        |SELECT s.cname, CAST(s.n_null AS BIGINT) AS n_null,
        |       CAST(nd.n_distinct AS BIGINT) AS n_distinct,
        |       s.min_v, s.max_v, s.mass,
+       |       CASE WHEN nd.n_distinct <= $ProfileTopKMaxDistinct
+       |            THEN coalesce(t.top3raw, '') ELSE '' END AS top3
+       |FROM scalar s JOIN nd USING (cname) LEFT JOIN topk t USING (cname)
+       |ORDER BY cname""".stripMargin)
+
+  /** The standing corpus's WRITTEN frequency table (cname, v, cnt) —
+    * the incrementally-maintainable core of the profile, bucketed on
+    * the merge key so an ingest batch joins it without re-shuffling
+    * the corpus side (the q77/q104 written-index contract). Standing
+    * corpus = doc_id ≢ 0 (mod 5), the library-wide snapshot split. */
+  private[graft] def profileCountsIndex(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.materializedTable(s, dir, "profcounts",
+        Some((graft.sources.Layout.Buckets, Seq("cname", "v")))) {
+      meltProfiled(profiledCorpus(
+          Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0)))
+        .groupBy(col("cname"), col("v")).agg(count(lit(1)).as("cnt"))
+    }
+
+  /** The standing corpus's written additive scalar profile —
+    * (cname, n_null, mass), five rows. */
+  private[graft] def profileScalarIndex(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.materializedTable(s, dir, "profscalar") {
+      profScalarAdditive(profiledCorpus(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0)))
+    }
+
+  /** q142: INCREMENTAL PROFILE MAINTENANCE — ANALYZE under ingest,
+    * the q82/q104 update==rebuild contract applied to q140. The
+    * profile's expensive half is the exact frequency table; it is
+    * ADDITIVE under ingest, so the next snapshot's profile is
+    *
+    *   counts' = counts ⊕ melt(batch)   (full-outer sum on (cname, v))
+    *   scalar' = scalar + stack(batch)  (five-row addition)
+    *
+    * against the WRITTEN standing-corpus artifacts — the corpus is
+    * never re-melted or re-scanned. Distincts, eligibility and heavy
+    * hitters then derive from the merged counts exactly as in q140
+    * ([[profTopK]] — shared code, shared oracle fragments), and the
+    * oracle recomputes the whole profile from scratch over
+    * standing ∪ batch, so the gate proves incremental == rebuild.
+    *
+    * Scale: O(batch) new work — the batch is melted and shuffled to
+    * the index's bucket layout; the written table joins
+    * WITHOUT re-shuffling (bucketed on (cname, v), plan-pinned); the
+    * distinct rollup reduces vocabulary-sized partials. The additive
+    * metrics make profile maintenance a metadata-sized merge at any
+    * corpus scale; only truly non-mergeable statistics (exact min/max
+    * need typed sidecars, so q142 reports the mergeable set) would
+    * force a re-scan. */
+  def profileUpdate(s: SparkSession, dir: String): DataFrame = {
+    val batch = profiledCorpus(
+      Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0))
+    val bCounts = meltProfiled(batch).groupBy(col("cname"), col("v"))
+      .agg(count(lit(1)).as("bcnt"))
+    val merged = profileCountsIndex(s, dir)
+      .join(bCounts, Seq("cname", "v"), "full_outer")
+      .select(col("cname"), col("v"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("bcnt"), lit(0L))).as("cnt"))
+    val (nd, top) = profTopK(merged)
+    val bScalar = profScalarAdditive(batch)
+      .withColumnRenamed("n_null", "b_null").withColumnRenamed("mass", "b_mass")
+    val scalar = profileScalarIndex(s, dir).join(bScalar, Seq("cname"))
+      .select(col("cname"), (col("n_null") + col("b_null")).as("n_null"),
+        (col("mass") + col("b_mass")).as("mass"))
+    scalar.join(nd, Seq("cname"))
+      .join(top, Seq("cname"), "left")
+      .select(col("cname"), col("n_null").cast(LongType).as("n_null"),
+        col("n_distinct"), col("mass"),
+        profTop3Out)
+      .orderBy("cname")
+  }
+
+  /** The q142 oracle: the FULL profile recomputed from scratch over
+    * the whole corpus (standing ∪ batch = documents) on the shared
+    * q140 fragments, restricted to the mergeable statistics — the
+    * incremental result must be indistinguishable from the rebuild. */
+  val profileUpdateSql: String = mat(
+    s"""WITH aug AS (
+       |  $profAugSql),
+       |scalar AS (
+       |  SELECT 'doc_id' AS cname, count(*) - count(doc_id) AS n_null,
+       |         CAST(sum(doc_id) AS BIGINT) AS mass FROM aug
+       |  UNION ALL
+       |  SELECT 'text', count(*) - count(text),
+       |         CAST(sum(length(text)) AS BIGINT) FROM aug
+       |  UNION ALL
+       |  SELECT 'lang', count(*) - count(lang),
+       |         CAST(sum(length(lang)) AS BIGINT) FROM aug
+       |  UNION ALL
+       |  SELECT 'source', count(*) - count(source),
+       |         CAST(sum(length(source)) AS BIGINT) FROM aug
+       |  UNION ALL
+       |  SELECT 'n_chars', count(*) - count(n_chars),
+       |         CAST(sum(n_chars) AS BIGINT) FROM aug),
+       |$profCountsSql
+       |SELECT s.cname, CAST(s.n_null AS BIGINT) AS n_null,
+       |       CAST(nd.n_distinct AS BIGINT) AS n_distinct, s.mass,
        |       CASE WHEN nd.n_distinct <= $ProfileTopKMaxDistinct
        |            THEN coalesce(t.top3raw, '') ELSE '' END AS top3
        |FROM scalar s JOIN nd USING (cname) LEFT JOIN topk t USING (cname)
@@ -1948,5 +2100,9 @@ object Pipeline {
     // q141: ORC source/sink fidelity incl. the nested array<float>
     // column; oracle never sees ORC (roundtrip == identity)
     QueryDef("q141_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
+    // q142: incremental ANALYZE — the written frequency table merged
+    // with an O(batch) melt; oracle recomputes the profile from
+    // scratch (update == rebuild, shared q140 fragments)
+    QueryDef("q142_profile_update", profileUpdate, Some(profileUpdateSql)),
   )
 }
