@@ -1717,17 +1717,21 @@ object Pipeline {
     case _                    => sum(length(col(c)))
   }
 
-  /** The ADDITIVE scalar profile (cname, n_null, mass) of a corpus
-    * slice — one single-row aggregate stack-unpivoted; merging slices
-    * is plain addition (what makes the profile incrementally
-    * maintainable, q142). */
-  private def profScalarAdditive(aug: DataFrame): DataFrame = {
+  /** The MERGEABLE scalar profile of a corpus slice as ONE wide typed
+    * row: per column a non-null count, TYPED min/max, and mass, plus
+    * the slice's row count. Kept wide (not unpivoted) so min/max merge
+    * in their own types — a string-cast stack would merge "10" < "9"
+    * lexically for numeric columns. Merging two slices under
+    * INSERT-ONLY ingest is n+n, nn+nn, least(min,min),
+    * greatest(max,max), mass+mass (what makes the profile
+    * incrementally maintainable, q142); deletes break min/max (a
+    * removed extremum forces a re-scan) — the honest boundary. */
+  private def profScalarWide(aug: DataFrame): DataFrame = {
     val aggs = ProfiledCols.flatMap(c => Seq(
-      count(col(c)).as(s"nn_$c"), profMass(c).cast(LongType).as(s"mass_$c")))
+      count(col(c)).as(s"nn_$c"),
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+      profMass(c).cast(LongType).as(s"mass_$c")))
     aug.agg(count(lit(1)).as("n"), aggs: _*)
-      .selectExpr(s"stack(${ProfiledCols.size}, " + ProfiledCols.map(c =>
-        s"'$c', n - nn_$c, mass_$c").mkString(", ") +
-        ") AS (cname, n_null, mass)")
   }
 
   /** q140: per-column corpus profile over `documents` — the
@@ -1740,7 +1744,7 @@ object Pipeline {
     * value sum for numerics, total character length for strings —
     * the number a curation planner sizes scans and shuffles with.
     *
-    * Scale (three column-pruned scans — the honest exact-profiling
+    * Scale (TWO column-pruned scans — the honest exact-profiling
     * cost, pinned by `PlanShapeSpec`):
     *  1. the SCALAR pass: one aggregate producing a SINGLE row
     *     (n_null / min / max / mass per column), unpivoted by
@@ -1749,19 +1753,21 @@ object Pipeline {
     *  2. the CARDINALITY pass: all five columns melt to (cname, v)
     *     in one generated explode and group through ONE exchange on
     *     (cname, v) — exact distincts for every column in a single
-    *     shuffle instead of five countDistinct expands; the
-    *     per-column rollup ((cname) ⊂ (cname, v)) reduces
-    *     vocabulary-sized partials.
-    *  3. the HEAVY-HITTER pass: eligibility (measured cardinality ≤
-    *     [[ProfileTopKMaxDistinct]]) is a broadcast LeftSemi against
-    *     the distinct rollup — whose subtree RIDES pass 2's exchange
-    *     via AQE stage reuse (1 ReusedExchange in the executed plan)
-    *     — and the optimizer pushes the semi below the count
-    *     aggregate, so corpus-cardinality columns (text, ids) are
-    *     dropped BEFORE the shuffle: the top-k exchange and window
-    *     carry only low-cardinality values (≤ 64·|cols| groups), no
-    *     skewed text partition, no driver collect anywhere. At
-    *     extreme cardinality the sketch profile (q14's HLL) is the
+    *     shuffle instead of five countDistinct expands. Both
+    *     consumers of the counts relation (the distinct rollup and
+    *     the heavy-hitter window) canonicalize onto that SAME
+    *     exchange (1 ReusedExchange in the executed plan — see the
+    *     nullable-count note in [[profTopK]]), so the corpus-bytes
+    *     melt executes exactly once.
+    *  3. the HEAVY-HITTER pass runs entirely ABOVE pass 2's exchange:
+    *     rank pushdown (`WindowGroupLimit`, partial+final,
+    *     plan-pinned) caps every map partition's contribution at 3
+    *     rows per column before the window's own (tiny) exchange, so
+    *     the window never sorts or skews on a corpus-cardinality
+    *     group; the eligibility RULE (measured cardinality ≤
+    *     [[ProfileTopKMaxDistinct]]) is a CASE in the final
+    *     projection — no join machinery, no driver collect anywhere.
+    *     At extreme cardinality the sketch profile (q14's HLL) is the
     *     documented swap-in for pass 2.
     */
   /** Distinct rollup + heavy hitters from ONE (cname, v, cnt)
@@ -1778,7 +1784,17 @@ object Pipeline {
     * eligibility RULE is applied in the caller's final projection
     * from the measured n_distinct. Returns (nd, top3raw). */
   private def profTopK(counts: DataFrame): (DataFrame, DataFrame) = {
-    val nd = counts.groupBy(col("cname")).agg(count(lit(1)).as("n_distinct"))
+    // count(CASE WHEN cnt > 0 ...), not count(*): cnt ≥ 1 always, so
+    // the value is identical — but the NULLABLE reference to cnt is
+    // what keeps this rollup's input subtree byte-identical to the
+    // top-k branch's. A bare count(*) (or count(cnt) — Catalyst
+    // rewrites count-of-non-nullable back to count(1)) lets column
+    // pruning drop cnt from this side, the two (cname, v) exchanges
+    // stop canonicalizing equal, and the whole melt→counts subtree
+    // (the corpus-bytes-sized pass) executes TWICE — the round-13
+    // q140 regression, plan-pinned against in PlanShapeSpec.
+    val nd = counts.groupBy(col("cname"))
+      .agg(count(when(col("cnt") > 0, lit(1))).as("n_distinct"))
     val w = Window.partitionBy(col("cname"))
       .orderBy(col("cnt").desc, col("v"))
     val top = counts
@@ -1900,11 +1916,12 @@ object Pipeline {
         .groupBy(col("cname"), col("v")).agg(count(lit(1)).as("cnt"))
     }
 
-  /** The standing corpus's written additive scalar profile —
-    * (cname, n_null, mass), five rows. */
+  /** The standing corpus's written mergeable scalar profile — ONE
+    * wide typed row ([[profScalarWide]]): counts + typed min/max +
+    * mass per column. */
   private[graft] def profileScalarIndex(s: SparkSession, dir: String): DataFrame =
     graft.sources.Layout.materializedTable(s, dir, "profscalar") {
-      profScalarAdditive(profiledCorpus(
+      profScalarWide(profiledCorpus(
         Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0)))
     }
 
@@ -1914,7 +1931,10 @@ object Pipeline {
     * ADDITIVE under ingest, so the next snapshot's profile is
     *
     *   counts' = counts ⊕ melt(batch)   (full-outer sum on (cname, v))
-    *   scalar' = scalar + stack(batch)  (five-row addition)
+    *   scalar' = scalar ⊞ wide(batch)   (one-row typed merge: counts
+    *             and masses ADD; min/max take least/greatest in
+    *             their own types — mergeable under INSERT-ONLY
+    *             ingest, which is what this gate drives)
     *
     * against the WRITTEN standing-corpus artifacts — the corpus is
     * never re-melted or re-scanned. Distincts, eligibility and heavy
@@ -1926,59 +1946,87 @@ object Pipeline {
     * Scale: O(batch) new work — the batch is melted and shuffled to
     * the index's bucket layout; the written table joins
     * WITHOUT re-shuffling (bucketed on (cname, v), plan-pinned); the
-    * distinct rollup reduces vocabulary-sized partials. The additive
-    * metrics make profile maintenance a metadata-sized merge at any
-    * corpus scale; only truly non-mergeable statistics (exact min/max
-    * need typed sidecars, so q142 reports the mergeable set) would
-    * force a re-scan. */
+    * distinct rollup reduces vocabulary-sized partials. The mergeable
+    * metrics — including exact min/max, carried TYPED in the wide
+    * scalar index — make profile maintenance a metadata-sized merge
+    * at any corpus scale under insert-only ingest; DELETES are the
+    * honest boundary (a removed extremum invalidates min/max and
+    * forces a re-scan of the affected column — the same rule every
+    * production table-stats system documents). */
   def profileUpdate(s: SparkSession, dir: String): DataFrame = {
     val batch = profiledCorpus(
       Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0))
     val bCounts = meltProfiled(batch).groupBy(col("cname"), col("v"))
       .agg(count(lit(1)).as("bcnt"))
+    // the explicit repartition is the SHARED materialization point:
+    // profTopK's two consumers (distinct rollup, top-k window) would
+    // otherwise each rebuild the full-outer merge — two SMJs, two
+    // bucketed-index reads. One (cname, v) exchange over the join is
+    // what both subtrees canonicalize onto (ReusedExchange,
+    // plan-pinned), so the merge executes exactly once per batch.
     val merged = profileCountsIndex(s, dir)
       .join(bCounts, Seq("cname", "v"), "full_outer")
       .select(col("cname"), col("v"),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("bcnt"), lit(0L))).as("cnt"))
+      .repartition(col("cname"), col("v"))
     val (nd, top) = profTopK(merged)
-    val bScalar = profScalarAdditive(batch)
-      .withColumnRenamed("n_null", "b_null").withColumnRenamed("mass", "b_mass")
-    val scalar = profileScalarIndex(s, dir).join(bScalar, Seq("cname"))
-      .select(col("cname"), (col("n_null") + col("b_null")).as("n_null"),
-        (col("mass") + col("b_mass")).as("mass"))
+    // 1-row × 1-row wide-profile merge (documented broadcast
+    // crossJoin site): the typed insert-only combine — counts and
+    // masses add, min/max take least/greatest IN THEIR OWN TYPES
+    // (Spark's least/greatest skip NULLs, so an all-NULL batch column
+    // inherits the standing extremum) — then one stack unpivots to
+    // the reporting rows, casting min/max to string only AFTER the
+    // typed merge.
+    val bWide = profScalarWide(batch).select(
+      col("n").as("b_n") +: ProfiledCols.flatMap(c => Seq(
+        col(s"nn_$c").as(s"b_nn_$c"), col(s"min_$c").as(s"b_min_$c"),
+        col(s"max_$c").as(s"b_max_$c"), col(s"mass_$c").as(s"b_mass_$c"))): _*)
+    val scalar = profileScalarIndex(s, dir).crossJoin(broadcast(bWide))
+      .selectExpr(s"stack(${ProfiledCols.size}, " + ProfiledCols.map(c =>
+        s"'$c', (n + b_n) - (nn_$c + b_nn_$c), " +
+        s"CAST(least(min_$c, b_min_$c) AS STRING), " +
+        s"CAST(greatest(max_$c, b_max_$c) AS STRING), " +
+        s"mass_$c + b_mass_$c").mkString(", ") +
+        ") AS (cname, n_null, min_v, max_v, mass)")
     scalar.join(nd, Seq("cname"))
       .join(top, Seq("cname"), "left")
       .select(col("cname"), col("n_null").cast(LongType).as("n_null"),
-        col("n_distinct"), col("mass"),
+        col("n_distinct"), col("min_v"), col("max_v"), col("mass"),
         profTop3Out)
       .orderBy("cname")
   }
 
   /** The q142 oracle: the FULL profile recomputed from scratch over
     * the whole corpus (standing ∪ batch = documents) on the shared
-    * q140 fragments, restricted to the mergeable statistics — the
-    * incremental result must be indistinguishable from the rebuild. */
+    * q140 fragments — including exact min/max, which the incremental
+    * side merges typed from the wide scalar index — so the gate
+    * proves incremental == rebuild on the complete insert-only
+    * statistic set. */
   val profileUpdateSql: String = mat(
     s"""WITH aug AS (
        |  $profAugSql),
        |scalar AS (
        |  SELECT 'doc_id' AS cname, count(*) - count(doc_id) AS n_null,
+       |         CAST(min(doc_id) AS VARCHAR) AS min_v,
+       |         CAST(max(doc_id) AS VARCHAR) AS max_v,
        |         CAST(sum(doc_id) AS BIGINT) AS mass FROM aug
        |  UNION ALL
-       |  SELECT 'text', count(*) - count(text),
+       |  SELECT 'text', count(*) - count(text), min(text), max(text),
        |         CAST(sum(length(text)) AS BIGINT) FROM aug
        |  UNION ALL
-       |  SELECT 'lang', count(*) - count(lang),
+       |  SELECT 'lang', count(*) - count(lang), min(lang), max(lang),
        |         CAST(sum(length(lang)) AS BIGINT) FROM aug
        |  UNION ALL
-       |  SELECT 'source', count(*) - count(source),
+       |  SELECT 'source', count(*) - count(source), min(source), max(source),
        |         CAST(sum(length(source)) AS BIGINT) FROM aug
        |  UNION ALL
        |  SELECT 'n_chars', count(*) - count(n_chars),
+       |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
        |         CAST(sum(n_chars) AS BIGINT) FROM aug),
        |$profCountsSql
        |SELECT s.cname, CAST(s.n_null AS BIGINT) AS n_null,
-       |       CAST(nd.n_distinct AS BIGINT) AS n_distinct, s.mass,
+       |       CAST(nd.n_distinct AS BIGINT) AS n_distinct,
+       |       s.min_v, s.max_v, s.mass,
        |       CASE WHEN nd.n_distinct <= $ProfileTopKMaxDistinct
        |            THEN coalesce(t.top3raw, '') ELSE '' END AS top3
        |FROM scalar s JOIN nd USING (cname) LEFT JOIN topk t USING (cname)
@@ -2015,12 +2063,18 @@ object Pipeline {
         .write.mode("overwrite").orc(ePath)
       val dBack = s.read.schema(d.schema).orc(dPath)
       val eBack = s.read.schema(e.schema).orc(ePath)
+      // every nullable column is coalesced to a sentinel BEFORE the
+      // concat on BOTH engines: Spark's concat_ws skips NULLs while
+      // the oracle's || propagates them, so without the coalesce the
+      // two checksums would silently diverge the day a corpus carries
+      // a NULL lang/source/label — match by construction, not by data
+      def nn(c: Column): Column = coalesce(c.cast(StringType), lit("<NULL>"))
       val docRow = dBack.agg(count(lit(1)).as("n_rows"),
-        sum(hash32(concat_ws("|", col("doc_id"), col("n_chars"),
-          col("lang"), col("source"), md5(col("text"))))).as("checksum"))
+        sum(hash32(concat_ws("|", col("doc_id"), nn(col("n_chars")),
+          nn(col("lang")), nn(col("source")), md5(col("text"))))).as("checksum"))
         .select(lit("docs_orc").as("artifact"), col("n_rows"), col("checksum"))
       val vecRow = eBack.agg(count(lit(1)).as("n_rows"),
-        sum(hash32(concat_ws("|", col("vec_id"), col("label"), concat_ws(",",
+        sum(hash32(concat_ws("|", col("vec_id"), nn(col("label")), concat_ws(",",
           transform(quantize(col("embedding")), c => c.cast(StringType))))))
           .as("checksum"))
         .select(lit("vecs_orc").as("artifact"), col("n_rows"), col("checksum"))
@@ -2040,14 +2094,17 @@ object Pipeline {
        |docs AS (
        |  SELECT 'docs_orc' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
        |         CAST(sum(CAST('0x' || substr(md5(
-       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
-       |           '|' || lang || '|' || source || '|' || md5(text)), 1, 8)
+       |           CAST(doc_id AS VARCHAR) || '|' ||
+       |           coalesce(CAST(n_chars AS VARCHAR), '<NULL>') ||
+       |           '|' || coalesce(lang, '<NULL>') ||
+       |           '|' || coalesce(source, '<NULL>') || '|' || md5(text)), 1, 8)
        |           AS BIGINT)) AS BIGINT) AS checksum
        |  FROM aug),
        |vecs AS (
        |  SELECT 'vecs_orc' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
        |         CAST(sum(CAST('0x' || substr(md5(
-       |           CAST(vec_id AS VARCHAR) || '|' || CAST(label AS VARCHAR) ||
+       |           CAST(vec_id AS VARCHAR) || '|' ||
+       |           coalesce(CAST(label AS VARCHAR), '<NULL>') ||
        |           '|' || array_to_string($qvSql, ',')), 1, 8)
        |           AS BIGINT)) AS BIGINT) AS checksum
        |  FROM embeddings)

@@ -342,21 +342,42 @@ class PlanShapeSpec extends SparkSpec {
       s"q98 does not read the written ground-truth table:\n$p98")
   }
 
-  test("q140: three pruned scans, eligibility rides the rollup exchange, no text skew") {
+  test("q140: two pruned scans, one melt exchange shared by both profile passes") {
     val p = plan("q140_corpus_profile")
-    // scalar pass + distinct-melt pass + heavy-hitter pass — the
-    // eligibility subtree must NOT re-scan (it reuses the distinct
-    // rollup's exchange via AQE stage reuse)
-    assert(countOf(p, "Scan parquet") == 3, s"q140 scan count changed:\n$p")
-    assert(p.contains("ReusedExchange"), s"q140 lost eligibility-subtree reuse:\n$p")
-    // the heavy-hitter branch semi-filters BELOW its count aggregate,
-    // so the window never partitions over a corpus-cardinality column
-    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"),
-      s"q140 heavy-hitter eligibility is no longer a broadcast semi:\n$p")
-    val semiIdx = p.indexOf("LeftSemi")
-    val winIdx = p.indexOf("WindowGroupLimit")
-    assert(winIdx >= 0 && winIdx < semiIdx,
-      s"q140 window no longer sits above the semi-filtered counts:\n$p")
+    // scalar pass + ONE melt pass — the distinct rollup and the
+    // heavy-hitter branch both consume the same (cname, v) exchange
+    // (the nullable count(CASE WHEN cnt > 0 ...) reference in profTopK
+    // is what keeps the subtrees canonically equal; losing it doubled
+    // the corpus-bytes melt in round 13)
+    assert(countOf(p, "Scan parquet") == 2, s"q140 scan count changed:\n$p")
+    assert(p.contains("ReusedExchange"), s"q140 lost melt-exchange reuse:\n$p")
+    // rank pushdown caps every map partition at 3 rows per column
+    // BEFORE the window exchange — the window never sorts or skews on
+    // a corpus-cardinality group; eligibility is the final projection's
+    // CASE over measured n_distinct, no join machinery needed
+    assert(countOf(p, "WindowGroupLimit") >= 2,
+      s"q140 lost rank pushdown (partial+final WindowGroupLimit):\n$p")
+  }
+
+  test("q142: index side joins bucket-aligned — no exchange above the profcounts scan") {
+    val p = plan("q142_profile_update")
+    // the written standing-corpus counts index is bucketed on
+    // (cname, v); the merge with the melted batch must read it
+    // shuffle-free — an Exchange between the profcounts scan and the
+    // full-outer SortMergeJoin would mean the whole standing
+    // vocabulary reshuffles per ingest batch
+    val scanIdx = p.indexOf("spark_catalog.default.graft_profcounts")
+    assert(scanIdx >= 0, s"q142 does not read the written counts index:\n$p")
+    val joinIdx = p.lastIndexOf("SortMergeJoin", scanIdx)
+    assert(joinIdx >= 0, s"q142 counts merge is not a sort-merge join:\n$p")
+    assert(!p.substring(joinIdx, scanIdx).contains("Exchange hashpartitioning"),
+      s"q142 reshuffles the bucketed counts index:\n$p")
+    // the merged counts feed distincts AND top-k through one shared
+    // exchange, exactly as in q140 — the full-outer merge itself must
+    // execute exactly once per ingest batch
+    assert(p.contains("ReusedExchange"), s"q142 lost merge-exchange reuse:\n$p")
+    assert(countOf(p, "SortMergeJoin") == 1,
+      s"q142 rebuilds the counts merge more than once:\n$p")
   }
 
   test("hot aggregation paths stay inside whole-stage codegen") {
