@@ -380,6 +380,27 @@ class PlanShapeSpec extends SparkSpec {
       s"q142 rebuilds the counts merge more than once:\n$p")
   }
 
+  test("q143: below-envelope read is a broadcast anti join; above-envelope read is join-free") {
+    plan("q143_mass_takedown") // drives both delete events
+    // the tombstoned artifact reads through a BROADCAST LeftAnti —
+    // never a shuffled SMJ (that degradation is exactly what the
+    // envelope exists to prevent)
+    val tomb = spark.table(graft.sources.Layout.tableName(sfDir, "mgtombdel"))
+    tomb.collect()
+    val pt = tomb.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(pt.contains("BroadcastHashJoin") && pt.contains("LeftAnti"),
+      s"q143 tombstone read is not a broadcast anti join:\n$pt")
+    assert(!pt.contains("SortMergeJoin"),
+      s"q143 tombstone read shuffled its anti join:\n$pt")
+    // the mass-takedown artifact was MATERIALIZED: its read carries no
+    // join machinery at all — the O(survivors) write bought back every
+    // read
+    val mass = spark.table(graft.sources.Layout.tableName(sfDir, "mgmassdel"))
+    mass.collect()
+    val pm = mass.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!pm.contains("Join"), s"q143 mass-takedown read still joins:\n$pm")
+  }
+
   test("hot aggregation paths stay inside whole-stage codegen") {
     // q01/q02 are pure scan->filter->agg: everything except the final
     // exchange should be codegen'd — the final plan marks codegen
