@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -212,16 +212,64 @@ object Relational {
       |       count(*) AS n_items
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** HLL-sketch distinct — the 100 TB path (single pass, tiny fixed state,
-    * no per-key expansion shuffle). No oracle: sketch estimates are
-    * engine-specific; driver records a rows-only check. */
-  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+  /** HLL-sketch distinct raw estimates — the 100 TB path (single
+    * pass, tiny fixed state, no per-key expansion shuffle). The raw
+    * values are engine-specific; they feed [[approxDistinct]]'s
+    * decision surface and are bound-verified against q13's exact
+    * counts in `SketchBoundSpec`. */
+  private[graft] def approxDistinctRaw(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_part"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_ord"))
       .orderBy("l_returnflag")
+
+  /** q14: the HLL estimate's DECISION SURFACE (the q140
+    * eligibility-rule pattern, retiring the library's one no_oracle
+    * row): a raw sketch estimate can never hash-match a DuckDB oracle
+    * — the sketches are engine-specific — but the DECISIONS derived
+    * from it can. One aggregate computes the exact distincts AND the
+    * sketches in a single pass; the output carries the exact counts
+    * plus a bound verdict per sketch ('within_5pct' iff
+    * |est − exact| ≤ max(1, round(5% · exact)) — the SketchBoundSpec
+    * rule, now hash-gated: an estimator drifting out of its
+    * documented envelope flips the verdict string and fails the
+    * driver gate). The raw estimates stay inspectable via
+    * [[approxDistinctRaw]].
+    *
+    * Scale: at 100 TB run the sketch alone (no expansion shuffle) and
+    * validate on a slice; the exact twin here is the validation
+    * harness itself, priced at q13. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    def verdict(est: Column, exact: Column): Column =
+      when(abs(est - exact) <=
+        greatest(lit(1L), round(exact * 0.05).cast(LongType)),
+        lit("within_5pct")).otherwise(lit("outside"))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_orderkey")).as("n_ord"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("est_part"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("est_ord"))
+      .select(col("l_returnflag"), col("n_part"), col("n_ord"),
+        verdict(col("est_part"), col("n_part")).as("part_bound"),
+        verdict(col("est_ord"), col("n_ord")).as("ord_bound"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The q14 oracle: exact distincts plus the PREDICTED bound
+    * verdicts — at rsd = 0.01 a 5% error is a hard estimator failure,
+    * so the oracle asserts 'within_5pct' as fact; the engine earns it
+    * by computing the verdict from its live sketch. */
+  val approxDistinctSql: String =
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_partkey) AS n_part,
+      |       count(DISTINCT l_orderkey) AS n_ord,
+      |       'within_5pct' AS part_bound,
+      |       'within_5pct' AS ord_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Ranking window: top-3 items per order by price. The tiebreak chain
     * must be genuinely unique — the synthetic lineitem has duplicate
@@ -799,7 +847,9 @@ object Relational {
     QueryDef("q11_set_ops", setOps, Some(setOpsSql)),
     QueryDef("q12_flag_rollup", flagRollup, Some(flagRollupSql)),
     QueryDef("q13_distinct_stats", distinctStats, Some(distinctStatsSql)),
-    QueryDef("q14_approx_distinct", approxDistinct, None),
+    // q14: the sketch's decision surface is hash-gated (verdict
+    // strings + exact twins); raw estimates via approxDistinctRaw
+    QueryDef("q14_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     QueryDef("q15_window_rank", windowRank, Some(windowRankSql)),
     QueryDef("q16_window_running", windowRunning, Some(windowRunningSql)),
     QueryDef("q17_date_buckets", dateBuckets, Some(dateBucketsSql)),

@@ -2,11 +2,12 @@ package graft
 
 import graft.operators.Relational
 
-/** q14 (HLL approx distinct) carries no DuckDB oracle — sketch
-  * estimates are engine-specific — so the driver records a rows-only
-  * check. This spec upgrades it to verified-by-bound: every estimate
-  * must land within ±5% of q13's exact distinct counts (the sketch is
-  * configured at rsd = 0.01, so 5% is a hard error, not noise). */
+/** The raw HLL estimates behind q14 are engine-specific, so q14's
+  * DRIVER gate hashes only the decision surface (exact twins + bound
+  * verdicts). This spec keeps the raw estimates themselves honest:
+  * every estimate must land within ±5% of q13's exact distinct counts
+  * (the sketch is configured at rsd = 0.01, so 5% is a hard error,
+  * not noise) — the same rule q14 compiles into its verdict column. */
 class SketchBoundSpec extends SparkSpec {
   import spark.implicits._
 
@@ -15,7 +16,7 @@ class SketchBoundSpec extends SparkSpec {
       .select("l_returnflag", "n_part", "n_ord")
       .as[(String, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
-    val approx = Relational.approxDistinct(spark, sfDir)
+    val approx = Relational.approxDistinctRaw(spark, sfDir)
       .as[(String, Long, Long)].collect()
     assert(approx.nonEmpty && approx.length == exact.size)
     approx.foreach { case (flag, aPart, aOrd) =>
@@ -25,5 +26,10 @@ class SketchBoundSpec extends SparkSpec {
       assert(within(aPart, ePart), s"$flag approx_part $aPart vs exact $ePart")
       assert(within(aOrd, eOrd), s"$flag approx_ord $aOrd vs exact $eOrd")
     }
+    // and q14's own gated verdict surface agrees with the rule
+    val verdicts = Relational.approxDistinct(spark, sfDir)
+      .select("part_bound", "ord_bound").as[(String, String)].collect()
+    assert(verdicts.forall(v => v._1 == "within_5pct" && v._2 == "within_5pct"),
+      s"q14 verdict surface disagrees with the bound: ${verdicts.mkString(", ")}")
   }
 }
