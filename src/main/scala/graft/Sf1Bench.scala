@@ -232,6 +232,14 @@ object Sf1Bench {
       .write.mode("overwrite").parquet(s"$out/nngraph.parquet")
     graft.operators.Similarity.nnRoutesDump(spark, out)
       .write.mode("overwrite").parquet(s"$out/nnroutes.parquet")
+    // round-13 item 7: the quantizer + code tables back the held
+    // q83/q96/q107 oracles — re-deriving the corpus×K assignment and
+    // the two full-corpus PQ encodes in DuckDB dominated the sf1
+    // oracle wall (q96 1,207 s + q107 721 s at K=625)
+    Seq("ivfcents", "pqcodes", "ivfpq").foreach { t =>
+      spark.table(graft.sources.Layout.tableName(out, t))
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
     // round-11 advice: the artifact-backed q96 gate is self-referential
     // at sf1 (the oracle reads the exacttopk table the same Spark job
     // wrote). Spot-check: re-derive the exact top-5 for a SMALL probe
@@ -268,7 +276,9 @@ object Sf1Bench {
          |  FROM sc) t WHERE rnk <= 5
          |ORDER BY probe_id, rnk""".stripMargin
     val oracleFor = SparkEntry.oracleSql +
+      ("q83_ann_ivf_indexed" -> graft.operators.Similarity.annIvfHeldSql) +
       ("q96_ann_recall" -> graft.operators.Similarity.annRecallHeldSql) +
+      ("q107_graph_ann" -> graft.operators.Similarity.graphAnnHeldSql) +
       ("q123_ann_delete_sparse" ->
         graft.operators.Similarity.annDeleteSparseHeldSql) +
       ("q96_exact_spotcheck" -> spotSql)

@@ -1789,7 +1789,7 @@ object Pipeline {
     * lesson — downstream joins on cname would otherwise push an
     * inferred IsNotNull below the exchange that plain rollup consumers
     * don't, canonicalizing the shared subtree apart. */
-  private def meltProfiled(aug: DataFrame): DataFrame = aug
+  private[graft] def meltProfiled(aug: DataFrame): DataFrame = aug
     .select(explode(array(ProfiledCols.map(c =>
       struct(lit(c).as("cname"), col(c).cast(StringType).as("v"))): _*)).as("cv"))
     .select(col("cv.cname").as("cname"), col("cv.v").as("v"))
