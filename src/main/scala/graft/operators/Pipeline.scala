@@ -1935,13 +1935,13 @@ object Pipeline {
       |         CASE WHEN doc_id % 11 = 5 THEN NULL ELSE n_chars END AS n_chars
       |  FROM documents""".stripMargin
 
-  private val profCountsSql =
-    """melted AS (
-      |  SELECT 'doc_id' AS cname, CAST(doc_id AS VARCHAR) AS v FROM aug WHERE doc_id IS NOT NULL
-      |  UNION ALL SELECT 'text', text FROM aug WHERE text IS NOT NULL
-      |  UNION ALL SELECT 'lang', lang FROM aug WHERE lang IS NOT NULL
-      |  UNION ALL SELECT 'source', source FROM aug WHERE source IS NOT NULL
-      |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM aug WHERE n_chars IS NOT NULL),
+  private def profCountsSqlOver(rel: String) =
+    s"""melted AS (
+      |  SELECT 'doc_id' AS cname, CAST(doc_id AS VARCHAR) AS v FROM $rel WHERE doc_id IS NOT NULL
+      |  UNION ALL SELECT 'text', text FROM $rel WHERE text IS NOT NULL
+      |  UNION ALL SELECT 'lang', lang FROM $rel WHERE lang IS NOT NULL
+      |  UNION ALL SELECT 'source', source FROM $rel WHERE source IS NOT NULL
+      |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM $rel WHERE n_chars IS NOT NULL),
       |counts AS (SELECT cname, v, count(*) AS cnt FROM melted GROUP BY 1, 2),
       |nd AS (SELECT cname, count(*) AS n_distinct FROM counts GROUP BY 1),
       |topk AS (
@@ -1979,7 +1979,7 @@ object Pipeline {
        |  SELECT 'n_chars', count(*) - count(n_chars),
        |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
        |         CAST(sum(n_chars) AS BIGINT) FROM aug),
-       |$profCountsSql
+       |${profCountsSqlOver("aug")}
        |SELECT s.cname, CAST(s.n_null AS BIGINT) AS n_null,
        |       CAST(nd.n_distinct AS BIGINT) AS n_distinct,
        |       s.min_v, s.max_v, s.mass,
@@ -2108,7 +2108,7 @@ object Pipeline {
        |  SELECT 'n_chars', count(*) - count(n_chars),
        |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
        |         CAST(sum(n_chars) AS BIGINT) FROM aug),
-       |$profCountsSql
+       |${profCountsSqlOver("aug")}
        |SELECT s.cname, CAST(s.n_null AS BIGINT) AS n_null,
        |       CAST(nd.n_distinct AS BIGINT) AS n_distinct,
        |       s.min_v, s.max_v, s.mass,
@@ -2116,6 +2116,141 @@ object Pipeline {
        |            THEN coalesce(t.top3raw, '') ELSE '' END AS top3
        |FROM scalar s JOIN nd USING (cname) LEFT JOIN topk t USING (cname)
        |ORDER BY cname""".stripMargin)
+
+  /** q145: PROFILE MAINTENANCE UNDER DELETE — the other half of the
+    * q142 contract, and the documented min/max boundary
+    * ("deletes force a re-scan") made code instead of prose. A
+    * takedown hits the standing corpus (a SPARSE residue slice PLUS the
+    * standing max-doc_id row — a bounded 1-row argmax — so the
+    * extremum-touched branch fires at every scale), and the profile
+    * is maintained, never rebuilt:
+    *
+    *  - counts' = index ⊖ melt(deleted): full-outer SUBTRACT through
+    *    the written bucketed counts index (one SortMergeJoin, index
+    *    side exchange-free — the q142 plan shape), zero-count rows
+    *    dropped; distincts and heavy hitters re-derive from counts'
+    *    through the shared [[profTopK]] exchange.
+    *  - n_null'/mass' = 1-row typed wide SUBTRACTION (the additive
+    *    metrics stay O(1) under delete).
+    *  - min/max: PER COLUMN, if the deleted slice's extremum touches
+    *    the standing bound (d_min ≤ min ∨ d_max ≥ max) the column is
+    *    flagged and its bound comes from ONE survivors re-scan;
+    *    untouched columns keep their index values and the re-scan
+    *    subtree is built ONLY when some column needs it (the decision
+    *    reads two 1-row wide profiles — metadata-sized, the q133
+    *    shouldCompact discipline).
+    *
+    * The census emits the flag (`mm_rescan`) per column and the
+    * oracle predicts it from the raw extrema AND rebuilds the whole
+    * post-delete profile from the survivors, so both the maintenance
+    * arithmetic and the re-scan DECISION are hash-gated.
+    *
+    * Scale: O(delete set) melt + merge; the re-scan is the honest
+    * per-affected-column cost every table-stats system pays, priced
+    * once per takedown, and skipped entirely when no extremum falls. */
+  def profileDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val standing = profiledCorpus(
+      Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    val maxId = standing.agg(max(col("doc_id"))).as[Long].head()
+    val delPred = (pmod(col("doc_id"), lit(97)) === 2) || (col("doc_id") === maxId)
+    val deleted = standing.filter(delPred)
+    val delCounts = meltProfiled(deleted)
+      .groupBy(col("cname"), col("v")).agg(count(lit(1)).as("dcnt"))
+    val merged = profileCountsIndex(s, dir)
+      .join(delCounts, Seq("cname", "v"), "full_outer")
+      .select(col("cname"), col("v"),
+        (coalesce(col("cnt"), lit(0L)) - coalesce(col("dcnt"), lit(0L))).as("cnt"))
+      .filter(col("cnt") > 0)
+      .repartition(col("cname"), col("v"))
+    val (nd, top) = profTopK(merged)
+    val dWide = profScalarWide(deleted).select(
+      col("n").as("d_n") +: ProfiledCols.flatMap(c => Seq(
+        col(s"nn_$c").as(s"d_nn_$c"), col(s"min_$c").as(s"d_min_$c"),
+        col(s"max_$c").as(s"d_max_$c"), col(s"mass_$c").as(s"d_mass_$c"))): _*)
+    val decided = profileScalarIndex(s, dir).crossJoin(broadcast(dWide))
+    // the METADATA-sized decision: one 2-wide-row compare tells which
+    // columns lost an extremum; only then does the survivors re-scan
+    // subtree enter the plan at all
+    def touched(c: String): Column =
+      col(s"d_min_$c").isNotNull &&
+        (col(s"d_min_$c") <= col(s"min_$c") || col(s"d_max_$c") >= col(s"max_$c"))
+    val anyRescan = decided
+      .select(ProfiledCols.map(c => touched(c).as(c)): _*)
+      .head().toSeq.exists { case b: Boolean => b; case _ => false }
+    val wide =
+      if (anyRescan) decided.crossJoin(broadcast(
+        profScalarWide(standing.filter(!delPred)).select(
+          ProfiledCols.flatMap(c => Seq(
+            col(s"min_$c").as(s"r_min_$c"), col(s"max_$c").as(s"r_max_$c"))): _*)))
+      else decided.select(col("*") +: ProfiledCols.flatMap(c => Seq(
+        col(s"min_$c").as(s"r_min_$c"), col(s"max_$c").as(s"r_max_$c"))): _*)
+    val scalar = wide.selectExpr(
+      s"stack(${ProfiledCols.size}, " + ProfiledCols.map(c =>
+        s"'$c', (n - d_n) - (nn_$c - d_nn_$c), " +
+        s"CAST(CASE WHEN d_min_$c IS NOT NULL AND d_min_$c <= min_$c " +
+        s"THEN r_min_$c ELSE min_$c END AS STRING), " +
+        s"CAST(CASE WHEN d_max_$c IS NOT NULL AND d_max_$c >= max_$c " +
+        s"THEN r_max_$c ELSE max_$c END AS STRING), " +
+        s"mass_$c - d_mass_$c, " +
+        s"CAST(CASE WHEN d_min_$c IS NOT NULL AND (d_min_$c <= min_$c " +
+        s"OR d_max_$c >= max_$c) THEN 1 ELSE 0 END AS BIGINT)").mkString(", ") +
+        ") AS (cname, n_null, min_v, max_v, mass, mm_rescan)")
+    scalar.join(nd, Seq("cname"))
+      .join(top, Seq("cname"), "left")
+      .select(col("cname"), col("n_null").cast(LongType).as("n_null"),
+        col("n_distinct"), col("min_v"), col("max_v"), col("mass"),
+        col("mm_rescan"), profTop3Out)
+      .orderBy("cname")
+  }
+
+  /** The q145 oracle: the post-delete profile REBUILT from the
+    * survivors on the shared q140 fragments, plus the re-scan flag
+    * predicted from the raw extrema (deleted-slice min/max vs
+    * standing min/max, per column) — maintenance == rebuild AND the
+    * decision rule, one hash. */
+  val profileDeleteSql: String = {
+    def minMax(rel: String, c: String, castV: Boolean): (String, String) =
+      if (castV) (s"(SELECT CAST(min($c) AS VARCHAR) FROM $rel)",
+                  s"(SELECT CAST(max($c) AS VARCHAR) FROM $rel)")
+      else (s"(SELECT min($c) FROM $rel)", s"(SELECT max($c) FROM $rel)")
+    def flag(c: String): String =
+      s"""CAST(CASE WHEN (SELECT min($c) FROM delr) IS NOT NULL AND
+         |       ((SELECT min($c) FROM delr) <= (SELECT min($c) FROM standing)
+         |        OR (SELECT max($c) FROM delr) >= (SELECT max($c) FROM standing))
+         |     THEN 1 ELSE 0 END AS BIGINT)""".stripMargin
+    def massOf(c: String): String = c match {
+      case "doc_id" | "n_chars" => s"sum($c)"
+      case _                    => s"sum(length($c))"
+    }
+    def scalarRow(c: String): String =
+      s"""SELECT '$c' AS cname, count(*) - count($c) AS n_null,
+         |       CAST(min($c) AS VARCHAR) AS min_v,
+         |       CAST(max($c) AS VARCHAR) AS max_v,
+         |       CAST(${massOf(c)} AS BIGINT) AS mass,
+         |       ${flag(c).replace("\n", " ")} AS mm_rescan
+         |FROM surv""".stripMargin
+    mat(
+      s"""WITH aug AS (
+         |  $profAugSql),
+         |standing AS (SELECT * FROM aug WHERE doc_id % 5 <> 0),
+         |mx AS (SELECT max(doc_id) AS m FROM standing),
+         |delr AS (SELECT * FROM standing
+         |         WHERE doc_id % 97 = 2 OR doc_id = (SELECT m FROM mx)),
+         |surv AS (SELECT * FROM standing
+         |         WHERE NOT (doc_id % 97 = 2 OR doc_id = (SELECT m FROM mx))),
+         |scalar AS (
+         |  ${ProfiledCols.map(scalarRow).mkString("\n  UNION ALL\n  ")
+             .replace("\n", "\n         |")}),
+         |${profCountsSqlOver("surv")}
+         |SELECT s.cname, CAST(s.n_null AS BIGINT) AS n_null,
+         |       CAST(nd.n_distinct AS BIGINT) AS n_distinct,
+         |       s.min_v, s.max_v, s.mass, s.mm_rescan,
+         |       CASE WHEN nd.n_distinct <= $ProfileTopKMaxDistinct
+         |            THEN coalesce(t.top3raw, '') ELSE '' END AS top3
+         |FROM scalar s JOIN nd USING (cname) LEFT JOIN topk t USING (cname)
+         |ORDER BY cname""".stripMargin)
+  }
 
   /** q141: ORC source/sink fidelity — the second columnar format a
     * heterogeneous lake serves (q139 proved the JSONL text path; this
@@ -2353,5 +2488,8 @@ object Pipeline {
     // q144: CDC across q137's widenings — zero fabricated deletes,
     // replay == latest snapshot hash-gated
     QueryDef("q144_cdc_evolution", cdcEvolution, Some(cdcEvolutionSql)),
+    // q145: ANALYZE under delete — subtractive counts/mass, min/max
+    // re-scan decision gated with the values
+    QueryDef("q145_profile_delete", profileDelete, Some(profileDeleteSql)),
   )
 }

@@ -380,6 +380,19 @@ class PlanShapeSpec extends SparkSpec {
       s"q142 rebuilds the counts merge more than once:\n$p")
   }
 
+  test("q145: delete maintenance keeps the q142 merge shape — one SMJ, index side exchange-free") {
+    val p = plan("q145_profile_delete")
+    val scanIdx = p.indexOf("spark_catalog.default.graft_profcounts")
+    assert(scanIdx >= 0, s"q145 does not read the written counts index:\n$p")
+    val joinIdx = p.lastIndexOf("SortMergeJoin", scanIdx)
+    assert(joinIdx >= 0 &&
+      !p.substring(joinIdx, scanIdx).contains("Exchange hashpartitioning"),
+      s"q145 reshuffles the bucketed counts index:\n$p")
+    assert(countOf(p, "SortMergeJoin") == 1,
+      s"q145 rebuilds the counts merge more than once:\n$p")
+    assert(p.contains("ReusedExchange"), s"q145 lost merge-exchange reuse:\n$p")
+  }
+
   test("q143: below-envelope read is a broadcast anti join; above-envelope read is join-free") {
     plan("q143_mass_takedown") // drives both delete events
     // the tombstoned artifact reads through a BROADCAST LeftAnti —
