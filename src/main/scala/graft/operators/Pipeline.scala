@@ -2117,6 +2117,39 @@ object Pipeline {
        |FROM scalar s JOIN nd USING (cname) LEFT JOIN topk t USING (cname)
        |ORDER BY cname""".stripMargin)
 
+  /** The counts-derived profile surface (cname, n_vals, n_distinct,
+    * top3) from ANY (cname, v, cnt) relation — q140's consumers
+    * applied to a maintained counts artifact. All three rollups
+    * (value totals, exact distincts, heavy hitters) reference `cnt`,
+    * so they canonicalize onto ONE exchange over the input (the
+    * profTopK discipline). Shared by q146's streaming profile door. */
+  private[graft] def profSurfaceFromCounts(counts: DataFrame): DataFrame = {
+    val (nd, top) = profTopK(counts)
+    val nv = counts.groupBy(col("cname")).agg(sum(col("cnt")).as("n_vals"))
+    nv.join(nd, Seq("cname")).join(top, Seq("cname"), "left")
+      .select(col("cname"), col("n_vals").cast(LongType).as("n_vals"),
+        col("n_distinct"), profTop3Out)
+      .orderBy("cname")
+  }
+
+  /** The q146 oracle: the counts-derived profile surface recomputed
+    * from scratch over the WHOLE corpus on the shared q140 fragments
+    * — the streamed store's merge-on-read aggregate must be
+    * indistinguishable from the rebuild (stream == batch == raw
+    * derivation, the q138 shared-oracle discipline). */
+  val profileDoorSql: String = mat(
+    s"""WITH aug AS (
+       |  $profAugSql),
+       |${profCountsSqlOver("aug")},
+       |nv AS (SELECT cname, CAST(sum(cnt) AS BIGINT) AS n_vals
+       |       FROM counts GROUP BY 1)
+       |SELECT nv.cname, nv.n_vals,
+       |       CAST(nd.n_distinct AS BIGINT) AS n_distinct,
+       |       CASE WHEN nd.n_distinct <= $ProfileTopKMaxDistinct
+       |            THEN coalesce(t.top3raw, '') ELSE '' END AS top3
+       |FROM nv JOIN nd USING (cname) LEFT JOIN topk t USING (cname)
+       |ORDER BY cname""".stripMargin)
+
   /** q145: PROFILE MAINTENANCE UNDER DELETE — the other half of the
     * q142 contract, and the documented min/max boundary
     * ("deletes force a re-scan") made code instead of prose. A

@@ -401,6 +401,87 @@ object StreamDoor {
     out.orderBy("artifact")
   }
 
+  /** q146: the PROFILE door — the NINTH front door, closing the loop
+    * between streaming ingest and the ANALYZE artifact (q140/q142/
+    * q145): the maintained statistic every other door's admission
+    * rules are tuned against is itself maintained BY a stream. The
+    * standing corpus's melted value counts seed an MVCC store; the
+    * held-out ingest fifth arrives as a real AvailableNow file stream
+    * (`maxFilesPerTrigger=1`, ≥3 streamed generations
+    * builder-asserted), and each micro-batch commits its per-(column,
+    * value) count DELTA as one upsert event whose keys are
+    * (batchId+1)·2⁴⁰ + hash₄₀(cname, v) — deterministic per (batch,
+    * row), so a REPLAYED batch tombstones and re-lands exactly its own
+    * rows: content-idempotent aggregation under retry, the standard
+    * exactly-once recipe (idempotent-by-batchId writes) expressed in
+    * the store's own verbs. The profile READ is merge-on-aggregate:
+    * SUM(cnt) grouped by (cname, v) across base + segments — the LSM
+    * shape for maintained aggregates — and all three profile rollups
+    * ride that one exchange ([[graft.operators.Pipeline
+    * .profSurfaceFromCounts]]). The final surface hash-matches the
+    * from-scratch whole-corpus derivation on the shared q140
+    * fragments.
+    *
+    * Scale: each event writes O(batch vocabulary); the read pays one
+    * (cname, v) exchange over the store view; compaction (the q129
+    * machinery) folds segment files when the policy fires. */
+  def streamProfileDoor(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pipeline
+    val d = Tables.documents(s, dir)
+    val bkt = Some((Layout.Buckets, Seq("cname", "v")))
+    def counted(docs: DataFrame): DataFrame =
+      Pipeline.meltProfiled(Pipeline.profiledCorpus(docs))
+        .groupBy(col("cname"), col("v")).agg(count(lit(1)).as("cnt"))
+    def keyed(counts: DataFrame, prefix: Long): DataFrame =
+      counts.select(
+        (lit(prefix * (1L << 40)) + pmod(graft.functions.Fns.hash60(
+          concat_ws("\u0001", col("cname"), col("v"))), lit(1L << 40))).as("k"),
+        col("cname"), col("v"), col("cnt"))
+    // seed = the standing corpus's counts (prefix 0 — stream batchIds
+    // map to prefixes ≥ 1, so namespaces never collide), split in two
+    // for appendRewrite's gen-1/gen-2 snapshot shape; OUTSIDE the
+    // census gate (nested once-gates are the Recursive-update hazard)
+    val seed = keyed(counted(d.filter(pmod(col("doc_id"), lit(5)) =!= 0)), 0L)
+    Layout.appendRewrite(s, dir, "profdoor", bkt,
+      seed.filter(pmod(col("k"), lit(2)) === 1))(
+      seed.filter(pmod(col("k"), lit(2)) === 0))
+    val name = Layout.tableName(dir, "profdoorupd")
+    val out = Layout.materializedTable(s, dir, "pdoorout") {
+      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
+      val base = wh + "/" + Layout.tableName(dir, "pdoorrun")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"
+      val ingest = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+      ingest.repartition(4).write.mode("overwrite").parquet(srcDir)
+      def maxV(): Long = s.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith(s"${name}__v"))
+        .flatMap(n => scala.util.Try(n.stripPrefix(s"${name}__v").toLong).toOption)
+        .foldLeft(0L)(math.max)
+      val vBefore = maxV()
+      val applyBatch: (DataFrame, Long) => Unit = (batch, id) => {
+        Layout.upsertSegment(s, dir, "profdoor", bkt,
+          keyed(counted(batch), id + 1), Seq("k"))
+        ()
+      }
+      val q = s.readStream.schema(ingest.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(applyBatch).start()
+      q.awaitTermination()
+      require(maxV() - vBefore >= 3,
+        s"profile stream did not span multiple micro-batches " +
+          s"(generations ${vBefore} -> ${maxV()})")
+      // merge-on-aggregate read: one (cname, v) exchange, three
+      // profile rollups riding it
+      Pipeline.profSurfaceFromCounts(
+        s.table(name).groupBy(col("cname"), col("v"))
+          .agg(sum(col("cnt")).as("cnt")))
+    }
+    out.orderBy("cname")
+  }
+
   val defs: Vector[QueryDef] = Vector(
     // the oracle re-derives the batch's index entries from scratch:
     // the gate proves the streaming run's sink == batch maintenance
@@ -435,5 +516,11 @@ object StreamDoor {
     // upsert event; the final view shares q137's raw-documents oracle
     QueryDef("q138_stream_evolve_door", streamEvolveDoor,
       Some(graft.operators.Pipeline.schemaEvolutionSql)),
+    // q146: the profile door — the ANALYZE counts index maintained by
+    // a real stream, one batchId-keyed upsert event per micro-batch
+    // (content-idempotent under replay); the merged surface shares
+    // q140's whole-corpus oracle fragments
+    QueryDef("q146_stream_profile_door", streamProfileDoor,
+      Some(graft.operators.Pipeline.profileDoorSql)),
   )
 }
