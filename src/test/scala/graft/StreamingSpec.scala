@@ -622,4 +622,43 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("media_stream").filter(!col("ok")).count() == wantBad)
     } finally q.stop()
   }
+
+  test("profile door's delta events are content-idempotent under batch replay") {
+    // q146's exactly-once argument: a micro-batch's count delta is an
+    // upsert event whose keys are (batchId+1)·2⁴⁰ + hash₄₀(cname, v),
+    // so a REPLAYED batch tombstones and re-lands exactly its own rows
+    // — the merge-on-aggregate read is unchanged. Drive the verbs
+    // directly (the door drives them through foreachBatch).
+    import graft.sources.Layout
+    import graft.functions.Fns
+    val dir = sfDir
+    def keyed(counts: org.apache.spark.sql.DataFrame, prefix: Long) =
+      counts.select(
+        (lit(prefix * (1L << 40)) + pmod(Fns.hash60(
+          concat_ws("", col("cname"), col("v"))), lit(1L << 40))).as("k"),
+        col("cname"), col("v"), col("cnt"))
+    val seed = keyed(Seq(("lang", "en", 5L), ("lang", "de", 2L))
+      .toDF("cname", "v", "cnt"), 0L)
+    val bkt = Some((Layout.Buckets, Seq("cname", "v")))
+    Layout.appendRewrite(spark, dir, "pdoorspec", bkt,
+      seed.filter(col("v") === "de"))(seed.filter(col("v") === "en"))
+    val name = Layout.tableName(dir, "pdoorspecupd")
+    val delta = keyed(Seq(("lang", "en", 3L), ("lang", "fr", 1L))
+      .toDF("cname", "v", "cnt"), 1L)
+    def agg(): Map[(String, String), Long] =
+      spark.table(name).groupBy(col("cname"), col("v"))
+        .agg(sum(col("cnt")).as("c")).as[(String, String, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+    Layout.upsertSegment(spark, dir, "pdoorspec", bkt, delta, Seq("k"))
+    val once = agg()
+    assert(once == Map(("lang", "en") -> 8L, ("lang", "de") -> 2L,
+      ("lang", "fr") -> 1L), s"first apply wrong: $once")
+    // the retry: same batch, same batchId prefix, same keys
+    Layout.upsertSegment(spark, dir, "pdoorspec", bkt, delta, Seq("k"))
+    assert(agg() == once, "replayed delta double-counted")
+    // a LATER batch with overlapping (cname, v) but a new prefix ADDS
+    Layout.upsertSegment(spark, dir, "pdoorspec", bkt,
+      keyed(Seq(("lang", "en", 2L)).toDF("cname", "v", "cnt"), 2L), Seq("k"))
+    assert(agg()(("lang", "en")) == 10L, "new batch did not accumulate")
+  }
 }
