@@ -240,6 +240,14 @@ object Sf1Bench {
       spark.table(graft.sources.Layout.tableName(out, t))
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    // ... and the trained codebooks themselves: profiling showed the
+    // held q96 wall was almost entirely the two re-trained Lloyd
+    // chains (sample × subs × codes assignment windows), not the
+    // encodes
+    graft.operators.Similarity.cbDump(spark, out)
+      .write.mode("overwrite").parquet(s"$out/pqcb.parquet")
+    graft.operators.Similarity.rcbDump(spark, out)
+      .write.mode("overwrite").parquet(s"$out/pqrcb.parquet")
     // round-11 advice: the artifact-backed q96 gate is self-referential
     // at sf1 (the oracle reads the exacttopk table the same Spark job
     // wrote). Spot-check: re-derive the exact top-5 for a SMALL probe

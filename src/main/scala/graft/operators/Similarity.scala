@@ -1617,14 +1617,13 @@ object Similarity {
     s"""$residualEncSql,
        |$rpdistSql""".stripMargin
 
-  /** [[residualPqSql]]'s held twin: the residual CODEBOOK is still
-    * trained (sample-sized — rsamp off the held cents/assign), but
-    * the full-corpus residual ENCODE reads the dumped `ivfpq` codes
-    * table instead of re-encoding 200k vectors against the codebook
-    * in SQL. */
+  /** [[residualPqSql]]'s held twin: the residual codebook AND the
+    * full-corpus residual encode both read their dumped artifacts
+    * (`pqrcb`, `ivfpq`) — re-training the codebook was the held
+    * oracle's real wall (see [[cbDump]]); only the probe-side rpdist
+    * tables are re-derived. */
   private def residualPqHeldSql: String =
-    s"""$rsampSql,
-       |${cbSqlChain("rsamp", "rp", "rcb")},
+    s"""rcb AS (SELECT sub, code, cq FROM pqrcb),
        |${heldEncSql("ivfpq", "renc")},
        |$rpdistSql""".stripMargin
 
@@ -2246,22 +2245,43 @@ object Similarity {
 
   /** The HELD quantizer + assignment: centroids read from the dumped
     * `ivfcents` table, the corpus assignment from the dumped
-    * `nnroutes` rank-1 rows — the sf1 oracle wall was dominated by
-    * re-deriving the corpus×K assignment (and the full-corpus PQ
-    * encodes, [[heldEncSql]]) in DuckDB (round-13 item 7: 1,207 s for
-    * q96 + 721 s for q107 at K=625). `samp` is kept: codebook
-    * TRAINING is sample-sized and stays re-derived, so the held
-    * oracles still verify every probe-side and training derivation;
-    * the per-round sf0.01/sf0.1 gates keep [[fullQuantAssignSql]], so
-    * held == recomputed stays proven every round (the exacttopk
-    * pattern). */
+    * `nnroutes` rank-1 rows (round-13 item 7: re-deriving the
+    * corpus×K assignment, the full-corpus PQ encodes
+    * ([[heldEncSql]]) and above all the Lloyd training chains
+    * ([[cbDump]]) cost the sf1 gate 1,207 s for q96 + 721 s for q107
+    * at K=625). Every probe-side derivation (routing, cell scoring,
+    * ADC tables, re-rank, intersections) stays re-derived; the
+    * per-round sf0.01/sf0.1 gates keep [[fullQuantAssignSql]] and the
+    * training chains, so held == recomputed stays proven every round
+    * (the exacttopk pattern). */
   private def heldCentsAssignSql: String =
     s"""cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM ivfcents),
        |assign AS (SELECT vec_id, cent_id, q, qn FROM nnroutes WHERE r = 1)""".stripMargin
 
-  private def heldQuantAssignSql: String =
-    s"""${sampSql("n")},
-       |$heldCentsAssignSql""".stripMargin
+  /** The trained flat/residual PQ codebooks as (sub, code, cq) rows —
+    * the SQL oracles' cb/rcb relations, dumped by `Sf1Bench` so the
+    * sf1 held oracles skip RE-TRAINING: profiling the round-13 held
+    * q96 showed its 1,222 s wall was almost entirely the two unrolled
+    * Lloyd chains (8 assignment windows of sample×subs×codes ≈ 41M
+    * rows each at the sf1 point) — the one derivation the exacttopk/
+    * nnroutes/pqcodes dumps didn't cover. Code ids are 1-based in
+    * seed-vec_id order, exactly the SQL chain's row_number seeding,
+    * and the cq slices are the per-subspace codewords the pdist/ADC
+    * fragments consume. Unreferenced MATERIALIZED CTEs still EVALUATE
+    * in DuckDB, so the held oracles must drop the training chains
+    * from the SQL text, not merely stop referencing them. */
+  private[graft] def cbDump(s: SparkSession, dir: String): DataFrame =
+    cbRows(s, pqTrain(s, dir))
+  private[graft] def rcbDump(s: SparkSession, dir: String): DataFrame =
+    cbRows(s, resTrain(s, dir, ivfCents(s, dir)))
+  private def cbRows(s: SparkSession, cb: Array[(Long, Array[Long])]): DataFrame = {
+    import s.implicits._
+    (for {
+      sub <- 0 until PqSubs
+      (cw, idx) <- cb.zipWithIndex
+    } yield (sub, idx + 1, cw._2.slice(sub * PqDim, sub * PqDim + PqDim).toSeq))
+      .toDF("sub", "code", "cq")
+  }
 
   /** A dumped codes table ((vec_id, …, codes LIST)) unnested to the
     * oracle's (vec_id, sub, code) encoding relation — replaces a
@@ -2279,7 +2299,7 @@ object Similarity {
     * source query, so a recall mismatch localizes to the intersection
     * math, not the methods. */
   private def annRecallSqlOver(base: String, quant: String,
-      encFrag: String, residFrag: String): String = mat(
+      cbFrag: String, encFrag: String, residFrag: String): String = mat(
     s"""WITH $base,
        |$quant,
        |proutes AS (
@@ -2306,7 +2326,7 @@ object Similarity {
        |           row_number() OVER (PARTITION BY probe_id
        |                              ORDER BY cos DESC, vec_id) AS rnk
        |    FROM iscored) t WHERE rnk <= 5),
-       |$trainedCbSql,
+       |$cbFrag,
        |$encFrag,
        |$pqPdistSql,
        |ascored AS (
@@ -2355,14 +2375,15 @@ object Similarity {
        |FROM hits, np ORDER BY method""".stripMargin)
 
   val annRecallSql: String = annRecallSqlOver(
-    exactBaseSql, fullQuantAssignSql, pqEncSql, residualPqSql)
+    exactBaseSql, fullQuantAssignSql, trainedCbSql, pqEncSql, residualPqSql)
 
   /** The sf1 gate's q96 oracle — reads the dumped `exacttopk` table
     * (see [[exactHeldBaseSql]]; `Sf1Bench` writes the artifact next
     * to the snapshot and swaps this SQL into the verify dump). */
   val annRecallHeldSql: String = annRecallSqlOver(
-    exactHeldBaseSql, heldQuantAssignSql, heldEncSql("pqcodes", "enc"),
-    residualPqHeldSql)
+    exactHeldBaseSql, heldCentsAssignSql,
+    "cb AS (SELECT sub, code, cq FROM pqcb)",
+    heldEncSql("pqcodes", "enc"), residualPqHeldSql)
 
   /** q97: the IVF recall-vs-nprobe TUNING CURVE — recall@5 of the
     * written-index path at nprobe = 1/2/4/8, against the exact q25
