@@ -2243,10 +2243,6 @@ object Pipeline {
     * standing min/max, per column) — maintenance == rebuild AND the
     * decision rule, one hash. */
   val profileDeleteSql: String = {
-    def minMax(rel: String, c: String, castV: Boolean): (String, String) =
-      if (castV) (s"(SELECT CAST(min($c) AS VARCHAR) FROM $rel)",
-                  s"(SELECT CAST(max($c) AS VARCHAR) FROM $rel)")
-      else (s"(SELECT min($c) FROM $rel)", s"(SELECT max($c) FROM $rel)")
     def flag(c: String): String =
       s"""CAST(CASE WHEN (SELECT min($c) FROM delr) IS NOT NULL AND
          |       ((SELECT min($c) FROM delr) <= (SELECT min($c) FROM standing)
@@ -2406,7 +2402,14 @@ object Pipeline {
     val envelope = (nBelow + nAbove) / 2
     // the delete EVENTS run outside the census gate's builder — each
     // deleteRewrite is itself once-gated, and a nested once is the
-    // Recursive-update hazard documented at Similarity.ivfPqIndex
+    // Recursive-update hazard documented at Similarity.ivfPqIndex.
+    // NON-REENTRANT by the established q133 in-query conf pattern:
+    // the session-global massDeleteKeys is tightened for the two
+    // events and restored in the finally — a lifecycle verb running
+    // CONCURRENTLY in the same session would observe the tightened
+    // envelope during this window. Queries execute single-threaded
+    // per session in this engine; a multi-tenant session would need
+    // the envelope passed as an explicit deleteRewrite parameter.
     val prev = s.conf.getOption("spark.graft.massDeleteKeys")
     s.conf.set("spark.graft.massDeleteKeys", envelope.toString)
     val (tombed, massed) =

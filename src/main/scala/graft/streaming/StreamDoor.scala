@@ -424,7 +424,14 @@ object StreamDoor {
     *
     * Scale: each event writes O(batch vocabulary); the read pays one
     * (cname, v) exchange over the store view; compaction (the q129
-    * machinery) folds segment files when the policy fires. */
+    * machinery) folds segment files when the policy fires. A batch
+    * whose vocabulary delta exceeds the upsert envelope
+    * (`spark.graft.massDeleteKeys` — upsertSegment hard-fails above
+    * it rather than degrade the read side) is CHUNKED into ⌈n/env⌉
+    * key-residue sub-events: chunk membership is pmod(k, chunks), a
+    * pure function of the deterministic batch keys, so a replayed
+    * batch re-forms exactly the same chunk events and the
+    * content-idempotence contract survives the split. */
   def streamProfileDoor(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Pipeline
     val d = Tables.documents(s, dir)
@@ -460,8 +467,18 @@ object StreamDoor {
         .foldLeft(0L)(math.max)
       val vBefore = maxV()
       val applyBatch: (DataFrame, Long) => Unit = (batch, id) => {
-        Layout.upsertSegment(s, dir, "profdoor", bkt,
-          keyed(counted(batch), id + 1), Seq("k"))
+        val delta = keyed(counted(batch), id + 1)
+        // envelope-aware chunking (see docstring): n and the residue
+        // split are pure functions of the batch content, so replays
+        // re-form identical chunk events
+        val env = math.max(1L, Layout.massDeleteKeys(s))
+        val chunks = ((delta.count() - 1) / env + 1).toInt
+        if (chunks <= 1)
+          Layout.upsertSegment(s, dir, "profdoor", bkt, delta, Seq("k"))
+        else (0 until chunks).foreach { c =>
+          Layout.upsertSegment(s, dir, "profdoor", bkt,
+            delta.filter(pmod(col("k"), lit(chunks.toLong)) === c), Seq("k"))
+        }
         ()
       }
       val q = s.readStream.schema(ingest.schema)
