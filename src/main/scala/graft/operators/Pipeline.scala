@@ -2150,6 +2150,28 @@ object Pipeline {
        |FROM nv JOIN nd USING (cname) LEFT JOIN topk t USING (cname)
        |ORDER BY cname""".stripMargin)
 
+  /** The q148 oracle: the counts-derived profile surface recomputed
+    * from scratch over (standing ∖ takedown) ∪ ingest — the streamed
+    * store must absorb BOTH the micro-batch count deltas and the
+    * interleaved negative-delta takedown event and still be
+    * indistinguishable from the rebuild (shared q140/q146
+    * fragments; the takedown slice is q145's 97-residue of the
+    * standing corpus). */
+  val profileTakedownDoorSql: String = mat(
+    s"""WITH aug0 AS (
+       |  $profAugSql),
+       |aug AS (SELECT * FROM aug0
+       |        WHERE NOT (doc_id % 5 <> 0 AND doc_id % 97 = 2)),
+       |${profCountsSqlOver("aug")},
+       |nv AS (SELECT cname, CAST(sum(cnt) AS BIGINT) AS n_vals
+       |       FROM counts GROUP BY 1)
+       |SELECT nv.cname, nv.n_vals,
+       |       CAST(nd.n_distinct AS BIGINT) AS n_distinct,
+       |       CASE WHEN nd.n_distinct <= $ProfileTopKMaxDistinct
+       |            THEN coalesce(t.top3raw, '') ELSE '' END AS top3
+       |FROM nv JOIN nd USING (cname) LEFT JOIN topk t USING (cname)
+       |ORDER BY cname""".stripMargin)
+
   /** q145: PROFILE MAINTENANCE UNDER DELETE — the other half of the
     * q142 contract, and the documented min/max boundary
     * ("deletes force a re-scan") made code instead of prose. A

@@ -661,4 +661,56 @@ class StreamingSpec extends SparkSpec {
       keyed(Seq(("lang", "en", 2L)).toDF("cname", "v", "cnt"), 2L), Seq("k"))
     assert(agg()(("lang", "en")) == 10L, "new batch did not accumulate")
   }
+
+  test("profile door composes with a takedown event; replay idempotence holds through the interleaving") {
+    // q148's composition argument: stream count-delta commits and a
+    // q145-style NEGATIVE-delta takedown land on one store under
+    // disjoint prefixes, so (a) the merge-on-aggregate read is
+    // order-insensitive and (b) replaying EITHER kind of event —
+    // a retried micro-batch or a retried takedown job — after the
+    // interleaving changes nothing (each event tombstones and
+    // re-lands exactly its own keys).
+    import graft.sources.Layout
+    import graft.functions.Fns
+    val dir = sfDir
+    def keyed(counts: org.apache.spark.sql.DataFrame, prefix: Long) =
+      counts.select(
+        (lit(prefix * (1L << 40)) + pmod(Fns.hash60(
+          concat_ws("", col("cname"), col("v"))), lit(1L << 40))).as("k"),
+        col("cname"), col("v"), col("cnt"))
+    val seed = keyed(Seq(("lang", "en", 5L), ("lang", "de", 2L), ("lang", "fr", 4L))
+      .toDF("cname", "v", "cnt"), 0L)
+    val bkt = Some((Layout.Buckets, Seq("cname", "v")))
+    Layout.appendRewrite(spark, dir, "pdtdspec", bkt,
+      seed.filter(col("v") === "de"))(seed.filter(col("v") =!= "de"))
+    val name = Layout.tableName(dir, "pdtdspecupd")
+    def agg(): Map[(String, String), Long] =
+      spark.table(name).groupBy(col("cname"), col("v"))
+        .agg(sum(col("cnt")).as("c")).filter(col("c") > 0)
+        .as[(String, String, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // stream batch (prefix 2), then the takedown (reserved prefix 1):
+    // de leaves ENTIRELY (seed 2 - 2 = 0 → drops from the surface),
+    // en loses 1
+    val b1 = keyed(Seq(("lang", "en", 3L), ("lang", "it", 1L))
+      .toDF("cname", "v", "cnt"), 2L)
+    val takedown = keyed(Seq(("lang", "de", -2L), ("lang", "en", -1L))
+      .toDF("cname", "v", "cnt"), 1L)
+    Layout.upsertSegment(spark, dir, "pdtdspec", bkt, b1, Seq("k"))
+    Layout.upsertSegment(spark, dir, "pdtdspec", bkt, takedown, Seq("k"))
+    val composed = agg()
+    assert(composed == Map(("lang", "en") -> 7L, ("lang", "fr") -> 4L,
+      ("lang", "it") -> 1L), s"composition wrong: $composed")
+    // replay the STREAM batch through the interleaving
+    Layout.upsertSegment(spark, dir, "pdtdspec", bkt, b1, Seq("k"))
+    assert(agg() == composed, "replayed stream delta double-counted")
+    // replay the TAKEDOWN event (a retried batch job)
+    Layout.upsertSegment(spark, dir, "pdtdspec", bkt, takedown, Seq("k"))
+    assert(agg() == composed, "replayed takedown double-subtracted")
+    // the stream continues past the takedown — a later batch ADDS
+    Layout.upsertSegment(spark, dir, "pdtdspec", bkt,
+      keyed(Seq(("lang", "de", 6L)).toDF("cname", "v", "cnt"), 3L), Seq("k"))
+    assert(agg()(("lang", "de")) == 6L,
+      "post-takedown batch did not re-introduce the value")
+  }
 }
