@@ -34,6 +34,11 @@ class BenchTailSpec extends AnyFunSuite {
     // queries_inline tells the consumer which form it parsed, and must
     // agree with the actual presence of the per-query map.
     assert(node.get("queries_inline").asBoolean() == node.has("queries"))
+    // the self-adjudication fields (round-15): control_sec and the
+    // control-normalized total ride EVERY stdout form — synthetic
+    // sets without the control query pin the no-control sentinel
+    assert(node.get("control_sec").asDouble() == -1.0)
+    assert(node.get("total_norm").asDouble() == -1.0)
     // Every printed line must be parseable on its own (the full line,
     // wherever it lands in the stream, is still consumed from logs).
     lines.foreach(l => mapper.readTree(l))
@@ -79,6 +84,27 @@ class BenchTailSpec extends AnyFunSuite {
     val Seq(a, b) = BenchReport.lines(synthetic(12), 3, "/tmp/x", 0.0, capsFired = 2L)
       .map(mapper.readTree)
     assert(a.get("caps_fired").asLong() == 2L && b.get("caps_fired").asLong() == 2L)
+  }
+
+  test("stdout lines carry control_sec and the control-normalized total") {
+    // host-drift adjudication from the tail alone (round-14 item 4):
+    // with the control present, both stdout forms expose its seconds
+    // and total/control — a uniform host factor moves value but not
+    // total_norm
+    val rs = Seq(
+      BenchReport.ControlQuery -> 0.25,
+      "q07_priority_revenue" -> 0.75,
+      "q96_ann_recall" -> 2.0)
+    val nodes = BenchReport.lines(rs, 5, "/tmp/x", 1.0).map(mapper.readTree)
+    nodes.foreach { n =>
+      assert(n.get("control_sec").asDouble() == 0.25)
+      assert(n.get("total_norm").asDouble() == 12.0) // 3.0 / 0.25
+    }
+    // and the table artifact carries the identical values (one
+    // headFields rendering — the two consumers cannot drift)
+    val t = mapper.readTree(BenchReport.tableJson(rs, 5, "/tmp/x", 1.0, 0L))
+    assert(t.get("control_sec").asDouble() == 0.25)
+    assert(t.get("total_norm").asDouble() == 12.0)
   }
 
   test("table artifact carries the control time and control-normalized ratios") {
