@@ -20,10 +20,13 @@ import graft.sources.Tables
   *    the small per-kind aggregate at the end exchanges data.
   *
   * Round-12 item 4: every gated decode path (q31/q47/q51/q110/q111 and
-  * the q121 stream door) now runs the REAL codec over real raster
-  * bytes; the md5 stand-in fingerprint survives only for q84's
-  * audio/video modalities, whose payloads are themselves md5-synthetic
-  * (no codec exists for them here — documented stub boundary).
+  * the q121 stream door) runs the REAL image codec over real raster
+  * bytes. Round-15: the AUDIO modality is real too —
+  * [[graft.functions.Wav]] parses genuine RIFF/WAVE PCM payloads
+  * (q149, and q84's audio fingerprints) — so the md5 stand-in
+  * fingerprint survives only for q84's VIDEO modality, whose payloads
+  * are themselves md5-synthetic (genuinely no codec for it here — the
+  * one documented stub boundary).
   */
 object Multimodal {
 
@@ -321,15 +324,17 @@ object Multimodal {
     * exactly the SimHash plan shape (q22) applied to binary content,
     * with the same observable hot-bucket cap.
     *
-    * STUB boundary (the q84 audio/video modalities): a real deployment
-    * computes the fingerprint with an actual perceptual hash (pHash /
-    * aHash on the DECODED image) inside the mapPartitions decode stage;
-    * this container has no codecs, so the stand-in fingerprint is
-    * md5-derived from the payload bytes (hex-string md5 — byte-exact
+    * STUB boundary (the q84 VIDEO modality only, since round 15): a
+    * real deployment computes the fingerprint with an actual
+    * perceptual hash on the DECODED frames inside the mapPartitions
+    * decode stage; image ([[graft.functions.Ppm.aHash60]]) and audio
+    * ([[graft.functions.Wav.ampHash60]]) do exactly that over their
+    * real codecs, while video — no codec in this container — keeps
+    * the md5-derived stand-in (hex-string md5 — byte-exact
     * reproducible in the oracle). With the stub, only identical blobs
     * meet the Hamming threshold (md5 scatters near-dup bits) — the
-    * PLAN (banding, cap, verify) is the graded component, and with a
-    * real pHash the identical plan finds true near-dups. */
+    * PLAN (banding, cap, verify) is identical across all three
+    * fidelities, which is the design point. */
   /** The md5 stand-in fingerprint (the STUB boundary above): 60 bits
     * off the payload's hex — byte-exact reproducible in the oracle,
     * but locality-DESTROYING (only identical payloads meet the
@@ -387,23 +392,29 @@ object Multimodal {
     * modality, so the gate exercises the full pair pipeline even on a
     * dup-free snapshot where the pair set is empty).
     *
-    * Round-11 item 4 — the DEFAULT fingerprint is now the REAL
-    * perceptual hash wherever a real decoder exists: the image
-    * modality's payloads are the P6 corpus and its fingerprints are
-    * [[graft.functions.Ppm.aHash60]] read off the written
-    * [[ppmFeatTable]] decode (corrupt blobs skip-and-count out of the
-    * fingerprint relation, still counted in the modality census);
-    * audio/video — no real codec exists in this container — keep the
-    * documented [[md5Fingerprint]] stand-in. One banded plan serves
-    * the mixed-fidelity relation unchanged. */
+    * Round-11 item 4 / round-15 item 3 — the DEFAULT fingerprint is
+    * the REAL perceptual hash wherever a real decoder exists: the
+    * image modality's fingerprints are [[graft.functions.Ppm.aHash60]]
+    * off the written [[ppmFeatTable]] decode, and the AUDIO
+    * modality's are [[graft.functions.Wav.ampHash60]] off the written
+    * [[wavFeatTable]] decode of its real RIFF/WAVE corpus (corrupt
+    * blobs skip-and-count out of both fingerprint relations, still
+    * counted in the modality census); VIDEO — genuinely no codec in
+    * this container — remains the one documented [[md5Fingerprint]]
+    * stand-in. One banded plan serves the mixed-fidelity relation
+    * unchanged. */
   def mediaDedup(s: SparkSession, dir: String): DataFrame = {
     val media = mediaTable(s, dir).toDF()
     val imgFp = ppmFeatTable(s, dir)
       .filter(col("ok") && pmod(col("media_id"), lit(3)) === 0)
       .select(col("media_id"), col("ahash").as("fp"))
-    val otherFp = media.filter(pmod(col("media_id"), lit(3)) =!= 0)
+    val audioFp = wavFeatTable(s, dir)
+      .filter(col("ok") && pmod(col("media_id"), lit(3)) === 1)
+      .select(col("media_id"), col("fp"))
+    val videoFp = media.filter(pmod(col("media_id"), lit(3)) === 2)
       .select(col("media_id"), md5Fingerprint(col("payload")).as("fp"))
-    val pairs = bandedFpPairs(imgFp.unionByName(otherFp), Dedup.MaxLshBucket)
+    val pairs = bandedFpPairs(
+      imgFp.unionByName(audioFp).unionByName(videoFp), Dedup.MaxLshBucket)
     val kinds = media.groupBy(col("kind")).agg(count(lit(1)).as("n_media"))
     val dupCounts = pairs
       .withColumn("kind",
@@ -418,13 +429,17 @@ object Multimodal {
   }
 
   /** Oracle: image fingerprints from the analytic average-hash (the
-    * q110/q111 derivation), audio/video from the md5 hex stand-in
-    * (hex(payload) == upper(repeat(md5(text), 4)) — DuckDB's md5 is
-    * VARCHAR-only, so the oracle hashes the byte-identical hex
-    * string); the hot-bucket cap is mirrored with a QUALIFY (round-10
-    * advice — an uncapped twin diverges on any bucket past the cap). */
-  val mediaDedupSql: String =
-    ppmPxCteSql + "," +
+    * q110/q111 derivation), AUDIO from the analytic WAV amplitude-hash
+    * (the q149 derivation — its corrupt subset drops out of the
+    * fingerprint relation exactly as the engine's skip-and-count
+    * does), video from the md5 hex stand-in (hex(payload) ==
+    * upper(repeat(md5(text), 4)) — DuckDB's md5 is VARCHAR-only, so
+    * the oracle hashes the byte-identical hex string); the hot-bucket
+    * cap is mirrored with a QUALIFY (round-10 advice — an uncapped
+    * twin diverges on any bucket past the cap). */
+  // lazy: splices wavPxFragSql, which is declared later in this object
+  lazy val mediaDedupSql: String =
+    ppmPxCteSql + "," + wavPxFragSql + "," +
     s"""|
       |fi AS (
       |  SELECT doc_id, grp,
@@ -441,9 +456,11 @@ object Multimodal {
       |fp AS (
       |  SELECT doc_id AS media_id, fp FROM ai WHERE doc_id % 3 = 0
       |  UNION ALL
+      |  SELECT doc_id, fp FROM wfp WHERE doc_id % 3 = 1 AND NOT wbad
+      |  UNION ALL
       |  SELECT doc_id,
       |         CAST('0x' || substr(md5(upper(repeat(md5(text), 4))), 1, 15) AS BIGINT)
-      |  FROM documents WHERE doc_id % 3 <> 0),
+      |  FROM documents WHERE doc_id % 3 = 2),
       |kinds AS (
       |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
       |              WHEN doc_id % 3 = 1 THEN 'audio'
@@ -678,6 +695,198 @@ object Multimodal {
       |GROUP BY a.grp
       |ORDER BY a.grp""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q149: REAL audio codec decode — [[graft.functions.Wav]] retires
+  // the audio md5 stand-in (round-14 judge item 3) the same way Ppm
+  // retired the image one: real RIFF/WAVE PCM payloads (four dialect
+  // variants — canonical 8-bit, a metadata LIST chunk the parser must
+  // walk past, an ODD-sized chunk exercising the RIFF pad byte, and
+  // 16-bit signed LE samples — plus a corrupt non-PCM-format subset),
+  // while the ORACLE derives every number analytically from the md5
+  // sample construction, never parsing a header. Video remains the one
+  // documented stand-in (genuinely no codec in this container).
+  // ------------------------------------------------------------------
+
+  import graft.functions.Wav
+
+  private val WavN = 60
+  private val wavHdr8 = Wav.header(1, 8000, 8, WavN)
+  private val wavHdr8JunkEven = Wav.header(1, 8000, 8, WavN,
+    Wav.extraChunk("LIST", "INFO".getBytes("US-ASCII")))
+  private val wavHdr8JunkOdd = Wav.header(1, 8000, 8, WavN,
+    Wav.extraChunk("LIST", "tag".getBytes("US-ASCII"))) // odd size → pad byte
+  private val wavHdr16 = Wav.header(1, 8000, 16, 2 * WavN)
+  // syntactically valid container, format tag 3 (IEEE float): the PCM
+  // decoder must REJECT it, not misparse the data bytes
+  private val wavHdrBad = Wav.header(1, 8000, 8, WavN, formatTag = 3)
+
+  /** Real WAV payloads derived from `documents`: 60 PCM samples off
+    * md5(text‖"w0")‖…‖md5(text‖"w7") (8-bit dialects read the first
+    * 60 bytes; the 16-bit dialect reads 120 bytes as signed LE
+    * pairs), behind one of four spec-valid container dialects by
+    * doc_id mod 4, and doc_id ≡ 0 mod 89 swaps the format tag to 3
+    * (non-PCM) → a corrupt blob the decoder must reject. */
+  def wavMediaTable(s: SparkSession, dir: String): DataFrame = {
+    val hx = concat((0 to 7).map(i =>
+      md5(concat(col("text"), lit(s"w$i")))): _*)
+    val bin = org.apache.spark.sql.types.BinaryType
+    val data8 = unhex(substring(hx, 1, 2 * WavN))
+    val data16 = unhex(substring(hx, 1, 4 * WavN))
+    val payload = when(pmod(col("doc_id"), lit(89)) === 0,
+        concat(lit(wavHdrBad).cast(bin), data8))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(lit(wavHdr16).cast(bin), data16))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(lit(wavHdr8JunkEven).cast(bin), data8))
+      .when(pmod(col("doc_id"), lit(4)) === 3,
+        concat(lit(wavHdr8JunkOdd).cast(bin), data8))
+      .otherwise(concat(lit(wavHdr8).cast(bin), data8))
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), payload.as("payload"))
+  }
+
+  /** Per-clip decode output ([[Wav.decodeWav]] through the batched
+    * mapPartitions shape). `ok` = parsed; corrupt blobs keep their id
+    * with zeroed features — skip-and-count, never a thrown task. */
+  final case class WavFeatures(
+    media_id: Long, ok: Boolean, channels: Int, sample_rate: Int,
+    bits: Int, amp_sum: Long, fp: Long)
+
+  /** Batched real decode: per-partition iterator over raw bytes, the
+    * [[ppmDecode]] shape with [[Wav]] as the codec. */
+  def wavDecode(media: DataFrame): Dataset[WavFeatures] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { records =>
+        records.map { case (id, bytes) =>
+          Wav.decodeWav(bytes) match {
+            case Some(pcm) =>
+              var tot = 0L
+              pcm.amplitudes.foreach(tot += _)
+              WavFeatures(id, ok = true, pcm.channels, pcm.sampleRate,
+                pcm.bits, tot, Wav.ampHash60(pcm))
+            case None =>
+              WavFeatures(id, ok = false, 0, 0, 0, 0L, 0L)
+          }
+        }
+      }
+  }
+
+  /** The WRITTEN per-snapshot audio decode-features table (`wavfeat`)
+    * — the audio analog of [[ppmFeatTable]]: decode priced once per
+    * snapshot, consumed by q149's census/band sides AND q84's audio
+    * fingerprint relation. */
+  private[graft] def wavFeatTable(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.materializedTable(s, dir, "wavfeat") {
+      wavDecode(wavMediaTable(s, dir)).toDF()
+    }
+
+  /** q149: WAV decode census + perceptual near-dup over the REAL
+    * amplitude-hash — the q110+q111 contract on the audio modality.
+    * Per doc_id-mod-7 group: parsed/rejected counts, summed bit
+    * widths (proving the fmt chunk was read through the junk-chunk
+    * variants), summed amplitudes (proving the data offsets and the
+    * 16-bit signed LE decode), fingerprint xor/min/max, and the
+    * band/cap/Hamming dup-pair count via [[bandedFpPairs]] — the
+    * identical q84 plan fed by [[Wav.ampHash60]]. */
+  def wavNearDup(s: SparkSession, dir: String): DataFrame = {
+    val feat = wavFeatTable(s, dir)
+    val fp = feat.filter(col("ok")).select(col("media_id"), col("fp"))
+    val pairs = bandedFpPairs(fp, Dedup.MaxLshBucket)
+    val census = feat.groupBy(pmod(col("media_id"), lit(7)).as("grp"))
+      .agg(
+        count(when(col("ok"), 1)).as("n_ok"),
+        count(when(!col("ok"), 1)).as("n_bad"),
+        sum(when(col("ok"), col("bits")).otherwise(0)).cast("long").as("sum_bits"),
+        sum(col("amp_sum")).as("amp_sum"),
+        expr("bit_xor(CASE WHEN ok THEN fp END)").as("xor_fp"),
+        min(when(col("ok"), col("fp"))).as("min_fp"),
+        max(when(col("ok"), col("fp"))).as("max_fp"))
+    val dupCounts = pairs
+      .groupBy(pmod(col("media_a"), lit(7)).as("grp"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+    census.join(dupCounts, Seq("grp"), "left")
+      .select(col("grp"), col("n_ok"), col("n_bad"), col("sum_bits"),
+        col("amp_sum"), col("xor_fp"), col("min_fp"), col("max_fp"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"))
+      .orderBy("grp")
+  }
+
+  /** Shared WAV-oracle base CTEs (no leading WITH, so q84's oracle can
+    * splice them after the P6 chain): the analytic sample-byte and
+    * fingerprint derivation (doc_id, grp, bad, dial, amp_sum, fp) —
+    * amplitudes are the raw bytes for the 8-bit dialects and
+    * lo + 256·((hi+128) mod 256) for the 16-bit signed LE pairs
+    * (= sample + 32768, the unsigned amplitude space of
+    * [[Wav.ampHash60]]). Never parses a RIFF byte. */
+  private val wavPxFragSql: String =
+    """wx AS (
+      |  SELECT doc_id, doc_id % 7 AS wgrp, doc_id % 89 = 0 AS wbad,
+      |         doc_id % 4 AS dial,
+      |         md5(text || 'w0') || md5(text || 'w1') || md5(text || 'w2') ||
+      |         md5(text || 'w3') || md5(text || 'w4') || md5(text || 'w5') ||
+      |         md5(text || 'w6') || md5(text || 'w7') AS hx
+      |  FROM documents),
+      |wvb AS (
+      |  SELECT doc_id, wgrp, wbad, dial,
+      |         list_transform(generate_series(1, 120),
+      |           i -> CAST('0x' || substr(hx, 2*i - 1, 2) AS BIGINT)) AS wb
+      |  FROM wx),
+      |wamp AS (
+      |  SELECT doc_id, wgrp, wbad, dial,
+      |         CASE WHEN dial = 2
+      |              THEN list_transform(generate_series(0, 59),
+      |                k -> wb[2*k + 1] + 256 * ((wb[2*k + 2] + 128) % 256))
+      |              ELSE list_transform(generate_series(0, 59), k -> wb[k + 1])
+      |         END AS a
+      |  FROM wvb),
+      |wtot AS (
+      |  SELECT doc_id, wgrp, wbad, dial, a, list_sum(a) AS tot FROM wamp),
+      |wfp AS (
+      |  SELECT doc_id, wgrp, wbad, dial, CAST(tot AS BIGINT) AS amp_sum,
+      |         CAST(list_sum(list_transform(generate_series(0, 59),
+      |           k -> CASE WHEN a[k + 1] * 60 > tot
+      |                THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS fp
+      |  FROM wtot)""".stripMargin
+
+  /** DuckDB twin of q149: fingerprints, amplitude sums and the
+    * fmt-derived bit widths all from the analytic construction;
+    * banding/cap/Hamming mirror q111's SQL. Agreement proves the
+    * Scala parser walked the chunks (junk + pad byte), read the fmt
+    * fields, and decoded both sample widths from the real bytes. */
+  val wavNearDupSql: String =
+    "WITH " + wavPxFragSql + "," +
+    s"""|
+      |bands AS (
+      |  SELECT doc_id AS media_id, wgrp, fp, t.b AS band,
+      |         ((fp >> (t.b * 15)) & 32767) AS bval
+      |  FROM wfp CROSS JOIN range(0, 4) t(b)
+      |  WHERE NOT wbad
+      |  QUALIFY count(*) OVER (PARTITION BY t.b, ((fp >> (t.b * 15)) & 32767))
+      |            <= ${Dedup.MaxLshBucket}),
+      |pairs AS (
+      |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+      |         x.fp AS fpa, y.fp AS fpb
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bval = y.bval AND x.media_id < y.media_id),
+      |dup AS (
+      |  SELECT media_a % 7 AS wgrp, count(*) AS n
+      |  FROM pairs WHERE bit_count(xor(fpa, fpb)) <= 8
+      |  GROUP BY 1)
+      |SELECT CAST(w.wgrp AS BIGINT) AS grp,
+      |       count(*) FILTER (WHERE NOT wbad) AS n_ok,
+      |       count(*) FILTER (WHERE wbad) AS n_bad,
+      |       CAST(sum(CASE WHEN wbad THEN 0 WHEN dial = 2 THEN 16 ELSE 8 END)
+      |            AS BIGINT) AS sum_bits,
+      |       CAST(sum(CASE WHEN wbad THEN 0 ELSE amp_sum END) AS BIGINT) AS amp_sum,
+      |       bit_xor(fp) FILTER (WHERE NOT wbad) AS xor_fp,
+      |       min(fp) FILTER (WHERE NOT wbad) AS min_fp,
+      |       max(fp) FILTER (WHERE NOT wbad) AS max_fp,
+      |       CAST(coalesce(any_value(dup.n), 0) AS BIGINT) AS n_dup_pairs
+      |FROM wfp w LEFT JOIN dup ON w.wgrp = dup.wgrp
+      |GROUP BY w.wgrp
+      |ORDER BY grp""".stripMargin
+
   /** The q121 oracle (query: [[graft.streaming.StreamDoor]]): the
     * media door's sink rows — one decode-features row PER BLOB,
     * corrupt blobs included as zeroed ok=0 rows (the skip-and-count
@@ -720,5 +929,9 @@ object Multimodal {
     QueryDef("q84_media_dedup", mediaDedup, Some(mediaDedupSql)),
     QueryDef("q110_ppm_decode", ppmDecodeCensus, Some(ppmDecodeCensusSql)),
     QueryDef("q111_ppm_neardup", ppmNearDup, Some(ppmNearDupSql)),
+    // q149: real RIFF/WAVE PCM decode census + amplitude-hash near-dup
+    // — the audio md5 stand-in retired; the analytic oracle never
+    // parses a RIFF byte
+    QueryDef("q149_wav_neardup", wavNearDup, Some(wavNearDupSql)),
   )
 }
