@@ -4587,6 +4587,51 @@ object Similarity {
          |ORDER BY artifact""".stripMargin)
   }
 
+  /** The sf1 gate's q131 oracle (round-15 item 1 — the lifecycle
+    * family above the quantizer floor): the corpus×K assignment reads
+    * the dumped `lifeassign` artifact (the exacttopk/held-quantizer
+    * pattern — re-deriving K=625 Lloyd training plus a 200k×625
+    * routing cross join is the prohibitive chain at sf1), while the
+    * MEMBERSHIP ALGEBRA — which rows survive append → delete →
+    * re-add → append → compact — stays fully re-derived from the id
+    * arithmetic. Per-round sf0.01/sf0.1 gates keep
+    * [[annLifecycleSql]]'s full training chain, so held == recomputed
+    * stays proven every round. */
+  val annLifecycleHeldSql: String = {
+    val dM = Dedup.DelMod; val dR = Dedup.DelRem
+    def h32(key: String): String =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    def row(nm: String, where: String): String =
+      s"""SELECT '$nm' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+         |       ${h32("CAST(vec_id AS VARCHAR) || '|' || CAST(cent_id AS VARCHAR)")} AS checksum
+         |FROM m $where""".stripMargin
+    mat(
+      s"""WITH assign AS (SELECT vec_id, cent_id FROM lifeassign),
+         |m AS (
+         |  SELECT vec_id, cent_id FROM assign
+         |  WHERE (vec_id % 5 <> 0 AND vec_id % $dM <> $dR)
+         |     OR vec_id % 10 = 0 OR vec_id % 10 = 5)
+         |SELECT artifact, n_rows, checksum FROM (
+         |  ${row("base_survivors", "WHERE vec_id % 5 <> 0")}
+         |  UNION ALL
+         |  ${row("batch1_survivors", s"WHERE vec_id % 10 = 0 AND vec_id % $dM <> $dR")}
+         |  UNION ALL
+         |  ${row("batch2", "WHERE vec_id % 10 = 5")}
+         |  UNION ALL
+         |  ${row("readded", s"WHERE vec_id % 10 = 0 AND vec_id % $dM = $dR")}
+         |  UNION ALL
+         |  ${row("total", "")}) t
+         |ORDER BY artifact""".stripMargin)
+  }
+
+  /** The held-quantizer route of EVERY embedding — q131's per-event
+    * ingest map over the whole id space, dumped by `Sf1Bench` as the
+    * `lifeassign` artifact backing [[annLifecycleHeldSql]]. */
+  private[graft] def lifeAssignDump(s: SparkSession, dir: String): DataFrame = {
+    val bc = s.sparkContext.broadcast(ivfCentsBase(s, dir))
+    lifeAssign(s, Tables.embeddings(s, dir), bc)
+  }
+
   /** q132's correction set: one live vector per 13 (vec_id ≡ 1
     * mod 13) gets RE-EMBEDDED — modeled as the reversed embedding
     * vector, deterministic on both engines and norm-preserving — and
