@@ -61,12 +61,16 @@ def main():
     line["hash_gate_wall_sec"] = round(time.monotonic() - t1, 1)
     line["oracle_wall_sec"] = res["oracle_wall_sec"]
     line["hash_gate_note"] = (
-        "tools/check.py vs DuckDB over the k=10 PERTURBED snapshot in one "
-        "run (tools/sf1run.py — the hash_match field is generated, not "
-        "hand-merged); q96/q123 use the artifact-backed held oracles; "
-        "q96_exact_spotcheck re-derives 16 probes' exact top-5 from raw "
-        "embeddings so the artifact-backed gate is not self-referential; "
-        "per-oracle DuckDB walls recorded (round-13 item 7)")
+        'tools/check.py vs DuckDB over the k=10 PERTURBED snapshot in one '
+        'run (tools/sf1run.py — the hash_match field is generated, not '
+        'hand-merged); q83/q96/q107/q123/q131 use the artifact-backed held '
+        "oracles (q131's membership algebra stays fully re-derived over the "
+        'dumped lifeassign route); q15 gates a per-rank census on both '
+        'engines (sf0.1 keeps the full row gate); three spot-checks '
+        '(q96 exact top-5, q83 rank-1 route, q107 graph-edge norms) '
+        're-derive 16-probe slices from raw embeddings so the '
+        'artifact-backed gates are not self-referential; per-oracle DuckDB '
+        'walls recorded')
 
     out = os.path.join(REPO, f"SF1BENCH_{rnd}.json")
     tmp = out + ".tmp"
