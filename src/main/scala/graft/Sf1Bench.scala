@@ -53,7 +53,13 @@ object Sf1Bench {
     // under ingest AND delete; q143 walks the tombstone-vs-
     // materialize envelope from both sides at 10× tombstone mass.
     "q131_ann_lifecycle", "q140_corpus_profile", "q142_profile_update",
-    "q145_profile_delete", "q143_mass_takedown")
+    "q145_profile_delete", "q143_mass_takedown",
+    // ... and the remaining lifecycle VERBS, so every verb family has
+    // an sf1 point: q132 upsert (held chain — the reversed-route
+    // correction recomputed from raw embeddings), q136 time travel +
+    // CDC (same held chain, EXCEPT diffs), q133 the compaction-policy
+    // DECISION (full oracle — nothing trained, 2.9 s at k=10)
+    "q132_ann_upsert", "q136_time_travel", "q133_compaction_policy")
 
   private val Offset = 100000000L
 
@@ -298,6 +304,10 @@ object Sf1Bench {
     // training + 200k×625 routing cross join is held
     graft.operators.Similarity.lifeAssignDump(spark, out)
       .write.mode("overwrite").parquet(s"$out/lifeassign.parquet")
+    // ... and the BASE centroids the held q132/q136 reversed-route
+    // recomputation scores against
+    spark.table(graft.sources.Layout.tableName(out, "ivfcentsbase"))
+      .write.mode("overwrite").parquet(s"$out/ivfcentsbase.parquet")
     // round-11 advice: the artifact-backed q96 gate is self-referential
     // at sf1 (the oracle reads the exacttopk table the same Spark job
     // wrote). Spot-check: re-derive the exact top-5 for a SMALL probe
@@ -397,6 +407,10 @@ object Sf1Bench {
         graft.operators.Similarity.annDeleteSparseHeldSql) +
       ("q131_ann_lifecycle" ->
         graft.operators.Similarity.annLifecycleHeldSql) +
+      ("q132_ann_upsert" ->
+        graft.operators.Similarity.annUpsertHeldSql) +
+      ("q136_time_travel" ->
+        graft.operators.Similarity.annTimeTravelHeldSql) +
       ("q15_window_rank" -> q15CensusSql) +
       ("q96_exact_spotcheck" -> spotSql) +
       ("q83_route_spotcheck" -> routeSpotSql) +

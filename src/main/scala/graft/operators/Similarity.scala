@@ -4914,6 +4914,84 @@ object Similarity {
          |ORDER BY artifact""".stripMargin)
   }
 
+  /** Shared held chain for the sf1 q132/q136 oracles: membership `m`
+    * off the dumped `lifeassign` route, the correction routing `ups`
+    * RE-DERIVED from raw reversed embeddings against the dumped BASE
+    * centroids (`ivfcentsbase` — training is held; the reversed-route
+    * math, q132's actual subject, is recomputed: ~15k vectors × K
+    * cents, the q96-spot cost class), then carried + fin. */
+  private def heldUpsertChainSql: String = {
+    val dM = Dedup.DelMod; val dR = Dedup.DelRem
+    s"""q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |      FROM q
+       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM ivfcentsbase),
+       |assign AS (SELECT vec_id, cent_id FROM lifeassign),
+       |m AS (
+       |  SELECT vec_id, cent_id FROM assign
+       |  WHERE (vec_id % 5 <> 0 AND vec_id % $dM <> $dR)
+       |     OR vec_id % 10 = 0 OR vec_id % 10 = 5),
+       |ups AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT v.vec_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |                    i -> v.q[len(v.q) + 1 - i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n v CROSS JOIN cents c
+       |    WHERE v.vec_id % $UpsMod = $UpsRem
+       |      AND v.vec_id IN (SELECT vec_id FROM m)) t
+       |  WHERE rn = 1),
+       |carried AS (
+       |  SELECT vec_id, cent_id FROM m WHERE vec_id % $UpsMod <> $UpsRem),
+       |fin AS (
+       |  SELECT vec_id, cent_id FROM carried
+       |  UNION ALL SELECT vec_id, cent_id FROM ups)""".stripMargin
+  }
+
+  private def heldCensusRow(nm: String, src: String): String = {
+    val h32 =
+      s"CAST(coalesce(sum(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) " +
+        s"|| '|' || CAST(cent_id AS VARCHAR)), 1, 8) AS BIGINT)), 0) AS BIGINT)"
+    s"""SELECT '$nm' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+       |       $h32 AS checksum
+       |FROM $src""".stripMargin
+  }
+
+  /** The sf1 gate's q132 oracle — held lifeassign/ivfcentsbase, the
+    * reversed-route correction recomputed from raw embeddings
+    * ([[heldUpsertChainSql]]); per-round scales keep the full
+    * training-chain [[annUpsertSql]]. */
+  val annUpsertHeldSql: String = mat(
+    s"""WITH ${heldUpsertChainSql}
+       |SELECT artifact, n_rows, checksum FROM (
+       |  ${heldCensusRow("carried", "carried")}
+       |  UNION ALL
+       |  ${heldCensusRow("total", "fin")}
+       |  UNION ALL
+       |  ${heldCensusRow("upserted", "ups")}) t
+       |ORDER BY artifact""".stripMargin)
+
+  /** The sf1 gate's q136 oracle — the held q132 chain censused as the
+    * audit before/after plus the two EXCEPT diffs; per-round scales
+    * keep the full [[annTimeTravelSql]]. */
+  val annTimeTravelHeldSql: String = mat(
+    s"""WITH ${heldUpsertChainSql}
+       |SELECT artifact, n_rows, checksum FROM (
+       |  ${heldCensusRow("corrected_new",
+            "(SELECT vec_id, cent_id FROM fin EXCEPT SELECT vec_id, cent_id FROM m) te")}
+       |  UNION ALL
+       |  ${heldCensusRow("corrected_old",
+            "(SELECT vec_id, cent_id FROM m EXCEPT SELECT vec_id, cent_id FROM fin) te")}
+       |  UNION ALL
+       |  ${heldCensusRow("horizon_total", "m")}
+       |  UNION ALL
+       |  ${heldCensusRow("latest_total", "fin")}) t
+       |ORDER BY artifact""".stripMargin)
+
   /** The sf1 gate's q123 oracle — ARTIFACT-BACKED (round-12 item 5,
     * the [[annRecallHeldSql]] pattern): reads the dumped held graph
     * (`nngraph`) and routing (`nnroutes`) tables instead of re-deriving
