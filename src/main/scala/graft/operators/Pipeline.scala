@@ -2637,6 +2637,134 @@ object Pipeline {
          |ORDER BY artifact""".stripMargin)
   }
 
+  /** q150: the CROSS-STORE SAVEPOINT read —
+    * [[graft.sources.Layout.savepoint]] driver-gated. A real pipeline
+    * maintains many co-derived artifacts whose events land on
+    * independent generation sequences; the consumer contract is "all
+    * artifacts as of one moment" while ingestion continues. Two
+    * stores walk an interleaved timeline:
+    *
+    *  - A (documents, doc_id-bucketed): base + ingest batch
+    *    (gens 1-2), then a takedown tombstone (gen 3);
+    *  - B (embedding labels, vec_id-bucketed): base + batch
+    *    (gens 1-2);
+    *  - SAVEPOINT `q150` pins (A → 3, B → 2) as one committed
+    *    metadata manifest;
+    *  - B then ingests its third slice (gen 3) and A its late batch
+    *    (gen 4) — both stores advance PAST the savepoint.
+    *
+    * The census reads both members AT the savepoint (through the
+    * manifest → [[graft.sources.Layout.storeAsOf]]) and at latest:
+    * the savepoint reads must exclude exactly the post-savepoint
+    * events of BOTH stores while the latest reads include them, and
+    * two decision rows pin that each store advanced exactly one
+    * generation past its pinned one (in-session generations are
+    * sequential). The oracle re-derives all four memberships from the
+    * raw tables — a manifest that leaked a later generation, or a
+    * version view mutated by a later event, flips a hash.
+    *
+    * Scale: the savepoint writes O(#artifacts) metadata rows and
+    * copies zero data (version views are predicates over the same
+    * generation files); its validity window is each member's
+    * retention horizon — a later compaction GCs the pinned generation
+    * and the read fails loudly (`SavepointSpec`). */
+  def savepointRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Layout
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val bktA = Some((Layout.Buckets, Seq("doc_id")))
+    val bktB = Some((Layout.Buckets, Seq("vec_id")))
+    val presentA = pmod(col("doc_id"), lit(5)) =!= 0 ||
+      pmod(col("doc_id"), lit(10)) === 0
+    // gens 1-2 of each store are once-gated inside appendRewrite (run
+    // BEFORE the census gate — the Recursive-update rule)
+    Layout.appendRewrite(s, dir, "spga", bktA,
+      d.filter(pmod(col("doc_id"), lit(10)) === 0))(
+      d.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    Layout.appendRewrite(s, dir, "spgb", bktB,
+      e.filter(pmod(col("vec_id"), lit(3)) === 2))(
+      e.filter(pmod(col("vec_id"), lit(3)) === 1))
+    val nameA = Layout.tableName(dir, "spgaupd")
+    val nameB = Layout.tableName(dir, "spgbupd")
+    val keyA = concat_ws("|", col("doc_id"), col("source"), col("n_chars"))
+    val keyB = concat_ws("|", col("vec_id"), col("label"))
+    Layout.materializedTable(s, dir, "spgcensus") {
+      Layout.deleteSegment(s, dir, "spga",
+        d.filter(pmod(col("doc_id"), lit(11)) === 3 && presentA)
+          .select(col("doc_id")),
+        Seq("doc_id"))
+      val sp = Layout.savepoint(s, dir, "q150", Seq("spgaupd", "spgbupd"))
+      Layout.appendSegment(s, dir, "spgb", bktB,
+        e.filter(pmod(col("vec_id"), lit(3)) === 0))
+      Layout.appendSegment(s, dir, "spga", bktA,
+        d.filter(pmod(col("doc_id"), lit(10)) === 5))
+      val aAdv = Layout.readableVersions(s, dir, "spgaupd").max - sp("spgaupd")
+      val bAdv = Layout.readableVersions(s, dir, "spgbupd").max - sp("spgbupd")
+      Seq(
+        Dedup.censusRow("a_at_savepoint",
+          Layout.readSavepoint(s, dir, "q150", "spgaupd"), keyA),
+        Dedup.censusRow("b_at_savepoint",
+          Layout.readSavepoint(s, dir, "q150", "spgbupd"), keyB),
+        Dedup.censusRow("a_latest", s.table(nameA), keyA),
+        Dedup.censusRow("b_latest", s.table(nameB), keyB))
+        .reduce(_ unionByName _)
+        .unionByName(Seq(
+          ("decision_a_advanced_past_savepoint",
+            if (aAdv == 1L) 1L else 0L, 1L),
+          ("decision_b_advanced_past_savepoint",
+            if (bAdv == 1L) 1L else 0L, 1L))
+          .toDF("artifact", "n_rows", "checksum"))
+    }.orderBy("artifact")
+  }
+
+  /** The q150 oracle: all four memberships re-derived from the raw
+    * tables — A@savepoint = (standing ∪ ingest) ∖ takedown, A@latest
+    * adds the late batch (appended after the tombstones, so LWW keeps
+    * any re-added key); B@savepoint = slices 1-2, B@latest = all —
+    * plus the two advancement decisions as constants. */
+  val savepointReadSql: String = {
+    def censusD(nm: String, rel: String): String =
+      s"""SELECT '$nm' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(coalesce(sum(CAST('0x' || substr(md5(
+         |         CAST(doc_id AS VARCHAR) || '|' || source || '|' ||
+         |         CAST(n_chars AS VARCHAR)), 1, 8) AS BIGINT)), 0) AS BIGINT) AS checksum
+         |FROM $rel""".stripMargin
+    def censusE(nm: String, rel: String): String =
+      s"""SELECT '$nm' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(coalesce(sum(CAST('0x' || substr(md5(
+         |         CAST(vec_id AS VARCHAR) || '|' || CAST(label AS VARCHAR)),
+         |         1, 8) AS BIGINT)), 0) AS BIGINT) AS checksum
+         |FROM $rel""".stripMargin
+    mat(
+      s"""WITH presa AS (
+         |  SELECT doc_id, source, n_chars FROM documents
+         |  WHERE doc_id % 5 <> 0 OR doc_id % 10 = 0),
+         |asp AS (SELECT * FROM presa WHERE doc_id % 11 <> 3),
+         |alat AS (SELECT * FROM asp
+         |         UNION ALL SELECT doc_id, source, n_chars FROM documents
+         |         WHERE doc_id % 10 = 5),
+         |bsp AS (SELECT vec_id, label FROM embeddings
+         |        WHERE vec_id % 3 = 1 OR vec_id % 3 = 2),
+         |blat AS (SELECT vec_id, label FROM embeddings)
+         |SELECT artifact, n_rows, checksum FROM (
+         |  ${censusD("a_at_savepoint", "asp")}
+         |  UNION ALL
+         |  ${censusD("a_latest", "alat")}
+         |  UNION ALL
+         |  ${censusE("b_at_savepoint", "bsp")}
+         |  UNION ALL
+         |  ${censusE("b_latest", "blat")}
+         |  UNION ALL
+         |  SELECT 'decision_a_advanced_past_savepoint', CAST(1 AS BIGINT),
+         |         CAST(1 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'decision_b_advanced_past_savepoint', CAST(1 AS BIGINT),
+         |         CAST(1 AS BIGINT)) t
+         |ORDER BY artifact""".stripMargin)
+  }
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -2699,5 +2827,9 @@ object Pipeline {
     // compaction it already pays; survivor content AND the layout/
     // pruning/co-location decisions all oracle-predicted
     QueryDef("q147_bucket_evolution", bucketEvolution, Some(bucketEvolutionSql)),
+    // q150: the cross-store savepoint — one committed manifest pins
+    // two stores' generations mid-interleaving; savepoint reads
+    // exclude exactly the post-savepoint events of both stores
+    QueryDef("q150_savepoint", savepointRead, Some(savepointReadSql)),
   )
 }

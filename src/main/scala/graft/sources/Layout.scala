@@ -367,6 +367,56 @@ object Layout {
       .unionByName(aPadded.except(b).withColumn("change", lit("delete")))
   }
 
+  /** SAVEPOINT — the CROSS-ARTIFACT consistency verb (round 15). A
+    * pipeline maintains many co-derived stores whose events land
+    * independently on per-artifact generation sequences; a consumer
+    * (a training job, an audit) needs "all artifacts as of one
+    * moment" even while ingestion continues. Without multi-table
+    * transactions the lakehouse answer is a MANIFEST: record, in one
+    * committed metadata table, each member store's latest readable
+    * generation at the call — O(#artifacts) metadata, zero data
+    * copied — and resolve reads through [[storeAsOf]] at the pinned
+    * generations. Later events advance the stable views but can
+    * never leak into the manifest's reads (version views are
+    * immutable commits). The validity window is each member's
+    * retention horizon: a later compaction GCs the pinned generation
+    * and [[readSavepoint]] fails LOUDLY through the storeAsOf
+    * contract — the standard rule that live savepoints pin
+    * compaction (q150 gates the isolation; `SavepointSpec` pins the
+    * loud post-compaction failure). */
+  private[graft] def savepoint(s: SparkSession, dir: String, name: String,
+      whats: Seq[String]): Map[String, Long] = {
+    import s.implicits._
+    val gens = whats.map { w =>
+      val vs = readableVersions(s, dir, w)
+      require(vs.nonEmpty,
+        s"savepoint '$name': store $w has no committed generations")
+      w -> vs.max
+    }
+    val t = tableName(dir, s"sp$name")
+    refresh(s, t)
+    gens.toDF("artifact", "gen").coalesce(1).write.saveAsTable(t)
+    gens.toMap
+  }
+
+  /** The committed manifest of [[savepoint]] `name` (bounded collect:
+    * one row per member artifact). */
+  private[graft] def savepointManifest(s: SparkSession, dir: String,
+      name: String): Map[String, Long] = {
+    import s.implicits._
+    s.table(tableName(dir, s"sp$name")).as[(String, Long)].collect().toMap
+  }
+
+  /** Read member `what` AT savepoint `name` — [[storeAsOf]] at the
+    * manifest's pinned generation (loud if GC'd past the horizon). */
+  private[graft] def readSavepoint(s: SparkSession, dir: String,
+      name: String, what: String): DataFrame = {
+    val m = savepointManifest(s, dir, name)
+    require(m.contains(what),
+      s"savepoint '$name' has no member '$what' (members: ${m.keys.mkString(", ")})")
+    storeAsOf(s, dir, what, m(what))
+  }
+
   private val publishCounter =
     new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
