@@ -253,6 +253,12 @@ class MvccLifecycleSpec extends SparkSpec {
     var model: Set[(Long, Long, Option[Long])] =
       (base ++ batch0).map { case (id, c) => (id, c, None: Option[Long]) }.toSet
     val deleted = scala.collection.mutable.Set.empty[Long]
+    // savepoint arm (round 15): pins taken at random points must read
+    // back EXACTLY the model at pin time regardless of every later
+    // event — until a compaction moves the retention horizon past
+    // them, after which the read must fail loudly, never serve
+    // silently-wrong history
+    var pins: List[(String, Set[(Long, Long, Option[Long])], Boolean)] = Nil
     (1 to 12).foreach { i =>
       rnd.nextInt(5) match {
         case 0 =>
@@ -275,6 +281,8 @@ class MvccLifecycleSpec extends SparkSpec {
           }
         case 2 =>
           Layout.compactDeleted(spark, dir, "lifepropupd", bkt)
+          // the GC horizon moved: every earlier pin is now invalid
+          pins = pins.map { case (n, m, _) => (n, m, false) }
         case 3 =>
           // upsert: replace some live keys' rows with new payloads,
           // plus one brand-new key (insert-or-replace in one event);
@@ -304,6 +312,32 @@ class MvccLifecycleSpec extends SparkSpec {
           .map { case (id, c) => (id, c, None: Option[Long]) }.toSet
       assert(got == model,
         s"step $i diverged: missing=${model -- got} extra=${got -- model}")
+      if (rnd.nextInt(3) == 0) {
+        Layout.savepoint(spark, dir, s"prop$i", Seq("lifepropupd"))
+        pins ::= ((s"prop$i", model, true))
+      }
+    }
+    // every pin reads back its own moment — or fails loudly past the
+    // horizon
+    def rowsAt(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Option[Long])] =
+      if (df.columns.contains("tag"))
+        df.select("vec_id", "cent_id", "tag")
+          .as[(Long, Long, Option[Long])].collect().toSet
+      else df.select("vec_id", "cent_id").as[(Long, Long)].collect()
+        .map { case (id, c) => (id, c, None: Option[Long]) }.toSet
+    assert(pins.nonEmpty, "seed produced no savepoints — re-seed the arm")
+    pins.foreach { case (n, m, valid) =>
+      if (valid) {
+        val got = rowsAt(Layout.readSavepoint(spark, dir, n, "lifepropupd"))
+        assert(got == m, s"savepoint $n drifted: " +
+          s"missing=${m -- got} extra=${got -- m}")
+      } else {
+        val e = intercept[IllegalArgumentException] {
+          Layout.readSavepoint(spark, dir, n, "lifepropupd").count()
+        }
+        assert(e.getMessage.contains("retention horizon"),
+          s"post-compaction pin $n failed without the loud contract: $e")
+      }
     }
   }
 
