@@ -59,7 +59,16 @@ object Sf1Bench {
     // correction recomputed from raw embeddings), q136 time travel +
     // CDC (same held chain, EXCEPT diffs), q133 the compaction-policy
     // DECISION (full oracle — nothing trained, 2.9 s at k=10)
-    "q132_ann_upsert", "q136_time_travel", "q133_compaction_policy")
+    "q132_ann_upsert", "q136_time_travel", "q133_compaction_policy",
+    // ... and the round-15 additions, all raw-derivable oracles
+    // (each sub-second at k=10): q147 rebucketing layout decisions at
+    // the larger store, q148 the profile door × takedown composition
+    // — whose per-batch vocabulary delta EXCEEDS the 400k upsert
+    // envelope at k=10, so the chunked-delta path runs at scale —
+    // q149 the real WAV decode census over 500k blobs, q150 the
+    // cross-store savepoint isolation
+    "q147_bucket_evolution", "q148_profile_takedown_door",
+    "q149_wav_neardup", "q150_savepoint")
 
   private val Offset = 100000000L
 

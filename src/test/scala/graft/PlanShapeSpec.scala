@@ -393,6 +393,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), s"q145 lost merge-exchange reuse:\n$p")
   }
 
+  test("the profile doors' merge-on-aggregate read: three rollups ride ONE store exchange") {
+    // q146/q148's read shape (their GATED plans only show the
+    // materialized census table, so the read is pinned directly):
+    // SUM(cnt) grouped on (cname, v) over the store view is the one
+    // corpus-sized exchange; the value rollup, the distinct rollup
+    // and the heavy-hitter window must all canonicalize onto it
+    // (2 ReusedExchange) — the exchange-reuse regression class that
+    // doubled the q140 melt in round 13
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val store = (1L to 400L).map(k =>
+      (k, s"c${k % 3}", s"v${k % 40}", 1L)).toDF("k", "cname", "v", "cnt")
+    val df = graft.operators.Pipeline.profSurfaceFromCounts(
+      store.groupBy(col("cname"), col("v"))
+        .agg(sum(col("cnt")).as("cnt")).filter(col("cnt") > 0))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(countOf(p, "ReusedExchange") >= 2,
+      s"profile-door read lost store-exchange reuse:\n$p")
+    assert(countOf(p, "WindowGroupLimit") >= 2,
+      s"profile-door read lost rank pushdown:\n$p")
+  }
+
   test("q143: below-envelope read is a broadcast anti join; above-envelope read is join-free") {
     plan("q143_mass_takedown") // drives both delete events
     // the tombstoned artifact reads through a BROADCAST LeftAnti —
