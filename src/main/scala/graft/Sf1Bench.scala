@@ -63,10 +63,11 @@ object Sf1Bench {
     // ... and the round-15 additions, all raw-derivable oracles
     // (each sub-second at k=10): q147 rebucketing layout decisions at
     // the larger store, q148 the profile door × takedown composition
-    // — whose per-batch vocabulary delta EXCEEDS the 400k upsert
-    // envelope at k=10, so the chunked-delta path runs at scale —
-    // q149 the real WAV decode census over 500k blobs, q150 the
-    // cross-store savepoint isolation
+    // (its per-batch deltas stay under the 400k envelope even at
+    // k=10 — the chunked-delta path is proven separately under a
+    // tightened envelope in `StreamingSpec`), q149 the real WAV
+    // decode census over the 50k-blob corpus, q150 the cross-store
+    // savepoint isolation
     "q147_bucket_evolution", "q148_profile_takedown_door",
     "q149_wav_neardup", "q150_savepoint")
 

@@ -452,7 +452,7 @@ object StreamDoor {
     * delta above `spark.graft.massDeleteKeys` is split into ⌈n/env⌉
     * key-residue sub-events — chunk membership is a pure function of
     * the deterministic keys, so replays re-form identical chunks. */
-  private def chunkedCountUpsert(s: SparkSession, dir: String, what: String,
+  private[graft] def chunkedCountUpsert(s: SparkSession, dir: String, what: String,
       bkt: Option[(Int, Seq[String])], delta: DataFrame): Unit = {
     val env = math.max(1L, Layout.massDeleteKeys(s))
     val chunks = ((delta.count() - 1) / env + 1).toInt

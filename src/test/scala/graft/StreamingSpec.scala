@@ -713,4 +713,61 @@ class StreamingSpec extends SparkSpec {
     assert(agg()(("lang", "de")) == 6L,
       "post-takedown batch did not re-introduce the value")
   }
+
+  test("oversized profile deltas chunk under the envelope; chunked replay stays idempotent") {
+    // the q146/q148 envelope path (round-14 advice #1), driven at a
+    // TIGHTENED envelope so the split actually fires: a delta larger
+    // than spark.graft.massDeleteKeys must land as multiple
+    // key-residue sub-events (never a hard upsertSegment failure),
+    // sum to the same surface as the unchunked math, and — because
+    // chunk membership is a pure function of the deterministic keys —
+    // re-applying the SAME delta must re-form identical chunks and
+    // change nothing.
+    import graft.sources.Layout
+    import graft.functions.Fns
+    val dir = sfDir
+    def keyed(counts: org.apache.spark.sql.DataFrame, prefix: Long) =
+      counts.select(
+        (lit(prefix * (1L << 40)) + pmod(Fns.hash60(
+          concat_ws("", col("cname"), col("v"))), lit(1L << 40))).as("k"),
+        col("cname"), col("v"), col("cnt"))
+    val bkt = Some((Layout.Buckets, Seq("cname", "v")))
+    val seed = keyed(Seq(("lang", "en", 5L)).toDF("cname", "v", "cnt"), 0L)
+    Layout.appendRewrite(spark, dir, "pdchunkspec", bkt, seed)(
+      keyed(Seq(("lang", "de", 1L)).toDF("cname", "v", "cnt"), 0L))
+    val name = Layout.tableName(dir, "pdchunkspecupd")
+    def maxV(): Long = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(s"${name}__v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix(s"${name}__v").toLong).toOption)
+      .foldLeft(0L)(math.max)
+    def agg(): Map[(String, String), Long] =
+      spark.table(name).groupBy(col("cname"), col("v"))
+        .agg(sum(col("cnt")).as("c")).as[(String, String, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // a 9-row delta against a 4-key envelope → ⌈9/4⌉ = 3 chunk events
+    val delta = keyed((1 to 9).map(i => ("w", s"t$i", i.toLong))
+      .toDF("cname", "v", "cnt"), 2L)
+    val prev = spark.conf.getOption("spark.graft.massDeleteKeys")
+    spark.conf.set("spark.graft.massDeleteKeys", "4")
+    try {
+      val v0 = maxV()
+      graft.streaming.StreamDoor.chunkedCountUpsert(
+        spark, dir, "pdchunkspec", bkt, delta)
+      assert(maxV() - v0 == 3,
+        s"expected 3 chunk events, got ${maxV() - v0}")
+      val once = agg()
+      (1 to 9).foreach(i => assert(once(("w", s"t$i")) == i.toLong))
+      assert(once(("lang", "en")) == 5L && once(("lang", "de")) == 1L)
+      // the retry: same delta, same envelope — identical chunks,
+      // identical surface
+      val v1 = maxV()
+      graft.streaming.StreamDoor.chunkedCountUpsert(
+        spark, dir, "pdchunkspec", bkt, delta)
+      assert(maxV() - v1 == 3, "replay re-formed a different chunk count")
+      assert(agg() == once, "chunked replay double-counted")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.massDeleteKeys", v)
+      case None    => spark.conf.unset("spark.graft.massDeleteKeys")
+    }
+  }
 }
