@@ -69,7 +69,7 @@ object Sf1Bench {
     // decode census over the 50k-blob corpus, q150 the cross-store
     // savepoint isolation
     "q147_bucket_evolution", "q148_profile_takedown_door",
-    "q149_wav_neardup", "q150_savepoint")
+    "q149_wav_neardup", "q150_savepoint", "q151_jsonl_gz_roundtrip")
 
   private val Offset = 100000000L
 

@@ -1759,6 +1759,73 @@ object Pipeline {
        |         AS checksum
        |FROM aug GROUP BY source ORDER BY source""".stripMargin)
 
+  /** q151: COMPRESSED-TEXT source/sink — `.jsonl.gz` is the de-facto
+    * raw-crawl interchange (codec'd text corpora): q139's
+    * adversarial-byte roundtrip re-run through the GZIP write codec
+    * and the extension-dispatched read path. The census shares q139's
+    * no-JSON-anywhere oracle derivation, and a DECISION row pins that
+    * every part file really is gzip ON DISK (the 1f 8b magic — a
+    * codec that silently no-ops would still roundtrip, so the bytes
+    * are checked, not the option).
+    *
+    * Scale: gzip text is NOT splittable — one file is one read task —
+    * so the write keeps several moderate files (the explicit
+    * repartition) instead of few large ones; at 100 TB the file size
+    * targets the read-task budget, which is exactly the layout
+    * decision the magic row documents. */
+  def jsonlGzRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Layout
+    val d = Tables.documents(s, dir)
+    val aug = d.withColumn("text", concat(col("text"),
+      lit(" \""), substring(md5(col("text")), 1, 6),
+      lit("\\"), lit("\t"), lit("\n"), lit("é€")))
+    Layout.materializedTable(s, dir, "jsonlgzcensus") {
+      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
+      val path = s"$wh/${Layout.tableName(dir, "docsjsonlgz")}"
+      aug.select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .repartition(4)
+        .write.mode("overwrite").option("compression", "gzip").json(path)
+      val parts = Option(new java.io.File(path).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("part-"))
+      val allGz = parts.nonEmpty && parts.forall { f =>
+        val in = new java.io.FileInputStream(f)
+        try in.read() == 0x1f && in.read() == 0x8b
+        finally in.close()
+      }
+      val back = s.read.schema(d.schema).json(path)
+      back.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(hash32(concat_ws("|", col("doc_id"), col("n_chars"),
+            col("lang"), md5(col("text"))))).as("checksum"))
+        .unionByName(Seq(
+          ("zz_decision_gzip_magic", if (allGz) 1L else 0L, 1L))
+          .toDF("source", "n_docs", "checksum"))
+    }.orderBy("source")
+  }
+
+  /** The q151 oracle: q139's raw-text census (JSON and gzip appear
+    * nowhere) plus the codec decision as a constant. */
+  val jsonlGzRoundtripSql: String = mat(
+    s"""WITH aug AS (
+       |  SELECT doc_id, n_chars, lang, source,
+       |         text || ' ' || chr(34) || substr(md5(text), 1, 6) ||
+       |           chr(92) || chr(9) || chr(10) || 'é€' AS text
+       |  FROM documents)
+       |SELECT source, n_docs, checksum FROM (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM aug GROUP BY source
+       |  UNION ALL
+       |  SELECT 'zz_decision_gzip_magic', CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)) t
+       |ORDER BY source""".stripMargin)
+
   // ------------------------------------------------------------------
   // q140: CORPUS PROFILING (ANALYZE) — the per-column statistics pass
   // every ingest runs before curation decisions.
@@ -2831,5 +2898,8 @@ object Pipeline {
     // two stores' generations mid-interleaving; savepoint reads
     // exclude exactly the post-savepoint events of both stores
     QueryDef("q150_savepoint", savepointRead, Some(savepointReadSql)),
+    // q151: the .jsonl.gz interchange — q139's adversarial roundtrip
+    // through the gzip codec, with the on-disk magic bytes gated
+    QueryDef("q151_jsonl_gz_roundtrip", jsonlGzRoundtrip, Some(jsonlGzRoundtripSql)),
   )
 }
