@@ -55,7 +55,10 @@ object BenchReport {
     // committed artifact. With both in the last line, any consumer
     // can separate host factor from engine movement on its own.
     val ctl = controlOf(results)
-    val norm = if (ctl > 0) r3(totalOf(results) / ctl) else -1.0
+    // norm from the PRINTED (rounded) total, so value/control_sec
+    // recomputed from the artifact reproduces total_norm exactly —
+    // the same pre-rounding-drift rule queries_norm follows below
+    val norm = if (ctl > 0) r3(r3(totalOf(results)) / ctl) else -1.0
     s""""metric":"total","value":${f3(totalOf(results))},"unit":"sec","passes":$passes""" +
       s""","setup_sec":${f3(setupSec)},"caps_fired":$capsFired""" +
       s""","control_sec":${f3(ctl)},"total_norm":${f3(norm)}"""

@@ -151,7 +151,12 @@ object Wav {
     * md5 stand-in: perturbing a few samples flips a few bits, so the
     * q84 band/Hamming plan finds true near-dups with it. The
     * amplitude space makes the hash invariant under uniform gain
-    * (scaling every sample by c scales both sides of the compare). */
+    * (scaling every sample by c scales both sides of the compare).
+    * The fold is XOR: a ring position hit by an even number of
+    * above-mean samples cancels. Callers that oracle the hash with a
+    * one-contribution-per-position sum model (the q149/q84 analytic
+    * oracle) must pin clips to ≤ 60 samples — enforced where the WAV
+    * corpus is constructed (Multimodal.WavN). */
   def ampHash60(pcm: Pcm): Long = {
     val as = pcm.amplitudes
     val n = as.length.toLong

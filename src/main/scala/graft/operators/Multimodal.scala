@@ -710,6 +710,16 @@ object Multimodal {
   import graft.functions.Wav
 
   private val WavN = 60
+  // INVARIANT (round-15 advice): the analytic oracle (wavPxFragSql)
+  // models Wav.ampHash60's 60-bit ring fold as ONE contribution per
+  // bit position — exact only while every clip has ≤ 60 samples, so
+  // no ring position is hit twice (XOR of repeated hits cancels; the
+  // oracle's sum formula doesn't model that). Both 8-bit dialects
+  // carry WavN samples and the 16-bit dialect WavN signed LE pairs,
+  // so the pin on WavN covers every dialect.
+  require(WavN <= 60,
+    s"WAV corpus clips must stay <= 60 samples: the analytic oracle's " +
+      s"ring-fold model assumes each hash bit is touched at most once (got $WavN)")
   private val wavHdr8 = Wav.header(1, 8000, 8, WavN)
   private val wavHdr8JunkEven = Wav.header(1, 8000, 8, WavN,
     Wav.extraChunk("LIST", "INFO".getBytes("US-ASCII")))

@@ -34,10 +34,8 @@ object StreamDoor {
     val cents = Similarity.ivfCentsBase(s, dir)
     val rcb = Similarity.resTrainBase(s, dir, cents)
     val out = Layout.materializedTable(s, dir, "sdoorout") {
-      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
-      val base = wh + "/" + Layout.tableName(dir, "sdoorrun")
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val base = Layout.warehousePath(s, Layout.tableName(dir, "sdoorrun"))
+      Layout.deleteWarehouseDir(s, base)
       val srcDir = s"$base/src"; val sinkDir = s"$base/sink"; val ckpt = s"$base/ckpt"
       val batch = Tables.embeddings(s, dir)
         .filter(pmod(col("vec_id"), lit(5)) === 0)
@@ -68,10 +66,8 @@ object StreamDoor {
     * byte-exactly for EVERY blob, corrupt subset included. */
   def streamMediaDoor(s: SparkSession, dir: String): DataFrame = {
     val out = Layout.materializedTable(s, dir, "mdoorout") {
-      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
-      val base = wh + "/" + Layout.tableName(dir, "mdoorrun")
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val base = Layout.warehousePath(s, Layout.tableName(dir, "mdoorrun"))
+      Layout.deleteWarehouseDir(s, base)
       val srcDir = s"$base/src"; val sinkDir = s"$base/sink"; val ckpt = s"$base/ckpt"
       val media = graft.operators.Multimodal.ppmMediaTable(s, dir)
       media.write.mode("overwrite").parquet(srcDir)
@@ -106,10 +102,8 @@ object StreamDoor {
     * hashes. */
   def streamExactDoor(s: SparkSession, dir: String): DataFrame = {
     val out = Layout.materializedTable(s, dir, "xdoorout") {
-      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
-      val base = wh + "/" + Layout.tableName(dir, "xdoorrun")
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val base = Layout.warehousePath(s, Layout.tableName(dir, "xdoorrun"))
+      Layout.deleteWarehouseDir(s, base)
       val srcDir = s"$base/src"; val sinkDir = s"$base/sink"; val ckpt = s"$base/ckpt"
       val incoming = Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(5)) === 0)
@@ -151,10 +145,8 @@ object StreamDoor {
     * source/state/commit machinery. */
   def streamNearDupDoor(s: SparkSession, dir: String): DataFrame = {
     val out = Layout.materializedTable(s, dir, "ndoorout") {
-      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
-      val base = wh + "/" + Layout.tableName(dir, "ndoorrun")
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val base = Layout.warehousePath(s, Layout.tableName(dir, "ndoorrun"))
+      Layout.deleteWarehouseDir(s, base)
       val srcDir = s"$base/src"; val sinkDir = s"$base/sink"; val ckpt = s"$base/ckpt"
       val incoming = Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(5)) === 0)
@@ -185,10 +177,8 @@ object StreamDoor {
     * coverage) row per incoming document with ≥ 1 window. */
   def streamSpanDoor(s: SparkSession, dir: String): DataFrame = {
     val out = Layout.materializedTable(s, dir, "sdoorspanout") {
-      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
-      val base = wh + "/" + Layout.tableName(dir, "sdoorspanrun")
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val base = Layout.warehousePath(s, Layout.tableName(dir, "sdoorspanrun"))
+      Layout.deleteWarehouseDir(s, base)
       val srcDir = s"$base/src"; val sinkDir = s"$base/sink"; val ckpt = s"$base/ckpt"
       val incoming = Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(5)) === 0)
@@ -220,10 +210,8 @@ object StreamDoor {
     val cents = Similarity.ivfCentsBase(s, dir)
     val corpusAssign = Similarity.ivfAssignBase(s, dir, cents)
     val out = Layout.materializedTable(s, dir, "semdoorout") {
-      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
-      val base = wh + "/" + Layout.tableName(dir, "semdoorrun")
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val base = Layout.warehousePath(s, Layout.tableName(dir, "semdoorrun"))
+      Layout.deleteWarehouseDir(s, base)
       val srcDir = s"$base/src"; val sinkDir = s"$base/sink"; val ckpt = s"$base/ckpt"
       val incoming = Tables.embeddings(s, dir)
         .filter(pmod(col("vec_id"), lit(5)) === 0)
@@ -272,10 +260,8 @@ object StreamDoor {
       Similarity.lifeAssign(s, emb.filter(pmod(col("vec_id"), lit(2)) === 0), bc))
     val name = Layout.tableName(dir, "ivfsdoorupd")
     val out = Layout.materializedTable(s, dir, "udoorout") {
-      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
-      val base = wh + "/" + Layout.tableName(dir, "udoorrun")
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val base = Layout.warehousePath(s, Layout.tableName(dir, "udoorrun"))
+      Layout.deleteWarehouseDir(s, base)
       val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"
       val corrections = emb
         .filter(pmod(col("vec_id"), lit(Similarity.UpsMod)) === lit(Similarity.UpsRem))
@@ -350,10 +336,8 @@ object StreamDoor {
       era0.filter(pmod(col("doc_id"), lit(4)) === 0))
     val name = Layout.tableName(dir, "docsdoorupd")
     val out = Layout.materializedTable(s, dir, "edoorout") {
-      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
-      val base = wh + "/" + Layout.tableName(dir, "edoorrun")
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val base = Layout.warehousePath(s, Layout.tableName(dir, "edoorrun"))
+      Layout.deleteWarehouseDir(s, base)
       def maxV(): Long = s.catalog.listTables().collect().map(_.name)
         .filter(_.startsWith(s"${name}__v"))
         .flatMap(n => scala.util.Try(n.stripPrefix(s"${name}__v").toLong).toOption)
@@ -448,19 +432,43 @@ object StreamDoor {
         concat_ws("\u0001", col("cname"), col("v"))), lit(1L << 40))).as("k"),
       col("cname"), col("v"), col("cnt"))
 
+  /** Total sub-events BEYOND the first that [[chunkedCountUpsert]]
+    * split deltas into this JVM (0 while every delta fits the
+    * envelope) — the sf1 JSON line records it so the artifact shows
+    * whether the chunked path actually EXECUTED at that scale. */
+  private[graft] val chunkSplits = new java.util.concurrent.atomic.AtomicLong()
+
   /** Envelope-aware upsert (see [[streamProfileDoor]]'s docstring): a
-    * delta above `spark.graft.massDeleteKeys` is split into ⌈n/env⌉
-    * key-residue sub-events — chunk membership is a pure function of
-    * the deterministic keys, so replays re-form identical chunks. */
+    * delta above `spark.graft.massDeleteKeys` is split into key-residue
+    * sub-events. Residue-class sizes are multinomial, NOT bounded by
+    * ⌈n/env⌉ chunks alone (round-15 advice: hash skew near
+    * n ≈ chunks·env can leave one class above the envelope and
+    * upsertSegment's require then hard-fails exactly in the path this
+    * function exists to handle) — so the chunk count GROWS until the
+    * measured largest class fits. Membership stays pmod(k, chunks), a
+    * pure function of the deterministic batch keys and their multiset
+    * (the growth loop is driven only by class sizes), so a replayed
+    * batch re-forms exactly the same chunk events and the
+    * content-idempotence contract survives the split. Cost: one
+    * O(batch) count + one O(batch) aggregate per growth step —
+    * auxiliary actions on the DELTA, never the corpus. */
   private[graft] def chunkedCountUpsert(s: SparkSession, dir: String, what: String,
       bkt: Option[(Int, Seq[String])], delta: DataFrame): Unit = {
     val env = math.max(1L, Layout.massDeleteKeys(s))
-    val chunks = ((delta.count() - 1) / env + 1).toInt
-    if (chunks <= 1)
+    val n = delta.count()
+    if (n <= env) {
       Layout.upsertSegment(s, dir, what, bkt, delta, Seq("k"))
-    else (0 until chunks).foreach { c =>
-      Layout.upsertSegment(s, dir, what, bkt,
-        delta.filter(pmod(col("k"), lit(chunks.toLong)) === c), Seq("k"))
+    } else {
+      def maxClass(c: Int): Long =
+        delta.groupBy(pmod(col("k"), lit(c.toLong)).as("__chunk"))
+          .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0)
+      var chunks = ((n - 1) / env + 1).toInt
+      while (maxClass(chunks) > env) chunks += math.max(1, chunks / 2)
+      chunkSplits.addAndGet(chunks - 1L)
+      (0 until chunks).foreach { c =>
+        Layout.upsertSegment(s, dir, what, bkt,
+          delta.filter(pmod(col("k"), lit(chunks.toLong)) === c), Seq("k"))
+      }
     }
   }
 
@@ -481,10 +489,8 @@ object StreamDoor {
       seed.filter(pmod(col("k"), lit(2)) === 0))
     val name = Layout.tableName(dir, "profdoorupd")
     val out = Layout.materializedTable(s, dir, "pdoorout") {
-      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
-      val base = wh + "/" + Layout.tableName(dir, "pdoorrun")
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val base = Layout.warehousePath(s, Layout.tableName(dir, "pdoorrun"))
+      Layout.deleteWarehouseDir(s, base)
       val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"
       val ingest = d.filter(pmod(col("doc_id"), lit(5)) === 0)
       ingest.repartition(4).write.mode("overwrite").parquet(srcDir)
@@ -554,10 +560,8 @@ object StreamDoor {
       seed.filter(pmod(col("k"), lit(2)) === 0))
     val name = Layout.tableName(dir, "pdtdupd")
     val out = Layout.materializedTable(s, dir, "pdtdout") {
-      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-      val wh = if (whUri.getScheme == null) whUri.toString else whUri.getPath
-      val base = wh + "/" + Layout.tableName(dir, "pdtdrun")
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val base = Layout.warehousePath(s, Layout.tableName(dir, "pdtdrun"))
+      Layout.deleteWarehouseDir(s, base)
       val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"
       val ingest = d.filter(pmod(col("doc_id"), lit(5)) === 0)
       def maxV(): Long = s.catalog.listTables().collect().map(_.name)

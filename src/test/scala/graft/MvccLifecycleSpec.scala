@@ -253,12 +253,21 @@ class MvccLifecycleSpec extends SparkSpec {
     var model: Set[(Long, Long, Option[Long])] =
       (base ++ batch0).map { case (id, c) => (id, c, None: Option[Long]) }.toSet
     val deleted = scala.collection.mutable.Set.empty[Long]
-    // savepoint arm (round 15): pins taken at random points must read
-    // back EXACTLY the model at pin time regardless of every later
-    // event — until a compaction moves the retention horizon past
-    // them, after which the read must fail loudly, never serve
-    // silently-wrong history
-    var pins: List[(String, Set[(Long, Long, Option[Long])], Boolean)] = Nil
+    // savepoint arm (rounds 15-16): pins taken at random points must
+    // read back EXACTLY the model at pin time regardless of every
+    // later event. Since round 16 LIVE pins survive compactions (the
+    // retention freeze); only a RELEASED pin is swept by the next
+    // compaction, after which its generation must fail loudly, never
+    // serve silently-wrong history.
+    // (name, model-at-pin, pinned gen, released, swept)
+    var pins: List[(String, Set[(Long, Long, Option[Long])], Long,
+      Boolean, Boolean)] = Nil
+    // stale prop* manifests from a prior run of this spec in the
+    // shared warehouse could pin CURRENT generation numbers (the
+    // version clock continues over the warehouse) and retain a
+    // generation this run expects swept — release them all first
+    (1 to 12).foreach(i =>
+      Layout.releaseSavepoint(spark, dir, s"prop$i", ifExists = true))
     (1 to 12).foreach { i =>
       rnd.nextInt(5) match {
         case 0 =>
@@ -281,8 +290,11 @@ class MvccLifecycleSpec extends SparkSpec {
           }
         case 2 =>
           Layout.compactDeleted(spark, dir, "lifepropupd", bkt)
-          // the GC horizon moved: every earlier pin is now invalid
-          pins = pins.map { case (n, m, _) => (n, m, false) }
+          // the GC horizon moved: LIVE pins are retained (frozen);
+          // released pins' generations are swept by this compaction
+          pins = pins.map { case (n, m, g, rel, sw) =>
+            (n, m, g, rel, sw || rel)
+          }
         case 3 =>
           // upsert: replace some live keys' rows with new payloads,
           // plus one brand-new key (insert-or-replace in one event);
@@ -313,12 +325,27 @@ class MvccLifecycleSpec extends SparkSpec {
       assert(got == model,
         s"step $i diverged: missing=${model -- got} extra=${got -- model}")
       if (rnd.nextInt(3) == 0) {
-        Layout.savepoint(spark, dir, s"prop$i", Seq("lifepropupd"))
-        pins ::= ((s"prop$i", model, true))
+        // a leftover manifest from a PRIOR test run (shared
+        // warehouse) is stale by construction — released first, the
+        // per-snapshot discipline (declaring over a LIVE name is loud)
+        Layout.releaseSavepoint(spark, dir, s"prop$i", ifExists = true)
+        val g = Layout.savepoint(spark, dir, s"prop$i",
+          Seq("lifepropupd"))("lifepropupd")
+        pins ::= ((s"prop$i", model, g, false, false))
+      }
+      // release arm: a random live pin ends — the NEXT compaction may
+      // sweep its generation; until then storeAsOf still serves it
+      if (rnd.nextInt(4) == 0) {
+        pins.find(p => !p._4) match {
+          case Some((n, m, g, _, sw)) =>
+            Layout.releaseSavepoint(spark, dir, n)
+            pins = pins.map(p => if (p._1 == n) (n, m, g, true, sw) else p)
+          case None => ()
+        }
       }
     }
-    // every pin reads back its own moment — or fails loudly past the
-    // horizon
+    // every pin reads back its own moment — or, once released AND
+    // swept by a later compaction, fails loudly past the horizon
     def rowsAt(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Option[Long])] =
       if (df.columns.contains("tag"))
         df.select("vec_id", "cent_id", "tag")
@@ -326,18 +353,28 @@ class MvccLifecycleSpec extends SparkSpec {
       else df.select("vec_id", "cent_id").as[(Long, Long)].collect()
         .map { case (id, c) => (id, c, None: Option[Long]) }.toSet
     assert(pins.nonEmpty, "seed produced no savepoints — re-seed the arm")
-    pins.foreach { case (n, m, valid) =>
-      if (valid) {
+    pins.foreach { case (n, m, g, released, swept) =>
+      if (!released) {
         val got = rowsAt(Layout.readSavepoint(spark, dir, n, "lifepropupd"))
-        assert(got == m, s"savepoint $n drifted: " +
+        assert(got == m, s"savepoint $n drifted (live pins must survive " +
+          s"compactions): missing=${m -- got} extra=${got -- m}")
+      } else if (!swept) {
+        // released but no compaction since: the generation still reads
+        val got = rowsAt(Layout.storeAsOf(spark, dir, "lifepropupd", g))
+        assert(got == m, s"released-unswept pin $n drifted: " +
           s"missing=${m -- got} extra=${got -- m}")
       } else {
         val e = intercept[IllegalArgumentException] {
-          Layout.readSavepoint(spark, dir, n, "lifepropupd").count()
+          Layout.storeAsOf(spark, dir, "lifepropupd", g).count()
         }
         assert(e.getMessage.contains("retention horizon"),
-          s"post-compaction pin $n failed without the loud contract: $e")
+          s"swept pin $n failed without the loud contract: $e")
       }
+    }
+    // leave no live pins behind: a later run's compactions in this
+    // shared warehouse should not retain this run's moments
+    pins.foreach { case (n, _, _, released, _) =>
+      if (!released) Layout.releaseSavepoint(spark, dir, n)
     }
   }
 
