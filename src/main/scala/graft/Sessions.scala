@@ -30,6 +30,21 @@ object Sessions {
       // Catalog tables (bucketed-join path, JoinShapesSpec) live under
       // /tmp, never inside the repo checkout.
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // Text-family compression codecs by EXPLICIT list: the default
+      // (ServiceLoader) list maps `.zst` to Hadoop's ZStandardCodec,
+      // which binds to a native libhadoop zstd this container (and
+      // most deployments) lacks — reads would crash at extension
+      // dispatch. The graft ZstdCodec (zstd-jni-backed, pure JVM)
+      // claims `.zst` instead; the rest of the list mirrors the
+      // defaults so gzip/bzip2 interchange is unchanged.
+      .config("spark.hadoop.io.compression.codecs",
+        "org.apache.hadoop.io.compress.DefaultCodec," +
+          "org.apache.hadoop.io.compress.GzipCodec," +
+          "org.apache.hadoop.io.compress.BZip2Codec," +
+          "org.apache.hadoop.io.compress.DeflateCodec," +
+          "org.apache.hadoop.io.compress.Lz4Codec," +
+          "org.apache.hadoop.io.compress.SnappyCodec," +
+          "graft.sources.ZstdCodec")
       // The generated-class cache defaults to 100 entries; a workload of
       // 40+ distinct queries compiles several codegen stages each, so at
       // the default size classes are evicted and janino-recompiled on

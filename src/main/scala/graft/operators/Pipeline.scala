@@ -1801,6 +1801,80 @@ object Pipeline {
     }.orderBy("source")
   }
 
+  /** q154: the `.jsonl.zst` interchange — q151's adversarial roundtrip
+    * through the graft ZSTANDARD codec
+    * ([[graft.sources.ZstdCodec]], zstd-jni-backed: Hadoop's own
+    * ZStandardCodec needs a native libhadoop most deployments lack,
+    * and Spark's text sinks only speak Hadoop codecs). The writer
+    * names the codec class (the `compression` option accepts FQCNs);
+    * the read back dispatches on the `.zst` extension through the
+    * session's explicit `io.compression.codecs` list. The census
+    * shares q139/q151's no-JSON-anywhere oracle derivation, and the
+    * decision row pins the RFC 8878 frame magic (`28 b5 2f fd`) in
+    * every part file's first bytes — a silently no-op codec would
+    * still roundtrip, so the bytes are gated, not the option.
+    *
+    * Scale (the read-task budget math, vs q151's gzip): single-frame
+    * zstd is equally NON-splittable — one file, one read task — so
+    * the layout rule is the same explicit repartition into
+    * ≈ (cores × waves) moderate files. The win is per-task: ~4-7×
+    * faster decompression at equal-or-better ratio, and zstd's
+    * SEEKABLE frame variant (frame-per-block + index) upgrades the
+    * format to splittable without changing these bytes' meaning —
+    * the production path, documented at the codec. */
+  def jsonlZstRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Layout, ZstdCodec}
+    val d = Tables.documents(s, dir)
+    val aug = d.withColumn("text", concat(col("text"),
+      lit(" \""), substring(md5(col("text")), 1, 6),
+      lit("\\"), lit("\t"), lit("\n"), lit("é€")))
+    Layout.materializedTable(s, dir, "jsonlzstcensus") {
+      val path = Layout.warehousePath(s, Layout.tableName(dir, "docsjsonlzst"))
+      aug.select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("compression", classOf[ZstdCodec].getName).json(path)
+      val parts = Layout.listWarehouseNames(s, path)
+        .filter(_.startsWith("part-"))
+      val allZst = parts.nonEmpty && parts.forall(_.endsWith(".zst")) &&
+        parts.forall { f =>
+          val magic = Layout.headBytes(s, s"$path/$f", 4)
+          magic.length == 4 &&
+            magic.zip(ZstdCodec.Magic).forall { case (b, m) => (b & 0xff) == m }
+        }
+      val back = s.read.schema(d.schema).json(path)
+      back.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(hash32(concat_ws("|", col("doc_id"), col("n_chars"),
+            col("lang"), md5(col("text"))))).as("checksum"))
+        .unionByName(Seq(
+          ("zz_decision_zstd_magic", if (allZst) 1L else 0L, 1L))
+          .toDF("source", "n_docs", "checksum"))
+    }.orderBy("source")
+  }
+
+  /** The q154 oracle: the raw-text census (JSON and zstd appear
+    * nowhere) plus the frame-magic decision as a constant. */
+  val jsonlZstRoundtripSql: String = mat(
+    s"""WITH aug AS (
+       |  SELECT doc_id, n_chars, lang, source,
+       |         text || ' ' || chr(34) || substr(md5(text), 1, 6) ||
+       |           chr(92) || chr(9) || chr(10) || 'é€' AS text
+       |  FROM documents)
+       |SELECT source, n_docs, checksum FROM (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM aug GROUP BY source
+       |  UNION ALL
+       |  SELECT 'zz_decision_zstd_magic', CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)) t
+       |ORDER BY source""".stripMargin)
+
   /** The q151 oracle: q139's raw-text census (JSON and gzip appear
     * nowhere) plus the codec decision as a constant. */
   val jsonlGzRoundtripSql: String = mat(
@@ -3041,5 +3115,8 @@ object Pipeline {
     // pinned read censused on both sides of a pin-crossing
     // compaction; release hands the retained generation to the next GC
     QueryDef("q152_savepoint_horizon", savepointHorizon, Some(savepointHorizonSql)),
+    // q154: the .jsonl.zst interchange — the splittable-format-ready
+    // codec path (zstd-jni Hadoop codec), frame magic gated on disk
+    QueryDef("q154_jsonl_zst_roundtrip", jsonlZstRoundtrip, Some(jsonlZstRoundtripSql)),
   )
 }
