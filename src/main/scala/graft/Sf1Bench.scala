@@ -63,13 +63,18 @@ object Sf1Bench {
     // ... and the round-15 additions, all raw-derivable oracles
     // (each sub-second at k=10): q147 rebucketing layout decisions at
     // the larger store, q148 the profile door × takedown composition
-    // (its per-batch deltas stay under the 400k envelope even at
-    // k=10 — the chunked-delta path is proven separately under a
-    // tightened envelope in `StreamingSpec`), q149 the real WAV
+    // (run at the production-ratio door envelope since round 16, so
+    // the chunked-delta path EXECUTES here — chunk_splits in the JSON
+    // line — where it no-ops at the oracle scales), q149 the real WAV
     // decode census over the 50k-blob corpus, q150 the cross-store
     // savepoint isolation
     "q147_bucket_evolution", "q148_profile_takedown_door",
-    "q149_wav_neardup", "q150_savepoint", "q151_jsonl_gz_roundtrip")
+    "q149_wav_neardup", "q150_savepoint", "q151_jsonl_gz_roundtrip",
+    // ... and the round-16 additions, all raw-derivable oracles:
+    // q152 savepoints in the retention horizon (the pin-crossing
+    // compaction at the 10× store), q153 the real y4m video decode
+    // census over the 500k-clip corpus, q154 the zstd interchange
+    "q152_savepoint_horizon", "q153_y4m_neardup", "q154_jsonl_zst_roundtrip")
 
   private val Offset = 100000000L
 
@@ -135,15 +140,27 @@ object Sf1Bench {
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // round-16 item 3 (round-15 judge): run the stream doors at a
+    // PRODUCTION-RATIO upsert envelope so the chunked-delta path
+    // actually EXECUTES at the sf1 point (the per-batch vocabulary
+    // deltas are ~50-60k rows at k=10; 32768 forces ~2 chunks per
+    // event, where the oracle scales' ~0.5-5k deltas no-op). The q148
+    // hash gate is chunking-invariant by construction — the JSON line
+    // records how many splits actually fired.
+    spark.conf.set("spark.graft.door.chunkEnv", "32768")
+
     val tBuild0 = System.nanoTime()
     buildSnapshot(spark, src, out, k)
     val buildSec = (System.nanoTime() - tBuild0) / 1e9
 
     // one-time shared-state build (written pair graph / band & window
-    // indexes / ANN index tables) — its own field, the Bench convention
+    // indexes / ANN index tables) — its own field, the Bench
+    // convention. Round-16 item 5: PARALLEL lanes
+    // (Similarity.warmAllParallel) — setup_sec is the pass WALL; the
+    // per-artifact spans (overlapping by design) ride the JSON line.
     val tSetup0 = System.nanoTime()
-    graft.operators.Dedup.warmSharedState(spark, out)
-    graft.operators.Similarity.warmSharedState(spark, out)
+    val setupTables =
+      graft.operators.Similarity.warmAllParallel(spark, out, dedupToo = true)
     val setupSec = (System.nanoTime() - tSetup0) / 1e9
 
     val selected = Headline.map(n => n -> SparkEntry.queries(n))
@@ -342,8 +359,7 @@ object Sf1Bench {
          |         ORDER BY vec_id LIMIT $spotProbes),
          |sc AS (
          |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
-         |         CAST(CAST(list_sum(list_transform(generate_series(1, len(p.q)),
-         |                i -> p.q[i] * c.q[i])) AS BIGINT) AS DOUBLE)
+         |         CAST(CAST(list_inner_product(p.q, c.q) AS BIGINT) AS DOUBLE)
          |           / sqrt(CAST(p.qn AS DOUBLE) * CAST(c.qn AS DOUBLE)) AS cos
          |  FROM n p JOIN pset ON p.vec_id = pset.vec_id
          |  JOIN n c ON p.vec_id <> c.vec_id)
@@ -381,8 +397,7 @@ object Sf1Bench {
          |SELECT vec_id, cent_id FROM (
          |  SELECT v.vec_id, c.cent_id,
          |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |           CAST(CAST(list_sum(list_transform(generate_series(1, len(v.q)),
-         |                  i -> v.q[i] * c.cq[i])) AS BIGINT) AS DOUBLE)
+         |           CAST(CAST(list_inner_product(v.q, c.cq) AS BIGINT) AS DOUBLE)
          |             / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
          |           c.cent_id) AS rn
          |  FROM n v JOIN pset ON v.vec_id = pset.vec_id
@@ -459,9 +474,13 @@ object Sf1Bench {
     val q = times.map { case (n, t) => s""""$n":${BenchReport.f3(t)}""" }.mkString(",")
     val j = plans.map { case (n, p) =>
       s""""$n":"${joinsOf(p).mkString("+")}"""" }.mkString(",")
+    val setupMap = setupTables.map { case (n, t) =>
+      s""""$n":${BenchReport.f3(t)}""" }.mkString(",")
     println(
       s"""{"metric":"sf1_total","value":${BenchReport.f3(times.map(_._2).sum)},"unit":"sec"""" +
         s""","k":$k,"build_sec":${BenchReport.f3(buildSec)},"setup_sec":${BenchReport.f3(setupSec)}""" +
+        s""","setup_tables":{$setupMap}""" +
+        s""","chunk_splits":${graft.streaming.StreamDoor.chunkSplits.get()}""" +
         s""","passes":$passes,"ivf_k":${graft.operators.Similarity.ivfK(spark, out)}""" +
         s""","queries":{$q},"joins":{$j},"q83_buckets":"$bucketLine"""" +
         s""","q83_point_nprobe2_buckets":"$pointLine"""" +

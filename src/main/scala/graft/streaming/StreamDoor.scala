@@ -454,7 +454,17 @@ object StreamDoor {
     * auxiliary actions on the DELTA, never the corpus. */
   private[graft] def chunkedCountUpsert(s: SparkSession, dir: String, what: String,
       bkt: Option[(Int, Seq[String])], delta: DataFrame): Unit = {
-    val env = math.max(1L, Layout.massDeleteKeys(s))
+    // the door's own envelope knob (`spark.graft.door.chunkEnv`): a
+    // deployment sizes it to the per-executor broadcast/upsert budget
+    // INDEPENDENTLY of the global takedown envelope — the sf1 gate
+    // runs the doors at a production-ratio value so the chunked path
+    // EXECUTES at scale (it no-ops at the oracle scales), with the
+    // hash gate invariant to the chunking by construction. Never
+    // above massDeleteKeys: each chunk must still pass upsertSegment's
+    // hard envelope.
+    val env = math.max(1L, math.min(Layout.massDeleteKeys(s),
+      s.conf.getOption("spark.graft.door.chunkEnv").map(_.toLong)
+        .getOrElse(Layout.massDeleteKeys(s))))
     val n = delta.count()
     if (n <= env) {
       Layout.upsertSegment(s, dir, what, bkt, delta, Seq("k"))
