@@ -142,12 +142,15 @@ object Sf1Bench {
 
     // round-16 item 3 (round-15 judge): run the stream doors at a
     // PRODUCTION-RATIO upsert envelope so the chunked-delta path
-    // actually EXECUTES at the sf1 point (the per-batch vocabulary
-    // deltas are ~50-60k rows at k=10; 32768 forces ~2 chunks per
-    // event, where the oracle scales' ~0.5-5k deltas no-op). The q148
-    // hash gate is chunking-invariant by construction — the JSON line
-    // records how many splits actually fired.
-    spark.conf.set("spark.graft.door.chunkEnv", "32768")
+    // actually EXECUTES at the sf1 point (measured per-batch
+    // vocabulary deltas are ~5-6k rows at k=10 — 2.5k docs/micro-batch
+    // × (doc_id + text + small-cardinality columns); 2048 forces ~3
+    // chunks per event, where the oracle scales' ~300-row deltas
+    // no-op). The q148 hash gate is chunking-invariant by
+    // construction — the JSON line records how many splits fired, and
+    // a require below makes a silently-unexercised chunk path FAIL
+    // the run rather than ship a vacuous gate.
+    spark.conf.set("spark.graft.door.chunkEnv", "2048")
 
     val tBuild0 = System.nanoTime()
     buildSnapshot(spark, src, out, k)
@@ -476,6 +479,12 @@ object Sf1Bench {
       s""""$n":"${joinsOf(p).mkString("+")}"""" }.mkString(",")
     val setupMap = setupTables.map { case (n, t) =>
       s""""$n":${BenchReport.f3(t)}""" }.mkString(",")
+    // the chunked door path must have EXECUTED at this scale point —
+    // a 0 here means the envelope knob and the snapshot drifted apart
+    // and the "chunking proven at sf1" claim would be vacuous
+    require(graft.streaming.StreamDoor.chunkSplits.get() > 0,
+      "stream-door chunking did not fire at the sf1 point — " +
+        "per-batch deltas fell under spark.graft.door.chunkEnv")
     println(
       s"""{"metric":"sf1_total","value":${BenchReport.f3(times.map(_._2).sum)},"unit":"sec"""" +
         s""","k":$k,"build_sec":${BenchReport.f3(buildSec)},"setup_sec":${BenchReport.f3(setupSec)}""" +

@@ -287,6 +287,14 @@ object Dedup {
     corpusWindowIndex(s, dir).count()
   }
 
+  // warm hooks for the private artifacts, so the parallel setup pass
+  // (Similarity.warmAllParallel) can lane them individually without
+  // widening their visibility
+  private[graft] def corpusPairGraphWarm(s: SparkSession, dir: String): Unit =
+    corpusPairGraph(s, dir).count()
+  private[graft] def shingleTableWarm(s: SparkSession, dir: String): Unit =
+    shingleTable(s, dir).count()
+
   /** Uncached, fully-ordered pair pipeline over explicit docs — the
     * spec surface (`SkewCapSpec`, `PlanShapeSpec` pin cap firing and
     * exchange reuse on THIS path, where the session cache cannot hide

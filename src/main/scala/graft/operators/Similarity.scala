@@ -1049,7 +1049,7 @@ object Similarity {
     }
     val qv = quantized(s, dir)
     qv.persist()
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       qv.count()
@@ -1073,7 +1073,19 @@ object Similarity {
           timed("ivfpqbase")(ivfPqBaseTable(s, dir).count())
         }) ++
         (if (dedupToo)
-          Seq(() => timed("dedup_shared")(Dedup.warmSharedState(s, dir)))
+          // the five dedup artifacts each build from raw tables under
+          // independent once-gates — per-artifact lanes, so the text
+          // family's long poles (pair graph, window index) overlap
+          // the ANN training lanes instead of queuing behind each
+          // other (the r16 sf1 wall was dedup-lane-bound at 51 s)
+          Seq[() => Unit](
+            () => timed("dedup_pairgraph")(Dedup.pairGraph(s, dir).count()),
+            () => {
+              timed("dedup_bandindex")(Dedup.corpusBandIndex(s, dir).count())
+              timed("dedup_corpusgraph")(Dedup.corpusPairGraphWarm(s, dir))
+            },
+            () => timed("dedup_shingles")(Dedup.shingleTableWarm(s, dir)),
+            () => timed("dedup_windowindex")(Dedup.corpusWindowIndex(s, dir).count()))
         else Nil) ++
         extras.map { case (n, b) => () => timed(n)(b(s, dir)) }
       Await.result(

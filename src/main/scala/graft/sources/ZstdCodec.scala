@@ -42,10 +42,19 @@ import org.apache.hadoop.io.compress.{
   * the codec exposes none (Hadoop's CodecPool null-checks both
   * directions); `createInputStream(in, decompressor)` ignores the
   * pooled argument by contract. */
-final class ZstdCodec extends CompressionCodec {
+final class ZstdCodec extends CompressionCodec
+    with org.apache.hadoop.conf.Configurable {
+
+  private var conf: org.apache.hadoop.conf.Configuration = _
+  override def setConf(c: org.apache.hadoop.conf.Configuration): Unit = conf = c
+  override def getConf: org.apache.hadoop.conf.Configuration = conf
+
+  private def frameBytes: Long =
+    Option(conf).map(_.getLong("graft.zstd.frameBytes",
+      ZstdCodec.DefaultFrameBytes)).getOrElse(ZstdCodec.DefaultFrameBytes)
 
   override def createOutputStream(out: OutputStream): CompressionOutputStream =
-    new ZstdCodec.ZstdOut(out)
+    new ZstdCodec.ZstdOut(out, frameBytes)
 
   override def createOutputStream(out: OutputStream,
       compressor: Compressor): CompressionOutputStream =
@@ -75,9 +84,24 @@ object ZstdCodec {
     * would still roundtrip, so the bytes are gated, not the option. */
   val Magic: Array[Int] = Array(0x28, 0xb5, 0x2f, 0xfd)
 
-  private final class ZstdOut(raw: OutputStream)
+  /** Raw bytes per frame before the writer ends it and starts the
+    * next (`graft.zstd.frameBytes` overrides): FRAME-PER-BLOCK is the
+    * layout the zstd SEEKABLE format standardizes — each frame is an
+    * independent decompression point, so a split reader (or the
+    * standard seekable-format index, a skippable frame of
+    * (compressed, raw) sizes any zstd tool understands) can enter the
+    * file mid-stream. Writing the layout costs ~nothing at 4 MiB
+    * granularity (zstd's window resets at frame ends; ratio loss is
+    * noise for text), and the continuous reader consumes the frames
+    * transparently — this is the half of splittability the FORMAT
+    * owns; the `SplittableCompressionCodec` reader over these
+    * boundaries is the documented production extension. */
+  val DefaultFrameBytes: Long = 4L << 20
+
+  private final class ZstdOut(raw: OutputStream, frameBytes: Long)
       extends CompressionOutputStream(raw) {
     private var z = newFrame()
+    private var inFrame = 0L
 
     private def newFrame(): ZstdOutputStreamNoFinalizer = {
       val s = new ZstdOutputStreamNoFinalizer(raw)
@@ -87,13 +111,32 @@ object ZstdCodec {
       s
     }
 
-    override def write(b: Int): Unit = z.write(b)
-    override def write(b: Array[Byte], off: Int, len: Int): Unit =
-      z.write(b, off, len)
+    private def rotateIfFull(): Unit =
+      if (inFrame >= frameBytes) { z.flush(); z = newFrame(); inFrame = 0L }
+
+    override def write(b: Int): Unit = {
+      rotateIfFull(); z.write(b); inFrame += 1
+    }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      // honor the frame budget EXACTLY even for single large buffers
+      // (a caller streaming one partition-sized array must still get
+      // the frame-per-block layout): fill the current frame's
+      // remaining budget, rotate, repeat
+      var o = off
+      var l = len
+      while (l > 0) {
+        rotateIfFull()
+        val take = math.min(l.toLong, frameBytes - inFrame).toInt
+        z.write(b, o, take)
+        inFrame += take
+        o += take
+        l -= take
+      }
+    }
     override def finish(): Unit = z.flush()
     // block-format writers (SequenceFile) reset between records: a
     // fresh frame over the same sink
-    override def resetState(): Unit = { z.flush(); z = newFrame() }
+    override def resetState(): Unit = { z.flush(); z = newFrame(); inFrame = 0L }
     override def close(): Unit = {
       try { finish(); z.close() } finally raw.close()
     }

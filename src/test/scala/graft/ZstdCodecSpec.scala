@@ -46,6 +46,35 @@ class ZstdCodecSpec extends SparkSpec {
     in.close()
   }
 
+  test("frame-per-block: the writer rotates frames at the budget; the stream reads back whole") {
+    // a small frame budget makes the seekable-ready layout visible:
+    // ~64 KiB of text under a 16 KiB budget must land as >= 4 frames
+    // (each starting with the RFC 8878 magic), and the continuous
+    // reader must consume them as one stream
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.setLong("graft.zstd.frameBytes", 16 * 1024)
+    val c = new ZstdCodec
+    c.setConf(conf)
+    val payload = (0 until 4000).map(i => s"line $i with some text\n")
+      .mkString.getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = c.createOutputStream(bos)
+    out.write(payload, 0, payload.length)
+    out.close()
+    val packed = bos.toByteArray
+    def magicAt(i: Int): Boolean =
+      i + 4 <= packed.length && ZstdCodec.Magic.zipWithIndex.forall {
+        case (m, j) => (packed(i + j) & 0xff) == m
+      }
+    val magics = (0 until packed.length).count(magicAt)
+    assert(magics >= payload.length / (16 * 1024),
+      s"expected >= ${payload.length / (16 * 1024)} frame magics, saw $magics")
+    val in = c.createInputStream(new java.io.ByteArrayInputStream(packed))
+    assert(java.util.Arrays.equals(in.readAllBytes(), payload),
+      "frame-per-block roundtrip drifted")
+    in.close()
+  }
+
   test("Spark writes .zst text via the FQCN option and reads it back by extension") {
     val path = Layout.warehousePath(spark, "graft_zstspec_text")
     Layout.deleteWarehouseDir(spark, path)
