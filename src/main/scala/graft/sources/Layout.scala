@@ -355,8 +355,14 @@ object Layout {
     * at 100 TB a deployment bounds it with the same lever those
     * formats use (savepoint TTLs / pin budgets in `shouldCompact`'s
     * policy conf). The temp name carries a non-numeric suffix so the
-    * version discovery ([[versionsOf]]) can never misparse it. */
-  private def freezeVersion(s: SparkSession, name: String, v: Long): Unit = {
+    * version discovery ([[versionsOf]]) can never misparse it.
+    * The frozen snapshot keeps the store's BUCKET SPEC (one write
+    * task per bucket, the compactBucketed discipline) — a pinned read
+    * that joins on the bucket key keeps the zero-exchange property
+    * the live store's readers have; a pin is a long-lived consumer
+    * surface, not a cold archive. */
+  private def freezeVersion(s: SparkSession, name: String, v: Long,
+      buckets: Option[(Int, Seq[String])]): Unit = {
     val vt = s"${name}__v$v"
     if (!s.catalog.tableExists(vt)) return
     val isView = s.sessionState.catalog.getTableMetadata(
@@ -364,7 +370,13 @@ object Layout {
     if (!isView) return
     val tmp = s"${vt}frozen"
     refresh(s, tmp)
-    s.table(vt).write.saveAsTable(tmp)
+    val rows = s.table(vt)
+    buckets match {
+      case Some((k, bc)) =>
+        rows.repartition(k, pmod(hash(bc.map(col): _*), lit(k)))
+          .write.bucketBy(k, bc.head, bc.tail: _*).saveAsTable(tmp)
+      case None => rows.write.saveAsTable(tmp)
+    }
     s.sql(s"DROP VIEW $vt")
     s.sql(s"ALTER TABLE $tmp RENAME TO $vt")
   }
@@ -918,7 +930,7 @@ object Layout {
       // predicate over still exist), so the pinned reads survive the
       // horizon — released pins are swept by the NEXT compaction.
       versionsOf(s, name).filter(_ < e).foreach { v =>
-        if (pinnedGens.contains(v)) freezeVersion(s, name, v)
+        if (pinnedGens.contains(v)) freezeVersion(s, name, v, buckets)
         else dropAnyVersion(s, s"${name}__v$v")
       }
       // clean sidecars: the next event starts a fresh tombstone

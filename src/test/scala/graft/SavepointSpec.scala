@@ -93,6 +93,17 @@ class SavepointSpec extends SparkSpec {
       "the retained (frozen) pinned read drifted across the compaction")
     // ... and the compacted stable view reflects the delete as usual
     assert(rows(spark.table(Layout.tableName(dir, "svp3upd"))).size == 70)
+    // ... and the frozen snapshot kept the store's BUCKET SPEC: a
+    // pin is a long-lived consumer surface — its bucket-key
+    // aggregate must stay exchange-free like the live store's
+    val frozen = Layout.readSavepoint(spark, dir, "spec2", "svp3upd")
+    val aggPlan = {
+      val df = frozen.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(!aggPlan.contains("Exchange hashpartitioning"),
+      s"frozen pinned read lost the bucketed layout:\n$aggPlan")
     // later events still compose on the compacted store
     Layout.appendSegment(spark, dir, "svp3", bkt,
       Seq((900L, 9L)).toDF("k", "v"))
