@@ -73,8 +73,11 @@ object Sf1Bench {
     // ... and the round-16 additions, all raw-derivable oracles:
     // q152 savepoints in the retention horizon (the pin-crossing
     // compaction at the 10× store), q153 the real y4m video decode
-    // census over the 500k-clip corpus, q154 the zstd interchange
-    "q152_savepoint_horizon", "q153_y4m_neardup", "q154_jsonl_zst_roundtrip")
+    // census over the 50k-clip corpus, q154 the zstd interchange,
+    // q155 the training mix off two pinned stores (the frozen
+    // bucketed join's zero-exchange decision held at the larger size)
+    "q152_savepoint_horizon", "q153_y4m_neardup", "q154_jsonl_zst_roundtrip",
+    "q155_savepoint_training_mix")
 
   private val Offset = 100000000L
 

@@ -3042,6 +3042,131 @@ object Pipeline {
          |ORDER BY artifact""".stripMargin)
   }
 
+  /** q155: the TRAINING MIX read OFF a savepoint — the use case the
+    * whole savepoint machinery exists for, run end to end: a training
+    * job derives its per-(lang, label) data mix from TWO co-derived
+    * stores "as of one moment" while ingestion, corrections AND
+    * maintenance continue around it.
+    *
+    *  - store A (curated documents, doc_id-bucketed) and store B
+    *    (embedding labels, vec_id-bucketed) each absorb a takedown
+    *    (gen 3), then SAVEPOINT `q155` pins both;
+    *  - post-pin: A ingests a late batch, B applies a LABEL
+    *    CORRECTION upsert (gen 4 — the pinned read must serve the
+    *    OLD labels), and BOTH stores compact (gen 5) — the horizon
+    *    crosses the pin and the retain policy freezes both pinned
+    *    generations WITH their bucket specs;
+    *  - the mix = A@pin ⋈ B@pin on the id, rolled up to
+    *    (lang, label) → (n_docs, sum_chars) — the sampling-weight
+    *    table a data loader consumes; the oracle re-derives it from
+    *    raw tables at the pinned moment, so a leaked post-pin event
+    *    (the late batch, the correction, or compaction drift) flips
+    *    the hash.
+    *
+    * Two decision rows make the SCALE claims data: the pinned join
+    * runs with ZERO hash-partition exchanges (both frozen snapshots
+    * kept their bucket specs — a pin is a long-lived consumer
+    * surface, so its joins stay co-located across maintenance;
+    * AQE-final plan checked), and the post-pin correction is visible
+    * at latest while absent at the pin (count of label diffs ==
+    * the raw prediction, > 0). */
+  def savepointTrainingMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Layout
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val bktA = Some((Layout.Buckets, Seq("doc_id")))
+    val bktB = Some((Layout.Buckets, Seq("vec_id")))
+    val presentA = pmod(col("doc_id"), lit(5)) =!= 0 ||
+      pmod(col("doc_id"), lit(10)) === 0
+    // gens 1-2 once-gated inside appendRewrite (outside the census
+    // gate — the Recursive-update rule)
+    Layout.appendRewrite(s, dir, "trd", bktA,
+      d.filter(pmod(col("doc_id"), lit(10)) === 0))(
+      d.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    Layout.appendRewrite(s, dir, "tre", bktB,
+      e.filter(pmod(col("vec_id"), lit(2)) === 0))(
+      e.filter(pmod(col("vec_id"), lit(2)) === 1))
+    val nameB = Layout.tableName(dir, "treupd")
+    Layout.materializedTable(s, dir, "trmix") {
+      Layout.deleteSegment(s, dir, "trd",
+        d.filter(pmod(col("doc_id"), lit(7)) === 2 && presentA)
+          .select(col("doc_id")), Seq("doc_id"))
+      Layout.deleteSegment(s, dir, "tre",
+        e.filter(pmod(col("vec_id"), lit(11)) === 5)
+          .select(col("vec_id")), Seq("vec_id"))
+      Layout.releaseSavepoint(s, dir, "q155", ifExists = true)
+      Layout.savepoint(s, dir, "q155", Seq("trdupd", "treupd"))
+      // post-pin: late ingest on A, the label CORRECTION on B
+      Layout.appendSegment(s, dir, "trd", bktA,
+        d.filter(pmod(col("doc_id"), lit(10)) === 5))
+      Layout.upsertSegment(s, dir, "tre", bktB,
+        e.filter(pmod(col("vec_id"), lit(13)) === 1)
+          .select(col("vec_id"),
+            (col("label") + 100).cast("int").as("label")), Seq("vec_id"))
+      // maintenance crosses the pin on BOTH stores (frozen bucketed)
+      Layout.compactDeleted(s, dir, "trdupd", bktA)
+      Layout.compactDeleted(s, dir, "treupd", bktB)
+      val a = Layout.readSavepoint(s, dir, "q155", "trdupd")
+      val b = Layout.readSavepoint(s, dir, "q155", "treupd")
+      val mixRows = a.join(b, col("doc_id") === col("vec_id"))
+        .groupBy(col("lang"), col("label"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .collect() // bounded: |langs| × |labels|
+      // plan decision, AQE-final (collect then executedPlan — the
+      // q147 rule): the pinned join must add no hash-partition
+      // exchange over the two frozen bucketed snapshots
+      val probe = a.join(b, col("doc_id") === col("vec_id"))
+        .agg(count(lit(1)).as("n"))
+      probe.collect()
+      val zeroEx = !probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0).contains("Exchange hashpartitioning")
+      // isolation decision: the correction shows at LATEST, not at
+      // the pin — label diffs on the joined ids == the raw prediction
+      val changed = s.table(nameB).select(col("vec_id"), col("label"))
+        .join(b.select(col("vec_id").as("pvid"), col("label").as("plabel")),
+          col("vec_id") === col("pvid"))
+        .filter(col("label") =!= col("plabel")).count()
+      val expChanged = e.filter(pmod(col("vec_id"), lit(13)) === 1 &&
+        pmod(col("vec_id"), lit(11)) =!= 5).count()
+      mixRows.toSeq.map(r => (r.getString(0), r.getInt(1).toLong,
+          r.getLong(2), r.getLong(3)))
+        .toDF("lang", "label", "n_docs", "sum_chars")
+        .unionByName(Seq(
+          ("zz_decision_pinned_join_zero_exchange",
+            if (zeroEx) 1L else 0L, 1L, 1L),
+          ("zz_decision_correction_isolated",
+            if (changed == expChanged && changed > 0) 1L else 0L, 1L, 1L))
+          .toDF("lang", "label", "n_docs", "sum_chars"))
+    }.orderBy("lang", "label")
+  }
+
+  /** The q155 oracle: the mix re-derived from raw tables AT the
+    * pinned moment — A@pin = (standing ∪ ingest) ∖ X, B@pin = all ∖ Y
+    * with ORIGINAL labels (the correction is post-pin) — plus the two
+    * decisions as constants. */
+  val savepointTrainingMixSql: String = mat(
+    s"""WITH apin AS (
+       |  SELECT doc_id, lang, n_chars FROM documents
+       |  WHERE (doc_id % 5 <> 0 OR doc_id % 10 = 0) AND doc_id % 7 <> 2),
+       |bpin AS (SELECT vec_id, label FROM embeddings WHERE vec_id % 11 <> 5),
+       |mix AS (
+       |  SELECT lang, CAST(label AS BIGINT) AS label,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |  FROM apin JOIN bpin ON doc_id = vec_id
+       |  GROUP BY 1, 2)
+       |SELECT lang, label, n_docs, sum_chars FROM (
+       |  SELECT * FROM mix
+       |  UNION ALL
+       |  SELECT 'zz_decision_pinned_join_zero_exchange', CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'zz_decision_correction_isolated', CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT)) t
+       |ORDER BY lang, label""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -3118,5 +3243,10 @@ object Pipeline {
     // q154: the .jsonl.zst interchange — the splittable-format-ready
     // codec path (zstd-jni Hadoop codec), frame magic gated on disk
     QueryDef("q154_jsonl_zst_roundtrip", jsonlZstRoundtrip, Some(jsonlZstRoundtripSql)),
+    // q155: the training mix read off a savepoint — two pinned stores
+    // joined exchange-free across post-pin ingest, correction and
+    // compaction; the mix and both decisions raw-derived
+    QueryDef("q155_savepoint_training_mix", savepointTrainingMix,
+      Some(savepointTrainingMixSql)),
   )
 }
