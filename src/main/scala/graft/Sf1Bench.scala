@@ -77,7 +77,14 @@ object Sf1Bench {
     // q155 the training mix off two pinned stores (the frozen
     // bucketed join's zero-exchange decision held at the larger size)
     "q152_savepoint_horizon", "q153_y4m_neardup", "q154_jsonl_zst_roundtrip",
-    "q155_savepoint_training_mix")
+    "q155_savepoint_training_mix",
+    // ... and the round-16 training-reader additions, raw-derivable
+    // oracles: q156 the deterministic epoch shuffle (order checksums
+    // + the one-exchange/one-scan plan facts held at 50k docs), q157
+    // the constraint suite (single-pass decisions at the 10× corpus,
+    // RI over the 6M-row lineitem), q158 the inverted index (bucket-
+    // pruned point lookups over the 310-term replicated vocabulary)
+    "q156_epoch_shuffle", "q157_quality_constraints", "q158_inverted_index")
 
   private val Offset = 100000000L
 

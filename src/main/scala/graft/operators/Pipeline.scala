@@ -3167,6 +3167,268 @@ object Pipeline {
        |         CAST(1 AS BIGINT), CAST(1 AS BIGINT)) t
        |ORDER BY lang, label""".stripMargin)
 
+  /** Shards per epoch of the q156 deterministic shuffle. At 100 TB the
+    * count is thousands (sized to shard-file targets); the mechanics —
+    * a keyed hash to a uniform 32-bit position, fixed range boundaries,
+    * no sampling pass and no global sort — are count-independent. */
+  private val EpochShards = 8
+
+  /** q156: the DETERMINISTIC EPOCH SHUFFLE every training reader
+    * needs — each epoch is a different pseudo-random permutation of
+    * the corpus, realized WITHOUT a global sort: position
+    * u = first 8 hex digits of md5("epoch<e>:<doc_id>") is uniform in
+    * [0, 2^32), the shard is u's top 3 bits (fixed range boundaries —
+    * hashing to a uniform key makes `repartitionByRange`'s sampling
+    * pass unnecessary), and the within-shard read order is (u,
+    * doc_id). A data loader streams shard files in that order and
+    * gets a reproducible, seed-addressable permutation per epoch.
+    *
+    * The gate censuses both epochs per shard — count, payload mass,
+    * and an ORDER CHECKSUM sum(u·rank) that any wrong within-shard
+    * order flips — plus three scale facts as rows:
+    *  - epoch decorrelation: how many docs land in the SAME shard in
+    *    both epochs (≈ n/S; computed exactly, per-row, join-free);
+    *  - ONE hash exchange: the rank window and the census aggregate
+    *    share the (epoch, shard) partitioning (plan-checked);
+    *  - ONE corpus scan: both epochs ride a single scan via explode.
+    *
+    * Scale: O(n·epochs) rows through one exchange; the permutation is
+    * (shard, u) sort keys — per-shard local sorts, never a global
+    * one. Skew-free by construction (md5 uniformity). */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def uOf(epoch: Column, id: Column): Column =
+      conv(substring(md5(concat(lit("epoch"), epoch.cast(StringType),
+        lit(":"), id.cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val assigned = d
+      .withColumn("epoch", explode(array(lit(0L), lit(1L))))
+      .withColumn("u", uOf(col("epoch"), col("doc_id")))
+      .withColumn("shard_id", shiftright(col("u"), 29))
+    val w = Window.partitionBy(col("epoch"), col("shard_id"))
+      .orderBy(col("u"), col("doc_id"))
+    val census = assigned
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .groupBy(col("epoch"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("u") * col("rn")).as("ord_ck"))
+    val rows = census.collect() // bounded: epochs × shards
+    val plan = census.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val oneExchange =
+      "Exchange hashpartitioning".r.findAllIn(plan).size == 1 &&
+        !plan.contains("Exchange rangepartitioning")
+    val oneScan = "Scan parquet".r.findAllIn(plan).size == 1
+    // epoch decorrelation, join-free: both epochs' shards are per-row
+    // expressions of doc_id, so the overlap is one conditional sum
+    val ov = d.select(
+        (shiftright(uOf(lit(0L), col("doc_id")), 29) ===
+          shiftright(uOf(lit(1L), col("doc_id")), 29)).as("same"))
+      .agg(sum(when(col("same"), 1L).otherwise(0L)).as("ov"),
+        count(lit(1)).as("n"))
+      .collect()(0)
+    (rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))) ++ Seq(
+      (99L, 0L, ov.getLong(0), ov.getLong(1), 1L),
+      (99L, 1L, if (oneExchange) 1L else 0L, 1L, 1L),
+      (99L, 2L, if (oneScan) 1L else 0L, 1L, 1L)))
+      .toDF("epoch", "shard_id", "n_docs", "sum_chars", "ord_ck")
+      .orderBy("epoch", "shard_id")
+  }
+
+  /** The q156 oracle: both epochs' shard censuses and the overlap row
+    * re-derived from documents (md5 agrees byte-for-byte across the
+    * engines; 2^29 divides exactly), the two plan decisions predicted
+    * as constants. */
+  val epochShuffleSql: String = mat(
+    s"""WITH e AS (
+       |  SELECT 0 AS ep, doc_id, n_chars FROM documents
+       |  UNION ALL
+       |  SELECT 1 AS ep, doc_id, n_chars FROM documents),
+       |u AS (
+       |  SELECT ep, doc_id, n_chars,
+       |         CAST(('0x' || substr(md5('epoch' || ep || ':' || doc_id),
+       |           1, 8)) AS BIGINT) AS u
+       |  FROM e),
+       |r AS (
+       |  SELECT ep, u // 536870912 AS shard_id, n_chars, u,
+       |         row_number() OVER (PARTITION BY ep, u // 536870912
+       |                            ORDER BY u, doc_id) AS rn
+       |  FROM u),
+       |census AS (
+       |  SELECT CAST(ep AS BIGINT) AS epoch,
+       |         CAST(shard_id AS BIGINT) AS shard_id,
+       |         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(u * rn) AS BIGINT) AS ord_ck
+       |  FROM r GROUP BY 1, 2),
+       |ovl AS (
+       |  SELECT CAST(sum(CASE WHEN
+       |           CAST(('0x' || substr(md5('epoch0:' || doc_id), 1, 8))
+       |             AS BIGINT) // 536870912 =
+       |           CAST(('0x' || substr(md5('epoch1:' || doc_id), 1, 8))
+       |             AS BIGINT) // 536870912
+       |         THEN 1 ELSE 0 END) AS BIGINT) AS ov,
+       |         count(*) AS n
+       |  FROM documents)
+       |SELECT epoch, shard_id, n_docs, sum_chars, ord_ck FROM (
+       |  SELECT * FROM census
+       |  UNION ALL
+       |  SELECT CAST(99 AS BIGINT), CAST(0 AS BIGINT), ov, n,
+       |         CAST(1 AS BIGINT) FROM ovl
+       |  UNION ALL
+       |  SELECT CAST(99 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(99 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT)) t
+       |ORDER BY epoch, shard_id""".stripMargin)
+
+  /** The closed lang domain of the synthetic corpus (q157's
+    * set-membership constraint). */
+  private val LangDomain = Seq("de", "en", "es", "fr", "zh")
+
+  /** q157: the DECLARATIVE DATA-QUALITY CONSTRAINT SUITE (the Deequ /
+    * expectations story) — six constraints evaluated over a clean run
+    * and a deterministically CORRUPTED run, so every violation count
+    * is corpus-derived, non-zero where planted, and oracle-checked:
+    *
+    *  - completeness (text NOT NULL), range (n_chars ≥ 0), set
+    *    membership (lang ∈ domain), cross-field consistency
+    *    (n_chars = length(text)), key uniqueness (doc_id), and
+    *    referential integrity (lineitem.l_orderkey → orders);
+    *  - the corruption: ≡3 (mod 41) texts nulled, ≡5 (mod 37) lengths
+    *    negated, ≡7 (mod 43) langs set to 'xx', the ≡11 (mod 29)
+    *    slice duplicated, and the RI dim loses its ≡2 (mod 31) keys.
+    *
+    * The engine claim is the COST SHAPE, pinned as decision rows: all
+    * five row-level constraints (including the exact distinct) ride
+    * ONE aggregate pass — one corpus scan for the clean run, two (the
+    * union's branches) for the corrupted — never a scan per
+    * constraint. RI is the one join-shaped check (left-anti on the
+    * key; AQE picks broadcast vs shuffle by dim size). At 100 TB the
+    * suite cost is one pass + one anti-join however many constraints
+    * a team declares. */
+  def qualityConstraints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    def corrupt(d: DataFrame): DataFrame = d.select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(41)) === 3, lit(null).cast(StringType))
+        .otherwise(col("text")).as("text"),
+      when(pmod(col("doc_id"), lit(43)) === 7, lit("xx"))
+        .otherwise(col("lang")).as("lang"),
+      when(pmod(col("doc_id"), lit(37)) === 5, -col("n_chars") - 1)
+        .otherwise(col("n_chars")).as("n_chars"))
+    val corrupted = {
+      val c = corrupt(docs)
+      c.unionByName(c.filter(pmod(col("doc_id"), lit(29)) === 11))
+    }
+    def run(name: String, rel: DataFrame,
+        expectScans: Int): Seq[(String, String, Long, Long, Long)] = {
+      val aggDf = rel.agg(
+        count(lit(1)).as("checked"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("v_nn"),
+        sum(when(col("n_chars") < 0, 1L).otherwise(0L)).as("v_range"),
+        sum(when(!col("lang").isin(LangDomain: _*), 1L).otherwise(0L))
+          .as("v_lang"),
+        sum(when(col("text").isNotNull &&
+          col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("v_len"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("v_uniq"))
+      val r = aggDf.collect()(0) // bounded: 1 row
+      val plan = aggDf.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      val checked = r.getLong(0)
+      Seq("nn_text" -> r.getLong(1), "range_n_chars" -> r.getLong(2),
+        "lang_domain" -> r.getLong(3), "len_consistency" -> r.getLong(4),
+        "unique_doc_id" -> r.getLong(5))
+        .map { case (c, v) =>
+          (name, c, checked, v, if (v == 0L) 1L else 0L) } :+
+        ((name, "zz_single_pass", scans.toLong, 0L,
+          if (scans == expectScans) 1L else 0L))
+    }
+    val orders = Tables.orders(s, dir).select(col("o_orderkey"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+    val liN = li.count()
+    def orphans(dim: DataFrame): Long =
+      li.join(dim, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .count()
+    val riClean = orphans(orders)
+    val riBad = orphans(orders.filter(pmod(col("o_orderkey"), lit(31)) =!= 2))
+    (run("clean", docs, 1) ++ run("corrupted", corrupted, 2) ++ Seq(
+      ("clean", "ri_orders", liN, riClean, if (riClean == 0L) 1L else 0L),
+      ("corrupted", "ri_orders", liN, riBad, if (riBad == 0L) 1L else 0L)))
+      .toDF("run", "rule", "checked", "violations", "pass")
+      .orderBy("run", "rule")
+  }
+
+  /** The q157 oracle: every constraint re-evaluated in SQL over the
+    * same corruption derivation; the two single-pass decisions
+    * predicted as constants (scan counts 1 and 2). */
+  val qualityConstraintsSql: String = mat(
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 41 = 3 THEN NULL ELSE text END AS text,
+       |         CASE WHEN doc_id % 43 = 7 THEN 'xx' ELSE lang END AS lang,
+       |         CASE WHEN doc_id % 37 = 5 THEN -n_chars - 1
+       |              ELSE n_chars END AS n_chars
+       |  FROM documents),
+       |allr AS (
+       |  SELECT * FROM c UNION ALL SELECT * FROM c WHERE doc_id % 29 = 11),
+       |cagg AS (
+       |  SELECT count(*) AS checked,
+       |         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v_nn,
+       |         sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END) AS v_range,
+       |         sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh')
+       |             THEN 1 ELSE 0 END) AS v_lang,
+       |         sum(CASE WHEN text IS NOT NULL AND n_chars <> len(text)
+       |             THEN 1 ELSE 0 END) AS v_len,
+       |         count(*) - count(DISTINCT doc_id) AS v_uniq
+       |  FROM documents),
+       |bagg AS (
+       |  SELECT count(*) AS checked,
+       |         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v_nn,
+       |         sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END) AS v_range,
+       |         sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh')
+       |             THEN 1 ELSE 0 END) AS v_lang,
+       |         sum(CASE WHEN text IS NOT NULL AND n_chars <> len(text)
+       |             THEN 1 ELSE 0 END) AS v_len,
+       |         count(*) - count(DISTINCT doc_id) AS v_uniq
+       |  FROM allr),
+       |ri AS (
+       |  SELECT (SELECT count(*) FROM lineitem) AS checked,
+       |         (SELECT count(*) FROM lineitem l
+       |            LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |          WHERE o.o_orderkey IS NULL) AS v_clean,
+       |         (SELECT count(*) FROM lineitem l
+       |            LEFT JOIN (SELECT o_orderkey FROM orders
+       |                       WHERE o_orderkey % 31 <> 2) o
+       |              ON l.l_orderkey = o.o_orderkey
+       |          WHERE o.o_orderkey IS NULL) AS v_bad),
+       |rows AS (
+       |  SELECT 'clean' AS run, 'nn_text' AS rule, checked, v_nn AS violations FROM cagg
+       |  UNION ALL SELECT 'clean', 'range_n_chars', checked, v_range FROM cagg
+       |  UNION ALL SELECT 'clean', 'lang_domain', checked, v_lang FROM cagg
+       |  UNION ALL SELECT 'clean', 'len_consistency', checked, v_len FROM cagg
+       |  UNION ALL SELECT 'clean', 'unique_doc_id', checked, v_uniq FROM cagg
+       |  UNION ALL SELECT 'clean', 'zz_single_pass', 1, 0 FROM cagg
+       |  UNION ALL SELECT 'clean', 'ri_orders', checked, v_clean FROM ri
+       |  UNION ALL SELECT 'corrupted', 'nn_text', checked, v_nn FROM bagg
+       |  UNION ALL SELECT 'corrupted', 'range_n_chars', checked, v_range FROM bagg
+       |  UNION ALL SELECT 'corrupted', 'lang_domain', checked, v_lang FROM bagg
+       |  UNION ALL SELECT 'corrupted', 'len_consistency', checked, v_len FROM bagg
+       |  UNION ALL SELECT 'corrupted', 'unique_doc_id', checked, v_uniq FROM bagg
+       |  UNION ALL SELECT 'corrupted', 'zz_single_pass', 2, 0 FROM bagg
+       |  UNION ALL SELECT 'corrupted', 'ri_orders', checked, v_bad FROM ri)
+       |SELECT run, rule, CAST(checked AS BIGINT) AS checked,
+       |       CAST(violations AS BIGINT) AS violations,
+       |       CAST(CASE WHEN rule = 'zz_single_pass' THEN 1
+       |                 WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+       |FROM rows ORDER BY run, rule""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -3248,5 +3510,14 @@ object Pipeline {
     // compaction; the mix and both decisions raw-derived
     QueryDef("q155_savepoint_training_mix", savepointTrainingMix,
       Some(savepointTrainingMixSql)),
+    // q156: the deterministic epoch shuffle — per-epoch md5
+    // permutation realized as (shard, u) sort keys with fixed range
+    // boundaries; order checksums + decorrelation + plan facts gated
+    QueryDef("q156_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
+    // q157: the declarative data-quality constraint suite over a
+    // clean and a deterministically corrupted run; one-pass cost
+    // shape pinned as decision rows
+    QueryDef("q157_quality_constraints", qualityConstraints,
+      Some(qualityConstraintsSql)),
   )
 }

@@ -553,6 +553,125 @@ object TextAnalysis {
        |FROM r GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q158: the INVERTED TEXT INDEX + conjunctive retrieval — the
+    * boolean-search counterpart of the ANN family. The index is a
+    * WRITTEN, term-bucketed postings table (term, doc_id, tf, df,
+    * impact) with the integer impact tf·(N div df) denormalized in
+    * (impact-ordered postings, the standard IR layout); queries are
+    * CORPUS-DERIVED so both engines form the same set — the terms
+    * ranked 5–20 by (df desc, term) paired into 8 two-term AND
+    * queries. Execution is the real retrieval plan: a literal IN over
+    * the bucketed term key (PLANNING-TIME bucket pruning — the
+    * decision row pins SelectedBucketsCount ≤ 2-of-k for a point
+    * lookup), a broadcast of the 16-row query map, one (qid, doc)
+    * aggregate, and a per-query top-1 by (score desc, doc_id).
+    *
+    * Scale: postings build is one shuffle on (term, doc) + one on
+    * term; the query side moves O(matched postings), reads only the
+    * buckets holding query terms, and never ranks the vocabulary
+    * globally (top-20 is a TakeOrdered — 20 rows to the driver). */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Layout
+    val n = Tables.documents(s, dir).count() // corpus size: one number
+    val postings = Layout.materializedTable(s, dir, "invpostings",
+        Some((Layout.Buckets, Seq("term")))) {
+      val tf = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("term"), col("doc_id"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(dfc, Seq("term"))
+        .withColumn("impact", col("tf") * expr(s"$n div df"))
+    }
+    val top = postings.groupBy(col("term")).agg(max(col("df")).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(20).collect()
+    require(top.length >= 20, s"vocabulary too small: ${top.length} terms")
+    val terms = top.map(_.getString(0))
+    val qmap = (0 until 8).flatMap(i =>
+      Seq((i.toLong, terms(4 + i)), (i.toLong, terms(12 + i))))
+    val qterms = qmap.map(_._2)
+    val hits = postings
+      .filter(col("term").isin(qterms: _*)) // literal IN: bucket-pruned
+      .join(broadcast(qmap.toDF("qid", "term")), Seq("term"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("nt"), sum(col("impact")).as("score"))
+      .filter(col("nt") === 2) // conjunctive: both terms present
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val per = hits.withColumn("rn", row_number().over(w))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hits"),
+        max(when(col("rn") === 1, col("doc_id"))).as("top1_doc"),
+        max(when(col("rn") === 1, col("score"))).as("top1_score"))
+      .collect() // bounded: 8 queries
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // the point-lookup plan fact: a 2-term query reads ≤ 2 of the k
+    // term buckets (collect, not head — AQE final plan)
+    val probe = postings.filter(col("term").isin(terms(4), terms(12)))
+      .groupBy(col("term")).agg(sum(col("impact")).as("m"))
+      .agg(count(lit(1)).as("gn"))
+    probe.collect()
+    val pplan = probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val pruned = pplan.contains("Bucketed: true") &&
+      "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(pplan)
+        .exists(m => m.group(2).toInt == Layout.Buckets &&
+          m.group(1).toInt <= 2)
+    ((0 until 8).map { i =>
+      val (h, d, sc) = per.getOrElse(i.toLong, (0L, -1L, 0L))
+      (i.toLong, terms(4 + i), terms(12 + i), h, d, sc)
+    } :+ ((99L, "zz_decision_point_lookup_pruned", "zz",
+      if (pruned) 1L else 0L, 1L, 1L)))
+      .toDF("qid", "term_a", "term_b", "n_hits", "top1_doc", "top1_score")
+      .orderBy("qid")
+  }
+
+  /** The q158 oracle: postings, document frequencies, the ranked
+    * query set and every conjunctive score re-derived in SQL; the
+    * bucket-pruning decision predicted as a constant. */
+  val invertedIndexSql: String = graft.operators.mat(
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, doc_id, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |rk AS (SELECT term, df,
+      |         row_number() OVER (ORDER BY df DESC, term) AS r FROM dfc),
+      |qa AS (SELECT r - 5 AS qid, term AS term_a FROM rk WHERE r BETWEEN 5 AND 12),
+      |qb AS (SELECT r - 13 AS qid, term AS term_b FROM rk WHERE r BETWEEN 13 AND 20),
+      |qt AS (SELECT qid, term_a AS term FROM qa
+      |       UNION ALL SELECT qid, term_b FROM qb),
+      |sc AS (
+      |  SELECT q.qid, t.doc_id, count(*) AS nt,
+      |         sum(t.tf * (nn.n // d.df)) AS score
+      |  FROM qt q JOIN tf t ON q.term = t.term
+      |       JOIN dfc d ON t.term = d.term CROSS JOIN nn
+      |  GROUP BY 1, 2 HAVING count(*) = 2),
+      |rkd AS (
+      |  SELECT qid, doc_id, score,
+      |         row_number() OVER (PARTITION BY qid
+      |                            ORDER BY score DESC, doc_id) AS rn
+      |  FROM sc),
+      |per AS (
+      |  SELECT qid, count(*) AS n_hits,
+      |         max(CASE WHEN rn = 1 THEN doc_id END) AS top1_doc,
+      |         max(CASE WHEN rn = 1 THEN score END) AS top1_score
+      |  FROM rkd GROUP BY 1)
+      |SELECT qid, term_a, term_b, n_hits, top1_doc, top1_score FROM (
+      |  SELECT CAST(qa.qid AS BIGINT) AS qid, qa.term_a, qb.term_b,
+      |         CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+      |         CAST(coalesce(p.top1_doc, -1) AS BIGINT) AS top1_doc,
+      |         CAST(coalesce(p.top1_score, 0) AS BIGINT) AS top1_score
+      |  FROM qa JOIN qb ON qa.qid = qb.qid LEFT JOIN per p ON qa.qid = p.qid
+      |  UNION ALL
+      |  SELECT CAST(99 AS BIGINT), 'zz_decision_point_lookup_pruned', 'zz',
+      |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)) t
+      |ORDER BY qid""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q27_lang_id", langId, Some(langIdSql)),
     QueryDef("q28_quality_score", qualityScore, Some(qualityScoreSql)),
@@ -562,5 +681,9 @@ object TextAnalysis {
     QueryDef("q73_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     QueryDef("q87_bigram_lm", bigramLm, Some(bigramLmSql)),
     QueryDef("q114_pii_redaction", piiRedaction, Some(piiRedactionSql)),
+    // q158: the inverted index + conjunctive retrieval — written
+    // term-bucketed postings, corpus-derived query set, bucket-pruned
+    // point lookups; every score raw-derived by the oracle
+    QueryDef("q158_inverted_index", invertedIndex, Some(invertedIndexSql)),
   )
 }
