@@ -84,7 +84,10 @@ object Sf1Bench {
     // the constraint suite (single-pass decisions at the 10× corpus,
     // RI over the 6M-row lineitem), q158 the inverted index (bucket-
     // pruned point lookups over the 310-term replicated vocabulary)
-    "q156_epoch_shuffle", "q157_quality_constraints", "q158_inverted_index")
+    "q156_epoch_shuffle", "q157_quality_constraints", "q158_inverted_index",
+    // q159 the physical shard export (file-per-shard + frame magic
+    // decisions held over the 50k-doc corpus)
+    "q159_shard_export")
 
   private val Offset = 100000000L
 

@@ -3429,6 +3429,103 @@ object Pipeline {
        |                 WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
        |FROM rows ORDER BY run, rule""".stripMargin)
 
+  /** q159: the SHARD EXPORT — q156's epoch-0 permutation made
+    * physical: one `.jsonl.zst` file per shard under the warehouse
+    * (the delivery format a training data loader actually consumes —
+    * splittable-ready zstd jsonl, q154's codec, laid out by q156's
+    * fixed-boundary shard formula), then read BACK and censused per
+    * shard against the oracle's raw derivation. The handoff contract
+    * rides as decision rows:
+    *
+    *  - one part file per shard directory (`shard_id=N/part-*.zst` —
+    *    a loader maps shard → file with no manifest indirection);
+    *    repartition on the shard column task-aligns because all rows
+    *    of a shard share one hash, and `partitionBy` splits
+    *    directories regardless of task layout;
+    *  - the RFC 8878 frame magic on every part file (Hadoop FS API —
+    *    scheme-portable);
+    *  - within-file line order is (u, doc_id) — the logical order
+    *    q156 checksums; the loader streams lines in permutation order.
+    *
+    * Scale: the export is one exchange (8 → thousands of shards at
+    * 100 TB) + a partitioned sink; the census re-reads what was
+    * written, so the gate catches writer truncation, codec
+    * corruption, and shard misassignment in one hash. */
+  def shardExport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Layout, ZstdCodec}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "shardexportcensus") {
+      val u = conv(substring(md5(concat(lit("epoch0:"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+      val path = Layout.warehousePath(s, Layout.tableName(dir, "eposhards"))
+      d.withColumn("u", u)
+        .withColumn("shard_id", shiftright(col("u"), 29))
+        .repartition(EpochShards, col("shard_id"))
+        .sortWithinPartitions(col("shard_id"), col("u"), col("doc_id"))
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .option("compression", classOf[ZstdCodec].getName)
+        .json(path)
+      val shardDirs = Layout.listWarehouseNames(s, path, dirsOnly = true)
+        .filter(_.startsWith("shard_id="))
+      val partsPerDir = shardDirs.map(sd =>
+        Layout.listWarehouseNames(s, s"$path/$sd")
+          .filter(_.startsWith("part-")))
+      val oneFileEach = shardDirs.length == EpochShards &&
+        partsPerDir.forall(_.length == 1)
+      val allZst = partsPerDir.zip(shardDirs).forall { case (ps, sd) =>
+        ps.forall { f =>
+          f.endsWith(".zst") && {
+            val magic = Layout.headBytes(s, s"$path/$sd/$f", 4)
+            magic.length == 4 &&
+              magic.zip(ZstdCodec.Magic).forall { case (b, m) =>
+                (b & 0xff) == m }
+          }
+        }
+      }
+      val back = s.read
+        .schema("doc_id long, text string, lang string, n_chars long")
+        .json(path) // shard_id re-enters as the partition column
+      back.groupBy(col("shard_id").cast(LongType).as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(hash32(concat_ws("|", col("doc_id"), col("n_chars"),
+            col("lang"), md5(col("text"))))).as("checksum"))
+        .unionByName(Seq(
+          (99L, if (oneFileEach) 1L else 0L, 1L, 1L),
+          (100L, if (allZst) 1L else 0L, 1L, 1L))
+          .toDF("shard_id", "n_docs", "sum_chars", "checksum"))
+    }.orderBy("shard_id")
+  }
+
+  /** The q159 oracle: the per-shard census re-derived from documents
+    * through the same md5 shard formula (json, zstd and the directory
+    * layout appear nowhere), the two layout decisions as constants. */
+  val shardExportSql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(('0x' || substr(md5('epoch0:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents)
+       |SELECT shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM a GROUP BY 1
+       |  UNION ALL
+       |  SELECT CAST(99 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)) t
+       |ORDER BY shard_id""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -3519,5 +3616,9 @@ object Pipeline {
     // shape pinned as decision rows
     QueryDef("q157_quality_constraints", qualityConstraints,
       Some(qualityConstraintsSql)),
+    // q159: the shard export — q156's permutation written as one
+    // .jsonl.zst per shard (the data-loader delivery layout), read
+    // back and censused; file-per-shard + frame magic as decisions
+    QueryDef("q159_shard_export", shardExport, Some(shardExportSql)),
   )
 }
