@@ -86,8 +86,10 @@ object Sf1Bench {
     // pruned point lookups over the 310-term replicated vocabulary)
     "q156_epoch_shuffle", "q157_quality_constraints", "q158_inverted_index",
     // q159 the physical shard export (file-per-shard + frame magic
-    // decisions held over the 50k-doc corpus)
-    "q159_shard_export")
+    // decisions held over the 50k-doc corpus), q160 the mergeable
+    // quantile sketch (maintenance decisions + rank bounds at 10×),
+    // q161 the temperature mix (hash-threshold sample at 10×)
+    "q159_shard_export", "q160_quantile_sketch", "q161_temperature_mix")
 
   private val Offset = 100000000L
 

@@ -3526,6 +3526,238 @@ object Pipeline {
        |         CAST(1 AS BIGINT)) t
        |ORDER BY shard_id""".stripMargin)
 
+  /** Bucket width of the q160 histogram sketch (value-space width 64
+    * over the n_chars domain — ~10 live buckets per source at the
+    * test corpora; at 100 TB the width narrows or the domain deepens,
+    * the state stays O(sources × live buckets), independent of n). */
+  private val QsW = 64
+
+  /** q160: MERGEABLE QUANTILE SKETCHES with incremental maintenance —
+    * the ANALYZE family (q140/q142) extended to DISTRIBUTIONS. Spark's
+    * `approx_percentile` answers one query but its state is not
+    * storable or mergeable across snapshots; production profiling
+    * keeps a per-source histogram sketch TABLE (additive counts over
+    * fixed value-space buckets — deterministic and order-invariant,
+    * unlike rank-based sketches whose compaction depends on merge
+    * order) and maintains it per ingest batch without rescanning the
+    * corpus.
+    *
+    *  - the base sketch is a WRITTEN table (buckets of the ≢7 mod 10
+    *    corpus); the ≡7 batch arrives and the maintained sketch =
+    *    base table ⊎ batch histogram — O(batch) scan + O(sketch)
+    *    merge, additive so any split of the corpus merges to the
+    *    same state (spec property);
+    *  - quantile estimates (φ = 25/50/90/99) read off the merged
+    *    cumulative counts: the estimate is the first bucket's upper
+    *    value where cum ≥ ⌈φn/100⌉, and the gate carries the EXACT
+    *    rank of that estimate re-counted from raw rows plus a
+    *    within-one-bucket error decision per row — the sketch's
+    *    guarantee measured, not asserted;
+    *  - two plan/equality decisions: the maintenance plan reads the
+    *    sketch table + ONE corpus scan (the batch slice), never the
+    *    base corpus; merged state == a from-scratch rebuild.
+    *
+    * Scale: the sketch is O(sources × buckets) metadata; maintenance
+    * cost tracks the batch, quantile serving reads no corpus rows. */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Layout
+    val d = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+      col("n_chars"))
+    def hist(df: DataFrame): DataFrame = df
+      .groupBy(col("source"), (col("n_chars") / QsW).cast(LongType)
+        .as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val baseTable = Layout.materializedTable(s, dir, "qsketchbase") {
+      hist(d.filter(pmod(col("doc_id"), lit(10)) =!= 7))
+    }
+    val merged = baseTable
+      .unionByName(hist(d.filter(pmod(col("doc_id"), lit(10)) === 7)))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mergedRows = merged.collect() // bounded: sources × buckets
+    val mplan = merged.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val readsSketch = mplan.contains("qsketchbase") &&
+      "Scan parquet".r.findAllIn(mplan).size == 2
+    val rebuilt = hist(d).collect()
+    val asSet = (rs: Array[org.apache.spark.sql.Row]) =>
+      rs.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val incrEqRebuild = asSet(mergedRows) == asSet(rebuilt)
+    // quantile estimates off the merged sketch (driver-side over the
+    // bounded sketch state — this is metadata, not corpus rows)
+    val bySource = asSet(mergedRows).groupBy(_._1)
+    val ests = bySource.toSeq.flatMap { case (src, bs) =>
+      val sorted = bs.toSeq.sortBy(_._2)
+      val n = sorted.map(_._3).sum
+      Seq(25L, 50L, 90L, 99L).map { phi =>
+        val target = (phi * n + 99) / 100
+        var cum = 0L
+        val hit = sorted.find { case (_, _, c) => cum += c; cum >= target }.get
+        val cumAt = sorted.takeWhile(_._2 <= hit._2).map(_._3).sum
+        (src, phi, hit._2, (hit._2 + 1) * QsW - 1, target, hit._3, cumAt)
+      }
+    }
+    // the estimate's EXACT rank, re-counted from raw rows (one scan,
+    // all (source, phi) thresholds at once)
+    val estDf = ests.map { case (src, phi, b, hi, tg, pop, _) =>
+      (src, phi, b, hi, tg, pop) }
+      .toDF("source", "phi", "bucket", "est_hi", "target_rank", "pop")
+    val ranked = d.join(broadcast(estDf), Seq("source"))
+      .groupBy(col("source"), col("phi"), col("bucket"), col("est_hi"),
+        col("target_rank"), col("pop"))
+      .agg(sum(when(col("n_chars") <= col("est_hi"), 1L).otherwise(0L))
+        .as("rank_le"))
+      .withColumn("within",
+        when(col("rank_le") >= col("target_rank") &&
+          col("rank_le") - col("target_rank") < col("pop"), 1L)
+          .otherwise(0L))
+      .select(col("source"), col("phi"), col("bucket"), col("est_hi"),
+        col("target_rank"), col("rank_le"), col("within"))
+    ranked.unionByName(Seq(
+      ("zz_incremental_equals_rebuild", 0L,
+        if (incrEqRebuild) 1L else 0L, 1L, 1L, 1L, 1L),
+      ("zz_merge_reads_sketch_not_base", 0L,
+        if (readsSketch) 1L else 0L, 1L, 1L, 1L, 1L))
+      .toDF("source", "phi", "bucket", "est_hi", "target_rank",
+        "rank_le", "within"))
+      .orderBy("source", "phi")
+  }
+
+  /** The q160 oracle: the full-corpus histogram (the merged state —
+    * the merge is additive, so base ⊎ batch ≡ all rows), its quantile
+    * walk, and the exact rank re-count, all from raw documents; the
+    * two maintenance decisions predicted as constants. */
+  val quantileSketchSql: String = mat(
+    s"""WITH d AS (
+       |  SELECT source, n_chars, n_chars // $QsW AS bucket FROM documents),
+       |h AS (SELECT source, bucket, count(*) AS cnt FROM d GROUP BY 1, 2),
+       |t AS (SELECT source, sum(cnt) AS n FROM h GROUP BY 1),
+       |c AS (
+       |  SELECT source, bucket, cnt,
+       |         sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum
+       |  FROM h),
+       |p AS (SELECT source, n, unnest([25, 50, 90, 99]) AS phi FROM t),
+       |tg AS (SELECT source, phi, (phi * n + 99) // 100 AS target FROM p),
+       |e AS (
+       |  SELECT tg.source, tg.phi, tg.target, min(c.bucket) AS b
+       |  FROM tg JOIN c ON c.source = tg.source AND c.cum >= tg.target
+       |  GROUP BY 1, 2, 3),
+       |eb AS (
+       |  SELECT e.source, e.phi, e.b AS bucket,
+       |         (e.b + 1) * $QsW - 1 AS est_hi, e.target, c.cnt AS pop
+       |  FROM e JOIN c ON c.source = e.source AND c.bucket = e.b),
+       |r AS (
+       |  SELECT eb.source, eb.phi, eb.bucket, eb.est_hi,
+       |         eb.target AS target_rank,
+       |         (SELECT count(*) FROM d
+       |          WHERE d.source = eb.source AND d.n_chars <= eb.est_hi)
+       |           AS rank_le,
+       |         eb.pop
+       |  FROM eb)
+       |SELECT source, phi, bucket, est_hi, target_rank, rank_le, within
+       |FROM (
+       |  SELECT source, CAST(phi AS BIGINT) AS phi,
+       |         CAST(bucket AS BIGINT) AS bucket,
+       |         CAST(est_hi AS BIGINT) AS est_hi,
+       |         CAST(target_rank AS BIGINT) AS target_rank,
+       |         CAST(rank_le AS BIGINT) AS rank_le,
+       |         CAST(CASE WHEN rank_le >= target_rank
+       |                    AND rank_le - target_rank < pop
+       |               THEN 1 ELSE 0 END AS BIGINT) AS within
+       |  FROM r
+       |  UNION ALL
+       |  SELECT 'zz_incremental_equals_rebuild', 0, 1, 1, 1, 1, 1
+       |  UNION ALL
+       |  SELECT 'zz_merge_reads_sketch_not_base', 0, 1, 1, 1, 1, 1) t
+       |ORDER BY source, phi""".stripMargin)
+
+  /** q161: the TEMPERATURE-SCALED MULTILINGUAL MIX (α-sampling, the
+    * mT5/XLM-R recipe): sampling weights ∝ n_lang^α with α = 1/2
+    * flatten the language distribution so low-resource languages are
+    * up-sampled relative to their corpus share. Everything stays
+    * integer-exact across engines: w = round(10^6·√n) (√ is IEEE
+    * correctly-rounded on both), target = B·w div Σw over a budget
+    * B = half the corpus, and the REALIZED sample is hash
+    * THRESHOLDING — doc selected iff its md5 position
+    * u("mix:"+doc_id) < 2^32·target div n_lang — the production
+    * sampler shape: a pure per-row predicate, no per-language window
+    * rank (a window partitioned by language is one giant partition
+    * per language at 100 TB), no shuffle at all on the sampling scan.
+    * The realized count is binomial around the target (deterministic
+    * given the corpus — both engines derive the same set; the gate
+    * hashes the selected ids). share_before vs share_after (ppm,
+    * integer) carries the flattening fact the operator exists for. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select(col("lang"), col("doc_id"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTot = counts.values.sum
+    val budget = nTot / 2
+    val ws = counts.map { case (l, n) =>
+      l -> math.round(1e6 * math.sqrt(n.toDouble)) }
+    val wSum = ws.values.sum
+    val targets = ws.map { case (l, w) => l -> budget * w / wSum }
+    val cutoffs = targets.map { case (l, t) =>
+      l -> (4294967296L * t) / counts(l) }
+    val cutDf = cutoffs.toSeq.map { case (l, c) => (l, c) }
+      .toDF("lang", "cutoff")
+    val u = conv(substring(md5(concat(lit("mix:"),
+      col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val sampled = d.join(broadcast(cutDf), Seq("lang"))
+      .filter(u < col("cutoff"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("sampled"),
+        sum(hash32(col("doc_id").cast(StringType))).as("id_ck"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val sTot = sampled.values.map(_._1).sum
+    counts.keys.toSeq.sorted.map { l =>
+      val (sc, ck) = sampled.getOrElse(l, (0L, 0L))
+      (l, counts(l), ws(l), targets(l), sc, ck,
+        counts(l) * 1000000L / nTot, sc * 1000000L / sTot)
+    }.toDF("lang", "n_docs", "w", "target", "sampled", "id_ck",
+      "share_before_ppm", "share_after_ppm")
+      .orderBy("lang")
+  }
+
+  /** The q161 oracle: weights, targets, cutoffs, the thresholded
+    * sample and both ppm shares re-derived in SQL (round(10^6·√n)
+    * agrees across engines — same IEEE sqrt, same half-up-on-positive
+    * rounding; everything else is integer division). */
+  val temperatureMixSql: String = mat(
+    s"""WITH t AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(n) AS ntot, sum(n) // 2 AS b FROM t),
+       |w AS (SELECT lang, n,
+       |             CAST(round(1000000 * sqrt(n)) AS BIGINT) AS w FROM t),
+       |ws AS (SELECT sum(w) AS sw FROM w),
+       |cut AS (
+       |  SELECT lang, n, w, (tot.b * w) // ws.sw AS target,
+       |         (4294967296 * ((tot.b * w) // ws.sw)) // n AS cutoff
+       |  FROM w CROSS JOIN ws CROSS JOIN tot),
+       |s AS (
+       |  SELECT d.lang, count(*) AS sampled,
+       |         sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |           AS BIGINT)) AS id_ck
+       |  FROM documents d JOIN cut ON d.lang = cut.lang
+       |  WHERE CAST(('0x' || substr(md5('mix:' || doc_id), 1, 8)) AS BIGINT)
+       |          < cut.cutoff
+       |  GROUP BY 1),
+       |stot AS (SELECT sum(sampled) AS st FROM s)
+       |SELECT cut.lang, CAST(cut.n AS BIGINT) AS n_docs,
+       |       CAST(cut.w AS BIGINT) AS w,
+       |       CAST(cut.target AS BIGINT) AS target,
+       |       CAST(coalesce(s.sampled, 0) AS BIGINT) AS sampled,
+       |       CAST(coalesce(s.id_ck, 0) AS BIGINT) AS id_ck,
+       |       CAST((cut.n * 1000000) // tot.ntot AS BIGINT)
+       |         AS share_before_ppm,
+       |       CAST((coalesce(s.sampled, 0) * 1000000) // stot.st AS BIGINT)
+       |         AS share_after_ppm
+       |FROM cut LEFT JOIN s ON cut.lang = s.lang
+       |     CROSS JOIN tot CROSS JOIN stot
+       |ORDER BY cut.lang""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -3620,5 +3852,13 @@ object Pipeline {
     // .jsonl.zst per shard (the data-loader delivery layout), read
     // back and censused; file-per-shard + frame magic as decisions
     QueryDef("q159_shard_export", shardExport, Some(shardExportSql)),
+    // q160: mergeable quantile sketches — ANALYZE extended to
+    // distributions; written additive histogram state, O(batch)
+    // maintenance, measured rank-error bounds
+    QueryDef("q160_quantile_sketch", quantileSketch, Some(quantileSketchSql)),
+    // q161: the temperature-scaled multilingual mix (α = 1/2) —
+    // integer-exact weights/targets, hash-threshold realized sample
+    // (no per-language window), flattening shares gated in ppm
+    QueryDef("q161_temperature_mix", temperatureMix, Some(temperatureMixSql)),
   )
 }
