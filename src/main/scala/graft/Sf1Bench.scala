@@ -89,7 +89,10 @@ object Sf1Bench {
     // decisions held over the 50k-doc corpus), q160 the mergeable
     // quantile sketch (maintenance decisions + rank bounds at 10×),
     // q161 the temperature mix (hash-threshold sample at 10×)
-    "q159_shard_export", "q160_quantile_sketch", "q161_temperature_mix")
+    "q159_shard_export", "q160_quantile_sketch", "q161_temperature_mix",
+    // q162 the quantile-sketch door — the second REAL stream at the
+    // sf1 point (chunked-delta path shared with q146/q148)
+    "q162_stream_quantile_door")
 
   private val Offset = 100000000L
 

@@ -3564,10 +3564,7 @@ object Pipeline {
     import graft.sources.Layout
     val d = Tables.documents(s, dir).select(col("source"), col("doc_id"),
       col("n_chars"))
-    def hist(df: DataFrame): DataFrame = df
-      .groupBy(col("source"), (col("n_chars") / QsW).cast(LongType)
-        .as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+    def hist(df: DataFrame): DataFrame = charHist(df)
     val baseTable = Layout.materializedTable(s, dir, "qsketchbase") {
       hist(d.filter(pmod(col("doc_id"), lit(10)) =!= 7))
     }
@@ -3584,36 +3581,7 @@ object Pipeline {
     val asSet = (rs: Array[org.apache.spark.sql.Row]) =>
       rs.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val incrEqRebuild = asSet(mergedRows) == asSet(rebuilt)
-    // quantile estimates off the merged sketch (driver-side over the
-    // bounded sketch state — this is metadata, not corpus rows)
-    val bySource = asSet(mergedRows).groupBy(_._1)
-    val ests = bySource.toSeq.flatMap { case (src, bs) =>
-      val sorted = bs.toSeq.sortBy(_._2)
-      val n = sorted.map(_._3).sum
-      Seq(25L, 50L, 90L, 99L).map { phi =>
-        val target = (phi * n + 99) / 100
-        var cum = 0L
-        val hit = sorted.find { case (_, _, c) => cum += c; cum >= target }.get
-        val cumAt = sorted.takeWhile(_._2 <= hit._2).map(_._3).sum
-        (src, phi, hit._2, (hit._2 + 1) * QsW - 1, target, hit._3, cumAt)
-      }
-    }
-    // the estimate's EXACT rank, re-counted from raw rows (one scan,
-    // all (source, phi) thresholds at once)
-    val estDf = ests.map { case (src, phi, b, hi, tg, pop, _) =>
-      (src, phi, b, hi, tg, pop) }
-      .toDF("source", "phi", "bucket", "est_hi", "target_rank", "pop")
-    val ranked = d.join(broadcast(estDf), Seq("source"))
-      .groupBy(col("source"), col("phi"), col("bucket"), col("est_hi"),
-        col("target_rank"), col("pop"))
-      .agg(sum(when(col("n_chars") <= col("est_hi"), 1L).otherwise(0L))
-        .as("rank_le"))
-      .withColumn("within",
-        when(col("rank_le") >= col("target_rank") &&
-          col("rank_le") - col("target_rank") < col("pop"), 1L)
-          .otherwise(0L))
-      .select(col("source"), col("phi"), col("bucket"), col("est_hi"),
-        col("target_rank"), col("rank_le"), col("within"))
+    val ranked = sketchQuantileRows(s, dir, asSet(mergedRows).toSeq)
     ranked.unionByName(Seq(
       ("zz_incremental_equals_rebuild", 0L,
         if (incrEqRebuild) 1L else 0L, 1L, 1L, 1L, 1L),
@@ -3624,11 +3592,53 @@ object Pipeline {
       .orderBy("source", "phi")
   }
 
-  /** The q160 oracle: the full-corpus histogram (the merged state —
-    * the merge is additive, so base ⊎ batch ≡ all rows), its quantile
-    * walk, and the exact rank re-count, all from raw documents; the
-    * two maintenance decisions predicted as constants. */
-  val quantileSketchSql: String = mat(
+  /** The q160/q162 sketch shape: per-(source, value-bucket) counts of
+    * a corpus slice — additive, so any split merges by summing. */
+  private[graft] def charHist(df: DataFrame): DataFrame = df
+    .groupBy(col("source"),
+      (col("n_chars") / QsW).cast(LongType).as("bucket"))
+    .agg(count(lit(1)).as("cnt"))
+
+  /** The quantile walk over a collected sketch state + the exact-rank
+    * re-count from raw rows (shared by q160 and the q162 stream door:
+    * the estimates are a pure function of the sketch, however the
+    * sketch was maintained). The sketch is O(sources × buckets)
+    * metadata — driver-side iteration over it is bounded by design. */
+  private[graft] def sketchQuantileRows(s: SparkSession, dir: String,
+      sketch: Seq[(String, Long, Long)]): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+    val ests = sketch.groupBy(_._1).toSeq.flatMap { case (src, bs) =>
+      val sorted = bs.sortBy(_._2)
+      val n = sorted.map(_._3).sum
+      Seq(25L, 50L, 90L, 99L).map { phi =>
+        val target = (phi * n + 99) / 100
+        var cum = 0L
+        val hit = sorted.find { case (_, _, c) => cum += c; cum >= target }.get
+        (src, phi, hit._2, (hit._2 + 1) * QsW - 1, target, hit._3)
+      }
+    }
+    // the estimate's EXACT rank, re-counted from raw rows (one scan,
+    // all (source, phi) thresholds at once)
+    val estDf = ests
+      .toDF("source", "phi", "bucket", "est_hi", "target_rank", "pop")
+    d.join(broadcast(estDf), Seq("source"))
+      .groupBy(col("source"), col("phi"), col("bucket"), col("est_hi"),
+        col("target_rank"), col("pop"))
+      .agg(sum(when(col("n_chars") <= col("est_hi"), 1L).otherwise(0L))
+        .as("rank_le"))
+      .withColumn("within",
+        when(col("rank_le") >= col("target_rank") &&
+          col("rank_le") - col("target_rank") < col("pop"), 1L)
+          .otherwise(0L))
+      .select(col("source"), col("phi"), col("bucket"), col("est_hi"),
+        col("target_rank"), col("rank_le"), col("within"))
+  }
+
+  /** The shared q160/q162 oracle chain: full-corpus histogram (≡ the
+    * merged state, the merge being additive), quantile walk, exact
+    * rank re-count — ending in the typed quantile-row SELECT. */
+  private val sketchQuantileRowsSql: String =
     s"""WITH d AS (
        |  SELECT source, n_chars, n_chars // $QsW AS bucket FROM documents),
        |h AS (SELECT source, bucket, count(*) AS cnt FROM d GROUP BY 1, 2),
@@ -3654,9 +3664,8 @@ object Pipeline {
        |          WHERE d.source = eb.source AND d.n_chars <= eb.est_hi)
        |           AS rank_le,
        |         eb.pop
-       |  FROM eb)
-       |SELECT source, phi, bucket, est_hi, target_rank, rank_le, within
-       |FROM (
+       |  FROM eb),
+       |qrows AS (
        |  SELECT source, CAST(phi AS BIGINT) AS phi,
        |         CAST(bucket AS BIGINT) AS bucket,
        |         CAST(est_hi AS BIGINT) AS est_hi,
@@ -3665,11 +3674,34 @@ object Pipeline {
        |         CAST(CASE WHEN rank_le >= target_rank
        |                    AND rank_le - target_rank < pop
        |               THEN 1 ELSE 0 END AS BIGINT) AS within
-       |  FROM r
+       |  FROM r)""".stripMargin
+
+  /** The q160 oracle: the shared chain plus the two maintenance
+    * decisions predicted as constants. */
+  val quantileSketchSql: String = mat(
+    s"""$sketchQuantileRowsSql
+       |SELECT source, phi, bucket, est_hi, target_rank, rank_le, within
+       |FROM (
+       |  SELECT * FROM qrows
        |  UNION ALL
        |  SELECT 'zz_incremental_equals_rebuild', 0, 1, 1, 1, 1, 1
        |  UNION ALL
        |  SELECT 'zz_merge_reads_sketch_not_base', 0, 1, 1, 1, 1, 1) t
+       |ORDER BY source, phi""".stripMargin)
+
+  /** The q162 oracle: the shared chain plus the door's merge-read
+    * decision predicted as a constant (the streamed store's merged
+    * counts ≡ the full-corpus histogram — seed ⊎ streamed batches
+    * covers every row exactly once under batchId-keyed idempotence;
+    * the store is bucketed on the grouping keys, so the serving
+    * aggregate plans zero hash-partition exchanges). */
+  val quantileDoorSql: String = mat(
+    s"""$sketchQuantileRowsSql
+       |SELECT source, phi, bucket, est_hi, target_rank, rank_le, within
+       |FROM (
+       |  SELECT * FROM qrows
+       |  UNION ALL
+       |  SELECT 'zz_door_merge_zero_exchange', 0, 1, 1, 1, 1, 1) t
        |ORDER BY source, phi""".stripMargin)
 
   /** q161: the TEMPERATURE-SCALED MULTILINGUAL MIX (α-sampling, the

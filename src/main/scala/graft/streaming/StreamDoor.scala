@@ -531,6 +531,91 @@ object StreamDoor {
     out.orderBy("cname")
   }
 
+  /** q162: the QUANTILE-SKETCH door — q160's distribution state
+    * (per-(source, value-bucket) additive counts) maintained BY a
+    * stream, the q146 recipe applied to the ANALYZE-distributions
+    * family: the standing corpus's histogram seeds an MVCC store, the
+    * ingest fifth arrives as a real AvailableNow file stream, and
+    * each micro-batch commits its bucket-count delta as one
+    * batchId-keyed upsert (keys prefix·2⁴⁰ + hash₄₀(source, bucket) —
+    * a replayed batch tombstones and re-lands exactly its own rows;
+    * oversized deltas chunk under the door envelope). Quantile
+    * SERVING then reads the door-maintained store: the store is
+    * bucketed on the grouping keys, so the merge-on-aggregate plans
+    * ZERO hash-partition exchanges (plan decision — the only exchange
+    * is the tombstone broadcast), then the q160 walk over the merged
+    * state with exact ranks re-counted from raw rows. The oracle
+    * derives the same quantile rows from the raw
+    * corpus — a door that drops, double-applies or mis-keys a batch
+    * shifts a cumulative count and flips an estimate's bucket.
+    *
+    * Scale: each event writes O(batch live buckets) — for a histogram
+    * sketch that is O(sources × buckets), typically ≪ batch rows —
+    * and serving never touches corpus rows. */
+  def streamQuantileDoor(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pipeline
+    val d = Tables.documents(s, dir)
+    val bkt = Some((Layout.Buckets, Seq("source", "bucket")))
+    def keyed(counts: DataFrame, prefix: Long): DataFrame =
+      counts.select(
+        (lit(prefix * (1L << 40)) + pmod(graft.functions.Fns.hash60(
+          concat_ws("\u0001", col("source"), col("bucket"))),
+          lit(1L << 40))).as("k"),
+        col("source"), col("bucket"), col("cnt"))
+    val seed = keyed(Pipeline.charHist(
+      d.filter(pmod(col("doc_id"), lit(5)) =!= 0)), 0L)
+    Layout.appendRewrite(s, dir, "qsdoor", bkt,
+      seed.filter(pmod(col("k"), lit(2)) === 1))(
+      seed.filter(pmod(col("k"), lit(2)) === 0))
+    val name = Layout.tableName(dir, "qsdoorupd")
+    val out = Layout.materializedTable(s, dir, "qsdoorout") {
+      val base = Layout.warehousePath(s, Layout.tableName(dir, "qsdrun"))
+      Layout.deleteWarehouseDir(s, base)
+      val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"
+      val ingest = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+      ingest.repartition(4).write.mode("overwrite").parquet(srcDir)
+      def maxV(): Long = s.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith(s"${name}__v"))
+        .flatMap(n =>
+          scala.util.Try(n.stripPrefix(s"${name}__v").toLong).toOption)
+        .foldLeft(0L)(math.max)
+      val vBefore = maxV()
+      val applyBatch: (DataFrame, Long) => Unit = (batch, id) => {
+        chunkedCountUpsert(s, dir, "qsdoor", bkt,
+          keyed(Pipeline.charHist(batch), id + 1))
+        ()
+      }
+      val q = s.readStream.schema(ingest.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(applyBatch).start()
+      q.awaitTermination()
+      require(maxV() - vBefore >= 3,
+        s"quantile stream did not span multiple micro-batches " +
+          s"(generations ${vBefore} -> ${maxV()})")
+      // merge-on-aggregate: the store is BUCKETED on the grouping
+      // keys, so the read plans ZERO hash-partition exchanges — the
+      // only exchange is the tombstone broadcast (collect, not head —
+      // AQE final plan)
+      val merged = s.table(name).groupBy(col("source"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val rows = merged.collect() // bounded: sources × buckets
+      val mplan = merged.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val zeroEx = !mplan.contains("Exchange hashpartitioning") &&
+        mplan.contains("Bucketed: true")
+      import s.implicits._
+      Pipeline.sketchQuantileRows(s, dir,
+          rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+        .unionByName(Seq(("zz_door_merge_zero_exchange", 0L,
+          if (zeroEx) 1L else 0L, 1L, 1L, 1L, 1L))
+          .toDF("source", "phi", "bucket", "est_hi", "target_rank",
+            "rank_le", "within"))
+    }
+    out.orderBy("source", "phi")
+  }
+
   /** q148: the profile door COMPOSED with a batch takedown (round-14
     * judge item 6 — q146 maintains counts by stream upserts, q145
     * subtracts by batch takedown; nothing proved they compose on ONE
@@ -663,5 +748,10 @@ object StreamDoor {
     // over (standing ∖ takedown) ∪ ingest
     QueryDef("q148_profile_takedown_door", streamProfileTakedownDoor,
       Some(graft.operators.Pipeline.profileTakedownDoorSql)),
+    // q162: the quantile-sketch door — q160's additive distribution
+    // state maintained by a real stream, quantiles served off the
+    // door-maintained store with exact ranks re-counted from raw rows
+    QueryDef("q162_stream_quantile_door", streamQuantileDoor,
+      Some(graft.operators.Pipeline.quantileDoorSql)),
   )
 }
