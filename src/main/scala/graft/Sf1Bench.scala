@@ -91,8 +91,9 @@ object Sf1Bench {
     // q161 the temperature mix (hash-threshold sample at 10×)
     "q159_shard_export", "q160_quantile_sketch", "q161_temperature_mix",
     // q162 the quantile-sketch door — the second REAL stream at the
-    // sf1 point (chunked-delta path shared with q146/q148)
-    "q162_stream_quantile_door")
+    // sf1 point (chunked-delta path shared with q146/q148), q163 the
+    // pinned export (point-in-time delivery off a frozen pin at 10×)
+    "q162_stream_quantile_door", "q163_pinned_export")
 
   private val Offset = 100000000L
 

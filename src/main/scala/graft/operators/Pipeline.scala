@@ -3790,6 +3790,141 @@ object Pipeline {
        |     CROSS JOIN tot CROSS JOIN stot
        |ORDER BY cut.lang""".stripMargin)
 
+  /** q163: the PINNED EXPORT — the delivery contract a training run
+    * actually needs: the shard export (q159's one-`.jsonl.zst`-per-
+    * shard layout) taken OFF A SAVEPOINT, so the exported bytes are
+    * point-in-time consistent while ingestion and maintenance keep
+    * landing on the store. The lifecycle walked end to end:
+    *
+    *  1. the curated store absorbs its base + a late batch (gens
+    *     1-2), then a takedown (the ≡3 mod 7 slice of the present
+    *     rows, gen 3);
+    *  2. SAVEPOINT `q163` pins the store;
+    *  3. post-pin: an ingest batch (the ≡5 mod 10 slice) lands, and a
+    *     compaction CROSSES the pin (the retain policy freezes the
+    *     pinned generation — q152's machinery);
+    *  4. the export reads the PIN, shards it by the q156 formula
+    *     (salt "exp0:"), writes one zstd jsonl file per shard, reads
+    *     the files back and censuses them.
+    *
+    * The oracle re-derives the census from raw documents at the
+    * pinned moment — one leaked post-pin row, one lost takedown, or a
+    * byte of compaction drift in the frozen snapshot flips a shard's
+    * checksum. Three decisions ride as rows: file-per-shard, the zstd
+    * frame magic, and ISOLATION (the post-pin batch is visible at
+    * latest while absent from the export — diff count == the raw
+    * prediction, > 0).
+    *
+    * Scale: the export is one exchange + a partitioned sink off a
+    * frozen bucketed snapshot; O(event) maintenance continues
+    * underneath, never blocking or contaminating the delivery. */
+  def pinnedExport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Layout, ZstdCodec}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val bkt = Some((Layout.Buckets, Seq("doc_id")))
+    val present = pmod(col("doc_id"), lit(5)) =!= 0 ||
+      pmod(col("doc_id"), lit(10)) === 0
+    // gens 1-2 once-gated inside appendRewrite (outside the census
+    // gate — the Recursive-update rule)
+    Layout.appendRewrite(s, dir, "pexp", bkt,
+      d.filter(pmod(col("doc_id"), lit(10)) === 0))(
+      d.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    val name = Layout.tableName(dir, "pexpupd")
+    Layout.materializedTable(s, dir, "pinnedexportcensus") {
+      Layout.deleteSegment(s, dir, "pexp",
+        d.filter(pmod(col("doc_id"), lit(7)) === 3 && present)
+          .select(col("doc_id")), Seq("doc_id"))
+      Layout.releaseSavepoint(s, dir, "q163", ifExists = true)
+      Layout.savepoint(s, dir, "q163", Seq("pexpupd"))
+      Layout.appendSegment(s, dir, "pexp", bkt,
+        d.filter(pmod(col("doc_id"), lit(10)) === 5))
+      Layout.compactDeleted(s, dir, "pexpupd", bkt)
+      val pinned = Layout.readSavepoint(s, dir, "q163", "pexpupd")
+      val u = conv(substring(md5(concat(lit("exp0:"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+      val path = Layout.warehousePath(s, Layout.tableName(dir, "pexpshards"))
+      pinned.withColumn("u", u)
+        .withColumn("shard_id", shiftright(col("u"), 29))
+        .repartition(EpochShards, col("shard_id"))
+        .sortWithinPartitions(col("shard_id"), col("u"), col("doc_id"))
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .option("compression", classOf[ZstdCodec].getName)
+        .json(path)
+      val shardDirs = Layout.listWarehouseNames(s, path, dirsOnly = true)
+        .filter(_.startsWith("shard_id="))
+      val partsPerDir = shardDirs.map(sd =>
+        Layout.listWarehouseNames(s, s"$path/$sd")
+          .filter(_.startsWith("part-")))
+      val oneFileEach = shardDirs.length == EpochShards &&
+        partsPerDir.forall(_.length == 1)
+      val allZst = partsPerDir.zip(shardDirs).forall { case (ps, sd) =>
+        ps.forall { f =>
+          f.endsWith(".zst") && {
+            val magic = Layout.headBytes(s, s"$path/$sd/$f", 4)
+            magic.length == 4 &&
+              magic.zip(ZstdCodec.Magic).forall { case (b, m) =>
+                (b & 0xff) == m }
+          }
+        }
+      }
+      // isolation: the post-pin batch is at latest, not in the export
+      val latestN = s.table(name).count()
+      val pinnedN = pinned.count()
+      val expDiff = d.filter(pmod(col("doc_id"), lit(10)) === 5).count()
+      val isolated = latestN - pinnedN == expDiff && expDiff > 0
+      val back = s.read
+        .schema("doc_id long, text string, lang string, n_chars long")
+        .json(path)
+      back.groupBy(col("shard_id").cast(LongType).as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(hash32(concat_ws("|", col("doc_id"), col("n_chars"),
+            col("lang"), md5(col("text"))))).as("checksum"))
+        .unionByName(Seq(
+          (99L, if (oneFileEach) 1L else 0L, 1L, 1L),
+          (100L, if (allZst) 1L else 0L, 1L, 1L),
+          (101L, if (isolated) 1L else 0L, 1L, 1L))
+          .toDF("shard_id", "n_docs", "sum_chars", "checksum"))
+    }.orderBy("shard_id")
+  }
+
+  /** The q163 oracle: the per-shard census re-derived from raw
+    * documents AT THE PINNED MOMENT — (standing ∪ late batch) ∖ the
+    * takedown slice, the post-pin batch excluded by construction —
+    * through the same md5 shard formula; the three delivery decisions
+    * as constants. */
+  val pinnedExportSql: String = mat(
+    s"""WITH apin AS (
+       |  SELECT doc_id, text, lang, n_chars FROM documents
+       |  WHERE (doc_id % 5 <> 0 OR doc_id % 10 = 0) AND doc_id % 7 <> 3),
+       |a AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(('0x' || substr(md5('exp0:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM apin)
+       |SELECT shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM a GROUP BY 1
+       |  UNION ALL
+       |  SELECT CAST(99 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(101 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)) t
+       |ORDER BY shard_id""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -3892,5 +4027,10 @@ object Pipeline {
     // integer-exact weights/targets, hash-threshold realized sample
     // (no per-language window), flattening shares gated in ppm
     QueryDef("q161_temperature_mix", temperatureMix, Some(temperatureMixSql)),
+    // q163: the pinned export — q159's shard delivery taken off a
+    // savepoint while post-pin ingest and a pin-crossing compaction
+    // land; census == the pinned-moment raw derivation, isolation +
+    // layout + codec decisions as rows
+    QueryDef("q163_pinned_export", pinnedExport, Some(pinnedExportSql)),
   )
 }
