@@ -93,7 +93,10 @@ object Sf1Bench {
     // q162 the quantile-sketch door — the second REAL stream at the
     // sf1 point (chunked-delta path shared with q146/q148), q163 the
     // pinned export (point-in-time delivery off a frozen pin at 10×)
-    "q162_stream_quantile_door", "q163_pinned_export")
+    "q162_stream_quantile_door", "q163_pinned_export",
+    // q164/q165 the delivery-layer lifecycle (append-only deltas,
+    // fold-on-policy with atomic dir swap) at the 50k-doc corpus
+    "q164_delta_export", "q165_export_compaction")
 
   private val Offset = 100000000L
 

@@ -3925,6 +3925,248 @@ object Pipeline {
        |         CAST(1 AS BIGINT)) t
        |ORDER BY shard_id""".stripMargin)
 
+  /** q164: the INCREMENTAL DELTA EXPORT — q159's shard delivery
+    * maintained per ingest batch the way the MVCC store maintains
+    * tables: never rewrite, APPEND one delta file per touched shard
+    * (the loader reads base + deltas in file order; a compaction
+    * folds them when the per-shard file count crosses policy — the
+    * q129/q133 machinery at the delivery layer). The base corpus
+    * (≢3 mod 10) exports first; the ≡3 batch then lands as delta
+    * files appended into the existing shard directories.
+    *
+    * The gate reads the whole layout back and censuses each shard
+    * against the full-corpus raw derivation — a lost delta, a
+    * double-applied batch, or a corrupted base file flips a shard
+    * checksum — and the DELIVERY-COST facts ride as decisions:
+    *
+    *  - every base file is byte-identical after the delta write
+    *    (name + length snapshot — the write I/O is O(batch), the
+    *    defining property of incremental delivery);
+    *  - each touched shard gained exactly ONE delta file, and only
+    *    shards holding batch docs were touched.
+    *
+    * Scale: the delta write is one exchange over the BATCH, not the
+    * corpus; at thousands of shards the touched set is the batch's
+    * hash image, and untouched shard files are never opened. */
+  def deltaExport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Layout, ZstdCodec}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "deltaexportcensus") {
+      val u = conv(substring(md5(concat(lit("epoch0:"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+      def sharded(df: DataFrame): DataFrame = df
+        .withColumn("u", u)
+        .withColumn("shard_id", shiftright(col("u"), 29))
+        .repartition(EpochShards, col("shard_id"))
+        .sortWithinPartitions(col("shard_id"), col("u"), col("doc_id"))
+      val path = Layout.warehousePath(s, Layout.tableName(dir, "deltashards"))
+      val zst = classOf[ZstdCodec].getName
+      sharded(d.filter(pmod(col("doc_id"), lit(10)) =!= 3))
+        .write.mode("overwrite").partitionBy("shard_id")
+        .option("compression", zst).json(path)
+      def listing(): Map[String, Long] = {
+        val dirs = Layout.listWarehouseNames(s, path, dirsOnly = true)
+          .filter(_.startsWith("shard_id="))
+        dirs.flatMap { sd =>
+          val (fs, p) = Layout.hfs(s, s"$path/$sd")
+          fs.listStatus(p).toSeq.filter(_.getPath.getName.startsWith("part-"))
+            .map(st => s"$sd/${st.getPath.getName}" -> st.getLen)
+        }.toMap
+      }
+      val before = listing()
+      val batch = d.filter(pmod(col("doc_id"), lit(10)) === 3)
+      // the delta: append-mode partitioned write — new files land in
+      // the touched shard dirs, existing files are never opened
+      sharded(batch).write.mode("append").partitionBy("shard_id")
+        .option("compression", zst).json(path)
+      val after = listing()
+      val baseUntouched = before.forall { case (f, len) =>
+        after.get(f).contains(len) }
+      val touched = batch
+        .select(shiftright(conv(substring(md5(concat(lit("epoch0:"),
+          col("doc_id").cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType), 29).as("shard_id"))
+        .distinct().collect().map(_.getLong(0)).toSet // bounded: ≤ shards
+      val newPerShard = (after.keySet -- before.keySet).toSeq
+        .groupBy(f => f.split("/")(0).stripPrefix("shard_id=").toLong)
+        .map { case (sh, fs) => sh -> fs.size }
+      val oneDeltaEach = newPerShard.keySet == touched &&
+        newPerShard.values.forall(_ == 1)
+      val back = s.read
+        .schema("doc_id long, text string, lang string, n_chars long")
+        .json(path)
+      back.groupBy(col("shard_id").cast(LongType).as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(hash32(concat_ws("|", col("doc_id"), col("n_chars"),
+            col("lang"), md5(col("text"))))).as("checksum"))
+        .unionByName(Seq(
+          (99L, if (baseUntouched) 1L else 0L, 1L, 1L),
+          (100L, if (oneDeltaEach) 1L else 0L, 1L, 1L))
+          .toDF("shard_id", "n_docs", "sum_chars", "checksum"))
+    }.orderBy("shard_id")
+  }
+
+  /** The q164 oracle: the per-shard census of the FULL corpus (base ⊎
+    * delta — append-only delivery composes by union) through the same
+    * md5 shard formula; the two delivery-cost decisions as constants. */
+  val deltaExportSql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(('0x' || substr(md5('epoch0:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents)
+       |SELECT shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM a GROUP BY 1
+       |  UNION ALL
+       |  SELECT CAST(99 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)) t
+       |ORDER BY shard_id""".stripMargin)
+
+  /** q165: EXPORT COMPACTION — the delivery-layer lifecycle closed:
+    * after q164's append-only deltas, a shard whose file count
+    * crosses policy (≥ 3 files here) is FOLDED back to one file, the
+    * way the MVCC store's compaction folds segments (q129/q133) — but
+    * at the file-delivery layer a loader may be mid-read, so the fold
+    * is write-to-temp + atomic per-shard directory SWAP (Hadoop FS
+    * rename), never an in-place rewrite of a directory being served.
+    *
+    * The walk: base export (two residue classes held out) → two delta
+    * appends → the policy selects crossed shards → compaction swaps
+    * exactly those. Gated: the census after compaction equals the
+    * full-corpus derivation (folding must not change content), and
+    * three delivery facts ride as decisions — every crossed shard is
+    * back to ONE file, every uncrossed shard's files are
+    * byte-untouched (the fold opened only what the policy named), and
+    * the crossed set is exactly the shards the file-count policy
+    * predicted.
+    *
+    * Scale: compaction cost is O(crossed shards' rows); the swap is
+    * metadata; uncrossed shards are never opened. */
+  def exportCompaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Layout, ZstdCodec}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "exportcompactcensus") {
+      val u = conv(substring(md5(concat(lit("cexp0:"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+      def sharded(df: DataFrame): DataFrame = df
+        .withColumn("u", u)
+        .withColumn("shard_id", shiftright(col("u"), 29))
+        .repartition(EpochShards, col("shard_id"))
+        .sortWithinPartitions(col("shard_id"), col("u"), col("doc_id"))
+      val path = Layout.warehousePath(s, Layout.tableName(dir, "cexpshards"))
+      val zst = classOf[ZstdCodec].getName
+      def write(df: DataFrame, mode: String, to: String): Unit =
+        sharded(df).write.mode(mode).partitionBy("shard_id")
+          .option("compression", zst).json(to)
+      write(d.filter(pmod(col("doc_id"), lit(10)) =!= 3 &&
+        pmod(col("doc_id"), lit(10)) =!= 7), "overwrite", path)
+      write(d.filter(pmod(col("doc_id"), lit(10)) === 3), "append", path)
+      write(d.filter(pmod(col("doc_id"), lit(10)) === 7), "append", path)
+      def listing(): Map[String, Long] = {
+        val dirs = Layout.listWarehouseNames(s, path, dirsOnly = true)
+          .filter(_.startsWith("shard_id="))
+        dirs.flatMap { sd =>
+          val (fs, p) = Layout.hfs(s, s"$path/$sd")
+          fs.listStatus(p).toSeq.filter(_.getPath.getName.startsWith("part-"))
+            .map(st => s"$sd/${st.getPath.getName}" -> st.getLen)
+        }.toMap
+      }
+      val before = listing()
+      def filesPerShard(l: Map[String, Long]): Map[Long, Int] =
+        l.keySet.toSeq
+          .groupBy(f => f.split("/")(0).stripPrefix("shard_id=").toLong)
+          .map { case (sh, fs) => sh -> fs.size }
+      val crossed = filesPerShard(before).filter(_._2 >= 3).keySet
+      require(crossed.nonEmpty, "the compaction policy never fired — " +
+        "the gate would be vacuous (deltas missed every shard)")
+      // fold: read ONLY the crossed shard dirs, write one file per
+      // shard to a temp location, then atomic per-shard dir swap
+      val tmp = s"${path}__fold"
+      Layout.deleteWarehouseDir(s, tmp)
+      val crossedDf = s.read
+        .schema("doc_id long, text string, lang string, n_chars long, u long")
+        .json(crossed.toSeq.sorted.map(sh => s"$path/shard_id=$sh"): _*)
+        .withColumn("shard_id", shiftright(col("u"), 29))
+        .repartition(EpochShards, col("shard_id"))
+        .sortWithinPartitions(col("shard_id"), col("u"), col("doc_id"))
+      crossedDf.write.mode("overwrite").partitionBy("shard_id")
+        .option("compression", zst).json(tmp)
+      crossed.foreach { sh =>
+        val (fs, oldP) = Layout.hfs(s, s"$path/shard_id=$sh")
+        fs.delete(oldP, true)
+        fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/shard_id=$sh"), oldP)
+      }
+      Layout.deleteWarehouseDir(s, tmp)
+      val after = listing()
+      val crossedFolded = filesPerShard(after)
+        .filter { case (sh, _) => crossed.contains(sh) }
+        .values.forall(_ == 1)
+      val uncrossedUntouched = before
+        .filter { case (f, _) =>
+          !crossed.contains(f.split("/")(0).stripPrefix("shard_id=").toLong) }
+        .forall { case (f, len) => after.get(f).contains(len) }
+      val policyExact = crossed ==
+        filesPerShard(before).filter(_._2 >= 3).keySet
+      val back = s.read
+        .schema("doc_id long, text string, lang string, n_chars long")
+        .json(path)
+      back.groupBy(col("shard_id").cast(LongType).as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(hash32(concat_ws("|", col("doc_id"), col("n_chars"),
+            col("lang"), md5(col("text"))))).as("checksum"))
+        .unionByName(Seq(
+          (99L, if (crossedFolded) 1L else 0L, 1L, 1L),
+          (100L, if (uncrossedUntouched) 1L else 0L, 1L, 1L),
+          (101L, if (policyExact) 1L else 0L, 1L, 1L))
+          .toDF("shard_id", "n_docs", "sum_chars", "checksum"))
+    }.orderBy("shard_id")
+  }
+
+  /** The q165 oracle: the full-corpus census through the q165 shard
+    * formula (compaction must not change content — base ⊎ both deltas
+    * ≡ all rows), the three fold decisions as constants. */
+  val exportCompactionSql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(('0x' || substr(md5('cexp0:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents)
+       |SELECT shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM a GROUP BY 1
+       |  UNION ALL
+       |  SELECT CAST(99 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(101 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)) t
+       |ORDER BY shard_id""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -4032,5 +4274,14 @@ object Pipeline {
     // land; census == the pinned-moment raw derivation, isolation +
     // layout + codec decisions as rows
     QueryDef("q163_pinned_export", pinnedExport, Some(pinnedExportSql)),
+    // q164: the incremental delta export — append-only delta files
+    // per touched shard, base files byte-untouched (write I/O
+    // O(batch)); census == the full-corpus derivation
+    QueryDef("q164_delta_export", deltaExport, Some(deltaExportSql)),
+    // q165: export compaction — crossed shards folded back to one
+    // file via temp + atomic dir swap; content invariance gated,
+    // fold/untouched/policy decisions as rows
+    QueryDef("q165_export_compaction", exportCompaction,
+      Some(exportCompactionSql)),
   )
 }
