@@ -96,7 +96,10 @@ object Sf1Bench {
     "q162_stream_quantile_door", "q163_pinned_export",
     // q164/q165 the delivery-layer lifecycle (append-only deltas,
     // fold-on-policy with atomic dir swap) at the 50k-doc corpus
-    "q164_delta_export", "q165_export_compaction")
+    "q164_delta_export", "q165_export_compaction",
+    // q166 the DataSourceV2 loader connector (pushdown decisions at
+    // the 50k-doc layout)
+    "q166_shard_connector")
 
   private val Offset = 100000000L
 

@@ -4167,6 +4167,111 @@ object Pipeline {
        |         CAST(1 AS BIGINT)) t
        |ORDER BY shard_id""".stripMargin)
 
+  /** q166: the shard-export LOADER as a DataSourceV2 CONNECTOR
+    * ([[graft.sources.ShardSource]]) — the engine-extension route the
+    * matrix did not yet exercise: `TableProvider → Table →
+    * ScanBuilder → Batch → PartitionReader` with real pushdowns.
+    * The gate writes its own export (the q156 permutation), then
+    * reads it back exclusively through the connector:
+    *
+    *  - the FULL read's per-shard census hash-matches the raw
+    *    derivation (the connector parses every line the exporter
+    *    wrote, `.zst` decompression included);
+    *  - SHARD PRUNING: a `shard_id IN (a, b)` read opens exactly the
+    *    selected shards' part files — counted by the source's
+    *    opened-files observable, compared against the directory
+    *    listing — and returns exactly the census counts for those
+    *    shards (pruning loses nothing);
+    *  - COLUMN PRUNING: an `sum(n_chars)` plan's BatchScan output
+    *    carries `n_chars` and NOT `text` (the reader materializes
+    *    only requested fields).
+    *
+    * Scale: planning lists directories, not files-of-unselected-
+    * shards; partitions = part files, so parallelism tracks the
+    * layout; the connector is read-only by design (the exporter owns
+    * layout + ordering invariants). */
+  def shardConnector(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Layout, ShardSource, ZstdCodec}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "dsvcensus") {
+      val u = conv(substring(md5(concat(lit("epoch0:"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+      val path = Layout.warehousePath(s, Layout.tableName(dir, "dsvshards"))
+      d.withColumn("u", u)
+        .withColumn("shard_id", shiftright(col("u"), 29))
+        .repartition(EpochShards, col("shard_id"))
+        .sortWithinPartitions(col("shard_id"), col("u"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("shard_id")
+        .option("compression", classOf[ZstdCodec].getName)
+        .json(path)
+      def src = s.read.format("graft.sources.ShardSource")
+        .option("path", path).load()
+      val census = src
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(hash32(concat_ws("|", col("doc_id"), col("n_chars"),
+            col("lang"), md5(col("text"))))).as("checksum"))
+      val rows = census.collect() // bounded: shards
+      val byShard = rows.map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // shard pruning: the two lowest present shards
+      val pick = byShard.keySet.toSeq.sorted.take(2)
+      val expFiles = pick.map(sh =>
+        Layout.listWarehouseNames(s, s"$path/shard_id=$sh")
+          .count(_.startsWith("part-"))).sum
+      val c0 = ShardSource.openedFiles.get()
+      val prCounts = src.filter(col("shard_id").isin(pick.map(Long.box): _*))
+        .groupBy(col("shard_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val opened = ShardSource.openedFiles.get() - c0
+      val prunedOk = opened == expFiles.toLong &&
+        pick.forall(sh => prCounts.get(sh).contains(byShard(sh)._1))
+      // column pruning: the BatchScan's output carries only n_chars
+      val aggDf = src.agg(sum(col("n_chars")).as("s"))
+      aggDf.collect()
+      val scanLine = aggDf.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+        .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+      val colPruned = scanLine.contains("n_chars#") &&
+        !scanLine.contains("text#")
+      rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+        .++(Seq(
+          (99L, if (prunedOk) 1L else 0L, 1L, 1L),
+          (100L, if (colPruned) 1L else 0L, 1L, 1L)))
+        .toDF("shard_id", "n_docs", "sum_chars", "checksum")
+    }.orderBy("shard_id")
+  }
+
+  /** The q166 oracle: the per-shard census from raw documents via the
+    * shard formula (the connector, JSON and zstd appear nowhere), the
+    * two pushdown decisions as constants. */
+  val shardConnectorSql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(('0x' || substr(md5('epoch0:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents)
+       |SELECT shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM a GROUP BY 1
+       |  UNION ALL
+       |  SELECT CAST(99 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)) t
+       |ORDER BY shard_id""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -4283,5 +4388,10 @@ object Pipeline {
     // fold/untouched/policy decisions as rows
     QueryDef("q165_export_compaction", exportCompaction,
       Some(exportCompactionSql)),
+    // q166: the shard-export loader as a DataSourceV2 connector —
+    // shard pruning (opened-files observable) + column pruning
+    // (BatchScan output) gated as decisions; full-read census raw-derived
+    QueryDef("q166_shard_connector", shardConnector,
+      Some(shardConnectorSql)),
   )
 }
