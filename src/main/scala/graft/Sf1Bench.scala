@@ -98,8 +98,9 @@ object Sf1Bench {
     // fold-on-policy with atomic dir swap) at the 50k-doc corpus
     "q164_delta_export", "q165_export_compaction",
     // q166 the DataSourceV2 loader connector (pushdown decisions at
-    // the 50k-doc layout)
-    "q166_shard_connector")
+    // the 50k-doc layout), q167 statistics-only aggregate pushdown
+    // (zero-data-file stats held at 10×)
+    "q166_shard_connector", "q167_stats_pushdown")
 
   private val Offset = 100000000L
 

@@ -4272,6 +4272,130 @@ object Pipeline {
        |         CAST(1 AS BIGINT)) t
        |ORDER BY shard_id""".stripMargin)
 
+  /** q167: STATISTICS-ONLY AGGREGATE PUSHDOWN — the connector answers
+    * COUNT/SUM/MIN/MAX from a manifest SIDECAR without opening a
+    * single data file (the parquet-footer idea at the delivery layer,
+    * through DataSourceV2's `SupportsPushDownAggregates`). The export
+    * writes `_shard_manifest.json` (one line per shard: rows, payload
+    * mass, id range — derived from the WRITTEN files, so the sidecar
+    * describes the bytes, not the intent); a grouped stats read and a
+    * shard-FILTERED count then plan as manifest reads.
+    *
+    * The gate's rows are the per-shard stats themselves (raw-derived
+    * by the oracle), and three decisions make the pushdown claims
+    * data: the grouped stats read opened ZERO data files (and ≥ 1
+    * manifest), the filter × aggregate COMPOSITION also opened zero
+    * (shard predicates are consumed exactly — every row of
+    * `shard_id=k` lives under that directory — so pushdown survives
+    * them), and the manifest answers EQUAL a full-scan recompute
+    * through the same connector (a stale sidecar cannot pass).
+    *
+    * Scale: a planner answering row counts and ranges from O(shards)
+    * metadata instead of O(corpus) bytes is the difference between an
+    * interactive catalog and a cluster job at 100 TB. Pushdown is
+    * PARTIAL (Spark merges the per-shard rows), so correctness never
+    * rests on the sidecar alone. */
+  def statsPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Layout, ShardSource, ZstdCodec}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "statspdcensus") {
+      val u = conv(substring(md5(concat(lit("epoch0:"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+      val path = Layout.warehousePath(s, Layout.tableName(dir, "aggshards"))
+      d.withColumn("u", u)
+        .withColumn("shard_id", shiftright(col("u"), 29))
+        .repartition(EpochShards, col("shard_id"))
+        .sortWithinPartitions(col("shard_id"), col("u"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("shard_id")
+        .option("compression", classOf[ZstdCodec].getName)
+        .json(path)
+      // the sidecar, derived from the WRITTEN files (bounded: shards)
+      val written = s.read
+        .schema("doc_id long, text string, lang string, n_chars long")
+        .json(path)
+        .groupBy(col("shard_id").cast(LongType).as("shard_id"))
+        .agg(count(lit(1)).as("rows"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .collect()
+      val (fs, mp) = Layout.hfs(s, s"$path/${ShardSource.ManifestName}")
+      val outS = fs.create(mp, true)
+      written.sortBy(_.getLong(0)).foreach { r =>
+        outS.write((s"""{"shard_id":${r.getLong(0)},"rows":${r.getLong(1)},""" +
+          s""""sum_chars":${r.getLong(2)},"min_doc":${r.getLong(3)},""" +
+          s""""max_doc":${r.getLong(4)}}""" + "\n").getBytes("UTF-8"))
+      }
+      outS.close()
+      def src = s.read.format("graft.sources.ShardSource")
+        .option("path", path).load()
+      def statsOf(df: DataFrame): Array[org.apache.spark.sql.Row] = df
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .collect()
+      val f0 = ShardSource.openedFiles.get()
+      val m0 = ShardSource.manifestReads.get()
+      val stats = statsOf(src)
+      val statsZeroFiles = ShardSource.openedFiles.get() == f0 &&
+        ShardSource.manifestReads.get() > m0
+      // filter × aggregate composition: a shard-filtered global count
+      val picks = stats.map(_.getLong(0)).sorted.take(2)
+      val f1 = ShardSource.openedFiles.get()
+      val filteredCount = src.filter(col("shard_id").isin(picks.map(Long.box): _*))
+        .agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+      val expFiltered = stats.filter(r => picks.contains(r.getLong(0)))
+        .map(_.getLong(1)).sum
+      val filteredZero = ShardSource.openedFiles.get() == f1 &&
+        filteredCount == expFiltered
+      // the sidecar vs a full-scan recompute through the same
+      // connector (forces the data path: group by a data column too)
+      val full = src.groupBy(col("shard_id"), (col("u") >= 0L).as("g"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+      val manifestTrue = stats.forall { r =>
+        full.get(r.getLong(0)).contains((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))) }
+      stats.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+        .++(Seq(
+          (99L, if (statsZeroFiles) 1L else 0L, 1L, 1L, 1L),
+          (100L, if (filteredZero) 1L else 0L, 1L, 1L, 1L),
+          (101L, if (manifestTrue) 1L else 0L, 1L, 1L, 1L)))
+        .toDF("shard_id", "n_docs", "sum_chars", "min_doc", "max_doc")
+    }.orderBy("shard_id")
+  }
+
+  /** The q167 oracle: per-shard rows/mass/id-range from raw documents
+    * via the shard formula (manifest, connector and pushdown appear
+    * nowhere), the three pushdown decisions as constants. */
+  val statsPushdownSql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(('0x' || substr(md5('epoch0:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents)
+       |SELECT shard_id, n_docs, sum_chars, min_doc, max_doc FROM (
+       |  SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(min(doc_id) AS BIGINT) AS min_doc,
+       |         CAST(max(doc_id) AS BIGINT) AS max_doc
+       |  FROM a GROUP BY 1
+       |  UNION ALL
+       |  SELECT CAST(99 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(101 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT)) t
+       |ORDER BY shard_id""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -4393,5 +4517,9 @@ object Pipeline {
     // (BatchScan output) gated as decisions; full-read census raw-derived
     QueryDef("q166_shard_connector", shardConnector,
       Some(shardConnectorSql)),
+    // q167: statistics-only aggregate pushdown — COUNT/SUM/MIN/MAX
+    // answered from the manifest sidecar with zero data files opened;
+    // filter×agg composition + sidecar-vs-full-scan equality gated
+    QueryDef("q167_stats_pushdown", statsPushdown, Some(statsPushdownSql)),
   )
 }

@@ -9,7 +9,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.hadoop.io.compress.CompressionCodecFactory
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
@@ -69,6 +70,15 @@ object ShardSource {
     * q166 pruning decision gates (a plan-string check would couple the
     * gate to BatchScanExec's formatting; the counter is exact). */
   val openedFiles = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Manifest (statistics sidecar) reads in this JVM — q167's
+    * stats-only aggregate reads bump THIS, never [[openedFiles]]. */
+  val manifestReads = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The statistics sidecar an exporter writes next to the shard dirs
+    * (one JSON line per shard: rows, payload mass, id range) — the
+    * parquet-footer idea at the delivery layer. */
+  val ManifestName = "_shard_manifest.json"
 }
 
 private[sources] final class ShardTable(path: String)
@@ -83,11 +93,13 @@ private[sources] final class ShardTable(path: String)
 
 private[sources] final class ShardScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = ShardSource.Schema
   private var shardSet: Option[Set[Long]] = None
   private var accepted: Array[Filter] = Array.empty
+  // manifest-answerable aggregation: (group-by-shard?, agg kinds)
+  private var aggSpec: Option[(Boolean, Seq[String])] = None
 
   private def longsOf(vs: Array[Any]): Option[Set[Long]] = {
     val ls = vs.collect { case l: Long => l; case i: Int => i.toLong }
@@ -95,21 +107,23 @@ private[sources] final class ShardScanBuilder(path: String)
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    filters.foreach {
+    // shard_id equality/IN is EXACT under the directory layout (every
+    // row of shard_id=k lives under that dir), so those filters are
+    // consumed completely — which also keeps aggregate pushdown alive
+    // (Spark skips it whenever post-scan filters remain)
+    val rest = filters.filter {
       case EqualTo("shard_id", v: Long) =>
         shardSet = Some(shardSet.getOrElse(Set.empty[Long]) + v)
-        accepted :+= EqualTo("shard_id", v)
+        accepted :+= EqualTo("shard_id", v); false
       case In("shard_id", vs) => longsOf(vs.asInstanceOf[Array[Any]]) match {
         case Some(ls) =>
           shardSet = Some(shardSet.map(_ intersect ls).getOrElse(ls))
-          accepted :+= In("shard_id", vs)
-        case None => ()
+          accepted :+= In("shard_id", vs); false
+        case None => true
       }
-      case _ => ()
+      case _ => true
     }
-    // everything stays post-scan (rows re-check — the v2 convention
-    // for sources whose pushdown is pruning, not evaluation)
-    filters
+    rest
   }
 
   override def pushedFilters(): Array[Filter] = accepted
@@ -117,8 +131,140 @@ private[sources] final class ShardScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new ShardScan(path, shardSet, required)
+  private def fieldOf(e: Expression): Option[String] = e match {
+    case n: NamedReference if n.fieldNames.length == 1 =>
+      Some(n.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Accept an aggregation the statistics sidecar can answer —
+    * COUNT(*), SUM(n_chars), MIN/MAX(doc_id), grouped by shard_id or
+    * global — iff the manifest exists. Partial pushdown (Spark still
+    * merges the per-shard rows), so a stale manifest cannot silently
+    * widen: the q167 gate cross-checks against a full scan. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val conf = new Configuration()
+    val mp = new Path(path, ShardSource.ManifestName)
+    if (!mp.getFileSystem(conf).exists(mp)) return false
+    val groupOk: Option[Boolean] =
+      aggregation.groupByExpressions() match {
+        case Array() => Some(false)
+        case Array(e) if fieldOf(e).contains("shard_id") => Some(true)
+        case _ => None
+      }
+    val kinds = aggregation.aggregateExpressions().map {
+      case _: CountStar => Some("count")
+      // every exporter-written field is non-null, so COUNT(field)
+      // equals the manifest row count
+      case c: Count if !c.isDistinct && fieldOf(c.column()).isDefined =>
+        Some("count")
+      case s: Sum if !s.isDistinct && fieldOf(s.column()).contains("n_chars") =>
+        Some("sum_chars")
+      case m: Min if fieldOf(m.column()).contains("doc_id") => Some("min_doc")
+      case m: Max if fieldOf(m.column()).contains("doc_id") => Some("max_doc")
+      case _ => None
+    }
+    (groupOk, kinds.forall(_.isDefined)) match {
+      case (Some(g), true) if kinds.nonEmpty =>
+        aggSpec = Some((g, kinds.flatten.toSeq))
+        true
+      case _ => false
+    }
+  }
+
+  override def build(): Scan = aggSpec match {
+    case Some((byShard, kinds)) =>
+      new ShardStatsScan(path, shardSet, byShard, kinds)
+    case None =>
+      new ShardScan(path, shardSet, required)
+  }
+}
+
+/** The statistics-only scan: answers a pushed aggregation from the
+  * manifest sidecar — ZERO data files opened (the q167 observable).
+  * One input partition; the reader streams the manifest's per-shard
+  * lines (filtered by any consumed shard predicate) as PARTIAL rows
+  * Spark's final aggregate merges. */
+private[sources] final class ShardStatsScan(path: String,
+    shardSet: Option[Set[Long]], byShard: Boolean, kinds: Seq[String])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = {
+    val aggs = kinds.map {
+      case "count"     => StructField("count", LongType)
+      case "sum_chars" => StructField("sum_chars", LongType)
+      case "min_doc"   => StructField("min_doc", LongType)
+      case "max_doc"   => StructField("max_doc", LongType)
+    }
+    StructType(
+      (if (byShard) Seq(StructField("shard_id", LongType)) else Nil) ++ aggs)
+  }
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftShardStatsScan kinds=${kinds.mkString(",")} byShard=$byShard"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ManifestPartition(
+      new Path(path, ShardSource.ManifestName).toString,
+      shardSet.map(_.toSeq.sorted)))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(byShard, kinds)
+}
+
+private[sources] final case class ManifestPartition(file: String,
+    shards: Option[Seq[Long]]) extends InputPartition
+
+private[sources] final class ManifestReaderFactory(byShard: Boolean,
+    kinds: Seq[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val mp = p.asInstanceOf[ManifestPartition]
+    new ManifestReader(mp.file, mp.shards.map(_.toSet), byShard, kinds)
+  }
+}
+
+private[sources] final class ManifestReader(file: String,
+    shards: Option[Set[Long]], byShard: Boolean, kinds: Seq[String])
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private val reader: java.io.BufferedReader = {
+    ShardSource.manifestReads.incrementAndGet()
+    val p = new Path(file)
+    val fs = p.getFileSystem(new Configuration())
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private var node: com.fasterxml.jackson.databind.JsonNode = _
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null) {
+      val n = mapper.readTree(line)
+      if (shards.forall(_.contains(n.get("shard_id").asLong()))) {
+        node = n; return true
+      }
+      line = reader.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val aggVals: Seq[Any] = kinds.map {
+      case "count"     => node.get("rows").asLong()
+      case "sum_chars" => node.get("sum_chars").asLong()
+      case "min_doc"   => node.get("min_doc").asLong()
+      case "max_doc"   => node.get("max_doc").asLong()
+    }
+    InternalRow.fromSeq(
+      (if (byShard) Seq(node.get("shard_id").asLong()) else Nil) ++ aggVals)
+  }
+
+  override def close(): Unit = reader.close()
 }
 
 private[sources] final class ShardScan(path: String,

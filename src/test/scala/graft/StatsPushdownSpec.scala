@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+import graft.sources.{Layout, ShardSource}
+
+/** q167 — statistics-only aggregate pushdown: the connector answers
+  * COUNT/SUM/MIN/MAX from the manifest sidecar without opening data
+  * files; partial pushdown keeps Spark's final merge in the loop. */
+class StatsPushdownSpec extends SparkSpec {
+
+  private lazy val out: Array[Row] =
+    Pipeline.statsPushdown(spark, sfDir).collect()
+
+  private lazy val path: String =
+    Layout.warehousePath(spark, Layout.tableName(sfDir, "aggshards"))
+
+  test("pushdown decisions: zero-file stats, filtered stats, true sidecar") {
+    def meta(k: Long): Row = out.find(_.getLong(0) == k).get
+    assert(meta(99L).getLong(1) == 1L, "grouped stats must open 0 data files")
+    assert(meta(100L).getLong(1) == 1L,
+      "a shard-filtered count must still push (filters consumed exactly)")
+    assert(meta(101L).getLong(1) == 1L,
+      "manifest answers must equal a full-scan recompute")
+  }
+
+  test("per-shard stats equal an independent raw derivation") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = docs.groupBy { case (id, _) =>
+      java.lang.Long.parseLong(md5hex(s"epoch0:$id").take(8), 16) >> 29
+    }.map { case (sh, rows) =>
+      sh -> (rows.length.toLong, rows.map(_._2).sum,
+        rows.map(_._1).min, rows.map(_._1).max)
+    }
+    val got = out.filter(_.getLong(0) < 99L).map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == expect)
+  }
+
+  test("a global count through the connector is manifest-only and exact") {
+    out.length // force the gate (export + manifest exist)
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val f0 = ShardSource.openedFiles.get()
+    val viaStats = spark.read.format("graft.sources.ShardSource")
+      .option("path", path).load().agg(count(lit(1))).collect()(0).getLong(0)
+    assert(ShardSource.openedFiles.get() == f0,
+      "the global count must not open data files")
+    assert(viaStats == n)
+  }
+
+  test("an unpushable aggregate falls back to the data path, same answers") {
+    out.length
+    val f0 = ShardSource.openedFiles.get()
+    // count(distinct) is never manifest-answerable — full scan
+    val distinctDocs = spark.read.format("graft.sources.ShardSource")
+      .option("path", path).load()
+      .agg(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+    assert(ShardSource.openedFiles.get() > f0, "fallback must read data")
+    val n = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").distinct().count()
+    assert(distinctDocs == n)
+  }
+}
