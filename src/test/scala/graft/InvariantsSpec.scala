@@ -28,4 +28,15 @@ class InvariantsSpec extends SparkSpec {
     val badV = ev.filter(abs(col("value")) > (1L << 53).toDouble).count()
     assert(badV == 0L)
   }
+
+  test("every registered query carries a DuckDB oracle (no rows-only drift)") {
+    // the board has been N/N hash-gated since round 15; a QueryDef
+    // added with oracle = None would silently downgrade its driver
+    // check to rows-only — pin full coverage structurally
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"queries without oracles: ${(q -- o).toSeq.sorted}; " +
+      s"orphan oracles: ${(o -- q).toSeq.sorted}")
+    assert(q.size >= 167, s"query surface shrank: ${q.size}")
+  }
 }
