@@ -4040,8 +4040,10 @@ object Pipeline {
     * crosses policy (≥ 3 files here) is FOLDED back to one file, the
     * way the MVCC store's compaction folds segments (q129/q133) — but
     * at the file-delivery layer a loader may be mid-read, so the fold
-    * is write-to-temp + atomic per-shard directory SWAP (Hadoop FS
-    * rename), never an in-place rewrite of a directory being served.
+    * is write-to-temp + a per-shard RENAME-ASIDE swap (old dir →
+    * trash, temp → old, delete trash — two Hadoop FS metadata renames
+    * back to back), never an in-place rewrite of a directory being
+    * served and never a window where the shard directory is absent.
     *
     * The walk: base export (two residue classes held out) → two delta
     * appends → the policy selects crossed shards → compaction swaps
@@ -4095,9 +4097,15 @@ object Pipeline {
       require(crossed.nonEmpty, "the compaction policy never fired — " +
         "the gate would be vacuous (deltas missed every shard)")
       // fold: read ONLY the crossed shard dirs, write one file per
-      // shard to a temp location, then atomic per-shard dir swap
+      // shard to a temp location, then a per-shard rename-aside swap
+      // (old → trash, tmp → old, delete trash): the visible window is
+      // two metadata renames, never an absent directory a mid-read
+      // loader would crash on (round-16 advice — the prior form was
+      // delete-then-rename, which left a gap)
       val tmp = s"${path}__fold"
+      val trash = s"${path}__trash"
       Layout.deleteWarehouseDir(s, tmp)
+      Layout.deleteWarehouseDir(s, trash)
       val crossedDf = s.read
         .schema("doc_id long, text string, lang string, n_chars long, u long")
         .json(crossed.toSeq.sorted.map(sh => s"$path/shard_id=$sh"): _*)
@@ -4106,11 +4114,14 @@ object Pipeline {
         .sortWithinPartitions(col("shard_id"), col("u"), col("doc_id"))
       crossedDf.write.mode("overwrite").partitionBy("shard_id")
         .option("compression", zst).json(tmp)
+      val (tfs, trashP) = Layout.hfs(s, trash)
+      tfs.mkdirs(trashP)
       crossed.foreach { sh =>
         val (fs, oldP) = Layout.hfs(s, s"$path/shard_id=$sh")
-        fs.delete(oldP, true)
+        fs.rename(oldP, new org.apache.hadoop.fs.Path(s"$trash/shard_id=$sh"))
         fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/shard_id=$sh"), oldP)
       }
+      Layout.deleteWarehouseDir(s, trash)
       Layout.deleteWarehouseDir(s, tmp)
       val after = listing()
       val crossedFolded = filesPerShard(after)
@@ -4120,8 +4131,24 @@ object Pipeline {
         .filter { case (f, _) =>
           !crossed.contains(f.split("/")(0).stripPrefix("shard_id=").toLong) }
         .forall { case (f, len) => after.get(f).contains(len) }
-      val policyExact = crossed ==
-        filesPerShard(before).filter(_._2 >= 3).keySet
+      // the policy decision checked INDEPENDENTLY of the listing that
+      // defined `crossed` (round-16 advice — the prior form compared
+      // the expression against itself): each of the three writes lands
+      // at most one file per shard (repartition on the shard column
+      // task-aligns), so a shard crosses the ≥3-file policy iff it
+      // sits in ALL THREE residue classes' shard hash images
+      def imageOf(residueFilter: org.apache.spark.sql.Column): Set[Long] =
+        d.filter(residueFilter)
+          .select(shiftright(conv(substring(md5(concat(lit("cexp0:"),
+            col("doc_id").cast(StringType))), 1, 8), 16, 10)
+            .cast(LongType), 29).as("sh"))
+          .distinct().collect().map(_.getLong(0)).toSet // bounded: ≤ shards
+      val predicted =
+        imageOf(pmod(col("doc_id"), lit(10)) =!= 3 &&
+          pmod(col("doc_id"), lit(10)) =!= 7) intersect
+          imageOf(pmod(col("doc_id"), lit(10)) === 3) intersect
+          imageOf(pmod(col("doc_id"), lit(10)) === 7)
+      val policyExact = crossed == predicted
       val back = s.read
         .schema("doc_id long, text string, lang string, n_chars long")
         .json(path)

@@ -28,9 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    matching `shard_id=k` directories — unselected shards' files
   *    are never listed into partitions, let alone opened (the
   *    directory layout IS the index; the q83 SelectedBucketsCount
-  *    story at the delivery layer). The accepted filters stay in the
-  *    post-scan set too — rows re-check them, a belt-and-braces
-  *    standard for v2 sources.
+  *    story at the delivery layer). Accepted shard_id filters are
+  *    CONSUMED exactly (every row of `shard_id=k` lives under that
+  *    directory, so directory selection IS the predicate) and are NOT
+  *    re-evaluated post-scan — which is also what keeps aggregate
+  *    pushdown alive (Spark skips it whenever post-scan filters
+  *    remain). Conjunctions intersect: each consumed filter narrows
+  *    the shard set, so `shard_id IN (2,3) AND shard_id = 1` selects
+  *    nothing regardless of push order.
   *  - COLUMN PRUNING (`SupportsPushDownRequiredColumns`): the reader
   *    materializes only requested fields from each JSON line;
   *    `shard_id` costs nothing (it is the partition identity).
@@ -79,6 +84,27 @@ object ShardSource {
     * (one JSON line per shard: rows, payload mass, id range) — the
     * parquet-footer idea at the delivery layer. */
   val ManifestName = "_shard_manifest.json"
+
+  /** The SESSION's Hadoop configuration for driver-side planning
+    * (listings, manifest reads) — a bare `new Configuration()` drops
+    * filesystem-specific session settings (object-store credentials,
+    * fs.defaultFS overrides) on non-local filesystems (round-16
+    * advice). */
+  private[sources] def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
+  /** The session conf flattened to serializable pairs — readers run
+    * executor-side and `Configuration` is not serializable, so the
+    * factory carries the pairs and rebuilds (the role Spark's file
+    * sources give a broadcast SerializableConfiguration). */
+  private[sources] def confPairs(): Array[(String, String)] =
+    hadoopConf().iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+
+  private[sources] def confOf(pairs: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    pairs.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 }
 
 private[sources] final class ShardTable(path: String)
@@ -110,14 +136,20 @@ private[sources] final class ShardScanBuilder(path: String)
     // shard_id equality/IN is EXACT under the directory layout (every
     // row of shard_id=k lives under that dir), so those filters are
     // consumed completely — which also keeps aggregate pushdown alive
-    // (Spark skips it whenever post-scan filters remain)
+    // (Spark skips it whenever post-scan filters remain). The pushed
+    // array is a CONJUNCTION, so every consumed filter INTERSECTS the
+    // shard set: two ANDed equalities on different shards (or an IN
+    // followed by a disjoint EqualTo) must select nothing, never the
+    // union (round-16 advice, medium).
+    def narrow(ls: Set[Long]): Unit =
+      shardSet = Some(shardSet.map(_ intersect ls).getOrElse(ls))
     val rest = filters.filter {
       case EqualTo("shard_id", v: Long) =>
-        shardSet = Some(shardSet.getOrElse(Set.empty[Long]) + v)
+        narrow(Set(v))
         accepted :+= EqualTo("shard_id", v); false
       case In("shard_id", vs) => longsOf(vs.asInstanceOf[Array[Any]]) match {
         case Some(ls) =>
-          shardSet = Some(shardSet.map(_ intersect ls).getOrElse(ls))
+          narrow(ls)
           accepted :+= In("shard_id", vs); false
         case None => true
       }
@@ -143,7 +175,7 @@ private[sources] final class ShardScanBuilder(path: String)
     * merges the per-shard rows), so a stale manifest cannot silently
     * widen: the q167 gate cross-checks against a full scan. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val conf = new Configuration()
+    val conf = ShardSource.hadoopConf()
     val mp = new Path(path, ShardSource.ManifestName)
     if (!mp.getFileSystem(conf).exists(mp)) return false
     val groupOk: Option[Boolean] =
@@ -211,22 +243,24 @@ private[sources] final class ShardStatsScan(path: String,
       shardSet.map(_.toSeq.sorted)))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(byShard, kinds)
+    new ManifestReaderFactory(byShard, kinds, ShardSource.confPairs())
 }
 
 private[sources] final case class ManifestPartition(file: String,
     shards: Option[Seq[Long]]) extends InputPartition
 
 private[sources] final class ManifestReaderFactory(byShard: Boolean,
-    kinds: Seq[String]) extends PartitionReaderFactory {
+    kinds: Seq[String], conf: Array[(String, String)])
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val mp = p.asInstanceOf[ManifestPartition]
-    new ManifestReader(mp.file, mp.shards.map(_.toSet), byShard, kinds)
+    new ManifestReader(mp.file, mp.shards.map(_.toSet), byShard, kinds, conf)
   }
 }
 
 private[sources] final class ManifestReader(file: String,
-    shards: Option[Set[Long]], byShard: Boolean, kinds: Seq[String])
+    shards: Option[Set[Long]], byShard: Boolean, kinds: Seq[String],
+    conf: Array[(String, String)])
     extends PartitionReader[InternalRow] {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -234,7 +268,7 @@ private[sources] final class ManifestReader(file: String,
   private val reader: java.io.BufferedReader = {
     ShardSource.manifestReads.incrementAndGet()
     val p = new Path(file)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(ShardSource.confOf(conf))
     new java.io.BufferedReader(new java.io.InputStreamReader(
       fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -245,7 +279,9 @@ private[sources] final class ManifestReader(file: String,
     var line = reader.readLine()
     while (line != null) {
       val n = mapper.readTree(line)
-      if (shards.forall(_.contains(n.get("shard_id").asLong()))) {
+      // header lines (schema, format version) carry no shard_id
+      val sid = n.get("shard_id")
+      if (sid != null && shards.forall(_.contains(sid.asLong()))) {
         node = n; return true
       }
       line = reader.readLine()
@@ -276,7 +312,7 @@ private[sources] final class ShardScan(path: String,
 
   // resolved lazily at planning: the selected shard dirs' part files
   private lazy val selected: (Seq[(String, Long)], Int) = {
-    val conf = new Configuration()
+    val conf = ShardSource.hadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val dirs = fs.listStatus(root).toSeq.filter(_.isDirectory)
@@ -305,34 +341,32 @@ private[sources] final class ShardScan(path: String,
     selected._1.map { case (f, sh) => ShardPartition(f, sh) }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ShardReaderFactory(required.fieldNames,
-      // carry the session's codec list to executors (Configuration is
-      // not serializable; the one key we need is)
-      org.apache.spark.sql.SparkSession.active.sparkContext
-        .hadoopConfiguration.get("io.compression.codecs", ""))
+    // carry the FULL session conf to executors as pairs (codec list,
+    // object-store credentials, fs.defaultFS — Configuration is not
+    // serializable, the pairs are)
+    new ShardReaderFactory(required.fieldNames, ShardSource.confPairs())
 }
 
 private[sources] final case class ShardPartition(file: String, shard: Long)
     extends InputPartition
 
 private[sources] final class ShardReaderFactory(fields: Array[String],
-    codecs: String) extends PartitionReaderFactory {
+    conf: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[ShardPartition]
-    new ShardReader(sp.file, sp.shard, fields, codecs)
+    new ShardReader(sp.file, sp.shard, fields, conf)
   }
 }
 
 private[sources] final class ShardReader(file: String, shard: Long,
-    fields: Array[String], codecs: String)
+    fields: Array[String], confPairs: Array[(String, String)])
     extends PartitionReader[InternalRow] {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private val reader: java.io.BufferedReader = {
     ShardSource.openedFiles.incrementAndGet()
-    val conf = new Configuration()
-    if (codecs.nonEmpty) conf.set("io.compression.codecs", codecs)
+    val conf = ShardSource.confOf(confPairs)
     val p = new Path(file)
     val fs = p.getFileSystem(conf)
     val raw: java.io.InputStream = fs.open(p)
