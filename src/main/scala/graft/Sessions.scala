@@ -45,6 +45,12 @@ object Sessions {
           "org.apache.hadoop.io.compress.Lz4Codec," +
           "org.apache.hadoop.io.compress.SnappyCodec," +
           "graft.sources.ZstdCodec")
+      // DataSourceV2 key-grouped partition reporting: lets a scan that
+      // declares KeyGroupedPartitioning (graft.sources.ShardSource —
+      // one partition per shard) satisfy shard-keyed distributions
+      // with zero hash exchange; off by default upstream only for
+      // legacy-source compatibility.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // The generated-class cache defaults to 100 entries; a workload of
       // 40+ distinct queries compiles several codegen stages each, so at
       // the default size classes are evicted and janino-recompiled on

@@ -48,11 +48,65 @@ class ShardConnectorSpec extends SparkSpec {
     val expFiles = Layout.listWarehouseNames(spark, s"$path/shard_id=$sh")
       .count(_.startsWith("part-"))
     val c0 = ShardSource.openedFiles.get()
+    // the sum below is NOT manifest-answerable, so the probe measures
+    // the DATA path's pruning (a bare count would answer from the
+    // round-17 statistics sidecar without opening anything)
     val n = spark.read.format("graft.sources.ShardSource")
       .option("path", path).load()
-      .filter(col("shard_id") === sh).count()
+      .filter(col("shard_id") === sh)
+      .agg(sum((length(col("text")) >= 0).cast("long"))).collect()(0).getLong(0)
     val opened = ShardSource.openedFiles.get() - c0
     assert(opened == expFiles.toLong, s"opened $opened of $expFiles files")
     assert(n > 0)
+  }
+
+  test("conjunctive shard filters INTERSECT (round-16 advice, medium)") {
+    out.length
+    def src = spark.read.format("graft.sources.ShardSource")
+      .option("path", path).load()
+    val shards = Layout.listWarehouseNames(spark, path, dirsOnly = true)
+      .filter(_.startsWith("shard_id="))
+      .map(_.stripPrefix("shard_id=").toLong).sorted
+    assert(shards.length >= 3)
+    val Seq(a, b, c) = shards.take(3).toSeq
+    // IN ∧ disjoint equality -> empty, regardless of push order
+    val disjoint = src.filter(col("shard_id").isin(a, b) &&
+      col("shard_id") === c)
+    assert(disjoint.collect().isEmpty,
+      "IN(a,b) AND =c must select nothing, not the union")
+    // two ANDed equalities on different shards -> empty
+    assert(src.filter(col("shard_id") === a && col("shard_id") === b)
+      .collect().isEmpty)
+    // overlapping IN ∧ equality -> exactly the intersection shard
+    val inter = src.filter(col("shard_id").isin(a, b) &&
+      col("shard_id") === a)
+    assert(inter.select(col("shard_id")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(a))
+  }
+
+  test("schema evolution: an export with a NEW column reads without a code change") {
+    import spark.implicits._
+    val p = Layout.warehousePath(spark, Layout.tableName(sfDir, "evoshards"))
+    Layout.deleteWarehouseDir(spark, p)
+    val df = Seq(
+      (1L, "alpha", "en", 5L, 11L, 0L, 0.5),
+      (2L, "beta", "de", 4L, 12L, 1L, 1.5),
+      (3L, "gamma", "en", 5L, 13L, 0L, 2.5))
+      .toDF("doc_id", "text", "lang", "n_chars", "u", "shard_id", "quality")
+    df.repartition(2, col("shard_id"))
+      .write.format("graft.sources.ShardSource")
+      .option("path", p).mode("overwrite").save()
+    // the manifest header carries the widened schema; inferSchema
+    // reads it — no connector edit, no user-supplied schema
+    val back = spark.read.format("graft.sources.ShardSource")
+      .option("path", p).load()
+    assert(back.schema.fieldNames.contains("quality"))
+    val got = back.select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.5, 2L -> 1.5, 3L -> 2.5))
+    // stats pushdown still works over the evolved layout
+    val f0 = ShardSource.openedFiles.get()
+    val n = back.agg(count(lit(1))).collect()(0).getLong(0)
+    assert(n == 3L && ShardSource.openedFiles.get() == f0)
   }
 }
