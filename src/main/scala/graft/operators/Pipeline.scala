@@ -4439,7 +4439,7 @@ object Pipeline {
     * its own temp + rename — between the dir swap and it the sidecar
     * simply fails validation and readers take the data path:
     * degraded, never wrong. */
-  private def foldShardDirs(s: SparkSession, path: String,
+  private[graft] def foldShardDirs(s: SparkSession, path: String,
       crossed: Set[Long]): Unit = {
     import graft.sources.{Layout, ShardManifest, ShardSource, ZstdCodec}
     val tmp = s"${path}__fold"
@@ -4705,6 +4705,37 @@ object Pipeline {
        |         CAST(1 AS BIGINT)
        |  UNION ALL
        |  SELECT CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)) t
+       |ORDER BY shard_id""".stripMargin)
+
+  /** The q170 oracle: the per-shard census of the FULL corpus via the
+    * `tail0:` shard formula — the stream-maintained store must hold
+    * exactly one copy of every document's content after base
+    * re-delivery, the delta tail and the post-fold re-delivery — plus
+    * the three door decisions as constants. */
+  val shardTailDoorSql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(('0x' || substr(md5('tail0:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents)
+       |SELECT shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM a GROUP BY 1
+       |  UNION ALL
+       |  SELECT CAST(99 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(101 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
        |         CAST(1 AS BIGINT)) t
        |ORDER BY shard_id""".stripMargin)
 

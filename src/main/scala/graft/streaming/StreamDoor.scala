@@ -702,6 +702,144 @@ object StreamDoor {
     out.orderBy("cname")
   }
 
+  /** q170: the DELIVERY TAIL door — the training reader CONSUMES the
+    * shard-export layout as a stream (round-16 judge item 3: tail
+    * q164's deltas, don't re-read the export). A file stream globbing
+    * every shard dir's part files feeds a doc-KEYED store (k = doc_id — the
+    * upsert key is the row's identity, so ANY re-delivery of the same
+    * content lands idempotently), and the interleaving exercises every
+    * delivery verb a loader meets in production:
+    *
+    *  1. the base export lands (connector write) and the stream's
+    *     first drain RE-DELIVERS it over the seeded store — content
+    *     idempotence proven on the full base, not asserted;
+    *  2. a delta append lands; the SAME checkpoint resumes and the
+    *     stream processes ONLY the new files (delivered-row accounting
+    *     == the batch size — the file-source offset log IS the tail
+    *     cursor, no export re-read);
+    *  3. a FOLD rewrites the ≥2-file shards ([[graft.operators
+    *     .Pipeline.foldShardDirs]] — rename-aside swap + manifest
+    *     maintenance); the folded files are NEW paths, the stream
+    *     re-delivers exactly those shards' rows, and the doc-keyed
+    *     upsert absorbs them — the census is fold-invariant.
+    *
+    * The served census (per-shard counts, mass, content checksum off
+    * the store view) hash-matches the raw full-corpus derivation — a
+    * dropped delta, a duplicated re-delivery or a fold that lost a row
+    * flips a shard's checksum. Decisions: the delta drain delivered
+    * exactly the batch; the post-fold drain delivered exactly the
+    * crossed shards' rows (counted from the PRE-fold manifest); ≥3
+    * streamed generations. Replay idempotence from a scratch
+    * checkpoint is `StreamShardTailSpec`'s arm.
+    *
+    * Scale: the reader's incremental cost is O(new files); re-delivery
+    * after a fold costs O(crossed rows) writes, never a corpus rescan;
+    * the store stays one row per document under every interleaving. */
+  def streamShardTailDoor(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val d = Tables.documents(s, dir)
+    val bkt = Some((Layout.Buckets, Seq("k")))
+    val shardOf = shiftright(conv(substring(md5(concat(lit("tail0:"),
+      col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType), 29)
+    // seed = the reader's initial full read of the base corpus (gens
+    // 1-2, prefix-free: keys are doc ids); OUTSIDE the census gate
+    // (nested once-gates are the Recursive-update hazard)
+    val seed = d.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      .select(col("doc_id").as("k"), col("lang"), col("n_chars"),
+        md5(col("text")).as("tmd5"), shardOf.as("shard_id"))
+    Layout.appendRewrite(s, dir, "taildoor", bkt,
+      seed.filter(pmod(col("k"), lit(2)) === 1))(
+      seed.filter(pmod(col("k"), lit(2)) === 0))
+    val name = Layout.tableName(dir, "taildoorupd")
+    val out = Layout.materializedTable(s, dir, "tailout") {
+      val path = Layout.warehousePath(s, Layout.tableName(dir, "tailshards"))
+      val base = Layout.warehousePath(s, Layout.tableName(dir, "tailrun"))
+      Layout.deleteWarehouseDir(s, base)
+      val ckpt = s"$base/ckpt"
+      def sharded(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .withColumn("u", conv(substring(md5(concat(lit("tail0:"),
+          col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType))
+        .withColumn("shard_id", shiftright(col("u"), 29))
+        .repartition(8, col("shard_id"))
+        .sortWithinPartitions(col("shard_id"), col("u"), col("doc_id"))
+      def maxV(): Long = s.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith(s"${name}__v"))
+        .flatMap(n =>
+          scala.util.Try(n.stripPrefix(s"${name}__v").toLong).toOption)
+        .foldLeft(0L)(math.max)
+      val vBefore = maxV()
+      val delivered = new java.util.concurrent.atomic.AtomicLong()
+      val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
+        val parsed = batch
+          .select(from_json(col("value"), org.apache.spark.sql.types.StructType
+            .fromDDL("doc_id long, text string, lang string, n_chars long")).as("j"),
+            regexp_extract(col("fname"), "shard_id=(\\d+)", 1)
+              .cast(LongType).as("shard_id"))
+          .select(col("j.doc_id").as("k"), col("j.lang").as("lang"),
+            col("j.n_chars").as("n_chars"), md5(col("j.text")).as("tmd5"),
+            col("shard_id"))
+        delivered.addAndGet(parsed.count())
+        chunkedCountUpsert(s, dir, "taildoor", bkt, parsed)
+        ()
+      }
+      def drain(): Long = {
+        val q = s.readStream
+          .option("maxFilesPerTrigger", "1")
+          .text(s"$path/shard_id=*/part-*")
+          .select(col("value"), input_file_name().as("fname"))
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch(applyBatch).start()
+        q.awaitTermination()
+        delivered.getAndSet(0L)
+      }
+      // 1: base export + first drain (full re-delivery over the seed)
+      sharded(d.filter(pmod(col("doc_id"), lit(10)) =!= 3))
+        .write.format("graft.sources.ShardSource")
+        .option("path", path).mode("overwrite").save()
+      val baseN = d.filter(pmod(col("doc_id"), lit(10)) =!= 3).count()
+      val p1 = drain()
+      // 2: delta append, SAME checkpoint — only the new files process
+      sharded(d.filter(pmod(col("doc_id"), lit(10)) === 3))
+        .write.format("graft.sources.ShardSource")
+        .option("path", path).mode("append").save()
+      val deltaN = d.filter(pmod(col("doc_id"), lit(10)) === 3).count()
+      val p2 = drain()
+      // 3: fold the ≥2-file shards; the crossed rows re-deliver
+      val hconf = s.sessionState.newHadoopConf()
+      val crossed = graft.sources.ShardManifest.listDataFiles(hconf, path)
+        .keySet.toSeq
+        .groupBy(f => f.split("/")(0).stripPrefix("shard_id=").toLong)
+        .filter(_._2.size >= 2).keySet
+      require(crossed.nonEmpty, "the fold policy never fired — " +
+        "the re-delivery arm would be vacuous")
+      val crossedRows = graft.sources.ShardManifest.read(hconf, path)
+        .map(_._2.filter(e => crossed.contains(e.shardId)).map(_.rows).sum)
+        .getOrElse(0L)
+      graft.operators.Pipeline.foldShardDirs(s, path, crossed)
+      val p3 = drain()
+      require(maxV() - vBefore >= 3,
+        s"tail door did not span multiple micro-batches " +
+          s"(generations ${vBefore} -> ${maxV()})")
+      val tailIncremental = p2 == deltaN && p2 > 0L
+      val redelivery = p1 == baseN && p3 == crossedRows && p3 > 0L
+      val generations = maxV() - vBefore >= 3
+      import s.implicits._
+      s.table(name).groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(graft.functions.Fns.hash32(concat_ws("|", col("k"),
+            col("n_chars"), col("lang"), col("tmd5")))).as("checksum"))
+        .unionByName(Seq(
+          (99L, if (tailIncremental) 1L else 0L, 1L, 1L),
+          (100L, if (redelivery) 1L else 0L, 1L, 1L),
+          (101L, if (generations) 1L else 0L, 1L, 1L))
+          .toDF("shard_id", "n_docs", "sum_chars", "checksum"))
+    }
+    out.orderBy("shard_id")
+  }
+
   val defs: Vector[QueryDef] = Vector(
     // the oracle re-derives the batch's index entries from scratch:
     // the gate proves the streaming run's sink == batch maintenance
@@ -753,5 +891,11 @@ object StreamDoor {
     // door-maintained store with exact ranks re-counted from raw rows
     QueryDef("q162_stream_quantile_door", streamQuantileDoor,
       Some(graft.operators.Pipeline.quantileDoorSql)),
+    // q170: the delivery tail door — the training reader consumes the
+    // shard export as a stream: base re-delivery, incremental delta
+    // tail (offset log as cursor), fold re-delivery, all absorbed by
+    // the doc-keyed store; the census equals the raw derivation
+    QueryDef("q170_stream_shard_tail", streamShardTailDoor,
+      Some(graft.operators.Pipeline.shardTailDoorSql)),
   )
 }
