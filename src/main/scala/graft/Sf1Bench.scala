@@ -104,6 +104,38 @@ object Sf1Bench {
 
   private val Offset = 100000000L
 
+  /** Round-17 item 4 (round-16 judge): the HOST-SATURATION probe as a
+    * machine-made JSON field instead of a by-hand shell loop. Measures
+    * single-thread MD5 throughput, then 32-way total throughput;
+    * `effective_cores` = the ratio — ~22 on a healthy round-16 machine,
+    * well below the adjudication threshold on a throughput-degraded
+    * host. Runs BEFORE any Spark work so the probe measures the
+    * machine, not this process's own load. */
+  private def effectiveCores(threads: Int = 32): Double = {
+    val buf = Array.tabulate[Byte](1 << 16)(i => (i * 31).toByte)
+    def rate(nThreads: Int, millis: Long): Double = {
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val counts = new java.util.concurrent.atomic.AtomicLong()
+      val ts = (1 to nThreads).map { _ =>
+        new Thread(() => {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var local = 0L
+          while (!stop.get()) { md.update(buf); md.digest(); local += 1 }
+          counts.addAndGet(local); ()
+        })
+      }
+      ts.foreach(_.start())
+      Thread.sleep(millis)
+      stop.set(true)
+      ts.foreach(_.join())
+      counts.get().toDouble / (millis / 1000.0)
+    }
+    rate(1, 300) // JIT warmup, discarded
+    val single = rate(1, 1000)
+    val total = rate(threads, 1000)
+    if (single <= 0) 0.0 else total / single
+  }
+
   /** Replicate the sf0.1 snapshot k× into `out` (idempotent via a
     * _SUCCESS marker). Dims copy verbatim; facts offset their keys;
     * documents additionally suffix every token per replica. */
@@ -163,6 +195,8 @@ object Sf1Bench {
     // _DONE marker can never satisfy the idempotence check
     val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", s"/tmp/graft_sf1_k${k}_p1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // host saturation BEFORE the session exists (nothing else running)
+    val effCores = effectiveCores()
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -514,7 +548,8 @@ object Sf1Bench {
     println(
       s"""{"metric":"sf1_total","value":${BenchReport.f3(times.map(_._2).sum)},"unit":"sec"""" +
         s""","k":$k,"build_sec":${BenchReport.f3(buildSec)},"setup_sec":${BenchReport.f3(setupSec)}""" +
-        s""","setup_tables":{$setupMap}""" +
+        s""","effective_cores":${BenchReport.f3(effCores)}""" +
+        s""","setup_lane_spans":{$setupMap}""" +
         s""","chunk_splits":${graft.streaming.StreamDoor.chunkSplits.get()}""" +
         s""","passes":$passes,"ivf_k":${graft.operators.Similarity.ivfK(spark, out)}""" +
         s""","queries":{$q},"joins":{$j},"q83_buckets":"$bucketLine"""" +

@@ -16,13 +16,83 @@ runner restores the discipline as CODE instead of a by-hand merge:
 
 Usage:  python3 tools/sf1run.py r13
 """
+import hashlib
 import json
 import os
+import re
 import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The parallel-setup lanes' source files: byte-identical lanes mean a
+# setup_sec move is not a code change (round-16 continued adjudication,
+# now evaluated in code -- round-17 item 4).
+LANE_SOURCES = [
+    "src/main/scala/graft/operators/Similarity.scala",
+    "src/main/scala/graft/operators/Dedup.scala",
+    "src/main/scala/graft/sources/Layout.scala",
+]
+
+# Healthy round-16 machine measured ~22 effective cores on the 32-way
+# MD5 probe; below this the host is throughput-degraded and setup_sec
+# moves adjudicate to HOST.
+EFFECTIVE_CORES_HEALTHY = 18.0
+
+
+def lane_src_sha():
+    h = hashlib.sha256()
+    for rel in LANE_SOURCES:
+        with open(os.path.join(REPO, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def prior_artifact(rnd):
+    m = re.fullmatch(r"r(\d+)", rnd)
+    if not m:
+        return None
+    for n in range(int(m.group(1)) - 1, 0, -1):
+        p = os.path.join(REPO, f"SF1BENCH_r{n}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+    return None
+
+
+def adjudicate(line, rnd, all_pass):
+    """The round-16 by-hand procedure as code: lanes byte-identical +
+    gates stable + saturation probe below the healthy threshold =>
+    a setup_sec move is HOST noise, not a code regression."""
+    sha = lane_src_sha()
+    line["lane_src_sha"] = sha
+    eff = line.get("effective_cores")
+    prior = prior_artifact(rnd)
+    out = {
+        "effective_cores": eff,
+        "healthy_threshold": EFFECTIVE_CORES_HEALTHY,
+        "lanes_byte_identical_to_prior": (
+            prior is not None and prior.get("lane_src_sha") == sha),
+        "gates_stable": bool(all_pass),
+        "rule": ("lanes byte-identical + gates stable + probe below "
+                 "threshold => HOST"),
+    }
+    if eff is None:
+        out["verdict"] = "NO_PROBE"
+    elif prior is not None and prior.get("lane_src_sha") not in (None, sha):
+        out["verdict"] = "CODE_CHANGED"
+    elif eff >= EFFECTIVE_CORES_HEALTHY:
+        out["verdict"] = "MACHINE_HEALTHY"
+    elif out["lanes_byte_identical_to_prior"] and all_pass:
+        out["verdict"] = "HOST"
+    elif prior is None or prior.get("lane_src_sha") is None:
+        # degraded machine, no prior sha to compare lanes against:
+        # setup_sec comparisons across rounds are not meaningful
+        out["verdict"] = "HOST_DEGRADED_NO_PRIOR"
+    else:
+        out["verdict"] = "INCONCLUSIVE"
+    line["setup_adjudication"] = out
 
 
 def main():
@@ -55,6 +125,8 @@ def main():
         res = json.load(f)
 
     line["bench_wall_sec"] = bench_wall
+    adjudicate(line, rnd,
+               all(v == "pass" for v in res["verdicts"].values()))
     line["hash_match"] = {
         n: (f"PASS ({res['rows'].get(n, '?')} rows)" if v == "pass" else v.upper())
         for n, v in sorted(res["verdicts"].items())}
