@@ -5050,79 +5050,92 @@ object Similarity {
     def h32(key: String): String =
       s"CAST(coalesce(sum(CAST('0x' || substr(md5($key), 1, 8) AS BIGINT)), 0) AS BIGINT)"
     val ck = h32("CAST(vec_id AS VARCHAR) || '|' || CAST(nbr AS VARCHAR) || '|' || CAST(nqn AS VARCHAR)")
-    mat(
-      s"""WITH q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
-         |n AS (SELECT vec_id, q,
-         |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
-         |      FROM q
-         |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
-         |del AS (SELECT vec_id FROM n WHERE vec_id % $dM = $dR),
-         |g0h AS (SELECT vec_id, nbr, nqn FROM nngraph WHERE src = 'g'),
-         |xh AS (SELECT vec_id, nbr, nqn FROM nngraph WHERE src = 'x'),
-         |sg0 AS (SELECT * FROM g0h
-         |        WHERE vec_id NOT IN (SELECT vec_id FROM del)),
-         |a1 AS (SELECT DISTINCT vec_id FROM sg0
-         |       WHERE nbr IN (SELECT vec_id FROM del)),
-         |a2 AS (SELECT vec_id FROM a1
-         |       UNION SELECT g.vec_id FROM sg0 g JOIN a1 ON a1.vec_id = g.nbr),
-         |rs AS (SELECT vec_id, cent_id FROM nnroutes
-         |       WHERE vec_id NOT IN (SELECT vec_id FROM del)),
-         |pool AS (
-         |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr
-         |  FROM rs a JOIN a2 USING (vec_id)
-         |  JOIN rs b ON b.cent_id = a.cent_id AND b.vec_id <> a.vec_id),
-         |refsc AS (
-         |  SELECT p.vec_id, p.nbr, vb.qn AS nqn,
-         |         CAST(CAST(list_inner_product(va.q, vb.q) AS BIGINT) AS DOUBLE)
-         |           / sqrt(CAST(va.qn AS DOUBLE) * CAST(vb.qn AS DOUBLE)) AS sc
-         |  FROM pool p JOIN n va ON va.vec_id = p.vec_id
-         |  JOIN n vb ON vb.vec_id = p.nbr),
-         |ref AS (
-         |  SELECT vec_id, nbr, nqn FROM (
-         |    SELECT vec_id, nbr, nqn,
-         |           row_number() OVER (PARTITION BY vec_id
-         |                              ORDER BY sc DESC, nbr) AS rn
-         |    FROM refsc) t
-         |  WHERE rn <= $GraphG),
-         |g0new AS (
-         |  SELECT vec_id, nbr FROM sg0
-         |  WHERE vec_id NOT IN (SELECT vec_id FROM a2)
-         |  UNION ALL SELECT vec_id, nbr FROM ref),
-         |ndc AS (
-         |  SELECT DISTINCT a.vec_id, b.nbr
-         |  FROM g0new a JOIN a2 USING (vec_id)
-         |  JOIN g0new b ON b.vec_id = a.nbr
-         |  WHERE b.nbr <> a.vec_id
-         |    AND NOT EXISTS (SELECT 1 FROM g0new e
-         |                    WHERE e.vec_id = a.vec_id AND e.nbr = b.nbr)),
-         |ndsc AS (
-         |  SELECT c.vec_id, c.nbr, vb.qn AS nqn,
-         |         CAST(CAST(list_inner_product(va.q, vb.q) AS BIGINT) AS DOUBLE)
-         |           / sqrt(CAST(va.qn AS DOUBLE) * CAST(vb.qn AS DOUBLE)) AS sc
-         |  FROM ndc c JOIN n va ON va.vec_id = c.vec_id
-         |  JOIN n vb ON vb.vec_id = c.nbr),
-         |nd AS (
-         |  SELECT vec_id, nbr, nqn FROM (
-         |    SELECT vec_id, nbr, nqn,
-         |           row_number() OVER (PARTITION BY vec_id
-         |                              ORDER BY sc DESC, nbr) AS rn
-         |    FROM ndsc) t
-         |  WHERE rn <= $NdAdd)
-         |SELECT artifact, n_rows, checksum FROM (
-         |  SELECT 'pool_refreshed' AS artifact,
-         |         CAST(count(*) AS BIGINT) AS n_rows, $ck AS checksum
-         |  FROM ref
-         |  UNION ALL
-         |  SELECT 'pool_untouched', CAST(count(*) AS BIGINT), $ck
-         |  FROM sg0 WHERE vec_id NOT IN (SELECT vec_id FROM a2)
-         |  UNION ALL
-         |  SELECT 'extras_refreshed', CAST(count(*) AS BIGINT), $ck
-         |  FROM nd
-         |  UNION ALL
-         |  SELECT 'extras_untouched', CAST(count(*) AS BIGINT), $ck
-         |  FROM xh WHERE vec_id NOT IN (SELECT vec_id FROM del)
-         |    AND vec_id NOT IN (SELECT vec_id FROM a2)) t
-         |ORDER BY artifact""".stripMargin)
+    // Round-17 item 5: the chain runs as STAGED temp-table statements
+    // (check.py's `con.sql` executes the script and returns the final
+    // SELECT) instead of one materialized-CTE query — IDENTICAL
+    // derivation and byte-identical census (verified both ways at
+    // k=10), but DuckDB plans each stage in isolation, which cut the
+    // sf1 oracle wall from 5.7 s to 2.3 s where the composed form
+    // repeatedly rebuilt the 1.8M-pair scoring join's hash side.
+    // Nothing is held that was recomputed before — the gate count and
+    // the re-derivation surface are unchanged.
+    s"""CREATE OR REPLACE TEMP TABLE q123h_n AS
+       |  SELECT vec_id, q,
+       |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |  FROM (SELECT vec_id, $qListSql AS q FROM embeddings) t
+       |  WHERE list_sum(list_transform(q, x -> x * x)) > 0;
+       |CREATE OR REPLACE TEMP TABLE q123h_del AS
+       |  SELECT vec_id FROM q123h_n WHERE vec_id % $dM = $dR;
+       |CREATE OR REPLACE TEMP TABLE q123h_sg0 AS
+       |  SELECT vec_id, nbr, nqn FROM nngraph WHERE src = 'g'
+       |    AND vec_id NOT IN (SELECT vec_id FROM q123h_del);
+       |CREATE OR REPLACE TEMP TABLE q123h_a1 AS
+       |  SELECT DISTINCT vec_id FROM q123h_sg0
+       |  WHERE nbr IN (SELECT vec_id FROM q123h_del);
+       |CREATE OR REPLACE TEMP TABLE q123h_a2 AS
+       |  SELECT vec_id FROM q123h_a1
+       |  UNION SELECT g.vec_id FROM q123h_sg0 g
+       |        JOIN q123h_a1 ON q123h_a1.vec_id = g.nbr;
+       |CREATE OR REPLACE TEMP TABLE q123h_rs AS
+       |  SELECT vec_id, cent_id FROM nnroutes
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM q123h_del);
+       |CREATE OR REPLACE TEMP TABLE q123h_pool AS
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr
+       |  FROM q123h_rs a JOIN q123h_a2 USING (vec_id)
+       |  JOIN q123h_rs b ON b.cent_id = a.cent_id AND b.vec_id <> a.vec_id;
+       |CREATE OR REPLACE TEMP TABLE q123h_refsc AS
+       |  SELECT p.vec_id, p.nbr, vb.qn AS nqn,
+       |         CAST(CAST(list_inner_product(va.q, vb.q) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(va.qn AS DOUBLE) * CAST(vb.qn AS DOUBLE)) AS sc
+       |  FROM q123h_pool p JOIN q123h_n va ON va.vec_id = p.vec_id
+       |  JOIN q123h_n vb ON vb.vec_id = p.nbr;
+       |CREATE OR REPLACE TEMP TABLE q123h_ref AS
+       |  SELECT vec_id, nbr, nqn FROM (
+       |    SELECT vec_id, nbr, nqn,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY sc DESC, nbr) AS rn
+       |    FROM q123h_refsc) t
+       |  WHERE rn <= $GraphG;
+       |CREATE OR REPLACE TEMP TABLE q123h_g0new AS
+       |  SELECT vec_id, nbr FROM q123h_sg0
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM q123h_a2)
+       |  UNION ALL SELECT vec_id, nbr FROM q123h_ref;
+       |CREATE OR REPLACE TEMP TABLE q123h_ndc AS
+       |  SELECT DISTINCT a.vec_id, b.nbr
+       |  FROM q123h_g0new a JOIN q123h_a2 USING (vec_id)
+       |  JOIN q123h_g0new b ON b.vec_id = a.nbr
+       |  WHERE b.nbr <> a.vec_id
+       |    AND NOT EXISTS (SELECT 1 FROM q123h_g0new e
+       |                    WHERE e.vec_id = a.vec_id AND e.nbr = b.nbr);
+       |CREATE OR REPLACE TEMP TABLE q123h_ndsc AS
+       |  SELECT c.vec_id, c.nbr, vb.qn AS nqn,
+       |         CAST(CAST(list_inner_product(va.q, vb.q) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(va.qn AS DOUBLE) * CAST(vb.qn AS DOUBLE)) AS sc
+       |  FROM q123h_ndc c JOIN q123h_n va ON va.vec_id = c.vec_id
+       |  JOIN q123h_n vb ON vb.vec_id = c.nbr;
+       |CREATE OR REPLACE TEMP TABLE q123h_nd AS
+       |  SELECT vec_id, nbr, nqn FROM (
+       |    SELECT vec_id, nbr, nqn,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY sc DESC, nbr) AS rn
+       |    FROM q123h_ndsc) t
+       |  WHERE rn <= $NdAdd;
+       |SELECT artifact, n_rows, checksum FROM (
+       |  SELECT 'pool_refreshed' AS artifact,
+       |         CAST(count(*) AS BIGINT) AS n_rows, $ck AS checksum
+       |  FROM q123h_ref
+       |  UNION ALL
+       |  SELECT 'pool_untouched', CAST(count(*) AS BIGINT), $ck
+       |  FROM q123h_sg0 WHERE vec_id NOT IN (SELECT vec_id FROM q123h_a2)
+       |  UNION ALL
+       |  SELECT 'extras_refreshed', CAST(count(*) AS BIGINT), $ck
+       |  FROM q123h_nd
+       |  UNION ALL
+       |  SELECT 'extras_untouched', CAST(count(*) AS BIGINT), $ck
+       |  FROM nngraph WHERE src = 'x'
+       |    AND vec_id NOT IN (SELECT vec_id FROM q123h_del)
+       |    AND vec_id NOT IN (SELECT vec_id FROM q123h_a2)) t
+       |ORDER BY artifact""".stripMargin
   }
 
   /** The sf1 dump's routing artifact (round-12 item 5): the held
