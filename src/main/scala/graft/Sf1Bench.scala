@@ -100,7 +100,15 @@ object Sf1Bench {
     // q166 the DataSourceV2 loader connector (pushdown decisions at
     // the 50k-doc layout), q167 statistics-only aggregate pushdown
     // (zero-data-file stats held at 10×)
-    "q166_shard_connector", "q167_stats_pushdown")
+    "q166_shard_connector", "q167_stats_pushdown",
+    // ... and the round-17 delivery-layer additions: q168 the manifest
+    // lifecycle (export → stats → delta → stats → fold → stats, every
+    // stats read zero-data-file at the 50k-doc layout), q169 the
+    // key-grouped zero-exchange census through the connector, q170
+    // the streaming tail consumer (doc-keyed re-delivery absorption
+    // at the 10× corpus, chunked under the production-ratio envelope)
+    "q168_manifest_lifecycle", "q169_shard_key_grouped",
+    "q170_stream_shard_tail")
 
   private val Offset = 100000000L
 
