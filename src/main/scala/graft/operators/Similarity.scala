@@ -4961,20 +4961,27 @@ object Similarity {
     * centroids (`ivfcentsbase` — training is held; the reversed-route
     * math, q132's actual subject, is recomputed: ~15k vectors × K
     * cents, the q96-spot cost class), then carried + fin. */
-  private def heldUpsertChainSql: String = {
+  /** Round-17 item 5 follow-through: like [[annDeleteSparseHeldSql]],
+    * the chain runs as STAGED temp-table statements (byte-identical
+    * census, verified both ways at k=10; the composed materialized-CTE
+    * form re-planned the 15k × K reversed-route cross join poorly —
+    * q132's oracle wall 3.3 → 1.4 s). Prefixed per consumer so the
+    * q132 and q136 scripts stay independent in check.py's shared
+    * connection. */
+  private def heldUpsertChainStaged(pfx: String): String = {
     val dM = Dedup.DelMod; val dR = Dedup.DelRem
-    s"""q AS (SELECT vec_id, $qListSql AS q FROM embeddings),
-       |n AS (SELECT vec_id, q,
-       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
-       |      FROM q
-       |      WHERE list_sum(list_transform(q, x -> x * x)) > 0),
-       |cents AS (SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM ivfcentsbase),
-       |assign AS (SELECT vec_id, cent_id FROM lifeassign),
-       |m AS (
-       |  SELECT vec_id, cent_id FROM assign
+    s"""CREATE OR REPLACE TEMP TABLE ${pfx}n AS
+       |  SELECT vec_id, q,
+       |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+       |  FROM (SELECT vec_id, $qListSql AS q FROM embeddings) t
+       |  WHERE list_sum(list_transform(q, x -> x * x)) > 0;
+       |CREATE OR REPLACE TEMP TABLE ${pfx}cents AS
+       |  SELECT vec_id AS cent_id, q AS cq, qn AS cqn FROM ivfcentsbase;
+       |CREATE OR REPLACE TEMP TABLE ${pfx}m AS
+       |  SELECT vec_id, cent_id FROM lifeassign
        |  WHERE (vec_id % 5 <> 0 AND vec_id % $dM <> $dR)
-       |     OR vec_id % 10 = 0 OR vec_id % 10 = 5),
-       |ups AS (
+       |     OR vec_id % 10 = 0 OR vec_id % 10 = 5;
+       |CREATE OR REPLACE TEMP TABLE ${pfx}ups AS
        |  SELECT vec_id, cent_id FROM (
        |    SELECT v.vec_id, c.cent_id,
        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -4982,15 +4989,15 @@ object Similarity {
        |                    i -> v.q[len(v.q) + 1 - i] * c.cq[i])) AS BIGINT) AS DOUBLE)
        |               / sqrt(CAST(v.qn AS DOUBLE) * CAST(c.cqn AS DOUBLE)) DESC,
        |             c.cent_id) AS rn
-       |    FROM n v CROSS JOIN cents c
+       |    FROM ${pfx}n v CROSS JOIN ${pfx}cents c
        |    WHERE v.vec_id % $UpsMod = $UpsRem
-       |      AND v.vec_id IN (SELECT vec_id FROM m)) t
-       |  WHERE rn = 1),
-       |carried AS (
-       |  SELECT vec_id, cent_id FROM m WHERE vec_id % $UpsMod <> $UpsRem),
-       |fin AS (
-       |  SELECT vec_id, cent_id FROM carried
-       |  UNION ALL SELECT vec_id, cent_id FROM ups)""".stripMargin
+       |      AND v.vec_id IN (SELECT vec_id FROM ${pfx}m)) t
+       |  WHERE rn = 1;
+       |CREATE OR REPLACE TEMP TABLE ${pfx}carried AS
+       |  SELECT vec_id, cent_id FROM ${pfx}m WHERE vec_id % $UpsMod <> $UpsRem;
+       |CREATE OR REPLACE TEMP TABLE ${pfx}fin AS
+       |  SELECT vec_id, cent_id FROM ${pfx}carried
+       |  UNION ALL SELECT vec_id, cent_id FROM ${pfx}ups""".stripMargin
   }
 
   private def heldCensusRow(nm: String, src: String): String = {
@@ -5006,32 +5013,32 @@ object Similarity {
     * reversed-route correction recomputed from raw embeddings
     * ([[heldUpsertChainSql]]); per-round scales keep the full
     * training-chain [[annUpsertSql]]. */
-  val annUpsertHeldSql: String = mat(
-    s"""WITH ${heldUpsertChainSql}
+  val annUpsertHeldSql: String =
+    s"""${heldUpsertChainStaged("q132h_")};
        |SELECT artifact, n_rows, checksum FROM (
-       |  ${heldCensusRow("carried", "carried")}
+       |  ${heldCensusRow("carried", "q132h_carried")}
        |  UNION ALL
-       |  ${heldCensusRow("total", "fin")}
+       |  ${heldCensusRow("total", "q132h_fin")}
        |  UNION ALL
-       |  ${heldCensusRow("upserted", "ups")}) t
-       |ORDER BY artifact""".stripMargin)
+       |  ${heldCensusRow("upserted", "q132h_ups")}) t
+       |ORDER BY artifact""".stripMargin
 
   /** The sf1 gate's q136 oracle — the held q132 chain censused as the
     * audit before/after plus the two EXCEPT diffs; per-round scales
     * keep the full [[annTimeTravelSql]]. */
-  val annTimeTravelHeldSql: String = mat(
-    s"""WITH ${heldUpsertChainSql}
+  val annTimeTravelHeldSql: String =
+    s"""${heldUpsertChainStaged("q136h_")};
        |SELECT artifact, n_rows, checksum FROM (
        |  ${heldCensusRow("corrected_new",
-            "(SELECT vec_id, cent_id FROM fin EXCEPT SELECT vec_id, cent_id FROM m) te")}
+            "(SELECT vec_id, cent_id FROM q136h_fin EXCEPT SELECT vec_id, cent_id FROM q136h_m) te")}
        |  UNION ALL
        |  ${heldCensusRow("corrected_old",
-            "(SELECT vec_id, cent_id FROM m EXCEPT SELECT vec_id, cent_id FROM fin) te")}
+            "(SELECT vec_id, cent_id FROM q136h_m EXCEPT SELECT vec_id, cent_id FROM q136h_fin) te")}
        |  UNION ALL
-       |  ${heldCensusRow("horizon_total", "m")}
+       |  ${heldCensusRow("horizon_total", "q136h_m")}
        |  UNION ALL
-       |  ${heldCensusRow("latest_total", "fin")}) t
-       |ORDER BY artifact""".stripMargin)
+       |  ${heldCensusRow("latest_total", "q136h_fin")}) t
+       |ORDER BY artifact""".stripMargin
 
   /** The sf1 gate's q123 oracle — ARTIFACT-BACKED (round-12 item 5,
     * the [[annRecallHeldSql]] pattern): reads the dumped held graph
