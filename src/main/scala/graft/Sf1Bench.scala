@@ -108,7 +108,11 @@ object Sf1Bench {
     // the streaming tail consumer (doc-keyed re-delivery absorption
     // at the 10× corpus, chunked under the production-ratio envelope)
     "q168_manifest_lifecycle", "q169_shard_key_grouped",
-    "q170_stream_shard_tail")
+    "q170_stream_shard_tail",
+    // q171 the storage-partitioned join (zero-exchange two-scan join
+    // at the 10x layout), q172 the delivery-layer takedown (tombstone
+    // deltas, O(affected) accounting, fold materialization)
+    "q171_shard_partitioned_join", "q172_delivery_takedown")
 
   private val Offset = 100000000L
 

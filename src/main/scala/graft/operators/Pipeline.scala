@@ -4446,36 +4446,154 @@ object Pipeline {
     val trash = s"${path}__trash"
     Layout.deleteWarehouseDir(s, tmp)
     Layout.deleteWarehouseDir(s, trash)
-    val crossedDf = s.read
+    // explicit part-file reads (a tombstoned layout's `tomb-*` files
+    // would otherwise parse as data rows), tombstones applied by
+    // anti-join — the fold MATERIALIZES takedowns, the same move the
+    // MVCC store's compaction makes for its tombstone sidecars
+    def crossedNames(prefix: String): Seq[String] = crossed.toSeq.sorted
+      .flatMap(sh => Layout.listWarehouseNames(s, s"$path/shard_id=$sh")
+        .filter(_.startsWith(prefix)).sorted
+        .map(f => s"$path/shard_id=$sh/$f"))
+    val partPaths = crossedNames("part-")
+    val tombPaths = crossedNames("tomb-")
+    // the shard identity comes from the DIRECTORY a row was read from
+    // (never re-derived from a formula — the fold must preserve the
+    // layout, whatever sharding produced it)
+    val raw = s.read
       .schema("doc_id long, text string, lang string, n_chars long, u long")
-      .json(crossed.toSeq.sorted.map(sh => s"$path/shard_id=$sh"): _*)
-      .withColumn("shard_id", shiftright(col("u"), 29))
+      .json(partPaths: _*)
+      .withColumn("shard_id", regexp_extract(input_file_name(),
+        "shard_id=(\\d+)", 1).cast(LongType))
+    val live =
+      if (tombPaths.isEmpty) raw
+      else raw.join(
+        s.read.schema("doc_id long").json(tombPaths: _*),
+        Seq("doc_id"), "left_anti")
+    val crossedDf = live
       .repartition(EpochShards, col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col("u"), col("doc_id"))
     crossedDf.write.mode("overwrite").partitionBy("shard_id")
       .option("compression", classOf[ZstdCodec].getName).json(tmp)
+    // the folded shards' stats, recomputed from what was written
+    // (O(crossed rows); for tomb-less folds identical to the carried
+    // lines, for takedowns it RESTORES the exact bounds the tombstones
+    // had invalidated)
+    val folded = crossedDf.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("rows"), sum(col("n_chars")).as("sc"),
+        min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
     val (tfs, trashP) = Layout.hfs(s, trash)
     tfs.mkdirs(trashP)
     crossed.foreach { sh =>
       val (fs, oldP) = Layout.hfs(s, s"$path/shard_id=$sh")
       fs.rename(oldP, new org.apache.hadoop.fs.Path(s"$trash/shard_id=$sh"))
-      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/shard_id=$sh"), oldP)
+      val tmpP = new org.apache.hadoop.fs.Path(s"$tmp/shard_id=$sh")
+      // a shard whose every row was tombstoned folds to NOTHING: the
+      // swap simply leaves the directory absent (and the manifest line
+      // drops below) — a zero-row line would make the metadata path
+      // emit a group the data path does not
+      if (fs.exists(tmpP)) fs.rename(tmpP, oldP)
     }
     Layout.deleteWarehouseDir(s, trash)
     Layout.deleteWarehouseDir(s, tmp)
     val hconf = s.sessionState.newHadoopConf()
     ShardManifest.read(hconf, path).foreach { case (sch, entries) =>
-      val live = ShardManifest.listDataFiles(hconf, path)
-      val updated = entries.map { e =>
-        if (crossed.contains(e.shardId))
-          e.copy(files = live.toSeq
-            .filter(_._1.startsWith(s"shard_id=${e.shardId}/"))
-            .map { case (n, l) => graft.sources.ShardFileEnt(n, l) })
-        else e
+      val liveFiles = ShardManifest.listDataFiles(hconf, path)
+      val updated = entries.flatMap { e =>
+        if (crossed.contains(e.shardId)) {
+          folded.get(e.shardId).map { case (rows, sc, mn, mx) =>
+            e.copy(rows = rows, sumChars = Some(sc),
+              minDoc = Some(mn), maxDoc = Some(mx),
+              files = liveFiles.toSeq
+                .filter(_._1.startsWith(s"shard_id=${e.shardId}/"))
+                .map { case (n, l) => graft.sources.ShardFileEnt(n, l) })
+          } // emptied shard: no folded stats -> entry dropped
+        } else Some(e)
       }
       ShardManifest.write(hconf, path,
         sch.getOrElse(ShardSource.Schema), updated)
     }
+  }
+
+  /** The DELIVERY-LAYER TAKEDOWN (round 17, the q172 verb): the ids
+    * leave the layout as per-shard TOMBSTONE delta files
+    * (`tomb-*.jsonl.zst`, one line per excluded doc) that the
+    * connector's readers apply — never an in-place rewrite of a file
+    * being served. The write is O(affected): only the tomb ids' hash-
+    * image shards are read (connector shard filter), the envelope
+    * (`Layout.massDeleteKeys`) bounds the driver pass the way the
+    * MVCC store's deleteSegment bounds its tombstones, and base part
+    * files are untouched. The manifest is maintained exactly: touched
+    * shards' rows/mass subtract the removed rows' (computed from the
+    * rows themselves), the tomb files enter the file lists, and an id
+    * RANGE a removal invalidated (the removed min/max equals the
+    * recorded bound) DROPS from the line — stats pushdown then serves
+    * counts and mass from metadata while min/max honestly fall back
+    * to the data path until the next fold recomputes them.
+    * Returns the takedown's hash-image shard set. */
+  private[graft] def shardTakedown(s: SparkSession, path: String,
+      tombIds: DataFrame, salt: String): Set[Long] = {
+    import graft.sources.{Layout, ShardManifest, ShardSource, ZstdCodec}
+    val hconf = s.sessionState.newHadoopConf()
+    val image = tombIds
+      .select(shiftright(conv(substring(md5(concat(lit(salt),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10)
+        .cast(LongType), 29).as("sh"))
+      .distinct().collect().map(_.getLong(0)).toSet // bounded: ≤ shards
+    // the affected rows, read ONLY from the image shards
+    val present = s.read.format("graft.sources.ShardSource")
+      .option("path", path).load()
+      .filter(col("shard_id").isin(image.toSeq.map(Long.box): _*))
+      .join(broadcast(tombIds.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .select(col("shard_id"), col("doc_id"), col("n_chars"))
+      .collect() // O(affected), enveloped below
+    require(present.length <= Layout.massDeleteKeys(s).toInt,
+      s"takedown of ${present.length} rows exceeds the delivery envelope " +
+        s"(${Layout.massDeleteKeys(s)}) — route a mass takedown through a " +
+        "re-export, not tombstones")
+    val byShard = present.groupBy(_.getLong(0))
+    val codec = new ZstdCodec()
+    codec.setConf(hconf)
+    val tombNames = byShard.map { case (sh, rows) =>
+      // content-derived name: distinct takedowns land distinct files
+      val tag = java.lang.Long.toHexString(
+        rows.map(_.getLong(1)).sum + rows.length)
+      val name = f"shard_id=$sh%d/tomb-${rows.length}%05d-$tag.jsonl.zst"
+      val (fs, p) = Layout.hfs(s, s"$path/$name")
+      val out = codec.createOutputStream(fs.create(p, true))
+      try rows.map(_.getLong(1)).sorted.foreach { id =>
+        out.write(s"""{"doc_id":$id}""".getBytes("UTF-8"))
+        out.write('\n')
+      } finally out.close()
+      sh -> name
+    }
+    // manifest maintenance: subtract the removed rows' stats, drop
+    // bounds a removal invalidated, record the tomb files
+    ShardManifest.read(hconf, path).foreach { case (sch, entries) =>
+      val liveFiles = ShardManifest.listDataFiles(hconf, path)
+      val updated = entries.map { e =>
+        byShard.get(e.shardId) match {
+          case Some(rows) =>
+            val removedIds = rows.map(_.getLong(1))
+            val removedChars = rows.map(_.getLong(2)).sum
+            val minHit = e.minDoc.exists(m => removedIds.contains(m))
+            val maxHit = e.maxDoc.exists(m => removedIds.contains(m))
+            e.copy(rows = e.rows - rows.length,
+              sumChars = e.sumChars.map(_ - removedChars),
+              minDoc = if (minHit) None else e.minDoc,
+              maxDoc = if (maxHit) None else e.maxDoc,
+              files = liveFiles.toSeq
+                .filter(_._1.startsWith(s"shard_id=${e.shardId}/"))
+                .map { case (n, l) => graft.sources.ShardFileEnt(n, l) })
+          case None => e
+        }
+      }
+      ShardManifest.write(hconf, path,
+        sch.getOrElse(ShardSource.Schema), updated)
+    }
+    tombNames.keySet.toSet
   }
 
   /** q168: the MANIFEST LIFECYCLE — the round-16 judge's lead item
@@ -4739,6 +4857,246 @@ object Pipeline {
        |         CAST(1 AS BIGINT)) t
        |ORDER BY shard_id""".stripMargin)
 
+  /** q171: the STORAGE-PARTITIONED JOIN — the other half of the
+    * q169 partitioning report: two INDEPENDENT scans of the connector
+    * layout, each aggregated per shard (mass and a content checksum —
+    * both deliberately not manifest-answerable, so both sides carry
+    * the DATA path), then JOINED on shard_id with ZERO hash exchange:
+    * both sides report `KeyGroupedPartitioning(shard_id)`, so the
+    * join's distribution is satisfied at the scan (Spark's
+    * storage-partitioned join, the DSv2 successor of bucketed joins).
+    * Two decisions pin it: no `Exchange hashpartitioning` anywhere in
+    * the AQE-final plan, and exactly TWO BatchScans feed it (the
+    * sides really are independent scans co-located by the REPORT, not
+    * one reused subtree). The joined census hash-matches the raw
+    * derivation, so the shuffle-free plan provably loses nothing.
+    *
+    * Scale: a reader joining two derived per-shard surfaces (today's
+    * metrics vs yesterday's, quality vs mass) pays no network phase
+    * at any shard count — co-location is a property of the LAYOUT the
+    * connector declares, not of a shuffle the job performs. */
+  def shardPartitionedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Layout
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "spjcensus") {
+      val u = conv(substring(md5(concat(lit("spj17:"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+      val path = Layout.warehousePath(s, Layout.tableName(dir, "spjshards"))
+      d.withColumn("u", u)
+        .withColumn("shard_id", shiftright(col("u"), 29))
+        .repartition(EpochShards, col("shard_id"))
+        .sortWithinPartitions(col("shard_id"), col("u"), col("doc_id"))
+        .write.format("graft.sources.ShardSource")
+        .option("path", path).mode("overwrite").save()
+      def src = s.read.format("graft.sources.ShardSource")
+        .option("path", path).load()
+      val mass = src.groupBy(col("shard_id"))
+        .agg(count(when(length(col("text")) >= 0, 1)).as("n_docs"),
+          sum(abs(col("n_chars"))).as("sum_chars"))
+      val content = src.groupBy(col("shard_id"))
+        .agg(sum(hash32(concat_ws("|", col("doc_id"), col("n_chars"),
+          col("lang"), md5(col("text"))))).as("checksum"))
+      val joined = mass.join(content, Seq("shard_id"))
+      val rows = joined.collect() // bounded: shards
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val zeroExchange = !plan.contains("Exchange hashpartitioning")
+      val twoScans = "BatchScan".r.findAllIn(plan).size == 2
+      rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+        .++(Seq(
+          (99L, if (zeroExchange) 1L else 0L, 1L, 1L),
+          (100L, if (twoScans) 1L else 0L, 1L, 1L)))
+        .toDF("shard_id", "n_docs", "sum_chars", "checksum")
+    }.orderBy("shard_id")
+  }
+
+  /** The q171 oracle: both per-shard surfaces re-derived from raw
+    * documents via the `spj17:` shard formula and joined (the
+    * partitioning report appears nowhere), the two plan decisions as
+    * constants. */
+  val shardPartitionedJoinSql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(('0x' || substr(md5('spj17:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents),
+       |m AS (SELECT shard_id, count(*) AS n_docs, sum(n_chars) AS sum_chars
+       |      FROM a GROUP BY 1),
+       |c AS (
+       |  SELECT shard_id,
+       |         sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS checksum
+       |  FROM a GROUP BY 1)
+       |SELECT shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT CAST(m.shard_id AS BIGINT) AS shard_id,
+       |         CAST(n_docs AS BIGINT) AS n_docs,
+       |         CAST(sum_chars AS BIGINT) AS sum_chars,
+       |         CAST(checksum AS BIGINT) AS checksum
+       |  FROM m JOIN c ON c.shard_id = m.shard_id
+       |  UNION ALL
+       |  SELECT CAST(99 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)) t
+       |ORDER BY shard_id""".stripMargin)
+
+  /** q172: the DELIVERY-LAYER TAKEDOWN — the delete verb completes the
+    * layout's lifecycle (append q164 / fold q165 / delete HERE), the
+    * GDPR-shaped operation a served corpus cannot avoid: the departing
+    * ids land as per-shard TOMBSTONE delta files the connector's
+    * readers apply ([[graft.sources.ShardSource]] — excluded rows
+    * never surface), written O(affected) under the delivery envelope
+    * ([[shardTakedown]]); the next FOLD materializes the deletion and
+    * restores exact statistics. The walk:
+    *
+    *  1. full export (salt `tdel17:`, connector write);
+    *  2. TAKEDOWN of the ≡3 mod 7 slice — only the ids' hash-image
+    *     shards are read (opened-files accounting), base part files
+    *     byte-untouched, manifest maintained exactly: rows/mass
+    *     subtract the removed rows', tomb files enter the file lists,
+    *     and an id RANGE a removal invalidated DROPS from the line;
+    *  3. the live census through the connector (phase `a`) — min/max
+    *     now honestly fall back to the DATA path (a dropped bound
+    *     refuses pushdown; the opened-files delta proves it) while
+    *  4. a count+mass stats read (phase `b`) still answers from the
+    *     manifest with ZERO data files;
+    *  5. the FOLD of the tombstoned shards materializes the deletion
+    *     (tomb files vanish with the directory swap) and RECOMPUTES
+    *     the folded shards' stats, so
+    *  6. the full stats read (phase `c`) — min/max included — is
+    *     manifest-only again.
+    *
+    * Every phase's rows re-derive from raw documents minus the
+    * takedown; three decisions carry the cost/honesty claims.
+    *
+    * Scale: a takedown writes O(affected ids) tombstone bytes + reads
+    * O(image shards); serving cost until the fold is one bounded
+    * exclusion set per tombstoned shard; the fold is O(crossed rows).
+    * Nothing rescans the corpus, and metadata never answers what the
+    * tombstones made unknowable. */
+  def deliveryTakedown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Layout, ShardManifest, ShardSource}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "tdelcensus") {
+      val u = conv(substring(md5(concat(lit("tdel17:"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+      val path = Layout.warehousePath(s, Layout.tableName(dir, "tdelshards"))
+      d.withColumn("u", u)
+        .withColumn("shard_id", shiftright(col("u"), 29))
+        .repartition(EpochShards, col("shard_id"))
+        .sortWithinPartitions(col("shard_id"), col("u"), col("doc_id"))
+        .write.format("graft.sources.ShardSource")
+        .option("path", path).mode("overwrite").save()
+      val hconf = s.sessionState.newHadoopConf()
+      def partListing(): Map[String, Long] =
+        ShardManifest.listDataFiles(hconf, path)
+          .filter(_._1.split("/")(1).startsWith("part-"))
+      val before = partListing()
+      def src = s.read.format("graft.sources.ShardSource")
+        .option("path", path).load()
+      // 2: the takedown — opened-files accounting around it
+      val tombIds = d.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select(col("doc_id"))
+      val f0 = ShardSource.openedFiles.get()
+      val image = shardTakedown(s, path, tombIds, "tdel17:")
+      val takedownOpened = ShardSource.openedFiles.get() - f0
+      val imagePartFiles = before.keySet
+        .count(f => image.contains(f.split("/")(0).stripPrefix("shard_id=").toLong))
+      val after = partListing()
+      val baseUntouched = before == after
+      // 3: phase a — the live census; a dropped bound forces the
+      // whole grouped aggregate to the data path
+      val f1 = ShardSource.openedFiles.get()
+      val statsOfData = src.groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .collect() // bounded: shards
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val aOpened = ShardSource.openedFiles.get() - f1
+      // ... and one tombstoned id is provably invisible
+      val probeId = tombIds.orderBy(col("doc_id")).limit(1)
+        .collect()(0).getLong(0)
+      val hidden = src.filter(col("doc_id") === probeId).collect().isEmpty
+      // 4: phase b — count + mass answer from the manifest
+      val f2 = ShardSource.openedFiles.get()
+      val m0 = ShardSource.manifestReads.get()
+      val statsOfManifest = src.groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), 1L, 1L))
+      val bZeroFiles = ShardSource.openedFiles.get() == f2 &&
+        ShardSource.manifestReads.get() > m0
+      // 5: the fold materializes the deletion
+      foldShardDirs(s, path, image)
+      val tombsGone = ShardManifest.listDataFiles(hconf, path)
+        .keys.forall(!_.split("/")(1).startsWith("tomb-"))
+      // 6: phase c — full stats, manifest-only again
+      val f3 = ShardSource.openedFiles.get()
+      val m1 = ShardSource.manifestReads.get()
+      val statsOfFold = src.groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val cZeroFiles = ShardSource.openedFiles.get() == f3 &&
+        ShardSource.manifestReads.get() > m1
+      val oAffected = baseUntouched &&
+        takedownOpened == imagePartFiles.toLong && image.nonEmpty
+      val fallbackThenRestored = aOpened > 0L && bZeroFiles &&
+        cZeroFiles && tombsGone
+      def phased(phase: String, rows: Seq[(Long, Long, Long, Long, Long)]) =
+        rows.map { case (sh, n, sc, mn, mx) => (phase, sh, n, sc, mn, mx) }
+      (phased("a_live", statsOfData.toSeq) ++
+        phased("b_stats", statsOfManifest.toSeq) ++
+        phased("c_fold", statsOfFold.toSeq) ++ Seq(
+          ("zz_minmax_fallback_then_restored",
+            if (fallbackThenRestored) 1L else 0L, 1L, 1L, 1L, 1L),
+          ("zz_takedown_o_affected", if (oAffected) 1L else 0L, 1L, 1L, 1L, 1L),
+          ("zz_tomb_rows_hidden", if (hidden) 1L else 0L, 1L, 1L, 1L, 1L)))
+        .toDF("phase", "shard_id", "n_docs", "sum_chars", "min_doc", "max_doc")
+    }.orderBy("phase", "shard_id")
+  }
+
+  /** The q172 oracle: every phase's per-shard stats re-derived from
+    * raw documents MINUS the takedown slice via the `tdel17:` shard
+    * formula (tombstones, the connector and the fold appear nowhere —
+    * a leaked tombstoned row or a lost live one flips a phase's
+    * stats), the three decisions as constants. */
+  val deliveryTakedownSql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(('0x' || substr(md5('tdel17:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents WHERE doc_id % 7 <> 3),
+       |live AS (
+       |  SELECT shard_id, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       |         min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |  FROM a GROUP BY 1)
+       |SELECT phase, CAST(shard_id AS BIGINT) AS shard_id,
+       |       CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(sum_chars AS BIGINT) AS sum_chars,
+       |       CAST(min_doc AS BIGINT) AS min_doc,
+       |       CAST(max_doc AS BIGINT) AS max_doc
+       |FROM (
+       |  SELECT 'a_live' AS phase, * FROM live
+       |  UNION ALL
+       |  SELECT 'b_stats', shard_id, n_docs, sum_chars, 1, 1 FROM live
+       |  UNION ALL
+       |  SELECT 'c_fold', * FROM live
+       |  UNION ALL SELECT 'zz_minmax_fallback_then_restored', 1, 1, 1, 1, 1
+       |  UNION ALL SELECT 'zz_takedown_o_affected', 1, 1, 1, 1, 1
+       |  UNION ALL SELECT 'zz_tomb_rows_hidden', 1, 1, 1, 1, 1) t
+       |ORDER BY phase, shard_id""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -4874,5 +5232,14 @@ object Pipeline {
     // through the connector with zero hash exchange, hash-matched
     QueryDef("q169_shard_key_grouped", shardKeyGrouped,
       Some(shardKeyGroupedSql)),
+    // q171: the storage-partitioned join — two independent connector
+    // scans joined on shard_id with zero exchange, hash-matched
+    QueryDef("q171_shard_partitioned_join", shardPartitionedJoin,
+      Some(shardPartitionedJoinSql)),
+    // q172: the delivery-layer takedown — per-shard tombstone deltas
+    // the connector applies, manifest-maintained (invalidated bounds
+    // dropped), materialized by the next fold; O(affected) writes
+    QueryDef("q172_delivery_takedown", deliveryTakedown,
+      Some(deliveryTakedownSql)),
   )
 }

@@ -131,8 +131,11 @@ private[graft] object ShardManifest {
     } finally in.close()
   }
 
-  /** The layout's live data files (`shard_id=k/part-*`) as
-    * layout-relative name → byte length — one listing pass. */
+  /** The layout's live files — data parts (`shard_id=k/part-*`) AND
+    * tombstone deltas (`shard_id=k/tomb-*`, round-17 takedowns) — as
+    * layout-relative name → byte length, one listing pass. Tombstones
+    * are layout bytes like any other: a manifest that does not
+    * describe them is stale by definition. */
   def listDataFiles(conf: Configuration, root: String): Map[String, Long] = {
     val rp = new Path(root)
     val fs = rp.getFileSystem(conf)
@@ -141,7 +144,8 @@ private[graft] object ShardManifest {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard_id="))
       .flatMap { d =>
         fs.listStatus(d.getPath).toSeq
-          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .filter(st => st.isFile && (st.getPath.getName.startsWith("part-") ||
+            st.getPath.getName.startsWith("tomb-")))
           .map(st => s"${d.getPath.getName}/${st.getPath.getName}" -> st.getLen)
       }.toMap
   }

@@ -381,9 +381,11 @@ private[sources] final class ShardScan(path: String,
 
   // resolved lazily at planning: ONE partition per kept SHARD, its
   // part files in NAME order (base before deltas — the delivery
-  // order); grouping by shard is what lets the partitioning report
-  // below hold (all rows of a key in one partition)
-  private lazy val selected: (Seq[(Long, Seq[String])], Int) = {
+  // order) plus any tombstone deltas (round-17 takedowns — rows whose
+  // doc_id a shard's tomb files name are EXCLUDED at read); grouping
+  // by shard is what lets the partitioning report below hold (all
+  // rows of a key in one partition)
+  private lazy val selected: (Seq[(Long, Seq[String], Seq[String])], Int) = {
     val conf = ShardSource.hadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -396,11 +398,12 @@ private[sources] final class ShardScan(path: String,
     }
     val byShard = kept.map { d =>
       val sh = d.getName.stripPrefix("shard_id=").toLong
-      val files = fs.listStatus(d).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("part-"))
-        .sortBy(_.getName)
-        .map(_.toString)
-      sh -> files
+      val all = fs.listStatus(d).toSeq.map(_.getPath)
+      val files = all.filter(_.getName.startsWith("part-"))
+        .sortBy(_.getName).map(_.toString)
+      val tombs = all.filter(_.getName.startsWith("tomb-"))
+        .sortBy(_.getName).map(_.toString)
+      (sh, files, tombs)
     }.filter(_._2.nonEmpty).sortBy(_._1)
     (byShard, total)
   }
@@ -412,7 +415,9 @@ private[sources] final class ShardScan(path: String,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    selected._1.map { case (sh, fs) => ShardPartition(fs.toArray, sh) }.toArray
+    selected._1.map { case (sh, fs, ts) =>
+      ShardPartition(fs.toArray, ts.toArray, sh)
+    }.toArray
 
   /** The layout is shard-partitioned by construction — REPORT it
     * (round-16 judge item 2): a `groupBy("shard_id")` aggregate or a
@@ -433,7 +438,8 @@ private[sources] final class ShardScan(path: String,
 }
 
 private[sources] final case class ShardPartition(files: Array[String],
-    shard: Long) extends InputPartition with HasPartitionKey {
+    tombs: Array[String], shard: Long)
+    extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(shard)
 }
 
@@ -441,14 +447,18 @@ private[sources] final class ShardReaderFactory(required: StructType,
     conf: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[ShardPartition]
-    new ShardReader(sp.files, sp.shard, required, conf)
+    new ShardReader(sp.files, sp.tombs, sp.shard, required, conf)
   }
 }
 
 /** Streams a shard's part files in sequence (name order — base file
   * first, then deltas: the append-only delivery order), materializing
-  * only the required fields from each JSON line. */
-private[sources] final class ShardReader(files: Array[String], shard: Long,
+  * only the required fields from each JSON line. When the shard
+  * carries tombstone deltas (round-17 takedowns), their doc ids load
+  * into a per-shard exclusion set first (bounded by the takedown
+  * envelope) and matching data rows never surface. */
+private[sources] final class ShardReader(files: Array[String],
+    tombs: Array[String], shard: Long,
     required: StructType, confPairs: Array[(String, String)])
     extends PartitionReader[InternalRow] {
 
@@ -460,27 +470,60 @@ private[sources] final class ShardReader(files: Array[String], shard: Long,
   private var reader: java.io.BufferedReader = _
   private var line: String = _
 
+  private def openStream(p: Path): java.io.BufferedReader = {
+    val fs = p.getFileSystem(conf)
+    val raw: java.io.InputStream = fs.open(p)
+    val codec = new CompressionCodecFactory(conf).getCodec(p)
+    val in = if (codec == null) raw else codec.createInputStream(raw)
+    new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  // the shard's tombstoned ids (empty for layouts without takedowns —
+  // the common case pays one array-length check per row)
+  private lazy val excluded: java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    tombs.foreach { t =>
+      val r = openStream(new Path(t))
+      try {
+        var l = r.readLine()
+        while (l != null) {
+          val n = mapper.readTree(l)
+          val id = n.get("doc_id")
+          if (id != null) set.add(id.asLong())
+          l = r.readLine()
+        }
+      } finally r.close()
+    }
+    set
+  }
+
   private def openNext(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
     if (fileIdx >= files.length) return false
     val p = new Path(files(fileIdx))
     fileIdx += 1
     ShardSource.openedFiles.incrementAndGet()
-    val fs = p.getFileSystem(conf)
-    val raw: java.io.InputStream = fs.open(p)
-    val codec = new CompressionCodecFactory(conf).getCodec(p)
-    val in = if (codec == null) raw else codec.createInputStream(raw)
-    reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+    reader = openStream(p)
     true
   }
+
+  private def tombstoned(l: String): Boolean =
+    tombs.nonEmpty && {
+      val id = mapper.readTree(l).get("doc_id")
+      id != null && excluded.contains(id.asLong())
+    }
 
   override def next(): Boolean = {
     while (true) {
       if (reader == null && !openNext()) return false
       line = reader.readLine()
-      if (line != null) return true
-      reader.close(); reader = null
+      if (line != null) {
+        if (!tombstoned(line)) return true
+        // else: skip the excluded row and keep scanning
+      } else {
+        reader.close(); reader = null
+      }
     }
     false
   }
