@@ -112,7 +112,10 @@ object Sf1Bench {
     // q171 the storage-partitioned join (zero-exchange two-scan join
     // at the 10x layout), q172 the delivery-layer takedown (tombstone
     // deltas, O(affected) accounting, fold materialization)
-    "q171_shard_partitioned_join", "q172_delivery_takedown")
+    "q171_shard_partitioned_join", "q172_delivery_takedown",
+    // q173 snapshot isolation (orphan invisibility + intact-snapshot
+    // stats at the 10x layout)
+    "q173_snapshot_isolation")
 
   private val Offset = 100000000L
 

@@ -5097,6 +5097,130 @@ object Pipeline {
        |  UNION ALL SELECT 'zz_tomb_rows_hidden', 1, 1, 1, 1, 1) t
        |ORDER BY phase, shard_id""".stripMargin)
 
+  /** q173: SNAPSHOT ISOLATION at the delivery layer — the manifest is
+    * the snapshot POINTER (round 17, the table-format discipline):
+    * connector scans read exactly the manifest's RECORDED files, so a
+    * crashed or in-flight writer's orphan part file is INVISIBLE to
+    * both the data path and the stats path until a commit records it
+    * — which is what makes the connector's overwrite/append visible
+    * atomically at the manifest swap. The gate:
+    *
+    *  1. exports the corpus (salt `iso17:`, connector write);
+    *  2. lands an ORPHAN part file by hand (a valid zstd jsonl with a
+    *     foreign row — exactly what a crashed task attempt leaves);
+    *  3. the connector census is BYTE-UNCHANGED (decision: the census
+    *     with the orphan on disk equals the pre-orphan census — and
+    *     the gate rows themselves hash-match the raw derivation, so
+    *     invisibility is proven against ground truth, not just
+    *     self-consistency);
+    *  4. a stats read still answers metadata-only (zero data files —
+    *     the snapshot is intact: every recorded file present);
+    *  5. a manifest-OBLIVIOUS json read of the same directory DOES
+    *     count the orphan row (decision: the isolation is the
+    *     connector's snapshot semantics, not an accident of layout).
+    *
+    * The BROKEN-snapshot direction (a recorded file deleted → stats
+    * refuse, reads degrade to the physical listing) is
+    * `DeliveryTakedownSpec`'s isolation arm — destructive, so a spec
+    * fact rather than a gate constant.
+    *
+    * Scale: isolation is O(1) metadata discipline — readers at any
+    * scale see committed snapshots without any coordination beyond
+    * the manifest swap's rename. */
+  def snapshotIsolation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Layout, ShardSource, ZstdCodec}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "isocensus") {
+      val u = conv(substring(md5(concat(lit("iso17:"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+      val path = Layout.warehousePath(s, Layout.tableName(dir, "isoshards"))
+      d.withColumn("u", u)
+        .withColumn("shard_id", shiftright(col("u"), 29))
+        .repartition(EpochShards, col("shard_id"))
+        .sortWithinPartitions(col("shard_id"), col("u"), col("doc_id"))
+        .write.format("graft.sources.ShardSource")
+        .option("path", path).mode("overwrite").save()
+      def src = s.read.format("graft.sources.ShardSource")
+        .option("path", path).load()
+      def census(): Array[(Long, Long, Long, Long)] = src
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(hash32(concat_ws("|", col("doc_id"), col("n_chars"),
+            col("lang"), md5(col("text"))))).as("checksum"))
+        .collect() // bounded: shards
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val before = census()
+      // 2: the orphan — a crashed task attempt's leftover
+      val sh0 = before.map(_._1).min
+      val codec = new ZstdCodec()
+      val hconf = s.sessionState.newHadoopConf()
+      codec.setConf(hconf)
+      val (ofs, op) = Layout.hfs(s,
+        s"$path/shard_id=$sh0/part-99999-orphan.jsonl.zst")
+      val o = codec.createOutputStream(ofs.create(op, true))
+      try o.write(("{\"doc_id\":999999999,\"text\":\"orphan\"," +
+        "\"lang\":\"xx\",\"n_chars\":6,\"u\":0}\n").getBytes("UTF-8"))
+      finally o.close()
+      // 3: invisible to the connector
+      val after = census()
+      val invisible = after.toSeq == before.toSeq
+      // 4: the snapshot is intact — stats stay metadata-only and agree
+      val f0 = ShardSource.openedFiles.get()
+      val statRows = src.groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val statsOk = ShardSource.openedFiles.get() == f0 &&
+        statRows == before.map(t => t._1 -> t._2).toMap
+      // 5: a manifest-oblivious read DOES see the orphan byte-for-byte
+      val rawN = d.count()
+      val jsonN = s.read
+        .schema("doc_id long, text string, lang string, n_chars long")
+        .json(path).count()
+      val jsonSees = jsonN == rawN + 1
+      ofs.delete(op, false)
+      before.toSeq.map(t => (t._1, t._2, t._3, t._4))
+        .++(Seq(
+          (99L, if (invisible) 1L else 0L, 1L, 1L),
+          (100L, if (statsOk) 1L else 0L, 1L, 1L),
+          (101L, if (jsonSees) 1L else 0L, 1L, 1L)))
+        .toDF("shard_id", "n_docs", "sum_chars", "checksum")
+    }.orderBy("shard_id")
+  }
+
+  /** The q173 oracle: the per-shard census from raw documents via the
+    * `iso17:` shard formula (the orphan, the manifest and the
+    * connector appear nowhere — a leaked orphan row would flip shard
+    * 0's count and checksum), the three isolation decisions as
+    * constants. */
+  val snapshotIsolationSql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(('0x' || substr(md5('iso17:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents)
+       |SELECT shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM a GROUP BY 1
+       |  UNION ALL
+       |  SELECT CAST(99 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(101 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)) t
+       |ORDER BY shard_id""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -5241,5 +5365,10 @@ object Pipeline {
     // dropped), materialized by the next fold; O(affected) writes
     QueryDef("q172_delivery_takedown", deliveryTakedown,
       Some(deliveryTakedownSql)),
+    // q173: snapshot isolation — the manifest is the snapshot pointer:
+    // orphan/in-flight files invisible to connector reads and stats,
+    // visible to a manifest-oblivious read; census hash-matched
+    QueryDef("q173_snapshot_isolation", snapshotIsolation,
+      Some(snapshotIsolationSql)),
   )
 }

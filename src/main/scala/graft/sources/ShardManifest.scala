@@ -154,11 +154,32 @@ private[graft] object ShardManifest {
     * recorded (name, length) must match the live listing EXACTLY, both
     * directions (a new unrecorded file means stats are incomplete; a
     * missing or resized recorded file means they are wrong). `None` →
-    * the caller takes the data path. */
+    * the caller takes the data path. The exporter gates use this form
+    * — a completed export's manifest and listing agree exactly. */
   def readValidated(conf: Configuration, root: String)
       : Option[(Option[StructType], Seq[ShardEnt])] =
     read(conf, root).filter { case (_, entries) =>
       val recorded = entries.flatMap(_.files.map(f => f.name -> f.len)).toMap
       recorded.nonEmpty && recorded == listDataFiles(conf, root)
+    }
+
+  /** The manifest as a SNAPSHOT POINTER (round 17 — the table-format
+    * insight at the delivery layer): valid iff every RECORDED file
+    * exists with its recorded length. UNRECORDED files are simply not
+    * part of the snapshot — an in-flight writer's or a crashed job's
+    * orphan files stay INVISIBLE to connector reads and stats until a
+    * commit records them, which is what makes the connector's
+    * overwrite/append visible atomically at the manifest swap. A
+    * recorded-but-missing or resized file means the snapshot no
+    * longer exists → `None`, and callers degrade to the physical
+    * listing (reads) or refuse (stats) — metadata may accelerate and
+    * SCOPE, never fabricate. */
+  def readSnapshot(conf: Configuration, root: String)
+      : Option[(Option[StructType], Seq[ShardEnt])] =
+    read(conf, root).filter { case (_, entries) =>
+      val recorded = entries.flatMap(_.files.map(f => f.name -> f.len))
+      val live = listDataFiles(conf, root)
+      recorded.nonEmpty &&
+        recorded.forall { case (n, l) => live.get(n).contains(l) }
     }
 }

@@ -56,9 +56,10 @@ class DeliveryTakedownSpec extends SparkSpec {
       .sortWithinPartitions(col("shard_id"), col("u"), col("doc_id"))
       .write.format("graft.sources.ShardSource")
       .option("path", p).mode("overwrite").save()
-    // hand-roll a takedown of doc 2 and doc 3 via the operator —
-    // shard formula irrelevant here, so write the tombs directly the
-    // way shardTakedown does, one per shard
+    // hand-roll the tombs the way shardTakedown writes them, one per
+    // shard — and RECORD them in the manifest (snapshot semantics:
+    // an unrecorded file is not part of the snapshot; the unrecorded
+    // case is the isolation arm below)
     val codec = new graft.sources.ZstdCodec()
     val hconf = spark.sessionState.newHadoopConf()
     codec.setConf(hconf)
@@ -68,6 +69,16 @@ class DeliveryTakedownSpec extends SparkSpec {
       try { o.write(s"""{"doc_id":$id}""".getBytes("UTF-8")); o.write('\n') }
       finally o.close()
     }
+    val (sch0, ents0) = ShardManifest.read(hconf, p).get
+    val live = ShardManifest.listDataFiles(hconf, p)
+    ShardManifest.write(hconf, p, sch0.get, ents0.map { e =>
+      e.copy(rows = e.rows - 1,
+        sumChars = e.sumChars.map(_ - (if (e.shardId == 0L) 3L else 4L)),
+        minDoc = None, maxDoc = None,
+        files = live.toSeq
+          .filter(_._1.startsWith(s"shard_id=${e.shardId}/"))
+          .map { case (n, l) => graft.sources.ShardFileEnt(n, l) })
+    })
     // a read that PRUNES doc_id out must still exclude the rows
     val langs = spark.read.format("graft.sources.ShardSource")
       .option("path", p).load()
@@ -75,14 +86,60 @@ class DeliveryTakedownSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(langs == Set(("en", 2L), ("de", 1L)),
       s"tombstoned rows surfaced through a pruned scan: $langs")
-    // the hand-written tombs staled the manifest (files list drifted):
-    // stats pushdown must REFUSE and the data path answer
-    val r0 = ShardSource.statsRefused.get()
+    // ... and the maintained manifest serves the live count, zero files
+    val f0 = ShardSource.openedFiles.get()
     val n = spark.read.format("graft.sources.ShardSource")
       .option("path", p).load().agg(count(lit(1))).collect()(0).getLong(0)
-    assert(n == 2L)
+    assert(n == 2L && ShardSource.openedFiles.get() == f0)
+  }
+
+  test("snapshot isolation: unrecorded files are invisible; a broken snapshot refuses stats") {
+    import spark.implicits._
+    val p = Layout.warehousePath(spark, Layout.tableName(sfDir, "tdspec3"))
+    Layout.deleteWarehouseDir(spark, p)
+    val df = Seq((1L, "aa", "en", 2L, 11L, 0L), (2L, "bb", "en", 2L, 12L, 0L))
+      .toDF("doc_id", "text", "lang", "n_chars", "u", "shard_id")
+    df.repartition(1, col("shard_id"))
+      .write.format("graft.sources.ShardSource")
+      .option("path", p).mode("overwrite").save()
+    def src = spark.read.format("graft.sources.ShardSource")
+      .option("path", p).load()
+    // an ORPHAN part file (a crashed or in-flight writer) — unrecorded,
+    // so connector reads and stats both keep answering the snapshot
+    val codec = new graft.sources.ZstdCodec()
+    val hconf = spark.sessionState.newHadoopConf()
+    codec.setConf(hconf)
+    val (ofs, op) = Layout.hfs(spark, s"$p/shard_id=0/part-zz-orphan.jsonl.zst")
+    val o = codec.createOutputStream(ofs.create(op, true))
+    try o.write(
+      "{\"doc_id\":9,\"text\":\"x\",\"lang\":\"xx\",\"n_chars\":1,\"u\":9}\n"
+        .getBytes("UTF-8"))
+    finally o.close()
+    assert(src.collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "an unrecorded file leaked into a snapshot read")
+    val f0 = ShardSource.openedFiles.get()
+    assert(src.agg(count(lit(1))).collect()(0).getLong(0) == 2L)
+    assert(ShardSource.openedFiles.get() == f0,
+      "stats over an intact snapshot must stay metadata-only")
+    // ... while a manifest-oblivious json read DOES see the orphan —
+    // the isolation is the connector's snapshot semantics, not luck
+    val viaJson = spark.read
+      .schema("doc_id long, text string, lang string, n_chars long")
+      .json(p).count()
+    assert(viaJson == 3L)
+    // break the snapshot (delete a RECORDED file): stats refuse, and
+    // the scan degrades to the physical listing (the orphan included —
+    // everything that exists, never a fabrication)
+    val recorded = ShardManifest.read(hconf, p).get._2
+      .flatMap(_.files.map(_.name)).filter(_.contains("/part-"))
+      .filterNot(_.contains("orphan")).head
+    val (rfs, rp) = Layout.hfs(spark, s"$p/$recorded")
+    rfs.delete(rp, false)
+    val r0 = ShardSource.statsRefused.get()
+    val got = src.agg(count(lit(1))).collect()(0).getLong(0)
     assert(ShardSource.statsRefused.get() > r0,
-      "an out-of-band tomb file must fail manifest validation")
+      "a broken snapshot must refuse stats pushdown")
+    assert(got == 1L, "the degraded read must serve the surviving bytes")
   }
 
   test("a second takedown composes; the fold restores exact stats") {
