@@ -13,35 +13,69 @@ import org.apache.spark.sql.types.StructType
 private[graft] final case class ShardFileEnt(name: String, len: Long)
 
 /** One shard's statistics line: row count always; payload mass and id
-  * range when the layout's schema carries the columns. */
+  * range when the layout's schema carries the columns; per-column
+  * NULL counts when the writer tracked them (round 18 — what makes a
+  * `COUNT(col)` pushdown honest on nullable/evolved columns: the
+  * answer is `rows - nulls(col)`, never an assumption). A column
+  * ABSENT from a present `nulls` map means that era's files did not
+  * carry it — the reader surfaces it as NULL on every row, so its
+  * null count is `rows` (the same missing-field rule the data path
+  * applies). `nulls = None` means the counts were never tracked
+  * (legacy manifest, or a takedown invalidated them) — `COUNT(col)`
+  * then refuses to the data path. */
 private[graft] final case class ShardEnt(
     shardId: Long, rows: Long,
     sumChars: Option[Long], minDoc: Option[Long], maxDoc: Option[Long],
-    files: Seq[ShardFileEnt]) {
+    files: Seq[ShardFileEnt],
+    nulls: Option[Map[String, Long]] = None) {
   def merge(o: ShardEnt): ShardEnt = ShardEnt(
     shardId, rows + o.rows,
     for (a <- sumChars; b <- o.sumChars) yield a + b,
     for (a <- minDoc; b <- o.minDoc) yield math.min(a, b),
     for (a <- maxDoc; b <- o.maxDoc) yield math.max(a, b),
-    files ++ o.files)
+    files ++ o.files,
+    (nulls, o.nulls) match {
+      case (Some(a), Some(b)) =>
+        // a key one side lacks = a column that era did not carry =
+        // all of that side's rows read back NULL for it
+        Some((a.keySet ++ b.keySet).iterator.map(k =>
+          k -> (a.getOrElse(k, rows) + b.getOrElse(k, o.rows))).toMap)
+      case _ => None
+    })
 }
 
 /** The shard layout's statistics sidecar (`_shard_manifest.json`) —
-  * the parquet-footer idea at the delivery layer, now maintained
-  * through the WHOLE lifecycle (round-16 judge item 1):
+  * the parquet-footer idea at the delivery layer, maintained through
+  * the WHOLE lifecycle and, since round 18, VERSIONED:
   *
-  *  - line 1 is a HEADER carrying the format version and the layout's
-  *    schema as DDL (round-16 item 6: the loader's `inferSchema` reads
-  *    it, so a re-exported layout with a new column needs no connector
-  *    change);
-  *  - one line per shard: rows, payload mass, id range, and the exact
-  *    part files (name + length) the stats describe.
+  *  - line 1 is a HEADER carrying the format version, the layout's
+  *    schema as DDL (the loader's `inferSchema` reads it) and the
+  *    monotonic GENERATION number — the snapshot version;
+  *  - one line per shard: rows, payload mass, id range, per-column
+  *    null counts, and the exact part files (name + length) the stats
+  *    describe.
+  *
+  * VERSIONING (round 18): a REPLACING verb (connector overwrite, the
+  * fold) never deletes the bytes it replaces. It archives the
+  * outgoing manifest as `_gen/manifest-<gen>.json`, appends the
+  * replaced file names to the `_retired.json` ledger, and swaps the
+  * new manifest in. The ledger is what scopes the LIVE view
+  * ([[listDataFiles]] = physical minus retired) without depending on
+  * the current manifest being readable; the archived generation is an
+  * addressable snapshot (`option("asOfGen", g)`) whose recorded files
+  * remain on disk until an explicit `vacuumShardLayout` horizon — so
+  * a reader that planned against the pre-overwrite snapshot reads
+  * every one of its files AFTER the commit (the warehouse retention
+  * discipline applied to the layout).
   *
   * The files list is the sidecar's DEFENSE: [[readValidated]] compares
-  * it against a live listing in one pass and refuses a manifest that
-  * does not describe the bytes on disk — a stale sidecar (a crash
-  * between a layout change and the manifest swap, an out-of-band file
-  * drop) degrades to the data path instead of a silently wrong answer.
+  * it against the live listing in one pass and refuses a manifest that
+  * does not describe the bytes on disk; [[readSnapshot]] accepts the
+  * manifest as a snapshot pointer (recorded files must exist at their
+  * recorded lengths; unrecorded DATA files are simply not part of the
+  * snapshot) — but an unrecorded live TOMBSTONE breaks the snapshot:
+  * a tombstone is an EXCLUSION, and ignoring one fabricates rows, so
+  * the safe degrade is the physical data path (which applies it).
   *
   * Writes go to a temp name then swap (delete + rename — the brief
   * manifest-absent window just means stats pushdown refuses and the
@@ -53,90 +87,231 @@ private[graft] object ShardManifest {
 
   def manifestPath(root: String): Path = new Path(root, ShardSource.ManifestName)
 
-  /** Serialize + swap in. `schema` is the full read schema including
-    * the `shard_id` partition identity column. */
-  def write(conf: Configuration, root: String, schema: StructType,
-      entries: Seq[ShardEnt]): Unit = {
-    val mp = manifestPath(root)
-    val fs = mp.getFileSystem(conf)
-    val tmp = new Path(root, ShardSource.ManifestName + ".tmp")
+  /** Archived-generation manifests live here, one per replaced
+    * snapshot: `_gen/manifest-<gen>.json`. */
+  def genDir(root: String): Path = new Path(root, "_gen")
+
+  def genPath(root: String, gen: Long): Path =
+    new Path(genDir(root), f"manifest-$gen%09d.json")
+
+  /** The retired-file ledger: one JSON line per file a replacing verb
+    * superseded (`{"name":...}`). Live-scope listings subtract it. */
+  def retiredPath(root: String): Path = new Path(root, "_retired.json")
+
+  private def writeString(conf: Configuration, p: Path, body: String): Unit = {
+    val fs = p.getFileSystem(conf)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
     val out = fs.create(tmp, true)
-    try {
-      val sb = new StringBuilder
-      val header = JsonNodeFactory.instance.objectNode()
-      header.put("format", 2)
-      header.put("schema", schema.toDDL)
-      sb.append(mapper.writeValueAsString(header)).append('\n')
-      entries.sortBy(_.shardId).foreach { e =>
-        val n = JsonNodeFactory.instance.objectNode()
-        n.put("shard_id", e.shardId)
-        n.put("rows", e.rows)
-        e.sumChars.foreach(v => n.put("sum_chars", v))
-        e.minDoc.foreach(v => n.put("min_doc", v))
-        e.maxDoc.foreach(v => n.put("max_doc", v))
-        val fl = n.putArray("files")
-        e.files.sortBy(_.name).foreach { f =>
-          val fn = fl.addObject()
-          fn.put("name", f.name)
-          fn.put("len", f.len)
-        }
-        sb.append(mapper.writeValueAsString(n)).append('\n')
-      }
-      out.write(sb.toString.getBytes("UTF-8"))
-    } finally out.close()
-    if (fs.exists(mp)) fs.delete(mp, false)
-    fs.rename(tmp, mp)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
   }
 
-  /** Parse the sidecar — `None` when absent. The schema is `None` for
-    * a headerless (format-1, round-16) manifest. */
-  def read(conf: Configuration, root: String)
-      : Option[(Option[StructType], Seq[ShardEnt])] = {
-    val mp = manifestPath(root)
-    val fs = mp.getFileSystem(conf)
-    if (!fs.exists(mp)) return None
-    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-      fs.open(mp), java.nio.charset.StandardCharsets.UTF_8))
+  private def readString(conf: Configuration, p: Path): Option[String] = {
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
     try {
-      var schema: Option[StructType] = None
-      val entries = Vector.newBuilder[ShardEnt]
-      var line = in.readLine()
-      while (line != null) {
-        if (line.nonEmpty) {
-          val n = mapper.readTree(line)
-          if (n.has("schema")) {
-            schema = Some(StructType.fromDDL(n.get("schema").asText()))
-          } else if (n.has("shard_id")) {
-            def optL(f: String): Option[Long] =
-              if (n.has(f)) Some(n.get(f).asLong()) else None
-            val files =
-              if (!n.has("files")) Seq.empty
-              else {
-                val it = n.get("files").elements()
-                val b = Vector.newBuilder[ShardFileEnt]
-                while (it.hasNext) {
-                  val f = it.next()
-                  b += ShardFileEnt(f.get("name").asText(), f.get("len").asLong())
-                }
-                b.result()
-              }
-            entries += ShardEnt(n.get("shard_id").asLong(),
-              n.get("rows").asLong(), optL("sum_chars"),
-              optL("min_doc"), optL("max_doc"), files)
-          }
-        }
-        line = in.readLine()
-      }
-      Some((schema, entries.result()))
+      val buf = new java.io.ByteArrayOutputStream()
+      val b = new Array[Byte](8192)
+      var r = in.read(b)
+      while (r > 0) { buf.write(b, 0, r); r = in.read(b) }
+      Some(new String(buf.toByteArray, "UTF-8"))
     } finally in.close()
   }
 
-  /** The layout's live files — data parts (`shard_id=k/part-*`) AND
-    * tombstone deltas (`shard_id=k/tomb-*`, round-17 takedowns) — as
-    * layout-relative name → byte length, one listing pass. Tombstones
-    * are layout bytes like any other: a manifest that does not
-    * describe them is stale by definition. */
-  def listDataFiles(conf: Configuration, root: String): Map[String, Long] = {
+  /** Serialize + swap in. `schema` is the full read schema including
+    * the `shard_id` partition identity column. The generation number
+    * bumps monotonically past both the current manifest's and every
+    * archived one's — the snapshot version clock. */
+  def write(conf: Configuration, root: String, schema: StructType,
+      entries: Seq[ShardEnt]): Unit = {
+    val gen = math.max(currentGen(conf, root),
+      listGens(conf, root).map(_._1).foldLeft(0L)(math.max)) + 1
+    val sb = new StringBuilder
+    val header = JsonNodeFactory.instance.objectNode()
+    header.put("format", 3)
+    header.put("schema", schema.toDDL)
+    header.put("gen", gen)
+    sb.append(mapper.writeValueAsString(header)).append('\n')
+    entries.sortBy(_.shardId).foreach { e =>
+      val n = JsonNodeFactory.instance.objectNode()
+      n.put("shard_id", e.shardId)
+      n.put("rows", e.rows)
+      e.sumChars.foreach(v => n.put("sum_chars", v))
+      e.minDoc.foreach(v => n.put("min_doc", v))
+      e.maxDoc.foreach(v => n.put("max_doc", v))
+      e.nulls.foreach { m =>
+        val nn = n.putObject("nulls")
+        m.toSeq.sortBy(_._1).foreach { case (k, v) => nn.put(k, v) }
+      }
+      val fl = n.putArray("files")
+      e.files.sortBy(_.name).foreach { f =>
+        val fn = fl.addObject()
+        fn.put("name", f.name)
+        fn.put("len", f.len)
+      }
+      sb.append(mapper.writeValueAsString(n)).append('\n')
+    }
+    writeString(conf, manifestPath(root), sb.toString)
+  }
+
+  /** The current manifest's generation — 0 when absent or pre-gen
+    * (format ≤ 2). Reads only the header line. */
+  def currentGen(conf: Configuration, root: String): Long = {
+    val mp = manifestPath(root)
+    val fs = mp.getFileSystem(conf)
+    if (!fs.exists(mp)) return 0L
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(mp), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      val line = in.readLine()
+      if (line == null || line.isEmpty) 0L
+      else {
+        val n = mapper.readTree(line)
+        if (n.has("gen")) n.get("gen").asLong() else 0L
+      }
+    } catch { case _: Exception => 0L } finally in.close()
+  }
+
+  /** Archive the CURRENT manifest as its generation's snapshot file.
+    * Returns the archived generation, `None` when no manifest exists.
+    * The replacing verbs (overwrite commit, fold) call this BEFORE
+    * swapping the new manifest in — the archived file is the snapshot
+    * pointer an `asOfGen` reader or a vacuum keep-set resolves. */
+  def archiveCurrent(conf: Configuration, root: String): Option[Long] =
+    readString(conf, manifestPath(root)).map { body =>
+      val gen = currentGen(conf, root)
+      writeString(conf, genPath(root, gen), body)
+      gen
+    }
+
+  /** The archived generations as (gen, mtime) pairs, oldest first. */
+  def listGens(conf: Configuration, root: String): Seq[(Long, Long)] = {
+    val gd = genDir(root)
+    val fs = gd.getFileSystem(conf)
+    if (!fs.exists(gd)) return Seq.empty
+    fs.listStatus(gd).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("manifest-") &&
+        st.getPath.getName.endsWith(".json"))
+      .flatMap { st =>
+        scala.util.Try(st.getPath.getName
+          .stripPrefix("manifest-").stripSuffix(".json").toLong).toOption
+          .map(g => (g, st.getModificationTime))
+      }.sortBy(_._1)
+  }
+
+  /** Parse an archived generation — or the CURRENT manifest when its
+    * header carries that generation (the newest snapshot is not
+    * archived until something replaces it). */
+  def readGen(conf: Configuration, root: String, gen: Long)
+      : Option[(Option[StructType], Seq[ShardEnt])] = {
+    val gp = genPath(root, gen)
+    val fs = gp.getFileSystem(conf)
+    if (fs.exists(gp)) readString(conf, gp).flatMap(parse)
+    else if (currentGen(conf, root) == gen) read(conf, root)
+    else None
+  }
+
+  /** The retired-file ledger's names — files a replacing verb
+    * superseded, still on disk until vacuum, excluded from the LIVE
+    * scope. */
+  def retiredNames(conf: Configuration, root: String): Set[String] =
+    readString(conf, retiredPath(root)) match {
+      case None => Set.empty
+      case Some(body) => body.linesIterator.filter(_.nonEmpty).flatMap { l =>
+        scala.util.Try(mapper.readTree(l).get("name").asText()).toOption
+      }.toSet
+    }
+
+  /** Append names to the retired ledger (read + rewrite + swap — the
+    * callers hold the layout's commit lock). */
+  def retire(conf: Configuration, root: String, names: Iterable[String]): Unit =
+    if (names.nonEmpty) {
+      val all = retiredNames(conf, root) ++ names
+      val sb = new StringBuilder
+      all.toSeq.sorted.foreach { n =>
+        val node = JsonNodeFactory.instance.objectNode()
+        node.put("name", n)
+        sb.append(mapper.writeValueAsString(node)).append('\n')
+      }
+      writeString(conf, retiredPath(root), sb.toString)
+    }
+
+  /** Rewrite the ledger to exactly `names` (vacuum drops swept ones);
+    * an empty set deletes the ledger file. */
+  def rewriteRetired(conf: Configuration, root: String,
+      names: Set[String]): Unit =
+    if (names.isEmpty) {
+      val rp = retiredPath(root)
+      val fs = rp.getFileSystem(conf)
+      if (fs.exists(rp)) fs.delete(rp, false)
+    } else {
+      val sb = new StringBuilder
+      names.toSeq.sorted.foreach { n =>
+        val node = JsonNodeFactory.instance.objectNode()
+        node.put("name", n)
+        sb.append(mapper.writeValueAsString(node)).append('\n')
+      }
+      writeString(conf, retiredPath(root), sb.toString)
+    }
+
+  private def parse(body: String)
+      : Option[(Option[StructType], Seq[ShardEnt])] = {
+    var schema: Option[StructType] = None
+    val entries = Vector.newBuilder[ShardEnt]
+    body.linesIterator.foreach { line =>
+      if (line.nonEmpty) {
+        val n = mapper.readTree(line)
+        if (n.has("schema")) {
+          schema = Some(StructType.fromDDL(n.get("schema").asText()))
+        } else if (n.has("shard_id")) {
+          def optL(f: String): Option[Long] =
+            if (n.has(f)) Some(n.get(f).asLong()) else None
+          val files =
+            if (!n.has("files")) Seq.empty
+            else {
+              val it = n.get("files").elements()
+              val b = Vector.newBuilder[ShardFileEnt]
+              while (it.hasNext) {
+                val f = it.next()
+                b += ShardFileEnt(f.get("name").asText(), f.get("len").asLong())
+              }
+              b.result()
+            }
+          val nulls =
+            if (!n.has("nulls")) None
+            else {
+              val nn = n.get("nulls")
+              val it = nn.fieldNames()
+              val b = Map.newBuilder[String, Long]
+              while (it.hasNext) {
+                val k = it.next()
+                b += k -> nn.get(k).asLong()
+              }
+              Some(b.result())
+            }
+          entries += ShardEnt(n.get("shard_id").asLong(),
+            n.get("rows").asLong(), optL("sum_chars"),
+            optL("min_doc"), optL("max_doc"), files, nulls)
+        }
+      }
+    }
+    Some((schema, entries.result()))
+  }
+
+  /** Parse the sidecar — `None` when absent. The schema is `None` for
+    * a headerless (format-1) manifest. */
+  def read(conf: Configuration, root: String)
+      : Option[(Option[StructType], Seq[ShardEnt])] =
+    readString(conf, manifestPath(root)).flatMap(parse)
+
+  /** EVERY physical layout byte — data parts (`shard_id=k/part-*`)
+    * and tombstone deltas (`shard_id=k/tomb-*`) — as layout-relative
+    * name → (byte length, mtime), one listing pass, retired files
+    * INCLUDED (the vacuum sweep scans this). */
+  def listAllFiles(conf: Configuration, root: String)
+      : Map[String, (Long, Long)] = {
     val rp = new Path(root)
     val fs = rp.getFileSystem(conf)
     if (!fs.exists(rp)) return Map.empty
@@ -146,16 +321,31 @@ private[graft] object ShardManifest {
         fs.listStatus(d.getPath).toSeq
           .filter(st => st.isFile && (st.getPath.getName.startsWith("part-") ||
             st.getPath.getName.startsWith("tomb-")))
-          .map(st => s"${d.getPath.getName}/${st.getPath.getName}" -> st.getLen)
+          .map(st => s"${d.getPath.getName}/${st.getPath.getName}" ->
+            (st.getLen, st.getModificationTime))
       }.toMap
   }
 
-  /** The manifest IFF it still describes the bytes on disk: every
+  /** The layout's LIVE files — the physical listing minus the retired
+    * ledger — as layout-relative name → byte length. This is the
+    * scope every current-state consumer sees: validation, the
+    * physical-listing fallback, the fold/takedown file refresh. A
+    * retained (retired) generation's bytes are on disk but not live;
+    * tombstones are layout bytes like any other: a manifest that does
+    * not describe them is stale by definition. */
+  def listDataFiles(conf: Configuration, root: String): Map[String, Long] = {
+    val retired = retiredNames(conf, root)
+    listAllFiles(conf, root).collect {
+      case (n, (len, _)) if !retired.contains(n) => n -> len
+    }
+  }
+
+  /** The manifest IFF it still describes the LIVE bytes: every
     * recorded (name, length) must match the live listing EXACTLY, both
     * directions (a new unrecorded file means stats are incomplete; a
     * missing or resized recorded file means they are wrong). `None` →
     * the caller takes the data path. The exporter gates use this form
-    * — a completed export's manifest and listing agree exactly. */
+    * — a completed export's manifest and live listing agree exactly. */
   def readValidated(conf: Configuration, root: String)
       : Option[(Option[StructType], Seq[ShardEnt])] =
     read(conf, root).filter { case (_, entries) =>
@@ -163,23 +353,42 @@ private[graft] object ShardManifest {
       recorded.nonEmpty && recorded == listDataFiles(conf, root)
     }
 
-  /** The manifest as a SNAPSHOT POINTER (round 17 — the table-format
-    * insight at the delivery layer): valid iff every RECORDED file
-    * exists with its recorded length. UNRECORDED files are simply not
-    * part of the snapshot — an in-flight writer's or a crashed job's
-    * orphan files stay INVISIBLE to connector reads and stats until a
-    * commit records them, which is what makes the connector's
-    * overwrite/append visible atomically at the manifest swap. A
+  /** The manifest as a SNAPSHOT POINTER (the table-format insight at
+    * the delivery layer): valid iff every RECORDED file exists with
+    * its recorded length, AND every live tombstone is recorded.
+    * Unrecorded DATA files are simply not part of the snapshot — an
+    * in-flight writer's or a crashed job's orphan files stay INVISIBLE
+    * to connector reads and stats until a commit records them, which
+    * is what makes the connector's overwrite/append visible atomically
+    * at the manifest swap. An unrecorded live TOMBSTONE is different:
+    * a tombstone EXCLUDES rows, and a snapshot that ignores one
+    * fabricates them — so it breaks the snapshot and the degrade is
+    * the physical data path, which applies it (round-17 advice). A
     * recorded-but-missing or resized file means the snapshot no
-    * longer exists → `None`, and callers degrade to the physical
-    * listing (reads) or refuse (stats) — metadata may accelerate and
-    * SCOPE, never fabricate. */
+    * longer exists → `None` — metadata may accelerate and SCOPE,
+    * never fabricate. */
   def readSnapshot(conf: Configuration, root: String)
       : Option[(Option[StructType], Seq[ShardEnt])] =
     read(conf, root).filter { case (_, entries) =>
       val recorded = entries.flatMap(_.files.map(f => f.name -> f.len))
+      val recordedNames = recorded.iterator.map(_._1).toSet
       val live = listDataFiles(conf, root)
       recorded.nonEmpty &&
-        recorded.forall { case (n, l) => live.get(n).contains(l) }
+        recorded.forall { case (n, l) => live.get(n).contains(l) } &&
+        live.keysIterator.filter(_.split("/").last.startsWith("tomb-"))
+          .forall(recordedNames.contains)
+    }
+
+  /** An archived generation as a VALIDATED snapshot: every recorded
+    * file must still exist at its recorded length (retention holds
+    * until vacuum). `None` = the generation was never archived, or
+    * its files were swept past the horizon. */
+  def readGenSnapshot(conf: Configuration, root: String, gen: Long)
+      : Option[(Option[StructType], Seq[ShardEnt])] =
+    readGen(conf, root, gen).filter { case (_, entries) =>
+      val all = listAllFiles(conf, root)
+      val recorded = entries.flatMap(_.files.map(f => f.name -> f.len))
+      recorded.nonEmpty &&
+        recorded.forall { case (n, l) => all.get(n).exists(_._1 == l) }
     }
 }
