@@ -131,7 +131,13 @@ private[graft] object ShardManifest {
     val sb = new StringBuilder
     val header = JsonNodeFactory.instance.objectNode()
     header.put("format", 3)
-    header.put("schema", schema.toDDL)
+    // the header schema is always fully NULLABLE: a jsonl layout can
+    // always be missing a field (schema evolution guarantees it), and
+    // a NOT NULL written through from a Seq.toDF batch would make
+    // Spark skip the null check on scan output — old-era rows would
+    // read garbage in the widened columns instead of NULL
+    header.put("schema",
+      StructType(schema.fields.map(_.copy(nullable = true))).toDDL)
     header.put("gen", gen)
     sb.append(mapper.writeValueAsString(header)).append('\n')
     entries.sortBy(_.shardId).foreach { e =>

@@ -110,4 +110,81 @@ class StatsPushdownSpec extends SparkSpec {
       o.write(original); o.close()
     }
   }
+
+  test("COUNT(col) answers rows - nulls(col) from the manifest — never " +
+      "the every-field-is-non-null assumption (round-17 advice, medium)") {
+    import spark.implicits._
+    val p = Layout.warehousePath(spark, Layout.tableName(sfDir, "nullshards"))
+    Layout.deleteWarehouseDir(spark, p)
+    // lang is NULL on every third row — the writer skips null fields,
+    // the reader surfaces them as NULL, and the manifest records the
+    // per-column null counts
+    (1 to 90).map(i => (i.toLong, s"t-$i",
+      if (i % 3 == 0) null else "en", 4L, i.toLong, (i % 5).toLong))
+      .toDF("doc_id", "text", "lang", "n_chars", "u", "shard_id")
+      .repartition(5, col("shard_id"))
+      .write.format("graft.sources.ShardSource")
+      .option("path", p).mode("overwrite").save()
+    def src = spark.read.format("graft.sources.ShardSource")
+      .option("path", p).load()
+    val f0 = ShardSource.openedFiles.get()
+    val got = src.groupBy(col("shard_id"))
+      .agg(count(col("lang")).as("nl"), count(col("doc_id")).as("nd"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ShardSource.openedFiles.get() == f0,
+      "nullable COUNT(col) must answer from the manifest's null counts")
+    val expect = (1 to 90).groupBy(i => (i % 5).toLong).map { case (sh, is) =>
+      sh -> (is.count(_ % 3 != 0).toLong, is.size.toLong)
+    }
+    assert(got == expect,
+      "COUNT(lang) must be the non-null count, not the row count")
+  }
+
+  test("a takedown-emptied shard emits NO phantom stats group " +
+      "(round-17 advice, medium)") {
+    import spark.implicits._
+    val p = Layout.warehousePath(spark, Layout.tableName(sfDir, "zeroshards"))
+    Layout.deleteWarehouseDir(spark, p)
+    val u = conv(substring(md5(concat(lit("zr18:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val base = (1 to 200).map(i => (i.toLong, s"t-$i", "en", 4L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .withColumn("u", u)
+      .withColumn("shard_id", org.apache.spark.sql.functions
+        .shiftright(col("u"), 29))
+    base.repartition(8, col("shard_id"))
+      .write.format("graft.sources.ShardSource")
+      .option("path", p).mode("overwrite").save()
+    def src = spark.read.format("graft.sources.ShardSource")
+      .option("path", p).load()
+    // empty one whole shard through the takedown verb
+    val counts = src.groupBy(col("shard_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val victim = counts.keys.min
+    val tombIds = base.filter(col("shard_id") === victim)
+      .select(col("doc_id"))
+    graft.operators.Pipeline.shardTakedown(spark, p, tombIds, "zr18:")
+    // grouped stats: still metadata-only, and the emptied shard's
+    // zero-row manifest line emits NO group (the data path has none)
+    val f0 = ShardSource.openedFiles.get()
+    val r0 = ShardSource.statsRefused.get()
+    val grouped = src.groupBy(col("shard_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ShardSource.openedFiles.get() == f0 &&
+      ShardSource.statsRefused.get() == r0,
+      "the takedown-maintained manifest must still serve stats")
+    assert(!grouped.contains(victim),
+      "a zero-row manifest line must not fabricate a (shard, 0) group")
+    assert(grouped == (counts - victim))
+    // ...and the DATA path agrees exactly (count(when) is unpushable)
+    val dataGroups = src.groupBy(col("shard_id"))
+      .agg(count(when(length(col("text")) >= 0, 1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dataGroups == grouped)
+    // the global count subtracts the emptied shard, metadata-only
+    val f1 = ShardSource.openedFiles.get()
+    val total = src.agg(count(lit(1))).collect()(0).getLong(0)
+    assert(ShardSource.openedFiles.get() == f1 &&
+      total == counts.values.sum - counts(victim))
+  }
 }
