@@ -115,7 +115,14 @@ object Sf1Bench {
     "q171_shard_partitioned_join", "q172_delivery_takedown",
     // q173 snapshot isolation (orphan invisibility + intact-snapshot
     // stats at the 10x layout)
-    "q173_snapshot_isolation")
+    "q173_snapshot_isolation",
+    // ... and the round-18 delivery-layer additions: q174 versioned
+    // overwrites (time-travel census of the retained generation +
+    // exact vacuum at the 10× layout), q175 the vacuum/repair verbs
+    // (broken-snapshot refusal → rescan rebuild → orphan sweep), q176
+    // evolve-on-append (name-union widening, old-era NULLs, nullable
+    // COUNTs metadata-only off the merged null counts)
+    "q174_versioned_overwrite", "q175_vacuum_repair", "q176_evolve_append")
 
   private val Offset = 100000000L
 
