@@ -24,7 +24,7 @@ import graft.sources.Layout
 object TombParseProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = Sessions.builder("tomb-parse-probe").getOrCreate()
+    val spark = Sessions.builder("32").appName("tomb-parse-probe").getOrCreate()
     import spark.implicits._
     val d = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
