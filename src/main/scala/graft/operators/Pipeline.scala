@@ -4548,7 +4548,6 @@ object Pipeline {
     ShardSource.withCommitLock(path) {
       ShardManifest.read(hconf, path) match {
         case Some((sch, entries)) =>
-          ShardManifest.archiveCurrent(hconf, path)
           val updated = entries.flatMap { e =>
             if (crossed.contains(e.shardId)) {
               folded.get(e.shardId).map { r =>
@@ -5615,8 +5614,10 @@ object Pipeline {
     *     refusal) with phase a's exact counts;
     *  4. an orphan part file lands (a crashed task's leftover);
     *     [[vacuumShardLayout]] at an everything-past horizon sweeps
-    *     EXACTLY it (the repaired manifest protects everything else,
-    *     zero generations to drop) and the census is value-unchanged.
+    *     EXACTLY it (the repaired manifest protects everything else;
+    *     the one dropped generation is the archived pre-repair
+    *     manifest, whose files are all current-recorded) and the
+    *     census is value-unchanged.
     *
     * Scale: the vacuum is O(metadata); the repair is the one
     * deliberate O(live bytes) rebuild job — after it, stats pushdown
@@ -5696,7 +5697,11 @@ object Pipeline {
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSeq
-      val sweptOrphanOnly = sweptF == 1L && sweptG == 0L &&
+      // one generation to drop: the repair archived the pre-repair
+      // manifest (every manifest that was ever current is a
+      // generation); its recorded files are all current-recorded too,
+      // so only the orphan sweeps
+      val sweptOrphanOnly = sweptF == 1L && sweptG == 1L &&
         !ofs.exists(op) && censusB == censusA
       censusA.map(t => (t._1, t._2, t._3, t._4))
         .++(Seq(
@@ -5871,6 +5876,123 @@ object Pipeline {
        |         CAST(1 AS BIGINT), CAST(1 AS BIGINT)) t
        |ORDER BY shard_id""".stripMargin)
 
+  /** q177: the GENERATION DIFF — the incremental BATCH read between
+    * two committed snapshots (`option("sinceGen", g)` — the
+    * table-format "incremental scan", the batch form of the q170
+    * stream tail): a training reader refreshing periodically reads
+    * the current snapshot's files MINUS generation g's, so the cost
+    * is O(new files), never a corpus re-read. Every manifest write
+    * now archives the outgoing snapshot (round 18 continued), so any
+    * commit — append, takedown, fold, overwrite — is an addressable
+    * diff base until the vacuum horizon. The walk (salt `gd18:`):
+    *
+    *  1. base export (≢3 mod 10) commits generation g₁;
+    *  2. a delta append commits g₂;
+    *  3. the `sinceGen = g₁` read censuses EXACTLY the delta slice
+    *     (hash-matched against the raw derivation) and opens EXACTLY
+    *     the new files — zero base files (opened-files accounting);
+    *  4. `sinceGen = g₂` (current) reads ZERO rows and opens ZERO
+    *     files — an up-to-date reader pays nothing;
+    *  5. a never-committed generation FAILS LOUDLY ("not
+    *     addressable") — an incremental reader must never silently
+    *     full-read or empty-read because its base expired.
+    *
+    * Tombstone and fold interaction (current tombs apply to the diff;
+    * a fold's rewritten files re-deliver, FILE-level semantics shared
+    * with the stream) is `GenerationDiffSpec`'s subject.
+    *
+    * Scale: the diff is two manifest reads + O(new files) data I/O —
+    * the property that makes periodic training-set refresh affordable
+    * at 100 TB (the alternative is re-reading the corpus per epoch). */
+  def generationDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Layout, ShardManifest, ShardSource}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "gdcensus") {
+      val path = freshLayout(s, Layout.warehousePath(s, Layout.tableName(dir, "gdshards")))
+      val hconf = s.sessionState.newHadoopConf()
+      // 1-2: base commit, delta commit
+      sharded18(d.filter(pmod(col("doc_id"), lit(10)) =!= 3), "gd18:")
+        .write.format("graft.sources.ShardSource")
+        .option("path", path).mode("overwrite").save()
+      val gen1 = ShardManifest.currentGen(hconf, path)
+      val gen1Names = ShardManifest.read(hconf, path).toSeq
+        .flatMap(_._2.flatMap(_.files.map(_.name))).toSet
+      sharded18(d.filter(pmod(col("doc_id"), lit(10)) === 3), "gd18:")
+        .write.format("graft.sources.ShardSource")
+        .option("path", path).mode("append").save()
+      val gen2 = ShardManifest.currentGen(hconf, path)
+      val newFiles = ShardManifest.read(hconf, path).toSeq
+        .flatMap(_._2.flatMap(_.files.map(_.name)))
+        .count(n => !gen1Names.contains(n) &&
+          n.split("/").last.startsWith("part-"))
+      def since(g: Long) = s.read.format("graft.sources.ShardSource")
+        .option("path", path).option("sinceGen", g.toString).load()
+      // 3: the diff census — exactly the delta, exactly the new files
+      val f0 = ShardSource.openedFiles.get()
+      val census = since(gen1).groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(hash32(concat_ws("|", col("doc_id"), col("n_chars"),
+            col("lang"), md5(col("text"))))).as("checksum"))
+        .collect() // bounded: shards
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      val oNewFiles = ShardSource.openedFiles.get() - f0 == newFiles.toLong &&
+        newFiles > 0
+      // 4: the up-to-date reader pays nothing
+      val f1 = ShardSource.openedFiles.get()
+      val upToDate = since(gen2).count() == 0L &&
+        ShardSource.openedFiles.get() == f1
+      // 5: an expired/unknown base fails loudly
+      val loud =
+        try { since(999999L).count(); false }
+        catch { case t: Throwable =>
+          def msgs(x: Throwable): Seq[String] = Option(x).toSeq
+            .flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+          msgs(t).exists(_.contains("not addressable"))
+        }
+      census.map(t => (t._1, t._2, t._3, t._4))
+        .++(Seq(
+          (99L, if (oNewFiles) 1L else 0L, 1L, 1L),
+          (100L, if (upToDate) 1L else 0L, 1L, 1L),
+          (101L, if (loud) 1L else 0L, 1L, 1L)))
+        .toDF("shard_id", "n_docs", "sum_chars", "checksum")
+    }.orderBy("shard_id")
+  }
+
+  /** The q177 oracle: the DELTA slice's per-shard census via the
+    * `gd18:` shard formula (the generations and the manifest appear
+    * nowhere — a diff that leaked a base row or lost a delta row
+    * flips a count or checksum), the three incremental-read decisions
+    * as constants. */
+  val generationDiffSql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(('0x' || substr(md5('gd18:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents WHERE doc_id % 10 = 3)
+       |SELECT shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM a GROUP BY 1
+       |  UNION ALL
+       |  SELECT CAST(99 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(101 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)) t
+       |ORDER BY shard_id""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -6033,5 +6155,9 @@ object Pipeline {
     // header by name-union; old-era rows read back NULL in the new
     // columns and the merged null counts keep COUNT(col) pushable
     QueryDef("q176_evolve_append", evolveAppend, Some(evolveAppendSql)),
+    // q177: the generation diff — the incremental batch read between
+    // two committed snapshots: O(new files), zero base files opened,
+    // empty at head, loud on an expired base
+    QueryDef("q177_generation_diff", generationDiff, Some(generationDiffSql)),
   )
 }

@@ -123,9 +123,16 @@ private[graft] object ShardManifest {
   /** Serialize + swap in. `schema` is the full read schema including
     * the `shard_id` partition identity column. The generation number
     * bumps monotonically past both the current manifest's and every
-    * archived one's — the snapshot version clock. */
+    * archived one's — the snapshot version clock — and EVERY write
+    * first archives the outgoing manifest (round 18 continued): every
+    * snapshot that was ever current is an addressable generation, so
+    * `asOfGen` reaches pre-append and pre-takedown states too (their
+    * recorded files still exist — only replacing verbs retire bytes)
+    * and the `sinceGen` incremental read can diff any two commits.
+    * Vacuum expires the history. */
   def write(conf: Configuration, root: String, schema: StructType,
       entries: Seq[ShardEnt]): Unit = {
+    archiveCurrent(conf, root)
     val gen = math.max(currentGen(conf, root),
       listGens(conf, root).map(_._1).foldLeft(0L)(math.max)) + 1
     val sb = new StringBuilder

@@ -178,6 +178,9 @@ object ShardSource {
   private[sources] def asOfOf(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("asOfGen")).map(_.toLong)
 
+  private[sources] def sinceOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("sinceGen")).map(_.toLong)
+
   /** Per-layout COMMIT critical section (JVM-wide): every manifest-
     * swapping verb — the connector's overwrite/append commit, the
     * fold, the takedown, vacuum and repair — runs inside it, so
@@ -233,13 +236,14 @@ private[sources] final class ShardTable(path: String, tableSchema: StructType)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ShardScanBuilder(path, tableSchema, ShardSource.asOfOf(options))
+    new ShardScanBuilder(path, tableSchema, ShardSource.asOfOf(options),
+      ShardSource.sinceOf(options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ShardWriteBuilder(path, info.schema(), info.queryId())
 }
 
 private[sources] final class ShardScanBuilder(path: String,
-    tableSchema: StructType, asOf: Option[Long])
+    tableSchema: StructType, asOf: Option[Long], since: Option[Long])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -299,22 +303,31 @@ private[sources] final class ShardScanBuilder(path: String,
     * entry. A stale sidecar, a legacy line without null counts under
     * a COUNT(col), or a takedown-dropped bound refuses and the data
     * path answers — metadata may accelerate, never decide. Pushdown
-    * stays PARTIAL (Spark merges the per-shard rows). Time-travel
-    * reads always take the data path. */
+    * stays PARTIAL (Spark merges the per-shard rows). A TIME-TRAVEL
+    * read answers from the addressed generation's archived manifest
+    * under the same validation (its recorded files must still exist);
+    * an incremental (`sinceGen`) read always takes the data path —
+    * the manifest describes whole shards, not file deltas. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (asOf.isDefined) return false
+    if (since.isDefined) return false
     val conf = ShardSource.hadoopConf()
     // snapshot semantics: the stats describe the manifest's RECORDED
     // files, and the data scan below reads exactly those — both paths
     // answer the same snapshot, so unrecorded (in-flight) files
     // neither poison the stats nor desynchronize the fallback
-    val validated = ShardManifest.readSnapshot(conf, path)
+    val validated = asOf match {
+      case Some(g) => ShardManifest.readGenSnapshot(conf, path, g)
+      case None    => ShardManifest.readSnapshot(conf, path)
+    }
     if (validated.isEmpty) {
       // distinguish "no manifest at all" (normal for a raw layout)
       // from "manifest present but its snapshot is gone" (the hazard)
       // — only the latter counts as a refusal the spec observes
-      if (ShardManifest.read(conf, path).isDefined)
-        ShardSource.statsRefused.incrementAndGet()
+      val present = asOf match {
+        case Some(g) => ShardManifest.readGen(conf, path, g).isDefined
+        case None    => ShardManifest.read(conf, path).isDefined
+      }
+      if (present) ShardSource.statsRefused.incrementAndGet()
       return false
     }
     // zero-row entries (a takedown emptied the shard) stay in the
@@ -363,9 +376,9 @@ private[sources] final class ShardScanBuilder(path: String,
 
   override def build(): Scan = aggSpec match {
     case Some((byShard, kinds)) =>
-      new ShardStatsScan(path, shardSet, byShard, kinds)
+      new ShardStatsScan(path, shardSet, byShard, kinds, asOf)
     case None =>
-      new ShardScan(path, shardSet, required, asOf)
+      new ShardScan(path, shardSet, required, asOf, since)
   }
 }
 
@@ -375,7 +388,8 @@ private[sources] final class ShardScanBuilder(path: String,
   * lines (filtered by any consumed shard predicate) as PARTIAL rows
   * Spark's final aggregate merges. */
 private[sources] final class ShardStatsScan(path: String,
-    shardSet: Option[Set[Long]], byShard: Boolean, kinds: Seq[String])
+    shardSet: Option[Set[Long]], byShard: Boolean, kinds: Seq[String],
+    asOf: Option[Long] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = {
@@ -394,12 +408,23 @@ private[sources] final class ShardStatsScan(path: String,
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"GraftShardStatsScan kinds=${kinds.mkString(",")} byShard=$byShard"
+    s"GraftShardStatsScan kinds=${kinds.mkString(",")} byShard=$byShard" +
+      asOf.map(g => s" asOfGen=$g").getOrElse("")
 
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(ManifestPartition(
-      new Path(path, ShardSource.ManifestName).toString,
-      shardSet.map(_.toSeq.sorted)))
+  override def planInputPartitions(): Array[InputPartition] = {
+    // a time-travel stats read streams the ARCHIVED generation's
+    // manifest (falling back to the current file when the addressed
+    // generation IS the current one — the newest snapshot is not
+    // archived until something replaces it)
+    val file = asOf match {
+      case Some(g) =>
+        val gp = ShardManifest.genPath(path, g)
+        val fs = gp.getFileSystem(ShardSource.hadoopConf())
+        if (fs.exists(gp)) gp else ShardManifest.manifestPath(path)
+      case None => ShardManifest.manifestPath(path)
+    }
+    Array(ManifestPartition(file.toString, shardSet.map(_.toSeq.sorted)))
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(byShard, kinds, ShardSource.confPairs())
@@ -477,7 +502,8 @@ private[sources] final class ManifestReader(file: String,
 }
 
 private[sources] final class ShardScan(path: String,
-    shardSet: Option[Set[Long]], required: StructType, asOf: Option[Long])
+    shardSet: Option[Set[Long]], required: StructType, asOf: Option[Long],
+    since: Option[Long] = None)
     extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
@@ -511,8 +537,8 @@ private[sources] final class ShardScan(path: String,
         names.filter(_.split("/").last.startsWith("part-")),
         names.filter(_.split("/").last.startsWith("tomb-")))
     }
-    val perShard: Seq[(Long, Seq[String], Seq[String])] = asOf match {
-      case Some(g) =>
+    val perShard: Seq[(Long, Seq[String], Seq[String])] = (asOf, since) match {
+      case (Some(g), _) =>
         ShardManifest.readGenSnapshot(conf, path, g) match {
           case Some((_, entries)) => ofEntries(entries)
           case None => throw new IllegalStateException(
@@ -520,7 +546,38 @@ private[sources] final class ShardScan(path: String,
               "readable — it was never committed, or its files were swept " +
               "past the retention horizon (vacuumShardLayout)")
         }
-      case None => ShardManifest.readSnapshot(conf, path) match {
+      case (None, Some(g)) =>
+        // INCREMENTAL read: the current snapshot's part files MINUS
+        // the base generation's — O(new files), the batch form of the
+        // stream tail (a training reader's periodic refresh). FILE-
+        // level semantics: a fold's rewritten files are new files
+        // (their rows re-deliver; keyed consumers absorb, exactly as
+        // with the stream). Both endpoints must be intact snapshots —
+        // a degraded guess could silently double- or under-read, so
+        // this path fails LOUDLY instead of falling back.
+        val cur = ShardManifest.readSnapshot(conf, path).getOrElse(
+          throw new IllegalStateException(
+            s"graft.sources.ShardSource: sinceGen=$g requires an intact " +
+              s"current snapshot of $path — repair the manifest first " +
+              "(repairShardManifest)"))
+        val base = ShardManifest.readGen(conf, path, g).getOrElse(
+          throw new IllegalStateException(
+            s"graft.sources.ShardSource: generation $g of $path is not " +
+              "addressable — it was never committed, or its manifest was " +
+              "swept past the retention horizon (vacuumShardLayout)"))
+        val baseNames = base._2.flatMap(_.files.map(_.name)).toSet
+        cur._2.map { e =>
+          val fresh = e.files.map(_.name).filterNot(baseNames).sorted
+            .map(n => new Path(root, n).toString)
+          // the shard's CURRENT tombstones apply to the delta too — an
+          // exclusion is never scoped to the files it arrived with
+          val tombs = e.files.map(_.name)
+            .filter(_.split("/").last.startsWith("tomb-")).sorted
+            .map(n => new Path(root, n).toString)
+          (e.shardId,
+            fresh.filter(_.split("/").last.startsWith("part-")), tombs)
+        }
+      case (None, None) => ShardManifest.readSnapshot(conf, path) match {
         case Some((_, entries)) => ofEntries(entries)
         case None =>
           ShardManifest.listDataFiles(conf, path).keys.toSeq
@@ -543,7 +600,8 @@ private[sources] final class ShardScan(path: String,
   override def description(): String = {
     val (byShard, total) = selected
     val shown = shardSet.map(_.size.toString).getOrElse("all")
-    val gen = asOf.map(g => s" asOfGen=$g").getOrElse("")
+    val gen = asOf.map(g => s" asOfGen=$g").getOrElse("") +
+      since.map(g => s" sinceGen=$g").getOrElse("")
     s"GraftShardScan shards=$shown/$total files=${byShard.map(_._2.size).sum}$gen"
   }
 
@@ -871,15 +929,15 @@ private[sources] final class ShardBatchWrite(path: String,
         .map { case (sh, es) => es.reduce(_ merge _) }.toSeq
       val newNames = written.flatMap(_.files.map(_.name)).toSet
       if (truncate) {
-        // versioned overwrite: archive the outgoing snapshot, describe
-        // exactly the new files, THEN retire the replaced bytes (in
-        // that order the manifest never records a retired file, and a
-        // crash in between leaves extra live files — degraded, never
-        // wrong). The replaced bytes stay on disk for the archived
-        // generation's readers until the vacuum horizon.
+        // versioned overwrite: the manifest write archives the
+        // outgoing snapshot, describes exactly the new files, and THEN
+        // the replaced bytes retire (in that order the manifest never
+        // records a retired file, and a crash in between leaves extra
+        // live files — degraded, never wrong). The replaced bytes stay
+        // on disk for the archived generation's readers until the
+        // vacuum horizon.
         val prevLive = ShardManifest.listDataFiles(conf, path)
           .keySet.diff(newNames)
-        ShardManifest.archiveCurrent(conf, path)
         ShardManifest.write(conf, path, schema, newByShard)
         ShardManifest.retire(conf, path, prevLive)
       } else {
@@ -899,6 +957,9 @@ private[sources] final class ShardBatchWrite(path: String,
               ShardSource.unionSchema(sch.getOrElse(ShardSource.Schema), schema),
               merged)
           case Some(_) =>
+            // archive even the dropped sidecar: every manifest that
+            // was ever current stays an addressable generation
+            ShardManifest.archiveCurrent(conf, path)
             val mp = ShardManifest.manifestPath(path)
             val fs = mp.getFileSystem(conf)
             fs.delete(mp, false)
