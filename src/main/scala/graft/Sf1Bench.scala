@@ -122,7 +122,11 @@ object Sf1Bench {
     // (broken-snapshot refusal → rescan rebuild → orphan sweep), q176
     // evolve-on-append (name-union widening, old-era NULLs, nullable
     // COUNTs metadata-only off the merged null counts)
-    "q174_versioned_overwrite", "q175_vacuum_repair", "q176_evolve_append")
+    "q174_versioned_overwrite", "q175_vacuum_repair", "q176_evolve_append",
+    // q177 the generation diff (incremental batch read between
+    // commits — O(new files) at the 10× layout), q178 the layout
+    // history (DESCRIBE HISTORY re-derived from residues at 10×)
+    "q177_generation_diff", "q178_layout_history")
 
   private val Offset = 100000000L
 

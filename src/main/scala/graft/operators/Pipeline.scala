@@ -4708,6 +4708,32 @@ object Pipeline {
     }
   }
 
+  /** The layout's COMMIT HISTORY as a relation (the `DESCRIBE
+    * HISTORY` verb of the table-format analogy): one row per
+    * addressable generation — archived snapshots plus the current one
+    * — with the facts its manifest carries: row count, shard count
+    * (zero-row lines excluded: an emptied shard serves no group),
+    * data-file count, and whether the generation is current. Pure
+    * metadata: O(generations) manifest reads, no data bytes. */
+  private[graft] def shardLayoutHistory(s: SparkSession,
+      path: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ShardManifest
+    val hconf = s.sessionState.newHadoopConf()
+    val cur = ShardManifest.currentGen(hconf, path)
+    val gens = (ShardManifest.listGens(hconf, path).map(_._1) ++
+      (if (cur > 0) Seq(cur) else Nil)).distinct.sorted
+    gens.flatMap { g =>
+      ShardManifest.readGen(hconf, path, g).map { case (_, entries) =>
+        val live = entries.filter(_.rows > 0)
+        (g, live.map(_.rows).sum, live.size.toLong,
+          entries.flatMap(_.files.map(_.name))
+            .count(_.split("/").last.startsWith("part-")).toLong,
+          if (g == cur) 1L else 0L)
+      }
+    }.toDF("gen", "n_rows", "n_shards", "n_files", "is_current")
+  }
+
   /** The AQE-aware executed-plan walk (round-18 judge item 7): the
     * final physical plan OBJECT flattened across adaptive boundaries —
     * `AdaptiveSparkPlanExec` hands its final plan, a materialized
@@ -5993,6 +6019,103 @@ object Pipeline {
        |         CAST(1 AS BIGINT)) t
        |ORDER BY shard_id""".stripMargin)
 
+  /** q178: the LAYOUT HISTORY — `DESCRIBE HISTORY` for the delivery
+    * layer ([[shardLayoutHistory]]): every commit left an addressable
+    * generation (round 18 — every manifest write archives its
+    * predecessor), and this gate makes the history itself a GATED
+    * RELATION. The walk commits four generations (salt `lh18:`):
+    *
+    *  1. base export (≢3 mod 10) — g1;
+    *  2. delta append (≡3) — g2;
+    *  3. takedown of the ≡2 mod 9 slice — g3 (rows subtract, tomb
+    *     files are not data files);
+    *  4. fold of the ≥2-file shards — g4 (crossed shards collapse to
+    *     one file; rows invariant).
+    *
+    * The history rows (gen, n_rows, n_shards, n_files, is_current)
+    * are FULLY re-derived by the oracle from the residue slices and
+    * the shard formula — per-generation row counts, live-shard
+    * counts, even the FILE counts (one file per touched shard per
+    * write; the fold's crossed set is exactly the shards holding ≥2
+    * files: base ∩ delta images ∪ tombstoned shards) — so a history
+    * that misattributes a commit, loses an archive, or double-counts
+    * a file flips a row. Exactly one generation is current.
+    *
+    * Scale: the history read is O(generations) manifest reads —
+    * auditing a 100 TB layout's commit log costs metadata, never
+    * data. */
+  def layoutHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Layout
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "lhcensus") {
+      val path = freshLayout(s, Layout.warehousePath(s, Layout.tableName(dir, "lhshards")))
+      def write(df: DataFrame, mode: String): Unit =
+        sharded18(df, "lh18:").write.format("graft.sources.ShardSource")
+          .option("path", path).mode(mode).save()
+      write(d.filter(pmod(col("doc_id"), lit(10)) =!= 3), "overwrite")
+      write(d.filter(pmod(col("doc_id"), lit(10)) === 3), "append")
+      shardTakedown(s, path,
+        d.filter(pmod(col("doc_id"), lit(9)) === 2).select(col("doc_id")),
+        "lh18:")
+      val hconf = s.sessionState.newHadoopConf()
+      val crossed = graft.sources.ShardManifest.listDataFiles(hconf, path)
+        .keySet.toSeq
+        .groupBy(f => f.split("/")(0).stripPrefix("shard_id=").toLong)
+        .filter(_._2.size >= 2).keySet
+      require(crossed.nonEmpty, "the fold policy never fired — " +
+        "the g4 history row would be untested")
+      foldShardDirs(s, path, crossed)
+      shardLayoutHistory(s, path)
+        .select(col("gen"), col("n_rows"), col("n_shards"),
+          col("n_files"), col("is_current"))
+    }.orderBy("gen")
+  }
+
+  /** The q178 oracle: the four generations' histories re-derived from
+    * the residue slices and the `lh18:` shard formula — row counts,
+    * live-shard counts, file counts (1 per touched shard per write;
+    * the fold collapses exactly the ≥2-file shards: base ∩ delta
+    * images ∪ tombstoned shards), current flag on g4 only. */
+  val layoutHistorySql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(('0x' || substr(md5('lh18:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id,
+       |         (doc_id % 10 <> 3) AS in_base,
+       |         (doc_id % 10 = 3) AS in_delta,
+       |         (doc_id % 9 = 2) AS in_take
+       |  FROM documents),
+       |sh AS (
+       |  SELECT shard_id,
+       |         max(CASE WHEN in_base THEN 1 ELSE 0 END) AS b,
+       |         max(CASE WHEN in_delta THEN 1 ELSE 0 END) AS dd,
+       |         max(CASE WHEN in_take THEN 1 ELSE 0 END) AS t,
+       |         count(*) FILTER (WHERE in_base) AS rb,
+       |         count(*) AS rall,
+       |         count(*) FILTER (WHERE NOT in_take) AS rlive
+       |  FROM a GROUP BY 1),
+       |g AS (
+       |  SELECT 1 AS gen, sum(rb) AS n_rows,
+       |         sum(b) AS n_shards, sum(b) AS n_files, 0 AS is_current
+       |  FROM sh
+       |  UNION ALL
+       |  SELECT 2, sum(rall), count(*), sum(b + dd), 0 FROM sh
+       |  UNION ALL
+       |  SELECT 3, sum(rlive),
+       |         count(*) FILTER (WHERE rlive > 0), sum(b + dd), 0 FROM sh
+       |  UNION ALL
+       |  SELECT 4, sum(rlive), count(*) FILTER (WHERE rlive > 0),
+       |         sum(CASE WHEN b + dd + t >= 2 THEN 1 ELSE b + dd END), 1
+       |  FROM sh)
+       |SELECT CAST(gen AS BIGINT) AS gen,
+       |       CAST(n_rows AS BIGINT) AS n_rows,
+       |       CAST(n_shards AS BIGINT) AS n_shards,
+       |       CAST(n_files AS BIGINT) AS n_files,
+       |       CAST(is_current AS BIGINT) AS is_current
+       |FROM g ORDER BY gen""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -6159,5 +6282,9 @@ object Pipeline {
     // two committed snapshots: O(new files), zero base files opened,
     // empty at head, loud on an expired base
     QueryDef("q177_generation_diff", generationDiff, Some(generationDiffSql)),
+    // q178: the layout history — DESCRIBE HISTORY as a gated relation:
+    // four commits' (gen, rows, shards, files, current) fully
+    // re-derived by the oracle from residues and the shard formula
+    QueryDef("q178_layout_history", layoutHistory, Some(layoutHistorySql)),
   )
 }
