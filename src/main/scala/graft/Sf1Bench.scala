@@ -126,7 +126,10 @@ object Sf1Bench {
     // q177 the generation diff (incremental batch read between
     // commits — O(new files) at the 10× layout), q178 the layout
     // history (DESCRIBE HISTORY re-derived from residues at 10×)
-    "q177_generation_diff", "q178_layout_history")
+    "q177_generation_diff", "q178_layout_history",
+    // q179 the copy-on-write upsert (image-shard rewrite + auditable
+    // original via time travel at the 10× layout)
+    "q179_delivery_upsert")
 
   private val Offset = 100000000L
 

@@ -4464,7 +4464,20 @@ object Pipeline {
     * window where a listing reader sees both copies — degraded, never
     * a crash. */
   private[graft] def foldShardDirs(s: SparkSession, path: String,
-      crossed: Set[Long]): Unit = {
+      crossed: Set[Long]): Unit =
+    rewriteShards(s, path, crossed, identity)
+
+  /** The COPY-ON-WRITE shard rewrite under the versioned commit
+    * discipline — the shared machinery of the FOLD (patch = identity:
+    * files collapse, content invariant) and the UPSERT
+    * ([[shardUpsert]]: rows replaced). Reads only the crossed shards'
+    * snapshot files (tombstones materialized), applies `patch`,
+    * rewrites those shards, renames the files into the live dirs, and
+    * — inside the commit lock — swaps a manifest whose crossed lines
+    * carry the new files + recomputed stats/nulls, retiring the
+    * replaced files into a retained generation. */
+  private[graft] def rewriteShards(s: SparkSession, path: String,
+      crossed: Set[Long], patch: DataFrame => DataFrame): Unit = {
     import graft.sources.{Layout, ShardManifest, ShardSource, ZstdCodec}
     val tmp = s"${path}__fold"
     Layout.deleteWarehouseDir(s, tmp)
@@ -4506,7 +4519,7 @@ object Pipeline {
         Seq("doc_id"), "left_anti")
     val sortCols = Seq("shard_id") ++
       Seq("u", "doc_id").filter(dataSchema.fieldNames.contains)
-    val crossedDf = live
+    val crossedDf = patch(live)
       .repartition(EpochShards, col("shard_id"))
       .sortWithinPartitions(sortCols.map(col): _*)
     crossedDf.write.mode("overwrite").partitionBy("shard_id")
@@ -4570,6 +4583,37 @@ object Pipeline {
       ShardManifest.retire(hconf, path, snapshotFiles)
     }
     Layout.deleteWarehouseDir(s, tmp)
+  }
+
+  /** The delivery-layer UPSERT — copy-on-write corrections (the Delta
+    * default write mode at the layout): the corrected rows' hash-image
+    * shards are REWRITTEN with the replacements patched in
+    * ([[rewriteShards]] — old rows anti-joined out by doc_id, new
+    * rows unioned, stats/nulls recomputed), under the versioned
+    * commit: the pre-correction generation stays addressable
+    * (`asOfGen` — corrections are AUDITABLE) until the vacuum
+    * horizon, untouched shards' files stay byte-identical, and
+    * readers mid-scan keep their snapshot. O(affected shards' rows)
+    * rewrite I/O — the honest COW trade (the tombstone route, q172,
+    * is the delete-only merge-on-read side; a same-key REPLACE cannot
+    * ride doc-id tombstones, which would exclude the replacement
+    * too). `updates` carries the layout's DATA columns (doc_id, ...);
+    * the verb derives u/shard_id from the salt formula — a corrected
+    * document lands in its original shard by construction. Returns
+    * the rewritten shard set. */
+  private[graft] def shardUpsert(s: SparkSession, path: String,
+      updates: DataFrame, salt: String): Set[Long] = {
+    val withShard = updates
+      .withColumn("u", conv(substring(md5(concat(lit(salt),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType))
+      .withColumn("shard_id", shiftright(col("u"), 29))
+    val image = withShard.select(col("shard_id"))
+      .distinct().collect().map(_.getLong(0)).toSet // bounded: ≤ shards
+    rewriteShards(s, path, image, live =>
+      live.join(broadcast(updates.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+        .unionByName(withShard.select(live.columns.map(col): _*)))
+    image
   }
 
   /** The delivery-layer GC (round-18 judge item 2, first half):
@@ -6116,6 +6160,127 @@ object Pipeline {
        |       CAST(is_current AS BIGINT) AS is_current
        |FROM g ORDER BY gen""".stripMargin)
 
+  /** q179: the DELIVERY-LAYER UPSERT — copy-on-write corrections
+    * ([[shardUpsert]]) complete the layout's verb set (append q164 /
+    * fold q165 / delete q172 / REPLACE here): a corrected batch's
+    * hash-image shards are rewritten with the replacements patched in,
+    * under the versioned commit. The walk (salt `up18:`):
+    *
+    *  1. full export — generation g₁;
+    *  2. UPSERT of the ≡5 mod 11 slice, each document corrected
+    *     (text + '!', n_chars + 1 — the kind of relabeling/cleanup a
+    *     served corpus actually receives);
+    *  3. phase a: the live census — the CORRECTED corpus,
+    *     hash-matched (a lost correction, a duplicated row, or a
+    *     leaked original flips a shard checksum);
+    *  4. phase b: the `asOfGen = g₁` census — the ORIGINAL corpus:
+    *     corrections are AUDITABLE, the pre-correction snapshot stays
+    *     readable until the vacuum horizon;
+    *  5. decisions: untouched shards' files are byte-identical (the
+    *     rewrite opened only the image shards), and a post-upsert
+    *     count+mass stats read answers METADATA-ONLY with the
+    *     corrected numbers (the rewrite recomputed the manifest).
+    *
+    * Scale: the rewrite is O(image shards' rows) — the honest COW
+    * trade for same-key replacement (doc-id tombstones would exclude
+    * the replacement too); corrections batch naturally, and the
+    * retained generation makes every correction reversible and
+    * diffable (q177) until GC. */
+  def deliveryUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Layout, ShardManifest, ShardSource}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "upcensus") {
+      val path = freshLayout(s, Layout.warehousePath(s, Layout.tableName(dir, "upshards")))
+      sharded18(d, "up18:").write.format("graft.sources.ShardSource")
+        .option("path", path).mode("overwrite").save()
+      val hconf = s.sessionState.newHadoopConf()
+      val gen1 = ShardManifest.currentGen(hconf, path)
+      val before = ShardManifest.listDataFiles(hconf, path)
+      // 2: the correction batch
+      val updates = d.filter(pmod(col("doc_id"), lit(11)) === 5)
+        .select(col("doc_id"), concat(col("text"), lit("!")).as("text"),
+          col("lang"), (col("n_chars") + 1L).as("n_chars"))
+      val image = shardUpsert(s, path, updates, "up18:")
+      require(image.nonEmpty, "the correction slice is empty — " +
+        "the upsert walk would be vacuous")
+      // 5a: untouched shards byte-identical
+      val after = ShardManifest.listDataFiles(hconf, path)
+      def outsideImage(l: Map[String, Long]) = l.filter { case (n, _) =>
+        !image.contains(n.split("/")(0).stripPrefix("shard_id=").toLong) }
+      val untouched = outsideImage(before) == outsideImage(after)
+      def census(df: DataFrame): Seq[(Long, Long, Long, Long)] = df
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(hash32(concat_ws("|", col("doc_id"), col("n_chars"),
+            col("lang"), md5(col("text"))))).as("checksum"))
+        .collect() // bounded: shards
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      // 3-4: the corrected live census; the original via time travel
+      val censusLive = census(s.read.format("graft.sources.ShardSource")
+        .option("path", path).load())
+      val censusGen1 = census(s.read.format("graft.sources.ShardSource")
+        .option("path", path).option("asOfGen", gen1.toString).load())
+      // 5b: the rewritten manifest serves the corrected stats
+      val f0 = ShardSource.openedFiles.get()
+      val statRows = s.read.format("graft.sources.ShardSource")
+        .option("path", path).load()
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val statsCorrected = ShardSource.openedFiles.get() == f0 &&
+        statRows == censusLive.map(t => t._1 -> (t._2, t._3)).toMap
+      def phased(phase: String, rows: Seq[(Long, Long, Long, Long)]) =
+        rows.map { case (sh, n, sc, ck) => (phase, sh, n, sc, ck) }
+      (phased("a_live", censusLive) ++ phased("b_gen1", censusGen1) ++ Seq(
+        ("zz_stats_metadata_corrected", if (statsCorrected) 1L else 0L, 1L, 1L, 1L),
+        ("zz_untouched_shards_identical", if (untouched) 1L else 0L, 1L, 1L, 1L)))
+        .toDF("phase", "shard_id", "n_docs", "sum_chars", "checksum")
+    }.orderBy("phase", "shard_id")
+  }
+
+  /** The q179 oracle: phase a = the CORRECTED corpus's census (the
+    * ≡5 mod 11 slice with text + '!' and n_chars + 1), phase b = the
+    * ORIGINAL corpus's, both via the `up18:` shard formula (the
+    * rewrite, the manifest and the archive appear nowhere), the two
+    * upsert decisions as constants. */
+  val deliveryUpsertSql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN doc_id % 11 = 5 THEN n_chars + 1 ELSE n_chars END
+       |           AS nc2,
+       |         CASE WHEN doc_id % 11 = 5 THEN text || '!' ELSE text END
+       |           AS tx2,
+       |         n_chars, text,
+       |         CAST(('0x' || substr(md5('up18:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents),
+       |cen AS (
+       |  SELECT shard_id, count(*) AS n_docs,
+       |         sum(nc2) AS s2, sum(n_chars) AS s1,
+       |         sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(nc2 AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(tx2)), 1, 8) AS BIGINT)) AS c2,
+       |         sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS c1
+       |  FROM a GROUP BY 1)
+       |SELECT phase, CAST(shard_id AS BIGINT) AS shard_id,
+       |       CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(sum_chars AS BIGINT) AS sum_chars,
+       |       CAST(checksum AS BIGINT) AS checksum
+       |FROM (
+       |  SELECT 'a_live' AS phase, shard_id, n_docs, s2 AS sum_chars,
+       |         c2 AS checksum FROM cen
+       |  UNION ALL
+       |  SELECT 'b_gen1', shard_id, n_docs, s1, c1 FROM cen
+       |  UNION ALL SELECT 'zz_stats_metadata_corrected', 1, 1, 1, 1
+       |  UNION ALL SELECT 'zz_untouched_shards_identical', 1, 1, 1, 1) t
+       |ORDER BY phase, shard_id""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -6286,5 +6451,9 @@ object Pipeline {
     // four commits' (gen, rows, shards, files, current) fully
     // re-derived by the oracle from residues and the shard formula
     QueryDef("q178_layout_history", layoutHistory, Some(layoutHistorySql)),
+    // q179: the delivery-layer upsert — copy-on-write corrections of
+    // the image shards under the versioned commit; the original stays
+    // time-travel-readable, untouched shards byte-identical
+    QueryDef("q179_delivery_upsert", deliveryUpsert, Some(deliveryUpsertSql)),
   )
 }
