@@ -129,7 +129,10 @@ object Sf1Bench {
     "q177_generation_diff", "q178_layout_history",
     // q179 the copy-on-write upsert (image-shard rewrite + auditable
     // original via time travel at the 10× layout)
-    "q179_delivery_upsert")
+    "q179_delivery_upsert",
+    // q180 the OPTIMIZE verb (metadata-only policy, fold, expire — the
+    // nightly maintenance job at the 10× layout)
+    "q180_layout_maintenance")
 
   private val Offset = 100000000L
 

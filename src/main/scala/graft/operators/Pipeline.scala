@@ -4752,6 +4752,40 @@ object Pipeline {
     }
   }
 
+  /** The layout's MAINTENANCE verb — `OPTIMIZE` for the delivery
+    * layer: one call that (1) REPAIRS the manifest if its snapshot
+    * broke (rescan — [[repairShardManifest]]), (2) decides the fold
+    * set from MANIFEST METADATA ALONE (a shard needs maintenance when
+    * it holds ≥ 2 data files or any tombstone — fragmentation or
+    * merge-on-read debt), (3) folds exactly those shards
+    * ([[foldShardDirs]] — tombstones materialized, stats/nulls
+    * restored), and (4) expires history past the caller's horizon
+    * ([[vacuumShardLayout]]). Returns (folded shards, swept files,
+    * dropped generations).
+    *
+    * Scale: the DECISION is O(shards) metadata — a 100 TB catalog's
+    * nightly maintenance job reads manifests, not corpora; data I/O
+    * is confined to the shards the policy names (and the repair
+    * rescan only when something actually broke). */
+  private[graft] def maintainShardLayout(s: SparkSession, path: String,
+      horizonMs: Long): (Set[Long], Long, Long) = {
+    import graft.sources.ShardManifest
+    val hconf = s.sessionState.newHadoopConf()
+    if (ShardManifest.readSnapshot(hconf, path).isEmpty)
+      repairShardManifest(s, path)
+    val crossed = ShardManifest.readSnapshot(hconf, path) match {
+      case Some((_, entries)) => entries.filter { e =>
+        val names = e.files.map(_.name.split("/").last)
+        names.count(_.startsWith("part-")) >= 2 ||
+          names.exists(_.startsWith("tomb-"))
+      }.map(_.shardId).toSet
+      case None => Set.empty[Long]
+    }
+    if (crossed.nonEmpty) foldShardDirs(s, path, crossed)
+    val (sweptF, sweptG) = vacuumShardLayout(s, path, horizonMs)
+    (crossed, sweptF, sweptG)
+  }
+
   /** The layout's COMMIT HISTORY as a relation (the `DESCRIBE
     * HISTORY` verb of the table-format analogy): one row per
     * addressable generation — archived snapshots plus the current one
@@ -6281,6 +6315,126 @@ object Pipeline {
        |  UNION ALL SELECT 'zz_untouched_shards_identical', 1, 1, 1, 1) t
        |ORDER BY phase, shard_id""".stripMargin)
 
+  /** q180: LAYOUT MAINTENANCE — the `OPTIMIZE` verb
+    * ([[maintainShardLayout]]) run as one gated call over a layout
+    * that has accumulated every kind of debt (salt `lo18:`):
+    *
+    *  1. base export + delta append (fragmentation: base ∩ delta
+    *     image shards hold two files) + takedown of the ≡4 mod 9
+    *     slice (merge-on-read debt: tombstoned shards);
+    *  2. ONE `maintainShardLayout` call: the fold set is decided from
+    *     manifest METADATA alone — the decision pass opens ZERO data
+    *     files (observable) and picks EXACTLY the predicted set
+    *     ((base ∩ delta images) ∪ takedown images, re-derived from
+    *     raw residues, never from the listing that fed the verb);
+    *  3. afterwards: every shard is ONE file, zero tombstones, zero
+    *     archived generations and zero retired bytes (the horizon
+    *     expired all four commits' history — swept generations == 3),
+    *     and the manifest validates EXACTLY against the live listing;
+    *  4. the census across the maintenance is value-identical to the
+    *     raw derivation of (corpus ∖ takedown) — maintenance changes
+    *     layout, never content.
+    *
+    * Scale: this is the nightly job a 100 TB corpus actually runs —
+    * decision O(shards) metadata, data I/O confined to the named
+    * shards, history bounded by the horizon. */
+  def layoutMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Layout, ShardManifest, ShardSource}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "locensus") {
+      val path = freshLayout(s, Layout.warehousePath(s, Layout.tableName(dir, "loshards")))
+      def write(df: DataFrame, mode: String): Unit =
+        sharded18(df, "lo18:").write.format("graft.sources.ShardSource")
+          .option("path", path).mode(mode).save()
+      write(d.filter(pmod(col("doc_id"), lit(10)) =!= 3), "overwrite")
+      write(d.filter(pmod(col("doc_id"), lit(10)) === 3), "append")
+      shardTakedown(s, path,
+        d.filter(pmod(col("doc_id"), lit(9)) === 4).select(col("doc_id")),
+        "lo18:")
+      val hconf = s.sessionState.newHadoopConf()
+      // 2: ONE maintenance call; the decision pass is metadata-only
+      val f0 = ShardSource.openedFiles.get()
+      val snapshotPeek = ShardManifest.readSnapshot(hconf, path)
+      val crossedPeek = snapshotPeek.toSeq.flatMap(_._2).filter { e =>
+        val names = e.files.map(_.name.split("/").last)
+        names.count(_.startsWith("part-")) >= 2 ||
+          names.exists(_.startsWith("tomb-"))
+      }.map(_.shardId).toSet
+      val decisionZeroFiles = ShardSource.openedFiles.get() == f0
+      val (crossed, _, sweptG) = maintainShardLayout(s, path,
+        System.currentTimeMillis() + 60000L)
+      // the predicted set, re-derived from raw residues (never from
+      // the listing that fed the verb — the q165 independence rule)
+      def imageOf(f: org.apache.spark.sql.Column): Set[Long] =
+        d.filter(f)
+          .select(shiftright(conv(substring(md5(concat(lit("lo18:"),
+            col("doc_id").cast(StringType))), 1, 8), 16, 10)
+            .cast(LongType), 29).as("sh"))
+          .distinct().collect().map(_.getLong(0)).toSet // bounded: ≤ shards
+      val predicted =
+        (imageOf(pmod(col("doc_id"), lit(10)) =!= 3) intersect
+          imageOf(pmod(col("doc_id"), lit(10)) === 3)) union
+          imageOf(pmod(col("doc_id"), lit(9)) === 4)
+      val policyExact = decisionZeroFiles && crossed == crossedPeek &&
+        crossed == predicted
+      // 3: the post-maintenance physical state
+      val live = ShardManifest.listDataFiles(hconf, path)
+      val perShard = live.keySet
+        .groupBy(_.split("/")(0).stripPrefix("shard_id=").toLong)
+      val collapsed = perShard.values.forall(_.size == 1) &&
+        live.keys.forall(!_.split("/").last.startsWith("tomb-")) &&
+        ShardManifest.listGens(hconf, path).isEmpty && sweptG == 3L &&
+        ShardManifest.retiredNames(hconf, path).isEmpty &&
+        ShardManifest.readValidated(hconf, path).isDefined
+      // 4: content invariant, against raw ground truth
+      val census = s.read.format("graft.sources.ShardSource")
+        .option("path", path).load()
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(hash32(concat_ws("|", col("doc_id"), col("n_chars"),
+            col("lang"), md5(col("text"))))).as("checksum"))
+        .collect() // bounded: shards
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      census.map(t => (t._1, t._2, t._3, t._4))
+        .++(Seq(
+          (99L, if (policyExact) 1L else 0L, 1L, 1L),
+          (100L, if (collapsed) 1L else 0L, 1L, 1L)))
+        .toDF("shard_id", "n_docs", "sum_chars", "checksum")
+    }.orderBy("shard_id")
+  }
+
+  /** The q180 oracle: the census of (corpus ∖ the ≡4 mod 9 takedown
+    * slice) via the `lo18:` shard formula (the maintenance verb, the
+    * policy and the GC appear nowhere — a maintenance pass that lost
+    * or duplicated a row flips a checksum), the two decisions as
+    * constants. */
+  val layoutMaintenanceSql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(('0x' || substr(md5('lo18:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents WHERE doc_id % 9 <> 4)
+       |SELECT shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM a GROUP BY 1
+       |  UNION ALL
+       |  SELECT CAST(99 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)) t
+       |ORDER BY shard_id""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -6455,5 +6609,10 @@ object Pipeline {
     // the image shards under the versioned commit; the original stays
     // time-travel-readable, untouched shards byte-identical
     QueryDef("q179_delivery_upsert", deliveryUpsert, Some(deliveryUpsertSql)),
+    // q180: the OPTIMIZE verb — repair-if-broken, fold-by-policy
+    // (decided from manifest metadata alone), expire-history; one
+    // call leaves one file per shard, zero tombs, zero history
+    QueryDef("q180_layout_maintenance", layoutMaintenance,
+      Some(layoutMaintenanceSql)),
   )
 }
