@@ -103,4 +103,32 @@ class LayoutWriterConnectorSpec extends SparkSpec {
     // validation: the recorded files don't exist on disk -> None
     assert(ShardManifest.readValidated(conf, root).isEmpty)
   }
+
+  test("null-count merge algebra: missing column = all-null era; " +
+      "unknown is contagious; the map round-trips") {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = Layout.warehousePath(spark, Layout.tableName(sfDir, "wspecnul"))
+    Layout.deleteWarehouseDir(spark, root)
+    val (fs, rp) = Layout.hfs(spark, root)
+    fs.mkdirs(rp)
+    val a = ShardEnt(0L, 10L, Some(100L), Some(1L), Some(50L),
+      Seq(ShardFileEnt("shard_id=0/part-a", 11L)),
+      Some(Map("doc_id" -> 0L, "text" -> 2L)))
+    val b = ShardEnt(0L, 4L, Some(40L), Some(60L), Some(70L),
+      Seq(ShardFileEnt("shard_id=0/part-b", 22L)),
+      Some(Map("doc_id" -> 0L, "text" -> 1L, "lang" -> 3L)))
+    val m = a.merge(b)
+    // a column the OTHER era never carried counts as ALL of its rows
+    // null — the reader's missing-field rule, run in reverse
+    assert(m.nulls.contains(Map(
+      "doc_id" -> 0L, "text" -> 3L, "lang" -> (3L + a.rows))))
+    // unknown (None — a legacy line, or a takedown dropped the counts)
+    // poisons the merge: COUNT(col) must refuse, never guess
+    assert(a.merge(b.copy(nulls = None)).nulls.isEmpty)
+    assert(a.copy(nulls = None).merge(b).nulls.isEmpty)
+    // the nulls map survives the sidecar round-trip byte-exactly
+    ShardManifest.write(conf, root, ShardSource.Schema, Seq(m))
+    val (_, back) = ShardManifest.read(conf, root).get
+    assert(back.head.nulls == m.nulls)
+  }
 }

@@ -197,4 +197,74 @@ class ShardConnectorSpec extends SparkSpec {
     assert(ShardSource.openedFiles.get() == f0,
       "the evolved layout's nullable counts must answer from the manifest")
   }
+
+  test("an append AFTER a takedown composes: COUNT(*) stays metadata-only, " +
+      "COUNT(col) honestly refuses until the fold restores the counts") {
+    import spark.implicits._
+    val p = Layout.warehousePath(spark, Layout.tableName(sfDir, "atkshards"))
+    Layout.deleteWarehouseDir(spark, p)
+    val u = conv(substring(md5(concat(lit("atk:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    def sharded(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("u", u)
+      .withColumn("shard_id", shiftright(col("u"), 29))
+      .repartition(8, col("shard_id"))
+    def rows(r: Range) = r
+      .map(i => (i.toLong, s"t-$i", "en", 4L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    sharded(rows(1 to 160)).write.format("graft.sources.ShardSource")
+      .option("path", p).mode("overwrite").save()
+    graft.operators.Pipeline.shardTakedown(spark, p,
+      (1L to 40L).toDF("doc_id"), "atk:")
+    sharded(rows(161 to 200)).write.format("graft.sources.ShardSource")
+      .option("path", p).mode("append").save()
+    def src = spark.read.format("graft.sources.ShardSource")
+      .option("path", p).load()
+    // CountStar: the merged lines (takedown-reduced base + delta)
+    // answer metadata-only
+    val f0 = ShardSource.openedFiles.get()
+    val n = src.agg(count(lit(1))).collect()(0).getLong(0)
+    assert(n == 160L && ShardSource.openedFiles.get() == f0)
+    // COUNT(col): the takedown dropped the touched shards' null
+    // counts (the removed rows' null pattern is unknown) — the merge
+    // keeps that unknown, so the count REFUSES to the data path and
+    // is still exact
+    val f1 = ShardSource.openedFiles.get()
+    val nl = src.agg(count(col("lang"))).collect()(0).getLong(0)
+    assert(nl == 160L && ShardSource.openedFiles.get() > f1,
+      "COUNT(col) over takedown-poisoned null counts must take the data path")
+    // the maintenance fold recomputes the counts from the bytes —
+    // COUNT(col) is metadata-only again
+    graft.operators.Pipeline.maintainShardLayout(spark, p,
+      System.currentTimeMillis() + 60000L)
+    val f2 = ShardSource.openedFiles.get()
+    val nl2 = src.agg(count(col("lang"))).collect()(0).getLong(0)
+    assert(nl2 == 160L && ShardSource.openedFiles.get() == f2,
+      "the fold must restore the null counts")
+  }
+
+  test("a vacuum at horizon 0 is a safe no-op: nothing is younger than it") {
+    import spark.implicits._
+    val p = Layout.warehousePath(spark, Layout.tableName(sfDir, "vnoshards"))
+    Layout.deleteWarehouseDir(spark, p)
+    def gen(tag: String) = (1 to 40)
+      .map(i => (i.toLong, s"$tag-$i", "en", 4L, i.toLong, (i % 4).toLong))
+      .toDF("doc_id", "text", "lang", "n_chars", "u", "shard_id")
+      .repartition(4, col("shard_id"))
+    gen("a").write.format("graft.sources.ShardSource")
+      .option("path", p).mode("overwrite").save()
+    gen("b").write.format("graft.sources.ShardSource")
+      .option("path", p).mode("overwrite").save()
+    val hconf = spark.sessionState.newHadoopConf()
+    val before = graft.sources.ShardManifest.listAllFiles(hconf, p).keySet
+    val (sweptF, sweptG) = graft.operators.Pipeline.vacuumShardLayout(
+      spark, p, 0L)
+    assert(sweptF == 0L && sweptG == 0L)
+    assert(graft.sources.ShardManifest.listAllFiles(hconf, p).keySet == before)
+    // the retained generation is still time-travel-readable
+    val old = spark.read.format("graft.sources.ShardSource")
+      .option("path", p).option("asOfGen", "1").load()
+      .select(col("text")).collect().map(_.getString(0))
+    assert(old.length == 40 && old.forall(_.startsWith("a-")))
+  }
 }
