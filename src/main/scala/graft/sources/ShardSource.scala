@@ -763,7 +763,12 @@ private[sources] final class ShardReader(files: Array[String],
 /** A stream offset = the set of part files delivered so far (the
   * file-source offset-log idea, owned by the connector so file
   * SELECTION stays snapshot-scoped and TOMBSTONES apply). JSON is a
-  * sorted name array — deterministic, replayable. */
+  * sorted name array — deterministic, replayable. The offset grows
+  * with the layout's lifetime file count — the same storage class as
+  * Spark's own FileStreamSource log (relative names, ~100 bytes per
+  * file: megabytes at a 100k-file layout); a production deployment
+  * compacts it the way the file source compacts its log, and the
+  * vacuum bounds the live name universe. */
 private[sources] final class ShardStreamOffset(val names: Seq[String])
     extends Offset {
   override def json(): String = {
