@@ -4621,13 +4621,42 @@ object Pipeline {
     * explicit horizon — the `expire_snapshots` + `remove_orphan_files`
     * discipline applied to the layout.
     *
+    *  - REFUSES (loudly, touching nothing) unless the current manifest
+    *    exists and records a non-empty file set — the table-format
+    *    rule that GC requires a readable log: with no manifest the
+    *    "protected" set would be empty and every live byte past the
+    *    horizon would read as sweepable, a total-data-loss maintenance
+    *    verb on exactly the degrade state (sidecar drop after racing
+    *    appends, raw legacy layout) the framework deliberately enters.
+    *    Run [[repairShardManifest]] first — [[maintainShardLayout]]
+    *    already does (round-18 advice, high);
     *  - an archived generation manifest whose mtime < `horizonMs` is
-    *    DROPPED (its `asOfGen` readers fail loudly from then on);
-    *  - a physical file is SWEPT iff it is older than the horizon AND
-    *    protected by nothing — not recorded by the current manifest,
-    *    not recorded by any SURVIVING generation (retention), and so
-    *    either a retired file whose generations all expired or an
-    *    orphan a crashed task left behind;
+    *    DROPPED (its `asOfGen` readers fail loudly from then on) —
+    *    except the CURRENT generation's own archive file, which stays
+    *    addressable as long as it is current; `genBudget` additionally
+    *    thins history at streaming cadence: beyond the newest
+    *    `genBudget` surviving generations, older archives drop even
+    *    inside the horizon (a per-drain commit cadence accumulates
+    *    thousands of tiny manifests between horizon-based vacuums);
+    *  - an ORPHANED CLAIM — a generation file NEWER than the current
+    *    generation, left by a commit that claimed its slot but crashed
+    *    before the live swap — drops by the same horizon rule (never
+    *    younger than the horizon: it may be a racing commit mid-swap),
+    *    restoring liveness to the claim CAS (a new commit on the same
+    *    base would otherwise collide with the dead claim forever);
+    *  - a physical DATA file is SWEPT iff it is older than the horizon
+    *    AND protected by nothing — not recorded by the current
+    *    manifest, not by any surviving generation — so either a
+    *    retired file whose generations all expired or an orphan a
+    *    crashed task left behind;
+    *  - a TOMBSTONE file is held to a STRICTER rule: an exclusion that
+    *    no surviving generation records is swept only if some EXPIRED
+    *    generation or the retired ledger recorded it (its exclusion is
+    *    already materialized or superseded). An out-of-band tombstone
+    *    — recorded NOWHERE — is never swept: deleting an unapplied
+    *    exclusion resurrects taken-down rows (round-18 advice,
+    *    medium). Repair first ([[repairShardManifest]] adopts it),
+    *    then vacuum;
     *  - the retired ledger re-writes to exactly the still-existing
     *    retired names.
     *
@@ -4639,33 +4668,72 @@ object Pipeline {
     * bytes are ever opened; at 100 TB this is the same O(metadata)
     * job `expire_snapshots` is. */
   private[graft] def vacuumShardLayout(s: SparkSession, path: String,
-      horizonMs: Long): (Long, Long) = {
+      horizonMs: Long, genBudget: Option[Int] = None): (Long, Long) = {
     import graft.sources.{Layout, ShardManifest, ShardSource}
     import org.apache.hadoop.fs.Path
     ShardSource.withCommitLock(path) {
       val hconf = s.sessionState.newHadoopConf()
-      val gens = ShardManifest.listGens(hconf, path)
-      val (drop, keep) = gens.partition(_._2 < horizonMs)
-      val currentRec = ShardManifest.read(hconf, path)
+      val current = ShardManifest.read(hconf, path)
+      val currentRec = current
         .map(_._2.flatMap(_.files.map(_.name)).toSet).getOrElse(Set.empty)
+      require(current.isDefined && currentRec.nonEmpty,
+        s"vacuumShardLayout($path): refusing to sweep — the current " +
+          "manifest is absent or records no files, so nothing would be " +
+          "protected and every live byte past the horizon would be " +
+          "deleted. Rebuild the log first (repairShardManifest), then " +
+          "vacuum")
+      val cur = ShardManifest.currentGen(hconf, path)
+      val gens = ShardManifest.listGens(hconf, path)
+      val (expired, inHorizon) =
+        gens.filter(_._1 != cur).partition(_._2 < horizonMs)
+      // history budget: keep the NEWEST genBudget surviving archives
+      val overBudget = genBudget match {
+        case Some(b) => inHorizon.sortBy(-_._1).drop(b)
+        case None    => Seq.empty
+      }
+      val drop = expired ++ overBudget
+      val keep = inHorizon.filterNot(overBudget.contains)
+      // which names each DROPPED generation recorded — the fact the
+      // tombstone sweep rule needs (read BEFORE deleting the archives)
+      val droppedRec = drop.flatMap { case (g, _) =>
+        ShardManifest.readGen(hconf, path, g).toSeq
+          .flatMap(_._2.flatMap(_.files.map(_.name)))
+      }.toSet
       val protectedNames = currentRec ++ keep.flatMap { case (g, _) =>
         ShardManifest.readGen(hconf, path, g).toSeq
           .flatMap(_._2.flatMap(_.files.map(_.name)))
       }
+      val retired = ShardManifest.retiredNames(hconf, path)
       val (fs, _) = Layout.hfs(s, path)
       drop.foreach { case (g, _) =>
         fs.delete(ShardManifest.genPath(path, g), false)
+        fs.delete(ShardManifest.claimMarker(path, g), true)
+      }
+      // claim debris: a marker whose slot was never materialized (a
+      // commit that claimed and crashed) holds its generation number
+      // hostage — clear it past the horizon, restoring liveness to
+      // the slot (a marker younger than the horizon may be a racing
+      // commit mid-materialize and is never touched)
+      val gd = ShardManifest.genDir(path)
+      if (fs.exists(gd)) fs.listStatus(gd).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith(".claim-") && st.getModificationTime < horizonMs &&
+            scala.util.Try(nm.stripPrefix(".claim-").toLong).toOption.exists(
+              g => !fs.exists(ShardManifest.genPath(path, g))))
+          fs.delete(st.getPath, true)
       }
       val all = ShardManifest.listAllFiles(hconf, path)
       val swept = all.collect {
         case (n, (_, mtime))
-            if !protectedNames.contains(n) && mtime < horizonMs =>
+            if !protectedNames.contains(n) && mtime < horizonMs &&
+              (!n.split("/").last.startsWith("tomb-") ||
+                droppedRec.contains(n) || retired.contains(n)) =>
           fs.delete(new Path(new Path(path), n), false)
           n
       }.toSeq
       val remaining = ShardManifest.listAllFiles(hconf, path).keySet
       ShardManifest.rewriteRetired(hconf, path,
-        ShardManifest.retiredNames(hconf, path).intersect(remaining))
+        retired.intersect(remaining))
       (swept.size.toLong, drop.size.toLong)
     }
   }
@@ -4685,7 +4753,12 @@ object Pipeline {
     * uncommitted task left behind ARE adopted (they exist and are not
     * retired — "everything that exists, never a fabrication", the
     * same rule the degraded read path applies); run the vacuum first
-    * when orphans must not survive into the repaired snapshot.
+    * when orphan PART files must not survive into the repaired
+    * snapshot. For an OUT-OF-BAND TAKEDOWN (an unrecorded tombstone)
+    * the order is REPAIR THEN VACUUM: repair adopts the exclusion into
+    * the manifest; the vacuum's tombstone rule refuses to sweep an
+    * unrecorded tombstone either way (round-18 advice, medium), but
+    * only the repair makes the exclusion part of the snapshot.
     *
     * Scale: O(live bytes) — a repair is a deliberate table-rebuild
     * job, the one verb here that reads data; everything else in the
@@ -6383,11 +6456,18 @@ object Pipeline {
       val live = ShardManifest.listDataFiles(hconf, path)
       val perShard = live.keySet
         .groupBy(_.split("/")(0).stripPrefix("shard_id=").toLong)
+      // history collapses to exactly the CURRENT generation: since the
+      // claim protocol (round 19) every commit lands its own archive
+      // file and the vacuum never drops the current one — the layout
+      // stays addressable at its present state while all superseded
+      // snapshots expire
       val collapsed = perShard.values.forall(_.size == 1) &&
         live.keys.forall(!_.split("/").last.startsWith("tomb-")) &&
-        ShardManifest.listGens(hconf, path).isEmpty && sweptG == 3L &&
+        ShardManifest.listGens(hconf, path).map(_._1) ==
+          Seq(ShardManifest.currentGen(hconf, path)) &&
         ShardManifest.retiredNames(hconf, path).isEmpty &&
-        ShardManifest.readValidated(hconf, path).isDefined
+        ShardManifest.readValidated(hconf, path).isDefined &&
+        sweptG >= 3L
       // 4: content invariant, against raw ground truth
       val census = s.read.format("graft.sources.ShardSource")
         .option("path", path).load()

@@ -120,24 +120,52 @@ private[graft] object ShardManifest {
     } finally in.close()
   }
 
-  /** Serialize + swap in. `schema` is the full read schema including
-    * the `shard_id` partition identity column. The generation number
-    * bumps monotonically past both the current manifest's and every
-    * archived one's — the snapshot version clock — and EVERY write
-    * first archives the outgoing manifest (round 18 continued): every
-    * snapshot that was ever current is an addressable generation, so
-    * `asOfGen` reaches pre-append and pre-takedown states too (their
-    * recorded files still exist — only replacing verbs retire bytes)
+  /** Thrown when a commit loses the cross-driver generation race —
+    * the CLAIM of its generation file found the slot already taken
+    * (another writer committed on the same base), or the post-rename
+    * read-back showed another writer's token. The loser fails LOUDLY
+    * and never touches the live manifest or the retired ledger; the
+    * caller re-reads the layout and retries on the new base. */
+  final class ConcurrentCommitException(msg: String)
+      extends java.util.ConcurrentModificationException(msg)
+
+  /** Serialize + COMMIT. `schema` is the full read schema including
+    * the `shard_id` partition identity column.
+    *
+    * COMMIT PROTOCOL (round 19 — atomic cross-process commits): the
+    * manifest body is written to a temp file and CLAIMED into the
+    * generation-numbered slot `_gen/manifest-<gen>.json` (write-temp +
+    * rename + token read-back — [[claimGen]]); only after the claim
+    * succeeds does the live pointer `_shard_manifest.json` swap. Two
+    * ISOLATED drivers committing on the same base generation both
+    * target the same slot, so exactly one wins and the loser throws
+    * [[ConcurrentCommitException]] BEFORE touching the live manifest
+    * or the retired ledger — never a silent last-writer-wins, never a
+    * hybrid. `expectedBase` is the generation the writer READ as its
+    * base (the optimistic-concurrency validation a metastore CAS
+    * gives a real table format); when `None` the next generation is
+    * derived at call time — the single-driver path, already serialized
+    * by the layout's commit lock.
+    *
+    * Every commit lands its OWN generation file at claim time, so
+    * every snapshot that was ever current is an addressable generation
+    * (`asOfGen` reaches pre-append and pre-takedown states too — their
+    * recorded files still exist; only replacing verbs retire bytes)
     * and the `sinceGen` incremental read can diff any two commits.
     * Vacuum expires the history. */
   def write(conf: Configuration, root: String, schema: StructType,
-      entries: Seq[ShardEnt]): Unit = {
+      entries: Seq[ShardEnt], expectedBase: Option[Long] = None): Unit = {
     archiveCurrent(conf, root)
-    val gen = math.max(currentGen(conf, root),
-      listGens(conf, root).map(_._1).foldLeft(0L)(math.max)) + 1
+    val gen = expectedBase match {
+      case Some(b) => b + 1
+      case None => math.max(currentGen(conf, root),
+        listGens(conf, root).map(_._1).foldLeft(0L)(math.max)) + 1
+    }
+    val token = java.util.UUID.randomUUID().toString.replace("-", "")
     val sb = new StringBuilder
     val header = JsonNodeFactory.instance.objectNode()
-    header.put("format", 3)
+    header.put("format", 4)
+    header.put("commit", token)
     // the header schema is always fully NULLABLE: a jsonl layout can
     // always be missing a field (schema evolution guarantees it), and
     // a NOT NULL written through from a Seq.toDF batch would make
@@ -166,7 +194,63 @@ private[graft] object ShardManifest {
       }
       sb.append(mapper.writeValueAsString(n)).append('\n')
     }
-    writeString(conf, manifestPath(root), sb.toString)
+    val body = sb.toString
+    if (!claimGen(conf, root, gen, body, token))
+      throw new ConcurrentCommitException(
+        s"graft.sources.ShardSource: concurrent commit detected on $root — " +
+          s"generation $gen was claimed by another writer (this commit was " +
+          s"based on generation ${gen - 1}); the live manifest and retired " +
+          "ledger were not touched — re-read the layout and retry")
+    writeString(conf, manifestPath(root), body)
+  }
+
+  /** The claim marker arbitrating generation `gen` — the one name
+    * exactly one writer can create. */
+  def claimMarker(root: String, gen: Long): Path =
+    new Path(genDir(root), f".claim-$gen%09d")
+
+  /** CLAIM a generation slot with an ATOMIC-EXCLUSIVE primitive, then
+    * materialize the manifest body into `_gen/manifest-<gen>.json` by
+    * whole-file rename. The arbitration is the claim MARKER: on a
+    * local filesystem it is a directory created with `mkdir(2)` —
+    * atomic-exclusive by POSIX (a bare rename would not be: POSIX
+    * rename REPLACES an existing destination, so two photo-finish
+    * renamers could each read back their own content and both declare
+    * victory); on HDFS-like stores it is `create(overwrite = false)`,
+    * which the namenode arbitrates atomically. (An object store
+    * without conditional PUT needs a metastore/commit service for
+    * this role — the standard table-format deployment note.) Exactly
+    * one claimant wins; every loser returns false having written
+    * nothing into the slot. A winner that crashes before
+    * materializing the slot leaves marker-without-slot — readers of
+    * that generation fail loudly ("never committed") and the vacuum
+    * horizon clears the debris, restoring liveness to the slot. */
+  private def claimGen(conf: Configuration, root: String, gen: Long,
+      body: String, token: String): Boolean = {
+    val gp = genPath(root, gen)
+    val fs = gp.getFileSystem(conf)
+    fs.mkdirs(gp.getParent)
+    if (fs.exists(gp)) return false
+    val marker = claimMarker(root, gen)
+    val local = Option(fs.makeQualified(gp).toUri.getScheme)
+      .forall(_ == "file")
+    val won =
+      if (local) {
+        try {
+          java.nio.file.Files.createDirectory(
+            java.nio.file.Paths.get(fs.makeQualified(marker).toUri))
+          true
+        } catch { case _: java.io.IOException => false }
+      } else {
+        try { fs.create(marker, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      }
+    if (!won) return false
+    val tmp = new Path(gp.getParent, s".${gp.getName}.$token.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    fs.rename(tmp, gp)
+    true
   }
 
   /** The current manifest's generation — 0 when absent or pre-gen
@@ -189,13 +273,17 @@ private[graft] object ShardManifest {
 
   /** Archive the CURRENT manifest as its generation's snapshot file.
     * Returns the archived generation, `None` when no manifest exists.
-    * The replacing verbs (overwrite commit, fold) call this BEFORE
-    * swapping the new manifest in — the archived file is the snapshot
-    * pointer an `asOfGen` reader or a vacuum keep-set resolves. */
+    * Since round 19 every commit lands its own generation file at
+    * claim time, so this is a no-op for post-claim layouts (the file
+    * already exists — never overwritten: the claimed copy is the
+    * commit's truth); it back-fills the archive for a legacy layout
+    * whose current manifest predates the claim protocol. */
   def archiveCurrent(conf: Configuration, root: String): Option[Long] =
     readString(conf, manifestPath(root)).map { body =>
       val gen = currentGen(conf, root)
-      writeString(conf, genPath(root, gen), body)
+      val gp = genPath(root, gen)
+      val fs = gp.getFileSystem(conf)
+      if (!fs.exists(gp)) writeString(conf, gp, body)
       gen
     }
 

@@ -62,4 +62,166 @@ class ShardRaceSpec extends SparkSpec {
     assert(grouped == (0 until 4).map(sh =>
       sh.toLong -> (1 until 301).count(_ % 4 == sh).toLong).toMap)
   }
+
+  // ---------------------------------------------------------------
+  // round 19: CROSS-DRIVER commits — the generation-claim CAS
+  // ---------------------------------------------------------------
+
+  test("the claim CAS: two commits on the same base — one lands, the " +
+      "other fails loudly; the live manifest is never a hybrid") {
+    val p = Layout.warehousePath(spark, Layout.tableName(sfDir, "casshards"))
+    Layout.deleteWarehouseDir(spark, p)
+    val conf = spark.sessionState.newHadoopConf()
+    def ent(rows: Long, name: String) = graft.sources.ShardEnt(
+      0L, rows, Some(rows * 4), Some(1L), Some(rows),
+      Seq(graft.sources.ShardFileEnt(name, 10L)), None)
+    val schema = ShardSource.Schema
+    // a committed base generation
+    ShardManifest.write(conf, p, schema, Seq(ent(5L, "shard_id=0/part-a")))
+    val base = ShardManifest.currentGen(conf, p)
+    // writer A commits on `base` — lands as base+1
+    ShardManifest.write(conf, p, schema,
+      Seq(ent(6L, "shard_id=0/part-b")), expectedBase = Some(base))
+    assert(ShardManifest.currentGen(conf, p) == base + 1)
+    // writer B, ALSO based on `base` (it never saw A's commit): the
+    // claim of base+1 is taken — B must fail loudly BEFORE touching
+    // the live manifest
+    val err = intercept[java.util.ConcurrentModificationException] {
+      ShardManifest.write(conf, p, schema,
+        Seq(ent(7L, "shard_id=0/part-c")), expectedBase = Some(base))
+    }
+    assert(err.getMessage.contains("concurrent commit"))
+    // the live manifest is exactly A's commit — never B's, never a mix
+    val (_, entries) = ShardManifest.read(conf, p).get
+    assert(entries.flatMap(_.files.map(_.name)) == Seq("shard_id=0/part-b"))
+    assert(ShardManifest.currentGen(conf, p) == base + 1)
+    // B retries on the NEW base and lands as base+2 — optimistic
+    // concurrency's normal recovery
+    ShardManifest.write(conf, p, schema,
+      Seq(ent(7L, "shard_id=0/part-c")), expectedBase = Some(base + 1))
+    assert(ShardManifest.currentGen(conf, p) == base + 2)
+  }
+
+  test("the claim CAS under true concurrency: barrier-aligned commits " +
+      "on the same base — exactly one winner per round, every loser " +
+      "loud, the slot never a hybrid") {
+    val p = Layout.warehousePath(spark, Layout.tableName(sfDir, "ccasshards"))
+    Layout.deleteWarehouseDir(spark, p)
+    val conf = spark.sessionState.newHadoopConf()
+    val schema = ShardSource.Schema
+    def ent(tag: String) = graft.sources.ShardEnt(
+      0L, 1L, Some(4L), Some(1L), Some(1L),
+      Seq(graft.sources.ShardFileEnt(s"shard_id=0/part-$tag", 10L)), None)
+    ShardManifest.write(conf, p, schema, Seq(ent("seed")))
+    (0 until 10).foreach { r =>
+      val base = ShardManifest.currentGen(conf, p)
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[
+        Either[Throwable, String]]()
+      val threads = Seq(s"a$r", s"b$r").map { tag =>
+        new Thread(() => {
+          gate.await()
+          try {
+            ShardManifest.write(conf, p, schema, Seq(ent(tag)),
+              expectedBase = Some(base))
+            outcomes.add(Right(tag))
+          } catch { case t: Throwable => outcomes.add(Left(t)) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val (losers, winners) = {
+        import scala.jdk.CollectionConverters._
+        outcomes.asScala.toSeq.partitionMap(identity)
+      }
+      assert(winners.size == 1,
+        s"round $r: exactly one barrier-aligned commit must win, " +
+          s"got winners=$winners")
+      losers.foreach(t => assert(
+        Option(t.getMessage).exists(_.contains("concurrent commit")),
+        s"round $r: the loser must fail with the detected-race error: $t"))
+      // the slot holds EXACTLY the winner's whole body — whole-file
+      // materialization can never interleave two commits
+      val (_, entries) = ShardManifest.readGen(conf, p, base + 1).get
+      assert(entries.flatMap(_.files.map(_.name)) ==
+        Seq(s"shard_id=0/part-${winners.head}"))
+      assert(ShardManifest.currentGen(conf, p) == base + 1)
+    }
+  }
+
+  test("two ISOLATED drivers race connector appends: each commit lands " +
+      "or aborts with the detected-race error; the manifest is never " +
+      "a hybrid of two commits") {
+    val p = Layout.warehousePath(spark, Layout.tableName(sfDir, "isoshards"))
+    Layout.deleteWarehouseDir(spark, p)
+    // two sessions with DISTINCT commit-instance tags lock
+    // independently — the in-JVM serialization that normally shields
+    // same-driver writers is off, exactly as with two real driver JVMs
+    val sA = spark.newSession()
+    val sB = spark.newSession()
+    sA.conf.set("spark.graft.commitInstance", "driverA")
+    sB.conf.set("spark.graft.commitInstance", "driverB")
+    def slice(s: org.apache.spark.sql.SparkSession, from: Int, until: Int) = {
+      import s.implicits._
+      (from until until)
+        .map(i => (i.toLong, s"t-$i", "en", 4L, i.toLong, (i % 4).toLong))
+        .toDF("doc_id", "text", "lang", "n_chars", "u", "shard_id")
+        .repartition(4, col("shard_id"))
+    }
+    slice(spark, 1, 101).write.format("graft.sources.ShardSource")
+      .option("path", p).mode("overwrite").save()
+    val landed = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    var races = 0
+    // several aligned rounds: each round both drivers append a
+    // disjoint slice concurrently; a loser must fail with the
+    // detected-race error (and its rows must NOT land — Spark aborts
+    // the write, the task files delete)
+    (0 until 6).foreach { r =>
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val jobs = Seq((sA, 101 + 200 * r), (sB, 201 + 200 * r)).map {
+        case (s, from) => new Thread(() => {
+          try {
+            val df = slice(s, from, from + 100)
+            gate.await()
+            df.write.format("graft.sources.ShardSource")
+              .option("path", p).mode("append").save()
+            landed.add(from)
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      jobs.foreach(_.start()); jobs.foreach(_.join())
+      // every failure must be the DETECTED race — never silence, never
+      // a different corruption
+      errs.forEach { t =>
+        def msgs(x: Throwable): Seq[String] = Option(x).toSeq
+          .flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+        assert(msgs(t).exists(_.contains("concurrent commit")),
+          s"a racing commit failed with something other than the " +
+            s"detected-race error: $t")
+        races += 1
+      }
+      assert(errs.size() <= 1, "at most one driver may lose a round")
+    }
+    // the layout holds EXACTLY the base plus the landed slices — a
+    // lost commit's rows never appear, a landed commit's never vanish
+    val expected = (1L until 101L).toSet ++
+      landed.toArray(Array.empty[Integer]).toSet.flatMap {
+        f: Integer => (f.toLong until f.toLong + 100L) }
+    def src = spark.read.format("graft.sources.ShardSource")
+      .option("path", p).load()
+    val ids = src.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids == expected,
+      s"row set drifted: missing=${(expected -- ids).take(5)} " +
+        s"extra=${(ids -- expected).take(5)}")
+    // the manifest: exact or absent — NEVER a hybrid (validation
+    // cross-checks every recorded name+length against the live bytes)
+    val conf = spark.sessionState.newHadoopConf()
+    ShardManifest.read(conf, p).foreach { _ =>
+      val (_, entries) = ShardManifest.readValidated(conf, p)
+        .getOrElse(fail("a present manifest must validate exactly"))
+      assert(entries.map(_.rows).sum == expected.size.toLong)
+    }
+    info(s"isolated-driver rounds: 6, detected races: $races, " +
+      s"landed slices: ${landed.size()}")
+  }
 }
