@@ -9,8 +9,26 @@ import org.apache.spark.sql.types.StructType
 /** One part file the manifest records: its layout-relative name
   * (`shard_id=k/part-...`) and byte length — the two facts one
   * `listStatus` pass can cross-check, so a manifest that has drifted
-  * from the bytes on disk is detectable without opening anything. */
-private[graft] final case class ShardFileEnt(name: String, len: Long)
+  * from the bytes on disk is detectable without opening anything —
+  * plus (round 19, format 4) the file's doc_id RANGE when the writer
+  * saw it: the per-file zone map that lets a point lookup or id-range
+  * scan on a delta-heavy shard open only the files whose range can
+  * match, not every delta since the last fold. Bounds may be WIDER
+  * than the live contents (a takedown narrows actuals, never the
+  * recorded range) — always sound for skipping; absent bounds (legacy
+  * manifests, tombstone files) never skip. */
+private[graft] final case class ShardFileEnt(name: String, len: Long,
+    minDoc: Option[Long] = None, maxDoc: Option[Long] = None) {
+  /** Can this file hold a doc_id inside [lo, hi] ∩ points? Unknown
+    * bounds → maybe (never skip what cannot be ruled out). */
+  def mayMatch(lo: Option[Long], hi: Option[Long],
+      points: Option[Set[Long]]): Boolean = (minDoc, maxDoc) match {
+    case (Some(mn), Some(mx)) =>
+      lo.forall(_ <= mx) && hi.forall(_ >= mn) &&
+        points.forall(_.exists(p => p >= mn && p <= mx))
+    case _ => true
+  }
+}
 
 /** One shard's statistics line: row count always; payload mass and id
   * range when the layout's schema carries the columns; per-column
@@ -191,6 +209,8 @@ private[graft] object ShardManifest {
         val fn = fl.addObject()
         fn.put("name", f.name)
         fn.put("len", f.len)
+        f.minDoc.foreach(v => fn.put("min_doc", v))
+        f.maxDoc.foreach(v => fn.put("max_doc", v))
       }
       sb.append(mapper.writeValueAsString(n)).append('\n')
     }
@@ -376,7 +396,10 @@ private[graft] object ShardManifest {
               val b = Vector.newBuilder[ShardFileEnt]
               while (it.hasNext) {
                 val f = it.next()
-                b += ShardFileEnt(f.get("name").asText(), f.get("len").asLong())
+                def fOpt(k: String): Option[Long] =
+                  if (f.has(k)) Some(f.get(k).asLong()) else None
+                b += ShardFileEnt(f.get("name").asText(),
+                  f.get("len").asLong(), fOpt("min_doc"), fOpt("max_doc"))
               }
               b.result()
             }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -268,12 +268,24 @@ private[sources] final class ShardScanBuilder(path: String,
   private var required: StructType = tableSchema
   private var shardSet: Option[Set[Long]] = None
   private var accepted: Array[Filter] = Array.empty
+  // doc_id zone-map predicates (round 19): an inclusive range plus an
+  // optional point set, used ONLY to skip recorded files whose bounds
+  // cannot match — never consumed (Spark re-evaluates them per row)
+  private var docLo: Option[Long] = None
+  private var docHi: Option[Long] = None
+  private var docPoints: Option[Set[Long]] = None
   // manifest-answerable aggregation: (group-by-shard?, agg kinds)
   private var aggSpec: Option[(Boolean, Seq[String])] = None
 
   private def longsOf(vs: Array[Any]): Option[Set[Long]] = {
     val ls = vs.collect { case l: Long => l; case i: Int => i.toLong }
     if (ls.length == vs.length) Some(ls.toSet) else None
+  }
+
+  private def longOf(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int  => Some(i.toLong)
+    case _       => None
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -287,6 +299,12 @@ private[sources] final class ShardScanBuilder(path: String,
     // union (round-16 advice, medium).
     def narrow(ls: Set[Long]): Unit =
       shardSet = Some(shardSet.map(_ intersect ls).getOrElse(ls))
+    // doc_id predicates are accepted for FILE SKIPPING (the manifest's
+    // per-file zone maps) but stay in the returned array — bounds may
+    // be wider than the live rows, so the row-level filter must still
+    // run; conjunction semantics: every predicate narrows
+    def narrowLo(v: Long): Unit = docLo = Some(docLo.fold(v)(math.max(_, v)))
+    def narrowHi(v: Long): Unit = docHi = Some(docHi.fold(v)(math.min(_, v)))
     val rest = filters.filter {
       case EqualTo("shard_id", v: Long) =>
         narrow(Set(v))
@@ -297,6 +315,23 @@ private[sources] final class ShardScanBuilder(path: String,
           accepted :+= In("shard_id", vs); false
         case None => true
       }
+      case f @ EqualTo("doc_id", v) if longOf(v).isDefined =>
+        val l = longOf(v).get
+        narrowLo(l); narrowHi(l); accepted :+= f; true
+      case f @ In("doc_id", vs) =>
+        longsOf(vs.asInstanceOf[Array[Any]]).foreach { ls =>
+          docPoints = Some(docPoints.map(_ intersect ls).getOrElse(ls))
+          accepted :+= f
+        }
+        true
+      case f @ GreaterThan("doc_id", v) if longOf(v).isDefined =>
+        narrowLo(longOf(v).get + 1); accepted :+= f; true
+      case f @ GreaterThanOrEqual("doc_id", v) if longOf(v).isDefined =>
+        narrowLo(longOf(v).get); accepted :+= f; true
+      case f @ LessThan("doc_id", v) if longOf(v).isDefined =>
+        narrowHi(longOf(v).get - 1); accepted :+= f; true
+      case f @ LessThanOrEqual("doc_id", v) if longOf(v).isDefined =>
+        narrowHi(longOf(v).get); accepted :+= f; true
       case _ => true
     }
     rest
@@ -396,7 +431,8 @@ private[sources] final class ShardScanBuilder(path: String,
     case Some((byShard, kinds)) =>
       new ShardStatsScan(path, shardSet, byShard, kinds, asOf)
     case None =>
-      new ShardScan(path, shardSet, required, asOf, since)
+      new ShardScan(path, shardSet, required, asOf, since,
+        docLo, docHi, docPoints)
   }
 }
 
@@ -540,11 +576,35 @@ private[sources] final class ManifestReader(file: String,
 
 private[sources] final class ShardScan(path: String,
     shardSet: Option[Set[Long]], required: StructType, asOf: Option[Long],
-    since: Option[Long] = None)
+    since: Option[Long] = None,
+    docLo: Option[Long] = None, docHi: Option[Long] = None,
+    docPoints: Option[Set[Long]] = None)
     extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  private def docPruning: Boolean =
+    docLo.isDefined || docHi.isDefined || docPoints.isDefined
+
+  private def rangeMayMatch(mn: Option[Long], mx: Option[Long]): Boolean =
+    (mn, mx) match {
+      case (Some(lo0), Some(hi0)) =>
+        docLo.forall(_ <= hi0) && docHi.forall(_ >= lo0) &&
+          docPoints.forall(_.exists(p => p >= lo0 && p <= hi0))
+      case _ => true
+    }
+
+  /** The manifest-recorded part files that can hold a doc_id matching
+    * the pushed predicates — the per-file zone-map skip (round 19).
+    * Shard-level bounds rule whole entries out first; files without
+    * bounds always read. An empty predicate keeps everything. */
+  private def keptParts(e: ShardEnt): Seq[ShardFileEnt] = {
+    val parts = e.files.filter(_.name.split("/").last.startsWith("part-"))
+    if (!docPruning) parts
+    else if (!rangeMayMatch(e.minDoc, e.maxDoc)) Seq.empty
+    else parts.filter(f => rangeMayMatch(f.minDoc, f.maxDoc))
+  }
 
   // resolved lazily at planning: ONE partition per kept SHARD, its
   // part files in NAME order (base before deltas — the delivery
@@ -567,12 +627,14 @@ private[sources] final class ShardScan(path: String,
   private lazy val selected: (Seq[(Long, Seq[String], Seq[String])], Int) = {
     val conf = ShardSource.hadoopConf()
     val root = new Path(path)
+    // part files pass the zone-map skip (keptParts); tombstones are
+    // EXCLUSIONS and always load — a skipped data file needs no
+    // exclusion, but a kept one needs them all
     def ofEntries(entries: Seq[ShardEnt]) = entries.map { e =>
-      val names = e.files.map(_.name).sorted
-        .map(n => new Path(root, n).toString)
       (e.shardId,
-        names.filter(_.split("/").last.startsWith("part-")),
-        names.filter(_.split("/").last.startsWith("tomb-")))
+        keptParts(e).map(_.name).sorted.map(n => new Path(root, n).toString),
+        e.files.map(_.name).filter(_.split("/").last.startsWith("tomb-"))
+          .sorted.map(n => new Path(root, n).toString))
     }
     val perShard: Seq[(Long, Seq[String], Seq[String])] = (asOf, since) match {
       case (Some(g), _) =>
@@ -604,15 +666,14 @@ private[sources] final class ShardScan(path: String,
               "swept past the retention horizon (vacuumShardLayout)"))
         val baseNames = base._2.flatMap(_.files.map(_.name)).toSet
         cur._2.map { e =>
-          val fresh = e.files.map(_.name).filterNot(baseNames).sorted
+          val fresh = keptParts(e).map(_.name).filterNot(baseNames).sorted
             .map(n => new Path(root, n).toString)
           // the shard's CURRENT tombstones apply to the delta too — an
           // exclusion is never scoped to the files it arrived with
           val tombs = e.files.map(_.name)
             .filter(_.split("/").last.startsWith("tomb-")).sorted
             .map(n => new Path(root, n).toString)
-          (e.shardId,
-            fresh.filter(_.split("/").last.startsWith("part-")), tombs)
+          (e.shardId, fresh, tombs)
         }
       case (None, None) => ShardManifest.readSnapshot(conf, path) match {
         case Some((_, entries)) => ofEntries(entries)
@@ -639,7 +700,11 @@ private[sources] final class ShardScan(path: String,
     val shown = shardSet.map(_.size.toString).getOrElse("all")
     val gen = asOf.map(g => s" asOfGen=$g").getOrElse("") +
       since.map(g => s" sinceGen=$g").getOrElse("")
-    s"GraftShardScan shards=$shown/$total files=${byShard.map(_._2.size).sum}$gen"
+    val zone = if (docPruning)
+      s" docRange=[${docLo.getOrElse("-inf")},${docHi.getOrElse("inf")}]" +
+        docPoints.map(p => s" points=${p.size}").getOrElse("")
+    else ""
+    s"GraftShardScan shards=$shown/$total files=${byShard.map(_._2.size).sum}$gen$zone"
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -1157,11 +1222,13 @@ private[sources] final class ShardDataWriter(path: String,
   override def commit(): WriterCommitMessage = {
     val entries = open.toSeq.map { case (sh, so) =>
       val len = so.closeAndLen()
+      // each (task, shard) writes exactly one file, so the shard-level
+      // bounds this task tracked ARE the file's zone map
+      val mn = if (docIdIdx >= 0 && so.rows > 0) Some(so.minDoc) else None
+      val mx = if (docIdIdx >= 0 && so.rows > 0) Some(so.maxDoc) else None
       ShardEnt(sh, so.rows,
-        if (nCharsIdx >= 0) Some(so.sumChars) else None,
-        if (docIdIdx >= 0 && so.rows > 0) Some(so.minDoc) else None,
-        if (docIdIdx >= 0 && so.rows > 0) Some(so.maxDoc) else None,
-        Seq(ShardFileEnt(so.relName, len)),
+        if (nCharsIdx >= 0) Some(so.sumChars) else None, mn, mx,
+        Seq(ShardFileEnt(so.relName, len, mn, mx)),
         Some(dataFields.map(_._1.name).zip(so.nullCounts).toMap))
     }
     open.clear()
