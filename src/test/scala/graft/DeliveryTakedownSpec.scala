@@ -18,7 +18,7 @@ class DeliveryTakedownSpec extends SparkSpec {
     def meta(nm: String): Row = out.find(_.getString(0) == nm).get
     assert(meta("zz_takedown_o_affected").getLong(1) == 1L)
     assert(meta("zz_tomb_rows_hidden").getLong(1) == 1L)
-    assert(meta("zz_minmax_fallback_then_restored").getLong(1) == 1L)
+    assert(meta("zz_minmax_metadata_through_takedown").getLong(1) == 1L)
   }
 
   test("phase stats equal an independent live-corpus derivation") {
