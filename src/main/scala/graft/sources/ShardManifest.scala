@@ -359,6 +359,34 @@ private[graft] object ShardManifest {
       writeString(conf, retiredPath(root), sb.toString)
     }
 
+  /** The streaming-epoch ledger: one JSON line per committed
+    * (queryId, epochId) — what makes a checkpoint-restart replay land
+    * NOTHING twice (the streaming write's exactly-once fact). */
+  def epochsPath(root: String): Path = new Path(root, "_stream_epochs.json")
+
+  def epochCommitted(conf: Configuration, root: String, query: String,
+      epoch: Long): Boolean =
+    readString(conf, epochsPath(root)).exists(
+      _.linesIterator.filter(_.nonEmpty).exists { l =>
+        val n = mapper.readTree(l)
+        n.has("query") && n.get("query").asText() == query &&
+          n.has("epoch") && n.get("epoch").asLong() == epoch
+      })
+
+  /** Record a committed epoch (read + rewrite + swap — the caller
+    * holds the layout's commit lock). O(epochs) per commit; a bounded
+    * deployment compacts it with the vacuum the way the offset log
+    * compacts. */
+  def recordEpoch(conf: Configuration, root: String, query: String,
+      epoch: Long): Unit = {
+    val node = JsonNodeFactory.instance.objectNode()
+    node.put("query", query)
+    node.put("epoch", epoch)
+    val prior = readString(conf, epochsPath(root)).getOrElse("")
+    writeString(conf, epochsPath(root),
+      prior + mapper.writeValueAsString(node) + "\n")
+  }
+
   /** Rewrite the ledger to exactly `names` (vacuum drops swept ones);
     * an empty set deletes the ledger file. */
   def rewriteRetired(conf: Configuration, root: String,

@@ -865,6 +865,132 @@ object StreamDoor {
     out.orderBy("shard_id")
   }
 
+  /** q182: STREAMING WRITE into the delivery layer (round-18 judge
+    * item 3) — both directions through ONE connector: the stream
+    * TAILS a source layout (`MICRO_BATCH_READ`, the q170 door) and
+    * LANDS into a destination layout (`STREAMING_WRITE`), each
+    * micro-batch an ordinary append commit (manifest merge,
+    * generation claim) recorded in the epoch ledger so checkpoint
+    * replays land nothing twice. The walk (salt `sw19:`):
+    *
+    *  1. base export (≢3 mod 10) to the SOURCE layout; DRAIN — the
+    *     stream copies it into the destination as epoch commits;
+    *  2. an EMPTY drain (no new source offsets) commits NOTHING — the
+    *     destination's generation is unchanged;
+    *  3. the ≡3 delta appends to the source; DRAIN — exactly the
+    *     delta lands, once;
+    *  4. the destination is a FIRST-CLASS layout: its snapshot
+    *     validates, a COUNT answers from its manifest with zero data
+    *     files, and its census (per-shard counts, mass, content
+    *     checksum through the connector) hash-matches the raw
+    *     corpus derivation — a doubled replay, a lost epoch or a
+    *     leaked partial batch flips a shard's checksum.
+    *
+    * Restart/replay idempotence at the API level (same epoch id
+    * committed twice) is `StreamWriteSpec`'s arm. Scale: each epoch
+    * commit is O(touched shards) metadata over O(batch) data bytes;
+    * the destination accumulates ordinary generations the vacuum
+    * horizon bounds. */
+  def streamWriteDoor(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "swcensus") {
+      import s.implicits._
+      import graft.sources.ShardManifest
+      val srcPath = Layout.warehousePath(s, Layout.tableName(dir, "swsrcshards"))
+      val outPath = Layout.warehousePath(s, Layout.tableName(dir, "swoutshards"))
+      val run = Layout.warehousePath(s, Layout.tableName(dir, "swrun"))
+      Seq(srcPath, outPath, run).foreach(Layout.deleteWarehouseDir(s, _))
+      val ckpt = s"$run/ckpt"
+      def sharded(df: DataFrame): DataFrame = df
+        .withColumn("u", conv(substring(md5(concat(lit("sw19:"),
+          col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType))
+        .withColumn("shard_id", shiftright(col("u"), 29))
+        .repartition(8, col("shard_id"))
+        .sortWithinPartitions(col("shard_id"), col("u"), col("doc_id"))
+      def drain(): Unit = {
+        val q = s.readStream.format("graft.sources.ShardSource")
+          .option("path", srcPath).load()
+          .writeStream.format("graft.sources.ShardSource")
+          .option("path", outPath)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val hconf = s.sessionState.newHadoopConf()
+      // 1: base export + first drain
+      sharded(d.filter(pmod(col("doc_id"), lit(10)) =!= 3))
+        .write.format("graft.sources.ShardSource")
+        .option("path", srcPath).mode("overwrite").save()
+      drain()
+      // 2: the empty drain commits nothing
+      val genBefore = ShardManifest.currentGen(hconf, outPath)
+      drain()
+      val emptyDrainSilent =
+        ShardManifest.currentGen(hconf, outPath) == genBefore
+      // 3: delta append + drain
+      sharded(d.filter(pmod(col("doc_id"), lit(10)) === 3))
+        .write.format("graft.sources.ShardSource")
+        .option("path", srcPath).mode("append").save()
+      drain()
+      // 4: the destination is first-class
+      def out = s.read.format("graft.sources.ShardSource")
+        .option("path", outPath).load()
+      val firstClass = ShardManifest.readValidated(hconf, outPath).isDefined
+      val f0 = graft.sources.ShardSource.openedFiles.get()
+      val metaCount = out.agg(count(lit(1))).collect()(0).getLong(0)
+      val statsMetaOnly = graft.sources.ShardSource.openedFiles.get() == f0 &&
+        metaCount == d.count()
+      val twoCommits = ShardManifest.currentGen(hconf, outPath) == genBefore + 1
+      val census = out.groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(graft.functions.Fns.hash32(concat_ws("|", col("doc_id"),
+            col("n_chars"), col("lang"), md5(col("text"))))).as("checksum"))
+        .collect() // bounded: shards
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      census
+        .++(Seq(
+          (99L, if (emptyDrainSilent) 1L else 0L, 1L, 1L),
+          (100L, if (firstClass && statsMetaOnly) 1L else 0L, 1L, 1L),
+          (101L, if (twoCommits) 1L else 0L, 1L, 1L)))
+        .toDF("shard_id", "n_docs", "sum_chars", "checksum")
+    }.orderBy("shard_id")
+  }
+
+  /** The q182 oracle: the WHOLE corpus's per-shard census via the
+    * `sw19:` shard formula (the stream, the epochs and the ledger
+    * appear nowhere — a doubled or dropped epoch flips a count or
+    * checksum), the three decisions as constants. */
+  val streamWriteDoorSql: String = graft.operators.mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(('0x' || substr(md5('sw19:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents)
+       |SELECT shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM a GROUP BY 1
+       |  UNION ALL
+       |  SELECT CAST(99 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(101 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)) t
+       |ORDER BY shard_id""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     // the oracle re-derives the batch's index entries from scratch:
     // the gate proves the streaming run's sink == batch maintenance
@@ -922,5 +1048,9 @@ object StreamDoor {
     // the doc-keyed store; the census equals the raw derivation
     QueryDef("q170_stream_shard_tail", streamShardTailDoor,
       Some(graft.operators.Pipeline.shardTailDoorSql)),
+    // q182: streaming WRITE into the delivery layer — the stream tails
+    // one layout and lands into another through the same connector;
+    // epoch commits are ordinary generations, replays land nothing
+    QueryDef("q182_stream_write", streamWriteDoor, Some(streamWriteDoorSql)),
   )
 }
