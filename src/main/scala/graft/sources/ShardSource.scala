@@ -246,16 +246,22 @@ object ShardSource {
   }
 }
 
-private[sources] final class ShardTable(path: String, tableSchema: StructType)
+private[sources] final class ShardTable(path: String,
+    tableSchema: StructType, pinnedAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"graft_shards($path)"
+  override def name(): String =
+    s"graft_shards($path)" + pinnedAsOf.map(g => s"@gen=$g").getOrElse("")
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ShardScanBuilder(path, tableSchema, ShardSource.asOfOf(options),
+    // a catalog-pinned version (SQL `VERSION AS OF`) and the
+    // option-based `asOfGen` resolve the SAME way — the pin wins when
+    // both are present (it IS the table's identity then)
+    new ShardScanBuilder(path, tableSchema,
+      pinnedAsOf.orElse(ShardSource.asOfOf(options)),
       ShardSource.sinceOf(options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ShardWriteBuilder(path, info.schema(), info.queryId())
