@@ -132,7 +132,15 @@ object Sf1Bench {
     "q179_delivery_upsert",
     // q180 the OPTIMIZE verb (metadata-only policy, fold, expire — the
     // nightly maintenance job at the 10× layout)
-    "q180_layout_maintenance")
+    "q180_layout_maintenance",
+    // ... and the round-19 delivery-layer additions, raw-derivable
+    // oracles: q181 per-file zone maps (point read opens ONE file of
+    // the 4-era 10× layout; range scan opens the era image), q182 the
+    // streaming WRITE (epoch commits + empty-drain silence + ledger
+    // idempotence, both stream directions through one connector),
+    // q183 the SQL catalog (VERSION AS OF == asOfGen with zero plan
+    // change, stats pushdown through the catalog route)
+    "q181_file_skipping", "q182_stream_write", "q183_sql_catalog")
 
   private val Offset = 100000000L
 
