@@ -359,32 +359,47 @@ private[graft] object ShardManifest {
       writeString(conf, retiredPath(root), sb.toString)
     }
 
-  /** The streaming-epoch ledger: one JSON line per committed
-    * (queryId, epochId) — what makes a checkpoint-restart replay land
-    * NOTHING twice (the streaming write's exactly-once fact). */
+  /** The streaming-epoch ledger: ONE JSON line per writer query,
+    * carrying the HIGHEST committed epoch — what makes a
+    * checkpoint-restart replay land NOTHING twice (the streaming
+    * write's exactly-once fact). Epochs per query are strictly
+    * increasing and commit in order (the micro-batch contract), so
+    * "committed" is `epoch ≤ recorded max` — the last-committed-txn
+    * rule every table format applies to its appId ledger, and what
+    * keeps the ledger O(writer queries) at streaming cadence instead
+    * of O(lifetime epochs). */
   def epochsPath(root: String): Path = new Path(root, "_stream_epochs.json")
+
+  private def epochMap(conf: Configuration, root: String): Map[String, Long] =
+    readString(conf, epochsPath(root)) match {
+      case None => Map.empty
+      case Some(body) => body.linesIterator.filter(_.nonEmpty).flatMap { l =>
+        scala.util.Try {
+          val n = mapper.readTree(l)
+          n.get("query").asText() -> n.get("epoch").asLong()
+        }.toOption
+      }.toMap
+    }
 
   def epochCommitted(conf: Configuration, root: String, query: String,
       epoch: Long): Boolean =
-    readString(conf, epochsPath(root)).exists(
-      _.linesIterator.filter(_.nonEmpty).exists { l =>
-        val n = mapper.readTree(l)
-        n.has("query") && n.get("query").asText() == query &&
-          n.has("epoch") && n.get("epoch").asLong() == epoch
-      })
+    epochMap(conf, root).get(query).exists(epoch <= _)
 
   /** Record a committed epoch (read + rewrite + swap — the caller
-    * holds the layout's commit lock). O(epochs) per commit; a bounded
-    * deployment compacts it with the vacuum the way the offset log
-    * compacts. */
+    * holds the layout's commit lock). Keeps only each query's max. */
   def recordEpoch(conf: Configuration, root: String, query: String,
       epoch: Long): Unit = {
-    val node = JsonNodeFactory.instance.objectNode()
-    node.put("query", query)
-    node.put("epoch", epoch)
-    val prior = readString(conf, epochsPath(root)).getOrElse("")
-    writeString(conf, epochsPath(root),
-      prior + mapper.writeValueAsString(node) + "\n")
+    val prior = epochMap(conf, root)
+    val all = prior + (query ->
+      math.max(epoch, prior.getOrElse(query, Long.MinValue)))
+    val sb = new StringBuilder
+    all.toSeq.sortBy(_._1).foreach { case (q, e) =>
+      val node = JsonNodeFactory.instance.objectNode()
+      node.put("query", q)
+      node.put("epoch", e)
+      sb.append(mapper.writeValueAsString(node)).append('\n')
+    }
+    writeString(conf, epochsPath(root), sb.toString)
   }
 
   /** Rewrite the ledger to exactly `names` (vacuum drops swept ones);

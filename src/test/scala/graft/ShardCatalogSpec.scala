@@ -77,6 +77,21 @@ class ShardCatalogSpec extends SparkSpec {
       m.contains("retention horizon") || m.contains("not readable")))
   }
 
+  test("the incremental diff rides the catalog route too: " +
+      "read-option sinceGen over graft.<layout>") {
+    val (name, p) = build("cdshards")
+    val hconf = spark.sessionState.newHadoopConf()
+    val g1 = ShardManifest.listGens(hconf, p).map(_._1).min
+    // reader options merge into the catalog relation's options
+    // (the DSv2 rule) — the O(new files) diff needs no path literal
+    val diff = spark.read.option("sinceGen", g1.toString)
+      .table(s"graft.`$name`")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff.size == 40 && diff.forall(_._2.startsWith("b-")),
+      "the catalog-route diff must be exactly the post-g1 delta")
+  }
+
   test("the catalog lists layouts, reports existence, and refuses writes") {
     import scala.jdk.CollectionConverters._
     val (name, _) = build("clshards")

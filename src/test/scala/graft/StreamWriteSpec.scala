@@ -133,6 +133,20 @@ class StreamWriteSpec extends SparkSpec {
     // a NEW epoch still lands
     writeEpoch(2L, Seq(103L))
     assert(ShardManifest.read(hconf, p).get._2.map(_.rows).sum == 43L)
+    // a STALE epoch (older than the recorded max — a deep checkpoint
+    // rollback) also commits nothing: epochs commit in order, so the
+    // last-committed-txn rule covers every earlier one
+    writeEpoch(1L, Seq(101L, 102L))
+    assert(ShardManifest.read(hconf, p).get._2.map(_.rows).sum == 43L,
+      "an epoch at or below the recorded max must be a no-op")
+    // ...and the ledger stays ONE line per query (O(queries), not
+    // O(lifetime epochs) — the streaming-cadence storage bound)
+    val (lfs, lp) = Layout.hfs(spark, s"$p/_stream_epochs.json")
+    val lin = lfs.open(lp)
+    val body = try scala.io.Source.fromInputStream(lin, "UTF-8").mkString
+      finally lin.close()
+    assert(body.linesIterator.count(_.nonEmpty) == 1,
+      s"the epoch ledger must hold one line per query: $body")
     // ...and the layout's rows are exactly once each
     val got = spark.read.format("graft.sources.ShardSource")
       .option("path", p).load()
