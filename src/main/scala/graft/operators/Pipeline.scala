@@ -6768,17 +6768,27 @@ object Pipeline {
     *     `graft.<layout>` — hash-matched against the raw corpus;
     *  3. phase `b`: the PRE-APPEND census via `VERSION AS OF g₁` —
     *     hash-matched against the base slice;
-    *  4. decisions: the SQL route and the option route return
+    *  4. phase `c`: the COMMIT HISTORY from SQL —
+    *     `CALL graft.history('<layout>')` (the catalog is a
+    *     `ProcedureCatalog` too: vacuum/repair/optimize/history run
+    *     as SQL procedures through the same driver verbs) —
+    *     generations rank-normalized, each row's (rows, shards,
+    *     files, current flag) re-derived by the oracle from the
+    *     residue slices and the shard formula;
+    *  5. decisions: the SQL route and the option route return
     *     identical rows with IDENTICAL PLAN SHAPE (same BatchScan and
     *     shuffle node counts — zero plan change, judge-specified); an
     *     unknown version fails LOUDLY; a SQL `count(*)` answers from
     *     the manifest with zero data files (stats pushdown survives
     *     the catalog route).
     *
-    * Scale: the catalog adds NOTHING to the read path — `loadTable`
-    * is one manifest-header read, and the scan that follows is the
-    * same `ShardScan` with the same pushdowns; SQL addressability is
-    * metadata-priced. */
+    * SQL DML rides the same table (`INSERT INTO` = the append commit,
+    * `INSERT OVERWRITE` = the versioned truncate) and the reader
+    * option `sinceGen` rides the catalog route for the incremental
+    * diff — `ShardCatalogSpec`'s arms. Scale: the catalog adds
+    * NOTHING to the read path — `loadTable` is one manifest-header
+    * read, and the scan that follows is the same `ShardScan` with the
+    * same pushdowns; SQL addressability is metadata-priced. */
   def sqlCatalog(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.sources.{Layout, ShardManifest, ShardSource}
@@ -6832,8 +6842,20 @@ object Pipeline {
       val n = s.sql(s"SELECT count(*) AS n FROM graft.`$tbl`")
         .collect()(0).getLong(0)
       val statsViaSql = ShardSource.openedFiles.get() == f0 && n == d.count()
+      // phase c: the commit history from SQL (`CALL graft.history`) —
+      // generations normalized to their rank (the warehouse's version
+      // clock continues across runs), the per-generation facts packed
+      // as (rank, rows, shards, files*10 + is_current) so a lost
+      // merge, a phantom file or a wrong current flag flips a row
+      val hist = s.sql(s"CALL graft.history('$tbl')")
+        .collect() // bounded: generations
+        .sortBy(_.getLong(0))
+        .zipWithIndex.map { case (r, i) =>
+          ("c_hist", i + 1L, r.getLong(1), r.getLong(2),
+            r.getLong(3) * 10L + r.getLong(4))
+        }.toSeq
       (cur.map(t => ("a_cur", t._1, t._2, t._3, t._4)) ++
-        v1.map(t => ("b_v1", t._1, t._2, t._3, t._4)) ++ Seq(
+        v1.map(t => ("b_v1", t._1, t._2, t._3, t._4)) ++ hist ++ Seq(
           ("zz_sql_equals_option_zero_plan_change", 0L,
             if (sameRows && samePlan) 1L else 0L, 1L, 1L),
           ("zz_unknown_version_fails_loudly", 0L, if (loud) 1L else 0L,
@@ -6871,6 +6893,22 @@ object Pipeline {
        |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
        |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
        |  FROM a WHERE doc_id % 10 <> 3 GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'c_hist', CAST(1 AS BIGINT),
+       |         CAST((SELECT count(*) FROM a WHERE doc_id % 10 <> 3)
+       |           AS BIGINT),
+       |         CAST((SELECT count(DISTINCT shard_id) FROM a
+       |               WHERE doc_id % 10 <> 3) AS BIGINT),
+       |         CAST((SELECT count(DISTINCT shard_id) FROM a
+       |               WHERE doc_id % 10 <> 3) * 10 AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'c_hist', CAST(2 AS BIGINT),
+       |         CAST((SELECT count(*) FROM a) AS BIGINT),
+       |         CAST((SELECT count(DISTINCT shard_id) FROM a) AS BIGINT),
+       |         CAST(((SELECT count(DISTINCT shard_id) FROM a
+       |                WHERE doc_id % 10 <> 3) +
+       |               (SELECT count(DISTINCT shard_id) FROM a
+       |                WHERE doc_id % 10 = 3)) * 10 + 1 AS BIGINT)
        |  UNION ALL
        |  SELECT 'zz_sql_equals_option_zero_plan_change', CAST(0 AS BIGINT),
        |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)

@@ -3,11 +3,15 @@ package graft.sources
 import java.util
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The delivery layouts as a SQL CATALOG (round-18 judge item 4): a
   * `TableCatalog` that resolves `graft.<layout>` to the shard
@@ -23,19 +27,28 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ([[loadTable(Identifier,String)]]) to the SAME generation snapshot
   * the option-based read (`option("asOfGen", g)`) resolves — one
   * retention discipline, two front doors, zero plan difference (both
-  * produce the same `ShardScan`). Identifiers map to warehouse
-  * directories (`<warehouse>/<name>`); a directory is a table iff it
-  * carries shard layout bytes or a manifest. The catalog is
-  * read-facing: writes keep going through the connector's format API
-  * (`df.write.format("graft.sources.ShardSource")`) where the commit
-  * protocol lives — `createTable`/`dropTable` refuse rather than
-  * shadow that path.
+  * produce the same `ShardScan`); a reader option `sinceGen` rides
+  * the catalog route for the incremental diff. Identifiers map to
+  * warehouse directories (`<warehouse>/<name>`); a directory is a
+  * table iff it carries shard layout bytes or a manifest.
+  *
+  * SQL DML works because the resolved table IS the connector's:
+  * `INSERT INTO graft.<layout> …` runs the append commit (an ordinary
+  * generation), `INSERT OVERWRITE` the versioned truncate (the
+  * replaced generation stays addressable) — the commit protocol is
+  * shared, not shadowed. DDL refuses (`createTable`/`dropTable`/…):
+  * a layout is created by its first write, never by a schema
+  * declaration. The MAINTENANCE verbs are SQL procedures
+  * (`ProcedureCatalog`): `CALL graft.vacuum('<layout>', <horizonMs>)`,
+  * `CALL graft.repair('<layout>')`, `CALL graft.optimize('<layout>',
+  * <horizonMs>)`, `CALL graft.history('<layout>')` — each runs the
+  * same driver verb as the programmatic API, refusal guards included.
   *
   * Registered by [[graft.Sessions]]:
   * `spark.sql.catalog.graft = graft.sources.ShardCatalog` (the
   * warehouse defaults to `spark.sql.warehouse.dir`; override with
   * `spark.sql.catalog.graft.warehouse`). */
-final class ShardCatalog extends TableCatalog {
+final class ShardCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var warehouseOpt: Option[String] = None
@@ -120,6 +133,103 @@ final class ShardCatalog extends TableCatalog {
         "through df.write.format(\"graft.sources.ShardSource\"), where " +
         "the commit protocol (generation claim, retention, epoch " +
         "ledger) lives")
+
+  // -------------------------------------------------------------
+  // MAINTENANCE PROCEDURES — `CALL graft.vacuum('layout', horizon)`
+  // etc.: the lifecycle verbs from plain SQL, the Iceberg
+  // `CALL catalog.system.x(...)` shape on Spark's own
+  // ProcedureCatalog hook. Each runs the SAME driver verb the
+  // programmatic API runs (commit lock, refusal guards, retention
+  // rules included) and returns its outcome as a one-row result;
+  // `history` returns the full DESCRIBE HISTORY relation.
+  // -------------------------------------------------------------
+
+  private def layoutPathArg(row: InternalRow): String = {
+    val tbl = row.getUTF8String(0).toString
+    val path = new Path(warehouse, tbl).toString
+    if (!isLayout(path)) throw new IllegalArgumentException(
+      s"graft catalog: '$tbl' is not a shard layout under $warehouse")
+    path
+  }
+
+  private def spark(): org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.active
+
+  private def resultScan(schema: StructType,
+      out: Seq[InternalRow]): util.Iterator[Scan] =
+    util.Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = out.toArray
+      override def readSchema(): StructType = schema
+      override def description(): String = "GraftProcedureResult"
+    }).iterator()
+
+  private def procedure(pname: String, params: Array[ProcedureParameter],
+      outSchema: StructType)(
+      body: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = pname
+          override def parameters(): Array[ProcedureParameter] = params
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): util.Iterator[Scan] =
+            resultScan(outSchema, body(input))
+        }
+    }
+
+  private def tableParam = ProcedureParameter.in("layout", StringType).build()
+  private def horizonParam =
+    ProcedureParameter.in("horizon_ms", LongType).build()
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    checkNamespace(ident.namespace())
+    ident.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "vacuum" => procedure("vacuum",
+        Array(tableParam, horizonParam),
+        StructType(Nil).add("swept_files", LongType)
+          .add("dropped_generations", LongType)) { in =>
+        val (f, g) = graft.operators.Pipeline.vacuumShardLayout(
+          spark(), layoutPathArg(in), in.getLong(1))
+        Seq(InternalRow(f, g))
+      }
+      case "repair" => procedure("repair", Array(tableParam),
+        StructType(Nil).add("rebuilt", LongType)) { in =>
+        val did = graft.operators.Pipeline.repairShardManifest(
+          spark(), layoutPathArg(in))
+        Seq(InternalRow(if (did) 1L else 0L))
+      }
+      case "optimize" => procedure("optimize",
+        Array(tableParam, horizonParam),
+        StructType(Nil).add("folded_shards", LongType)
+          .add("swept_files", LongType)
+          .add("dropped_generations", LongType)) { in =>
+        val (folded, f, g) = graft.operators.Pipeline.maintainShardLayout(
+          spark(), layoutPathArg(in), in.getLong(1))
+        Seq(InternalRow(folded.size.toLong, f, g))
+      }
+      case "history" => procedure("history", Array(tableParam),
+        StructType(Nil).add("gen", LongType).add("n_rows", LongType)
+          .add("n_shards", LongType).add("n_files", LongType)
+          .add("is_current", LongType)) { in =>
+        // bounded: one row per addressable generation (pure metadata)
+        graft.operators.Pipeline
+          .shardLayoutHistory(spark(), layoutPathArg(in))
+          .collect().toSeq.map(r => InternalRow(r.getLong(0),
+            r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      }
+      case other => throw new RuntimeException(
+        s"graft catalog: no such procedure '$other' — available: " +
+          "vacuum(layout, horizon_ms), repair(layout), " +
+          "optimize(layout, horizon_ms), history(layout)")
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    checkNamespace(namespace)
+    Array("vacuum", "repair", "optimize", "history")
+      .map(Identifier.of(namespace, _))
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],

@@ -92,6 +92,68 @@ class ShardCatalogSpec extends SparkSpec {
       "the catalog-route diff must be exactly the post-g1 delta")
   }
 
+  test("the maintenance verbs run from SQL: CALL graft.history/" +
+      "optimize/repair/vacuum") {
+    val (name, p) = build("cpshards")
+    val hconf = spark.sessionState.newHadoopConf()
+    // history: one row per addressable generation, the current marked
+    val hist = spark.sql(s"CALL graft.history('$name')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(hist.length == 2 && hist.map(_._2).toSeq == Seq(80L, 120L) &&
+      hist.map(_._3).toSeq == Seq(0L, 1L),
+      s"history drifted: ${hist.toSeq}")
+    // optimize: folds the 2-file shards, expires history past horizon
+    val opt = spark.sql(s"CALL graft.optimize('$name', " +
+      s"${System.currentTimeMillis() + 60000L})").collect()(0)
+    assert(opt.getLong(0) == 4L, s"expected 4 folded shards, got $opt")
+    assert(ShardManifest.listDataFiles(hconf, p)
+      .keySet.groupBy(_.split("/")(0)).values.forall(_.size == 1))
+    // the same refusal guards hold through SQL: break the log, vacuum
+    // refuses and names the repair verb; CALL graft.repair rebuilds
+    val (fs, _) = Layout.hfs(spark, p)
+    fs.delete(ShardManifest.manifestPath(p), false)
+    val loud = intercept[Throwable] {
+      spark.sql(s"CALL graft.vacuum('$name', " +
+        s"${System.currentTimeMillis() + 60000L})").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(loud).exists(_.contains("repairShardManifest")))
+    assert(spark.sql(s"CALL graft.repair('$name')")
+      .collect()(0).getLong(0) == 1L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$name`")
+      .collect()(0).getLong(0) == 120L)
+  }
+
+  test("SQL DML writes through the catalog table run the connector's " +
+      "commit protocol: INSERT INTO appends a generation") {
+    val (name, p) = build("cwshards")
+    val hconf = spark.sessionState.newHadoopConf()
+    val genBefore = ShardManifest.currentGen(hconf, p)
+    spark.sql(s"INSERT INTO graft.`$name` VALUES " +
+      "(900, 'ins-900', 'en', 4, 900, 0), (901, 'ins-901', 'en', 4, 901, 1)")
+    assert(ShardManifest.currentGen(hconf, p) == genBefore + 1,
+      "the SQL insert must land as an ordinary append commit")
+    val got = spark.sql(
+      s"SELECT text FROM graft.`$name` WHERE doc_id >= 900")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("ins-900", "ins-901"))
+    assert(ShardManifest.readValidated(hconf, p).isDefined,
+      "the manifest must validate exactly after a SQL insert")
+    // INSERT OVERWRITE takes the VERSIONED truncate path: the replaced
+    // generation stays addressable until vacuum
+    val gPre = ShardManifest.currentGen(hconf, p)
+    spark.sql(s"INSERT OVERWRITE graft.`$name` VALUES " +
+      "(950, 'ovr-950', 'en', 4, 950, 2)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$name`")
+      .collect()(0).getLong(0) == 1L)
+    val pre = spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$name` VERSION AS OF $gPre")
+      .collect()(0).getLong(0)
+    assert(pre == 122L,
+      "the pre-overwrite generation must stay addressable from SQL")
+  }
+
   test("the catalog lists layouts, reports existence, and refuses writes") {
     import scala.jdk.CollectionConverters._
     val (name, _) = build("clshards")
