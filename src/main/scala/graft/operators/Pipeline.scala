@@ -5000,13 +5000,24 @@ object Pipeline {
     * Returns the takedown's hash-image shard set. */
   private[graft] def shardTakedown(s: SparkSession, path: String,
       tombIds: DataFrame, salt: String): Set[Long] = {
-    import graft.sources.{Layout, ShardManifest, ShardSource, ZstdCodec}
-    val hconf = s.sessionState.newHadoopConf()
     val image = tombIds
       .select(shiftright(conv(substring(md5(concat(lit(salt),
         col("doc_id").cast(StringType))), 1, 8), 16, 10)
         .cast(LongType), 29).as("sh"))
       .distinct().collect().map(_.getLong(0)).toSet // bounded: ≤ shards
+    shardTakedownAt(s, path, tombIds, image)
+  }
+
+  /** The takedown core against an EXPLICIT candidate shard set — the
+    * salt wrapper derives it from the hash formula; the SQL `DELETE
+    * FROM` route derives it from the manifest's shard zone maps (any
+    * shard whose recorded id range could hold a victim). A candidate
+    * shard with no matching rows is read but untouched. */
+  private[graft] def shardTakedownAt(s: SparkSession, path: String,
+      tombIds: DataFrame, image: Set[Long]): Set[Long] = {
+    import graft.sources.{Layout, ShardManifest, ShardSource, ZstdCodec}
+    val hconf = s.sessionState.newHadoopConf()
+    if (image.isEmpty) return Set.empty
     // ONE pass over the image shards: removed ids collected (enveloped
     // below), survivor statistics recomputed — per-column null counts
     // included, over the layout's full (union) schema: a column an era

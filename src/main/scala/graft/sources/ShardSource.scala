@@ -248,10 +248,60 @@ object ShardSource {
 
 private[sources] final class ShardTable(path: String,
     tableSchema: StructType, pinnedAsOf: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     s"graft_shards($path)" + pinnedAsOf.map(g => s"@gen=$g").getOrElse("")
   override def schema(): StructType = tableSchema
+
+  /** `DELETE FROM graft.<layout> WHERE doc_id …` — the q172 takedown
+    * verb through SQL DML: victims leave as per-shard tombstone
+    * deltas (base files byte-untouched, O(affected) under the
+    * delivery envelope), the manifest maintained exactly (survivor
+    * stats recomputed in the same pass). Only doc_id equality/IN
+    * conjunctions are deletable this way — an arbitrary predicate
+    * needs the rewrite verbs, and refusing is the honest answer. The
+    * candidate shards come from the manifest's shard ZONE MAPS (any
+    * shard whose recorded id range could hold a victim; boundless
+    * shards stay candidates), the live listing on a manifest-less
+    * layout. */
+  private def docIdsOf(filters: Array[Filter]): Option[Seq[Long]] = {
+    val sets = filters.map {
+      case EqualTo("doc_id", v: Long) => Some(Set(v))
+      case EqualTo("doc_id", v: Int)  => Some(Set(v.toLong))
+      case In("doc_id", vs) =>
+        val ls = vs.collect { case l: Long => l; case i: Int => i.toLong }
+        if (ls.length == vs.length) Some(ls.toSet) else None
+      case _ => None
+    }
+    if (sets.isEmpty || sets.exists(_.isEmpty)) None
+    else Some(sets.flatten.reduce(_ intersect _).toSeq.sorted)
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinnedAsOf.isEmpty && docIdsOf(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val ids = docIdsOf(filters).getOrElse(throw new UnsupportedOperationException(
+      "graft.sources.ShardSource: DELETE supports doc_id =/IN " +
+        "conjunctions only (the tombstone takedown verb) — rewrite " +
+        "verbs handle arbitrary predicates"))
+    val s = org.apache.spark.sql.SparkSession.active
+    val conf = ShardSource.hadoopConf()
+    val image: Set[Long] = ShardManifest.read(conf, path) match {
+      case Some((_, entries)) => entries.filter { e =>
+        (e.minDoc, e.maxDoc) match {
+          case (Some(mn), Some(mx)) => ids.exists(i => i >= mn && i <= mx)
+          case _ => true
+        }
+      }.map(_.shardId).toSet
+      case None => ShardManifest.listDataFiles(conf, path).keys
+        .map(_.split("/")(0).stripPrefix("shard_id=").toLong).toSet
+    }
+    import s.implicits._
+    graft.operators.Pipeline.shardTakedownAt(s, path,
+      ids.toDF("doc_id"), image)
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,

@@ -154,6 +154,41 @@ class ShardCatalogSpec extends SparkSpec {
       "the pre-overwrite generation must stay addressable from SQL")
   }
 
+  test("DELETE FROM graft.<layout> is the tombstone takedown: victims " +
+      "gone, base files untouched, stats still metadata-exact; " +
+      "arbitrary predicates refuse") {
+    val (name, p) = build("cxshards")
+    val hconf = spark.sessionState.newHadoopConf()
+    def partFiles(): Set[String] = ShardManifest.listDataFiles(hconf, p)
+      .keySet.filter(_.split("/")(1).startsWith("part-"))
+    val before = partFiles()
+    spark.sql(s"DELETE FROM graft.`$name` WHERE doc_id IN (5, 17, 101)")
+    // victims excluded; nothing else lost
+    val ids = spark.sql(s"SELECT doc_id FROM graft.`$name`")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == ((1L to 120L).toSet -- Set(5L, 17L, 101L)))
+    // merge-on-read: base bytes untouched, tombstones landed
+    assert(partFiles() == before, "DELETE must not rewrite base files")
+    assert(ShardManifest.listDataFiles(hconf, p)
+      .keySet.exists(_.split("/")(1).startsWith("tomb-")))
+    // the takedown's survivor-stat recompute keeps stats metadata-only
+    val f0 = ShardSource.openedFiles.get()
+    val agg = spark.sql(s"SELECT count(*) AS n, min(doc_id) AS mn, " +
+      s"max(doc_id) AS mx FROM graft.`$name`").collect()(0)
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) ==
+      ((117L, 1L, 120L)))
+    assert(ShardSource.openedFiles.get() == f0,
+      "post-DELETE stats must stay metadata-only")
+    // an arbitrary predicate refuses — the honest answer (rewrite
+    // verbs handle it), never a silent partial delete
+    val loud = intercept[Throwable] {
+      spark.sql(s"DELETE FROM graft.`$name` WHERE text = 'a-7'")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(loud).nonEmpty)
+  }
+
   test("the catalog lists layouts, reports existence, and refuses writes") {
     import scala.jdk.CollectionConverters._
     val (name, _) = build("clshards")
