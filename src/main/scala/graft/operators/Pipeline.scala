@@ -4690,15 +4690,21 @@ object Pipeline {
           "vacuum")
       val cur = ShardManifest.currentGen(hconf, path)
       val gens = ShardManifest.listGens(hconf, path)
+      // a TAGGED generation is a GC root (round 19): neither the
+      // horizon nor the history budget expires it, and its recorded
+      // files stay protected — `VERSION AS OF '<tag>'` is a retention
+      // promise, not a hint
+      val refGens = ShardManifest.readRefs(hconf, path).values.toSet
       val (expired, inHorizon) =
-        gens.filter(_._1 != cur).partition(_._2 < horizonMs)
+        gens.filter(g => g._1 != cur && !refGens.contains(g._1))
+          .partition(_._2 < horizonMs)
       // history budget: keep the NEWEST genBudget surviving archives
       val overBudget = genBudget match {
         case Some(b) => inHorizon.sortBy(-_._1).drop(b)
         case None    => Seq.empty
       }
       val drop = expired ++ overBudget
-      val keep = inHorizon.filterNot(overBudget.contains)
+      val keep = gens.filter(_._1 != cur).filterNot(drop.contains)
       // which names each DROPPED generation recorded — the fact the
       // tombstone sweep rule needs (read BEFORE deleting the archives)
       val droppedRec = drop.flatMap { case (g, _) =>
@@ -4741,6 +4747,89 @@ object Pipeline {
       ShardManifest.rewriteRetired(hconf, path,
         retired.intersect(remaining))
       (swept.size.toLong, drop.size.toLong)
+    }
+  }
+
+  /** TAG a generation with a name (round 19 — the refs ledger):
+    * `VERSION AS OF '<name>'` then resolves to it, and the tag is a
+    * GC ROOT — [[vacuumShardLayout]] never expires a tagged
+    * generation and keeps its recorded files on disk, so the tag is a
+    * retention promise (the Iceberg tag discipline). Metadata only:
+    * one ledger line, no bytes move. The name must not parse as a
+    * number (numbers address generations directly) and the generation
+    * must be addressable NOW — tagging a never-committed or
+    * already-swept snapshot fails loudly rather than minting a
+    * dangling promise. Re-tagging an existing name moves it. */
+  private[graft] def tagShardLayout(s: SparkSession, path: String,
+      name: String, gen: Long): Unit = {
+    import graft.sources.{ShardManifest, ShardSource}
+    require(name.nonEmpty && scala.util.Try(name.trim.toLong).isFailure,
+      s"tagShardLayout($path): tag name '$name' must be non-empty and " +
+        "non-numeric (numeric versions address generations directly)")
+    ShardSource.withCommitLock(path) {
+      val hconf = s.sessionState.newHadoopConf()
+      require(ShardManifest.readGen(hconf, path, gen).isDefined,
+        s"tagShardLayout($path): generation $gen is not addressable — " +
+          "it was never committed, or its manifest was swept past the " +
+          "retention horizon (vacuumShardLayout)")
+      ShardManifest.writeRefs(hconf, path,
+        ShardManifest.readRefs(hconf, path) + (name -> gen))
+    }
+  }
+
+  /** Drop a tag — the generation it named re-enters the ordinary
+    * horizon/budget retention on the next vacuum. Returns false when
+    * the tag did not exist. */
+  private[graft] def dropShardTag(s: SparkSession, path: String,
+      name: String): Boolean = {
+    import graft.sources.{ShardManifest, ShardSource}
+    ShardSource.withCommitLock(path) {
+      val hconf = s.sessionState.newHadoopConf()
+      val refs = ShardManifest.readRefs(hconf, path)
+      if (!refs.contains(name)) false
+      else { ShardManifest.writeRefs(hconf, path, refs - name); true }
+    }
+  }
+
+  /** ROLLBACK the layout to a prior generation (round 19): a NEW
+    * commit whose body is the target snapshot's — the bad commits
+    * stay in history (addressable, auditable), the table's CURRENT
+    * state is the old one again, and nothing is copied (the target's
+    * bytes are still on disk under retention; rollback past the
+    * vacuum horizon fails loudly). The ledger maintenance is the
+    * overwrite discipline run backwards: the target's files leave the
+    * retired ledger BEFORE the manifest swap (an unrecorded live data
+    * file is invisible to snapshot reads — safe), and the
+    * rolled-back-from files retire AFTER it; a crash between leaves
+    * extra live bytes, never a hybrid snapshot. Returns the new
+    * current generation. Scale: O(metadata) — two manifest reads, two
+    * ledger rewrites, zero data bytes. */
+  private[graft] def rollbackShardLayout(s: SparkSession, path: String,
+      gen: Long): Long = {
+    import graft.sources.{ShardManifest, ShardSource}
+    ShardSource.withCommitLock(path) {
+      val hconf = s.sessionState.newHadoopConf()
+      val (tschema, tentries) =
+        ShardManifest.readGenSnapshot(hconf, path, gen).getOrElse(
+          throw new IllegalStateException(
+            s"rollbackShardLayout($path): generation $gen is not " +
+              "readable — it was never committed, or its files were " +
+              "swept past the retention horizon (vacuumShardLayout)"))
+      val targetNames = tentries.flatMap(_.files.map(_.name)).toSet
+      val curGen = ShardManifest.currentGen(hconf, path)
+      val curRec = ShardManifest.read(hconf, path)
+        .map(_._2.flatMap(_.files.map(_.name)).toSet)
+        .getOrElse(ShardManifest.listDataFiles(hconf, path).keySet)
+      // un-retire the restored files first: until the manifest swap
+      // they are merely unrecorded live bytes (invisible to snapshot
+      // reads), but a swapped manifest must never record retired names
+      ShardManifest.rewriteRetired(hconf, path,
+        ShardManifest.retiredNames(hconf, path) -- targetNames)
+      ShardManifest.write(hconf, path, tschema.getOrElse(
+        graft.sources.ShardSource.Schema), tentries,
+        expectedBase = Some(curGen))
+      ShardManifest.retire(hconf, path, curRec -- targetNames)
+      curGen + 1
     }
   }
 
@@ -4951,6 +5040,20 @@ object Pipeline {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
         e.outputPartitioning
           .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]
+      case _ => false
+    }
+
+  /** Join STRATEGY nodes (round 19 — the scan-statistics gates ask
+    * "the pruned connector read broadcast, nothing sort-merged"). */
+  private[graft] def countBroadcastJoins(df: DataFrame): Int =
+    flattenExecutedPlan(df.queryExecution.executedPlan).count {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _ => false
+    }
+
+  private[graft] def countSortMergeJoins(df: DataFrame): Int =
+    flattenExecutedPlan(df.queryExecution.executedPlan).count {
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
       case _ => false
     }
 

@@ -97,14 +97,23 @@ final class ShardCatalog extends TableCatalog with ProcedureCatalog {
   /** `VERSION AS OF g` — the SQL front door to `asOfGen`: the table
     * serves exactly generation g's snapshot and FAILS LOUDLY when it
     * was never committed or was swept past the retention horizon (at
-    * scan planning — the same rule as the option-based read). */
+    * scan planning — the same rule as the option-based read). A
+    * NON-NUMERIC version is a TAG (round 19): it resolves through the
+    * layout's refs ledger to the generation it pins — and because a
+    * tag is a vacuum GC root, `VERSION AS OF 'prod'` keeps working
+    * for as long as the tag exists. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = pathOf(ident)
     if (!isLayout(path)) throw new NoSuchTableException(ident)
     val g = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft catalog: VERSION AS OF expects a generation number, " +
-          s"got '$version'")
+      case _: NumberFormatException =>
+        ShardManifest.readRefs(ShardSource.hadoopConf(), path)
+          .getOrElse(version, throw new IllegalArgumentException(
+            s"graft catalog: VERSION AS OF '$version' — no such tag on " +
+              s"${ident.name()}; available tags: " +
+              ShardManifest.readRefs(ShardSource.hadoopConf(), path)
+                .keys.toSeq.sorted.mkString("[", ", ", "]") +
+              " (numeric versions address generations directly)"))
     }
     val schema = ShardManifest
       .readGen(ShardSource.hadoopConf(), path, g)
@@ -218,16 +227,49 @@ final class ShardCatalog extends TableCatalog with ProcedureCatalog {
           .collect().toSeq.map(r => InternalRow(r.getLong(0),
             r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       }
+      case "tag" => procedure("tag",
+        Array(tableParam,
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("gen", LongType).build()),
+        StructType(Nil).add("tagged_gen", LongType)) { in =>
+        graft.operators.Pipeline.tagShardLayout(spark(),
+          layoutPathArg(in), in.getUTF8String(1).toString, in.getLong(2))
+        Seq(InternalRow(in.getLong(2)))
+      }
+      case "drop_tag" => procedure("drop_tag",
+        Array(tableParam,
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Nil).add("dropped", LongType)) { in =>
+        val did = graft.operators.Pipeline.dropShardTag(spark(),
+          layoutPathArg(in), in.getUTF8String(1).toString)
+        Seq(InternalRow(if (did) 1L else 0L))
+      }
+      case "tags" => procedure("tags", Array(tableParam),
+        StructType(Nil).add("name", StringType).add("gen", LongType)) { in =>
+        ShardManifest.readRefs(ShardSource.hadoopConf(), layoutPathArg(in))
+          .toSeq.sortBy(_._1)
+          .map { case (n, g) => InternalRow(UTF8String.fromString(n), g) }
+      }
+      case "rollback" => procedure("rollback",
+        Array(tableParam,
+          ProcedureParameter.in("gen", LongType).build()),
+        StructType(Nil).add("new_gen", LongType)) { in =>
+        Seq(InternalRow(graft.operators.Pipeline.rollbackShardLayout(
+          spark(), layoutPathArg(in), in.getLong(1))))
+      }
       case other => throw new RuntimeException(
         s"graft catalog: no such procedure '$other' — available: " +
           "vacuum(layout, horizon_ms), repair(layout), " +
-          "optimize(layout, horizon_ms), history(layout)")
+          "optimize(layout, horizon_ms), history(layout), " +
+          "tag(layout, name, gen), drop_tag(layout, name), " +
+          "tags(layout), rollback(layout, gen)")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     checkNamespace(namespace)
-    Array("vacuum", "repair", "optimize", "history")
+    Array("vacuum", "repair", "optimize", "history",
+        "tag", "drop_tag", "tags", "rollback")
       .map(Identifier.of(namespace, _))
   }
 

@@ -359,6 +359,46 @@ private[graft] object ShardManifest {
       writeString(conf, retiredPath(root), sb.toString)
     }
 
+  /** The named-reference ledger (`_refs.json`, round 19): one JSON
+    * line per TAG — a human name pinned to a generation (`{"name":…,
+    * "gen":…}`). A tag is a GC ROOT: [[graft.operators.Pipeline
+    * .vacuumShardLayout]] never expires a tagged generation (neither
+    * by horizon nor by history budget) and protects its recorded
+    * files, so `VERSION AS OF '<name>'` stays readable for as long as
+    * the tag exists — the Iceberg tag/branch retention rule. Tags are
+    * metadata only: creating or dropping one moves no bytes. */
+  def refsPath(root: String): Path = new Path(root, "_refs.json")
+
+  def readRefs(conf: Configuration, root: String): Map[String, Long] =
+    readString(conf, refsPath(root)) match {
+      case None => Map.empty
+      case Some(body) => body.linesIterator.filter(_.nonEmpty).flatMap { l =>
+        scala.util.Try {
+          val n = mapper.readTree(l)
+          n.get("name").asText() -> n.get("gen").asLong()
+        }.toOption
+      }.toMap
+    }
+
+  /** Rewrite the ref ledger to exactly `refs` (read + rewrite + swap —
+    * callers hold the layout's commit lock); empty deletes the file. */
+  def writeRefs(conf: Configuration, root: String,
+      refs: Map[String, Long]): Unit =
+    if (refs.isEmpty) {
+      val rp = refsPath(root)
+      val fs = rp.getFileSystem(conf)
+      if (fs.exists(rp)) fs.delete(rp, false)
+    } else {
+      val sb = new StringBuilder
+      refs.toSeq.sortBy(_._1).foreach { case (n, g) =>
+        val node = JsonNodeFactory.instance.objectNode()
+        node.put("name", n)
+        node.put("gen", g)
+        sb.append(mapper.writeValueAsString(node)).append('\n')
+      }
+      writeString(conf, refsPath(root), sb.toString)
+    }
+
   /** The streaming-epoch ledger: ONE JSON line per writer query,
     * carrying the HIGHEST committed epoch — what makes a
     * checkpoint-restart replay land NOTHING twice (the streaming

@@ -9,11 +9,11 @@ import org.apache.hadoop.fs.Path
 import org.apache.hadoop.io.compress.CompressionCodecFactory
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expression, Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression, Expressions, NamedReference, SortDirection, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -312,13 +312,16 @@ private[sources] final class ShardTable(path: String,
     // both are present (it IS the table's identity then)
     new ShardScanBuilder(path, tableSchema,
       pinnedAsOf.orElse(ShardSource.asOfOf(options)),
-      ShardSource.sinceOf(options))
+      ShardSource.sinceOf(options),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ShardWriteBuilder(path, info.schema(), info.queryId())
+    new ShardWriteBuilder(path, info.schema(), info.queryId(),
+      Option(info.options.get("distribute")).getOrElse("none"))
 }
 
 private[sources] final class ShardScanBuilder(path: String,
-    tableSchema: StructType, asOf: Option[Long], since: Option[Long])
+    tableSchema: StructType, asOf: Option[Long], since: Option[Long],
+    maxFilesPT: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -489,7 +492,7 @@ private[sources] final class ShardScanBuilder(path: String,
       new ShardStatsScan(path, shardSet, byShard, kinds, asOf)
     case None =>
       new ShardScan(path, shardSet, required, asOf, since,
-        docLo, docHi, docPoints)
+        docLo, docHi, docPoints, maxFilesPT)
   }
 }
 
@@ -631,12 +634,20 @@ private[sources] final class ManifestReader(file: String,
   override def close(): Unit = reader.close()
 }
 
+/** One selected shard after planning-time pruning: its kept part
+  * files (absolute), its tombstone files, the kept files' on-disk
+  * bytes, and the shard's EXACT live row count when the manifest
+  * serves it (no zone-map skip narrowed the file set). */
+private[sources] final case class ShardSel(shard: Long, files: Seq[String],
+    tombs: Seq[String], bytes: Long, rows: Option[Long])
+
 private[sources] final class ShardScan(path: String,
     shardSet: Option[Set[Long]], required: StructType, asOf: Option[Long],
     since: Option[Long] = None,
     docLo: Option[Long] = None, docHi: Option[Long] = None,
-    docPoints: Option[Set[Long]] = None)
-    extends Scan with Batch with SupportsReportPartitioning {
+    docPoints: Option[Set[Long]] = None, maxFilesPT: Option[Int] = None)
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -681,19 +692,25 @@ private[sources] final class ShardScan(path: String,
   // time-travel read resolves the addressed generation's snapshot and
   // FAILS LOUDLY when it no longer exists — a swept snapshot must not
   // degrade to a partial answer.
-  private lazy val selected: (Seq[(Long, Seq[String], Seq[String])], Int) = {
+  private lazy val selected: (Seq[ShardSel], Int) = {
     val conf = ShardSource.hadoopConf()
     val root = new Path(path)
     // part files pass the zone-map skip (keptParts); tombstones are
     // EXCLUSIONS and always load — a skipped data file needs no
     // exclusion, but a kept one needs them all
     def ofEntries(entries: Seq[ShardEnt]) = entries.map { e =>
-      (e.shardId,
-        keptParts(e).map(_.name).sorted.map(n => new Path(root, n).toString),
+      val kept = keptParts(e)
+      ShardSel(e.shardId,
+        kept.map(_.name).sorted.map(n => new Path(root, n).toString),
         e.files.map(_.name).filter(_.split("/").last.startsWith("tomb-"))
-          .sorted.map(n => new Path(root, n).toString))
+          .sorted.map(n => new Path(root, n).toString),
+        kept.map(_.len).sum,
+        // the manifest's row count is exact for the full shard (the
+        // takedown recomputes survivors, the fold materializes); a
+        // zone-map skip narrows the file set to an unknown fraction
+        if (docPruning) None else Some(e.rows))
     }
-    val perShard: Seq[(Long, Seq[String], Seq[String])] = (asOf, since) match {
+    val perShard: Seq[ShardSel] = (asOf, since) match {
       case (Some(g), _) =>
         ShardManifest.readGenSnapshot(conf, path, g) match {
           case Some((_, entries)) => ofEntries(entries)
@@ -723,33 +740,66 @@ private[sources] final class ShardScan(path: String,
               "swept past the retention horizon (vacuumShardLayout)"))
         val baseNames = base._2.flatMap(_.files.map(_.name)).toSet
         cur._2.map { e =>
-          val fresh = keptParts(e).map(_.name).filterNot(baseNames).sorted
+          val freshEnts = keptParts(e).filterNot(f => baseNames(f.name))
+          val fresh = freshEnts.map(_.name).sorted
             .map(n => new Path(root, n).toString)
           // the shard's CURRENT tombstones apply to the delta too — an
           // exclusion is never scoped to the files it arrived with
           val tombs = e.files.map(_.name)
             .filter(_.split("/").last.startsWith("tomb-")).sorted
             .map(n => new Path(root, n).toString)
-          (e.shardId, fresh, tombs)
+          ShardSel(e.shardId, fresh, tombs, freshEnts.map(_.len).sum, None)
         }
       case (None, None) => ShardManifest.readSnapshot(conf, path) match {
         case Some((_, entries)) => ofEntries(entries)
         case None =>
-          ShardManifest.listDataFiles(conf, path).keys.toSeq
+          val live = ShardManifest.listDataFiles(conf, path)
+          live.keys.toSeq
             .groupBy(_.split("/")(0).stripPrefix("shard_id=").toLong)
             .toSeq.map { case (sh, names) =>
-              val abs = names.sorted.map(n => new Path(root, n).toString)
-              (sh,
-                abs.filter(_.split("/").last.startsWith("part-")),
-                abs.filter(_.split("/").last.startsWith("tomb-")))
+              val parts = names.sorted
+                .filter(_.split("/").last.startsWith("part-"))
+              ShardSel(sh,
+                parts.map(n => new Path(root, n).toString),
+                names.sorted.filter(_.split("/").last.startsWith("tomb-"))
+                  .map(n => new Path(root, n).toString),
+                parts.map(live).sum, None)
             }
       }
     }
     val total = perShard.size
-    val byShard = perShard.filter { case (sh, files, _) =>
-      files.nonEmpty && shardSet.forall(_.contains(sh))
-    }.sortBy(_._1)
+    val byShard = perShard.filter { sel =>
+      sel.files.nonEmpty && shardSet.forall(_.contains(sel.shard))
+    }.sortBy(_.shard)
     (byShard, total)
+  }
+
+  /** Planning-time statistics for the optimizer (round 19,
+    * `SupportsReportStatistics`) — computed AFTER every pushdown the
+    * scan applied (shard pruning, zone-map file skipping, time
+    * travel), exactly what the contract asks for: `sizeInBytes` is
+    * the selected part files' on-disk bytes (the same
+    * compressed-data-size currency parquet scans and the table
+    * formats report), `numRows` the manifest's exact live row count
+    * when it covers the selection (absent under a zone-map skip or a
+    * degraded listing — absent is safe, a fabricated estimate is
+    * not). This is what lets Catalyst BROADCAST a pruned layout scan
+    * into a join on its own — without it every DSv2 scan weighs in at
+    * `spark.sql.defaultSizeInBytes` (effectively infinite) and a
+    * 100 TB plan sort-merges against a one-shard dimension read. */
+  override def estimateStatistics(): Statistics = {
+    val (byShard, _) = selected
+    val bytes = byShard.map(_.bytes).sum
+    val rows = byShard.foldLeft(Option(0L)) {
+      case (Some(acc), sel) => sel.rows.map(acc + _)
+      case (None, _) => None
+    }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
   }
 
   override def description(): String = {
@@ -761,12 +811,12 @@ private[sources] final class ShardScan(path: String,
       s" docRange=[${docLo.getOrElse("-inf")},${docHi.getOrElse("inf")}]" +
         docPoints.map(p => s" points=${p.size}").getOrElse("")
     else ""
-    s"GraftShardScan shards=$shown/$total files=${byShard.map(_._2.size).sum}$gen$zone"
+    s"GraftShardScan shards=$shown/$total files=${byShard.map(_.files.size).sum}$gen$zone"
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    selected._1.map { case (sh, fs, ts) =>
-      ShardPartition(fs.toArray, ts.toArray, sh)
+    selected._1.map { sel =>
+      ShardPartition(sel.files.toArray, sel.tombs.toArray, sel.shard)
     }.toArray
 
   /** The layout is shard-partitioned by construction — REPORT it: a
@@ -787,7 +837,7 @@ private[sources] final class ShardScan(path: String,
     new ShardReaderFactory(required, ShardSource.confPairs())
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ShardMicroBatchStream(path, shardSet, required)
+    new ShardMicroBatchStream(path, shardSet, required, maxFilesPT)
 }
 
 private[sources] final case class ShardPartition(files: Array[String],
@@ -953,7 +1003,8 @@ private[sources] final class ShardStreamOffset(val names: Seq[String])
   * start ([[prepareForTriggerAvailableNow]]), so a drain is exactly
   * "everything committed when the drain began". */
 private[sources] final class ShardMicroBatchStream(path: String,
-    shardSet: Option[Set[Long]], required: StructType)
+    shardSet: Option[Set[Long]], required: StructType,
+    maxFilesPT: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -985,7 +1036,15 @@ private[sources] final class ShardMicroBatchStream(path: String,
   override def prepareForTriggerAvailableNow(): Unit =
     target = Some(current()._1)
 
-  override def getDefaultReadLimit(): ReadLimit = ReadLimit.allAvailable()
+  /** ADMISSION CONTROL (round 19): `option("maxFilesPerTrigger", n)`
+    * bounds each micro-batch to n new part files — the file-source
+    * throttle at the delivery layer, so tailing a layout after a bulk
+    * backfill drains in bounded, checkpointable steps instead of one
+    * giant batch (every intermediate offset is durable progress).
+    * Composes with `Trigger.AvailableNow`: the drain target is pinned
+    * at stream start and consumed n files at a time. */
+  override def getDefaultReadLimit(): ReadLimit =
+    maxFilesPT.map(ReadLimit.maxFiles(_)).getOrElse(ReadLimit.allAvailable())
 
   override def initialOffset(): Offset = new ShardStreamOffset(Seq.empty)
 
@@ -993,8 +1052,21 @@ private[sources] final class ShardMicroBatchStream(path: String,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead of this")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    new ShardStreamOffset(target.getOrElse(current()._1))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val all = target.getOrElse(current()._1)
+    limit match {
+      case m: ReadMaxFiles =>
+        // advance by at most n UNDELIVERED files (name order — the
+        // base-then-delta delivery order), keeping the already-seen
+        // names that are still current (a fold retires names; they
+        // never return, so dropping retired ones keeps the offset
+        // bounded to the live universe — same as the uncapped path)
+        val seen = start.asInstanceOf[ShardStreamOffset].names.toSet
+        val fresh = all.filterNot(seen).sorted.take(m.maxFiles())
+        new ShardStreamOffset(all.filter(seen) ++ fresh)
+      case _ => new ShardStreamOffset(all)
+    }
+  }
 
   override def reportLatestOffset(): Offset =
     new ShardStreamOffset(target.getOrElse(current()._1))
@@ -1037,12 +1109,59 @@ private[sources] final class ShardMicroBatchStream(path: String,
 // WRITE PATH — the exporter invariants owned by the connector
 // ---------------------------------------------------------------------
 
+/** `distribute` write option (round 19 — the connector OWNS its
+  * layout requirement instead of trusting the caller, via DSv2
+  * `RequiresDistributionAndOrdering`, the Iceberg write-distribution
+  * discipline):
+  *
+  *  - `"none"` (default): the caller's partitioning is the layout —
+  *    the standing exporter contract (`repartition(col("shard_id"))`
+  *    + `sortWithinPartitions`), whose byte-exact arrival order the
+  *    existing gates pin;
+  *  - `"shard"`: the write REQUIRES clustering by `shard_id` — Spark
+  *    plans the exchange itself, so every touched shard receives
+  *    exactly ONE file per commit no matter how the query was
+  *    partitioned. This is the 100 TB small-files fix: without it a
+  *    K-task un-clustered query writes up to K files into EVERY shard
+  *    it touches (task × shard), and a day of such commits is a
+  *    million-file layout;
+  *  - `"shard_sorted"`: clustering plus required ordering (shard_id,
+  *    doc_id) — rows land doc-sorted, so each file's zone map is as
+  *    TIGHT as the data allows and the manifest's per-file skipping
+  *    has maximal bite on id-range scans.
+  *
+  * The requirement is advertised on the Write; `Distributions
+  * .unspecified()` + an empty ordering (the default) is the no-op the
+  * contract defines, so the `"none"` path is byte-identical to the
+  * pre-round-19 writer. */
 private[sources] final class ShardWriteBuilder(path: String,
-    schema: StructType, queryId: String)
+    schema: StructType, queryId: String, distribute: String)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
+  require(Set("none", "shard", "shard_sorted").contains(distribute),
+    s"graft.sources.ShardSource: unknown distribute mode '$distribute' — " +
+      "expected none | shard | shard_sorted")
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+      with RequiresDistributionAndOrdering {
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      if (distribute == "none")
+        org.apache.spark.sql.connector.distributions.Distributions
+          .unspecified()
+      else
+        org.apache.spark.sql.connector.distributions.Distributions
+          .clustered(Array(Expressions.identity("shard_id")))
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      if (distribute == "shard_sorted")
+        // sort by the clustering key first (a task may still receive
+        // several shards), then doc_id for tight zone maps; doc_id is
+        // optional in an evolved schema — sort by what exists
+        Array("shard_id", "doc_id").filter(schema.fieldNames.contains(_))
+          .map(c => Expressions.sort(Expressions.identity(c),
+            SortDirection.ASCENDING))
+      else Array.empty
     override def toBatch: BatchWrite =
       new ShardBatchWrite(path, schema, doTruncate, queryId)
     override def toStreaming
@@ -1053,7 +1172,7 @@ private[sources] final class ShardWriteBuilder(path: String,
       new ShardStreamingWrite(path, schema, queryId)
     }
     override def description(): String =
-      s"GraftShardWrite truncate=$doTruncate"
+      s"GraftShardWrite truncate=$doTruncate distribute=$distribute"
   }
 }
 
