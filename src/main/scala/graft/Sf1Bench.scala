@@ -140,7 +140,17 @@ object Sf1Bench {
     // idempotence, both stream directions through one connector),
     // q183 the SQL catalog (VERSION AS OF == asOfGen with zero plan
     // change, stats pushdown through the catalog route)
-    "q181_file_skipping", "q182_stream_write", "q183_sql_catalog")
+    "q181_file_skipping", "q182_stream_write", "q183_sql_catalog",
+    // ... and the continued-session round-19 additions: q184 the
+    // connector-owned write clustering (one sorted file per shard per
+    // commit from a key-less 13-partition input at 10×), q185 scan
+    // statistics driving join selection (the pruned layout read
+    // broadcasts into a 2.1M-row fact join), q186 rollback + tags
+    // (restore-as-new-commit, tag as vacuum GC root at the 10× layout)
+    "q184_clustered_write", "q185_scan_stats", "q186_rollback_refs",
+    // q187 the throttled drain (admission control: ceil(files/cap)
+    // epoch commits at the 10× layout, census exact)
+    "q187_throttled_drain")
 
   private val Offset = 100000000L
 

@@ -7034,6 +7034,403 @@ object Pipeline {
        |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)) t
        |ORDER BY phase, shard_id""".stripMargin)
 
+  /** q184: WRITE-SIDE DISTRIBUTION OWNERSHIP (round 19) — the
+    * connector REQUIRES clustering by `shard_id` through DSv2
+    * `RequiresDistributionAndOrdering` (`option("distribute",
+    * "shard_sorted")`), so a query partitioned any old way still
+    * lands exactly ONE doc-sorted file per touched shard per commit.
+    * The walk (salt `cw19:`):
+    *
+    *  1. the corpus, deliberately scattered over 13 KEY-LESS
+    *     partitions (every task holds rows of every shard — the
+    *     worst-case un-clustered input a real pipeline produces), is
+    *     written twice: once with the requirement, once without;
+    *  2. phase `a`: the clustered layout's per-shard census through
+    *     the connector — hash-matched against the raw corpus (the
+    *     exchange Spark inserted for the writer moved every row to
+    *     its one producer task; nothing may be lost or doubled);
+    *  3. decisions: the clustered commit landed ONE file per shard
+    *     (the manifest counts them); the un-clustered control paid
+    *     task × shard files from the SAME input (the 100 TB
+    *     small-files failure, demonstrated in-suite); the sorted
+    *     files' zone maps are TIGHT — every per-file min/max equals
+    *     the RAW-derived per-shard extrema (never read from the
+    *     manifest being checked).
+    *
+    * Scale: at 1000 executors the un-clustered shape writes
+    * tasks × shards files PER COMMIT (a day of commits = a
+    * million-file layout whose every read pays the listing); the
+    * requirement caps it at shards files regardless of parallelism,
+    * and the doc-sorted order keeps q181's file skipping maximally
+    * selective on time-ordered ingest. */
+  def clusteredWrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Layout, ShardManifest}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "cwcensus") {
+      val scattered = d
+        .withColumn("u", conv(substring(md5(concat(lit("cw19:"),
+          col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType))
+        .withColumn("shard_id", shiftright(col("u"), 29))
+        .repartition(13)
+      val path = freshLayout(s, Layout.warehousePath(s, Layout.tableName(dir, "cw19shards")))
+      val ctrl = freshLayout(s, Layout.warehousePath(s, Layout.tableName(dir, "cw19free")))
+      scattered.write.format("graft.sources.ShardSource")
+        .option("path", path).option("distribute", "shard_sorted")
+        .mode("overwrite").save()
+      scattered.write.format("graft.sources.ShardSource")
+        .option("path", ctrl).mode("overwrite").save()
+      val hconf = s.sessionState.newHadoopConf()
+      val (_, entries) = ShardManifest.readSnapshot(hconf, path).get
+      val clusteredOne = entries.nonEmpty && entries.forall(_.files.count(
+        _.name.split("/").last.startsWith("part-")) == 1)
+      val ctrlFiles = ShardManifest.read(hconf, ctrl).toSeq
+        .flatMap(_._2.flatMap(_.files.map(_.name)))
+        .count(_.split("/").last.startsWith("part-"))
+      // the zone-map tightness check derives expected extrema from RAW
+      // (never from the manifest the decision is about)
+      val expBounds = d
+        .withColumn("sh", shiftright(conv(substring(md5(concat(lit("cw19:"),
+          col("doc_id").cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType), 29))
+        .groupBy(col("sh"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .collect() // bounded: shards
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val zoneTight = entries.forall { e =>
+        val f = e.files.head
+        expBounds.get(e.shardId).contains(
+          (f.minDoc.getOrElse(-1L), f.maxDoc.getOrElse(-1L)))
+      }
+      val ck = expr("sum(CAST(conv(substring(md5(concat_ws('|', doc_id, " +
+        "n_chars, lang, md5(text))), 1, 8), 16, 10) AS BIGINT))")
+      val census = s.read.format("graft.sources.ShardSource")
+        .option("path", path).load()
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          ck.as("checksum"))
+        .collect() // bounded: shards
+        .map(r => ("a_census", r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      (census ++ Seq(
+        ("zz_clustered_one_file_per_shard", 0L,
+          if (clusteredOne) 1L else 0L, 1L, 1L),
+        ("zz_unclustered_pays_task_x_shard", 0L,
+          if (ctrlFiles > entries.size) 1L else 0L, 1L, 1L),
+        ("zz_sorted_zone_maps_tight", 0L, if (zoneTight) 1L else 0L,
+          1L, 1L)))
+        .toDF("phase", "shard_id", "n_docs", "sum_chars", "checksum")
+    }.orderBy("phase", "shard_id")
+  }
+
+  /** The q184 oracle: the per-shard census re-derived from raw
+    * documents via the `cw19:` shard formula (the connector, the
+    * distribution requirement and the manifest appear nowhere), the
+    * three layout decisions as constants. */
+  val clusteredWriteSql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(('0x' || substr(md5('cw19:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents)
+       |SELECT phase, shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT 'a_census' AS phase, CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM a GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'zz_clustered_one_file_per_shard', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'zz_unclustered_pays_task_x_shard', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'zz_sorted_zone_maps_tight', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)) t
+       |ORDER BY phase, shard_id""".stripMargin)
+
+  /** q185: SCAN STATISTICS drive JOIN SELECTION (round 19 —
+    * `SupportsReportStatistics`): the connector reports
+    * pushdown-scoped estimates (manifest-exact row counts, selected
+    * files' on-disk bytes), so Catalyst BROADCASTS a pruned layout
+    * read into a join on its own — no hint, no AQE rescue. The walk
+    * (salt `sb19:`):
+    *
+    *  1. the corpus exports through the connector; a FACT relation of
+    *     ~33× the corpus joins each document by `doc_id`;
+    *  2. phase `a`: the per-shard census OF THE JOIN with the layout
+    *     pruned to shards {2,5} — row-level join equality is in the
+    *     checksum (connector-side n_chars XOR'd with the fact side's
+    *     rederivation);
+    *  3. decisions (AQE OFF for the decision pass, so the STATIC
+    *     stats carry it): the join planned as a BroadcastHashJoin
+    *     with the CONNECTOR scan as build side and zero sort-merge
+    *     (without reported stats a DSv2 scan weighs
+    *     `spark.sql.defaultSizeInBytes` and can never be the build
+    *     side); the reported row count is EXACT vs a raw derivation;
+    *     the pruned scan's reported bytes shrink vs the full scan's.
+    *
+    * Scale: this is the plan shape a 100 TB join needs — a dimension
+    * slice served by shard pruning broadcasts into the fact scan;
+    * without scan statistics every connector read sort-merges, and
+    * the shuffle of the fact side IS the job. */
+  def scanStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Layout
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "sbcensus") {
+      val path = freshLayout(s, Layout.warehousePath(s, Layout.tableName(dir, "sb19shards")))
+      sharded18(d, "sb19:")
+        .write.format("graft.sources.ShardSource")
+        .option("path", path).mode("overwrite").save()
+      def src = s.read.format("graft.sources.ShardSource")
+        .option("path", path).load()
+      def relStats(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats
+      }.head
+      val pruned = src.filter(col("shard_id").isin(2L, 5L))
+        .select(col("shard_id"), col("doc_id"), col("n_chars"))
+      // the fact side: every doc joined ~17 times with a derived value
+      val facts = s.range(33L * 65536L).select(
+        pmod(col("id"), lit(65536L)).as("k"),
+        (col("id") * 31L).as("v"))
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val (census, bhjOk) =
+        try {
+          val joined = pruned
+            .join(facts, pmod(col("doc_id"), lit(65536L)) === col("k"))
+            .groupBy(col("shard_id"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"),
+              sum(pmod(col("v"), lit(1000003L)) +
+                col("doc_id") * 7L).as("checksum"))
+          val rows = joined
+            .collect() // bounded: shards
+            .map(r => ("a_join", r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3))).toSeq
+          val bhj = countBroadcastJoins(joined) == 1 &&
+            countSortMergeJoins(joined) == 0 && {
+              val b = flattenExecutedPlan(joined.queryExecution.executedPlan)
+                .collectFirst {
+                  case x: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => x
+                }.get
+              val build = b.buildSide match {
+                case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+                case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+              }
+              flattenExecutedPlan(build).exists {
+                case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => true
+                case _ => false
+              }
+            }
+          (rows, bhj)
+        } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      // exactness of the reported estimates, raw-derived
+      val shardOf = shiftright(conv(substring(md5(concat(lit("sb19:"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10)
+        .cast(LongType), 29)
+      val expRows = d.select(shardOf.as("sh"))
+        .filter(col("sh").isin(2L, 5L)).count()
+      val stPruned = relStats(pruned)
+      val stFull = relStats(src)
+      val statsExact =
+        stPruned.rowCount.contains(BigInt(expRows)) &&
+          stFull.rowCount.contains(BigInt(d.count())) &&
+          stPruned.sizeInBytes > BigInt(0) &&
+          stPruned.sizeInBytes < stFull.sizeInBytes
+      (census ++ Seq(
+        ("zz_join_broadcasts_connector_scan", 0L, if (bhjOk) 1L else 0L,
+          1L, 1L),
+        ("zz_scan_stats_exact_and_pruned", 0L, if (statsExact) 1L else 0L,
+          1L, 1L)))
+        .toDF("phase", "shard_id", "n_docs", "sum_chars", "checksum")
+    }.orderBy("phase", "shard_id")
+  }
+
+  /** The q185 oracle: the join census re-derived from raw documents
+    * via the `sb19:` shard formula and the same synthetic fact
+    * relation (the connector and its statistics appear nowhere), the
+    * two decisions as constants. */
+  val scanStatsSql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(('0x' || substr(md5('sb19:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents),
+       |f AS (
+       |  SELECT CAST(id % 65536 AS BIGINT) AS k,
+       |         CAST(id * 31 AS BIGINT) AS v
+       |  FROM range(${33L * 65536L}) t(id))
+       |SELECT phase, shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT 'a_join' AS phase, CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(v % 1000003 + doc_id * 7) AS BIGINT) AS checksum
+       |  FROM a JOIN f ON a.doc_id % 65536 = f.k
+       |  WHERE shard_id IN (2, 5) GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'zz_join_broadcasts_connector_scan', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'zz_scan_stats_exact_and_pruned', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)) t
+       |ORDER BY phase, shard_id""".stripMargin)
+
+  /** q186: ROLLBACK + NAMED REFS (round 19) — the versioned layout
+    * gets the two verbs that complete the table-format parity:
+    * `CALL graft.rollback(layout, g)` restores a prior generation as
+    * a NEW commit (metadata-only — nothing copied, the bad commits
+    * stay addressable for audit), and `CALL graft.tag(layout, name,
+    * g)` pins a generation as a vacuum GC ROOT that
+    * `VERSION AS OF '<name>'` resolves — a retention PROMISE, the
+    * Iceberg tag discipline. The walk (salt `rr19:`):
+    *
+    *  1. base export (≢3 mod 10) commits g₁, tagged `audit`; the ≡3
+    *     delta appends (g₂);
+    *  2. phase `a`: the CURRENT census — base ∪ delta;
+    *  3. phase `b`: the census through `VERSION AS OF 'audit'` — the
+    *     tag resolves to g₁'s snapshot (exactly the base slice);
+    *  4. `CALL graft.rollback` to g₁ (→ g₃); phase `c`: the CURRENT
+    *     census is the base slice again;
+    *  5. vacuum at an everything-past horizon; decisions: the TAGGED
+    *     g₁ stays readable (tag = GC root), the untagged g₂ expired
+    *     loudly, the rollback created ZERO new data files (pure
+    *     metadata), and the history's current row is the rollback
+    *     commit at g₁'s row count.
+    *
+    * Scale: rollback is two manifest reads + two ledger rewrites —
+    * O(metadata) regardless of layout size; tags add one ledger line
+    * each. A 100 TB bad-backfill recovery is seconds, not a restore
+    * job. */
+  def rollbackRefs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Layout, ShardManifest}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "rrcensus") {
+      val tbl = Layout.tableName(dir, "rr19shards")
+      val path = freshLayout(s, Layout.warehousePath(s, tbl))
+      def write(f: Column, mode: String): Unit =
+        sharded18(d.filter(f), "rr19:")
+          .write.format("graft.sources.ShardSource")
+          .option("path", path).mode(mode).save()
+      write(pmod(col("doc_id"), lit(10)) =!= 3, "overwrite")
+      val hconf = s.sessionState.newHadoopConf()
+      val g1 = ShardManifest.currentGen(hconf, path)
+      s.sql(s"CALL graft.tag('$tbl', 'audit', $g1)").collect() // bounded: 1
+      write(pmod(col("doc_id"), lit(10)) === 3, "append")
+      val g2 = ShardManifest.currentGen(hconf, path)
+      val ck = expr("sum(CAST(conv(substring(md5(concat_ws('|', doc_id, " +
+        "n_chars, lang, md5(text))), 1, 8), 16, 10) AS BIGINT))")
+      def census(phase: String, df: DataFrame): Seq[(String, Long, Long, Long, Long)] =
+        df.groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+            ck.as("checksum"))
+          .collect() // bounded: shards
+          .map(r => (phase, r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSeq
+      def cur = s.read.format("graft.sources.ShardSource")
+        .option("path", path).load()
+      val a = census("a_cur", cur)
+      val b = census("b_tag", s.sql(
+        s"SELECT * FROM graft.`$tbl` VERSION AS OF 'audit'"))
+      val filesBefore = ShardManifest.listAllFiles(hconf, path).keySet
+      val g3 = s.sql(s"CALL graft.rollback('$tbl', $g1)")
+        .collect()(0).getLong(0) // bounded: 1
+      val filesAfter = ShardManifest.listAllFiles(hconf, path).keySet
+      val c = census("c_rolled_back", cur)
+      graft.operators.Pipeline.vacuumShardLayout(s, path,
+        System.currentTimeMillis() + 60000L)
+      val tagSurvives = ShardManifest.readGenSnapshot(hconf, path, g1)
+        .isDefined &&
+        s.sql(s"SELECT count(*) AS n FROM graft.`$tbl` VERSION AS OF 'audit'")
+          .collect()(0).getLong(0) ==
+          d.filter(pmod(col("doc_id"), lit(10)) =!= 3).count()
+      val g2Expired =
+        try { s.read.format("graft.sources.ShardSource")
+          .option("path", path).option("asOfGen", g2.toString).load()
+          .collect(); false }
+        catch { case t: Throwable =>
+          def msgs(x: Throwable): Seq[String] = Option(x).toSeq
+            .flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+          msgs(t).exists(m => m.contains("never committed") ||
+            m.contains("retention horizon"))
+        }
+      val hist = s.sql(s"CALL graft.history('$tbl')")
+        .collect() // bounded: generations
+      val curRow = hist.filter(_.getLong(4) == 1L).head
+      val histOk = curRow.getLong(0) == g3 &&
+        curRow.getLong(1) == a.filter(_._1 == "a_cur").map(_._3).sum -
+          d.filter(pmod(col("doc_id"), lit(10)) === 3).count()
+      (a ++ b ++ c ++ Seq(
+        ("zz_tag_is_gc_root", 0L, if (tagSurvives) 1L else 0L, 1L, 1L),
+        ("zz_untagged_gen_expires_loudly", 0L, if (g2Expired) 1L else 0L,
+          1L, 1L),
+        ("zz_rollback_moves_zero_bytes", 0L,
+          if (filesAfter == filesBefore) 1L else 0L, 1L, 1L),
+        ("zz_history_current_is_rollback", 0L, if (histOk) 1L else 0L,
+          1L, 1L)))
+        .toDF("phase", "shard_id", "n_docs", "sum_chars", "checksum")
+    }.orderBy("phase", "shard_id")
+  }
+
+  /** The q186 oracle: all three censuses re-derived from raw
+    * documents via the `rr19:` shard formula and the residue slices
+    * (the tag, the rollback and the vacuum appear nowhere — phases
+    * `b` and `c` are BOTH the base slice: that c equals b IS the
+    * rollback's correctness), the four decisions as constants. */
+  val rollbackRefsSql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(('0x' || substr(md5('rr19:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents),
+       |census AS (
+       |  SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM a GROUP BY 1),
+       |base AS (
+       |  SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM a WHERE doc_id % 10 <> 3 GROUP BY 1)
+       |SELECT phase, shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT 'a_cur' AS phase, * FROM census
+       |  UNION ALL
+       |  SELECT 'b_tag', * FROM base
+       |  UNION ALL
+       |  SELECT 'c_rolled_back', * FROM base
+       |  UNION ALL
+       |  SELECT 'zz_tag_is_gc_root', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'zz_untagged_gen_expires_loudly', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'zz_rollback_moves_zero_bytes', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'zz_history_current_is_rollback', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)) t
+       |ORDER BY phase, shard_id""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q54_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q55_funnel", funnel, Some(funnelSql)),
@@ -7220,5 +7617,15 @@ object Pipeline {
     // q183: the SQL catalog — graft.<layout> + VERSION AS OF through
     // the TableCatalog, zero plan change vs the option-based reads
     QueryDef("q183_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
+    // q184: write-side distribution ownership — the connector requires
+    // shard clustering, one sorted file per shard per commit vs the
+    // un-clustered control's task x shard
+    QueryDef("q184_clustered_write", clusteredWrite, Some(clusteredWriteSql)),
+    // q185: scan statistics drive join selection — the pruned layout
+    // read broadcasts on its own (manifest-exact rows, file bytes)
+    QueryDef("q185_scan_stats", scanStats, Some(scanStatsSql)),
+    // q186: rollback + named refs — restore-as-new-commit, tags as
+    // vacuum GC roots, VERSION AS OF '<name>'
+    QueryDef("q186_rollback_refs", rollbackRefs, Some(rollbackRefsSql)),
   )
 }

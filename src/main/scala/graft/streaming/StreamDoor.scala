@@ -991,6 +991,126 @@ object StreamDoor {
        |         CAST(1 AS BIGINT)) t
        |ORDER BY shard_id""".stripMargin)
 
+  /** q187: the THROTTLED drain (round 19 — admission control on the
+    * tail): `option("maxFilesPerTrigger", n)` bounds every micro-batch
+    * of the connector stream to n part files, so tailing a layout
+    * after a bulk backfill progresses in BOUNDED, checkpointable
+    * steps — each intermediate offset is durable progress, and each
+    * capped batch lands as its own epoch commit at the destination.
+    * The walk (salt `tt19:`):
+    *
+    *  1. the corpus exports to the SOURCE layout in two era commits
+    *     (≢3 mod 10, then ≡3) — 8 shards × 2 eras = 16 part files;
+    *  2. ONE capped drain (cap 3, `Trigger.AvailableNow`) tails the
+    *     source into the DESTINATION layout through the connector's
+    *     streaming write;
+    *  3. decisions: the drain took EXACTLY ⌈16/3⌉ = 6 non-empty
+    *     micro-batches (the runtime's own per-batch progress), and
+    *     the destination carries exactly 6 epoch commits (one
+    *     generation per capped batch — the throttle is visible in the
+    *     COMMIT HISTORY, not just in runtime counters); no batch
+    *     exceeded the cap's row envelope;
+    *  4. the destination census hash-matches the raw corpus — capping
+    *     reorders delivery into more batches but loses and doubles
+    *     nothing.
+    *
+    * Scale: an uncapped AvailableNow drain of a million-file backfill
+    * is one giant batch (one failure domain, zero checkpoints); the
+    * cap turns it into a resumable sequence whose every step is an
+    * ordinary commit. */
+  def throttledDrainDoor(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "ttcensus") {
+      import s.implicits._
+      import graft.sources.ShardManifest
+      val srcPath = Layout.warehousePath(s, Layout.tableName(dir, "ttsrcshards"))
+      val outPath = Layout.warehousePath(s, Layout.tableName(dir, "ttoutshards"))
+      val run = Layout.warehousePath(s, Layout.tableName(dir, "ttrun"))
+      Seq(srcPath, outPath, run).foreach(Layout.deleteWarehouseDir(s, _))
+      def sharded(df: DataFrame): DataFrame = df
+        .withColumn("u", conv(substring(md5(concat(lit("tt19:"),
+          col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType))
+        .withColumn("shard_id", shiftright(col("u"), 29))
+        .repartition(8, col("shard_id"))
+        .sortWithinPartitions(col("shard_id"), col("u"), col("doc_id"))
+      sharded(d.filter(pmod(col("doc_id"), lit(10)) =!= 3))
+        .write.format("graft.sources.ShardSource")
+        .option("path", srcPath).mode("overwrite").save()
+      sharded(d.filter(pmod(col("doc_id"), lit(10)) === 3))
+        .write.format("graft.sources.ShardSource")
+        .option("path", srcPath).mode("append").save()
+      val hconf = s.sessionState.newHadoopConf()
+      val srcFiles = ShardManifest.read(hconf, srcPath).toSeq
+        .flatMap(_._2.flatMap(_.files.map(_.name)))
+        .count(_.split("/").last.startsWith("part-"))
+      val cap = 3
+      val expBatches = (srcFiles + cap - 1) / cap
+      val q = s.readStream.format("graft.sources.ShardSource")
+        .option("path", srcPath)
+        .option("maxFilesPerTrigger", cap.toString).load()
+        .writeStream.format("graft.sources.ShardSource")
+        .option("path", outPath)
+        .option("checkpointLocation", s"$run/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      // the cap's row envelope: no batch may exceed the cap × the
+      // largest file's row count (derived from the RAW corpus — each
+      // source file is one (shard, era) slice)
+      val maxFileRows = d
+        .withColumn("sh", shiftright(conv(substring(md5(concat(lit("tt19:"),
+          col("doc_id").cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType), 29))
+        .groupBy(col("sh"), pmod(col("doc_id"), lit(10)) === 3)
+        .count().agg(max(col("count"))).collect()(0).getLong(0) // bounded: 1
+      val bounded = batches.length == expBatches &&
+        batches.forall(_ <= cap.toLong * maxFileRows)
+      val epochCommits =
+        ShardManifest.currentGen(hconf, outPath) == expBatches.toLong
+      def out = s.read.format("graft.sources.ShardSource")
+        .option("path", outPath).load()
+      out.groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(graft.functions.Fns.hash32(concat_ws("|", col("doc_id"),
+            col("n_chars"), col("lang"), md5(col("text"))))).as("checksum"))
+        .unionByName(Seq(
+          (99L, if (bounded) 1L else 0L, 1L, 1L),
+          (100L, if (epochCommits) 1L else 0L, 1L, 1L))
+          .toDF("shard_id", "n_docs", "sum_chars", "checksum"))
+    }.orderBy("shard_id")
+  }
+
+  /** The q187 oracle: the whole corpus's per-shard census via the
+    * `tt19:` shard formula (the cap, the batches and the epochs
+    * appear nowhere — a batch lost to the throttle or delivered twice
+    * flips a count or checksum), the two decisions as constants. */
+  val throttledDrainDoorSql: String = graft.operators.mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(('0x' || substr(md5('tt19:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents)
+       |SELECT shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM a GROUP BY 1
+       |  UNION ALL
+       |  SELECT CAST(99 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(1 AS BIGINT)) t
+       |ORDER BY shard_id""".stripMargin)
+
   val defs: Vector[QueryDef] = Vector(
     // the oracle re-derives the batch's index entries from scratch:
     // the gate proves the streaming run's sink == batch maintenance
@@ -1052,5 +1172,9 @@ object StreamDoor {
     // one layout and lands into another through the same connector;
     // epoch commits are ordinary generations, replays land nothing
     QueryDef("q182_stream_write", streamWriteDoor, Some(streamWriteDoorSql)),
+    // q187: the throttled drain — maxFilesPerTrigger bounds each tail
+    // micro-batch; ceil(files/cap) epoch commits, census exact
+    QueryDef("q187_throttled_drain", throttledDrainDoor,
+      Some(throttledDrainDoorSql)),
   )
 }
