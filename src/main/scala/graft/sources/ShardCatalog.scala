@@ -107,13 +107,12 @@ final class ShardCatalog extends TableCatalog with ProcedureCatalog {
     if (!isLayout(path)) throw new NoSuchTableException(ident)
     val g = try version.toLong catch {
       case _: NumberFormatException =>
-        ShardManifest.readRefs(ShardSource.hadoopConf(), path)
-          .getOrElse(version, throw new IllegalArgumentException(
-            s"graft catalog: VERSION AS OF '$version' — no such tag on " +
-              s"${ident.name()}; available tags: " +
-              ShardManifest.readRefs(ShardSource.hadoopConf(), path)
-                .keys.toSeq.sorted.mkString("[", ", ", "]") +
-              " (numeric versions address generations directly)"))
+        val refs = ShardManifest.readRefs(ShardSource.hadoopConf(), path)
+        refs.getOrElse(version, throw new IllegalArgumentException(
+          s"graft catalog: VERSION AS OF '$version' — no such tag on " +
+            s"${ident.name()}; available tags: " +
+            refs.keys.toSeq.sorted.mkString("[", ", ", "]") +
+            " (numeric versions address generations directly)"))
     }
     val schema = ShardManifest
       .readGen(ShardSource.hadoopConf(), path, g)
