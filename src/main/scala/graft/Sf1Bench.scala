@@ -149,8 +149,10 @@ object Sf1Bench {
     // (restore-as-new-commit, tag as vacuum GC root at the 10× layout)
     "q184_clustered_write", "q185_scan_stats", "q186_rollback_refs",
     // q187 the throttled drain (admission control: ceil(files/cap)
-    // epoch commits at the 10× layout, census exact)
-    "q187_throttled_drain")
+    // epoch commits at the 10× layout, census exact), q188 runtime
+    // file pruning (the doc_id join's build side confines the scan
+    // to exactly the covering era files at the 10× layout)
+    "q187_throttled_drain", "q188_runtime_pruning")
 
   private val Offset = 100000000L
 

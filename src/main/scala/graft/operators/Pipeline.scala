@@ -7284,6 +7284,126 @@ object Pipeline {
        |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)) t
        |ORDER BY phase, shard_id""".stripMargin)
 
+  /** q188: RUNTIME FILE PRUNING (round 19 — `SupportsRuntimeFiltering`):
+    * the scan declares `shard_id` and `doc_id` filterable, so a join
+    * against a selective dimension plants an IN-subquery runtime
+    * filter fed by the broadcast build side; when it materializes,
+    * the arriving key set narrows the shard directories AND — through
+    * the per-file zone maps — the FILES, with ZERO static predicate
+    * on the layout. Dynamic partition pruning generalized to dynamic
+    * FILE pruning at the delivery layer. The walk (salt `rp19:`):
+    *
+    *  1. the corpus exports in four era commits with disjoint id
+    *     quartiles (the q181 time-ordered-ingest shape) — 8 shards ×
+    *     4 eras of part files;
+    *  2. a SELECTIVE dimension — top-quartile ids ≡ 0 mod 97 — joins
+    *     the layout on `doc_id`; phase `a` is the join's per-shard
+    *     census (hash-matched against the raw slice — the dimension
+    *     is a subset of the corpus, so the join census IS the slice
+    *     census);
+    *  3. decisions: the scan opened EXACTLY the era-4 files of the
+    *     shards holding a dimension id (raw-derived via the shard
+    *     formula — eras 1–3 zone-skip because every dimension id is
+    *     top-quartile; non-matching shards prune entirely), and the
+    *     skip was real (opened < the layout's total file count).
+    *
+    * Scale: this is `fact JOIN corpus ON doc_id` at 100 TB with the
+    * corpus untouched by static predicates — the broadcast side's key
+    * set alone confines the scan to O(matching files), the
+    * parquet-DPP behavior delivered by the connector's own metadata. */
+  def runtimePruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Layout, ShardManifest, ShardSource}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "rpcensus") {
+      val path = freshLayout(s, Layout.warehousePath(s, Layout.tableName(dir, "rp19shards")))
+      val mx = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val (c1, c2, c3) = (mx / 4, mx / 2, 3 * mx / 4)
+      def write(f: Column, mode: String): Unit =
+        sharded18(d.filter(f), "rp19:")
+          .write.format("graft.sources.ShardSource")
+          .option("path", path).mode(mode).save()
+      write(col("doc_id") <= c1, "overwrite")
+      write(col("doc_id") > c1 && col("doc_id") <= c2, "append")
+      write(col("doc_id") > c2 && col("doc_id") <= c3, "append")
+      write(col("doc_id") > c3, "append")
+      val hconf = s.sessionState.newHadoopConf()
+      val totalParts = ShardManifest.read(hconf, path).toSeq
+        .flatMap(_._2.flatMap(_.files.map(_.name)))
+        .count(_.split("/").last.startsWith("part-"))
+      // the dimension: top-quartile ids ≡ 0 mod 97 — selective, and
+      // entirely inside era 4 so the zone maps can rule eras 1-3 out
+      val dim = d.filter(col("doc_id") > c3 &&
+        pmod(col("doc_id"), lit(97)) === 0).select(col("doc_id").as("k"))
+      val shardOf = shiftright(conv(substring(md5(concat(lit("rp19:"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10)
+        .cast(LongType), 29)
+      // raw-derived expectation (never from the manifest the skip
+      // itself reads): a file opens iff its era-4 per-shard id RANGE
+      // covers ≥1 dimension id — per-shard ranges interleave
+      // numerically, so coverage, not membership, is the rule; eras
+      // 1-3 never open (their ranges top out at ≤ c3 < every
+      // dimension id)
+      val expOpen = d.filter(col("doc_id") > c3)
+        .select(shardOf.as("sh"), col("doc_id"))
+        .groupBy(col("sh"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .join(dim, col("k") >= col("mn") && col("k") <= col("mx"),
+          "left_semi")
+        .count()
+      def rowCk = expr("sum(CAST(conv(substring(md5(concat_ws('|', " +
+        "doc_id, n_chars, lang, md5(text))), 1, 8), 16, 10) AS BIGINT))")
+      val f0 = ShardSource.openedFiles.get()
+      val census = s.read.format("graft.sources.ShardSource")
+        .option("path", path).load()
+        .join(dim, col("doc_id") === col("k"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          rowCk.as("checksum"))
+        .collect() // bounded: shards
+        .map(r => ("a_join", r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      val opened = ShardSource.openedFiles.get() - f0
+      (census ++ Seq(
+        ("zz_runtime_opens_exactly_matching_files", 0L,
+          if (opened == expOpen) 1L else 0L, 1L, 1L),
+        ("zz_skip_is_real", 0L,
+          if (opened < totalParts.toLong) 1L else 0L, 1L, 1L)))
+        .toDF("phase", "shard_id", "n_docs", "sum_chars", "checksum")
+    }.orderBy("phase", "shard_id")
+  }
+
+  /** The q188 oracle: the join census re-derived as the raw slice's
+    * per-shard census via the `rp19:` formula (the dimension is a
+    * subset of the corpus, so the join census IS the slice census;
+    * the runtime filter and the zone maps appear nowhere), the two
+    * I/O decisions as constants. */
+  val runtimePruningSql: String = mat(
+    s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+       |a AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(('0x' || substr(md5('rp19:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents
+       |  WHERE doc_id > (SELECT 3 * mx // 4 FROM m) AND doc_id % 97 = 0)
+       |SELECT phase, shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT 'a_join' AS phase, CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM a GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'zz_runtime_opens_exactly_matching_files', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'zz_skip_is_real', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)) t
+       |ORDER BY phase, shard_id""".stripMargin)
+
   /** q186: ROLLBACK + NAMED REFS (round 19) — the versioned layout
     * gets the two verbs that complete the table-format parity:
     * `CALL graft.rollback(layout, g)` restores a prior generation as
@@ -7627,5 +7747,9 @@ object Pipeline {
     // q186: rollback + named refs — restore-as-new-commit, tags as
     // vacuum GC roots, VERSION AS OF '<name>'
     QueryDef("q186_rollback_refs", rollbackRefs, Some(rollbackRefsSql)),
+    // q188: runtime file pruning — a doc_id join's broadcast build
+    // side narrows the scan to exactly the matching era files through
+    // the zone maps, zero static predicate on the layout
+    QueryDef("q188_runtime_pruning", runtimePruning, Some(runtimePruningSql)),
   )
 }

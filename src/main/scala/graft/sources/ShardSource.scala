@@ -647,19 +647,74 @@ private[sources] final class ShardScan(path: String,
     docLo: Option[Long] = None, docHi: Option[Long] = None,
     docPoints: Option[Set[Long]] = None, maxFilesPT: Option[Int] = None)
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  // the EFFECTIVE pruning state: the planning-time pushdown narrowed
+  // by any RUNTIME filters (dynamic partition/file pruning — a
+  // broadcast join's build-side key set arrives through filter()
+  // below after planning); runtime narrowing invalidates the cached
+  // selection so planInputPartitions re-resolves
+  @volatile private var shardSetCur: Option[Set[Long]] = shardSet
+  @volatile private var docPointsCur: Option[Set[Long]] = docPoints
+  @volatile private var cachedSel: Option[(Seq[ShardSel], Int)] = None
+
+  /** RUNTIME FILTERING (round 19 — dynamic shard AND file pruning):
+    * the scan declares `shard_id` and `doc_id` as filterable, so
+    * Spark's dynamic-pruning rule plants an `IN (<subquery>)` filter
+    * fed by the join's (broadcast) build side; when it materializes,
+    * the arriving key set narrows the shard-directory selection and —
+    * through the zone maps — the FILE selection, and the scan
+    * re-plans. This is what makes `fact JOIN layout ON doc_id` at
+    * 100 TB open only the files whose recorded range can hold a
+    * build-side key, with zero static predicate on the layout at all.
+    * Narrowing is SOUND-only (skip what cannot match, keep the rest;
+    * the join re-checks every kept row), so an unrecognized runtime
+    * filter is simply ignored. */
+  override def filterAttributes(): Array[NamedReference] =
+    // only columns that survived pruning: the rule resolves these
+    // against the scan's OUTPUT, and a pruned-away column cannot
+    // carry a runtime filter anyway
+    Array("shard_id", "doc_id").filter(required.fieldNames.contains(_))
+      .map(Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    def longsOf(vs: Array[Any]): Option[Set[Long]] = {
+      val ls = vs.flatMap {
+        case l: java.lang.Long => Some(l.longValue)
+        case i: java.lang.Integer => Some(i.longValue)
+        case _ => None
+      }
+      if (ls.length == vs.length) Some(ls.toSet) else None
+    }
+    filters.foreach {
+      case In("shard_id", vs) => longsOf(vs).foreach { s =>
+        shardSetCur = Some(shardSetCur.fold(s)(_ intersect s))
+      }
+      case EqualTo("shard_id", v) => longsOf(Array(v)).foreach { s =>
+        shardSetCur = Some(shardSetCur.fold(s)(_ intersect s))
+      }
+      case In("doc_id", vs) => longsOf(vs).foreach { s =>
+        docPointsCur = Some(docPointsCur.fold(s)(_ intersect s))
+      }
+      case EqualTo("doc_id", v) => longsOf(Array(v)).foreach { s =>
+        docPointsCur = Some(docPointsCur.fold(s)(_ intersect s))
+      }
+      case _ => () // best-effort: unprunable runtime filters are noise
+    }
+    cachedSel = None
+  }
+
   private def docPruning: Boolean =
-    docLo.isDefined || docHi.isDefined || docPoints.isDefined
+    docLo.isDefined || docHi.isDefined || docPointsCur.isDefined
 
   private def rangeMayMatch(mn: Option[Long], mx: Option[Long]): Boolean =
     (mn, mx) match {
       case (Some(lo0), Some(hi0)) =>
         docLo.forall(_ <= hi0) && docHi.forall(_ >= lo0) &&
-          docPoints.forall(_.exists(p => p >= lo0 && p <= hi0))
+          docPointsCur.forall(_.exists(p => p >= lo0 && p <= hi0))
       case _ => true
     }
 
@@ -692,7 +747,14 @@ private[sources] final class ShardScan(path: String,
   // time-travel read resolves the addressed generation's snapshot and
   // FAILS LOUDLY when it no longer exists — a swept snapshot must not
   // degrade to a partial answer.
-  private lazy val selected: (Seq[ShardSel], Int) = {
+  private def selected: (Seq[ShardSel], Int) =
+    cachedSel.getOrElse {
+      val v = computeSelected()
+      cachedSel = Some(v)
+      v
+    }
+
+  private def computeSelected(): (Seq[ShardSel], Int) = {
     val conf = ShardSource.hadoopConf()
     val root = new Path(path)
     // part files pass the zone-map skip (keptParts); tombstones are
@@ -769,7 +831,7 @@ private[sources] final class ShardScan(path: String,
     }
     val total = perShard.size
     val byShard = perShard.filter { sel =>
-      sel.files.nonEmpty && shardSet.forall(_.contains(sel.shard))
+      sel.files.nonEmpty && shardSetCur.forall(_.contains(sel.shard))
     }.sortBy(_.shard)
     (byShard, total)
   }
@@ -804,7 +866,7 @@ private[sources] final class ShardScan(path: String,
 
   override def description(): String = {
     val (byShard, total) = selected
-    val shown = shardSet.map(_.size.toString).getOrElse("all")
+    val shown = shardSetCur.map(_.size.toString).getOrElse("all")
     val gen = asOf.map(g => s" asOfGen=$g").getOrElse("") +
       since.map(g => s" sinceGen=$g").getOrElse("")
     val zone = if (docPruning)
