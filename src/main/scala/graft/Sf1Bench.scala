@@ -152,7 +152,10 @@ object Sf1Bench {
     // epoch commits at the 10× layout, census exact), q188 runtime
     // file pruning (the doc_id join's build side confines the scan
     // to exactly the covering era files at the 10× layout)
-    "q187_throttled_drain", "q188_runtime_pruning")
+    "q187_throttled_drain", "q188_runtime_pruning",
+    // q189 bounded file sizes (the writer rolls at targetFileBytes;
+    // disjoint sorted zone maps keep point I/O at one file at 10×)
+    "q189_bounded_files")
 
   private val Offset = 100000000L
 

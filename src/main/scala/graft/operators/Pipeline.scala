@@ -7404,6 +7404,128 @@ object Pipeline {
        |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)) t
        |ORDER BY phase, shard_id""".stripMargin)
 
+  /** q189: BOUNDED FILE SIZES (round 19 — `targetFileBytes`): the
+    * writer ROLLS each (task, shard) stream to `-rNNN` continuation
+    * files at a serialized-text budget, each rolled file carrying its
+    * OWN zone map — so a shard of any mass lands as size-bounded
+    * files (read parallelism is file-grained at 100 TB), and under
+    * the sorted clustered write the rolled ranges are DISJOINT, which
+    * keeps q181's file skipping maximally selective. The walk (salt
+    * `fb19:`):
+    *
+    *  1. the corpus writes once, clustered + sorted, with the budget
+    *     set to ~1/4 of the mean per-shard text mass (raw-derived) —
+    *     every shard must roll;
+    *  2. phase `a`: the layout's per-shard census through the
+    *     connector — hash-matched against the raw corpus (a roll that
+    *     lost or doubled a boundary row flips a checksum);
+    *  3. decisions: every shard landed ≥ 2 part files (the roll
+    *     happened); every rolled file carries bounds and, in name
+    *     order, the ranges are DISJOINT AND ORDERED (name order ==
+    *     write order == id order — the `-rNNN` naming rule); a point
+    *     read on the corpus MAX id (shard-filtered) opens exactly ONE
+    *     of its shard's rolled files.
+    *
+    * Scale: the fold/export shape "one file per shard" is wrong at a
+    * 100 GB shard — one monolithic zstd stream is one reader task and
+    * one failure domain; the budget caps every file while the
+    * disjoint zone maps keep point I/O at one file regardless of how
+    * many the shard rolled into. */
+  def boundedFiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Layout, ShardManifest, ShardSource}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "fbcensus") {
+      val path = freshLayout(s, Layout.warehousePath(s, Layout.tableName(dir, "fb19shards")))
+      // the budget: ~1/4 of the mean per-shard serialized mass — every
+      // shard rolls at least twice, none degenerates to per-row files
+      val totalChars = d.agg(sum(col("n_chars"))).collect()(0).getLong(0)
+      val target = math.max(4096L, totalChars / EpochShards / 4)
+      d.withColumn("u", conv(substring(md5(concat(lit("fb19:"),
+          col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType))
+        .withColumn("shard_id", shiftright(col("u"), 29))
+        .repartition(13)
+        .write.format("graft.sources.ShardSource")
+        .option("path", path)
+        .option("distribute", "shard_sorted")
+        .option("targetFileBytes", target.toString)
+        .mode("overwrite").save()
+      val hconf = s.sessionState.newHadoopConf()
+      val (_, entries) = ShardManifest.readSnapshot(hconf, path).get
+      val everyShardRolls = entries.nonEmpty && entries.forall(_.files.count(
+        _.name.split("/").last.startsWith("part-")) >= 2)
+      val disjointSorted = entries.forall { e =>
+        val parts = e.files.filter(_.name.split("/").last.startsWith("part-"))
+          .sortBy(_.name)
+        parts.forall(f => f.minDoc.isDefined && f.maxDoc.isDefined) &&
+          parts.sliding(2).forall {
+            case Seq(a, b) => a.maxDoc.get < b.minDoc.get
+            case _ => true
+          }
+      }
+      // the point probe: the corpus max id and its raw-derived shard
+      val probe = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val probeShard = d.filter(col("doc_id") === probe)
+        .select(shiftright(conv(substring(md5(concat(lit("fb19:"),
+          col("doc_id").cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType), 29).as("sh")).collect()(0).getLong(0)
+      def src = s.read.format("graft.sources.ShardSource")
+        .option("path", path).load()
+      val f0 = ShardSource.openedFiles.get()
+      val probeN = src.filter(col("shard_id") === probeShard &&
+        col("doc_id") === probe).count()
+      val pointOne = ShardSource.openedFiles.get() - f0 == 1L && probeN == 1L
+      def rowCk = expr("sum(CAST(conv(substring(md5(concat_ws('|', " +
+        "doc_id, n_chars, lang, md5(text))), 1, 8), 16, 10) AS BIGINT))")
+      val census = src.groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          rowCk.as("checksum"))
+        .collect() // bounded: shards
+        .map(r => ("a_census", r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      (census ++ Seq(
+        ("zz_every_shard_rolls", 0L, if (everyShardRolls) 1L else 0L,
+          1L, 1L),
+        ("zz_rolled_zone_maps_disjoint_sorted", 0L,
+          if (disjointSorted) 1L else 0L, 1L, 1L),
+        ("zz_point_read_opens_one_rolled_file", 0L,
+          if (pointOne) 1L else 0L, 1L, 1L)))
+        .toDF("phase", "shard_id", "n_docs", "sum_chars", "checksum")
+    }.orderBy("phase", "shard_id")
+  }
+
+  /** The q189 oracle: the per-shard census re-derived from raw
+    * documents via the `fb19:` shard formula (the budget, the rolls
+    * and the zone maps appear nowhere — a roll that lost or doubled a
+    * boundary row flips a count or checksum), the three layout
+    * decisions as constants. */
+  val boundedFilesSql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(('0x' || substr(md5('fb19:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents)
+       |SELECT phase, shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT 'a_census' AS phase, CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM a GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'zz_every_shard_rolls', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'zz_rolled_zone_maps_disjoint_sorted', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'zz_point_read_opens_one_rolled_file', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)) t
+       |ORDER BY phase, shard_id""".stripMargin)
+
   /** q186: ROLLBACK + NAMED REFS (round 19) — the versioned layout
     * gets the two verbs that complete the table-format parity:
     * `CALL graft.rollback(layout, g)` restores a prior generation as
@@ -7751,5 +7873,9 @@ object Pipeline {
     // side narrows the scan to exactly the matching era files through
     // the zone maps, zero static predicate on the layout
     QueryDef("q188_runtime_pruning", runtimePruning, Some(runtimePruningSql)),
+    // q189: bounded file sizes — the writer rolls at targetFileBytes,
+    // rolled files carry disjoint sorted zone maps, point I/O stays
+    // one file
+    QueryDef("q189_bounded_files", boundedFiles, Some(boundedFilesSql)),
   )
 }

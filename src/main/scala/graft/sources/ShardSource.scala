@@ -316,7 +316,8 @@ private[sources] final class ShardTable(path: String,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ShardWriteBuilder(path, info.schema(), info.queryId(),
-      Option(info.options.get("distribute")).getOrElse("none"))
+      Option(info.options.get("distribute")).getOrElse("none"),
+      Option(info.options.get("targetFileBytes")).map(_.toLong))
 }
 
 private[sources] final class ShardScanBuilder(path: String,
@@ -1196,13 +1197,26 @@ private[sources] final class ShardMicroBatchStream(path: String,
   * .unspecified()` + an empty ordering (the default) is the no-op the
   * contract defines, so the `"none"` path is byte-identical to the
   * pre-round-19 writer. */
+/** `targetFileBytes` write option (round 19 — bounded file sizes):
+  * the per-(task, shard) writer ROLLS to a fresh part file once the
+  * current one's serialized text crosses the target, each rolled
+  * file carrying its OWN zone map — so a huge shard never lands as
+  * one monolithic file (read parallelism is file-grained), and under
+  * a sorted write the rolled files' id ranges are DISJOINT, which is
+  * exactly what makes q181's file skipping maximally selective. The
+  * budget is UNCOMPRESSED (serialized-text) bytes — the stable,
+  * codec-independent currency; compressed sizes follow at the
+  * codec's ratio. Unset = never roll (the standing contract). */
 private[sources] final class ShardWriteBuilder(path: String,
-    schema: StructType, queryId: String, distribute: String)
+    schema: StructType, queryId: String, distribute: String,
+    targetFileBytes: Option[Long] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   require(Set("none", "shard", "shard_sorted").contains(distribute),
     s"graft.sources.ShardSource: unknown distribute mode '$distribute' — " +
       "expected none | shard | shard_sorted")
+  require(targetFileBytes.forall(_ > 0),
+    "graft.sources.ShardSource: targetFileBytes must be positive")
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write
       with RequiresDistributionAndOrdering {
@@ -1225,16 +1239,17 @@ private[sources] final class ShardWriteBuilder(path: String,
             SortDirection.ASCENDING))
       else Array.empty
     override def toBatch: BatchWrite =
-      new ShardBatchWrite(path, schema, doTruncate, queryId)
+      new ShardBatchWrite(path, schema, doTruncate, queryId, targetFileBytes)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!doTruncate,
         "graft.sources.ShardSource: streaming Complete/Truncate mode is " +
           "not supported — stream appends land as epoch commits")
-      new ShardStreamingWrite(path, schema, queryId)
+      new ShardStreamingWrite(path, schema, queryId, targetFileBytes)
     }
     override def description(): String =
-      s"GraftShardWrite truncate=$doTruncate distribute=$distribute"
+      s"GraftShardWrite truncate=$doTruncate distribute=$distribute" +
+        targetFileBytes.map(t => s" targetFileBytes=$t").getOrElse("")
   }
 }
 
@@ -1255,7 +1270,8 @@ private[sources] final class ShardWriteBuilder(path: String,
   *    no longer describes the pre-append bytes the sidecar DROPS —
   *    absent is safe, wrong is not. */
 private[sources] final class ShardBatchWrite(path: String,
-    schema: StructType, truncate: Boolean, queryId: String)
+    schema: StructType, truncate: Boolean, queryId: String,
+    targetFileBytes: Option[Long] = None)
     extends BatchWrite {
 
   require(schema.fieldNames.contains("shard_id"),
@@ -1278,7 +1294,7 @@ private[sources] final class ShardBatchWrite(path: String,
       // a job-unique token keeps file names unique ACROSS sessions —
       // task ids restart with the JVM, and under retention a name
       // reuse would overwrite a retained generation's bytes
-      queryId.replace("-", "").take(8))
+      queryId.replace("-", "").take(8), targetFileBytes)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -1399,7 +1415,8 @@ private[sources] object ShardCommit {
   * lands NOTHING — exactly-once delivery into the layout without any
   * sink-side dedup column. */
 private[sources] final class ShardStreamingWrite(path: String,
-    schema: StructType, queryId: String)
+    schema: StructType, queryId: String,
+    targetFileBytes: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   require(schema.fieldNames.contains("shard_id"),
@@ -1409,7 +1426,7 @@ private[sources] final class ShardStreamingWrite(path: String,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new ShardStreamingWriterFactory(path, schema, ShardSource.confPairs(),
-      queryId.replace("-", "").take(8))
+      queryId.replace("-", "").take(8), targetFileBytes)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -1439,7 +1456,8 @@ private[sources] final class ShardStreamingWrite(path: String,
 }
 
 private[sources] final class ShardStreamingWriterFactory(path: String,
-    schema: StructType, conf: Array[(String, String)], tok: String)
+    schema: StructType, conf: Array[(String, String)], tok: String,
+    targetFileBytes: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   // a per-factory nonce: a RESTARTED query replaying an epoch gets a
   // fresh factory, so its task files can never collide with (and
@@ -1450,18 +1468,20 @@ private[sources] final class ShardStreamingWriterFactory(path: String,
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new ShardDataWriter(path, schema, conf, partitionId, taskId,
-      s"$tok-$nonce-e$epochId")
+      s"$tok-$nonce-e$epochId", targetFileBytes)
 }
 
 private[sources] final case class ShardWriteCommit(entries: Seq[ShardEnt])
     extends WriterCommitMessage
 
 private[sources] final class ShardWriterFactory(path: String,
-    schema: StructType, conf: Array[(String, String)], jobTok: String)
+    schema: StructType, conf: Array[(String, String)], jobTok: String,
+    targetFileBytes: Option[Long] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new ShardDataWriter(path, schema, conf, partitionId, taskId, jobTok)
+    new ShardDataWriter(path, schema, conf, partitionId, taskId, jobTok,
+      targetFileBytes)
 }
 
 /** Routes each row by its `shard_id` column into that shard's
@@ -1469,6 +1489,9 @@ private[sources] final class ShardWriterFactory(path: String,
   * `repartition(k, col("shard_id"))`s lands EXACTLY one file per
   * touched shard (the exporter contract); rows serialize in arrival
   * order, so the caller's `sortWithinPartitions` IS the line order.
+  * With `targetFileBytes` set, a (task, shard) ROLLS to `-rNNN`
+  * continuation files at the budget, each with its own zone map —
+  * bounded file sizes at any shard mass.
   * The JSON text matches Spark's own json sink byte for byte (same
   * Jackson serialization, schema field order, no nulls written), so
   * the connector write is a drop-in for the previous
@@ -1477,7 +1500,8 @@ private[sources] final class ShardWriterFactory(path: String,
   * make a `COUNT(col)` pushdown honest. */
 private[sources] final class ShardDataWriter(path: String,
     schema: StructType, confPairs: Array[(String, String)],
-    partitionId: Int, taskId: Long, jobTok: String)
+    partitionId: Int, taskId: Long, jobTok: String,
+    targetFileBytes: Option[Long] = None)
     extends DataWriter[InternalRow] {
 
   private val conf = ShardSource.confOf(confPairs)
@@ -1490,6 +1514,20 @@ private[sources] final class ShardDataWriter(path: String,
     f.name == "doc_id" && f.dataType == LongType)
   private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
 
+  /** Counts the UNCOMPRESSED serialized text — the codec-independent
+    * currency `targetFileBytes` budgets (compressed sizes follow at
+    * the codec's ratio). */
+  private final class CountingOut(inner: java.io.OutputStream)
+      extends java.io.OutputStream {
+    var count = 0L
+    override def write(b: Int): Unit = { count += 1; inner.write(b) }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      count += len; inner.write(b, off, len)
+    }
+    override def flush(): Unit = inner.flush()
+    override def close(): Unit = inner.close()
+  }
+
   private final class ShardOut(val relName: String) {
     val p = new Path(new Path(path), relName)
     private val fs = p.getFileSystem(conf)
@@ -1497,7 +1535,7 @@ private[sources] final class ShardDataWriter(path: String,
     private val codec = {
       val c = new ZstdCodec(); c.setConf(conf); c
     }
-    val out: java.io.OutputStream = codec.createOutputStream(raw)
+    val out: CountingOut = new CountingOut(codec.createOutputStream(raw))
     val gen: com.fasterxml.jackson.core.JsonGenerator = {
       val g = jsonFactory.createGenerator(out)
       g.setRootValueSeparator(null)
@@ -1519,10 +1557,52 @@ private[sources] final class ShardDataWriter(path: String,
   }
 
   private val open = scala.collection.mutable.LinkedHashMap[Long, ShardOut]()
+  // rolled-and-closed files (targetFileBytes): their manifest entries
+  // accumulate here; abort() must delete these bytes too
+  private val rolled = scala.collection.mutable.ArrayBuffer[ShardEnt]()
+  private val rolledOuts = scala.collection.mutable.ArrayBuffer[ShardOut]()
+  private val fileSeq = scala.collection.mutable.HashMap[Long, Int]()
 
-  private def outFor(shard: Long): ShardOut =
-    open.getOrElseUpdate(shard, new ShardOut(
-      f"shard_id=$shard%d/part-$partitionId%05d-$taskId%d-$jobTok.jsonl.zst"))
+  private def nameFor(shard: Long): String = {
+    val seq = fileSeq.getOrElse(shard, 0)
+    // without a roll budget the standing name holds (byte-parity with
+    // every pre-round-19 layout); WITH one, every file carries an
+    // explicit -rNNN so NAME order == write order (a bare name would
+    // sort AFTER its own -r001 continuation: '-' < '.')
+    val suffix = if (targetFileBytes.isEmpty) "" else f"-r$seq%03d"
+    f"shard_id=$shard%d/part-$partitionId%05d-$taskId%d-$jobTok$suffix.jsonl.zst"
+  }
+
+  private def entryOf(sh: Long, so: ShardOut): ShardEnt = {
+    val len = so.closeAndLen()
+    val mn = if (docIdIdx >= 0 && so.rows > 0) Some(so.minDoc) else None
+    val mx = if (docIdIdx >= 0 && so.rows > 0) Some(so.maxDoc) else None
+    ShardEnt(sh, so.rows,
+      if (nCharsIdx >= 0) Some(so.sumChars) else None, mn, mx,
+      Seq(ShardFileEnt(so.relName, len, mn, mx)),
+      Some(dataFields.map(_._1.name).zip(so.nullCounts).toMap))
+  }
+
+  private def outFor(shard: Long): ShardOut = {
+    val cur = open.get(shard)
+    cur match {
+      case Some(so)
+          if targetFileBytes.exists(t => so.out.count >= t && so.rows > 0) =>
+        // ROLL: finalize this file's manifest entry (its own zone
+        // map) and continue the shard in a fresh part file
+        rolled += entryOf(shard, so)
+        rolledOuts += so
+        fileSeq.update(shard, fileSeq.getOrElse(shard, 0) + 1)
+        val next = new ShardOut(nameFor(shard))
+        open.update(shard, next)
+        next
+      case Some(so) => so
+      case None =>
+        val so = new ShardOut(nameFor(shard))
+        open.update(shard, so)
+        so
+    }
+  }
 
   override def write(row: InternalRow): Unit = {
     val shard = row.getLong(shardIdx)
@@ -1557,24 +1637,19 @@ private[sources] final class ShardDataWriter(path: String,
   }
 
   override def commit(): WriterCommitMessage = {
-    val entries = open.toSeq.map { case (sh, so) =>
-      val len = so.closeAndLen()
-      // each (task, shard) writes exactly one file, so the shard-level
-      // bounds this task tracked ARE the file's zone map
-      val mn = if (docIdIdx >= 0 && so.rows > 0) Some(so.minDoc) else None
-      val mx = if (docIdIdx >= 0 && so.rows > 0) Some(so.maxDoc) else None
-      ShardEnt(sh, so.rows,
-        if (nCharsIdx >= 0) Some(so.sumChars) else None, mn, mx,
-        Seq(ShardFileEnt(so.relName, len, mn, mx)),
-        Some(dataFields.map(_._1.name).zip(so.nullCounts).toMap))
-    }
-    open.clear()
+    // one entry per FILE (a rolled shard contributes several; the
+    // commit's per-shard merge sums them) — each file's tracked
+    // bounds ARE its zone map
+    val entries = rolled.toSeq ++
+      open.toSeq.map { case (sh, so) => entryOf(sh, so) }
+    open.clear(); rolled.clear(); rolledOuts.clear()
     ShardWriteCommit(entries)
   }
 
   override def abort(): Unit = {
     open.values.foreach(_.delete())
-    open.clear()
+    rolledOuts.foreach(_.delete())
+    open.clear(); rolled.clear(); rolledOuts.clear()
   }
 
   override def close(): Unit =
