@@ -154,8 +154,10 @@ object Sf1Bench {
     // to exactly the covering era files at the 10× layout)
     "q187_throttled_drain", "q188_runtime_pruning",
     // q189 bounded file sizes (the writer rolls at targetFileBytes;
-    // disjoint sorted zone maps keep point I/O at one file at 10×)
-    "q189_bounded_files")
+    // disjoint sorted zone maps keep point I/O at one file at 10×),
+    // q190 bounded maintenance (OPTIMIZE with a roll budget re-lands
+    // monoliths as rolled files at 10×; the budget policy idempotent)
+    "q189_bounded_files", "q190_bounded_maintenance")
 
   private val Offset = 100000000L
 

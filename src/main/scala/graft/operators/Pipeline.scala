@@ -4460,8 +4460,8 @@ object Pipeline {
     * window where a listing reader sees both copies — degraded, never
     * a crash. */
   private[graft] def foldShardDirs(s: SparkSession, path: String,
-      crossed: Set[Long]): Unit =
-    rewriteShards(s, path, crossed, identity)
+      crossed: Set[Long], targetFileBytes: Option[Long] = None): Unit =
+    rewriteShards(s, path, crossed, identity, targetFileBytes)
 
   /** The COPY-ON-WRITE shard rewrite under the versioned commit
     * discipline — the shared machinery of the FOLD (patch = identity:
@@ -4473,7 +4473,8 @@ object Pipeline {
     * carry the new files + recomputed stats/nulls, retiring the
     * replaced files into a retained generation. */
   private[graft] def rewriteShards(s: SparkSession, path: String,
-      crossed: Set[Long], patch: DataFrame => DataFrame): Unit = {
+      crossed: Set[Long], patch: DataFrame => DataFrame,
+      targetFileBytes: Option[Long] = None): Unit = {
     import graft.sources.{Layout, ShardManifest, ShardSource, ZstdCodec}
     val tmp = s"${path}__fold"
     Layout.deleteWarehouseDir(s, tmp)
@@ -4518,8 +4519,28 @@ object Pipeline {
     val crossedDf = patch(live)
       .repartition(EpochShards, col("shard_id"))
       .sortWithinPartitions(sortCols.map(col): _*)
-    crossedDf.write.mode("overwrite").partitionBy("shard_id")
-      .option("compression", classOf[ZstdCodec].getName).json(tmp)
+    // with a roll budget the temp layout writes through the CONNECTOR
+    // (the same rolling writer commits use — bounded -rNNN files, each
+    // with its own zone map); default stays the one-file-per-shard
+    // partitionBy write every standing gate pins
+    targetFileBytes match {
+      case Some(t) =>
+        crossedDf.write.format("graft.sources.ShardSource")
+          .option("path", tmp).option("targetFileBytes", t.toString)
+          .mode("overwrite").save()
+      case None =>
+        crossedDf.write.mode("overwrite").partitionBy("shard_id")
+          .option("compression", classOf[ZstdCodec].getName).json(tmp)
+    }
+    // per-FILE zone maps of the rolled temp files — served by the temp
+    // layout's own manifest (the rolling writer recorded them); the
+    // budget-less path keeps deriving the single file's bounds from
+    // the folded stats below
+    val rolledBounds: Map[String, (Option[Long], Option[Long])] =
+      if (targetFileBytes.isEmpty) Map.empty
+      else ShardManifest.read(hconf, tmp).toSeq
+        .flatMap(_._2.flatMap(_.files))
+        .map(f => f.name -> ((f.minDoc, f.maxDoc))).toMap
     // the folded shards' stats — rows/mass/range AND per-column null
     // counts — recomputed from what was written (O(crossed rows); for
     // tomb-less folds identical to the carried lines, for takedowns it
@@ -4558,9 +4579,10 @@ object Pipeline {
           val (fs, from) = Layout.hfs(s, s"$tmp/shard_id=$sh/$f")
           val to = new org.apache.hadoop.fs.Path(s"$path/shard_id=$sh/$f")
           fs.rename(from, to)
+          val (mn, mx) = rolledBounds.getOrElse(s"shard_id=$sh/$f",
+            (bounds.map(_._1), bounds.map(_._2)))
           graft.sources.ShardFileEnt(s"shard_id=$sh/$f",
-            fs.getFileStatus(to).getLen,
-            bounds.map(_._1), bounds.map(_._2))
+            fs.getFileStatus(to).getLen, mn, mx)
         }
         sh -> ents
       }.toMap
@@ -4949,20 +4971,34 @@ object Pipeline {
     * is confined to the shards the policy names (and the repair
     * rescan only when something actually broke). */
   private[graft] def maintainShardLayout(s: SparkSession, path: String,
-      horizonMs: Long): (Set[Long], Long, Long) = {
+      horizonMs: Long,
+      targetFileBytes: Option[Long] = None): (Set[Long], Long, Long) = {
     import graft.sources.ShardManifest
     val hconf = s.sessionState.newHadoopConf()
     if (ShardManifest.readSnapshot(hconf, path).isEmpty)
       repairShardManifest(s, path)
+    // the maintenance policy under a ROLL BUDGET (round 19): several
+    // size-bounded files per shard is the HEALTHY state (the ≥2-files
+    // fragmentation clause would re-fold a freshly rolled shard
+    // forever), so with a budget a shard needs maintenance iff it
+    // carries tombstone debt OR a file whose ON-DISK length exceeds
+    // 2× the (uncompressed-text) budget — compression only shrinks,
+    // so such a file is certainly over-budget: the conservative
+    // trigger that re-lands legacy monoliths as rolled continuations.
+    // The budget-less policy is unchanged.
     val crossed = ShardManifest.readSnapshot(hconf, path) match {
       case Some((_, entries)) => entries.filter { e =>
         val names = e.files.map(_.name.split("/").last)
-        names.count(_.startsWith("part-")) >= 2 ||
-          names.exists(_.startsWith("tomb-"))
+        val tombs = names.exists(_.startsWith("tomb-"))
+        targetFileBytes match {
+          case Some(t) => tombs || e.files.exists(f =>
+            f.name.split("/").last.startsWith("part-") && f.len > 2 * t)
+          case None => tombs || names.count(_.startsWith("part-")) >= 2
+        }
       }.map(_.shardId).toSet
       case None => Set.empty[Long]
     }
-    if (crossed.nonEmpty) foldShardDirs(s, path, crossed)
+    if (crossed.nonEmpty) foldShardDirs(s, path, crossed, targetFileBytes)
     val (sweptF, sweptG) = vacuumShardLayout(s, path, horizonMs)
     (crossed, sweptF, sweptG)
   }
@@ -7526,6 +7562,123 @@ object Pipeline {
        |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)) t
        |ORDER BY phase, shard_id""".stripMargin)
 
+  /** q190: BOUNDED MAINTENANCE (round 19 — `targetFileBytes` through
+    * the OPTIMIZE verb): the fold's "one file per shard" output is
+    * itself the 100 TB offender q189 names — a 100 GB shard folded
+    * into one zstd stream is one reader task and one failure domain —
+    * so [[maintainShardLayout]] takes a roll budget: the fold's temp
+    * layout writes through the connector's ROLLING writer, each
+    * rolled file landing with its own zone map, and the maintenance
+    * POLICY changes shape with it (several bounded files per shard is
+    * the healthy state — the ≥2-files fragmentation clause would
+    * re-fold a freshly rolled shard forever; instead a shard needs
+    * work iff it carries tombstone debt or an over-2×-budget file).
+    * The walk (salt `bm19:`):
+    *
+    *  1. the corpus exports one MONOLITH file per shard (the legacy
+    *     shape); `maintainShardLayout` runs with a budget of 1/16 the
+    *     mean per-shard text mass;
+    *  2. decisions: the policy named EVERY shard (each monolith is
+    *     certainly over-budget — its compressed length alone exceeds
+    *     2× the budget); the fold re-landed each shard as ≥ 2 rolled
+    *     files, every one under the budget ON DISK (compression only
+    *     shrinks); a SECOND maintenance call names NO shard — the
+    *     budget policy is idempotent, never a re-fold loop; and the
+    *     post-fold stats (count/min/max) still answer metadata-only;
+    *  3. phase `a`: the per-shard census after maintenance —
+    *     hash-matched against the raw corpus (a roll that lost or
+    *     doubled a boundary row flips a checksum).
+    *
+    * Scale: the nightly OPTIMIZE of a 100 TB layout decides from
+    * manifest metadata, folds only the shards the policy names, and
+    * now lands every byte in size-bounded, zone-mapped files — read
+    * parallelism survives its own maintenance. */
+  def boundedMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Layout, ShardManifest, ShardSource}
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    Layout.materializedTable(s, dir, "bmcensus") {
+      val path = freshLayout(s, Layout.warehousePath(s, Layout.tableName(dir, "bm19shards")))
+      sharded18(d, "bm19:")
+        .write.format("graft.sources.ShardSource")
+        .option("path", path).mode("overwrite").save()
+      val hconf = s.sessionState.newHadoopConf()
+      val totalChars = d.agg(sum(col("n_chars"))).collect()(0).getLong(0)
+      val budget = math.max(1024L, totalChars / EpochShards / 16)
+      val (crossed1, _, _) = maintainShardLayout(s, path, 0L, Some(budget))
+      val (_, entries) = ShardManifest.readSnapshot(hconf, path).get
+      val allNamed = crossed1 == entries.map(_.shardId).toSet &&
+        crossed1.size == EpochShards
+      val bounded = entries.forall { e =>
+        val parts = e.files.filter(_.name.split("/").last.startsWith("part-"))
+        parts.size >= 2 && parts.forall(_.len < budget)
+      }
+      val (crossed2, _, _) = maintainShardLayout(s, path, 0L, Some(budget))
+      val idempotent = crossed2.isEmpty
+      val f0 = ShardSource.openedFiles.get()
+      val agg = s.read.format("graft.sources.ShardSource")
+        .option("path", path).load()
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("mn"),
+          max(col("doc_id")).as("mx")).collect()(0) // bounded: 1
+      val statsMeta = ShardSource.openedFiles.get() == f0 &&
+        agg.getLong(0) == d.count()
+      def rowCk = expr("sum(CAST(conv(substring(md5(concat_ws('|', " +
+        "doc_id, n_chars, lang, md5(text))), 1, 8), 16, 10) AS BIGINT))")
+      val census = s.read.format("graft.sources.ShardSource")
+        .option("path", path).load()
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          rowCk.as("checksum"))
+        .collect() // bounded: shards
+        .map(r => ("a_census", r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      (census ++ Seq(
+        ("zz_policy_names_every_monolith", 0L, if (allNamed) 1L else 0L,
+          1L, 1L),
+        ("zz_folds_are_bounded_and_rolled", 0L, if (bounded) 1L else 0L,
+          1L, 1L),
+        ("zz_budget_policy_idempotent", 0L, if (idempotent) 1L else 0L,
+          1L, 1L),
+        ("zz_stats_metadata_after_fold", 0L, if (statsMeta) 1L else 0L,
+          1L, 1L)))
+        .toDF("phase", "shard_id", "n_docs", "sum_chars", "checksum")
+    }.orderBy("phase", "shard_id")
+  }
+
+  /** The q190 oracle: the post-maintenance census re-derived from raw
+    * documents via the `bm19:` shard formula (the budget, the fold
+    * and the policy appear nowhere — maintenance must be
+    * content-invariant), the four decisions as constants. */
+  val boundedMaintenanceSql: String = mat(
+    s"""WITH a AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(('0x' || substr(md5('bm19:' || doc_id), 1, 8))
+       |           AS BIGINT) // 536870912 AS shard_id
+       |  FROM documents)
+       |SELECT phase, shard_id, n_docs, sum_chars, checksum FROM (
+       |  SELECT 'a_census' AS phase, CAST(shard_id AS BIGINT) AS shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |         CAST(sum(CAST('0x' || substr(md5(
+       |           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR) ||
+       |           '|' || lang || '|' || md5(text)), 1, 8) AS BIGINT)) AS BIGINT)
+       |           AS checksum
+       |  FROM a GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'zz_policy_names_every_monolith', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'zz_folds_are_bounded_and_rolled', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'zz_budget_policy_idempotent', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'zz_stats_metadata_after_fold', CAST(0 AS BIGINT),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)) t
+       |ORDER BY phase, shard_id""".stripMargin)
+
   /** q186: ROLLBACK + NAMED REFS (round 19) — the versioned layout
     * gets the two verbs that complete the table-format parity:
     * `CALL graft.rollback(layout, g)` restores a prior generation as
@@ -7877,5 +8030,9 @@ object Pipeline {
     // rolled files carry disjoint sorted zone maps, point I/O stays
     // one file
     QueryDef("q189_bounded_files", boundedFiles, Some(boundedFilesSql)),
+    // q190: bounded maintenance — OPTIMIZE with a roll budget re-lands
+    // monoliths as rolled files; the budget policy is idempotent
+    QueryDef("q190_bounded_maintenance", boundedMaintenance,
+      Some(boundedMaintenanceSql)),
   )
 }

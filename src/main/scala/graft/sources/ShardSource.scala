@@ -1546,6 +1546,12 @@ private[sources] final class ShardDataWriter(path: String,
     var minDoc = Long.MaxValue
     var maxDoc = Long.MinValue
     val nullCounts = new Array[Long](dataFields.length)
+    /** Serialized text written so far INCLUDING Jackson's internal
+      * buffer (the generator holds up to ~8 KB before flushing to the
+      * counting stream — without `getOutputBuffered` a small roll
+      * budget would only fire at buffer-flush granularity). */
+    def approxBytes: Long =
+      out.count + math.max(0, gen.getOutputBuffered)
     def closeAndLen(): Long = {
       gen.flush(); out.close()
       fs.getFileStatus(p).getLen
@@ -1587,7 +1593,7 @@ private[sources] final class ShardDataWriter(path: String,
     val cur = open.get(shard)
     cur match {
       case Some(so)
-          if targetFileBytes.exists(t => so.out.count >= t && so.rows > 0) =>
+          if targetFileBytes.exists(t => so.approxBytes >= t && so.rows > 0) =>
         // ROLL: finalize this file's manifest entry (its own zone
         // map) and continue the shard in a fresh part file
         rolled += entryOf(shard, so)

@@ -37,6 +37,6 @@ class InvariantsSpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(q == o, s"queries without oracles: ${(q -- o).toSeq.sorted}; " +
       s"orphan oracles: ${(o -- q).toSeq.sorted}")
-    assert(q.size >= 189, s"query surface shrank: ${q.size}")
+    assert(q.size >= 190, s"query surface shrank: ${q.size}")
   }
 }
