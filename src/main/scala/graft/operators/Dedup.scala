@@ -1388,6 +1388,32 @@ object Dedup {
       coalesce(sum(hash32(key)), lit(0L)).as("checksum"))
       .select(lit(name).as("artifact"), col("n_rows"), col("checksum"))
 
+  /** Multi-class census in ONE source pass (r19 optimization — guide
+    * §1.2 "don't compute things twice"): `cls` names each row's class,
+    * and the result carries one row per entry of `names` — row-for-row
+    * identical to unioning per-class [[censusRow]]s over the same
+    * relation filtered per class (the grouped sum of per-row hashes is
+    * the same order-independent checksum; absent classes report the
+    * empty census 0/0 through the left join), at one scan of the
+    * source instead of `names.size`. Precondition: the classes are
+    * DISJOINT (each row satisfies exactly one class predicate), which
+    * every call site's class column guarantees by construction
+    * (when/otherwise chains). */
+  private[graft] def censusRows(df: DataFrame, cls: Column, key: Column,
+      names: Seq[String]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val grouped = df.select(cls.as("artifact"), hash32(key).as("h"))
+      .groupBy(col("artifact"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("c"))
+    // left-outer keeps absent classes; only the right side of a left
+    // join is broadcastable, and `grouped` is ≤ names.size rows
+    names.toDF("artifact").join(broadcast(grouped), Seq("artifact"), "left")
+      .select(col("artifact"),
+        coalesce(col("n"), lit(0L)).as("n_rows"),
+        coalesce(col("c"), lit(0L)).as("checksum"))
+  }
+
   /** q106: TARGETED-DELETE LIFECYCLE CENSUS — the takedown/opt-out
     * path the round-7 verdict flagged as missing from the table
     * lifecycle. A delete-key relation (docs AND their embeddings)

@@ -3190,14 +3190,18 @@ object Similarity {
       refillBase.unionByName(refillBatch))(heldUpd)
 
     val codesKey = concat_ws(",", transform(col("codes"), c => c.cast(StringType)))
-    def gCensus(nm: String, batch: Boolean, refreshed: Boolean) = {
-      val cls = gDel.filter(
-        if (batch) pmod(col("vec_id"), lit(5)) === 0
-        else pmod(col("vec_id"), lit(5)) =!= 0)
-      Dedup.censusRow(nm,
-        cls.join(a1, Seq("vec_id"), if (refreshed) "left_semi" else "left_anti"),
-        concat_ws("|", col("vec_id"), col("nbr"), col("nqn")))
-    }
+    // r19 optimization: the four graph census classes (base/batch ×
+    // refreshed/untouched) partition ONE published relation — classify
+    // per row (A1 membership via a broadcast left join) and census in
+    // one grouped pass instead of four filter+semi/anti scans (guide
+    // §1.2). The three per-table censuses keep their own (single)
+    // source scans.
+    val gM = gDel.join(
+      broadcast(a1.withColumn("in_a1", lit(1))), Seq("vec_id"), "left")
+    val gCls = concat(
+      when(pmod(col("vec_id"), lit(5)) === 0, lit("nngraph_batch"))
+        .otherwise(lit("nngraph_base")),
+      when(col("in_a1").isNotNull, lit("_refreshed")).otherwise(lit("_untouched")))
     Seq(
       Dedup.censusRow("ivfassign", assignDel,
         concat_ws("|", col("vec_id"), col("cent_id"))),
@@ -3205,10 +3209,10 @@ object Similarity {
         concat_ws("|", col("vec_id"), col("cent_id"), codesKey)),
       Dedup.censusRow("pqcodes", codesDel,
         concat_ws("|", col("vec_id"), codesKey)),
-      gCensus("nngraph_base_refreshed", batch = false, refreshed = true),
-      gCensus("nngraph_base_untouched", batch = false, refreshed = false),
-      gCensus("nngraph_batch_refreshed", batch = true, refreshed = true),
-      gCensus("nngraph_batch_untouched", batch = true, refreshed = false))
+      Dedup.censusRows(gM, gCls,
+        concat_ws("|", col("vec_id"), col("nbr"), col("nqn")),
+        Seq("nngraph_base_refreshed", "nngraph_base_untouched",
+          "nngraph_batch_refreshed", "nngraph_batch_untouched")))
       .reduce(_ unionByName _)
       .orderBy("artifact")
   }
@@ -4159,20 +4163,24 @@ object Similarity {
       Seq("vec_id" -> del, "nbr" -> del, "vec_id" -> a2),
       refreshedG)(nnGraphTable(s, dir))
 
-    Seq(
-      Dedup.censusRow("exacttopk_refreshed",
-        etkPub.join(affP, Seq("probe_id"), "left_semi"),
-        concat_ws("|", col("probe_id"), col("vec_id"), col("rnk"))),
-      Dedup.censusRow("exacttopk_untouched",
-        etkPub.join(affP, Seq("probe_id"), "left_anti"),
-        concat_ws("|", col("probe_id"), col("vec_id"), col("rnk"))),
-      Dedup.censusRow("nngraph_refreshed",
-        gPub.join(a2, Seq("vec_id"), "left_semi"),
-        concat_ws("|", col("vec_id"), col("nbr"), col("nqn"))),
-      Dedup.censusRow("nngraph_untouched",
-        gPub.join(a2, Seq("vec_id"), "left_anti"),
-        concat_ws("|", col("vec_id"), col("nbr"), col("nqn"))))
-      .reduce(_ unionByName _)
+    // r19 optimization: refreshed/untouched partition each published
+    // relation — classify per row (broadcast left join against the
+    // distinct affected set) and census each source in ONE grouped
+    // pass instead of two semi/anti scans (guide §1.2).
+    val etkM = etkPub.join(
+      broadcast(affP.withColumn("in_aff", lit(1))), Seq("probe_id"), "left")
+    val gM = gPub.join(
+      broadcast(a2.withColumn("in_a2", lit(1))), Seq("vec_id"), "left")
+    Dedup.censusRows(etkM,
+      when(col("in_aff").isNotNull, lit("exacttopk_refreshed"))
+        .otherwise(lit("exacttopk_untouched")),
+      concat_ws("|", col("probe_id"), col("vec_id"), col("rnk")),
+      Seq("exacttopk_refreshed", "exacttopk_untouched"))
+      .unionByName(Dedup.censusRows(gM,
+        when(col("in_a2").isNotNull, lit("nngraph_refreshed"))
+          .otherwise(lit("nngraph_untouched")),
+        concat_ws("|", col("vec_id"), col("nbr"), col("nqn")),
+        Seq("nngraph_refreshed", "nngraph_untouched")))
       .orderBy("artifact")
   }
 
@@ -4338,19 +4346,21 @@ object Similarity {
 
   def annDeleteSparse(s: SparkSession, dir: String): DataFrame = {
     val (pub, a2) = sparseDelPub(s, dir)
-    def cls(src: String, refreshed: Boolean) =
-      pub.filter(col("src") === src)
-        .join(a2, Seq("vec_id"), if (refreshed) "left_semi" else "left_anti")
-    Seq(
-      Dedup.censusRow("pool_refreshed", cls("g", refreshed = true),
-        concat_ws("|", col("vec_id"), col("nbr"), col("nqn"))),
-      Dedup.censusRow("pool_untouched", cls("g", refreshed = false),
-        concat_ws("|", col("vec_id"), col("nbr"), col("nqn"))),
-      Dedup.censusRow("extras_refreshed", cls("x", refreshed = true),
-        concat_ws("|", col("vec_id"), col("nbr"), col("nqn"))),
-      Dedup.censusRow("extras_untouched", cls("x", refreshed = false),
-        concat_ws("|", col("vec_id"), col("nbr"), col("nqn"))))
-      .reduce(_ unionByName _)
+    // r19 optimization: the four census classes (pool/extras ×
+    // refreshed/untouched) partition ONE published relation — classify
+    // per row (A2 membership via a broadcast left join against the
+    // distinct cone; multiplicity preserved) and census in one grouped
+    // pass instead of four source scans (guide §1.2; was 4 scans of the
+    // tombstone view + 4 semi/anti joins).
+    val marked = pub.join(
+      broadcast(a2.withColumn("in_a2", lit(1))), Seq("vec_id"), "left")
+    val cls = concat(
+      when(col("src") === "g", lit("pool")).otherwise(lit("extras")),
+      when(col("in_a2").isNotNull, lit("_refreshed")).otherwise(lit("_untouched")))
+    Dedup.censusRows(marked, cls,
+      concat_ws("|", col("vec_id"), col("nbr"), col("nqn")),
+      Seq("pool_refreshed", "pool_untouched",
+        "extras_refreshed", "extras_untouched"))
       .orderBy("artifact")
   }
 
