@@ -3687,14 +3687,21 @@ object Similarity {
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 
+    // Round-19 optimization: the loop used to keep TWO checkpointed
+    // relations (`scored` and the expanded (probe_id, v) set) and so
+    // paid two eager materialization jobs per hop. The expanded set is
+    // a SUBSET of scored, so one relation with an `exp` flag carries
+    // both: beam = top-B of the un-expanded rows, the hop flips the
+    // flag on beam rows and unions the new candidates — ONE
+    // localCheckpoint per hop (10 eager jobs → 5), row-identical
+    // state (the flag never reaches the result columns).
     var pre = persistedIds()
-    var scored = scoredCells(routed1).localCheckpoint()
-    var expanded = scored.filter(lit(false)).select(col("probe_id"), col("v"))
+    var state = scoredCells(routed1).withColumn("exp", lit(false))
       .localCheckpoint()
     var gen = persistedIds() -- pre
     (1 to BeamH).foreach { _ =>
       val wB = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("v"))
-      val beam = scored.join(expanded, Seq("probe_id", "v"), "left_anti")
+      val beam = state.filter(!col("exp"))
         .withColumn("rn", row_number().over(wB))
         .filter(col("rn") <= BeamB)
         .select(col("probe_id"), col("v"))
@@ -3706,10 +3713,15 @@ object Similarity {
         .join(broadcast(probeVecs), Seq("probe_id"))
         .withColumn("cos", qcosineNative(col("pq"), col("nq"), col("pqn"), col("nqn")))
         .select(col("probe_id"), col("nbr").as("v"), col("cos"))
-        .join(scored.select(col("probe_id"), col("v")), Seq("probe_id", "v"), "left_anti")
+        .join(state.select(col("probe_id"), col("v")), Seq("probe_id", "v"), "left_anti")
       pre = persistedIds()
-      expanded = expanded.union(beam).localCheckpoint()
-      scored = scored.union(cand).localCheckpoint()
+      state = state
+        .join(broadcast(beam.withColumn("bm", lit(true))),
+          Seq("probe_id", "v"), "left")
+        .select(col("probe_id"), col("v"), col("cos"),
+          (col("exp") || coalesce(col("bm"), lit(false))).as("exp"))
+        .union(cand.withColumn("exp", lit(false)))
+        .localCheckpoint()
       val g = persistedIds() -- pre
       free(gen)
       gen = g
@@ -3717,27 +3729,30 @@ object Similarity {
 
     val exact5 = exactTopKTable(s, dir).select(col("probe_id"), col("vec_id").as("v"))
       .persist()
-    def top5Hits(cand: DataFrame): Long = {
+    // eval count + top-5 hit count of a candidate set in ONE
+    // aggregation job (was a count() plus a windowed semi-join count —
+    // two full passes): rank within probe, left-join the exact top-5
+    // with a hit marker, aggregate both integers together.
+    def evalsAndHits(cand: DataFrame): (Long, Long) = {
       val w5 = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("v"))
-      cand.withColumn("rn", row_number().over(w5)).filter(col("rn") <= 5)
-        .select(col("probe_id"), col("v"))
-        .join(exact5, Seq("probe_id", "v"), "left_semi")
-        .count()
+      val r = cand.withColumn("rn", row_number().over(w5))
+        .join(broadcast(exact5.withColumn("hit", lit(true))),
+          Seq("probe_id", "v"), "left")
+        .agg(count(lit(1)).as("evals"),
+          sum(when(col("rn") <= 5 && col("hit"), 1L).otherwise(0L)).as("hits"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
     }
 
     val nProbes = probeVecs.count()
-    val totEvals = scored.count()
-    val gHits = top5Hits(scored)
-    free(gen) // last generation: nothing reads `scored` past this point
+    val (totEvals, gHits) = evalsAndHits(state)
+    free(gen) // last generation: nothing reads `state` past this point
     // equal-budget nprobe: round(totEvals·K / (P·n)) in exact integer
     // arithmetic (the SQL twin computes the identical expression)
     val npEq = math.max(1L,
       (2L * totEvals * kK + nProbes * nCorpus) / (2L * nProbes * nCorpus))
-    val ivfCand = scoredCells(
-      routeProbesDf(probes, cents, npEq.toInt).drop("r")).persist()
-    val ivfEvals = ivfCand.count()
-    val iHits = top5Hits(ivfCand)
-    ivfCand.unpersist()
+    val (ivfEvals, iHits) = evalsAndHits(scoredCells(
+      routeProbesDf(probes, cents, npEq.toInt).drop("r")))
     exact5.unpersist()
 
     Seq(
