@@ -2242,11 +2242,26 @@ object Similarity {
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val exact5 = exactTopKTable(s, dir).select(col("probe_id"), col("vec_id"))
-    val np = boundedProbes(quantized(s, dir)).agg(count(lit(1)).as("np"))
+    // Round-19: the q90 and q92 branches used to call pqAdc/pqRerank
+    // whole, so the ADC full code scan — their shared, dominant stage
+    // — executed TWICE with distinct broadcast tables (no exchange
+    // reuse possible across the two closures). One pqAdcRanked
+    // instance now feeds both: q90's top-5 and q92's re-rank
+    // shortlist are slices of the SAME ranked relation (rnk ≤ 5 ⊆
+    // rnk ≤ PqShortlist), so the window's exchange canonicalizes
+    // identically under both consumers and the code scan runs once.
+    // Row-identical: pqAdc = ranked.filter(rnk<=5) and pqRerank's
+    // candidate set = ranked.filter(rnk<=PqShortlist) by definition;
+    // the tagged union below projects to (probe_id, vec_id) either
+    // way and the final ORDER BYs were always dropped by EliminateSorts.
+    val probeRows = pqProbes(s, dir)
+    val ranked = pqAdcRanked(s, dir, probeRows)
+      .filter(col("rnk") <= PqShortlist)
     val methods: Seq[(String, DataFrame)] = Seq(
       "q83_ivf" -> annIvfIndexed(s, dir),
-      "q90_pq_adc" -> pqAdc(s, dir),
-      "q92_pq_rerank" -> pqRerank(s, dir),
+      "q90_pq_adc" -> ranked.filter(col("rnk") <= 5),
+      "q92_pq_rerank" -> rerankTop5(s, dir, probeRows,
+        ranked.select(col("probe_id"), col("vec_id")), Nil),
       "q93_ivfpq" -> ivfPq(s, dir))
     // tag + union the four methods' top-5 sets FIRST, so the exact
     // baseline (the dominant cost — a full broadcast-probe corpus
@@ -2261,10 +2276,14 @@ object Similarity {
     val hits = tagged
       .join(exact5, Seq("probe_id", "vec_id"), "left_semi")
       .groupBy(col("method")).agg(count(lit(1)).as("h"))
+    // n_probes = |probeRows| — pqProbes IS boundedProbes collected, so
+    // the old count-aggregation over a second embeddings scan was a
+    // full pass for a number already on the driver.
+    val np = lit(probeRows.length.toLong)
     methods.map(_._1).toDF("method")
       .join(hits, Seq("method"), "left")
       .select(col("method"), coalesce(col("h"), lit(0L)).as("n_hits"))
-      .crossJoin(broadcast(np))
+      .withColumn("np", np)
       .select(col("method"), col("np").as("n_probes"), col("n_hits"),
         (col("n_hits").cast(DoubleType) /
           (lit(5) * col("np")).cast(DoubleType)).as("recall_at_5"))
