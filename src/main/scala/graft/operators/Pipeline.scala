@@ -1280,15 +1280,28 @@ object Pipeline {
     // happens once per (session, snapshot), then the learned rules are
     // plan-time literals and the plan is byte-identical in shape
     bpeTokenEconomyFrom(Tables.documents(s, dir),
-      bpeTokenizerOf(bpeTrainedMerges(s, dir)))
+      bpeWordTokens(bpeTrainedMerges(s, dir)))
 
   private[graft] def bpeTokenEconomyFrom(docs: DataFrame,
-      bpeTok: Column => Column): DataFrame = {
+      wordTok: Column => Column): DataFrame = {
+    // Round-19: the encode runs over DISTINCT WORDS (the q124 shape —
+    // BPE is word-local, so tokenizing the vocabulary once and joining
+    // counts back makes regex cost track |distinct words|, sublinear
+    // in corpus, instead of every word occurrence; the document path
+    // re-ran the 6 merge passes over the full text of every row).
+    // Identities: nws = word count per doc = the exploded row count;
+    // n = Σ per-word token counts = Σ nw over occurrences; a doc the
+    // explode drops has zero words, hence n = 0 — exactly the rows
+    // the n > 0 gate below always removed (their window contribution
+    // to later docs' running sums was 0).
+    val docw = docs.select(col("source"), col("doc_id"),
+      explode(wsTokenizer(col("text"))).as("w"))
+    val wtok = docw.select(col("w")).distinct()
+      .select(col("w"), size(wordTok(col("w"))).cast(LongType).as("nw"))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    docs
-      .withColumn("nws", size(wsTokenizer(col("text"))).cast(LongType))
-      .withColumn("n", size(bpeTok(col("text"))).cast(LongType))
-      .select(col("source"), col("doc_id"), col("nws"), col("n"))
+    docw.join(wtok, Seq("w"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("nws"), sum(col("nw")).as("n"))
       .withColumn("n_chunks",
         when(col("n") <= ChunkLen, 1L)
           .otherwise(lit(1L) +
@@ -1297,14 +1310,10 @@ object Pipeline {
         aggregate(sequence(lit(0L), col("n_chunks") - 1), lit(0L),
           (acc, i) => acc + least(lit(ChunkLen), col("n") - i * ChunkStride)))
       .withColumn("endt", sum(col("n")).over(w))
-      // the n > 0 gate sits ABOVE the window exchange, not next to the
-      // tokenizing projection: adjacent, predicate pushdown clones the
-      // whole 6-pass BPE tree into the Filter and every row tokenizes
-      // TWICE (measured 12 regexp_replace nodes in the executed plan).
-      // Above the exchange the filter reads the shuffled column value,
-      // and the move is semantics-free — a zero-n row contributes 0 to
-      // every later doc's running sum, so endt and the split flags of
-      // surviving rows are unchanged.
+      // n > 0 always holds in the exploded shape (every word encodes
+      // to ≥ 1 token and zero-word docs never leave the explode), but
+      // the gate stays: it documents the contract the oracle's HAVING
+      // relies on and costs one comparison per row.
       .filter(col("n") > 0)
       .withColumn("split",
         expr(s"(endt - n) div $PackBin") =!= expr(s"(endt - 1) div $PackBin"))
