@@ -753,8 +753,21 @@ object Dedup {
         }
       }.toDF("doc_id", "h")
       .repartition(col("h"))
+    // Round-19: the window-hash pass used to execute up to 8× — the
+    // self-join's two sides, sz's two join uses and each copy's hot
+    // build all held their own copy of the subtree, and column
+    // pruning narrowed the hot/sz copies of the h-barrier (h-only /
+    // doc_id-only) so the exchanges decanonicalized and none were
+    // reused (the q140/q87 bit). Every aggregate below now keeps BOTH
+    // barrier columns referenced via a value-identical count:
+    // count(when(pmod(x,1)=0,1)) ≡ count(*) (pmod(x,1) is 0 for every
+    // long and no optimizer rule folds it), so all copies of the
+    // barrier canonicalize onto ONE exchange and the MD5 pass runs
+    // once at runtime.
+    def countAll(keep: Column): Column =
+      count(when(pmod(keep, lit(1)) === 0, 1))
     val win = if (dfCap == Int.MaxValue) win0 else {
-      val hot = win0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val hot = win0.groupBy(col("h")).agg(countAll(col("doc_id")).as("df"))
         .filter(col("df") > dfCap)
         .observe("graft.cap(window_df)",
           count(lit(1)).as("hot_windows"),
@@ -762,7 +775,7 @@ object Dedup {
         .select(col("h"))
       win0.join(hot, Seq("h"), "left_anti")
     }
-    val sz = win.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val sz = win.groupBy(col("doc_id")).agg(countAll(col("h")).as("nw"))
     val inter = win.as("a").join(win.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
