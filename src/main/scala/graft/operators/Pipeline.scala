@@ -3356,12 +3356,22 @@ object Pipeline {
     }
     val orders = Tables.orders(s, dir).select(col("o_orderkey"))
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
-    val liN = li.count()
-    def orphans(dim: DataFrame): Long =
-      li.join(dim, col("l_orderkey") === col("o_orderkey"), "left_anti")
-        .count()
-    val riClean = orphans(orders)
-    val riBad = orphans(orders.filter(pmod(col("o_orderkey"), lit(31)) =!= 2))
+    // Round-19: the row count and the two referential-integrity orphan
+    // counts used to be three separate jobs (three lineitem scans, two
+    // anti joins). o_orderkey is the orders PRIMARY KEY (unique at
+    // every SF), so one left join never duplicates a lineitem row and
+    // all three integers come from ONE pass: an orphan under the
+    // mod-31-filtered dim is "no match at all OR the matched key is
+    // exactly the filtered-out residue".
+    val ri = li.join(orders, col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("clean"),
+        sum(when(col("o_orderkey").isNull ||
+          pmod(col("o_orderkey"), lit(31)) === 2, 1L).otherwise(0L)).as("bad"))
+      .collect()(0) // bounded: 1 row
+    val liN = ri.getLong(0)
+    val riClean = ri.getLong(1)
+    val riBad = ri.getLong(2)
     (run("clean", docs, 1) ++ run("corrupted", corrupted, 2) ++ Seq(
       ("clean", "ri_orders", liN, riClean, if (riClean == 0L) 1L else 0L),
       ("corrupted", "ri_orders", liN, riBad, if (riBad == 0L) 1L else 0L)))
