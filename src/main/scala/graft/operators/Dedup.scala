@@ -223,11 +223,26 @@ object Dedup {
     * names must be unique per plan, so a query applying the cap twice
     * (q82: index side AND batch side) labels each firing site. */
   private[operators] def dropHotBucketsNamed(bands: DataFrame, cap: Int,
-                                             name: String, keys: String*): DataFrame = {
+                                             name: String, keys: String*): DataFrame =
+    dropHotBucketsAligned(bands, cap, name, None, keys: _*)
+
+  /** The exchange-aligned form (round 19): when `bands` is a
+    * repartition barrier whose other consumers keep its FULL width,
+    * the hot count's key-only projection decanonicalizes this copy of
+    * the exchange and the barrier's subtree executes twice (the
+    * q140/q87 pruning bit). `keepRef` is a caller-supplied
+    * VALUE-IDENTICAL always-true predicate referencing the barrier's
+    * non-key columns (e.g. pmod(xxhash64(doc_id), 1) = 0);
+    * count(when(keepRef, 1)) ≡ count(*) but keeps those columns alive
+    * below the aggregate, so every copy of the barrier canonicalizes
+    * onto ONE exchange. */
+  private[operators] def dropHotBucketsAligned(bands: DataFrame, cap: Int,
+      name: String, keepRef: Option[Column], keys: String*): DataFrame = {
     val kc = keys.map(col)
-    val hot = bands.select(kc: _*)
+    val cnt = keepRef.map(k => count(when(k, 1))).getOrElse(count(lit(1)))
+    val hot = bands
       .groupBy(kc: _*)
-      .agg(count(lit(1)).as("bsz"))
+      .agg(cnt.as("bsz"))
       .filter(col("bsz") > cap)
       .observe(name,
         count(lit(1)).as("hot_buckets"),
@@ -447,8 +462,14 @@ object Dedup {
       .repartition(col("band"), col("bval"))
 
     // same hot-bucket hazard as q21/q26: a 15-bit band bucket with m
-    // members yields m² candidates
-    val kept = dropHotBuckets(bands, bucketCap, "band", "bval")
+    // members yields m² candidates. The aligned form keeps (doc_id,
+    // fp) referenced in the hot count so its copy of the barrier
+    // canonicalizes with the join sides' full-width copies — one
+    // exchange, one fingerprint pass at runtime.
+    val kept = dropHotBucketsAligned(bands, bucketCap,
+      "graft.cap(band,bval)",
+      Some(pmod(xxhash64(col("doc_id"), col("fp")), lit(1)) === 0),
+      "band", "bval")
 
     val a = kept.select(col("doc_id").as("doc_a"), col("fp").as("fpa"),
       col("band"), col("bval"))
