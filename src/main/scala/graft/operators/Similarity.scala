@@ -610,9 +610,14 @@ object Similarity {
       // count and both sides, and the self-join is co-partitioned
       .repartition(col("band"), col("bucket"))
 
-    // shared hot-bucket cap (Dedup.dropHotBuckets) — same m² hazard
-    // and same remedy as the q21/q22 band joins
-    val kept = Dedup.dropHotBuckets(bands, bucketCap, "band", "bucket")
+    // shared hot-bucket cap — same m² hazard and same remedy as the
+    // q21/q22 band joins; the ALIGNED form keeps vec_id referenced in
+    // the hot count so its copy of the barrier canonicalizes with the
+    // join sides' full-width copies (one exchange, one projection pass)
+    val kept = Dedup.dropHotBucketsAligned(bands, bucketCap,
+      "graft.cap(band,bucket)",
+      Some(pmod(xxhash64(col("vec_id")), lit(1)) === 0),
+      "band", "bucket")
 
     val cand = kept.as("a").join(kept.as("b"), Seq("band", "bucket"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
