@@ -971,8 +971,15 @@ object Similarity {
       }
     }
     override def zero: Seq[(Long, Double)] = Nil
+    // Round-19: reduce used to append + full-sort + take on EVERY row
+    // (an allocation and a 6-element sort per scored candidate). With
+    // the buffer kept sorted (best first), a row that does not beat
+    // the current k-th is a no-op — the overwhelmingly common case —
+    // and the top-k SET is unchanged either way (ord is total, so
+    // "not better than the worst kept" ⇔ "sorted position ≥ K").
     override def reduce(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] =
-      (buf :+ x).sorted(ord).take(K)
+      if (buf.lengthCompare(K) >= 0 && ord.compare(x, buf(K - 1)) >= 0) buf
+      else (buf :+ x).sorted(ord).take(K)
     override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
       (a ++ b).sorted(ord).take(K)
     override def finish(r: Seq[(Long, Double)]): Seq[(Long, Double)] = r
@@ -3711,24 +3718,34 @@ object Similarity {
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 
-    // Round-19 optimization: the loop used to keep TWO checkpointed
-    // relations (`scored` and the expanded (probe_id, v) set) and so
-    // paid two eager materialization jobs per hop. The expanded set is
-    // a SUBSET of scored, so one relation with an `exp` flag carries
-    // both: beam = top-B of the un-expanded rows, the hop flips the
-    // flag on beam rows and unions the new candidates — ONE
-    // localCheckpoint per hop (10 eager jobs → 5), row-identical
-    // state (the flag never reaches the result columns).
+    // Round-19 optimization, second pass: BOTH loop relations are
+    // APPEND-ONLY — `scored` only ever unions new candidates, the
+    // expanded set only ever unions each hop's beam. So nothing needs
+    // to re-materialize the running state: checkpoint each hop's
+    // INCREMENT (the ≤ probes×BeamB beam and the new-candidate set)
+    // and read the state as a lazy union of already-cached
+    // generations. Materialized bytes per hop drop from O(state) — the
+    // entry generation re-copied every hop — to O(new rows). All
+    // generations stay pinned until the eval tail's bounded collect
+    // finishes, then every tracked id is freed at once (same
+    // getPersistentRDDs-diff discipline, coarser horizon).
     var pre = persistedIds()
-    var state = scoredCells(routed1).withColumn("exp", lit(false))
-      .localCheckpoint()
-    var gen = persistedIds() -- pre
+    val gens = scala.collection.mutable.ArrayBuffer(
+      scoredCells(routed1).localCheckpoint())
+    val expGens = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var tracked = persistedIds() -- pre
     (1 to BeamH).foreach { _ =>
+      val scored = gens.reduce(_ union _)
       val wB = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("v"))
-      val beam = state.filter(!col("exp"))
+      val unexpanded = if (expGens.isEmpty) scored
+        else scored.join(expGens.reduce(_ union _),
+          Seq("probe_id", "v"), "left_anti")
+      pre = persistedIds()
+      val beam = unexpanded
         .withColumn("rn", row_number().over(wB))
         .filter(col("rn") <= BeamB)
         .select(col("probe_id"), col("v"))
+        .localCheckpoint()
       val cand = broadcast(beam)
         .join(graph, beam("v") === graph("vec_id"))
         .filter(col("nbr") =!= col("probe_id"))
@@ -3737,19 +3754,13 @@ object Similarity {
         .join(broadcast(probeVecs), Seq("probe_id"))
         .withColumn("cos", qcosineNative(col("pq"), col("nq"), col("pqn"), col("nqn")))
         .select(col("probe_id"), col("nbr").as("v"), col("cos"))
-        .join(state.select(col("probe_id"), col("v")), Seq("probe_id", "v"), "left_anti")
-      pre = persistedIds()
-      state = state
-        .join(broadcast(beam.withColumn("bm", lit(true))),
-          Seq("probe_id", "v"), "left")
-        .select(col("probe_id"), col("v"), col("cos"),
-          (col("exp") || coalesce(col("bm"), lit(false))).as("exp"))
-        .union(cand.withColumn("exp", lit(false)))
+        .join(scored.select(col("probe_id"), col("v")), Seq("probe_id", "v"), "left_anti")
         .localCheckpoint()
-      val g = persistedIds() -- pre
-      free(gen)
-      gen = g
+      expGens += beam
+      gens += cand
+      tracked ++= persistedIds() -- pre
     }
+    val state = gens.reduce(_ union _)
 
     val exact5 = exactTopKTable(s, dir).select(col("probe_id"), col("vec_id").as("v"))
       .persist()
@@ -3770,7 +3781,7 @@ object Similarity {
 
     val nProbes = probeVecs.count()
     val (totEvals, gHits) = evalsAndHits(state)
-    free(gen) // last generation: nothing reads `state` past this point
+    free(tracked) // nothing reads any generation past this point
     // equal-budget nprobe: round(totEvals·K / (P·n)) in exact integer
     // arithmetic (the SQL twin computes the identical expression)
     val npEq = math.max(1L,
