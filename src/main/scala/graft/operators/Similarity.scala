@@ -3437,23 +3437,22 @@ object Similarity {
     }
 
     // census over the PUBLISHED artifact; the affected set re-derived
-    // here exactly as in the oracle (bounded: a semi/anti flag join)
+    // here exactly as in the oracle. Round-19: the three classes
+    // partition `folded`, so ONE grouped pass (the q116/q120/q123
+    // censusRows shape) replaces three semi/anti-filtered scans —
+    // class = batch (vec_id ≡ 0 mod 5) else refreshed/untouched by
+    // affected-set membership, marked via one broadcast left join.
     val affectedNow = routesBase.select(col("vec_id"), col("cent_id"))
       .join(routedBatch.select(col("cent_id")).distinct(), Seq("cent_id"))
       .select(col("vec_id")).distinct()
-    Seq(
-      Dedup.censusRow("nngraph_base_refreshed",
-        folded.filter(pmod(col("vec_id"), lit(5)) =!= 0)
-          .join(affectedNow, Seq("vec_id"), "left_semi"),
-        concat_ws("|", col("vec_id"), col("nbr"))),
-      Dedup.censusRow("nngraph_base_untouched",
-        folded.filter(pmod(col("vec_id"), lit(5)) =!= 0)
-          .join(affectedNow, Seq("vec_id"), "left_anti"),
-        concat_ws("|", col("vec_id"), col("nbr"))),
-      Dedup.censusRow("nngraph_batch",
-        folded.filter(pmod(col("vec_id"), lit(5)) === 0),
-        concat_ws("|", col("vec_id"), col("nbr"))))
-      .reduce(_ unionByName _)
+    val marked = folded.join(
+      broadcast(affectedNow.withColumn("aff", lit(1))), Seq("vec_id"), "left")
+    val cls = when(pmod(col("vec_id"), lit(5)) === 0, lit("nngraph_batch"))
+      .otherwise(when(col("aff").isNotNull, lit("nngraph_base_refreshed"))
+        .otherwise(lit("nngraph_base_untouched")))
+    Dedup.censusRows(marked, cls,
+      concat_ws("|", col("vec_id"), col("nbr")),
+      Seq("nngraph_base_refreshed", "nngraph_base_untouched", "nngraph_batch"))
       .orderBy("artifact")
   }
 
